@@ -1,0 +1,117 @@
+"""HTML → (text, hrefs) extraction — the stateful actor-pool stage.
+
+Reference analogue: the raw-input→edge-list extractor
+``trimesh_to_adjacency_matrices`` (/root/reference/src/ega/util/
+mesh_utils.py:41-73). Here the raw input is the ``html`` binary column
+of the pages table and the outputs are the extracted plain text (the
+per-url byte-identity invariant vs a sequential run, per
+``BASELINE.json input_hint``) and the href link list.
+
+``extract_page`` is *pure and per-row* (no cross-row state), which is
+what makes the distributed extraction byte-identical to the
+sequential oracle regardless of batching/scheduling. The regexes are
+compiled once per actor in ``__init__`` (actor-pool pattern); the
+per-batch loop is over documents — the per-document work itself is
+regex-engine (C) bound.
+"""
+
+from __future__ import annotations
+
+import html as _html
+import re
+
+import numpy as np
+import pyarrow as pa
+
+_TITLE_RE = re.compile(r"<title>(.*?)</title>", re.S)
+_PARA_RE = re.compile(r"<p>(.*?)</p>", re.S)
+_HREF_RE = re.compile(r"""<a\s+[^>]*?href=["']([^"']*)["']""", re.S)
+_TAG_RE = re.compile(r"<[^>]+>")
+
+
+def extract_page(html_bytes: bytes) -> tuple[str, list[str]]:
+    """Pure per-page extraction: (text, hrefs).
+
+    text = title + paragraph contents joined by newlines (tags inside
+    paragraphs stripped, entities unescaped); hrefs are unescaped raw
+    attribute values (normalization happens downstream).
+    """
+    doc = html_bytes.decode("utf-8", errors="replace")
+    parts: list[str] = []
+    m = _TITLE_RE.search(doc)
+    if m:
+        parts.append(_html.unescape(_TAG_RE.sub("", m.group(1))))
+    for p in _PARA_RE.findall(doc):
+        parts.append(_html.unescape(_TAG_RE.sub("", p)))
+    text = "\n".join(parts)
+    hrefs = [_html.unescape(h) for h in _HREF_RE.findall(doc)]
+    return text, hrefs
+
+
+class HtmlParser:
+    """Actor-pool ``map_batches`` stage: pages batch → (url, text, links).
+
+    Use with ``ds.map_batches(HtmlParser, batch_format="pyarrow",
+    batch_size=cfg.parse_batch_size, concurrency=N)``.
+    """
+
+    def __init__(self) -> None:
+        # compiled once per actor — regex state + entity tables warm
+        self._title = _TITLE_RE
+        self._para = _PARA_RE
+        self._href = _HREF_RE
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        htmls = batch.column("html").to_pylist()
+        texts: list[str] = []
+        flat: list[str] = []
+        lengths = np.empty(len(htmls), dtype=np.int64)
+        for j, blob in enumerate(htmls):
+            text, hrefs = extract_page(blob)
+            texts.append(text)
+            flat.extend(hrefs)
+            lengths[j] = len(hrefs)
+        offsets = np.zeros(len(htmls) + 1, dtype=np.int32)
+        np.cumsum(lengths, out=offsets[1:])
+        link_arr = pa.ListArray.from_arrays(
+            pa.array(offsets, type=pa.int32()), pa.array(flat, type=pa.string())
+        )
+        return pa.table(
+            {
+                "url": batch.column("url"),
+                "text": pa.array(texts, type=pa.string()),
+                "links": link_arr,
+            }
+        )
+
+
+def parse_pages(pages_ds, batch_size: int = 256, concurrency=None):
+    """pages Dataset → parsed Dataset (url, text, links).
+
+    Default actor-pool size: leave ~2 CPUs for the read/downstream
+    stages so the pool doesn't starve the rest of the pipeline.
+    """
+    if concurrency is None:
+        import ray
+
+        total = int(ray.cluster_resources().get("CPU", 4))
+        concurrency = max(2, total - 2)
+    return pages_ds.map_batches(
+        HtmlParser, batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency
+    )
+
+
+def sequential_extract(pages_table: pa.Table) -> pa.Table:
+    """Single-process oracle extractor (the byte-identity reference)."""
+    texts, links = [], []
+    for blob in pages_table.column("html").to_pylist():
+        t, h = extract_page(blob)
+        texts.append(t)
+        links.append(h)
+    return pa.table(
+        {
+            "url": pages_table.column("url"),
+            "text": pa.array(texts, type=pa.string()),
+            "links": pa.array(links, type=pa.list_(pa.string())),
+        }
+    )

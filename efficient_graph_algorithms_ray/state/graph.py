@@ -1,0 +1,145 @@
+"""ShardedGraph — the materialized, shared, immutable graph index.
+
+A Dataset of CSR shard rows is the *transport* representation; the
+*superstep* representation is each shard pinned once in the Ray object
+store and addressed by a tiny ``{part: ObjectRef}`` dict captured in
+task closures. ``ray.get`` of a plasma numpy buffer is zero-copy, so
+every superstep task reads its shard without deserialization and
+without re-shipping per batch (broadcast-once pattern).
+
+This is the one deliberate use of raw Ray object APIs — a shared
+immutable index is exactly what the Dataset API can't express (it
+would re-shuffle or re-materialize the static graph every iteration).
+Reference analogue: pre-factored per-graph state reused across
+iterations (``get_mesh_data`` Cholesky factor, /root/reference/src/
+ega/util/get_mesh_data.py:77-98).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray
+
+from .csr import unpack_csr_row
+
+
+@dataclass
+class ShardedGraph:
+    num_partitions: int
+    directed: bool
+    refs: dict[int, "ray.ObjectRef"]
+    n_vertices_by_part: dict[int, int]
+    n_edges_by_part: dict[int, int]
+    meta: dict = field(default_factory=dict)
+
+    @property
+    def n_vertices(self) -> int:
+        return int(sum(self.n_vertices_by_part.values()))
+
+    @property
+    def n_edges(self) -> int:
+        return int(sum(self.n_edges_by_part.values()))
+
+    @property
+    def parts(self) -> list[int]:
+        return sorted(self.refs)
+
+    @staticmethod
+    def from_shard_dataset(shard_ds, num_partitions: int, directed: bool) -> "ShardedGraph":
+        """Pin each CSR shard into the object store (driver-owned refs).
+
+        Streams shard blocks through the driver one at a time — peak
+        driver memory is one shard. Driver ownership keeps refs alive
+        for the whole run regardless of worker churn.
+        """
+        refs: dict[int, ray.ObjectRef] = {}
+        nv: dict[int, int] = {}
+        ne: dict[int, int] = {}
+        for block in shard_ds.iter_batches(batch_size=None, batch_format="pyarrow"):
+            for i in range(block.num_rows):
+                csr = unpack_csr_row(block, i)
+                p = int(csr.pop("part"))
+                refs[p] = ray.put(csr)
+                nv[p] = len(csr["vids"])
+                ne[p] = len(csr["indices"])
+        return ShardedGraph(num_partitions, directed, refs, nv, ne)
+
+    # --- persistence (graph checkpoints, reused across runs/resume) ---
+
+    def save(self, out_dir: str) -> None:
+        os.makedirs(out_dir, exist_ok=True)
+        from ..util import list_array
+        from .csr import CSR_SCHEMA
+
+        for p in self.parts:
+            csr = ray.get(self.refs[p])
+            tbl = pa.Table.from_arrays(
+                [
+                    pa.array([p], type=pa.int64()),
+                    list_array([csr["vids"]], np.uint64, pa.uint64()),
+                    list_array([csr["indptr"]], np.int64, pa.int64()),
+                    list_array([csr["indices"]], np.uint64, pa.uint64()),
+                ],
+                schema=CSR_SCHEMA,
+            )
+            tmp = os.path.join(out_dir, f".part_{p:05d}.parquet.tmp")
+            pq.write_table(tbl, tmp)
+            os.replace(tmp, os.path.join(out_dir, f"part_{p:05d}.parquet"))
+        with open(os.path.join(out_dir, "meta.json"), "w") as f:
+            json.dump(
+                {
+                    "num_partitions": self.num_partitions,
+                    "directed": self.directed,
+                    "n_vertices": self.n_vertices,
+                    "n_edges": self.n_edges,
+                },
+                f,
+            )
+
+    @staticmethod
+    def load(in_dir: str) -> "ShardedGraph":
+        with open(os.path.join(in_dir, "meta.json")) as f:
+            meta = json.load(f)
+        refs: dict[int, ray.ObjectRef] = {}
+        nv: dict[int, int] = {}
+        ne: dict[int, int] = {}
+        for name in sorted(os.listdir(in_dir)):
+            if not (name.startswith("part_") and name.endswith(".parquet")):
+                continue
+            tbl = pq.read_table(os.path.join(in_dir, name))
+            for i in range(tbl.num_rows):
+                csr = unpack_csr_row(tbl, i)
+                p = int(csr.pop("part"))
+                refs[p] = ray.put(csr)
+                nv[p] = len(csr["vids"])
+                ne[p] = len(csr["indices"])
+        return ShardedGraph(meta["num_partitions"], meta["directed"], refs, nv, ne, meta)
+
+    def vertex_dataset(self):
+        """All (vid, deg) rows as a Dataset — degree table, zero-fills, joins."""
+        import ray.data as rd
+
+        refs = self.refs
+
+        def _emit(batch: pa.Table) -> pa.Table:
+            parts = batch.column("part").to_numpy(zero_copy_only=False)
+            vids_out, deg_out = [], []
+            for p in parts:
+                csr = ray.get(refs[int(p)])
+                vids_out.append(csr["vids"])
+                deg_out.append(csr["deg"].astype(np.int64))
+            return pa.table(
+                {
+                    "vid": pa.array(np.concatenate(vids_out), type=pa.uint64()),
+                    "deg": pa.array(np.concatenate(deg_out), type=pa.int64()),
+                }
+            )
+
+        parts_ds = rd.from_arrow(pa.table({"part": pa.array(self.parts, type=pa.int64())}))
+        return parts_ds.map_batches(_emit, batch_format="pyarrow", batch_size=1)

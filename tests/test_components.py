@@ -1,0 +1,80 @@
+"""Connected components & label propagation — exact-match vs oracles."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from efficient_graph_algorithms_ray.config import EngineConfig, UNLABELED
+from efficient_graph_algorithms_ray.oracles.numpy_graph import (
+    components_oracle,
+    label_prop_oracle,
+)
+from efficient_graph_algorithms_ray.pipelines.components import (
+    connected_components,
+    label_propagation,
+)
+from efficient_graph_algorithms_ray.pipelines.graph_build import build_graph
+from efficient_graph_algorithms_ray.stages.hashing import hash_to_vid
+
+
+def _edges_ds(src, dst):
+    return rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array(src, type=pa.uint64()),
+                "dst": pa.array(dst, type=pa.uint64()),
+            }
+        )
+    )
+
+
+def _cc(src, dst, tmp_path, P=8):
+    g = build_graph(_edges_ds(src, dst), EngineConfig(num_partitions=P), directed=False)
+    comp, summary = connected_components(g, str(tmp_path / "cc"))
+    df = comp.to_pandas().sort_values("vid").reset_index(drop=True)
+    ovids, ocomp = components_oracle(src, dst)
+    assert np.array_equal(df["vid"].to_numpy().astype(np.uint64), ovids)
+    assert np.array_equal(df["component"].to_numpy().astype(np.uint64), ocomp)
+    return df, summary
+
+
+def test_cc_web_fixture(tmp_path, tiny_edges):
+    src, dst = tiny_edges
+    _cc(src, dst, tmp_path)
+
+
+def test_cc_two_cliques_and_chain(tmp_path):
+    """Two disjoint cliques + a chain (FIXTURES.md F5 edge-case shape)."""
+    a = hash_to_vid([f"a{i}" for i in range(8)])
+    b = hash_to_vid([f"b{i}" for i in range(6)])
+    c = hash_to_vid([f"c{i}" for i in range(10)])
+    srcs, dsts = [], []
+    for grp in (a, b):
+        for i in range(len(grp)):
+            for j in range(i + 1, len(grp)):
+                srcs.append(grp[i])
+                dsts.append(grp[j])
+    for i in range(len(c) - 1):
+        srcs.append(c[i])
+        dsts.append(c[i + 1])
+    src = np.array(srcs, dtype=np.uint64)
+    dst = np.array(dsts, dtype=np.uint64)
+    df, summary = _cc(src, dst, tmp_path, P=4)
+    assert df.set_index(df["vid"].astype(np.uint64))["component"].nunique() == 3
+
+
+def test_label_propagation_seeded(tmp_path, tiny_edges):
+    src, dst = tiny_edges
+    g = build_graph(_edges_ds(src, dst), EngineConfig(num_partitions=8), directed=False)
+    # two seed labels on arbitrary distinct vertices
+    vids_all = np.unique(np.concatenate([src, dst]))
+    seeds = {int(vids_all[0]): 7, int(vids_all[len(vids_all) // 2]): 9}
+    labels, summary = label_propagation(g, str(tmp_path / "lp"), seeds)
+    df = labels.to_pandas().sort_values("vid").reset_index(drop=True)
+    ovids, olabels = label_prop_oracle(src, dst, seeds)
+    assert np.array_equal(df["vid"].to_numpy().astype(np.uint64), ovids)
+    assert np.array_equal(df["label"].to_numpy().astype(np.uint64), olabels)
+    # at least the seeded components got labeled
+    assert (df["label"].to_numpy().astype(np.uint64) != UNLABELED).any()

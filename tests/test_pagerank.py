@@ -1,0 +1,87 @@
+"""PageRank vs the dense random-walk-with-restart oracle (allclose 1e-6)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from efficient_graph_algorithms_ray.config import EngineConfig
+from efficient_graph_algorithms_ray.oracles.numpy_graph import pagerank_oracle
+from efficient_graph_algorithms_ray.pipelines.graph_build import build_graph
+from efficient_graph_algorithms_ray.pipelines.pagerank import pagerank, top_k_ranks
+from efficient_graph_algorithms_ray.stages.hashing import hash_to_vid
+
+
+def _edges_ds(src, dst):
+    return rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array(src, type=pa.uint64()),
+                "dst": pa.array(dst, type=pa.uint64()),
+            }
+        )
+    )
+
+
+def _run_and_compare(src, dst, tmp_path, P=8, damping=0.85):
+    g = build_graph(_edges_ds(src, dst), EngineConfig(num_partitions=P), directed=True)
+    ranks, summary = pagerank(g, str(tmp_path / "pr"), damping=damping, tol=1e-6, max_iters=200)
+    df = ranks.to_pandas().sort_values("vid").reset_index(drop=True)
+    ovids, oranks = pagerank_oracle(src, dst, damping=damping, tol=1e-6, max_iters=200)
+    assert np.array_equal(df["vid"].to_numpy().astype(np.uint64), ovids)
+    assert np.allclose(df["rank"].to_numpy(), oranks, atol=1e-6)
+    assert summary["converged"]
+    assert abs(df["rank"].sum() - 1.0) < 1e-9  # probability mass conserved
+    return df, summary
+
+
+def test_pagerank_web_fixture(tmp_path, tiny_edges):
+    src, dst = tiny_edges
+    _run_and_compare(src, dst, tmp_path)
+
+
+def test_pagerank_erdos_renyi(tmp_path):
+    """Mirrors the reference kernel smoke fixture
+    (/root/reference/test/test_graph_kernels.py:7: ER n=500 p=0.2 seed=42)
+    at reduced size for test speed."""
+    rng = np.random.Generator(np.random.Philox(key=[42, 0]))
+    n = 120
+    mask = rng.random((n, n)) < 0.2
+    np.fill_diagonal(mask, False)
+    si, di = np.nonzero(mask)
+    names = [f"v{i}" for i in range(n)]
+    vids = hash_to_vid(names)
+    _run_and_compare(vids[si], vids[di], tmp_path, P=5)
+
+
+def test_pagerank_star_hub_skew(tmp_path):
+    """Star graph: 1 hub receives from 800 leaves — exercises the
+    pre-aggregated (salt-equivalent) message path and dangling hub."""
+    leaves = hash_to_vid([f"leaf{i}" for i in range(800)])
+    hub = hash_to_vid(["hub"])[0]
+    src = leaves
+    dst = np.full(len(leaves), hub, dtype=np.uint64)
+    df, summary = _run_and_compare(src, dst, tmp_path, P=8)
+    hub_rank = df.loc[df["vid"].to_numpy().astype(np.uint64) == hub, "rank"].iloc[0]
+    assert hub_rank > df["rank"].median() * 50  # hub dominates
+
+
+def test_pagerank_fixed_iterations_matches_oracle(tmp_path, tiny_edges):
+    """tol=0 + max_iters=k runs exactly k supersteps (SQL-oracle mode)."""
+    src, dst = tiny_edges
+    g = build_graph(_edges_ds(src, dst), EngineConfig(num_partitions=4), directed=True)
+    ranks, summary = pagerank(g, str(tmp_path / "prk"), tol=0.0, max_iters=4)
+    assert summary["iterations"] == 4
+    df = ranks.to_pandas().sort_values("vid").reset_index(drop=True)
+    ovids, oranks = pagerank_oracle(src, dst, tol=0.0, max_iters=4)
+    assert np.allclose(df["rank"].to_numpy(), oranks, atol=1e-12)
+
+
+def test_top_k(tmp_path, tiny_edges):
+    src, dst = tiny_edges
+    g = build_graph(_edges_ds(src, dst), EngineConfig(num_partitions=4), directed=True)
+    ranks, _ = pagerank(g, str(tmp_path / "prt"), tol=1e-6)
+    top = top_k_ranks(ranks, 10).to_pandas()
+    assert len(top) == 10
+    assert (np.diff(top["rank"].to_numpy()) <= 1e-18).all()
