@@ -4,13 +4,10 @@ The driver's verify calls ``entry()`` as a smoke check (Ray is already
 initialised, local mode), runs each ``queries()[name](sf_dir)`` at
 sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
 DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+CORRECTNESS_r{N}.json).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: no
+``ray.init()``/``ray.shutdown()`` here or in the library code.
 """
 
 from __future__ import annotations
@@ -18,27 +15,98 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+_SF0001 = "/root/testdata/sf0.001"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001: build the part→supplier link graph
+    from lineitem, run PageRank (damping 0.85) to ‖Δ‖∞ < 1e-6, return
+    the per-vertex rank table."""
+    import tempfile
+
+    from efficient_graph_algorithms_ray.config import EngineConfig
+    from efficient_graph_algorithms_ray.pipelines.graph_build import build_graph
+    from efficient_graph_algorithms_ray.pipelines.pagerank import pagerank
+    from efficient_graph_algorithms_ray.pipelines.relational import partsupp_edges
+
+    g = build_graph(partsupp_edges(_SF0001), EngineConfig(num_partitions=8), directed=True)
+    ranks, _ = pagerank(
+        g, tempfile.mkdtemp(prefix="ega_entry_", dir="/tmp"), tol=1e-6, max_iters=100
+    )
+    return ranks
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    """One entry per implemented operator/pipeline from SURVEY.md §2."""
+    from efficient_graph_algorithms_ray.pipelines import relational as R
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    q: dict[str, Callable[[str], Any]] = {
+        # graph engine end-to-end (SQL-oracled)
+        "degree_partsupp": R.q_degree_partsupp,
+        "pagerank_partsupp_k4": R.q_pagerank_partsupp_k4,
+        "cc_customer_orders": R.q_cc_customer_orders,
+        "triangles_coocc": R.q_triangles_coocc,
+        # relational core (SQL-oracled)
+        "pricing_summary": R.q_pricing_summary,
+        "top_customers": R.q_top_customers,
+        "events_hourly": R.q_events_hourly,
+    }
+    # flagship synthetic-pages pipelines (non-SQL-expressible → rows-only)
+    q.update(_pages_queries())
+    return q
+
+
+def _pages_queries() -> dict[str, Callable[[str], Any]]:
+    def flagship_pagerank(sf_dir: str):
+        import tempfile
+
+        import ray.data as rd
+
+        from efficient_graph_algorithms_ray.config import EngineConfig
+        from efficient_graph_algorithms_ray.pipelines.graph_build import graph_from_pages
+        from efficient_graph_algorithms_ray.pipelines.pagerank import pagerank, top_k_ranks
+        from efficient_graph_algorithms_ray.sources.pages import write_pages
+
+        pages = rd.read_parquet(write_pages("/tmp/ega_pages_q", n_pages=2000))
+        g = graph_from_pages(pages, EngineConfig(num_partitions=8), directed=True)
+        ranks, _ = pagerank(
+            g, tempfile.mkdtemp(prefix="ega_fpr_", dir="/tmp"), tol=1e-6, max_iters=100
+        )
+        return top_k_ranks(ranks, 50)
+
+    def flagship_components(sf_dir: str):
+        import tempfile
+
+        import ray.data as rd
+
+        from efficient_graph_algorithms_ray.config import EngineConfig
+        from efficient_graph_algorithms_ray.pipelines.components import connected_components
+        from efficient_graph_algorithms_ray.pipelines.graph_build import graph_from_pages
+        from efficient_graph_algorithms_ray.sources.pages import write_pages
+
+        pages = rd.read_parquet(write_pages("/tmp/ega_pages_q", n_pages=2000))
+        g = graph_from_pages(pages, EngineConfig(num_partitions=8), directed=False)
+        comp, _ = connected_components(
+            g, tempfile.mkdtemp(prefix="ega_fcc_", dir="/tmp")
+        )
+        return comp
+
+    return {
+        "flagship_pages_pagerank_top50": flagship_pagerank,
+        "flagship_pages_components": flagship_components,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL for every SQL-expressible query above."""
+    from efficient_graph_algorithms_ray.oracles import sql as S
+
+    return {
+        "degree_partsupp": S.DEGREE_PARTSUPP,
+        "pagerank_partsupp_k4": S.pagerank_partsupp_sql(k=4, damping=0.85),
+        "cc_customer_orders": S.CC_CUSTOMER_ORDERS,
+        "triangles_coocc": S.TRIANGLES_COOCC,
+        "pricing_summary": S.PRICING_SUMMARY,
+        "top_customers": S.TOP_CUSTOMERS,
+        "events_hourly": S.EVENTS_HOURLY,
+    }

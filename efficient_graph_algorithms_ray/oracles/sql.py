@@ -1,0 +1,110 @@
+"""DuckDB oracle SQL paired with pipelines/relational.py (and the text/
+similarity queries). Table names are the driver's pre-registered views.
+
+Cross-system exactness rules (mirrored in the Ray code):
+- money → FLOOR(x * 100) cents as BIGINT (floor of the *same* IEEE
+  double product is bit-identical in DuckDB and numpy; ROUND is not —
+  half-even vs half-away);
+- SUM(BIGINT) is HUGEINT in DuckDB → always CAST back to BIGINT;
+- the one float output (PageRank) is ROUND(r, 9) on values ~1e-4 with
+  ~1e-16 relative arithmetic noise — 7 orders of magnitude of margin.
+"""
+
+from __future__ import annotations
+
+SUPP_OFFSET = 10_000_000
+ORDER_OFFSET = 100_000_000
+
+_PARTSUPP_EDGES = f"""e AS (
+    SELECT DISTINCT l_partkey AS src, l_suppkey + {SUPP_OFFSET} AS dst FROM lineitem
+),
+v AS (SELECT src AS vid FROM e UNION SELECT dst AS vid FROM e)"""
+
+
+DEGREE_PARTSUPP = f"""WITH {_PARTSUPP_EDGES},
+o AS (SELECT src AS vid, COUNT(*) AS n FROM e GROUP BY 1),
+i AS (SELECT dst AS vid, COUNT(*) AS n FROM e GROUP BY 1)
+SELECT v.vid AS vid, COALESCE(o.n, 0) AS out_deg, COALESCE(i.n, 0) AS in_deg
+FROM v LEFT JOIN o ON v.vid = o.vid LEFT JOIN i ON v.vid = i.vid"""
+
+
+def pagerank_partsupp_sql(k: int = 4, damping: float = 0.85) -> str:
+    """k unrolled power-iteration steps with uniform dangling
+    redistribution — the exact engine/oracle recurrence."""
+    parts = [
+        f"WITH {_PARTSUPP_EDGES},",
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM v),",
+        "od AS (SELECT src AS vid, CAST(COUNT(*) AS DOUBLE) AS d FROM e GROUP BY 1),",
+        "r0 AS (SELECT vid, 1.0 / (SELECT c FROM nn) AS r FROM v)",
+    ]
+    for i in range(1, k + 1):
+        p = f"r{i-1}"
+        parts.append(
+            f""",
+m{i} AS (
+  SELECT e.dst AS vid, SUM({p}.r / od.d) AS s
+  FROM e JOIN {p} ON e.src = {p}.vid JOIN od ON e.src = od.vid
+  GROUP BY e.dst
+),
+dang{i} AS (
+  SELECT COALESCE(SUM({p}.r), 0) AS dm
+  FROM {p} LEFT JOIN od ON {p}.vid = od.vid WHERE od.vid IS NULL
+),
+r{i} AS (
+  SELECT v.vid,
+         (1 - {damping}) / (SELECT c FROM nn)
+         + {damping} * (COALESCE(m{i}.s, 0) + (SELECT dm FROM dang{i}) / (SELECT c FROM nn)) AS r
+  FROM v LEFT JOIN m{i} ON v.vid = m{i}.vid
+)"""
+        )
+    parts.append(f"\nSELECT vid, ROUND(r, 9) AS rank_r9 FROM r{k}")
+    return "".join(parts)
+
+
+CC_CUSTOMER_ORDERS = f"""WITH e AS (
+    SELECT o_custkey AS src, o_orderkey + {ORDER_OFFSET} AS dst FROM orders
+)
+SELECT dst AS vid, src AS component FROM e
+UNION ALL
+SELECT DISTINCT src AS vid, src AS component FROM e"""
+
+
+TRIANGLES_COOCC = """WITH pr AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+und AS (SELECT u, v FROM pr UNION ALL SELECT v AS u, u AS v FROM pr),
+verts AS (SELECT DISTINCT u AS vid FROM und),
+t AS (
+  SELECT e1.u AS vid, COUNT(*) AS c2
+  FROM und e1
+  JOIN und e2 ON e1.v = e2.u
+  JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+  GROUP BY e1.u
+)
+SELECT verts.vid AS vid, CAST(COALESCE(t.c2, 0) // 2 AS BIGINT) AS triangles
+FROM verts LEFT JOIN t ON verts.vid = t.vid"""
+
+
+PRICING_SUMMARY = """SELECT l_returnflag, l_linestatus,
+  CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+  CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_price_cents,
+  COUNT(*) AS n
+FROM lineitem
+GROUP BY l_returnflag, l_linestatus"""
+
+
+TOP_CUSTOMERS = """SELECT o_custkey AS custkey, COUNT(*) AS n_orders,
+  CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
+FROM orders
+GROUP BY o_custkey
+ORDER BY n_orders DESC, custkey ASC
+LIMIT 10"""
+
+
+EVENTS_HOURLY = """SELECT event_type, date_trunc('hour', ts) AS hour,
+  COUNT(*) AS n,
+  CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS cents
+FROM events
+GROUP BY event_type, date_trunc('hour', ts)"""

@@ -25,7 +25,6 @@ from ..stages.extract import parse_pages
 from ..stages.hashing import hash_to_vid, normalize_urls
 from ..state.csr import pack_csr_group
 from ..state.graph import ShardedGraph
-from ..util import flatten_list_column, list_rows
 
 
 def edges_from_parsed(parsed_ds):

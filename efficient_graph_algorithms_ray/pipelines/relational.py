@@ -1,0 +1,271 @@
+"""Relational + graph queries over the driver's testdata tables.
+
+Each function here takes ``sf_dir`` and returns a Dataset / pyarrow
+Table whose row count, schema AND values must match the paired ANSI
+SQL in ``__ray_entry__.oracle_sql()`` (DuckDB). Rules that keep the
+value-hash comparison meaningful:
+
+- identical column names on both sides;
+- integer outputs wherever possible (sums of money as cents →
+  BIGINT: exact in float64 well below 2^53, so no float-rounding
+  hazards);
+- floats only where unavoidable, rounded identically on both sides;
+- vids in these queries are the testdata's own int64 keys (offset to
+  disambiguate the two endpoints' key spaces), not hashed — SQL can
+  reproduce them.
+
+Graph queries run the *real engine* (build_graph → supersteps) over
+edge tables derived from lineitem/orders, so the driver's DuckDB
+check exercises the full distributed path end-to-end.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+from ..config import EngineConfig
+from ..pipelines.components import connected_components
+from ..pipelines.degrees import degree_table
+from ..pipelines.graph_build import build_graph
+from ..pipelines.pagerank import pagerank
+from ..pipelines.triangles import triangle_count
+
+SUPP_OFFSET = 10_000_000  # supplier vid = l_suppkey + SUPP_OFFSET
+ORDER_OFFSET = 100_000_000  # order vid = o_orderkey + ORDER_OFFSET
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+def _ckpt(name: str) -> str:
+    return tempfile.mkdtemp(prefix=f"ega_ray_{name}_", dir="/tmp")
+
+
+# --------------------------------------------------------------------------
+# edge tables derived from testdata (int64 keys, SQL-reproducible)
+# --------------------------------------------------------------------------
+
+def partsupp_edges(sf_dir: str):
+    """Directed bipartite graph: part → supplier (distinct lineitem pairs).
+
+    Suppliers have out-degree 0 → the whole supplier side is dangling
+    mass, a strong test of the damping/dangling arithmetic.
+    """
+
+    def _fn(batch: pa.Table) -> pa.Table:
+        src = batch.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.uint64)
+        dst = (
+            batch.column("l_suppkey").to_numpy(zero_copy_only=False) + SUPP_OFFSET
+        ).astype(np.uint64)
+        return pa.table(
+            {
+                "src": pa.array(src, type=pa.uint64()),
+                "dst": pa.array(dst, type=pa.uint64()),
+            }
+        )
+
+    return _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"]).map_batches(
+        _fn, batch_format="pyarrow"
+    )
+
+
+def customer_order_edges(sf_dir: str):
+    """Star forest: customer → order (one edge per order)."""
+
+    def _fn(batch: pa.Table) -> pa.Table:
+        src = batch.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.uint64)
+        dst = (
+            batch.column("o_orderkey").to_numpy(zero_copy_only=False) + ORDER_OFFSET
+        ).astype(np.uint64)
+        return pa.table(
+            {
+                "src": pa.array(src, type=pa.uint64()),
+                "dst": pa.array(dst, type=pa.uint64()),
+            }
+        )
+
+    return _read(sf_dir, "orders", ["o_custkey", "o_orderkey"]).map_batches(
+        _fn, batch_format="pyarrow"
+    )
+
+
+def part_cooccurrence_edges(sf_dir: str):
+    """Undirected part–part edges: parts sharing an order (dense, has
+    triangles). Pairs generated per order group, a < b."""
+
+    def _pairs(group: pd.DataFrame) -> pd.DataFrame:
+        parts = np.unique(group["l_partkey"].to_numpy())
+        if len(parts) < 2:
+            return pd.DataFrame({"src": np.empty(0, np.uint64), "dst": np.empty(0, np.uint64)})
+        ia, ib = np.triu_indices(len(parts), 1)
+        return pd.DataFrame(
+            {"src": parts[ia].astype(np.uint64), "dst": parts[ib].astype(np.uint64)}
+        )
+
+    return (
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+        .groupby("l_orderkey")
+        .map_groups(_pairs, batch_format="pandas")
+    )
+
+
+def _vid_to_int64(ds, value_cols: dict[str, pa.DataType]):
+    """Cast uint64 vid → int64 'vid' plus typed value columns."""
+
+    def _fn(batch: pa.Table) -> pa.Table:
+        cols = {"vid": batch.column("vid").cast(pa.int64())}
+        for name, typ in value_cols.items():
+            cols[name] = batch.column(name).cast(typ)
+        return pa.table(cols)
+
+    return ds.map_batches(_fn, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# graph queries (engine end-to-end, SQL-oracled)
+# --------------------------------------------------------------------------
+
+def q_degree_partsupp(sf_dir: str):
+    g = build_graph(partsupp_edges(sf_dir), EngineConfig(num_partitions=16), directed=True)
+    return _vid_to_int64(
+        degree_table(g), {"out_deg": pa.int64(), "in_deg": pa.int64()}
+    )
+
+
+def q_pagerank_partsupp_k4(sf_dir: str):
+    g = build_graph(partsupp_edges(sf_dir), EngineConfig(num_partitions=16), directed=True)
+    ranks, _ = pagerank(g, _ckpt("prk4"), damping=0.85, tol=0.0, max_iters=4)
+
+    def _round(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vid": batch.column("vid").cast(pa.int64()),
+                "rank_r9": pc.round(batch.column("rank"), ndigits=9),
+            }
+        )
+
+    return ranks.map_batches(_round, batch_format="pyarrow")
+
+
+def q_cc_customer_orders(sf_dir: str):
+    g = build_graph(
+        customer_order_edges(sf_dir), EngineConfig(num_partitions=16), directed=False
+    )
+    comp, _ = connected_components(g, _ckpt("cco"))
+    return _vid_to_int64(comp, {"component": pa.int64()})
+
+
+def q_triangles_coocc(sf_dir: str):
+    g = build_graph(
+        part_cooccurrence_edges(sf_dir), EngineConfig(num_partitions=16), directed=False
+    )
+    return _vid_to_int64(triangle_count(g), {"triangles": pa.int64()})
+
+
+# --------------------------------------------------------------------------
+# relational queries (vectorized map_batches + partial aggregation)
+# --------------------------------------------------------------------------
+
+def q_pricing_summary(sf_dir: str):
+    """TPC-H Q1 shape with exact integer aggregates (cents)."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {
+                "l_returnflag": batch.column("l_returnflag").to_pandas(),
+                "l_linestatus": batch.column("l_linestatus").to_pandas(),
+                "sum_qty": batch.column("l_quantity").to_numpy(zero_copy_only=False).astype(np.int64),
+                "sum_price_cents": np.floor(
+                    batch.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100
+                ).astype(np.int64),
+            }
+        )
+        out = (
+            df.groupby(["l_returnflag", "l_linestatus"], as_index=False)
+            .agg(sum_qty=("sum_qty", "sum"), sum_price_cents=("sum_price_cents", "sum"), n=("sum_qty", "size"))
+        )
+        out["n"] = out["n"].astype(np.int64)
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    partials = _read(
+        sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"]
+    ).map_batches(_partial, batch_format="pyarrow")
+    return partials.groupby(["l_returnflag", "l_linestatus"]).aggregate(
+        Sum("sum_qty", alias_name="sum_qty"),
+        Sum("sum_price_cents", alias_name="sum_price_cents"),
+        Sum("n", alias_name="n"),
+    )
+
+
+def q_top_customers(sf_dir: str):
+    """Top 10 customers by order count (ties → lower custkey), exact cents."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "custkey": batch.column("o_custkey"),
+                "cents": pa.array(
+                    np.floor(
+                        batch.column("o_totalprice").to_numpy(zero_copy_only=False) * 100
+                    ).astype(np.int64),
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    agg = (
+        orders.map_batches(_prep, batch_format="pyarrow")
+        .groupby("custkey")
+        .aggregate(Count(alias_name="n_orders"), Sum("cents", alias_name="total_cents"))
+    )
+    return agg.sort(["n_orders", "custkey"], descending=[True, False]).limit(10)
+
+
+def q_events_hourly(sf_dir: str):
+    """Tumbling 1-hour window aggregate over the events stream table."""
+
+    def _prep(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch.column("event_type"),
+                # cast: floor_temporal can downscale the unit; DuckDB's
+                # date_trunc stays timestamp[us] and the driver compares schemas
+                "hour": pc.floor_temporal(batch.column("ts"), unit="hour").cast(
+                    pa.timestamp("us")
+                ),
+                "cents": pa.array(
+                    np.floor(batch.column("value").to_numpy(zero_copy_only=False) * 100).astype(
+                        np.int64
+                    ),
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    agg = (
+        _read(sf_dir, "events", ["event_type", "ts", "value"])
+        .map_batches(_prep, batch_format="pyarrow")
+        .groupby(["event_type", "hour"])
+        .aggregate(Count(alias_name="n"), Sum("cents", alias_name="cents"))
+    )
+
+    # Ray's shuffle can downscale timestamp precision; DuckDB's
+    # date_trunc output stays timestamp[us] and the driver compares schemas.
+    def _fix(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.schema.get_field_index("hour"),
+            "hour",
+            batch.column("hour").cast(pa.timestamp("us")),
+        )
+
+    return agg.map_batches(_fix, batch_format="pyarrow")
