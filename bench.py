@@ -1,0 +1,185 @@
+"""Benchmark harness — prints ONE JSON line per the driver contract.
+
+Headline pipelines:
+  pages_build      pages → actor-pool parse → edges → directed CSR graph
+  pagerank         damping 0.85 to ‖Δ‖∞<1e-6 (reports edges/sec/superstep)
+  cc               undirected build + min-label propagation to fixpoint
+  triangles        degree-oriented wedge join over the pages graph
+  + relational queries over $GRAFT_SF_DIR (default /root/testdata/sf0.1)
+
+`--scaling` runs the same bench in two fresh processes at
+RAY_GRAFT_CPUS=8 and =32 on identical input (the sandbox stand-in for
+N vs 4N nodes) and reports both throughputs + efficiency.
+
+Env knobs: GRAFT_SF_DIR, RAY_GRAFT_CPUS (default 32), GRAFT_PAGES
+(default 200_000 — sized so superstep compute, not fixed overhead,
+dominates at 32 cpus).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+
+def _run_bench() -> dict:
+    import logging
+
+    import ray
+
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    n_pages = int(os.environ.get("GRAFT_PAGES", "200000"))
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import ray.data as rd
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.CRITICAL)
+
+    from efficient_graph_algorithms_ray.config import EngineConfig
+    from efficient_graph_algorithms_ray.pipelines import relational as R
+    from efficient_graph_algorithms_ray.pipelines.components import connected_components
+    from efficient_graph_algorithms_ray.pipelines.graph_build import (
+        build_graph,
+        edges_from_parsed,
+    )
+    from efficient_graph_algorithms_ray.pipelines.pagerank import pagerank
+    from efficient_graph_algorithms_ray.pipelines.triangles import triangle_count
+    from efficient_graph_algorithms_ray.sources.pages import write_pages
+    from efficient_graph_algorithms_ray.stages.extract import parse_pages
+
+    # P is a property of the DATA layout, not the cluster size — keep it
+    # fixed across parallelism levels so the scaling run compares like
+    # with like (same shards, same messages, different worker count).
+    cfg = EngineConfig(num_partitions=int(os.environ.get("GRAFT_PARTS", "32")))
+    queries: dict[str, float] = {}
+    extra: dict = {"num_cpus": num_cpus, "n_pages": n_pages}
+
+    # corpus generation is one-time and cached — not part of the timed suite
+    pages_dir = write_pages(f"/tmp/ega_bench_pages_{n_pages}", n_pages=n_pages, num_blocks=64)
+
+    t0 = time.perf_counter()
+    edges = edges_from_parsed(
+        parse_pages(rd.read_parquet(pages_dir), batch_size=cfg.parse_batch_size)
+    ).materialize()  # parse once; both graph orientations build from this
+    g = build_graph(edges, cfg, directed=True)
+    queries["pages_build"] = time.perf_counter() - t0
+    extra["n_vertices"] = g.n_vertices
+    extra["n_edges"] = g.n_edges
+    extra["build_edges_per_sec"] = g.n_edges / queries["pages_build"]
+
+    t0 = time.perf_counter()
+    ranks, s = pagerank(
+        g, tempfile.mkdtemp(prefix="ega_bench_pr_", dir="/tmp"), tol=1e-6, max_iters=100
+    )
+    ranks.count()
+    queries["pagerank"] = time.perf_counter() - t0
+    step_secs = [h["seconds"] for h in s["history"]]
+    extra["pagerank_iterations"] = s["iterations"]
+    extra["pagerank_edges_per_sec_per_superstep"] = g.n_edges / (
+        sum(step_secs) / len(step_secs)
+    )
+
+    t0 = time.perf_counter()
+    gu = build_graph(edges, cfg, directed=False)
+    comp, cs = connected_components(gu, tempfile.mkdtemp(prefix="ega_bench_cc_", dir="/tmp"))
+    comp.count()
+    queries["cc"] = time.perf_counter() - t0
+    extra["cc_rounds"] = cs["iterations"]
+
+    t0 = time.perf_counter()
+    tri = triangle_count(gu)
+    tri.count()
+    queries["triangles"] = time.perf_counter() - t0
+
+    # relational suite over the driver's sf tables
+    for name, fn in [
+        ("pricing_summary", R.q_pricing_summary),
+        ("top_customers", R.q_top_customers),
+        ("events_hourly", R.q_events_hourly),
+        ("pagerank_partsupp_k4", R.q_pagerank_partsupp_k4),
+    ]:
+        t0 = time.perf_counter()
+        res = fn(sf_dir)
+        res.count() if hasattr(res, "count") else len(res)
+        queries[name] = time.perf_counter() - t0
+
+    ray.shutdown()
+    total = sum(queries.values())
+    return {
+        "metric": "headline pipeline suite wall time",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in queries.items()},
+        "sf": sf_dir.rstrip("/").split("sf")[-1],
+        "num_cpus": num_cpus,
+        "extra": {
+            k: (round(v, 1) if isinstance(v, float) else v) for k, v in extra.items()
+        },
+    }
+
+
+def _run_at(ncpu: int) -> dict:
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        env=env,
+        capture_output=True,
+        text=True,
+        check=True,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    ).stdout
+    return json.loads(out.strip().splitlines()[-1])
+
+
+def main() -> None:
+    if "--scaling" in sys.argv:
+        lo, hi = 8, 32
+        # warm the page cache / pages corpus once, untimed
+        _run_at(lo) if os.environ.get("GRAFT_SKIP_WARM") else None
+        r_lo, r_hi = _run_at(lo), _run_at(hi)
+        graph_keys = ["pages_build", "pagerank", "cc", "triangles"]
+        t_lo = sum(r_lo["queries"][k] for k in graph_keys)
+        t_hi = sum(r_hi["queries"][k] for k in graph_keys)
+        eff = (t_lo / t_hi) / (hi / lo)
+        eff_pr = (
+            r_hi["extra"]["pagerank_edges_per_sec_per_superstep"]
+            / r_lo["extra"]["pagerank_edges_per_sec_per_superstep"]
+        ) / (hi / lo)
+        print(
+            json.dumps(
+                {
+                    "metric": "scaling efficiency (graph suite, 8→32 cpus)",
+                    "value": round(eff, 3),
+                    "unit": "efficiency",
+                    "sec_8": round(t_lo, 3),
+                    "sec_32": round(t_hi, 3),
+                    "pagerank_superstep_eff": round(eff_pr, 3),
+                    "edges_per_sec_superstep_8": round(
+                        r_lo["extra"]["pagerank_edges_per_sec_per_superstep"], 1
+                    ),
+                    "edges_per_sec_superstep_32": round(
+                        r_hi["extra"]["pagerank_edges_per_sec_per_superstep"], 1
+                    ),
+                    "runs": {"8": r_lo, "32": r_hi},
+                }
+            )
+        )
+        return
+    print(json.dumps(_run_bench()))
+
+
+if __name__ == "__main__":
+    main()

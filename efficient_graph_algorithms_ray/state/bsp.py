@@ -1,0 +1,220 @@
+"""BSP actor pool — the superstep execution engine.
+
+One ``BSPWorker`` actor per CPU (W = cluster CPUs, capped by P); each
+worker *owns* ceil(P/W) CSR partitions, so the data partitioning P
+stays a property of the layout (stable shards, stable checkpoints)
+while W tracks the cluster size — exactly how a fixed-size multi-node
+cluster would run it, and what makes the N-vs-4N scaling measurement
+honest (worker count == granted CPUs; tasks never oversubscribe).
+
+Why actors instead of per-superstep tasks: the message *structure* of
+a superstep is static — which destinations each partition talks to is
+a function of the graph only; only the float/label values change.
+Workers therefore precompute, once at startup:
+
+- the fused gather index (edge src row ∘ permutation grouping edges
+  by (dst_worker, dst)) so one ``np.take`` + one ``reduceat`` replaces
+  a per-iteration O(E log E) argsort;
+- per-destination-worker segment slices;
+and cache, on first receipt, the ``searchsorted`` scatter indices of
+every (src_worker → partition) message block. Per-superstep work
+drops to two vectorized passes over E plus 2W actor calls.
+
+Reference analogue for heavy per-worker init reused across
+iterations: the Cholesky pre-factorization in ``get_mesh_data``
+(/root/reference/src/ega/util/get_mesh_data.py:77-98).
+
+Messages remain pre-aggregated per (src worker, dst) — a hub vertex
+receives ≤ W partial values per superstep regardless of in-degree
+(built-in two-level/salted aggregation).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import ray
+
+from ..config import UNLABELED
+
+
+def make_owner_map(parts: list[int], num_partitions: int, W: int) -> np.ndarray:
+    """part id → worker id (−1 for parts with no shard)."""
+    wmap = np.full(num_partitions, -1, dtype=np.int64)
+    for i, p in enumerate(sorted(parts)):
+        wmap[p] = i % W
+    return wmap
+
+
+@ray.remote
+class BSPWorker:
+    def __init__(
+        self,
+        worker_id: int,
+        W: int,
+        owned: list[tuple[int, "ray.ObjectRef"]],
+        num_partitions: int,
+        mode: str,
+        total_n: int,
+        damping: float,
+        owner_map: np.ndarray,
+    ) -> None:
+        self.w = worker_id
+        self.W = W
+        self.P = num_partitions
+        self.mode = mode
+        self.N = total_n
+        self.damping = damping
+        self.parts = [p for p, _ in owned]
+        self.csrs = {p: ray.get(r) for p, r in owned}  # zero-copy plasma views
+        self.values: dict[int, np.ndarray] = {}
+        self._idx_cache: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
+        # --- static scatter structures, one pass per owned partition ---
+        self._sc: dict[int, dict] = {}
+        for p, csr in self.csrs.items():
+            deg = csr["deg"]
+            dst = csr["indices"]
+            n = len(csr["vids"])
+            edge_src_row = np.repeat(np.arange(n, dtype=np.int64), deg)
+            dw = owner_map[(dst % np.uint64(self.P)).astype(np.int64)]
+            perm = np.lexsort((dst, dw))
+            dst_s, dw_s = dst[perm], dw[perm]
+            if len(dst_s):
+                seg_starts = np.flatnonzero(
+                    np.concatenate(([True], (dst_s[1:] != dst_s[:-1]) | (dw_s[1:] != dw_s[:-1])))
+                )
+            else:
+                seg_starts = np.empty(0, dtype=np.int64)
+            seg_dst = dst_s[seg_starts]
+            seg_dw = dw_s[seg_starts]
+            w_bounds = np.searchsorted(seg_dw, np.arange(W + 1))
+            self._sc[p] = {
+                "gather": edge_src_row[perm],  # fused src-row-per-permuted-edge
+                "seg_starts": seg_starts,
+                "seg_dst": seg_dst,
+                "w_bounds": w_bounds,
+            }
+
+    # ---- state management -------------------------------------------------
+    def init_state(self, init_fn, iter0_dir: str) -> float:
+        from .superstep import write_state_part
+
+        dangling = 0.0
+        for p, csr in self.csrs.items():
+            v = init_fn(csr)
+            self.values[p] = v
+            write_state_part(iter0_dir, p, v, self.mode)
+            if self.mode == "sum":
+                dangling += float(v[csr["deg"] == 0].sum())
+        return dangling
+
+    def load_state(self, iter_dir: str) -> bool:
+        from .superstep import read_state_part
+
+        for p in self.parts:
+            self.values[p] = read_state_part(iter_dir, p)
+        return True
+
+    def get_state(self, p: int) -> np.ndarray:
+        return self.values[p]
+
+    # ---- superstep --------------------------------------------------------
+    def scatter(self):
+        """Returns W blocks: (dsts, partials) destined to each worker
+        (concatenated over owned partitions; dsts may repeat across
+        partitions — combine's accumulation handles duplicates)."""
+        out_d: list[list[np.ndarray]] = [[] for _ in range(self.W)]
+        out_v: list[list[np.ndarray]] = [[] for _ in range(self.W)]
+        for p in self.parts:
+            csr, sc, value = self.csrs[p], self._sc[p], self.values[p]
+            if self.mode == "sum":
+                deg = csr["deg"]
+                contrib = np.divide(
+                    value, deg, out=np.zeros_like(value, dtype=np.float64), where=deg > 0
+                )
+                vals = contrib[sc["gather"]]
+                sums = (
+                    np.add.reduceat(vals, sc["seg_starts"])
+                    if len(sc["seg_starts"])
+                    else np.empty(0)
+                )
+            else:
+                vals = value[sc["gather"]]
+                sums = (
+                    np.minimum.reduceat(vals, sc["seg_starts"])
+                    if len(sc["seg_starts"])
+                    else np.empty(0, dtype=np.uint64)
+                )
+            wb = sc["w_bounds"]
+            for w in range(self.W):
+                lo, hi = wb[w], wb[w + 1]
+                if hi > lo:
+                    out_d[w].append(sc["seg_dst"][lo:hi])
+                    out_v[w].append(sums[lo:hi])
+        blocks = []
+        for w in range(self.W):
+            if out_d[w]:
+                blocks.append((np.concatenate(out_d[w]), np.concatenate(out_v[w])))
+            else:
+                blocks.append(None)
+        return tuple(blocks) if self.W > 1 else blocks[0]
+
+    def combine(self, k: int, iter_dir: str, dangling_mass: float, *blocks):
+        """Merge incoming blocks, apply, checkpoint; returns per-part metrics."""
+        from .superstep import write_state_part
+
+        metrics = []
+        for p in self.parts:
+            csr = self.csrs[p]
+            vids, deg = csr["vids"], csr["deg"]
+            n = len(vids)
+            old = self.values[p]
+            if self.mode == "sum":
+                acc = np.zeros(n)
+            else:
+                acc = np.full(n, UNLABELED, dtype=np.uint64)
+            for v_src, blk in enumerate(blocks):
+                if blk is None:
+                    continue
+                dsts, reds = blk
+                key = (v_src, p)
+                cached = self._idx_cache.get(key)
+                if cached is not None and len(cached[0]) == len(dsts):
+                    mask, idx = cached
+                else:
+                    mask = (dsts % np.uint64(self.P)).astype(np.int64) == p
+                    idx = np.searchsorted(vids, dsts[mask])
+                    self._idx_cache[key] = (mask, idx)
+                if not len(idx):
+                    continue
+                if self.mode == "sum":
+                    acc += np.bincount(idx, weights=reds[mask], minlength=n)
+                else:
+                    np.minimum.at(acc, idx, reds[mask])
+            if self.mode == "sum":
+                new = (1.0 - self.damping) / self.N + self.damping * (
+                    acc + dangling_mass / self.N
+                )
+                delta = np.abs(new - old)
+                m = {
+                    "part": p,
+                    "n": n,
+                    "delta_inf": float(delta.max()) if n else 0.0,
+                    "l1": float(delta.sum()),
+                    "changed": int((delta > 0).sum()),
+                    "dangling_next": float(new[deg == 0].sum()),
+                }
+            else:
+                new = np.minimum(old, acc)
+                ch = int((new != old).sum())
+                m = {
+                    "part": p,
+                    "n": n,
+                    "delta_inf": float(ch),
+                    "l1": float(ch),
+                    "changed": ch,
+                    "dangling_next": 0.0,
+                }
+            self.values[p] = new
+            write_state_part(iter_dir, p, new, self.mode)
+            metrics.append(m)
+        return metrics
