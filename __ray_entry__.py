@@ -38,6 +38,7 @@ def entry() -> Any:
 
 def queries() -> dict[str, Callable[[str], Any]]:
     """One entry per implemented operator/pipeline from SURVEY.md §2."""
+    from efficient_graph_algorithms_ray.pipelines import corpus as C
     from efficient_graph_algorithms_ray.pipelines import relational as R
 
     q: dict[str, Callable[[str], Any]] = {
@@ -50,6 +51,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": R.q_pricing_summary,
         "top_customers": R.q_top_customers,
         "events_hourly": R.q_events_hourly,
+        # text / documents (SQL-oracled)
+        "doc_stats": C.q_doc_stats,
+        "lang_distribution": C.q_lang_distribution,
+        "top_docs_by_length": C.q_top_docs_by_length,
+        "exact_dedup_docs": C.q_exact_dedup_docs,
+        # embeddings (SQL-oracled)
+        "knn_vec0": C.q_knn_vec0,
+        "embedding_norms": C.q_embedding_norms,
+        # heuristic / sketch operators (rows-only at the driver;
+        # pytest-verified against brute-force oracles)
+        "quality_scores": C.q_quality_scores,
+        "langid": C.q_langid,
+        "doc_fingerprints": C.q_fingerprints,
+        "minhash_neardup_pairs": C.q_minhash_pairs,
+        "simhash_neardup_pairs": C.q_simhash_pairs,
+        "neardup_clusters": C.q_neardup_clusters,
+        "ann_lsh_pairs": C.q_ann_lsh_pairs,
+        "image_features": C.q_image_features,
     }
     # flagship synthetic-pages pipelines (non-SQL-expressible → rows-only)
     q.update(_pages_queries())
@@ -109,4 +128,10 @@ def oracle_sql() -> dict[str, str]:
         "pricing_summary": S.PRICING_SUMMARY,
         "top_customers": S.TOP_CUSTOMERS,
         "events_hourly": S.EVENTS_HOURLY,
+        "doc_stats": S.DOC_STATS,
+        "lang_distribution": S.LANG_DISTRIBUTION,
+        "top_docs_by_length": S.TOP_DOCS_BY_LENGTH,
+        "exact_dedup_docs": S.EXACT_DEDUP_DOCS,
+        "knn_vec0": S.KNN_VEC0,
+        "embedding_norms": S.EMBEDDING_NORMS,
     }

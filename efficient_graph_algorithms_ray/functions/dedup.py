@@ -1,0 +1,300 @@
+"""Deduplication operators — exact and near-dup — over a documents table.
+
+Scale shapes (per the Ray guide's aggregation-at-scale pattern):
+
+- exact: content-hash column in a vectorized ``map_batches`` →
+  ``groupby(hash)`` keeps one row per distinct content (min doc_id
+  representative). The shuffle moves 16-byte hashes, never text.
+- MinHash+LSH: per-batch vectorized signatures (k=128 perms via
+  64-bit universal hashing over w-shingles) → explode to
+  (band, band_hash, doc_id) rows → ``groupby(band, band_hash)`` →
+  candidate pairs within buckets → signature-estimated Jaccard filter.
+- SimHash: 64-bit sketch → 4×16-bit band buckets → candidates →
+  exact Hamming verify.
+- embedding cosine: random-hyperplane LSH buckets → exact cosine
+  verify within bucket (see functions/similarity.py for the ANN path).
+
+Near-dup *clusters* compose with the engine's own connected-components
+superstep kernel: candidate pairs are just edges (pipelines.components).
+Exactness at small scale is pytest-verified against brute-force
+Jaccard / Hamming / cosine oracles (tests/test_dedup.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import polars as pl
+
+from ..config import HASH_SEED
+from .text import _TOKEN_RE, hash_token
+
+MINHASH_PERMS = 128
+LSH_BANDS = 16  # 16 bands × 8 rows
+LSH_ROWS = MINHASH_PERMS // LSH_BANDS
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def _perm_params(k: int = MINHASH_PERMS, seed: int = HASH_SEED):
+    rng = np.random.Generator(np.random.Philox(key=[seed, 0]))
+    a = rng.integers(1, (1 << 61) - 1, size=k, dtype=np.uint64) | np.uint64(1)
+    b = rng.integers(0, (1 << 61) - 1, size=k, dtype=np.uint64)
+    return a, b
+
+
+_PERM_A, _PERM_B = _perm_params()
+
+
+def content_hash_batch(batch: pa.Table) -> pa.Table:
+    """Vectorized 64-bit content hash of text (polars seeded xxhash)."""
+    h = pl.Series(pl.from_arrow(batch.column("text"))).hash(seed=HASH_SEED)
+    return batch.append_column("content_hash", pa.array(h.to_numpy(), type=pa.uint64()))
+
+
+def exact_dedup(docs_ds):
+    """→ (rep_doc_id, n_copies) one row per distinct text content.
+
+    groupby on the 8-byte hash, not the text; the min-doc_id
+    representative matches the SQL ``GROUP BY text`` oracle (hash
+    collisions at 2^64 are negligible and pytest cross-checks vs text
+    grouping at small scale).
+    """
+    from ray.data.aggregate import Count, Min
+
+    hashed = docs_ds.map_batches(content_hash_batch, batch_format="pyarrow")
+    agg = hashed.groupby("content_hash").aggregate(
+        Min("doc_id", alias_name="rep_doc_id"), Count(alias_name="n_copies")
+    )
+    return agg.select_columns(["rep_doc_id", "n_copies"])
+
+
+def shingle_hashes(text: str, w: int = 3) -> np.ndarray:
+    """Distinct 64-bit hashes of w-word shingles."""
+    toks = _TOKEN_RE.findall(text)
+    if len(toks) < w:
+        toks = toks + ["\x00"] * (w - len(toks))
+    hs = np.array(
+        [hash_token(" ".join(toks[i : i + w])) for i in range(len(toks) - w + 1)],
+        dtype=np.uint64,
+    )
+    return np.unique(hs)
+
+
+def minhash_signature(shingles: np.ndarray) -> np.ndarray:
+    """k-perm MinHash signature via universal hashing mod 2^61-1."""
+    if len(shingles) == 0:
+        return np.zeros(MINHASH_PERMS, dtype=np.uint64)
+    s = shingles % _MERSENNE
+    with np.errstate(over="ignore"):
+        vals = (s[None, :] * _PERM_A[:, None] + _PERM_B[:, None]) % _MERSENNE
+    return vals.min(axis=1).astype(np.uint64)
+
+
+def minhash_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, sig: list<uint64>[128]) per document."""
+    from ..util import list_array
+
+    texts = batch.column("text").to_pandas().fillna("")
+    sigs = [minhash_signature(shingle_hashes(t)) for t in texts]
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "sig": list_array(sigs, np.uint64, pa.uint64()),
+        }
+    )
+
+
+def _band_rows(batch: pa.Table) -> pa.Table:
+    """Explode signatures → (band, band_hash, doc_id, sig) LSH rows."""
+    from ..util import list_rows
+
+    doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    sigs = list_rows(batch, "sig")
+    band, bhash, dids = [], [], []
+    for did, sig in zip(doc_ids, sigs):
+        bands = sig.reshape(LSH_BANDS, LSH_ROWS)
+        with np.errstate(over="ignore"):
+            bh = (bands * _PERM_A[:LSH_ROWS][None, :]).sum(axis=1, dtype=np.uint64)
+        band.append(np.arange(LSH_BANDS, dtype=np.int64))
+        bhash.append(bh)
+        dids.append(np.full(LSH_BANDS, did, dtype=np.int64))
+    return pa.table(
+        {
+            "band": pa.array(np.concatenate(band) if band else np.empty(0, np.int64), type=pa.int64()),
+            "band_hash": pa.array(
+                np.concatenate(bhash) if bhash else np.empty(0, np.uint64), type=pa.uint64()
+            ),
+            "doc_id": pa.array(
+                np.concatenate(dids) if dids else np.empty(0, np.int64), type=pa.int64()
+            ),
+        }
+    )
+
+
+def minhash_candidate_pairs(docs_ds, threshold: float = 0.5):
+    """MinHash+LSH near-dup pairs with signature-estimated Jaccard ≥ threshold.
+
+    Returns Dataset (doc_a, doc_b, est_jaccard). Signatures are
+    re-paired per bucket via a broadcast of the (small) signature
+    table of *bucketed candidates only* — at web scale this would be
+    a co-partitioned join keyed by doc_id; documented trade-off.
+    """
+    import ray
+    import ray.data as rd
+
+    sigs = docs_ds.map_batches(minhash_batch, batch_format="pyarrow").materialize()
+    bands = sigs.map_batches(_band_rows, batch_format="pyarrow")
+
+    def _pairs(group: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(group["doc_id"].to_numpy())
+        if len(ids) < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": []}).astype(np.int64)
+        ia, ib = np.triu_indices(len(ids), 1)
+        return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
+
+    cand = (
+        bands.groupby(["band", "band_hash"])
+        .map_groups(_pairs, batch_format="pandas")
+        .groupby(["doc_a", "doc_b"])
+        .map_groups(lambda g: g.head(1), batch_format="pandas")
+    )
+
+    # verify with full signatures (broadcast signature dict once)
+    sig_map = {}
+    for b in sigs.iter_batches(batch_size=None, batch_format="pyarrow"):
+        from ..util import list_rows
+
+        for did, sig in zip(b.column("doc_id").to_pylist(), list_rows(b, "sig")):
+            sig_map[did] = sig
+    sig_ref = ray.put(sig_map)
+
+    def _verify(batch: pa.Table) -> pa.Table:
+        sm = ray.get(sig_ref)
+        a = batch.column("doc_a").to_numpy(zero_copy_only=False)
+        b = batch.column("doc_b").to_numpy(zero_copy_only=False)
+        est = np.array(
+            [float((sm[x] == sm[y]).mean()) for x, y in zip(a, b)], dtype=np.float64
+        )
+        keep = est >= threshold
+        return pa.table(
+            {
+                "doc_a": pa.array(a[keep], type=pa.int64()),
+                "doc_b": pa.array(b[keep], type=pa.int64()),
+                "est_jaccard": pa.array(np.round(est[keep], 6)),
+            }
+        )
+
+    return cand.map_batches(_verify, batch_format="pyarrow")
+
+
+def simhash_candidate_pairs(docs_ds, max_hamming: int = 8):
+    """SimHash near-dup pairs: 4×16-bit band buckets → exact Hamming verify."""
+    import pandas as pd
+
+    from .text import simhash64_batch
+
+    sigs = docs_ds.map_batches(simhash64_batch, batch_format="pyarrow").materialize()
+
+    def _bands(batch: pa.Table) -> pa.Table:
+        sh = batch.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        did = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        bands, keys, ids, sims = [], [], [], []
+        for b in range(4):
+            bands.append(np.full(len(sh), b, dtype=np.int64))
+            keys.append(((sh >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(np.int64))
+            ids.append(did)
+            sims.append(sh)
+        return pa.table(
+            {
+                "band": pa.array(np.concatenate(bands), type=pa.int64()),
+                "key": pa.array(np.concatenate(keys), type=pa.int64()),
+                "doc_id": pa.array(np.concatenate(ids), type=pa.int64()),
+                "simhash": pa.array(np.concatenate(sims), type=pa.uint64()),
+            }
+        )
+
+    def _pairs(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.drop_duplicates("doc_id").sort_values("doc_id")
+        ids = g["doc_id"].to_numpy()
+        sh = g["simhash"].to_numpy().astype(np.uint64)
+        if len(ids) < 2:
+            return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64), "doc_b": pd.Series([], dtype=np.int64), "hamming": pd.Series([], dtype=np.int64)})
+        ia, ib = np.triu_indices(len(ids), 1)
+        x = sh[ia] ^ sh[ib]
+        ham = np.array([bin(int(v)).count("1") for v in x], dtype=np.int64)
+        keep = ham <= max_hamming
+        return pd.DataFrame(
+            {"doc_a": ids[ia][keep], "doc_b": ids[ib][keep], "hamming": ham[keep]}
+        )
+
+    pairs = (
+        sigs.map_batches(_bands, batch_format="pyarrow")
+        .groupby(["band", "key"])
+        .map_groups(_pairs, batch_format="pandas")
+    )
+    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
+        lambda g: g.head(1), batch_format="pandas"
+    )
+
+
+def exact_jaccard(text_a: str, text_b: str, w: int = 3) -> float:
+    """Brute-force w-shingle Jaccard (the pytest oracle for MinHash)."""
+    sa, sb = set(shingle_hashes(text_a, w)), set(shingle_hashes(text_b, w))
+    if not sa and not sb:
+        return 1.0
+    return len(sa & sb) / len(sa | sb)
+
+
+def neardup_clusters(docs_ds, pairs_ds, num_partitions: int = 8, ckpt_dir: str | None = None):
+    """Near-dup pairs → clusters via the engine's own CC superstep kernel.
+
+    Every doc is a vertex (so singletons keep their own cluster);
+    candidate pairs are edges. Returns (doc_id, cluster) where
+    cluster = min doc_id of the connected near-dup group.
+    """
+    import tempfile
+
+    import pyarrow.compute as pc
+    import ray.data as rd
+
+    from ..config import EngineConfig
+    from ..pipelines.components import connected_components
+    from ..pipelines.graph_build import build_graph
+
+    def _pair_edges(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": batch.column("doc_a").cast(pa.uint64()),
+                "dst": batch.column("doc_b").cast(pa.uint64()),
+            }
+        )
+
+    edges = pairs_ds.map_batches(_pair_edges, batch_format="pyarrow")
+    if edges.count() == 0:
+        return docs_ds.map_batches(
+            lambda b: pa.table(
+                {"doc_id": b.column("doc_id"), "cluster": b.column("doc_id")}
+            ),
+            batch_format="pyarrow",
+        )
+    g = build_graph(edges, EngineConfig(num_partitions=num_partitions), directed=False)
+    ckpt = ckpt_dir or tempfile.mkdtemp(prefix="ega_neardup_cc_", dir="/tmp")
+    comp, _ = connected_components(g, ckpt)
+    comp_df = comp.to_pandas()  # clustered docs only — small vs corpus
+    cmap = dict(
+        zip(comp_df["vid"].astype(np.int64), comp_df["component"].astype(np.int64))
+    )
+    import ray
+
+    cmap_ref = ray.put(cmap)
+
+    def _fill(batch: pa.Table) -> pa.Table:
+        cm = ray.get(cmap_ref)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        cl = np.array([cm.get(int(i), int(i)) for i in ids], dtype=np.int64)
+        return pa.table(
+            {"doc_id": batch.column("doc_id"), "cluster": pa.array(cl, type=pa.int64())}
+        )
+
+    return docs_ds.map_batches(_fill, batch_format="pyarrow")

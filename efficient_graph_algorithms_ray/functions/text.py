@@ -1,0 +1,190 @@
+"""Text analysis operators over a documents table (doc_id, text, lang, ...).
+
+All stages are vectorized ``map_batches`` transforms (pandas string
+kernels / numpy); the per-document loops that do exist (fingerprint,
+language-ID scoring) run over compiled-regex token streams — no
+Python-level per-character work. Reference analogue for scalar
+per-record functions: the ``GaussianKernel``-style elementwise ops
+(/root/reference/src/ega/util/gaussian_kernel.py:5-17) and the
+z-score significance post-maps (graph_kernels.py:23-48).
+
+Cross-checked against DuckDB SQL where expressible (see
+oracles/sql.py TEXT_* queries): counts are defined so both systems
+compute the identical integer.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_TOKEN_RE = re.compile(r"\S+")
+_WORD_RE = re.compile(r"[A-Za-z0-9]+(?:'[A-Za-z]+)?|[^\w\s]", re.U)  # BPE-ish pre-tokenizer
+_ALPHA_RE = re.compile(r"[A-Za-z]")
+
+# tiny public-knowledge function-word profiles for the n-gram/word heuristic
+_LANG_MARKERS = {
+    "en": {"the", "and", "of", "to", "a", "in", "is", "that", "for", "it", "with", "as"},
+    "de": {"der", "die", "und", "das", "ist", "nicht", "ein", "mit", "den", "von", "zu", "für"},
+    "fr": {"le", "la", "et", "les", "des", "est", "un", "une", "du", "que", "pour", "dans"},
+}
+
+_STOPWORDS = _LANG_MARKERS["en"] | _LANG_MARKERS["de"] | _LANG_MARKERS["fr"]
+
+_FP_BASE = np.uint64(1099511628211)  # FNV prime — rolling polynomial base
+_FP_OFFSET = np.uint64(14695981039346656037)
+
+
+def doc_stats_batch(batch: pa.Table) -> pa.Table:
+    """(doc_id, n_chars_text, n_tokens, n_alpha) — SQL-reproducible counts."""
+    texts = batch.column("text").to_pandas()
+    n_chars = texts.str.len().fillna(0).astype(np.int64)
+    n_tokens = texts.str.count(_TOKEN_RE.pattern).fillna(0).astype(np.int64)
+    n_alpha = texts.str.count(_ALPHA_RE.pattern).fillna(0).astype(np.int64)
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_chars_text": pa.array(n_chars.to_numpy(), type=pa.int64()),
+            "n_tokens": pa.array(n_tokens.to_numpy(), type=pa.int64()),
+            "n_alpha": pa.array(n_alpha.to_numpy(), type=pa.int64()),
+        }
+    )
+
+
+class QualityScorer:
+    """Actor-pool stage: heuristic quality signals per document.
+
+    Signals (all vectorized): char length, token count, mean token
+    length, alpha ratio, digit ratio, punctuation ratio, stopword
+    ratio, uppercase ratio — the standard cheap pre-filters of a
+    web-scale training-data pipeline.
+    """
+
+    def __init__(self) -> None:
+        self.token_re = _TOKEN_RE
+        self.stop = _STOPWORDS
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pandas().fillna("")
+        n_chars = texts.str.len().astype(np.float64)
+        toks = texts.str.findall(self.token_re)
+        n_tokens = toks.map(len).astype(np.float64)
+        mean_tok_len = np.where(n_tokens > 0, toks.map(lambda t: sum(map(len, t))), 0) / np.maximum(
+            n_tokens, 1
+        )
+        stop = self.stop
+        stop_ratio = toks.map(
+            lambda t: sum(1 for w in t if w.lower() in stop)
+        ).to_numpy() / np.maximum(n_tokens.to_numpy(), 1)
+        alpha_ratio = texts.str.count(r"[A-Za-z]").to_numpy() / np.maximum(n_chars.to_numpy(), 1)
+        digit_ratio = texts.str.count(r"[0-9]").to_numpy() / np.maximum(n_chars.to_numpy(), 1)
+        punct_ratio = texts.str.count(r"[^\w\s]").to_numpy() / np.maximum(n_chars.to_numpy(), 1)
+        upper_ratio = texts.str.count(r"[A-Z]").to_numpy() / np.maximum(n_chars.to_numpy(), 1)
+        # composite score in [0,1]: length sweet-spot × alpha × stopword presence
+        length_score = np.clip(n_chars.to_numpy() / 500.0, 0, 1)
+        score = (
+            0.35 * length_score
+            + 0.25 * alpha_ratio
+            + 0.25 * np.clip(stop_ratio * 4, 0, 1)
+            + 0.15 * (1 - np.clip(punct_ratio * 4, 0, 1))
+        )
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_tokens": pa.array(n_tokens.astype(np.int64), type=pa.int64()),
+                "mean_tok_len": pa.array(np.round(mean_tok_len, 6)),
+                "alpha_ratio": pa.array(np.round(alpha_ratio, 6)),
+                "digit_ratio": pa.array(np.round(digit_ratio, 6)),
+                "punct_ratio": pa.array(np.round(punct_ratio, 6)),
+                "upper_ratio": pa.array(np.round(upper_ratio, 6)),
+                "stop_ratio": pa.array(np.round(stop_ratio, 6)),
+                "quality": pa.array(np.round(score, 6)),
+            }
+        )
+
+
+class LangId:
+    """Actor-pool stage: marker-word language ID over {en, de, fr}.
+
+    Deterministic tie-break: highest hit count wins; ties resolve in
+    fixed ('en','de','fr') order; zero hits → 'und'.
+    """
+
+    def __init__(self) -> None:
+        self.word_re = re.compile(r"[a-zäöüßéèêàçûî]+")
+        self.profiles = [(lang, _LANG_MARKERS[lang]) for lang in ("en", "de", "fr")]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pandas().fillna("")
+        preds = []
+        for t in texts:
+            words = self.word_re.findall(t.lower())
+            best, best_n = "und", 0
+            for lang, markers in self.profiles:
+                n = sum(1 for w in words if w in markers)
+                if n > best_n:
+                    best, best_n = lang, n
+            preds.append(best)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "pred_lang": pa.array(preds, type=pa.string()),
+            }
+        )
+
+
+def fingerprint_batch(batch: pa.Table) -> pa.Table:
+    """64-bit rolling polynomial fingerprint of the token stream
+    (whitespace-normalized content hash — order-sensitive)."""
+    texts = batch.column("text").to_pandas().fillna("")
+    fps = np.empty(len(texts), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for i, t in enumerate(texts):
+            h = _FP_OFFSET
+            for tok in _TOKEN_RE.findall(t):
+                th = np.uint64(hash_token(tok))
+                h = h * _FP_BASE + th
+            fps[i] = h
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "fingerprint": pa.array(fps, type=pa.uint64()),
+        }
+    )
+
+
+def hash_token(tok: str) -> int:
+    """Stable per-token 64-bit FNV-1a (process-independent)."""
+    h = 14695981039346656037
+    for b in tok.encode("utf-8"):
+        h = ((h ^ b) * 1099511628211) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def simhash64_batch(batch: pa.Table) -> pa.Table:
+    """64-bit SimHash over token FNV hashes (near-dup sketch)."""
+    texts = batch.column("text").to_pandas().fillna("")
+    out = np.zeros(len(texts), dtype=np.uint64)
+    bit_cols = (np.uint64(1) << np.arange(64, dtype=np.uint64))
+    for i, t in enumerate(texts):
+        toks = _TOKEN_RE.findall(t)
+        if not toks:
+            continue
+        hs = np.array([hash_token(tok) for tok in toks], dtype=np.uint64)
+        bits = ((hs[:, None] & bit_cols[None, :]) != 0).astype(np.int32)
+        votes = bits.sum(axis=0) * 2 - len(hs)
+        out[i] = np.uint64(np.sum(bit_cols[votes > 0], dtype=np.uint64))
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "simhash": pa.array(out, type=pa.uint64()),
+        }
+    )
+
+
+def tokenize_words(text: str) -> list[str]:
+    """BPE-ish pre-tokenization (words + punctuation marks)."""
+    return _WORD_RE.findall(text)

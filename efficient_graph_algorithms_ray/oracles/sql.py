@@ -108,3 +108,35 @@ EVENTS_HOURLY = """SELECT event_type, date_trunc('hour', ts) AS hour,
   CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS cents
 FROM events
 GROUP BY event_type, date_trunc('hour', ts)"""
+
+
+DOC_STATS = """SELECT doc_id,
+  CAST(length(text) AS BIGINT) AS n_chars_text,
+  CAST(len(regexp_extract_all(text, '\\S+')) AS BIGINT) AS n_tokens,
+  CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS BIGINT) AS n_alpha
+FROM documents"""
+
+
+LANG_DISTRIBUTION = """SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang"""
+
+
+TOP_DOCS_BY_LENGTH = """SELECT doc_id, n_chars FROM documents
+ORDER BY n_chars DESC, doc_id ASC LIMIT 10"""
+
+
+EXACT_DEDUP_DOCS = """SELECT MIN(doc_id) AS rep_doc_id, COUNT(*) AS n_copies
+FROM documents GROUP BY text"""
+
+
+KNN_VEC0 = """WITH q AS (SELECT embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id = 0)
+SELECT e.vec_id AS vec_id,
+       ROUND(list_cosine_similarity(e.embedding::DOUBLE[], (SELECT e FROM q)), 5) AS cosine_r5
+FROM embeddings e
+WHERE e.vec_id <> 0
+ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], (SELECT e FROM q)) DESC, e.vec_id ASC
+LIMIT 5"""
+
+
+EMBEDDING_NORMS = """SELECT vec_id,
+  ROUND(sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])), 5) AS norm_r5
+FROM embeddings"""

@@ -1,0 +1,137 @@
+"""Driver-checkable queries over the documents/embeddings tables.
+
+SQL-oracled where DuckDB can express the semantics; heuristic /
+sketch-based operators (language-ID, MinHash, SimHash, LSH) are
+rows-only at the driver and exactness-tested in pytest against
+brute-force oracles instead.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+from ray.data.aggregate import Count
+
+from ..functions import dedup as D
+from ..functions import similarity as S
+from ..functions import text as T
+
+
+def _docs(sf_dir: str, columns=None):
+    return rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=columns)
+
+
+def _emb(sf_dir: str):
+    return rd.read_parquet(os.path.join(sf_dir, "embeddings.parquet"))
+
+
+# ---- SQL-oracled --------------------------------------------------------
+
+def q_doc_stats(sf_dir: str):
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        T.doc_stats_batch, batch_format="pyarrow"
+    )
+
+
+def q_lang_distribution(sf_dir: str):
+    return (
+        _docs(sf_dir, ["lang"]).groupby("lang").aggregate(Count(alias_name="n"))
+    )
+
+
+def q_top_docs_by_length(sf_dir: str):
+    return (
+        _docs(sf_dir, ["doc_id", "n_chars"])
+        .sort(["n_chars", "doc_id"], descending=[True, False])
+        .limit(10)
+    )
+
+
+def q_exact_dedup_docs(sf_dir: str):
+    return D.exact_dedup(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def q_knn_vec0(sf_dir: str):
+    knn = S.knn_brute_force(_emb(sf_dir), query_ids=[0], k=5)
+
+    def _shape(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id").cast(pa.int64()),
+                "cosine_r5": pa.array(
+                    np.round(batch.column("cosine").to_numpy(zero_copy_only=False), 5)
+                ),
+            }
+        )
+
+    return knn.map_batches(_shape, batch_format="pyarrow")
+
+
+def q_embedding_norms(sf_dir: str):
+    return S.embedding_norms(_emb(sf_dir))
+
+
+# ---- rows-only (heuristic / sketch operators) ---------------------------
+
+def q_quality_scores(sf_dir: str):
+    import ray
+
+    total = int(ray.cluster_resources().get("CPU", 4))
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        T.QualityScorer,
+        batch_format="pyarrow",
+        batch_size=1024,
+        concurrency=max(2, total - 2),
+    )
+
+
+def q_langid(sf_dir: str):
+    import ray
+
+    total = int(ray.cluster_resources().get("CPU", 4))
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        T.LangId, batch_format="pyarrow", batch_size=1024, concurrency=max(2, total - 2)
+    )
+
+
+def q_fingerprints(sf_dir: str):
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        T.fingerprint_batch, batch_format="pyarrow"
+    )
+
+
+def q_minhash_pairs(sf_dir: str):
+    return D.minhash_candidate_pairs(_docs(sf_dir, ["doc_id", "text"]), threshold=0.5)
+
+
+def q_simhash_pairs(sf_dir: str):
+    return D.simhash_candidate_pairs(_docs(sf_dir, ["doc_id", "text"]), max_hamming=12)
+
+
+def q_neardup_clusters(sf_dir: str):
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    pairs = D.minhash_candidate_pairs(docs, threshold=0.5)
+    return D.neardup_clusters(docs, pairs)
+
+
+def q_ann_lsh_pairs(sf_dir: str):
+    return S.ann_lsh_pairs(_emb(sf_dir), threshold=0.9, n_bits=10)
+
+
+def q_image_features(sf_dir: str):
+    """Multimodal plumbing demo: deterministic synthetic images →
+    actor-pool decode/feature stage (fake EGA1 codec — real codecs
+    are stubbed, see functions/multimodal.py)."""
+    from ..functions.multimodal import ImageDecoder, synthetic_images
+
+    imgs = rd.from_arrow(synthetic_images(256))
+    return imgs.map_batches(
+        ImageDecoder,
+        fn_constructor_kwargs={"codec": "ega1"},
+        batch_format="pyarrow",
+        batch_size=64,
+        concurrency=2,
+    )

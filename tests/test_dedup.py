@@ -1,0 +1,89 @@
+"""Dedup operators vs brute-force oracles on a crafted corpus."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from efficient_graph_algorithms_ray.functions.dedup import (
+    exact_dedup,
+    exact_jaccard,
+    minhash_candidate_pairs,
+    minhash_signature,
+    neardup_clusters,
+    shingle_hashes,
+    simhash_candidate_pairs,
+)
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the data engine "
+    "streams arrow batches through the object store with backpressure "
+    "and spills blocks to disk when memory runs low in the cluster"
+)
+
+
+def _corpus():
+    """Docs 0/1 exact dups; 2 near-dup of 0; 3/4 unrelated; 5 near-dup of 3."""
+    texts = [
+        BASE,
+        BASE,
+        BASE.replace("lazy dog", "sleepy dog"),
+        "completely different content about graph algorithms and pagerank "
+        "supersteps with damping and dangling mass redistribution in bulk",
+        "yet another unrelated document mentioning minhash signatures bands "
+        "and buckets for locality sensitive hashing at web scale today",
+        "completely different content about graph algorithms and pagerank "
+        "supersteps with damping and dangling mass redistribution in batch",
+    ]
+    return pa.table(
+        {
+            "doc_id": pa.array(np.arange(len(texts), dtype=np.int64), type=pa.int64()),
+            "text": pa.array(texts, type=pa.string()),
+        }
+    )
+
+
+def test_exact_dedup_groups_identical_texts():
+    df = exact_dedup(rd.from_arrow(_corpus())).to_pandas()
+    assert len(df) == 5  # 6 docs, one exact pair
+    row = df[df["rep_doc_id"] == 0]
+    assert len(row) == 1 and int(row["n_copies"].iloc[0]) == 2
+
+
+def test_minhash_estimates_track_exact_jaccard():
+    tbl = _corpus()
+    texts = tbl.column("text").to_pylist()
+    for a, b in [(0, 1), (0, 2), (0, 3), (3, 5)]:
+        exact = exact_jaccard(texts[a], texts[b])
+        sa = minhash_signature(shingle_hashes(texts[a]))
+        sb = minhash_signature(shingle_hashes(texts[b]))
+        est = float((sa == sb).mean())
+        assert abs(est - exact) < 0.18, (a, b, est, exact)
+
+
+def test_minhash_lsh_finds_neardup_pairs():
+    pairs = minhash_candidate_pairs(rd.from_arrow(_corpus()), threshold=0.5).to_pandas()
+    found = {tuple(sorted((a, b))) for a, b in zip(pairs["doc_a"], pairs["doc_b"])}
+    assert (0, 1) in found  # exact dup
+    assert (0, 2) in found  # near dup
+    assert (3, 5) in found  # near dup
+    assert (0, 3) not in found and (3, 4) not in found  # unrelated
+
+
+def test_simhash_low_hamming_for_neardups():
+    pairs = simhash_candidate_pairs(rd.from_arrow(_corpus()), max_hamming=10).to_pandas()
+    found = {tuple(sorted((a, b))): h for a, b, h in zip(pairs["doc_a"], pairs["doc_b"], pairs["hamming"])}
+    assert found.get((0, 1)) == 0  # identical text → identical simhash
+    assert (0, 2) in found
+    assert (0, 3) not in found
+
+
+def test_neardup_clusters_via_cc_engine():
+    docs = rd.from_arrow(_corpus())
+    pairs = minhash_candidate_pairs(docs, threshold=0.5)
+    cl = neardup_clusters(docs, pairs, num_partitions=4).to_pandas()
+    cl = cl.set_index("doc_id")["cluster"]
+    assert cl[0] == cl[1] == cl[2] == 0  # cluster label = min doc_id
+    assert cl[3] == cl[5] == 3
+    assert cl[4] == 4  # singleton keeps own id

@@ -1,0 +1,86 @@
+"""Similarity search vs dense numpy oracles on the embeddings table."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from efficient_graph_algorithms_ray.functions.similarity import (
+    ann_lsh_pairs,
+    embedding_norms,
+    knn_brute_force,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _load():
+    tbl = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    ids = tbl.column("vec_id").to_numpy()
+    mat = np.vstack(tbl.column("embedding").to_pylist()).astype(np.float64)
+    return tbl, ids, mat
+
+
+def _cosine_matrix(mat):
+    n = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+    return n @ n.T
+
+
+def test_knn_matches_dense_oracle():
+    tbl, ids, mat = _load()
+    sims = _cosine_matrix(mat)
+    for q in [0, 7, 42]:
+        out = (
+            knn_brute_force(rd.from_arrow(tbl), query_ids=[q], k=5)
+            .to_pandas()
+            .sort_values(["cosine", "vec_id"], ascending=[False, True])
+        )
+        qi = int(np.flatnonzero(ids == q)[0])
+        col = sims[qi].copy()
+        col[qi] = -np.inf
+        # oracle top-5 with the same (cosine desc, vec_id asc) tie-break
+        order = np.lexsort((ids, -col))[:5]
+        assert list(out["vec_id"]) == list(ids[order])
+        assert np.allclose(out["cosine"].to_numpy(), col[order], atol=1e-12)
+
+
+def test_ann_lsh_pairs_are_truly_similar():
+    tbl, ids, mat = _load()
+    # inject true near-duplicates (random vectors alone have cosine ≈ 0)
+    rng = np.random.Generator(np.random.Philox(key=[9, 0]))
+    dups, dup_ids = [], []
+    for j, src in enumerate([0, 7, 42]):
+        si = int(np.flatnonzero(ids == src)[0])
+        dups.append(mat[si] + rng.standard_normal(mat.shape[1]) * 0.02)
+        dup_ids.append(9000 + j)
+    aug = pa.table(
+        {
+            "vec_id": pa.array(
+                np.concatenate([ids, np.array(dup_ids)]), type=tbl.schema.field("vec_id").type
+            ),
+            "embedding": pa.array(
+                tbl.column("embedding").to_pylist()
+                + [list(map(float, d)) for d in dups],
+                type=tbl.schema.field("embedding").type,
+            ),
+        }
+    )
+    all_mat = np.vstack([mat, np.vstack(dups)])
+    all_ids = np.concatenate([ids, np.array(dup_ids)])
+    sims = _cosine_matrix(all_mat)
+    pairs = ann_lsh_pairs(rd.from_arrow(aug), threshold=0.9, n_bits=8).to_pandas()
+    found = {tuple(sorted((int(a), int(b)))) for a, b in zip(pairs["vec_a"], pairs["vec_b"])}
+    assert {(0, 9000), (7, 9001), (42, 9002)} <= found  # recall on planted dups
+    for a, b, c in zip(pairs["vec_a"], pairs["vec_b"], pairs["cosine"]):
+        ia, ib = int(np.flatnonzero(all_ids == a)[0]), int(np.flatnonzero(all_ids == b)[0])
+        assert sims[ia, ib] >= 0.9  # no false positives (exact verify inside bucket)
+
+
+def test_embedding_norms_match_numpy():
+    tbl, ids, mat = _load()
+    out = embedding_norms(rd.from_arrow(tbl)).to_pandas().sort_values("vec_id")
+    expect = np.round(np.linalg.norm(mat, axis=1), 5)
+    order = np.argsort(ids)
+    assert np.allclose(out["norm_r5"].to_numpy(), expect[order], atol=0)
