@@ -95,7 +95,9 @@ def parse_pages(pages_ds, batch_size: int = 256, concurrency=None):
         import ray
 
         total = int(ray.cluster_resources().get("CPU", 4))
-        concurrency = max(2, total - 2)
+        # autoscaling pool: avoids paying full pool cold-start when the
+        # corpus is small; ramps to total-2 under backlog
+        concurrency = (2, max(2, total - 2))
     return pages_ds.map_batches(
         HtmlParser, batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency
     )

@@ -40,57 +40,26 @@ import time
 
 import numpy as np
 import pyarrow as pa
-import pyarrow.parquet as pq
 import ray
 import ray.data as rd
 
 from ..util import list_array, list_rows
 from .graph import ShardedGraph
 
+from .ckpt import (  # noqa: F401  (re-exported: public checkpoint API)
+    find_last_complete,
+    iter_dir as _iter_dir_fn,
+    manifest_path as _manifest_path,
+    read_state_part,
+    write_state_part,
+)
+
 _F64 = pa.float64()
 _U64 = pa.uint64()
 
 
 def _iter_dir(ckpt: str, k: int) -> str:
-    return os.path.join(ckpt, f"iter_{k:05d}")
-
-
-def _manifest_path(ckpt: str, k: int) -> str:
-    return os.path.join(ckpt, f"iter_{k:05d}.json")
-
-
-def _part_file(iter_dir: str, p: int) -> str:
-    return os.path.join(iter_dir, f"part_{p:05d}.parquet")
-
-
-def write_state_part(iter_dir: str, p: int, value: np.ndarray, mode: str) -> None:
-    os.makedirs(iter_dir, exist_ok=True)
-    arrow_type = _F64 if mode == "sum" else _U64
-    tbl = pa.table(
-        {
-            "part": pa.array([p], type=pa.int64()),
-            "value": list_array([value], value.dtype, arrow_type),
-        }
-    )
-    tmp = os.path.join(iter_dir, f".part_{p:05d}.tmp.parquet")
-    pq.write_table(tbl, tmp)
-    os.replace(tmp, _part_file(iter_dir, p))
-
-
-def read_state_part(iter_dir: str, p: int) -> np.ndarray:
-    tbl = pq.read_table(_part_file(iter_dir, p))
-    return list_rows(tbl, "value")[0]
-
-
-def find_last_complete(ckpt: str) -> int:
-    """Highest iteration with a manifest, or -1."""
-    last = -1
-    if not os.path.isdir(ckpt):
-        return last
-    for name in os.listdir(ckpt):
-        if name.startswith("iter_") and name.endswith(".json"):
-            last = max(last, int(name[5:10]))
-    return last
+    return _iter_dir_fn(ckpt, k)
 
 
 def _pool_size(num_parts: int) -> int:
@@ -172,17 +141,10 @@ def run_supersteps(
             k += 1
             t0 = time.perf_counter()
             iter_dir = _iter_dir(ckpt, k)
-            if W > 1:
-                blocks = [a.scatter.options(num_returns=W).remote() for a in actors]
-                metric_refs = [
-                    a.combine.remote(
-                        k, iter_dir, dangling, *[blocks[v][w] for v in range(W)]
-                    )
-                    for w, a in enumerate(actors)
-                ]
-            else:
-                blk = actors[0].scatter.remote()
-                metric_refs = [actors[0].combine.remote(k, iter_dir, dangling, blk)]
+            scatter_refs = [a.scatter.remote() for a in actors]
+            metric_refs = [
+                a.combine.remote(k, iter_dir, dangling, *scatter_refs) for a in actors
+            ]
             rows = [m for ms in ray.get(metric_refs) for m in ms]
             seconds = time.perf_counter() - t0
             delta_inf = max((r["delta_inf"] for r in rows), default=0.0)
