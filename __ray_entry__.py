@@ -51,11 +51,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": R.q_pricing_summary,
         "top_customers": R.q_top_customers,
         "events_hourly": R.q_events_hourly,
+        "walk2_coocc": R.q_walk2_coocc,
+        "ppr_parts_top20": R.q_ppr_parts,
         # text / documents (SQL-oracled)
         "doc_stats": C.q_doc_stats,
         "lang_distribution": C.q_lang_distribution,
         "top_docs_by_length": C.q_top_docs_by_length,
         "exact_dedup_docs": C.q_exact_dedup_docs,
+        "doc_len_stats_by_lang": C.q_doc_len_stats_by_lang,
+        "quality_zscores": C.q_quality_zscores,
         # embeddings (SQL-oracled)
         "knn_vec0": C.q_knn_vec0,
         "embedding_norms": C.q_embedding_norms,
@@ -128,6 +132,8 @@ def oracle_sql() -> dict[str, str]:
         "pricing_summary": S.PRICING_SUMMARY,
         "top_customers": S.TOP_CUSTOMERS,
         "events_hourly": S.EVENTS_HOURLY,
+        "walk2_coocc": S.WALK2_COOCC,
+        "doc_len_stats_by_lang": S.DOC_LEN_STATS_BY_LANG,
         "doc_stats": S.DOC_STATS,
         "lang_distribution": S.LANG_DISTRIBUTION,
         "top_docs_by_length": S.TOP_DOCS_BY_LENGTH,

@@ -1,0 +1,118 @@
+"""Streaming statistics — the partial/final combine pattern.
+
+Reference parity: Welford streaming mean/variance over samples
+(``eval_kernel_statistics``, /root/reference/src/ega/algorithms/
+graph_kernels.py:344-366) and the z-score / one-tail significance
+helpers (graph_kernels.py:23-48).
+
+Distributed shape: each batch computes a Welford (count, mean, M2)
+partial; partials merge with Chan's parallel-combine formula in one
+small ``groupby(key)`` — the shuffle carries 3 floats per (batch, key)
+instead of the raw column.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _welford_partial(values: np.ndarray) -> tuple[int, float, float]:
+    n = len(values)
+    if n == 0:
+        return 0, 0.0, 0.0
+    mean = float(values.mean())
+    m2 = float(((values - mean) ** 2).sum())
+    return n, mean, m2
+
+
+def _chan_merge(a, b):
+    """(n, mean, M2) ⊕ (n, mean, M2) — Chan et al. parallel combine."""
+    na, ma, m2a = a
+    nb, mb, m2b = b
+    if na == 0:
+        return b
+    if nb == 0:
+        return a
+    n = na + nb
+    delta = mb - ma
+    mean = ma + delta * nb / n
+    m2 = m2a + m2b + delta * delta * na * nb / n
+    return n, mean, m2
+
+
+def welford_by_key(ds, key: str, col: str):
+    """Dataset → (key, n, mean, var_pop, std_pop) via partial+merge."""
+
+    def _partials(batch: pa.Table) -> pa.Table:
+        df = pd.DataFrame(
+            {key: batch.column(key).to_pandas(), col: batch.column(col).to_pandas()}
+        )
+        rows = []
+        for k, g in df.groupby(key, sort=False):
+            n, mean, m2 = _welford_partial(g[col].to_numpy().astype(np.float64))
+            rows.append((k, n, mean, m2))
+        out = pd.DataFrame(rows, columns=[key, "n", "mean", "m2"])
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    def _merge(group: pd.DataFrame) -> pd.DataFrame:
+        acc = (0, 0.0, 0.0)
+        for n, mean, m2 in zip(group["n"], group["mean"], group["m2"]):
+            acc = _chan_merge(acc, (int(n), float(mean), float(m2)))
+        n, mean, m2 = acc
+        var = m2 / n if n else 0.0
+        return pd.DataFrame(
+            {
+                key: [group[key].iloc[0]],
+                "n": np.array([n], dtype=np.int64),
+                "mean": [mean],
+                "var_pop": [var],
+                "std_pop": [math.sqrt(var)],
+            }
+        )
+
+    return (
+        ds.map_batches(_partials, batch_format="pyarrow")
+        .groupby(key)
+        .map_groups(_merge, batch_format="pandas")
+    )
+
+
+def welford_global(ds, col: str) -> tuple[int, float, float]:
+    """Whole-dataset (n, mean, var_pop) — driver-side merge of per-batch
+    partials (P partial triples, not the column)."""
+    acc = (0, 0.0, 0.0)
+    for batch in ds.iter_batches(batch_size=None, batch_format="pyarrow"):
+        vals = batch.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        acc = _chan_merge(acc, _welford_partial(vals))
+    n, mean, m2 = acc
+    return n, mean, (m2 / n if n else 0.0)
+
+
+def zscore(values: np.ndarray, mean: float, std: float) -> np.ndarray:
+    """Standardize; std=0 → zeros (reference zscore, graph_kernels.py:23-38)."""
+    if std <= 0:
+        return np.zeros_like(values, dtype=np.float64)
+    return (values - mean) / std
+
+
+def onetail(z: np.ndarray) -> np.ndarray:
+    """Upper-tail normal probability P(Z > z) (graph_kernels.py:41-48)."""
+    erfc = np.vectorize(math.erfc)
+    return 0.5 * erfc(np.asarray(z, dtype=np.float64) / math.sqrt(2.0))
+
+
+def zscore_column(ds, col: str, out_col: str | None = None):
+    """Append a z-scored column (two passes: global Welford, then map)."""
+    out_col = out_col or f"{col}_z"
+    n, mean, var = welford_global(ds, col)
+    std = math.sqrt(var)
+
+    def _z(batch: pa.Table) -> pa.Table:
+        vals = batch.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        return batch.append_column(out_col, pa.array(zscore(vals, mean, std)))
+
+    return ds.map_batches(_z, batch_format="pyarrow")

@@ -117,3 +117,82 @@ def triangles_oracle(src: np.ndarray, dst: np.ndarray):
     A[si, di] = 1.0
     tri = ((A @ A) * A).sum(axis=1) / 2
     return vids, tri.astype(np.int64)
+
+
+def generalized_walk_oracle(
+    src: np.ndarray,
+    dst: np.ndarray,
+    *,
+    weights: np.ndarray | None = None,
+    damping: float = 0.85,
+    teleport: dict[int, float] | None = None,
+    init: dict[int, float] | None = None,
+    tol: float = 1e-6,
+    max_iters: int = 100,
+):
+    """Dense oracle for the generalized damped walk:
+    r ← (1-d)·T + d·(P_w·r + T·dangling_mass), matching
+    state/bsp.py combine semantics. teleport=None → uniform;
+    teleport={} with damping=1 → pure k-step walk (dangling absorbed).
+    Duplicate edges sum their weights (unit if weights is None)."""
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    w = (weights[keep] if weights is not None else np.ones(len(src))).astype(np.float64)
+    order = np.lexsort((dst, src))
+    src, dst, w = src[order], dst[order], w[order]
+    first = np.concatenate(([True], (src[1:] != src[:-1]) | (dst[1:] != dst[:-1])))
+    gid = np.cumsum(first) - 1
+    w = np.bincount(gid, weights=w)
+    src, dst = src[first], dst[first]
+
+    vids, si, di = _index(src, dst)
+    n = len(vids)
+    wdeg = np.bincount(si, weights=w, minlength=n)
+    if teleport is None:
+        T = np.full(n, 1.0 / n)
+    else:
+        T = np.zeros(n)
+        for v, tw in teleport.items():
+            T[np.searchsorted(vids, np.uint64(v))] = tw
+        if T.sum() > 0:
+            T = T / T.sum()
+    if init is None:
+        # fixed point is init-independent for damping<1 (tol mode);
+        # fixed-k runs (tol=0) match the engine's uniform start
+        r = np.full(n, 1.0 / n)
+    else:
+        r = np.zeros(n)
+        for v, val in init.items():
+            r[np.searchsorted(vids, np.uint64(v))] = val
+    for _ in range(max_iters):
+        contrib = np.divide(r, wdeg, out=np.zeros(n), where=wdeg > 0)
+        msg = np.bincount(di, weights=contrib[si] * w, minlength=n)
+        dangling = r[wdeg == 0].sum()
+        r_new = (1.0 - damping) * T + damping * (msg + T * dangling)
+        delta = np.abs(r_new - r).max()
+        r = r_new
+        if tol > 0 and delta < tol:
+            break
+    return vids, r
+
+
+def interpolate_oracle(
+    src: np.ndarray, dst: np.ndarray, values: dict[int, float], mask: dict[int, float]
+):
+    """Dense masked neighbor interpolation: gather(F·m)/gather(m) over
+    the normalized walk matrix (Interpolator semantics)."""
+    src2, dst2 = dedup_edges(src, dst)
+    vids, si, di = _index(src2, dst2)
+    n = len(vids)
+    deg = np.bincount(si, minlength=n)
+    F = np.zeros(n)
+    M = np.zeros(n)
+    for v, val in values.items():
+        F[np.searchsorted(vids, np.uint64(v))] = val
+    for v, mv in mask.items():
+        M[np.searchsorted(vids, np.uint64(v))] = mv
+    def gather(x):
+        contrib = np.divide(x, deg, out=np.zeros(n), where=deg > 0)
+        return np.bincount(di, weights=contrib[si], minlength=n)
+    nu, de = gather(F * M), gather(M)
+    return vids, np.divide(nu, de, out=np.zeros(n), where=de > 0)

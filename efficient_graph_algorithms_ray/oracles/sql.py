@@ -140,3 +140,36 @@ LIMIT 5"""
 EMBEDDING_NORMS = """SELECT vec_id,
   ROUND(sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])), 5) AS norm_r5
 FROM embeddings"""
+
+
+_COOCC_UND = """pr AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+und AS (SELECT u, v FROM pr UNION ALL SELECT v AS u, u AS v FROM pr)"""
+
+
+WALK2_COOCC = f"""WITH {_COOCC_UND},
+deg AS (SELECT u AS vid, CAST(COUNT(*) AS DOUBLE) AS d FROM und GROUP BY 1),
+verts AS (SELECT DISTINCT u AS vid FROM und),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM verts),
+r0 AS (SELECT vid, 1.0 / (SELECT c FROM nn) AS r FROM verts),
+r1 AS (
+  SELECT und.v AS vid, SUM(r0.r / deg.d) AS r
+  FROM und JOIN r0 ON und.u = r0.vid JOIN deg ON und.u = deg.vid
+  GROUP BY und.v
+),
+r2 AS (
+  SELECT und.v AS vid, SUM(r1.r / deg.d) AS r
+  FROM und JOIN r1 ON und.u = r1.vid JOIN deg ON und.u = deg.vid
+  GROUP BY und.v
+)
+SELECT verts.vid AS vid, ROUND(COALESCE(r2.r, 0), 9) AS mass_r9
+FROM verts LEFT JOIN r2 ON verts.vid = r2.vid"""
+
+
+DOC_LEN_STATS_BY_LANG = """SELECT lang, COUNT(*) AS n,
+  ROUND(AVG(n_chars), 6) AS mean_r6,
+  ROUND(stddev_pop(n_chars), 6) AS std_r6
+FROM documents GROUP BY lang"""

@@ -135,3 +135,49 @@ def q_image_features(sf_dir: str):
         batch_size=64,
         concurrency=2,
     )
+
+
+def q_doc_len_stats_by_lang(sf_dir: str):
+    """Per-language length stats via distributed Welford partial+merge
+    (eval_kernel_statistics parity) — SQL-oracled vs AVG/STDDEV_POP."""
+    from ..functions.stats import welford_by_key
+
+    stats = welford_by_key(_docs(sf_dir, ["lang", "n_chars"]), "lang", "n_chars")
+
+    def _shape(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "lang": batch.column("lang"),
+                "n": batch.column("n").cast(pa.int64()),
+                "mean_r6": pc.round(batch.column("mean"), ndigits=6),
+                "std_r6": pc.round(batch.column("std_pop"), ndigits=6),
+            }
+        )
+
+    return stats.map_batches(_shape, batch_format="pyarrow")
+
+
+def q_quality_zscores(sf_dir: str):
+    """Quality scores standardized by global Welford stats + one-tail
+    significance (zscore/onetail parity, graph_kernels.py:23-48) —
+    rows-only (heuristic upstream)."""
+    import numpy as np
+
+    from ..functions.stats import onetail, zscore_column
+
+    scored = q_quality_scores(sf_dir).select_columns(["doc_id", "quality"])
+    z = zscore_column(scored.materialize(), "quality")
+
+    def _tail(batch: pa.Table) -> pa.Table:
+        zs = batch.column("quality_z").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "quality_z": pa.array(np.round(zs, 6)),
+                "p_upper": pa.array(np.round(onetail(zs), 6)),
+            }
+        )
+
+    return z.map_batches(_tail, batch_format="pyarrow")

@@ -70,21 +70,32 @@ def _part_rows(num_partitions: int, symmetrize: bool):
     def _fn(batch: pa.Table) -> pa.Table:
         src = batch.column("src").to_numpy(zero_copy_only=False).astype(np.uint64, copy=False)
         dst = batch.column("dst").to_numpy(zero_copy_only=False).astype(np.uint64, copy=False)
+        weighted = "w" in batch.schema.names
+        w = (
+            batch.column("w").to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
+            if weighted
+            else None
+        )
         if symmetrize:
             src, dst = np.concatenate([src, dst]), np.concatenate([dst, src])
+            if weighted:
+                w = np.concatenate([w, w])
         marker_vids = np.unique(dst)
         out_src = np.concatenate([src, marker_vids])
         out_dst = np.concatenate([dst, np.zeros(len(marker_vids), dtype=np.uint64)])
         out_marker = np.zeros(len(out_src), dtype=bool)
         out_marker[len(src):] = True
-        return pa.table(
-            {
-                "part": pa.array((out_src % np.uint64(P)).astype(np.int64), type=pa.int64()),
-                "src": pa.array(out_src, type=pa.uint64()),
-                "dst": pa.array(out_dst, type=pa.uint64()),
-                "is_marker": pa.array(out_marker, type=pa.bool_()),
-            }
-        )
+        cols = {
+            "part": pa.array((out_src % np.uint64(P)).astype(np.int64), type=pa.int64()),
+            "src": pa.array(out_src, type=pa.uint64()),
+            "dst": pa.array(out_dst, type=pa.uint64()),
+            "is_marker": pa.array(out_marker, type=pa.bool_()),
+        }
+        if weighted:
+            cols["w"] = pa.array(
+                np.concatenate([w, np.zeros(len(marker_vids))]), type=pa.float64()
+            )
+        return pa.table(cols)
 
     return _fn
 

@@ -269,3 +269,48 @@ def q_events_hourly(sf_dir: str):
         )
 
     return agg.map_batches(_fix, batch_format="pyarrow")
+
+
+def q_walk2_coocc(sf_dir: str):
+    """2-step undamped random walk over the part co-occurrence graph —
+    ``random_walk_kernel`` semantics (graph_kernels.py:66-68), SQL-oracled."""
+    from .walks import k_step_walk
+
+    g = build_graph(
+        part_cooccurrence_edges(sf_dir), EngineConfig(num_partitions=16), directed=False
+    )
+    mass, _ = k_step_walk(g, _ckpt("walk2"), k=2)
+
+    def _round(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vid": batch.column("vid").cast(pa.int64()),
+                "mass_r9": pc.round(batch.column("mass"), ndigits=9),
+            }
+        )
+
+    return mass.map_batches(_round, batch_format="pyarrow")
+
+
+def q_ppr_parts(sf_dir: str):
+    """Personalized PageRank over the part→supplier graph seeded at the
+    5 lowest partkeys (get_projection seed-set scoring analogue) —
+    rows-only at the driver; exactness pytest-verified vs the dense
+    generalized-walk oracle."""
+    from .walks import personalized_pagerank
+
+    g = build_graph(partsupp_edges(sf_dir), EngineConfig(num_partitions=16), directed=True)
+    seeds = [1, 2, 3, 4, 5]
+    scores, _ = personalized_pagerank(g, _ckpt("ppr"), seeds, tol=1e-8, max_iters=200)
+
+    def _shape(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vid": batch.column("vid").cast(pa.int64()),
+                "score_r9": pc.round(batch.column("score"), ndigits=9),
+            }
+        )
+
+    return scores.map_batches(_shape, batch_format="pyarrow").sort(
+        ["score_r9", "vid"], descending=[True, False]
+    ).limit(20)

@@ -1,0 +1,217 @@
+"""Random-walk operator family over the generalized superstep engine.
+
+Reference parity (all from /root/reference/src/ega/algorithms/
+graph_kernels.py):
+
+- ``k_step_walk``       ← ``random_walk_kernel`` (:66-68): k powers of
+  the (weight-)normalized adjacency, undamped — damping=1, zero
+  teleport.
+- ``personalized_pagerank`` ← ``random_walk_with_restart_kernel``
+  (:72-79) applied to a seed indicator, i.e. ``get_projection``
+  seed-set scoring (:387-519) with the SEEDSET_SIZE correction (seed
+  mass split uniformly across the seed set).
+- ``multi_source_pagerank`` ← ``get_projections_batch`` (:521-557):
+  d seed sets scored in ONE run via a [n, d] vector field (the
+  reference's tensor-field abstraction, gf_integrator.py:4-22).
+- ``masked_neighbor_interpolate`` ← ``Interpolator.interpolate``
+  (/root/reference/src/ega/util/interpolator.py:5-33): integrate
+  (F·mask) / integrate(mask) — one superstep each, elementwise divide.
+
+Weighted graphs: build the graph from an edge table with a ``w``
+column; the walk normalizer becomes the per-vertex weight sum
+(reference weights default 1.0, mesh_utils.py:94-106).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..state.graph import ShardedGraph
+from ..state.superstep import run_supersteps, state_vertex_dataset
+
+
+def vertex_lookup_init(vids: np.ndarray, vals: np.ndarray, default=0.0, width: int = 1):
+    """init_fn factory: per-partition array from a sorted (vids → vals) map."""
+    order = np.argsort(vids)
+    vids_s, vals_s = vids[order], vals[order]
+
+    def _init(csr):
+        n = len(csr["vids"])
+        out = (
+            np.full((n, width), default, dtype=np.float64)
+            if width > 1
+            else np.full(n, default, dtype=np.float64)
+        )
+        pos = np.searchsorted(vids_s, csr["vids"])
+        ok = pos < len(vids_s)
+        hit = np.zeros(n, dtype=bool)
+        hit[ok] = vids_s[pos[ok]] == csr["vids"][ok]
+        out[hit] = vals_s[pos[hit]]
+        return out
+
+    return _init
+
+
+def _seed_teleport(seeds: dict[int, float]):
+    """teleport_fn for a normalized seed distribution."""
+    vids = np.fromiter((np.uint64(v) for v in seeds), dtype=np.uint64, count=len(seeds))
+    w = np.fromiter((float(seeds[int(v)]) for v in vids), dtype=np.float64, count=len(seeds))
+    w = w / w.sum()
+    return vertex_lookup_init(vids, w, default=0.0)
+
+
+def personalized_pagerank(
+    graph: ShardedGraph,
+    ckpt_dir: str,
+    seeds,
+    *,
+    damping: float = 0.85,
+    tol: float = 1e-6,
+    max_iters: int = 100,
+    resume: bool = False,
+):
+    """Seeded PageRank: restart at the seed distribution. ``seeds`` is
+    a {vid: weight} dict or a list of vids (uniform over the set)."""
+    if not isinstance(seeds, dict):
+        seeds = {int(v): 1.0 for v in seeds}
+    tfn = _seed_teleport(seeds)
+    summary = run_supersteps(
+        graph,
+        ckpt_dir,
+        "sum",
+        tfn,  # init = teleport distribution (standard PPR start)
+        damping=damping,
+        tol=tol,
+        max_iters=max_iters,
+        resume=resume,
+        teleport_fn=tfn,
+    )
+    return state_vertex_dataset(graph, summary["final_iter_dir"], "score"), summary
+
+
+def multi_source_pagerank(
+    graph: ShardedGraph,
+    ckpt_dir: str,
+    seed_sets: list[list[int]],
+    *,
+    damping: float = 0.85,
+    tol: float = 1e-6,
+    max_iters: int = 100,
+):
+    """d seed sets scored in one run ([n, d] field). Returns a Dataset
+    (vid, scores: list<float64>[d]) + summary."""
+    d = len(seed_sets)
+    flat_vids = []
+    flat_rows = []
+    for j, ss in enumerate(seed_sets):
+        for v in ss:
+            flat_vids.append(np.uint64(v))
+            flat_rows.append((j, 1.0 / len(ss)))
+    svids = np.array(flat_vids, dtype=np.uint64)
+
+    def teleport_fn(csr):
+        n = len(csr["vids"])
+        T = np.zeros((n, d))
+        pos = np.searchsorted(csr["vids"], svids)
+        ok = pos < n
+        hit = np.zeros(len(svids), dtype=bool)
+        hit[ok] = csr["vids"][pos[ok]] == svids[ok]
+        for i in np.flatnonzero(hit):
+            j, wgt = flat_rows[i]
+            T[pos[i], j] += wgt
+        return T
+
+    summary = run_supersteps(
+        graph,
+        ckpt_dir,
+        "sum",
+        teleport_fn,
+        damping=damping,
+        tol=tol,
+        max_iters=max_iters,
+        teleport_fn=teleport_fn,
+    )
+    return state_vertex_dataset(graph, summary["final_iter_dir"], "scores"), summary
+
+
+def k_step_walk(graph: ShardedGraph, ckpt_dir: str, k: int, init_fn=None):
+    """Distribution after exactly k steps of the normalized random walk
+    (undamped; dangling mass is absorbed, matching A_norm^k · x)."""
+    N = graph.n_vertices
+
+    def default_init(csr):
+        return np.full(len(csr["vids"]), 1.0 / N)
+
+    def zero_teleport(csr):
+        return np.zeros(len(csr["vids"]))
+
+    summary = run_supersteps(
+        graph,
+        ckpt_dir,
+        "sum",
+        init_fn or default_init,
+        damping=1.0,
+        tol=0.0,
+        max_iters=k,
+        teleport_fn=zero_teleport,
+    )
+    return state_vertex_dataset(graph, summary["final_iter_dir"], "mass"), summary
+
+
+def masked_neighbor_interpolate(
+    graph: ShardedGraph, ckpt_dir: str, value_init, mask_init
+):
+    """Interpolator semantics: one normalized gather of (F·mask) divided
+    by the same gather of mask — the masked neighbor average used for
+    field interpolation (vertex_normal_prediction.py:204-205).
+
+    value_init/mask_init: init_fn callables (see vertex_lookup_init).
+    Returns Dataset (vid, value) where vertices with no known
+    neighbors get 0.
+    """
+    import pyarrow as pa
+    import ray.data as rd
+
+    def masked_init(csr):
+        return np.asarray(value_init(csr), dtype=np.float64) * np.asarray(
+            mask_init(csr), dtype=np.float64
+        )
+
+    def zero_teleport(csr):
+        return np.zeros(len(csr["vids"]))
+
+    s_num = run_supersteps(
+        graph, ckpt_dir + "/num", "sum", masked_init,
+        damping=1.0, tol=0.0, max_iters=1, teleport_fn=zero_teleport,
+    )
+    s_den = run_supersteps(
+        graph, ckpt_dir + "/den", "sum", mask_init,
+        damping=1.0, tol=0.0, max_iters=1, teleport_fn=zero_teleport,
+    )
+    # alignment is per-partition: read both checkpoint files per part
+    refs = graph.refs
+
+    def _ratio(batch: pa.Table) -> pa.Table:
+        import ray
+
+        from ..state.ckpt import read_state_part
+
+        parts = batch.column("part").to_numpy(zero_copy_only=False)
+        vid_out, val_out = [], []
+        for p in parts:
+            p = int(p)
+            csr = ray.get(refs[p])
+            nu = read_state_part(s_num["final_iter_dir"], p)
+            de = read_state_part(s_den["final_iter_dir"], p)
+            out = np.divide(nu, de, out=np.zeros_like(nu), where=de > 0)
+            vid_out.append(csr["vids"])
+            val_out.append(out)
+        return pa.table(
+            {
+                "vid": pa.array(np.concatenate(vid_out), type=pa.uint64()),
+                "value": pa.array(np.concatenate(val_out)),
+            }
+        )
+
+    parts_ds = rd.from_arrow(pa.table({"part": pa.array(graph.parts, type=pa.int64())}))
+    return parts_ds.map_batches(_ratio, batch_format="pyarrow", batch_size=4)

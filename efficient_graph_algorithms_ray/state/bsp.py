@@ -57,6 +57,7 @@ class BSPWorker:
         total_n: int,
         damping: float,
         owner_map: np.ndarray,
+        teleport_fn=None,
     ) -> None:
         self.w = worker_id
         self.W = W
@@ -67,6 +68,17 @@ class BSPWorker:
         self.parts = [p for p, _ in owned]
         self.csrs = {p: ray.get(r) for p, r in owned}  # zero-copy plasma views
         self.values: dict[int, np.ndarray] = {}
+        # teleport distribution per partition (sum mode): uniform 1/N by
+        # default; a teleport_fn(csr) -> array enables personalized /
+        # seeded PageRank (reference: get_projection seed-set scoring,
+        # graph_kernels.py:387-519) and pure k-step walks (zeros).
+        self.teleport: dict[int, np.ndarray] = {}
+        if mode == "sum":
+            for p, csr in self.csrs.items():
+                if teleport_fn is None:
+                    self.teleport[p] = np.full(len(csr["vids"]), 1.0 / total_n)
+                else:
+                    self.teleport[p] = np.asarray(teleport_fn(csr), dtype=np.float64)
         self._idx_cache: dict[tuple[int, int], tuple[np.ndarray, np.ndarray]] = {}
         # --- static scatter structures, one pass per owned partition ---
         self._sc: dict[int, dict] = {}
@@ -92,20 +104,26 @@ class BSPWorker:
                 "seg_starts": seg_starts,
                 "seg_dst": seg_dst,
                 "w_bounds": w_bounds,
+                # per-edge weights in permuted order (weighted graphs only)
+                "w_perm": csr["weights"][perm] if "weights" in csr else None,
             }
 
     # ---- state management -------------------------------------------------
     def init_state(self, init_fn, iter0_dir: str) -> float:
         from .ckpt import write_state_part
 
-        dangling = 0.0
+        dangling = None
         for p, csr in self.csrs.items():
             v = init_fn(csr)
             self.values[p] = v
             write_state_part(iter0_dir, p, v, self.mode)
             if self.mode == "sum":
-                dangling += float(v[csr["deg"] == 0].sum())
-        return dangling
+                norm = csr.get("wdeg", csr["deg"])
+                d = v[norm == 0].sum(axis=0)
+                dangling = d if dangling is None else dangling + d
+        if dangling is None:
+            return 0.0
+        return dangling.tolist() if np.ndim(dangling) else float(dangling)
 
     def load_state(self, iter_dir: str) -> bool:
         from .ckpt import read_state_part
@@ -137,15 +155,22 @@ class BSPWorker:
         for p in self.parts:
             csr, sc, value = self.csrs[p], self._sc[p], self.values[p]
             if self.mode == "sum":
-                deg = csr["deg"]
-                contrib = np.divide(
-                    value, deg, out=np.zeros_like(value, dtype=np.float64), where=deg > 0
-                )
+                norm = csr.get("wdeg", csr["deg"])  # random-walk normalizer
+                if value.ndim == 2:
+                    nz = norm > 0
+                    contrib = np.zeros_like(value, dtype=np.float64)
+                    contrib[nz] = value[nz] / norm[nz, None]
+                else:
+                    contrib = np.divide(
+                        value, norm, out=np.zeros_like(value, dtype=np.float64), where=norm > 0
+                    )
                 vals = contrib[sc["gather"]]
+                if sc["w_perm"] is not None:
+                    vals = vals * (sc["w_perm"][:, None] if vals.ndim == 2 else sc["w_perm"])
                 sums = (
-                    np.add.reduceat(vals, sc["seg_starts"])
+                    np.add.reduceat(vals, sc["seg_starts"], axis=0)
                     if len(sc["seg_starts"])
-                    else np.empty(0)
+                    else np.empty((0,) + vals.shape[1:])
                 )
             else:
                 vals = value[sc["gather"]]
@@ -180,8 +205,9 @@ class BSPWorker:
             vids, deg = csr["vids"], csr["deg"]
             n = len(vids)
             old = self.values[p]
+            width = old.shape[1] if old.ndim == 2 else 1
             if self.mode == "sum":
-                acc = np.zeros(n)
+                acc = np.zeros((n, width)) if width > 1 else np.zeros(n)
             else:
                 acc = np.full(n, UNLABELED, dtype=np.uint64)
             for v_src, blk in enumerate(blocks):
@@ -199,21 +225,36 @@ class BSPWorker:
                 if not len(idx):
                     continue
                 if self.mode == "sum":
-                    acc += np.bincount(idx, weights=reds[mask], minlength=n)
+                    reds_m = reds[mask]
+                    if width > 1:
+                        for j in range(width):
+                            acc[:, j] += np.bincount(idx, weights=reds_m[:, j], minlength=n)
+                    else:
+                        acc += np.bincount(idx, weights=reds_m, minlength=n)
                 else:
                     np.minimum.at(acc, idx, reds[mask])
             if self.mode == "sum":
-                new = (1.0 - self.damping) / self.N + self.damping * (
-                    acc + dangling_mass / self.N
-                )
+                # generalized damped-walk update with a teleport
+                # distribution T (uniform → classic PageRank; seeded →
+                # personalized PageRank; zeros + damping=1 → pure k-step
+                # walk). Dangling mass re-enters via T (standard).
+                T = self.teleport[p]
+                norm = csr.get("wdeg", deg)
+                dm = np.asarray(dangling_mass)
+                if width > 1:
+                    Tm = T if T.ndim == 2 else T[:, None]
+                    new = (1.0 - self.damping) * Tm + self.damping * (acc + Tm * dm)
+                else:
+                    new = (1.0 - self.damping) * T + self.damping * (acc + T * float(dm))
                 delta = np.abs(new - old)
+                dn = new[norm == 0].sum(axis=0)
                 m = {
                     "part": p,
                     "n": n,
-                    "delta_inf": float(delta.max()) if n else 0.0,
+                    "delta_inf": float(delta.max()) if delta.size else 0.0,
                     "l1": float(delta.sum()),
                     "changed": int((delta > 0).sum()),
-                    "dangling_next": float(new[deg == 0].sum()),
+                    "dangling_next": dn.tolist() if np.ndim(dn) else float(dn),
                 }
             else:
                 new = np.minimum(old, acc)

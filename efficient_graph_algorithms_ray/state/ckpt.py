@@ -30,13 +30,18 @@ def part_file(idir: str, p: int) -> str:
 
 
 def write_state_part(idir: str, p: int, value: np.ndarray, mode: str) -> None:
+    """Atomic per-partition state file; vector fields ([n, d]) are
+    stored flattened with their width for exact round-trip."""
     os.makedirs(idir, exist_ok=True)
     arrow_type = _F64 if mode == "sum" else _U64
-    offsets = pa.array(np.array([0, len(value)], dtype=np.int32), type=pa.int32())
-    values = pa.array(value, type=arrow_type)
+    width = value.shape[1] if value.ndim == 2 else 1
+    flat = np.ascontiguousarray(value).reshape(-1)
+    offsets = pa.array(np.array([0, len(flat)], dtype=np.int32), type=pa.int32())
+    values = pa.array(flat, type=arrow_type)
     tbl = pa.table(
         {
             "part": pa.array([p], type=pa.int64()),
+            "width": pa.array([width], type=pa.int64()),
             "value": pa.ListArray.from_arrays(offsets, values),
         }
     )
@@ -49,7 +54,9 @@ def read_state_part(idir: str, p: int) -> np.ndarray:
     tbl = pq.read_table(part_file(idir, p))
     chunk = tbl.column("value").chunk(0)
     offs = chunk.offsets.to_numpy(zero_copy_only=False)
-    return chunk.values.to_numpy(zero_copy_only=False)[offs[0] : offs[1]]
+    flat = chunk.values.to_numpy(zero_copy_only=False)[offs[0] : offs[1]]
+    width = tbl.column("width")[0].as_py() if "width" in tbl.schema.names else 1
+    return flat.reshape(-1, width) if width > 1 else flat
 
 
 def find_last_complete(ckpt: str) -> int:

@@ -79,12 +79,14 @@ class ShardedGraph:
 
         for p in self.parts:
             csr = ray.get(self.refs[p])
+            wcol = csr.get("weights", np.empty(0, dtype=np.float64))
             tbl = pa.Table.from_arrays(
                 [
                     pa.array([p], type=pa.int64()),
                     list_array([csr["vids"]], np.uint64, pa.uint64()),
                     list_array([csr["indptr"]], np.int64, pa.int64()),
                     list_array([csr["indices"]], np.uint64, pa.uint64()),
+                    list_array([wcol], np.float64, pa.float64()),
                 ],
                 schema=CSR_SCHEMA,
             )

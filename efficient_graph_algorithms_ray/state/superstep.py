@@ -77,6 +77,7 @@ def run_supersteps(
     tol: float = 1e-6,
     max_iters: int = 100,
     resume: bool = False,
+    teleport_fn=None,
 ) -> dict:
     """Drive supersteps to convergence; returns the run summary dict.
 
@@ -104,7 +105,7 @@ def run_supersteps(
 
     actors = [
         BSPWorker.options(num_cpus=1).remote(
-            w, W, owned_by_w[w], P, mode, N, damping, owner_map
+            w, W, owned_by_w[w], P, mode, N, damping, owner_map, teleport_fn
         )
         for w in range(W)
     ]
@@ -116,13 +117,15 @@ def run_supersteps(
             with open(_manifest_path(ckpt, last)) as f:
                 m = json.load(f)
             start_iter = last
-            dangling = float(m.get("dangling", 0.0))
+            dangling = m.get("dangling", 0.0)  # float, or list for vector fields
             ray.get([a.load_state.remote(_iter_dir(ckpt, last)) for a in actors])
         else:
             iter0 = _iter_dir(ckpt, 0)
-            dangling = float(
-                sum(ray.get([a.init_state.remote(init_fn, iter0) for a in actors]))
-            )
+            parts_d = [
+                np.asarray(d) for d in ray.get([a.init_state.remote(init_fn, iter0) for a in actors])
+            ]
+            tot = sum(parts_d)
+            dangling = tot.tolist() if np.ndim(tot) else float(tot)
             with open(_manifest_path(ckpt, 0), "w") as f:
                 json.dump(
                     {
@@ -149,7 +152,8 @@ def run_supersteps(
             seconds = time.perf_counter() - t0
             delta_inf = max((r["delta_inf"] for r in rows), default=0.0)
             changed = int(sum(r["changed"] for r in rows))
-            dangling = float(sum(r["dangling_next"] for r in rows))
+            dn = sum(np.asarray(r["dangling_next"]) for r in rows)
+            dangling = dn.tolist() if np.ndim(dn) else float(dn)
             metrics = {
                 "iter": k,
                 "seconds": seconds,
@@ -200,14 +204,24 @@ def state_vertex_dataset(graph: ShardedGraph, iter_dir: str, value_name: str):
 
     def _explode(batch: pa.Table) -> pa.Table:
         parts = batch.column("part").to_numpy(zero_copy_only=False)
+        widths = (
+            batch.column("width").to_numpy(zero_copy_only=False)
+            if "width" in batch.schema.names
+            else np.ones(len(parts), dtype=np.int64)
+        )
         values = list_rows(batch, "value")
         vid_out, val_out = [], []
-        for p, v in zip(parts, values):
+        width = int(widths[0]) if len(widths) else 1
+        for p, v, w in zip(parts, values, widths):
             csr = ray.get(refs[int(p)])
             vid_out.append(csr["vids"])
-            val_out.append(v)
+            val_out.append(v.reshape(-1, int(w)) if int(w) > 1 else v)
         vids = np.concatenate(vid_out) if vid_out else np.empty(0, dtype=np.uint64)
-        vals = np.concatenate(val_out) if val_out else np.empty(0)
-        return pa.table({"vid": pa.array(vids, type=_U64), value_name: pa.array(vals)})
+        if width > 1:
+            mat = np.concatenate(val_out) if val_out else np.empty((0, width))
+            val_arr = list_array(list(mat), np.float64, pa.float64())
+        else:
+            val_arr = pa.array(np.concatenate(val_out) if val_out else np.empty(0))
+        return pa.table({"vid": pa.array(vids, type=_U64), value_name: val_arr})
 
     return rd.read_parquet(iter_dir).map_batches(_explode, batch_format="pyarrow")

@@ -1,0 +1,118 @@
+"""Walk-family operators (weighted / personalized / multi-source /
+k-step / interpolator) vs dense oracles."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from efficient_graph_algorithms_ray.config import EngineConfig
+from efficient_graph_algorithms_ray.oracles.numpy_graph import (
+    generalized_walk_oracle,
+    interpolate_oracle,
+)
+from efficient_graph_algorithms_ray.pipelines.graph_build import build_graph
+from efficient_graph_algorithms_ray.pipelines.pagerank import pagerank
+from efficient_graph_algorithms_ray.pipelines.walks import (
+    k_step_walk,
+    masked_neighbor_interpolate,
+    multi_source_pagerank,
+    personalized_pagerank,
+    vertex_lookup_init,
+)
+from efficient_graph_algorithms_ray.stages.hashing import hash_to_vid
+from efficient_graph_algorithms_ray.util import list_rows
+
+
+def _fixture(weighted=False, n=60, p=0.15, seed=5):
+    rng = np.random.Generator(np.random.Philox(key=[seed, 0]))
+    mask = rng.random((n, n)) < p
+    np.fill_diagonal(mask, False)
+    si, di = np.nonzero(mask)
+    vids = hash_to_vid([f"w{i}" for i in range(n)])
+    src, dst = vids[si], vids[di]
+    cols = {
+        "src": pa.array(src, type=pa.uint64()),
+        "dst": pa.array(dst, type=pa.uint64()),
+    }
+    w = None
+    if weighted:
+        w = np.round(rng.random(len(src)) * 4 + 0.5, 3)
+        cols["w"] = pa.array(w, type=pa.float64())
+    return rd.from_arrow(pa.table(cols)), src, dst, w, vids
+
+
+def test_weighted_pagerank_matches_oracle(tmp_path):
+    ds, src, dst, w, _ = _fixture(weighted=True)
+    g = build_graph(ds, EngineConfig(num_partitions=6), directed=True)
+    ranks, s = pagerank(g, str(tmp_path / "wpr"), tol=1e-9, max_iters=300)
+    df = ranks.to_pandas().sort_values("vid").reset_index(drop=True)
+    ovids, oranks = generalized_walk_oracle(src, dst, weights=w, tol=1e-9, max_iters=300)
+    assert np.array_equal(df["vid"].to_numpy().astype(np.uint64), ovids)
+    assert np.allclose(df["rank"].to_numpy(), oranks, atol=1e-8)
+
+
+def test_personalized_pagerank_matches_oracle(tmp_path):
+    ds, src, dst, _, vids = _fixture()
+    g = build_graph(ds, EngineConfig(num_partitions=6), directed=True)
+    seeds = [int(vids[3]), int(vids[17]), int(vids[40])]
+    scores, s = personalized_pagerank(g, str(tmp_path / "ppr"), seeds, tol=1e-9, max_iters=300)
+    df = scores.to_pandas().sort_values("vid").reset_index(drop=True)
+    tele = {v: 1.0 for v in seeds}
+    ovids, osc = generalized_walk_oracle(src, dst, teleport=tele, tol=1e-9, max_iters=300)
+    assert np.allclose(df["score"].to_numpy(), osc, atol=1e-8)
+    # seeds score above the median (restart mass concentrates there)
+    sdf = df.set_index(df["vid"].astype(np.uint64))["score"]
+    assert all(sdf[np.uint64(v)] > df["score"].median() for v in seeds)
+
+
+def test_multi_source_matches_individual_runs(tmp_path):
+    ds, src, dst, _, vids = _fixture()
+    g = build_graph(ds, EngineConfig(num_partitions=4), directed=True)
+    sets = [[int(vids[1]), int(vids[2])], [int(vids[30])]]
+    multi, s = multi_source_pagerank(g, str(tmp_path / "msp"), sets, tol=1e-9, max_iters=300)
+    mdf = multi.to_pandas().sort_values("vid").reset_index(drop=True)
+    mat = np.vstack(mdf["scores"].to_numpy())
+    for j, ss in enumerate(sets):
+        single, _ = personalized_pagerank(
+            g, str(tmp_path / f"s{j}"), ss, tol=1e-9, max_iters=300
+        )
+        sdf = single.to_pandas().sort_values("vid").reset_index(drop=True)
+        assert np.allclose(mat[:, j], sdf["score"].to_numpy(), atol=1e-10)
+
+
+def test_k_step_walk_matches_oracle(tmp_path):
+    ds, src, dst, _, _ = _fixture()
+    g = build_graph(ds, EngineConfig(num_partitions=4), directed=True)
+    mass, s = k_step_walk(g, str(tmp_path / "walk"), k=3)
+    df = mass.to_pandas().sort_values("vid").reset_index(drop=True)
+    ovids, om = generalized_walk_oracle(
+        src, dst, damping=1.0, teleport={}, tol=0.0, max_iters=3
+    )
+    assert np.allclose(df["mass"].to_numpy(), om, atol=1e-12)
+    assert s["iterations"] == 3
+
+
+def test_masked_interpolation_matches_oracle(tmp_path):
+    ds, src, dst, _, vids = _fixture()
+    g = build_graph(ds, EngineConfig(num_partitions=4), directed=True)
+    rng = np.random.Generator(np.random.Philox(key=[11, 0]))
+    known = {int(v): 1.0 for v in vids[:30]}
+    values = {int(v): float(np.round(rng.random(), 4)) for v in vids[:30]}
+    out = masked_neighbor_interpolate(
+        g,
+        str(tmp_path / "interp"),
+        vertex_lookup_init(
+            np.array(list(values), dtype=np.uint64),
+            np.array([values[k] for k in values]),
+        ),
+        vertex_lookup_init(
+            np.array(list(known), dtype=np.uint64),
+            np.array([known[k] for k in known]),
+        ),
+    )
+    df = out.to_pandas().sort_values("vid").reset_index(drop=True)
+    ovids, ov = interpolate_oracle(src, dst, values, known)
+    assert np.array_equal(df["vid"].to_numpy().astype(np.uint64), ovids)
+    assert np.allclose(df["value"].to_numpy(), ov, atol=1e-12)
