@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": R.q_events_hourly,
         "walk2_coocc": R.q_walk2_coocc,
         "ppr_parts_top20": R.q_ppr_parts,
+        "heat_smooth_coocc": R.q_heat_smooth_coocc,
         # text / documents (SQL-oracled)
         "doc_stats": C.q_doc_stats,
         "lang_distribution": C.q_lang_distribution,
@@ -134,6 +135,7 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": S.EVENTS_HOURLY,
         "walk2_coocc": S.WALK2_COOCC,
         "doc_len_stats_by_lang": S.DOC_LEN_STATS_BY_LANG,
+        "heat_smooth_coocc": S.heat_smooth_coocc_sql(t=0.01, steps=4),
         "doc_stats": S.DOC_STATS,
         "lang_distribution": S.LANG_DISTRIBUTION,
         "top_docs_by_length": S.TOP_DOCS_BY_LENGTH,

@@ -173,3 +173,27 @@ DOC_LEN_STATS_BY_LANG = """SELECT lang, COUNT(*) AS n,
   ROUND(AVG(n_chars), 6) AS mean_r6,
   ROUND(stddev_pop(n_chars), 6) AS std_r6
 FROM documents GROUP BY lang"""
+
+
+def heat_smooth_coocc_sql(t: float = 0.01, steps: int = 4) -> str:
+    """Unrolled explicit-Euler heat recurrence x ← x − dt·(deg·x − Σnbr x)."""
+    dt = t / steps
+    parts = [
+        f"WITH {_COOCC_UND},",
+        "deg AS (SELECT u AS vid, CAST(COUNT(*) AS DOUBLE) AS d FROM und GROUP BY 1),",
+        "verts AS (SELECT DISTINCT u AS vid FROM und),",
+        """x0 AS (SELECT verts.vid, CAST(p.p_retailprice AS DOUBLE) AS x
+       FROM verts JOIN part p ON p.p_partkey = verts.vid)""",
+    ]
+    for i in range(1, steps + 1):
+        prev = f"x{i-1}"
+        parts.append(
+            f""",
+nb{i} AS (SELECT und.v AS vid, SUM({prev}.x) AS s
+          FROM und JOIN {prev} ON und.u = {prev}.vid GROUP BY und.v),
+x{i} AS (SELECT v.vid, v.x - {dt!r} * (deg.d * v.x - COALESCE(nb{i}.s, 0)) AS x
+         FROM {prev} v JOIN deg ON v.vid = deg.vid
+         LEFT JOIN nb{i} ON nb{i}.vid = v.vid)"""
+        )
+    parts.append(f"\nSELECT vid, ROUND(x, 4) AS value_r4 FROM x{steps}")
+    return "".join(parts)

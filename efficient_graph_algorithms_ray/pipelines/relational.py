@@ -314,3 +314,35 @@ def q_ppr_parts(sf_dir: str):
     return scores.map_batches(_shape, batch_format="pyarrow").sort(
         ["score_r9", "vid"], descending=[True, False]
     ).limit(20)
+
+
+def q_heat_smooth_coocc(sf_dir: str):
+    """4 explicit-Euler heat steps of p_retailprice over the part
+    co-occurrence graph (heat_kernel semantics, graph_kernels.py:101-105)
+    — SQL-oracled via the unrolled recurrence."""
+    import pyarrow.parquet as pq_  # noqa: N813
+
+    from .diffusion import heat_kernel_smooth
+    from .walks import vertex_lookup_init
+
+    g = build_graph(
+        part_cooccurrence_edges(sf_dir), EngineConfig(num_partitions=16), directed=False
+    )
+    part_tbl = pq_.read_table(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_retailprice"]
+    )
+    init = vertex_lookup_init(
+        part_tbl.column("p_partkey").to_numpy().astype(np.uint64),
+        part_tbl.column("p_retailprice").to_numpy().astype(np.float64),
+    )
+    out, _ = heat_kernel_smooth(g, _ckpt("heat"), init, t=0.01, steps=4)
+
+    def _round(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vid": batch.column("vid").cast(pa.int64()),
+                "value_r4": pc.round(batch.column("value"), ndigits=4),
+            }
+        )
+
+    return out.map_batches(_round, batch_format="pyarrow")

@@ -58,6 +58,8 @@ class BSPWorker:
         damping: float,
         owner_map: np.ndarray,
         teleport_fn=None,
+        normalize: bool = True,
+        apply_fn=None,
     ) -> None:
         self.w = worker_id
         self.W = W
@@ -66,6 +68,14 @@ class BSPWorker:
         self.N = total_n
         self.damping = damping
         self.parts = [p for p, _ in owned]
+        # normalize=True → random-walk matvec (P = A·D⁻¹); False → raw A·x
+        # (diffusion / heat-kernel / common-neighbor machinery).
+        self.normalize = normalize
+        # apply_fn(agg, old, T, dangling_mass, csr) -> new state: custom
+        # update rule (pluggable superstep UDF — the engine's
+        # user-extension surface, mirroring the reference's abstract
+        # GFIntegrator contract). None → damped-walk update.
+        self.apply_fn = apply_fn
         self.csrs = {p: ray.get(r) for p, r in owned}  # zero-copy plasma views
         self.values: dict[int, np.ndarray] = {}
         # teleport distribution per partition (sum mode): uniform 1/N by
@@ -155,15 +165,18 @@ class BSPWorker:
         for p in self.parts:
             csr, sc, value = self.csrs[p], self._sc[p], self.values[p]
             if self.mode == "sum":
-                norm = csr.get("wdeg", csr["deg"])  # random-walk normalizer
-                if value.ndim == 2:
-                    nz = norm > 0
-                    contrib = np.zeros_like(value, dtype=np.float64)
-                    contrib[nz] = value[nz] / norm[nz, None]
+                if not self.normalize:
+                    contrib = value.astype(np.float64, copy=False)
                 else:
-                    contrib = np.divide(
-                        value, norm, out=np.zeros_like(value, dtype=np.float64), where=norm > 0
-                    )
+                    norm = csr.get("wdeg", csr["deg"])  # random-walk normalizer
+                    if value.ndim == 2:
+                        nz = norm > 0
+                        contrib = np.zeros_like(value, dtype=np.float64)
+                        contrib[nz] = value[nz] / norm[nz, None]
+                    else:
+                        contrib = np.divide(
+                            value, norm, out=np.zeros_like(value, dtype=np.float64), where=norm > 0
+                        )
                 vals = contrib[sc["gather"]]
                 if sc["w_perm"] is not None:
                     vals = vals * (sc["w_perm"][:, None] if vals.ndim == 2 else sc["w_perm"])
@@ -199,15 +212,19 @@ class BSPWorker:
         from .ckpt import write_state_part
 
         blocks = [out[self.w] for out in scatter_outs]
+        msg_bytes = int(
+            sum(b[0].nbytes + b[1].nbytes for b in blocks if b is not None)
+        )  # reported once (on the first owned part) so the driver can sum
         metrics = []
         for p in self.parts:
             csr = self.csrs[p]
             vids, deg = csr["vids"], csr["deg"]
             n = len(vids)
             old = self.values[p]
-            width = old.shape[1] if old.ndim == 2 else 1
+            is2d = old.ndim == 2
+            width = old.shape[1] if is2d else 1
             if self.mode == "sum":
-                acc = np.zeros((n, width)) if width > 1 else np.zeros(n)
+                acc = np.zeros((n, width)) if is2d else np.zeros(n)
             else:
                 acc = np.full(n, UNLABELED, dtype=np.uint64)
             for v_src, blk in enumerate(blocks):
@@ -226,7 +243,7 @@ class BSPWorker:
                     continue
                 if self.mode == "sum":
                     reds_m = reds[mask]
-                    if width > 1:
+                    if is2d:
                         for j in range(width):
                             acc[:, j] += np.bincount(idx, weights=reds_m[:, j], minlength=n)
                     else:
@@ -234,18 +251,22 @@ class BSPWorker:
                 else:
                     np.minimum.at(acc, idx, reds[mask])
             if self.mode == "sum":
-                # generalized damped-walk update with a teleport
-                # distribution T (uniform → classic PageRank; seeded →
-                # personalized PageRank; zeros + damping=1 → pure k-step
-                # walk). Dangling mass re-enters via T (standard).
-                T = self.teleport[p]
                 norm = csr.get("wdeg", deg)
                 dm = np.asarray(dangling_mass)
-                if width > 1:
-                    Tm = T if T.ndim == 2 else T[:, None]
-                    new = (1.0 - self.damping) * Tm + self.damping * (acc + Tm * dm)
+                if self.apply_fn is not None:
+                    # pluggable update rule (heat kernel, Sinkhorn steps, …)
+                    new = self.apply_fn(acc, old, self.teleport.get(p), dm, csr)
                 else:
-                    new = (1.0 - self.damping) * T + self.damping * (acc + T * float(dm))
+                    # generalized damped-walk update with a teleport
+                    # distribution T (uniform → classic PageRank; seeded →
+                    # personalized PageRank; zeros + damping=1 → pure
+                    # k-step walk). Dangling mass re-enters via T.
+                    T = self.teleport[p]
+                    if is2d:
+                        Tm = T if T.ndim == 2 else T[:, None]
+                        new = (1.0 - self.damping) * Tm + self.damping * (acc + Tm * dm)
+                    else:
+                        new = (1.0 - self.damping) * T + self.damping * (acc + T * float(dm))
                 delta = np.abs(new - old)
                 dn = new[norm == 0].sum(axis=0)
                 m = {
@@ -255,6 +276,7 @@ class BSPWorker:
                     "l1": float(delta.sum()),
                     "changed": int((delta > 0).sum()),
                     "dangling_next": dn.tolist() if np.ndim(dn) else float(dn),
+                    "msg_bytes": msg_bytes if not metrics else 0,
                 }
             else:
                 new = np.minimum(old, acc)
@@ -266,6 +288,7 @@ class BSPWorker:
                     "l1": float(ch),
                     "changed": ch,
                     "dangling_next": 0.0,
+                    "msg_bytes": msg_bytes if not metrics else 0,
                 }
             self.values[p] = new
             write_state_part(iter_dir, p, new, self.mode)

@@ -34,7 +34,9 @@ def write_state_part(idir: str, p: int, value: np.ndarray, mode: str) -> None:
     stored flattened with their width for exact round-trip."""
     os.makedirs(idir, exist_ok=True)
     arrow_type = _F64 if mode == "sum" else _U64
-    width = value.shape[1] if value.ndim == 2 else 1
+    # width 0 encodes a 1-D array; >0 a 2-D [n, width] field (so [n, 1]
+    # round-trips as 2-D — the d=1 vector-field edge case)
+    width = value.shape[1] if value.ndim == 2 else 0
     flat = np.ascontiguousarray(value).reshape(-1)
     offsets = pa.array(np.array([0, len(flat)], dtype=np.int32), type=pa.int32())
     values = pa.array(flat, type=arrow_type)
@@ -55,8 +57,8 @@ def read_state_part(idir: str, p: int) -> np.ndarray:
     chunk = tbl.column("value").chunk(0)
     offs = chunk.offsets.to_numpy(zero_copy_only=False)
     flat = chunk.values.to_numpy(zero_copy_only=False)[offs[0] : offs[1]]
-    width = tbl.column("width")[0].as_py() if "width" in tbl.schema.names else 1
-    return flat.reshape(-1, width) if width > 1 else flat
+    width = tbl.column("width")[0].as_py() if "width" in tbl.schema.names else 0
+    return flat.reshape(-1, width) if width > 0 else flat
 
 
 def find_last_complete(ckpt: str) -> int:

@@ -64,7 +64,7 @@ class ShardedGraph:
         for block in shard_ds.iter_batches(batch_size=None, batch_format="pyarrow"):
             for i in range(block.num_rows):
                 csr = unpack_csr_row(block, i)
-                p = int(csr.pop("part"))
+                p = int(csr["part"])
                 refs[p] = ray.put(csr)
                 nv[p] = len(csr["vids"])
                 ne[p] = len(csr["indices"])
@@ -117,7 +117,7 @@ class ShardedGraph:
             tbl = pq.read_table(os.path.join(in_dir, name))
             for i in range(tbl.num_rows):
                 csr = unpack_csr_row(tbl, i)
-                p = int(csr.pop("part"))
+                p = int(csr["part"])
                 refs[p] = ray.put(csr)
                 nv[p] = len(csr["vids"])
                 ne[p] = len(csr["indices"])

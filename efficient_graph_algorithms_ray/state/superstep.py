@@ -78,6 +78,8 @@ def run_supersteps(
     max_iters: int = 100,
     resume: bool = False,
     teleport_fn=None,
+    normalize: bool = True,
+    apply_fn=None,
 ) -> dict:
     """Drive supersteps to convergence; returns the run summary dict.
 
@@ -105,7 +107,8 @@ def run_supersteps(
 
     actors = [
         BSPWorker.options(num_cpus=1).remote(
-            w, W, owned_by_w[w], P, mode, N, damping, owner_map, teleport_fn
+            w, W, owned_by_w[w], P, mode, N, damping, owner_map, teleport_fn,
+            normalize, apply_fn,
         )
         for w in range(W)
     ]
@@ -163,6 +166,7 @@ def run_supersteps(
                 "edges": E,
                 "edges_per_sec": E / seconds if seconds > 0 else 0.0,
                 "dangling": dangling,
+                "msg_bytes": int(sum(r.get("msg_bytes", 0) for r in rows)),
             }
             history.append(metrics)
             with open(_manifest_path(ckpt, k), "w") as f:
