@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "walk2_coocc": R.q_walk2_coocc,
         "ppr_parts_top20": R.q_ppr_parts,
         "heat_smooth_coocc": R.q_heat_smooth_coocc,
+        "msf_coocc": R.q_msf_coocc,
         # text / documents (SQL-oracled)
         "doc_stats": C.q_doc_stats,
         "lang_distribution": C.q_lang_distribution,

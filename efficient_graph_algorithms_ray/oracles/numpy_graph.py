@@ -196,3 +196,47 @@ def interpolate_oracle(
         return np.bincount(di, weights=contrib[si], minlength=n)
     nu, de = gather(F * M), gather(M)
     return vids, np.divide(nu, de, out=np.zeros(n), where=de > 0)
+
+
+def msf_oracle(src: np.ndarray, dst: np.ndarray, weights: np.ndarray | None = None):
+    """Kruskal + union-find under the (w, min, max) total order —
+    reference semantics (spanning_trees.py:98-124 / DisjointSetADT).
+    Returns (a, b, w) arrays of the unique minimum spanning forest."""
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    w = (weights[keep] if weights is not None else np.ones(len(src))).astype(np.float64)
+    a = np.minimum(src, dst)
+    b = np.maximum(src, dst)
+    order = np.lexsort((b, a))
+    a, b, w = a[order], b[order], w[order]
+    first = np.concatenate(([True], (a[1:] != a[:-1]) | (b[1:] != b[:-1])))
+    # duplicate undirected edges collapse; weights summed to mirror the
+    # engine's duplicate-weight aggregation in CSR pack
+    gid = np.cumsum(first) - 1
+    w = np.bincount(gid, weights=w)
+    a, b = a[first], b[first]
+
+    vids = np.unique(np.concatenate([a, b]))
+    ia, ib = np.searchsorted(vids, a), np.searchsorted(vids, b)
+    order = np.lexsort((b, a, w))
+    parent = np.arange(len(vids))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    out_a, out_b, out_w = [], [], []
+    for i in order:
+        ra, rb = find(ia[i]), find(ib[i])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+            out_a.append(a[i])
+            out_b.append(b[i])
+            out_w.append(w[i])
+    return (
+        np.array(out_a, dtype=np.uint64),
+        np.array(out_b, dtype=np.uint64),
+        np.array(out_w, dtype=np.float64),
+    )

@@ -346,3 +346,30 @@ def q_heat_smooth_coocc(sf_dir: str):
         )
 
     return out.map_batches(_round, batch_format="pyarrow")
+
+
+def q_msf_coocc(sf_dir: str):
+    """Minimum spanning forest of the part co-occurrence graph, edge
+    weight = co-occurrence count (duplicate pairs sum at CSR pack) —
+    Borůvka rounds; rows-only at the driver, Kruskal-exact in pytest."""
+    from .mst import minimum_spanning_forest
+
+    def _with_w(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "w", pa.array(np.ones(batch.num_rows), type=pa.float64())
+        )
+
+    edges = part_cooccurrence_edges(sf_dir).map_batches(_with_w, batch_format="pyarrow")
+    g = build_graph(edges, EngineConfig(num_partitions=16), directed=False)
+    forest, _ = minimum_spanning_forest(g)
+
+    def _shape(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "a": batch.column("a").cast(pa.int64()),
+                "b": batch.column("b").cast(pa.int64()),
+                "w": batch.column("w"),
+            }
+        )
+
+    return forest.map_batches(_shape, batch_format="pyarrow")
