@@ -74,6 +74,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_neardup_pairs": C.q_simhash_pairs,
         "neardup_clusters": C.q_neardup_clusters,
         "ann_lsh_pairs": C.q_ann_lsh_pairs,
+        "ngram_jaccard_pairs": C.q_ngram_jaccard_pairs,
+        "top_pages_with_urls": C.q_top_pages_with_urls,
         "image_features": C.q_image_features,
     }
     # flagship synthetic-pages pipelines (non-SQL-expressible → rows-only)

@@ -181,3 +181,86 @@ def q_quality_zscores(sf_dir: str):
         )
 
     return z.map_batches(_tail, batch_format="pyarrow")
+
+
+def q_ngram_jaccard_pairs(sf_dir: str):
+    """Exact w-shingle Jaccard for MinHash candidate pairs (the
+    verify step of the near-dup pipeline): (doc_a, doc_b, jaccard_r6).
+    Rows-only; the estimator-vs-exact relationship is pytest-checked."""
+    import ray
+
+    from ..functions.dedup import exact_jaccard, minhash_candidate_pairs
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    pairs = minhash_candidate_pairs(docs, threshold=0.3)
+    # candidate set is small — broadcast the candidate docs' texts only
+    cand = pairs.to_pandas()
+    ids = set(cand["doc_a"]) | set(cand["doc_b"])
+    texts = {}
+    for b in docs.iter_batches(batch_size=None, batch_format="pyarrow"):
+        for i, t in zip(b.column("doc_id").to_pylist(), b.column("text").to_pylist()):
+            if i in ids:
+                texts[i] = t
+    tref = ray.put(texts)
+
+    def _exact(batch: pa.Table) -> pa.Table:
+        tm = ray.get(tref)
+        a = batch.column("doc_a").to_numpy(zero_copy_only=False)
+        bcol = batch.column("doc_b").to_numpy(zero_copy_only=False)
+        j = np.array(
+            [exact_jaccard(tm[int(x)], tm[int(y)]) for x, y in zip(a, bcol)]
+        )
+        return pa.table(
+            {
+                "doc_a": batch.column("doc_a"),
+                "doc_b": batch.column("doc_b"),
+                "jaccard_r6": pa.array(np.round(j, 6)),
+            }
+        )
+
+    import ray.data as rd2
+
+    return rd2.from_pandas(cand[["doc_a", "doc_b"]]).map_batches(
+        _exact, batch_format="pyarrow"
+    )
+
+
+def q_top_pages_with_urls(sf_dir: str):
+    """Flagship PageRank top-20 joined back to urls via the broadcast
+    vid→url dictionary (GIDMapper reverse-map parity) — rows-only."""
+    import tempfile
+
+    import ray
+    import ray.data as rd2
+
+    from ..config import EngineConfig
+    from ..pipelines.graph_build import edges_from_parsed, build_graph, vertex_urls
+    from ..pipelines.pagerank import pagerank, top_k_ranks
+    from ..sources.pages import write_pages
+    from ..stages.extract import parse_pages
+
+    pages = rd2.read_parquet(write_pages("/tmp/ega_pages_q", n_pages=2000))
+    parsed = parse_pages(pages, batch_size=256).materialize()
+    g = build_graph(edges_from_parsed(parsed), EngineConfig(num_partitions=8), directed=True)
+    ranks, _ = pagerank(g, tempfile.mkdtemp(prefix="ega_tpu_", dir="/tmp"), tol=1e-6)
+    top = top_k_ranks(ranks, 20)
+    url_map = {
+        int(v): u
+        for b in vertex_urls(parsed).iter_batches(batch_size=None, batch_format="pyarrow")
+        for v, u in zip(b.column("vid").to_pylist(), b.column("url").to_pylist())
+    }
+    uref = ray.put(url_map)
+
+    def _join(batch: pa.Table) -> pa.Table:
+        um = ray.get(uref)
+        vids = batch.column("vid").to_pylist()
+        return pa.table(
+            {
+                "url": pa.array([um.get(int(v), "<external>") for v in vids], type=pa.string()),
+                "rank_r9": pa.array(
+                    np.round(batch.column("rank").to_numpy(zero_copy_only=False), 9)
+                ),
+            }
+        )
+
+    return top.map_batches(_join, batch_format="pyarrow")
