@@ -22,8 +22,12 @@ import numpy as np
 from ..config import UNLABELED
 
 
-def _index(src: np.ndarray, dst: np.ndarray):
-    vids = np.unique(np.concatenate([src, dst]))
+def _index(src: np.ndarray, dst: np.ndarray, universe: np.ndarray | None = None):
+    """Vertex universe defaults to the given endpoints; pass the raw
+    (pre-self-loop-drop) endpoints as ``universe`` to keep vertices
+    whose only edge was a self-loop — engine semantics: the vertex
+    exists, the self-edge doesn't."""
+    vids = np.unique(np.concatenate([src, dst]) if universe is None else universe)
     si = np.searchsorted(vids, src)
     di = np.searchsorted(vids, dst)
     return vids, si, di
@@ -47,8 +51,9 @@ def pagerank_oracle(
 ):
     """Returns (vids, ranks) after power iteration to ‖Δ‖∞ < tol
     (or exactly max_iters iterations when tol == 0)."""
+    universe = np.concatenate([src, dst])
     src, dst = dedup_edges(src, dst)
-    vids, si, di = _index(src, dst)
+    vids, si, di = _index(src, dst, universe)
     n = len(vids)
     out_deg = np.bincount(si, minlength=n)
     r = np.full(n, 1.0 / n)
@@ -66,8 +71,9 @@ def pagerank_oracle(
 
 def components_oracle(src: np.ndarray, dst: np.ndarray):
     """Exact CC via union-find; component label = min vid in component."""
+    universe = np.concatenate([src, dst])
     src, dst = dedup_edges(src, dst)
-    vids, si, di = _index(src, dst)
+    vids, si, di = _index(src, dst, universe)
     parent = np.arange(len(vids))
 
     def find(x):
@@ -87,10 +93,11 @@ def components_oracle(src: np.ndarray, dst: np.ndarray):
 
 def label_prop_oracle(src: np.ndarray, dst: np.ndarray, seeds: dict[int, int]):
     """Sequential min-label rounds over the symmetrized graph."""
+    universe = np.concatenate([src, dst])
     src, dst = dedup_edges(src, dst)
     s2 = np.concatenate([src, dst])
     d2 = np.concatenate([dst, src])
-    vids, si, di = _index(s2, d2)
+    vids, si, di = _index(s2, d2, universe)
     labels = np.full(len(vids), UNLABELED, dtype=np.uint64)
     for v, lab in seeds.items():
         i = np.searchsorted(vids, np.uint64(v))
@@ -107,11 +114,12 @@ def label_prop_oracle(src: np.ndarray, dst: np.ndarray, seeds: dict[int, int]):
 
 def triangles_oracle(src: np.ndarray, dst: np.ndarray):
     """Per-vertex triangle counts on the simple undirected graph."""
+    universe = np.concatenate([src, dst])
     src, dst = dedup_edges(src, dst)
     s2 = np.concatenate([src, dst])
     d2 = np.concatenate([dst, src])
     s2, d2 = dedup_edges(s2, d2)
-    vids, si, di = _index(s2, d2)
+    vids, si, di = _index(s2, d2, universe)
     n = len(vids)
     A = np.zeros((n, n), dtype=np.float64)
     A[si, di] = 1.0
@@ -135,6 +143,7 @@ def generalized_walk_oracle(
     state/bsp.py combine semantics. teleport=None → uniform;
     teleport={} with damping=1 → pure k-step walk (dangling absorbed).
     Duplicate edges sum their weights (unit if weights is None)."""
+    universe = np.concatenate([src, dst])
     keep = src != dst
     src, dst = src[keep], dst[keep]
     w = (weights[keep] if weights is not None else np.ones(len(src))).astype(np.float64)
@@ -145,7 +154,7 @@ def generalized_walk_oracle(
     w = np.bincount(gid, weights=w)
     src, dst = src[first], dst[first]
 
-    vids, si, di = _index(src, dst)
+    vids, si, di = _index(src, dst, universe)
     n = len(vids)
     wdeg = np.bincount(si, weights=w, minlength=n)
     if teleport is None:
@@ -181,8 +190,9 @@ def interpolate_oracle(
 ):
     """Dense masked neighbor interpolation: gather(F·m)/gather(m) over
     the normalized walk matrix (Interpolator semantics)."""
+    universe = np.concatenate([src, dst])
     src2, dst2 = dedup_edges(src, dst)
-    vids, si, di = _index(src2, dst2)
+    vids, si, di = _index(src2, dst2, universe)
     n = len(vids)
     deg = np.bincount(si, minlength=n)
     F = np.zeros(n)
