@@ -22,6 +22,15 @@ import numpy as np
 from ..config import UNLABELED
 
 
+def _set_at(arr: np.ndarray, vids: np.ndarray, key, value) -> None:
+    """arr[position of key in vids] = value, ignoring keys not in vids
+    (guarded searchsorted — silent wrong-vertex writes are worse than
+    ignored keys)."""
+    i = int(np.searchsorted(vids, np.uint64(key)))
+    if i < len(vids) and vids[i] == np.uint64(key):
+        arr[i] = value
+
+
 def _index(src: np.ndarray, dst: np.ndarray, universe: np.ndarray | None = None):
     """Vertex universe defaults to the given endpoints; pass the raw
     (pre-self-loop-drop) endpoints as ``universe`` to keep vertices
@@ -36,6 +45,8 @@ def _index(src: np.ndarray, dst: np.ndarray, universe: np.ndarray | None = None)
 def dedup_edges(src: np.ndarray, dst: np.ndarray, drop_self: bool = True):
     keep = src != dst if drop_self else np.ones(len(src), dtype=bool)
     src, dst = src[keep], dst[keep]
+    if len(src) == 0:
+        return src, dst
     order = np.lexsort((dst, src))
     src, dst = src[order], dst[order]
     keep = np.concatenate(([True], (src[1:] != src[:-1]) | (dst[1:] != dst[:-1])))
@@ -147,12 +158,13 @@ def generalized_walk_oracle(
     keep = src != dst
     src, dst = src[keep], dst[keep]
     w = (weights[keep] if weights is not None else np.ones(len(src))).astype(np.float64)
-    order = np.lexsort((dst, src))
-    src, dst, w = src[order], dst[order], w[order]
-    first = np.concatenate(([True], (src[1:] != src[:-1]) | (dst[1:] != dst[:-1])))
-    gid = np.cumsum(first) - 1
-    w = np.bincount(gid, weights=w)
-    src, dst = src[first], dst[first]
+    if len(src):
+        order = np.lexsort((dst, src))
+        src, dst, w = src[order], dst[order], w[order]
+        first = np.concatenate(([True], (src[1:] != src[:-1]) | (dst[1:] != dst[:-1])))
+        gid = np.cumsum(first) - 1
+        w = np.bincount(gid, weights=w)
+        src, dst = src[first], dst[first]
 
     vids, si, di = _index(src, dst, universe)
     n = len(vids)
@@ -162,7 +174,7 @@ def generalized_walk_oracle(
     else:
         T = np.zeros(n)
         for v, tw in teleport.items():
-            T[np.searchsorted(vids, np.uint64(v))] = tw
+            _set_at(T, vids, v, tw)
         if T.sum() > 0:
             T = T / T.sum()
     if init is None:
@@ -172,7 +184,7 @@ def generalized_walk_oracle(
     else:
         r = np.zeros(n)
         for v, val in init.items():
-            r[np.searchsorted(vids, np.uint64(v))] = val
+            _set_at(r, vids, v, val)
     for _ in range(max_iters):
         contrib = np.divide(r, wdeg, out=np.zeros(n), where=wdeg > 0)
         msg = np.bincount(di, weights=contrib[si] * w, minlength=n)
@@ -198,9 +210,9 @@ def interpolate_oracle(
     F = np.zeros(n)
     M = np.zeros(n)
     for v, val in values.items():
-        F[np.searchsorted(vids, np.uint64(v))] = val
+        _set_at(F, vids, v, val)
     for v, mv in mask.items():
-        M[np.searchsorted(vids, np.uint64(v))] = mv
+        _set_at(M, vids, v, mv)
     def gather(x):
         contrib = np.divide(x, deg, out=np.zeros(n), where=deg > 0)
         return np.bincount(di, weights=contrib[si], minlength=n)

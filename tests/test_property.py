@@ -6,7 +6,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import ray.data as rd
-from hypothesis import HealthCheck, assume, given, settings
+from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
 from efficient_graph_algorithms_ray.config import EngineConfig
@@ -47,15 +47,10 @@ def _ds(pairs):
     )
 
 
-def _has_real_edge(pairs):
-    return any(a != b for a, b in pairs)
-
-
 @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
 @given(pairs=edge_lists)
 def test_pagerank_agrees_with_oracle_on_random_graphs(pairs, tmp_path_factory):
-    assume(_has_real_edge(pairs))
-    ds, src, dst = _ds(pairs)
+    ds, src, dst = _ds(pairs)  # self-loop-only graphs included on purpose
     g = build_graph(ds, EngineConfig(num_partitions=3), directed=True)
     ranks, _ = pagerank(
         g, str(tmp_path_factory.mktemp("prop_pr")), tol=1e-9, max_iters=300
@@ -69,7 +64,6 @@ def test_pagerank_agrees_with_oracle_on_random_graphs(pairs, tmp_path_factory):
 @settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
 @given(pairs=edge_lists)
 def test_cc_and_triangles_agree_on_random_graphs(pairs, tmp_path_factory):
-    assume(_has_real_edge(pairs))
     ds, src, dst = _ds(pairs)
     g = build_graph(ds, EngineConfig(num_partitions=3), directed=False)
     comp, _ = connected_components(g, str(tmp_path_factory.mktemp("prop_cc")))
@@ -79,4 +73,5 @@ def test_cc_and_triangles_agree_on_random_graphs(pairs, tmp_path_factory):
 
     tdf = triangle_count(g).to_pandas().sort_values("vid").reset_index(drop=True)
     tvids, otri = triangles_oracle(src, dst)
+    assert np.array_equal(tdf["vid"].to_numpy().astype(np.uint64), tvids)
     assert np.array_equal(tdf["triangles"].to_numpy().astype(np.int64), otri)
