@@ -55,6 +55,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ppr_parts_top20": R.q_ppr_parts,
         "heat_smooth_coocc": R.q_heat_smooth_coocc,
         "msf_coocc": R.q_msf_coocc,
+        "events_prev_gap": R.q_events_prev_gap,
+        "events_sessions": R.q_events_sessions,
+        "events_asof_last_order": R.q_events_asof_last_order,
         # text / documents (SQL-oracled)
         "doc_stats": C.q_doc_stats,
         "lang_distribution": C.q_lang_distribution,
@@ -139,6 +142,9 @@ def oracle_sql() -> dict[str, str]:
         "walk2_coocc": S.WALK2_COOCC,
         "doc_len_stats_by_lang": S.DOC_LEN_STATS_BY_LANG,
         "heat_smooth_coocc": S.heat_smooth_coocc_sql(t=0.01, steps=4),
+        "events_prev_gap": S.EVENTS_PREV_GAP,
+        "events_sessions": S.EVENTS_SESSIONS,
+        "events_asof_last_order": S.EVENTS_ASOF_LAST_ORDER,
         "doc_stats": S.DOC_STATS,
         "lang_distribution": S.LANG_DISTRIBUTION,
         "top_docs_by_length": S.TOP_DOCS_BY_LENGTH,

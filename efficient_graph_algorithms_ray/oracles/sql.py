@@ -197,3 +197,35 @@ x{i} AS (SELECT v.vid, v.x - {dt!r} * (deg.d * v.x - COALESCE(nb{i}.s, 0)) AS x
         )
     parts.append(f"\nSELECT vid, ROUND(x, 4) AS value_r4 FROM x{steps}")
     return "".join(parts)
+
+
+EVENTS_PREV_GAP = """SELECT event_id,
+  CAST(COALESCE(date_diff('microsecond',
+        lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts), -1) AS BIGINT) AS gap_us
+FROM events"""
+
+
+EVENTS_SESSIONS = """WITH g AS (
+  SELECT user_id, event_id, ts,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR date_diff('microsecond', lag(ts) OVER w, ts) > 3600000000
+         THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+  SELECT user_id, ts,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM g
+)
+SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+       COUNT(*) AS n_events, MIN(ts) AS start_ts, MAX(ts) AS end_ts
+FROM s GROUP BY user_id, session_id"""
+
+
+EVENTS_ASOF_LAST_ORDER = """SELECT e.event_id,
+  COALESCE(o.o_orderdate, TIMESTAMP '1970-01-01') AS last_order_ts
+FROM events e
+ASOF LEFT JOIN orders o
+  ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate"""

@@ -373,3 +373,102 @@ def q_msf_coocc(sf_dir: str):
         )
 
     return forest.map_batches(_shape, batch_format="pyarrow")
+
+
+def q_events_prev_gap(sf_dir: str):
+    """Per-user LAG: microseconds since the user's previous event
+    (-1 for the first) — ordered-log window op, SQL-oracled."""
+
+    def _lag(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["ts", "event_id"])
+        prev = g["ts"].shift(1)
+        gap = ((g["ts"] - prev).dt.total_seconds() * 1_000_000).round()
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy(),
+                "gap_us": gap.fillna(-1).astype(np.int64).to_numpy(),
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+        .groupby("user_id")
+        .map_groups(_lag, batch_format="pandas")
+    )
+
+
+SESSION_GAP_US = 3_600_000_000  # 1 hour
+
+
+def q_events_sessions(sf_dir: str):
+    """Gap-based session windows (1 h inactivity): per (user, session):
+    event count and bounds — the guide's session-window pattern
+    (sorted per-key group + cumsum of gap flags), SQL-oracled."""
+
+    def _sessions(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        prev = g["ts"].shift(1)
+        gap_us = ((g["ts"] - prev).dt.total_seconds() * 1_000_000).round()
+        new_s = (gap_us.isna() | (gap_us > SESSION_GAP_US)).astype(np.int64)
+        g["session_id"] = new_s.cumsum()
+        out = g.groupby("session_id").agg(
+            user_id=("user_id", "first"),
+            n_events=("event_id", "size"),
+            start_ts=("ts", "min"),
+            end_ts=("ts", "max"),
+        )
+        out = out.reset_index()[["user_id", "session_id", "n_events", "start_ts", "end_ts"]]
+        out["n_events"] = out["n_events"].astype(np.int64)
+        out["session_id"] = out["session_id"].astype(np.int64)
+        return out
+
+    return (
+        _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+        .groupby("user_id")
+        .map_groups(_sessions, batch_format="pandas")
+    )
+
+
+def q_events_asof_last_order(sf_dir: str):
+    """As-of join: each event matched to the user's most recent order
+    date ≤ event ts (broadcast small side + per-batch searchsorted —
+    the guide's as-of pattern), SQL-oracled via DuckDB ASOF JOIN."""
+    import pyarrow.parquet as pq_
+    import ray
+
+    orders = pq_.read_table(
+        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_orderdate"]
+    )
+    odf = orders.to_pandas().sort_values(["o_custkey", "o_orderdate"])
+    by_cust = {
+        int(k): g["o_orderdate"].to_numpy(dtype="datetime64[us]")
+        for k, g in odf.groupby("o_custkey")
+    }
+    ref = ray.put(by_cust)
+    sentinel = np.datetime64("1970-01-01T00:00:00", "us")
+
+    def _asof(batch: pa.Table) -> pa.Table:
+        bc = ray.get(ref)
+        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
+        ts = batch.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]")
+        out = np.full(len(uid), sentinel, dtype="datetime64[us]")
+        for u in np.unique(uid):
+            dates = bc.get(int(u))
+            if dates is None or len(dates) == 0:
+                continue
+            sel = uid == u
+            pos = np.searchsorted(dates, ts[sel], side="right") - 1
+            ok = pos >= 0
+            vals = out[sel]
+            vals[ok] = dates[pos[ok]]
+            out[sel] = vals
+        return pa.table(
+            {
+                "event_id": batch.column("event_id"),
+                "last_order_ts": pa.array(out, type=pa.timestamp("us")),
+            }
+        )
+
+    return _read(sf_dir, "events", ["event_id", "user_id", "ts"]).map_batches(
+        _asof, batch_format="pyarrow"
+    )
