@@ -58,6 +58,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_prev_gap": R.q_events_prev_gap,
         "events_sessions": R.q_events_sessions,
         "events_asof_last_order": R.q_events_asof_last_order,
+        "top3_orders_per_segment": R.q_top3_orders_per_customer_segment,
+        "customers_without_orders": R.q_customers_without_orders,
+        "approx_distinct_users": R.q_approx_distinct_users,
         # text / documents (SQL-oracled)
         "doc_stats": C.q_doc_stats,
         "lang_distribution": C.q_lang_distribution,
@@ -145,6 +148,8 @@ def oracle_sql() -> dict[str, str]:
         "events_prev_gap": S.EVENTS_PREV_GAP,
         "events_sessions": S.EVENTS_SESSIONS,
         "events_asof_last_order": S.EVENTS_ASOF_LAST_ORDER,
+        "top3_orders_per_segment": S.TOP3_ORDERS_PER_SEGMENT,
+        "customers_without_orders": S.CUSTOMERS_WITHOUT_ORDERS,
         "doc_stats": S.DOC_STATS,
         "lang_distribution": S.LANG_DISTRIBUTION,
         "top_docs_by_length": S.TOP_DOCS_BY_LENGTH,

@@ -229,3 +229,17 @@ EVENTS_ASOF_LAST_ORDER = """SELECT e.event_id,
 FROM events e
 ASOF LEFT JOIN orders o
   ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate"""
+
+
+TOP3_ORDERS_PER_SEGMENT = """WITH j AS (
+  SELECT c.c_mktsegment AS segment, o.o_orderkey,
+         CAST(FLOOR(o.o_totalprice * 100) AS BIGINT) AS cents,
+         ROW_NUMBER() OVER (PARTITION BY c.c_mktsegment
+                            ORDER BY FLOOR(o.o_totalprice * 100) DESC, o.o_orderkey ASC) AS rn
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+)
+SELECT segment, o_orderkey, cents FROM j WHERE rn <= 3"""
+
+
+CUSTOMERS_WITHOUT_ORDERS = """SELECT c_custkey FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"""

@@ -472,3 +472,88 @@ def q_events_asof_last_order(sf_dir: str):
     return _read(sf_dir, "events", ["event_id", "user_id", "ts"]).map_batches(
         _asof, batch_format="pyarrow"
     )
+
+
+def q_approx_distinct_users(sf_dir: str):
+    """HLL approximate distinct users per event_type — mergeable-sketch
+    aggregation (rows-only; ±3% vs exact asserted in pytest)."""
+    from ..functions.sketches import approx_distinct_by_key
+
+    return approx_distinct_by_key(
+        _read(sf_dir, "events", ["event_type", "user_id"]), "event_type", "user_id"
+    )
+
+
+def q_top3_orders_per_customer_segment(sf_dir: str):
+    """Top-3 orders by price within each customer market segment —
+    per-group top-k (ROW_NUMBER parity), SQL-oracled."""
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    import ray
+
+    seg = {
+        int(k): s
+        for b in cust.iter_batches(batch_size=None, batch_format="pyarrow")
+        for k, s in zip(b.column("c_custkey").to_pylist(), b.column("c_mktsegment").to_pylist())
+    }
+    ref = ray.put(seg)
+
+    def _attach(batch: pa.Table) -> pa.Table:
+        sm = ray.get(ref)
+        segs = [sm[int(c)] for c in batch.column("o_custkey").to_pylist()]
+        return pa.table(
+            {
+                "segment": pa.array(segs, type=pa.string()),
+                "o_orderkey": batch.column("o_orderkey"),
+                "cents": pa.array(
+                    np.floor(
+                        batch.column("o_totalprice").to_numpy(zero_copy_only=False) * 100
+                    ).astype(np.int64),
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    def _top3(group: pd.DataFrame) -> pd.DataFrame:
+        return group.sort_values(["cents", "o_orderkey"], ascending=[False, True]).head(3)
+
+    return (
+        orders.map_batches(_attach, batch_format="pyarrow")
+        .groupby("segment")
+        .map_groups(_top3, batch_format="pandas")
+    )
+
+
+def q_customers_without_orders(sf_dir: str):
+    """Anti-join: customers with no orders (broadcast key-set filter —
+    the guide's semi/anti-join pattern), SQL-oracled."""
+    import ray
+
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+    have = set()
+    for b in orders.iter_batches(batch_size=None, batch_format="pyarrow"):
+        have.update(b.column("o_custkey").to_pylist())
+    ref = ray.put(np.array(sorted(have), dtype=np.int64))
+
+    def _anti(batch: pa.Table) -> pa.Table:
+        keys = ray.get(ref)
+        ck = batch.column("c_custkey").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(keys, ck)
+        ok = pos < len(keys)
+        hit = np.zeros(len(ck), dtype=bool)
+        hit[ok] = keys[pos[ok]] == ck[ok]
+        return pa.table({"c_custkey": pa.array(ck[~hit], type=pa.int64())})
+
+    out = _read(sf_dir, "customer", ["c_custkey"]).map_batches(
+        _anti, batch_format="pyarrow"
+    )
+    # empty results drop their schema through Ray's empty-block pruning;
+    # return an explicit-schema Arrow table so the driver's schema check
+    # holds even for 0 rows
+    schema = pa.schema([("c_custkey", pa.int64())])
+    batches = list(out.iter_batches(batch_size=None, batch_format="pyarrow"))
+    return (
+        pa.concat_tables([b.cast(schema) for b in batches])
+        if batches
+        else schema.empty_table()
+    )

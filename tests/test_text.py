@@ -105,3 +105,25 @@ def test_real_codec_is_a_clear_stub():
 
     with pytest.raises(NotImplementedError):
         ImageDecoder(codec="real")
+
+
+def test_hll_approx_distinct_within_tolerance():
+    """HLL sketch estimate within ±3% of exact distinct counts."""
+    from efficient_graph_algorithms_ray.functions.sketches import (
+        hll_estimate,
+        hll_merge,
+        hll_sketch,
+    )
+
+    rng = np.random.Generator(np.random.Philox(key=[77, 0]))
+    for true_n in (100, 5_000, 60_000):
+        vals = rng.integers(0, 1 << 62, size=true_n, dtype=np.int64)
+        vals = np.unique(vals)
+        est = hll_estimate(hll_sketch(vals))
+        assert abs(est - len(vals)) / len(vals) < 0.03, (true_n, est)
+    # mergeability: sketch(A ∪ B) == merge(sketch(A), sketch(B))
+    a = rng.integers(0, 1 << 62, size=3000, dtype=np.int64)
+    b = rng.integers(0, 1 << 62, size=3000, dtype=np.int64)
+    m = hll_merge(hll_sketch(a), hll_sketch(b))
+    both = hll_sketch(np.concatenate([a, b]))
+    assert np.array_equal(m, both)
