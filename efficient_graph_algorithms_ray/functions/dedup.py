@@ -255,7 +255,6 @@ def neardup_clusters(docs_ds, pairs_ds, num_partitions: int = 8, ckpt_dir: str |
     """
     import tempfile
 
-    import pyarrow.compute as pc
     import ray.data as rd
 
     from ..config import EngineConfig

@@ -22,7 +22,6 @@ from efficient_graph_algorithms_ray.pipelines.walks import (
     vertex_lookup_init,
 )
 from efficient_graph_algorithms_ray.stages.hashing import hash_to_vid
-from efficient_graph_algorithms_ray.util import list_rows
 
 
 def _fixture(weighted=False, n=60, p=0.15, seed=5):
