@@ -11,6 +11,11 @@ Two paths, per the task spec:
   corpus; queries probe their own bucket (plus multi-probe neighbors
   at distance 1) and verify exact cosine inside. The scale path when
   Q·N matmuls are too expensive.
+- ``knn_ivf``: inverted-file ANN — spherical k-means centroids trained
+  on a bounded sample (driver), broadcast once; each corpus batch
+  scores its vectors only against the queries probing that vector's
+  cluster. ``nprobe == n_clusters`` degrades to exact brute force
+  (the test oracle).
 
 Reference analogue: batched multi-source projections
 (``get_projections_batch``, /root/reference/src/ega/algorithms/
@@ -60,6 +65,10 @@ def knn_brute_force(embeddings_ds, query_ids: list[int], k: int = 5):
         ]
     )
     q_ids, q_mat = _embedding_matrix(qtbl)
+    if len(q_ids) < len(qset):
+        raise ValueError(
+            f"query vec_ids not found in embeddings: {sorted(qset - set(map(int, q_ids)))}"
+        )
     order = np.argsort(q_ids)
     q_ids, q_mat = q_ids[order], _normalize(q_mat[order])
     q_ref = ray.put((q_ids, q_mat))
@@ -187,6 +196,158 @@ def ann_lsh_pairs(embeddings_ds, threshold: float = 0.9, n_bits: int = 12):
     return pairs.groupby(["vec_a", "vec_b"]).map_groups(
         lambda g: g.head(1), batch_format="pandas"
     )
+
+
+def ivf_train_centroids(
+    embeddings_ds,
+    n_clusters: int = 16,
+    sample_n: int = 4096,
+    iters: int = 10,
+    seed: int = HASH_SEED,
+) -> np.ndarray:
+    """Spherical k-means centroids from a bounded sample (driver-side).
+
+    The sample is O(sample_n · d) — at 100 TB you still train on ~100k
+    sampled vectors, so Lloyd on the driver stays tiny; only the (C, d)
+    centroid matrix is ever broadcast. Deterministic: seeded Philox
+    init, fixed iteration count, empty clusters keep their centroid.
+    """
+    sample = pa.concat_tables(
+        embeddings_ds.limit(sample_n).iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+    _, mat = _embedding_matrix(sample)
+    if mat.size == 0:
+        raise ValueError("cannot train IVF centroids on an empty embeddings dataset")
+    x = _normalize(mat)
+    n_clusters = min(n_clusters, len(x))
+    rng = np.random.Generator(np.random.Philox(key=[seed, 71]))
+    cent = x[rng.choice(len(x), size=n_clusters, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(x @ cent.T, axis=1)
+        for c in range(n_clusters):
+            members = x[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+    return _normalize(cent)
+
+
+def ivf_assign(embeddings_ds, centroids: np.ndarray):
+    """Add a ``cluster`` column: nearest (max-cosine) centroid per vector.
+
+    Centroids are broadcast once via ``ray.put`` and read per batch —
+    never re-shipped with each task closure.
+    """
+    cent_ref = ray.put(np.ascontiguousarray(centroids))
+
+    def _fn(batch: pa.Table) -> pa.Table:
+        cent = ray.get(cent_ref)
+        ids, mat = _embedding_matrix(batch)
+        if len(ids) == 0:
+            return batch.append_column("cluster", pa.array([], type=pa.int64()))
+        assign = np.argmax(_normalize(mat) @ cent.T, axis=1).astype(np.int64)
+        return batch.append_column("cluster", pa.array(assign, type=pa.int64()))
+
+    return embeddings_ds.map_batches(_fn, batch_format="pyarrow")
+
+
+def knn_ivf(
+    embeddings_ds,
+    query_ids: list[int],
+    k: int = 5,
+    n_clusters: int = 16,
+    nprobe: int = 4,
+    sample_n: int = 4096,
+    seed: int = HASH_SEED,
+):
+    """IVF approximate cosine top-k: the scale path past brute force.
+
+    One pass over the corpus with the (C, d) centroid matrix and the
+    query matrix broadcast: each batch assigns its vectors to clusters,
+    scores them only against the queries probing those clusters, and
+    emits a local partial top-k; one small ``groupby(query_id)`` merge
+    finishes. Compute drops from O(N·Q·d) to ~O(N·Q·d·nprobe/C) with
+    no extra shuffle versus brute force. ``nprobe == n_clusters``
+    degrades to exactly ``knn_brute_force`` (the pytest oracle).
+
+    Returns Dataset (query_id, vec_id, cosine), k rows per query.
+    """
+    import pyarrow.compute as pc
+
+    centroids = ivf_train_centroids(
+        embeddings_ds, n_clusters=n_clusters, sample_n=sample_n, seed=seed
+    )
+    n_clusters = len(centroids)
+    nprobe = min(nprobe, n_clusters)
+
+    qset = set(int(q) for q in query_ids)
+    qtbl = pa.concat_tables(
+        [
+            b.filter(pc.is_in(b.column("vec_id"), value_set=pa.array(list(qset))))
+            for b in embeddings_ds.iter_batches(batch_size=None, batch_format="pyarrow")
+        ]
+    )
+    q_ids, q_mat = _embedding_matrix(qtbl)
+    if len(q_ids) < len(qset):
+        raise ValueError(
+            f"query vec_ids not found in embeddings: {sorted(qset - set(map(int, q_ids)))}"
+        )
+    order = np.argsort(q_ids)
+    q_ids, q_mat = q_ids[order], _normalize(q_mat[order])
+    # per-query probe set: top-nprobe centroids by cosine
+    probe = np.argsort(-(q_mat @ centroids.T), axis=1)[:, :nprobe]
+    cluster_to_q: dict[int, np.ndarray] = {
+        c: np.flatnonzero((probe == c).any(axis=1)) for c in range(n_clusters)
+    }
+    state_ref = ray.put((q_ids, q_mat, centroids, cluster_to_q))
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        qids, qmat, cent, c2q = ray.get(state_ref)
+        ids, mat = _embedding_matrix(batch)
+        empty = pa.table(
+            {
+                "query_id": pa.array([], type=pa.int64()),
+                "vec_id": pa.array([], type=pa.int64()),
+                "cosine": pa.array([], type=pa.float64()),
+            }
+        )
+        if len(ids) == 0:
+            return empty
+        nmat = _normalize(mat)
+        assign = np.argmax(nmat @ cent.T, axis=1)
+        out_q, out_v, out_c = [], [], []
+        for c in np.unique(assign):
+            qidx = c2q.get(int(c))
+            if qidx is None or len(qidx) == 0:
+                continue
+            rows = np.flatnonzero(assign == c)
+            sims = nmat[rows] @ qmat[qidx].T  # (rows, probing queries)
+            for j, qi in enumerate(qidx):
+                qid = qids[qi]
+                mask = ids[rows] != qid
+                cand_ids, cand = ids[rows][mask], sims[:, j][mask]
+                top = min(len(cand), max(k, 64))
+                if top == 0:
+                    continue
+                sel = np.argpartition(-cand, top - 1)[:top]
+                out_q.append(np.full(len(sel), qid, dtype=np.int64))
+                out_v.append(cand_ids[sel].astype(np.int64))
+                out_c.append(cand[sel])
+        if not out_q:
+            return empty
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), type=pa.int64()),
+                "vec_id": pa.array(np.concatenate(out_v), type=pa.int64()),
+                "cosine": pa.array(np.concatenate(out_c), type=pa.float64()),
+            }
+        )
+
+    partials = embeddings_ds.map_batches(_partial, batch_format="pyarrow")
+
+    def _final(group: pd.DataFrame) -> pd.DataFrame:
+        return group.sort_values(["cosine", "vec_id"], ascending=[False, True]).head(k)
+
+    return partials.groupby("query_id").map_groups(_final, batch_format="pandas")
 
 
 def embedding_norms(embeddings_ds):

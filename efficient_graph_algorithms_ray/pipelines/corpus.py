@@ -121,6 +121,15 @@ def q_ann_lsh_pairs(sf_dir: str):
     return S.ann_lsh_pairs(_emb(sf_dir), threshold=0.9, n_bits=10)
 
 
+def q_ann_ivf_knn(sf_dir: str):
+    """IVF approximate top-5 for three probe vectors (rows-only at the
+    driver; pytest oracle: exact-equality vs brute force at full nprobe
+    + planted-dup recall at nprobe=1)."""
+    return S.knn_ivf(
+        _emb(sf_dir), query_ids=[0, 7, 42], k=5, n_clusters=16, nprobe=4
+    )
+
+
 def q_image_features(sf_dir: str):
     """Multimodal plumbing demo: deterministic synthetic images →
     actor-pool decode/feature stage (fake EGA1 codec — real codecs

@@ -11,6 +11,7 @@ from efficient_graph_algorithms_ray.functions.similarity import (
     ann_lsh_pairs,
     embedding_norms,
     knn_brute_force,
+    knn_ivf,
 )
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -76,6 +77,55 @@ def test_ann_lsh_pairs_are_truly_similar():
     for a, b, c in zip(pairs["vec_a"], pairs["vec_b"], pairs["cosine"]):
         ia, ib = int(np.flatnonzero(all_ids == a)[0]), int(np.flatnonzero(all_ids == b)[0])
         assert sims[ia, ib] >= 0.9  # no false positives (exact verify inside bucket)
+
+
+def test_ivf_full_probe_equals_brute_force():
+    """nprobe == n_clusters partitions the corpus without pruning any
+    candidate, so IVF must reproduce brute force exactly (ids + values)."""
+    tbl, _, _ = _load()
+    qs = [0, 7, 42]
+    brute = (
+        knn_brute_force(rd.from_arrow(tbl), query_ids=qs, k=5)
+        .to_pandas()
+        .sort_values(["query_id", "cosine", "vec_id"], ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    ivf = (
+        knn_ivf(rd.from_arrow(tbl), query_ids=qs, k=5, n_clusters=8, nprobe=8)
+        .to_pandas()
+        .sort_values(["query_id", "cosine", "vec_id"], ascending=[True, False, True])
+        .reset_index(drop=True)
+    )
+    assert list(ivf["query_id"]) == list(brute["query_id"])
+    assert list(ivf["vec_id"]) == list(brute["vec_id"])
+    assert np.allclose(ivf["cosine"], brute["cosine"], atol=1e-12)
+
+
+def test_ivf_nprobe1_finds_planted_duplicate():
+    """A near-identical planted duplicate lands in the query's own
+    cluster, so even nprobe=1 must surface it as the top neighbor."""
+    tbl, ids, mat = _load()
+    rng = np.random.Generator(np.random.Philox(key=[11, 0]))
+    si = int(np.flatnonzero(ids == 7)[0])
+    dup = mat[si] + rng.standard_normal(mat.shape[1]) * 0.01
+    aug = pa.table(
+        {
+            "vec_id": pa.array(
+                np.concatenate([ids, [9100]]), type=tbl.schema.field("vec_id").type
+            ),
+            "embedding": pa.array(
+                tbl.column("embedding").to_pylist() + [list(map(float, dup))],
+                type=tbl.schema.field("embedding").type,
+            ),
+        }
+    )
+    out = (
+        knn_ivf(rd.from_arrow(aug), query_ids=[7], k=5, n_clusters=8, nprobe=1)
+        .to_pandas()
+        .sort_values("cosine", ascending=False)
+    )
+    assert int(out.iloc[0]["vec_id"]) == 9100
+    assert out.iloc[0]["cosine"] > 0.99
 
 
 def test_embedding_norms_match_numpy():
