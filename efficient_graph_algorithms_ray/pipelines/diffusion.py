@@ -177,6 +177,70 @@ def convolutional_barycenter(
     return parts_ds.map_batches(_emit, batch_format="pyarrow", batch_size=4), history
 
 
+def sinkhorn_distance(
+    graph: ShardedGraph,
+    ckpt_dir: str,
+    mu_init,
+    nu_init,
+    n_targets: int,
+    *,
+    blur_t: float = 0.5,
+    blur_steps: int = 5,
+    n_iters: int = 20,
+):
+    """Entropic-regularized OT distance between a source distribution μ
+    and d target distributions ν₁…ν_d, convolutional-Sinkhorn style.
+
+    Reference parity: the Sinkhorn scaling loops behind
+    ``ConvolutionalBarycenter`` (/root/reference/src/ega/algorithms/
+    convolutional_barycenter.py:5-81) — the distance variant is the
+    same v/w fixed point with a value readout instead of a barycenter:
+    per iteration v ← μ ⊘ H(w), w ← ν ⊘ H(v) (Gauss–Seidel order),
+    and W²(μ, ν_j) ≈ γ Σ_i [μ_i ln v_ij + ν_ij ln w_ij] with γ =
+    ``blur_t`` (Solomon et al. 2015, conv. Wasserstein distances).
+
+    All d targets iterate as ONE [n, d] vector field — each H(·) is a
+    single ``blur_steps``-superstep run regardless of d. ``mu_init``
+    returns the [n] source column per partition, ``nu_init`` the
+    [n, d] target matrix. Returns (distances ndarray [d], history).
+    Driver holds the per-part scaling dicts between blurs (same
+    moderate-V·d note as ``_dict_init``).
+    """
+    import ray
+
+    eps = 1e-300
+    mu, nu = {}, {}
+    for p in graph.parts:
+        csr = ray.get(graph.refs[p])
+        mu[p] = np.asarray(mu_init(csr), dtype=np.float64).reshape(-1)
+        nu[p] = np.asarray(nu_init(csr), dtype=np.float64).reshape(len(mu[p]), -1)
+    w = {p: np.ones_like(nu[p]) for p in graph.parts}
+    v = {p: np.ones_like(nu[p]) for p in graph.parts}
+
+    from ..state.ckpt import read_state_part
+
+    def _blur(tag, field):
+        _, s = heat_kernel_smooth(
+            graph, f"{ckpt_dir}/{tag}", _dict_init(field), t=blur_t, steps=blur_steps
+        )
+        return {p: read_state_part(s["final_iter_dir"], p) for p in graph.parts}
+
+    history = []
+    for it in range(n_iters):
+        hw = _blur(f"hw{it}", w)
+        v = {p: mu[p][:, None] / np.maximum(hw[p], eps) for p in graph.parts}
+        hv = _blur(f"hv{it}", v)
+        w = {p: nu[p] / np.maximum(hv[p], eps) for p in graph.parts}
+        dist = sum(
+            (mu[p][:, None] * np.log(np.maximum(v[p], eps))
+             + nu[p] * np.log(np.maximum(w[p], eps))).sum(axis=0)
+            for p in graph.parts
+        ) * blur_t
+        history.append({"iter": it, "dist": dist.copy()})
+
+    return dist, history
+
+
 def _dict_init(d: dict):
     """init_fn from a {part: array} dict (captured by workers).
 

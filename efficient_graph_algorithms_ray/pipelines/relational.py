@@ -348,6 +348,50 @@ def q_heat_smooth_coocc(sf_dir: str):
     return out.map_batches(_round, batch_format="pyarrow")
 
 
+def q_sinkhorn_coocc(sf_dir: str):
+    """Entropic OT distances from the retailprice mass distribution to
+    (0) itself and (1) the size-proportional distribution, over the part
+    co-occurrence graph — convolutional Sinkhorn (rows-only at the
+    driver; engine ≡ dense-replica oracle in pytest). The self-distance
+    landing strictly below the cross-distance is the semantic check."""
+    import pyarrow.parquet as pq_  # noqa: N813
+
+    from .diffusion import sinkhorn_distance
+
+    g = build_graph(
+        part_cooccurrence_edges(sf_dir), EngineConfig(num_partitions=16), directed=False
+    )
+    part_tbl = pq_.read_table(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_retailprice", "p_size"],
+    )
+    keys = part_tbl.column("p_partkey").to_numpy().astype(np.uint64)
+    price = part_tbl.column("p_retailprice").to_numpy().astype(np.float64)
+    size = part_tbl.column("p_size").to_numpy().astype(np.float64)
+
+    from .walks import vertex_lookup_init
+
+    mu_lookup = vertex_lookup_init(keys, price / price.sum())
+    nu_lookup = vertex_lookup_init(
+        keys, np.stack([price / price.sum(), size / size.sum()], axis=1), width=2
+    )
+
+    dist, _ = sinkhorn_distance(
+        g, _ckpt("sinkhorn"), mu_lookup, nu_lookup, 2,
+        blur_t=0.01, blur_steps=3, n_iters=4,
+    )
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "target": pa.array([0, 1], type=pa.int64()),
+                "dist_r6": pa.array(np.round(dist, 6), type=pa.float64()),
+            }
+        )
+    )
+
+
 def q_msf_coocc(sf_dir: str):
     """Minimum spanning forest of the part co-occurrence graph, edge
     weight = co-occurrence count (duplicate pairs sum at CSR pack) —

@@ -11,6 +11,7 @@ from efficient_graph_algorithms_ray.pipelines.diffusion import (
     adjacency_matvec,
     convolutional_barycenter,
     heat_kernel_smooth,
+    sinkhorn_distance,
 )
 from efficient_graph_algorithms_ray.pipelines.graph_build import build_graph
 from efficient_graph_algorithms_ray.pipelines.walks import vertex_lookup_init
@@ -115,3 +116,50 @@ def test_convolutional_barycenter_matches_dense(tmp_path):
     assert np.allclose(got, b, atol=1e-8)  # engine ≡ dense replica
     assert (got > 0).all() and np.isfinite(got).all()
     assert len(hist) == iters  # per-iteration convergence metric recorded
+
+
+def test_sinkhorn_distance_matches_dense_and_orders_targets(tmp_path):
+    g, allv, A = _ring_fixture()
+    n = len(allv)
+    rng = np.random.Generator(np.random.Philox(key=[33, 0]))
+    mu = rng.random(n)
+    mu /= mu.sum()
+    # target 0: μ itself; target 1: an unrelated distribution
+    nu = np.empty((n, 2))
+    nu[:, 0] = mu
+    nu[:, 1] = rng.random(n)
+    nu[:, 1] /= nu[:, 1].sum()
+
+    def mu_init(csr):
+        return mu[np.searchsorted(allv, csr["vids"])]
+
+    def nu_init(csr):
+        return nu[np.searchsorted(allv, csr["vids"])]
+
+    blur_t, blur_steps, iters = 0.3, 4, 8
+    dist, hist = sinkhorn_distance(
+        g, str(tmp_path / "sink"), mu_init, nu_init, 2,
+        blur_t=blur_t, blur_steps=blur_steps, n_iters=iters,
+    )
+
+    # dense replica: identical blur operator + update order
+    L = np.diag(A.sum(1)) - A
+
+    def H(X):
+        Y = X.copy()
+        for _ in range(blur_steps):
+            Y = Y - (blur_t / blur_steps) * (L @ Y)
+        return Y
+
+    eps = 1e-300
+    w = np.ones((n, 2))
+    for _ in range(iters):
+        v = mu[:, None] / np.maximum(H(w), eps)
+        w = nu / np.maximum(H(v), eps)
+    expect = blur_t * (
+        mu[:, None] * np.log(np.maximum(v, eps)) + nu * np.log(np.maximum(w, eps))
+    ).sum(axis=0)
+    assert np.allclose(dist, expect, atol=1e-8)  # engine ≡ dense replica
+    # identical marginals cost (strictly) less than a distant target
+    assert dist[0] < dist[1]
+    assert len(hist) == iters and np.isfinite(dist).all()
