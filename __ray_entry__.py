@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_clusters": C.q_neardup_clusters,
         "ann_lsh_pairs": C.q_ann_lsh_pairs,
         "ann_ivf_knn": C.q_ann_ivf_knn,
+        "lowrank_diffusion_norms": C.q_lowrank_diffusion,
         "ngram_jaccard_pairs": C.q_ngram_jaccard_pairs,
         "top_pages_with_urls": C.q_top_pages_with_urls,
         "image_features": C.q_image_features,

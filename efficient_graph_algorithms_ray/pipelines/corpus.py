@@ -121,6 +121,42 @@ def q_ann_lsh_pairs(sf_dir: str):
     return S.ann_lsh_pairs(_emb(sf_dir), threshold=0.9, n_bits=10)
 
 
+def q_lowrank_diffusion(sf_dir: str):
+    """DFGFIntegrator-parity low-rank diffusion of the norm field over
+    the embedding point cloud (rows-only; engine ≡ dense-replica RFF
+    oracle in pytest)."""
+    from ..pipelines.diffusion import low_rank_diffusion_integrate
+
+    def _with_field(batch: pa.Table) -> pa.Table:
+        from ..util import list_rows
+
+        rows = list_rows(batch, "embedding")
+        norms = (
+            np.sqrt([(r * r).sum() for r in rows]) if rows else np.empty(0)
+        )
+        return batch.append_column("f", pa.array(norms, type=pa.float64()))
+
+    ds = _emb(sf_dir).map_batches(_with_field, batch_format="pyarrow")
+    # λ sized to the Gram spectrum (s_max ≈ 400 on this fixture →
+    # exp(λ·s_max) ≈ e²): exp(λK) grows with N·λ, exactly as in the
+    # reference integrator, so λ must shrink as the cloud grows.
+    out = low_rank_diffusion_integrate(
+        ds, "f", lambda_par=0.005, num_rand_features=64, epsilon=2.0
+    )
+
+    def _round(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vec_id": batch.column("vec_id"),
+                "value_r5": pa.array(
+                    np.round(batch.column("value").to_numpy(zero_copy_only=False), 5)
+                ),
+            }
+        )
+
+    return out.map_batches(_round, batch_format="pyarrow")
+
+
 def q_ann_ivf_knn(sf_dir: str):
     """IVF approximate top-5 for three probe vectors (rows-only at the
     driver; pytest oracle: exact-equality vs brute force at full nprobe

@@ -177,6 +177,111 @@ def convolutional_barycenter(
     return parts_ds.map_batches(_emit, batch_format="pyarrow", batch_size=4), history
 
 
+def _rff_features(mat: np.ndarray, w: np.ndarray, b: np.ndarray, epsilon: float):
+    """Real random-Fourier features of the Gaussian kernel
+    k(x,y) = exp(-‖x−y‖²/(2ε²)): φ(x) = √(2/M)·cos(Wx/ε + b)."""
+    m = w.shape[0]
+    return np.sqrt(2.0 / m) * np.cos(mat @ (w.T / epsilon) + b)
+
+
+def _symm_exp_terms(gram: np.ndarray, lambda_par: float):
+    """(expm(λG) − I)·G⁺ for symmetric PSD G via eigendecomposition
+    (numpy-only stand-in for the reference's scipy inv/expm; clamped
+    pseudo-inverse instead of plain inv for near-singular Grams)."""
+    s, v = np.linalg.eigh(gram)
+    inv_s = np.where(s > 1e-12, 1.0 / np.maximum(s, 1e-300), 0.0)
+    coef = (np.exp(lambda_par * s) - 1.0) * inv_s
+    return (v * coef) @ v.T
+
+
+def low_rank_diffusion_integrate(
+    embeddings_ds,
+    field_col: str | None = None,
+    *,
+    lambda_par: float = 0.1,
+    num_rand_features: int = 64,
+    epsilon: float = 1.0,
+    seed: int = 7,
+):
+    """Fast approximate diffusion-kernel field integration
+    exp(λK)·x ≈ x + Φ·(ΦᵀΦ)⁺·(expm(λΦᵀΦ) − I)·Φᵀx over point-cloud
+    positions (the ``embedding`` column), K the Gaussian ε-kernel.
+
+    Reference parity: ``DFGFIntegrator`` (/root/reference/src/ega/
+    algorithms/graph_diffusion_gf_integrator.py:6-96) — same low-rank
+    exp identity, with symmetric real RFF (A = B = Φ, valid for a PSD
+    kernel) instead of the ±position complex features. Distributed
+    shape: one ``map_batches`` reduce pass emits per-block partials
+    (ΦᵀΦ [M×M] and Φᵀx [M]); the driver sums the tiny partials and
+    eigen-solves M×M; one broadcast map pass computes x + Φ·c. Never
+    materializes Φ (N×M) or K (N×N).
+
+    ``field_col`` names a float column in the dataset (None → the
+    constant-1 field). Returns Dataset (vec_id, value).
+    """
+    import pyarrow as pa
+    import ray
+
+    from ..util import list_rows
+
+    def _xmat(batch: pa.Table):
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        rows = list_rows(batch, "embedding")
+        mat = np.vstack(rows).astype(np.float64) if rows else np.empty((0, 0))
+        if field_col is not None:
+            x = batch.column(field_col).to_numpy(zero_copy_only=False).astype(np.float64)
+        else:
+            x = np.ones(len(ids), dtype=np.float64)
+        return ids, mat, x
+
+    # dimensionality probe from one batch (cheap: first block only)
+    first = next(iter(embeddings_ds.limit(1).iter_batches(batch_size=1, batch_format="pyarrow")))
+    dim = len(first.column("embedding")[0])
+    rng = np.random.Generator(np.random.Philox(key=[seed, 5]))
+    w = rng.standard_normal((num_rand_features, dim))
+    b = rng.uniform(0.0, 2.0 * np.pi, num_rand_features)
+    wb_ref = ray.put((w, b))
+
+    def _partials(batch: pa.Table) -> pa.Table:
+        ww, bb = ray.get(wb_ref)
+        _, mat, x = _xmat(batch)
+        phi = _rff_features(mat, ww, bb, epsilon)
+        gram = phi.T @ phi
+        r = phi.T @ x
+        return pa.table(
+            {
+                "gram": pa.array([gram.ravel()], type=pa.list_(pa.float64())),
+                "r": pa.array([r], type=pa.list_(pa.float64())),
+            }
+        )
+
+    m = num_rand_features
+    gram = np.zeros((m, m))
+    r = np.zeros(m)
+    for btab in embeddings_ds.map_batches(_partials, batch_format="pyarrow").iter_batches(
+        batch_size=None, batch_format="pyarrow"
+    ):
+        for g_row, r_row in zip(list_rows(btab, "gram"), list_rows(btab, "r")):
+            gram += g_row.reshape(m, m)
+            r += r_row
+
+    c = _symm_exp_terms(gram, lambda_par) @ r  # [M]
+    c_ref = ray.put((w, b, c))
+
+    def _emit(batch: pa.Table) -> pa.Table:
+        ww, bb, cc = ray.get(c_ref)
+        ids, mat, x = _xmat(batch)
+        phi = _rff_features(mat, ww, bb, epsilon)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids.astype(np.int64), type=pa.int64()),
+                "value": pa.array(x + phi @ cc, type=pa.float64()),
+            }
+        )
+
+    return embeddings_ds.map_batches(_emit, batch_format="pyarrow")
+
+
 def sinkhorn_distance(
     graph: ShardedGraph,
     ckpt_dir: str,

@@ -118,6 +118,53 @@ def test_convolutional_barycenter_matches_dense(tmp_path):
     assert len(hist) == iters  # per-iteration convergence metric recorded
 
 
+def test_low_rank_diffusion_matches_dense_replica():
+    import pyarrow.parquet as pq
+
+    from efficient_graph_algorithms_ray.pipelines.diffusion import (
+        _rff_features,
+        _symm_exp_terms,
+        low_rank_diffusion_integrate,
+    )
+
+    tbl = pq.read_table("/root/testdata/sf0.001/embeddings.parquet")
+    ids = tbl.column("vec_id").to_numpy()
+    mat = np.vstack(tbl.column("embedding").to_pylist()).astype(np.float64)
+    rng = np.random.Generator(np.random.Philox(key=[44, 0]))
+    x = rng.random(len(ids))
+    ds = rd.from_arrow(tbl.append_column("f", pa.array(x, type=pa.float64())))
+
+    lam, m, epsv, seed = 0.05, 32, 2.0, 7
+    out = (
+        low_rank_diffusion_integrate(
+            ds, "f", lambda_par=lam, num_rand_features=m, epsilon=epsv, seed=seed
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+
+    # dense replica: same Φ (same seeded W, b), same eigen-solve helper
+    rng2 = np.random.Generator(np.random.Philox(key=[seed, 5]))
+    w = rng2.standard_normal((m, mat.shape[1]))
+    b = rng2.uniform(0.0, 2.0 * np.pi, m)
+    phi = _rff_features(mat, w, b, epsv)
+    order = np.argsort(ids)
+    expect = x + phi @ (_symm_exp_terms(phi.T @ phi, lam) @ (phi.T @ x))
+    assert np.allclose(out["value"].to_numpy(), expect[order], atol=1e-8)
+
+    # λ = 0 → expm(0) − I = 0 → exact identity on the field
+    ident = (
+        low_rank_diffusion_integrate(
+            ds, "f", lambda_par=0.0, num_rand_features=m, epsilon=epsv, seed=seed
+        )
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    assert np.allclose(ident["value"].to_numpy(), x[order], atol=1e-12)
+
+
 def test_sinkhorn_distance_matches_dense_and_orders_targets(tmp_path):
     g, allv, A = _ring_fixture()
     n = len(allv)
