@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top3_orders_per_segment": R.q_top3_orders_per_customer_segment,
         "customers_without_orders": R.q_customers_without_orders,
         "approx_distinct_users": R.q_approx_distinct_users,
+        "avg_rank_small_parts": R.q_avg_rank_small_parts,
         # text / documents (SQL-oracled)
         "doc_stats": C.q_doc_stats,
         "lang_distribution": C.q_lang_distribution,
@@ -69,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_docs": C.q_exact_dedup_docs,
         "doc_len_stats_by_lang": C.q_doc_len_stats_by_lang,
         "quality_zscores": C.q_quality_zscores,
+        "doclen_percentiles": C.q_doclen_percentiles,
         # embeddings (SQL-oracled)
         "knn_vec0": C.q_knn_vec0,
         "embedding_norms": C.q_embedding_norms,
@@ -153,6 +155,8 @@ def oracle_sql() -> dict[str, str]:
         "events_asof_last_order": S.EVENTS_ASOF_LAST_ORDER,
         "top3_orders_per_segment": S.TOP3_ORDERS_PER_SEGMENT,
         "customers_without_orders": S.CUSTOMERS_WITHOUT_ORDERS,
+        "avg_rank_small_parts": S.avg_rank_small_parts_sql(k=4, damping=0.85, max_size=10),
+        "doclen_percentiles": S.DOCLEN_PERCENTILES,
         "doc_stats": S.DOC_STATS,
         "lang_distribution": S.LANG_DISTRIBUTION,
         "top_docs_by_length": S.TOP_DOCS_BY_LENGTH,

@@ -92,6 +92,65 @@ def welford_global(ds, col: str) -> tuple[int, float, float]:
     return n, mean, (m2 / n if n else 0.0)
 
 
+def exact_percentiles(ds, col: str, qs: list[float]):
+    """Exact distributed percentiles via a bounded value histogram.
+
+    Map-side partial counting (np.unique per batch — the combiner),
+    one small ``groupby(value)`` merge, then a driver-side cumsum over
+    the (distinct value, count) table to select the 1-indexed rank
+    ⌈q·n⌉ element — DuckDB ``quantile_disc`` semantics, empirically
+    pinned. The shuffle carries one row per distinct value per block,
+    so this is the 100 TB answer for bounded-domain columns (lengths,
+    sizes, scores); unbounded/continuous domains need sort-based
+    selection instead.
+
+    Returns a 1-row-per-q Dataset (q, value) with ``value`` in the
+    column's original integer type family (int64).
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    def _counts(batch: pa.Table) -> pa.Table:
+        vals = batch.column(col).to_numpy(zero_copy_only=False)
+        uniq, cnt = np.unique(vals, return_counts=True)
+        return pa.table(
+            {
+                "value": pa.array(uniq.astype(np.int64), type=pa.int64()),
+                "n": pa.array(cnt.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    hist = (
+        ds.map_batches(_counts, batch_format="pyarrow")
+        .groupby("value")
+        .aggregate(Sum("n", alias_name="n"))
+        .sort("value")
+    )
+    btabs = list(hist.iter_batches(batch_size=None, batch_format="pyarrow"))
+    if btabs:
+        htbl = pa.concat_tables(btabs)
+        values = htbl.column("value").to_numpy(zero_copy_only=False)
+        counts = htbl.column("n").to_numpy(zero_copy_only=False)
+    else:
+        values = counts = np.empty(0, dtype=np.int64)
+    cum = np.cumsum(counts)
+    total = int(cum[-1]) if len(cum) else 0
+    out_q, out_v = [], []
+    for q in qs:
+        rank = int(np.ceil(q * total)) if total else 0
+        idx = int(np.searchsorted(cum, max(rank, 1)))
+        out_q.append(float(q))
+        out_v.append(int(values[idx]) if total else 0)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "q": pa.array(out_q, type=pa.float64()),
+                "value": pa.array(out_v, type=pa.int64()),
+            }
+        )
+    )
+
+
 def zscore(values: np.ndarray, mean: float, std: float) -> np.ndarray:
     """Standardize; std=0 → zeros (reference zscore, graph_kernels.py:23-38)."""
     if std <= 0:

@@ -243,3 +243,23 @@ SELECT segment, o_orderkey, cents FROM j WHERE rn <= 3"""
 
 CUSTOMERS_WITHOUT_ORDERS = """SELECT c_custkey FROM customer c
 WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)"""
+
+
+def avg_rank_small_parts_sql(k: int = 4, damping: float = 0.85, max_size: int = 10) -> str:
+    """get_average_projection parity: AVG of the unrolled-PageRank rank
+    over the part vertices with p_size <= max_size."""
+    base = pagerank_partsupp_sql(k, damping)
+    final = f"\nSELECT vid, ROUND(r, 9) AS rank_r9 FROM r{k}"
+    assert base.endswith(final)
+    return base[: -len(final)] + (
+        f"\nSELECT ROUND(AVG(r{k}.r), 9) AS avg_rank_r9,"
+        f" CAST(COUNT(*) AS BIGINT) AS n_vertices"
+        f" FROM r{k} JOIN part ON r{k}.vid = part.p_partkey"
+        f" WHERE part.p_size <= {max_size}"
+    )
+
+
+DOCLEN_PERCENTILES = """SELECT CAST(0.25 AS DOUBLE) AS q, CAST(quantile_disc(n_chars, 0.25) AS BIGINT) AS value FROM documents
+UNION ALL SELECT CAST(0.5 AS DOUBLE), CAST(quantile_disc(n_chars, 0.5) AS BIGINT) FROM documents
+UNION ALL SELECT CAST(0.9 AS DOUBLE), CAST(quantile_disc(n_chars, 0.9) AS BIGINT) FROM documents
+UNION ALL SELECT CAST(0.99 AS DOUBLE), CAST(quantile_disc(n_chars, 0.99) AS BIGINT) FROM documents"""

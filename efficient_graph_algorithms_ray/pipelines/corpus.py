@@ -121,6 +121,16 @@ def q_ann_lsh_pairs(sf_dir: str):
     return S.ann_lsh_pairs(_emb(sf_dir), threshold=0.9, n_bits=10)
 
 
+def q_doclen_percentiles(sf_dir: str):
+    """Exact p25/p50/p90/p99 of document length via the bounded-domain
+    histogram percentile operator — SQL-oracled vs quantile_disc."""
+    from ..functions.stats import exact_percentiles
+
+    return exact_percentiles(
+        _docs(sf_dir, ["n_chars"]), "n_chars", [0.25, 0.5, 0.9, 0.99]
+    )
+
+
 def q_lowrank_diffusion(sf_dir: str):
     """DFGFIntegrator-parity low-rank diffusion of the norm field over
     the embedding point cloud (rows-only; engine ≡ dense-replica RFF

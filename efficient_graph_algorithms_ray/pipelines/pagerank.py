@@ -66,3 +66,48 @@ def top_k_ranks(ranks_ds, k: int = 20):
     """Global top-k by rank — reference analogue ``get_ranking``
     (/root/reference/src/ega/algorithms/graph_kernels.py:559-585)."""
     return ranks_ds.sort("rank", descending=True).limit(k)
+
+
+def average_projection(ranks_ds, vids: np.ndarray, col: str = "rank"):
+    """Mean score over a vertex subset — reference analogue
+    ``get_average_projection`` (/root/reference/src/ega/algorithms/
+    graph_kernels.py:587-612).
+
+    The subset is broadcast once via ``ray.put``; each batch reduces to
+    a (sum, count) partial, so nothing but two floats per block moves.
+    Returns a 1-row Dataset (avg_<col>, n_vertices).
+    """
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    sub = np.sort(np.asarray(vids, dtype=np.uint64))
+    ref = ray.put(sub)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        s = ray.get(ref)
+        v = batch.column("vid").to_numpy(zero_copy_only=False).astype(np.uint64)
+        pos = np.searchsorted(s, v)
+        ok = pos < len(s)
+        hit = np.zeros(len(v), dtype=bool)
+        hit[ok] = s[pos[ok]] == v[ok]
+        vals = batch.column(col).to_numpy(zero_copy_only=False)[hit]
+        return pa.table(
+            {
+                "s": pa.array([float(vals.sum())], type=pa.float64()),
+                "c": pa.array([int(hit.sum())], type=pa.int64()),
+            }
+        )
+
+    agg = ranks_ds.map_batches(_partial, batch_format="pyarrow").sum(["s", "c"])
+    total, count = float(agg["sum(s)"]), int(agg["sum(c)"])
+    return rd.from_arrow(
+        pa.table(
+            {
+                f"avg_{col}": pa.array(
+                    [total / count if count else 0.0], type=pa.float64()
+                ),
+                "n_vertices": pa.array([count], type=pa.int64()),
+            }
+        )
+    )

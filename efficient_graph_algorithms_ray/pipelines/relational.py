@@ -156,6 +156,35 @@ def q_pagerank_partsupp_k4(sf_dir: str):
     return ranks.map_batches(_round, batch_format="pyarrow")
 
 
+def q_avg_rank_small_parts(sf_dir: str):
+    """get_average_projection parity: mean 4-step PageRank over the
+    part vertices with p_size <= 10 — SQL-oracled (unrolled recurrence
+    + AVG over the joined subset)."""
+    import pyarrow.parquet as pq_  # noqa: N813
+
+    from .pagerank import average_projection
+
+    g = build_graph(partsupp_edges(sf_dir), EngineConfig(num_partitions=16), directed=True)
+    ranks, _ = pagerank(g, _ckpt("prk4avg"), damping=0.85, tol=0.0, max_iters=4)
+    part_tbl = pq_.read_table(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_size"]
+    )
+    keys = part_tbl.column("p_partkey").to_numpy()
+    sizes = part_tbl.column("p_size").to_numpy()
+    subset = keys[sizes <= 10].astype(np.uint64)
+    avg = average_projection(ranks, subset, col="rank")
+
+    def _round(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "avg_rank_r9": pc.round(batch.column("avg_rank"), ndigits=9),
+                "n_vertices": batch.column("n_vertices"),
+            }
+        )
+
+    return avg.map_batches(_round, batch_format="pyarrow")
+
+
 def q_cc_customer_orders(sf_dir: str):
     g = build_graph(
         customer_order_edges(sf_dir), EngineConfig(num_partitions=16), directed=False
