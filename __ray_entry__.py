@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heat_smooth_coocc": R.q_heat_smooth_coocc,
         "msf_coocc": R.q_msf_coocc,
         "sinkhorn_dist_coocc": R.q_sinkhorn_coocc,
+        "ldd_coocc": R.q_ldd_coocc,
         "events_prev_gap": R.q_events_prev_gap,
         "events_sessions": R.q_events_sessions,
         "events_asof_last_order": R.q_events_asof_last_order,

@@ -1,0 +1,154 @@
+"""Low-diameter graph decomposition via random exponential shifts.
+
+Reference parity: the randomized ball-growing tree decompositions
+(``BartalTreeGFIntegrator`` /root/reference/src/ega/algorithms/
+bartal_trees.py:24-160 and ``FRTTreeGFIntegrator`` frt_trees.py:17-150)
+carve a graph into bounded-radius clusters around randomly ordered /
+shifted centers — single-process machinery over dense shortest paths.
+The web-scale equivalent implemented here is the Miller–Peng–Xu
+random-shift decomposition (SPAA 2013, public algorithm): every vertex
+v draws delta_v ~ Exp(beta) and joins the center c maximizing
+delta_c − dist(c, v); clusters have radius ≤ max_c delta_c =
+O(log n / beta) w.h.p. and each edge is cut with probability O(beta).
+
+Distributed form: Bellman–Ford-style min-propagation supersteps over a
+single uint64 key per vertex,
+
+    enc(v) = (CAP − shift_q(v)) << 32 | dense_id(v)
+
+where the high 32 bits hold the fixed-point shifted distance
+(``SCALE`` units per hop) and the low 32 bits the candidate center's
+dense id (deterministic tie-break: smaller id wins at equal distance).
+Each superstep a vertex offers its neighbors ``enc + SCALE<<32``
+(one more hop) and keeps the minimum — the engine's ``mode='min'``
+combine with the new ``msg_fn`` hook (state/bsp.py). Rounds to
+fixpoint ≤ max_v delta_v + cluster diameter = O(log n / beta).
+
+Exactness: all arithmetic is integer and seeded (splitmix64 →
+inverse-CDF exponential, quantized to SCALE), so the distributed run
+equals the dense replica bit-for-bit (tests/test_decomposition.py) at
+any worker count, and per-cluster radius ≤ shift_q(center) holds as a
+hard invariant (a vertex only cedes its own candidacy to a strictly
+better-shifted center).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..config import HASH_SEED
+from ..state.graph import ShardedGraph
+from ..state.superstep import run_supersteps
+
+SCALE = 1024  # fixed-point quanta per hop
+CAP = np.uint64(1 << 24)  # shift quantization cap (≫ any realistic shift)
+_STEP = np.uint64(SCALE) << np.uint64(32)
+_SAT = np.uint64((1 << 62))  # saturation guard for the hop increment
+_LOW32 = np.uint64(0xFFFFFFFF)
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    """Vectorized splitmix64 finalizer (public-domain constants)."""
+    z = x.astype(np.uint64) + np.uint64(0x9E3779B97F4A7C15)
+    z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return z ^ (z >> np.uint64(31))
+
+
+def shift_quanta(vids: np.ndarray, beta: float, seed: int) -> np.ndarray:
+    """Quantized per-vertex exponential shift ⌊Exp(beta)·SCALE⌉, seeded
+    from the vid alone (partition-independent, deterministic)."""
+    h = _splitmix64(vids.astype(np.uint64) ^ np.uint64(seed))
+    u = (h >> np.uint64(11)).astype(np.float64) / float(1 << 53)  # [0, 1)
+    delta = -np.log1p(-u) / beta
+    q = np.rint(delta * SCALE).astype(np.uint64)
+    return np.minimum(q, CAP - np.uint64(1))
+
+
+def _id_bases(graph: ShardedGraph) -> dict[int, int]:
+    """Dense 32-bit id base per partition (driver-side, from shard sizes)."""
+    bases: dict[int, int] = {}
+    off = 0
+    for p in graph.parts:
+        bases[p] = off
+        off += graph.n_vertices_by_part[p]
+    if off >= 1 << 32:
+        raise ValueError("dense-id space exceeds 32 bits; widen the encoding")
+    return bases
+
+
+def low_diameter_decomposition(
+    graph: ShardedGraph,
+    ckpt_dir: str,
+    *,
+    beta: float = 0.5,
+    seed: int = HASH_SEED,
+    max_iters: int = 300,
+    resume: bool = False,
+):
+    """Run the random-shift decomposition to fixpoint.
+
+    Returns (assignment Dataset, run summary). Columns: ``vid``
+    (uint64), ``own_id`` / ``cluster`` (int64 dense ids; ``cluster ==
+    own_id`` marks centers), ``keyhi`` (int64 — CAP − shift_q(center)
+    + hops·SCALE, so hops = (keyhi − center keyhi0) / SCALE),
+    ``is_center`` (bool). Requires an undirected (symmetrized) graph.
+    """
+    bases = _id_bases(graph)
+
+    def init_fn(csr):
+        p = int(csr["part"])
+        vids = csr["vids"]
+        ids = np.uint64(bases[p]) + np.arange(len(vids), dtype=np.uint64)
+        key0 = CAP - shift_quanta(vids, beta, seed)
+        return (key0 << np.uint64(32)) | ids
+
+    def msg_fn(value, csr):
+        return np.where(value >= _SAT, value, value + _STEP)
+
+    summary = run_supersteps(
+        graph,
+        ckpt_dir,
+        "min",
+        init_fn,
+        tol=0.0,
+        max_iters=max_iters,
+        resume=resume,
+        msg_fn=msg_fn,
+    )
+
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from ..state.ckpt import read_state_part
+
+    refs = graph.refs
+    final_dir = summary["final_iter_dir"]
+
+    def _emit(batch: pa.Table) -> pa.Table:
+        parts = batch.column("part").to_numpy(zero_copy_only=False)
+        vid_o, own_o, clu_o, key_o = [], [], [], []
+        for p in parts:
+            csr = ray.get(refs[int(p)])
+            enc = read_state_part(final_dir, int(p)).astype(np.uint64)
+            vid_o.append(csr["vids"])
+            own_o.append(
+                (np.uint64(bases[int(p)]) + np.arange(len(enc), dtype=np.uint64)).astype(np.int64)
+            )
+            clu_o.append((enc & _LOW32).astype(np.int64))
+            key_o.append((enc >> np.uint64(32)).astype(np.int64))
+        own = np.concatenate(own_o)
+        clu = np.concatenate(clu_o)
+        return pa.table(
+            {
+                "vid": pa.array(np.concatenate(vid_o), type=pa.uint64()),
+                "own_id": pa.array(own, type=pa.int64()),
+                "cluster": pa.array(clu, type=pa.int64()),
+                "keyhi": pa.array(np.concatenate(key_o), type=pa.int64()),
+                "is_center": pa.array(own == clu),
+            }
+        )
+
+    parts_ds = rd.from_arrow(pa.table({"part": pa.array(graph.parts, type=pa.int64())}))
+    return parts_ds.map_batches(_emit, batch_format="pyarrow", batch_size=4), summary

@@ -377,6 +377,32 @@ def q_heat_smooth_coocc(sf_dir: str):
     return out.map_batches(_round, batch_format="pyarrow")
 
 
+def q_ldd_coocc(sf_dir: str):
+    """Random-shift low-diameter decomposition (Bartal/FRT-family
+    parity via Miller–Peng–Xu) of the part co-occurrence graph —
+    rows-only at the driver; bit-exact vs the dense replica in pytest."""
+    from .decomposition import low_diameter_decomposition
+
+    g = build_graph(
+        part_cooccurrence_edges(sf_dir), EngineConfig(num_partitions=16), directed=False
+    )
+    # β sized to this graph: the co-occurrence graph has diameter ≈ 4,
+    # so small β (radius O(log n / β) > diameter) degenerates to one
+    # cluster; β=4 yields ~1000 clusters with largest ≈ 110 at sf0.01.
+    out, _ = low_diameter_decomposition(g, _ckpt("ldd"), beta=4.0)
+
+    def _shape(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vid": batch.column("vid").cast(pa.int64()),
+                "cluster": batch.column("cluster"),
+                "is_center": batch.column("is_center"),
+            }
+        )
+
+    return out.map_batches(_shape, batch_format="pyarrow")
+
+
 def q_sinkhorn_coocc(sf_dir: str):
     """Entropic OT distances from the retailprice mass distribution to
     (0) itself and (1) the size-proportional distribution, over the part

@@ -60,6 +60,7 @@ class BSPWorker:
         teleport_fn=None,
         normalize: bool = True,
         apply_fn=None,
+        msg_fn=None,
     ) -> None:
         self.w = worker_id
         self.W = W
@@ -76,6 +77,11 @@ class BSPWorker:
         # user-extension surface, mirroring the reference's abstract
         # GFIntegrator contract). None → damped-walk update.
         self.apply_fn = apply_fn
+        # msg_fn(value, csr) -> per-vertex message values (min mode):
+        # transforms state before the gather — e.g. the +1-hop encoded
+        # distance increment of the random-shift decomposition. None →
+        # forward the label unchanged (connected components).
+        self.msg_fn = msg_fn
         self.csrs = {p: ray.get(r) for p, r in owned}  # zero-copy plasma views
         self.values: dict[int, np.ndarray] = {}
         # teleport distribution per partition (sum mode): uniform 1/N by
@@ -186,7 +192,8 @@ class BSPWorker:
                     else np.empty((0,) + vals.shape[1:])
                 )
             else:
-                vals = value[sc["gather"]]
+                msg = value if self.msg_fn is None else self.msg_fn(value, csr)
+                vals = msg[sc["gather"]]
                 sums = (
                     np.minimum.reduceat(vals, sc["seg_starts"])
                     if len(sc["seg_starts"])

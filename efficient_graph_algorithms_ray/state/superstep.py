@@ -89,6 +89,7 @@ def run_supersteps(
     teleport_fn=None,
     normalize: bool = True,
     apply_fn=None,
+    msg_fn=None,
 ) -> dict:
     """Drive supersteps to convergence; returns the run summary dict.
 
@@ -118,7 +119,7 @@ def run_supersteps(
     actors = [
         BSPWorker.options(num_cpus=cpu_frac).remote(
             w, W, owned_by_w[w], P, mode, N, damping, owner_map, teleport_fn,
-            normalize, apply_fn,
+            normalize, apply_fn, msg_fn,
         )
         for w in range(W)
     ]

@@ -1,0 +1,104 @@
+"""Random-shift low-diameter decomposition vs a dense Bellman-Ford
+replica (identical integer arithmetic) + structural invariants."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from efficient_graph_algorithms_ray.config import EngineConfig
+from efficient_graph_algorithms_ray.pipelines.decomposition import (
+    CAP,
+    SCALE,
+    low_diameter_decomposition,
+    shift_quanta,
+)
+from efficient_graph_algorithms_ray.pipelines.graph_build import build_graph
+from efficient_graph_algorithms_ray.stages.hashing import hash_to_vid
+
+
+def _random_graph(n=120, p=0.06, seed=13):
+    names = [f"v{i}" for i in range(n)]
+    vids = hash_to_vid(names)
+    rng = np.random.Generator(np.random.Philox(key=[seed, 0]))
+    iu, ju = np.triu_indices(n, 1)
+    keep = rng.random(len(iu)) < p
+    src, dst = vids[iu[keep]], vids[ju[keep]]
+    ds = rd.from_arrow(
+        pa.table(
+            {"src": pa.array(src, type=pa.uint64()), "dst": pa.array(dst, type=pa.uint64())}
+        )
+    )
+    g = build_graph(ds, EngineConfig(num_partitions=4), directed=False)
+    return g, src, dst
+
+
+def _dense_fixpoint(vid_arr, own_id, nbrs, beta, seed):
+    """Dense replica of the same encoded min-propagation."""
+    step = np.uint64(SCALE) << np.uint64(32)
+    key0 = CAP - shift_quanta(vid_arr, beta, seed)
+    enc = (key0 << np.uint64(32)) | own_id.astype(np.uint64)
+    while True:
+        msg = enc + step
+        new = enc.copy()
+        for u, vs in nbrs.items():
+            if len(vs):
+                new[u] = min(new[u], msg[vs].min())
+        if (new == enc).all():
+            return enc
+        enc = new
+
+
+def test_ldd_matches_dense_replica(tmp_path):
+    g, src, dst = _random_graph()
+    beta, seed = 0.4, 99
+    out, summary = low_diameter_decomposition(
+        g, str(tmp_path / "ldd"), beta=beta, seed=seed
+    )
+    df = out.to_pandas().sort_values("vid").reset_index(drop=True)
+
+    vid_arr = df["vid"].to_numpy().astype(np.uint64)
+    own = df["own_id"].to_numpy()
+    pos = {v: i for i, v in enumerate(vid_arr)}
+    nbrs = {i: [] for i in range(len(vid_arr))}
+    for s, d in zip(src, dst):
+        si, di = pos[s], pos[d]
+        nbrs[si].append(di)
+        nbrs[di].append(si)
+    nbrs = {u: np.array(vs, dtype=np.int64) for u, vs in nbrs.items()}
+
+    enc = _dense_fixpoint(vid_arr, own, nbrs, beta, seed)
+    assert (df["cluster"].to_numpy() == (enc & np.uint64(0xFFFFFFFF)).astype(np.int64)).all()
+    assert (df["keyhi"].to_numpy() == (enc >> np.uint64(32)).astype(np.int64)).all()
+    assert summary["converged"]
+
+
+def test_ldd_structural_invariants(tmp_path):
+    g, src, dst = _random_graph(n=150, p=0.05, seed=21)
+    beta, seed = 0.3, 7
+    out, summary = low_diameter_decomposition(
+        g, str(tmp_path / "ldd2"), beta=beta, seed=seed
+    )
+    df = out.to_pandas()
+
+    # every vertex is assigned, and every cluster id is a real center
+    assert df["cluster"].notna().all()
+    centers = df[df["is_center"]]
+    assert set(df["cluster"]) <= set(centers["own_id"])
+
+    # radius invariant: hops·SCALE ≤ shift_q(center) for every vertex
+    cvid = centers.set_index("own_id")["vid"]
+    center_vids = df["cluster"].map(cvid).to_numpy().astype(np.uint64)
+    cshift = shift_quanta(center_vids, beta, seed).astype(np.int64)
+    key0_center = (int(CAP) - cshift).astype(np.int64)
+    hops_q = df["keyhi"].to_numpy() - key0_center
+    assert (hops_q >= 0).all()
+    assert (hops_q <= cshift).all()
+
+    # determinism: a rerun is bit-identical
+    out2, _ = low_diameter_decomposition(g, str(tmp_path / "ldd3"), beta=beta, seed=seed)
+    df2 = out2.to_pandas()
+    a = df.sort_values("vid").reset_index(drop=True)
+    b = df2.sort_values("vid").reset_index(drop=True)
+    assert a.equals(b)
