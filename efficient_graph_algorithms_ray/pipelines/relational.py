@@ -377,6 +377,58 @@ def q_heat_smooth_coocc(sf_dir: str):
     return out.map_batches(_round, batch_format="pyarrow")
 
 
+def q_subtree_sizes_msf(sf_dir: str):
+    """Two-pass tree DP over the MSF of the co-occurrence graph:
+    Borůvka forest → rooted BFS orientation → gated bottom-up subtree
+    sizes (TreeGFIntegrator / subtree-cost parity; rows-only at the
+    driver, recursive-oracle-exact in pytest). Returns (vid,
+    subtree_size, depth)."""
+    from .mst import minimum_spanning_forest
+    from .tree_dp import rooted_bfs, subtree_aggregate
+
+    g = build_graph(
+        part_cooccurrence_edges(sf_dir), EngineConfig(num_partitions=16), directed=False
+    )
+    forest_edges, _ = minimum_spanning_forest(g)
+
+    def _as_src_dst(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": batch.column("a").cast(pa.uint64()),
+                "dst": batch.column("b").cast(pa.uint64()),
+            }
+        )
+
+    fg = build_graph(
+        forest_edges.map_batches(_as_src_dst, batch_format="pyarrow"),
+        EngineConfig(num_partitions=16),
+        directed=False,
+    )
+    parents, _ = rooted_bfs(fg, _ckpt("treebfs"))
+    pdf = parents.to_pandas()
+    sub, _ = subtree_aggregate(fg, pdf, lambda v: np.ones(len(v)), _ckpt("treedp"))
+
+    depth_map = dict(
+        zip(pdf["vid"].to_numpy().astype(np.uint64), pdf["depth"].to_numpy())
+    )
+
+    def _shape(batch: pa.Table) -> pa.Table:
+        vids = batch.column("vid").to_numpy(zero_copy_only=False).astype(np.uint64)
+        depths = np.array([depth_map[v] for v in vids], dtype=np.int64)
+        return pa.table(
+            {
+                "vid": batch.column("vid").cast(pa.int64()),
+                "subtree_size": pa.array(
+                    batch.column("subtree_sum").to_numpy(zero_copy_only=False).astype(np.int64),
+                    type=pa.int64(),
+                ),
+                "depth": pa.array(depths, type=pa.int64()),
+            }
+        )
+
+    return sub.map_batches(_shape, batch_format="pyarrow")
+
+
 def q_ldd_coocc(sf_dir: str):
     """Random-shift low-diameter decomposition (Bartal/FRT-family
     parity via Miller–Peng–Xu) of the part co-occurrence graph —

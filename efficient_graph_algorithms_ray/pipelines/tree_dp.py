@@ -1,0 +1,332 @@
+"""Two-pass dynamic programming over trees/forests — supersteps.
+
+Reference parity: ``TreeGFIntegrator`` (/root/reference/src/ega/
+algorithms/tree_based_integrators.py) runs a bottom-up (leaves→root)
+accumulation followed by a top-down (root→leaves) distribution over
+BFS levels of a spanning tree, and #38's subtree cost aggregation
+(lipton_tarjan separator costs). Distributed equivalents here:
+
+- ``rooted_bfs`` — orient a forest: per-component root (the CC
+  min-vid vertex) + per-vertex (depth, parent). One min-mode superstep
+  run with sender-id-encoded messages: state ``(depth << 32) | parent
+  dense-id``; each reached vertex offers ``(depth+1 << 32) | own id``,
+  unreached vertices offer the UNLABELED identity. The min combine
+  picks the shallowest (then smallest-id) claimant — a deterministic
+  BFS tree in O(diameter) rounds.
+- ``subtree_aggregate`` — bottom-up pass: on the child→parent edge
+  graph, vector state ``[acc, recv, n_children, sent]`` with
+  readiness-gated messages (a vertex fires exactly once, the round
+  after all children have fired — ``msg_fn`` gates, ``apply_fn``
+  marks). Subtree sums for every vertex in O(tree depth) rounds, one
+  pre-aggregated exchange each.
+- ``topdown_prefix`` — top-down pass: on the parent→child graph,
+  state ``[prefix, got, sent, x]``; the root fires first, every
+  vertex adds its parent's prefix to its own x and fires once.
+  Root-to-vertex path sums in O(depth) rounds.
+
+Driver-side vid→value lookups (component labels, child counts) are
+closure-captured sorted arrays — fine to ~10⁸ vertices on one driver;
+the documented scale path replaces them with a broadcast ``ray.put``
+ref per lookup (same pattern as ``_dict_init`` in diffusion.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..config import EngineConfig, UNLABELED
+from ..state.graph import ShardedGraph
+from ..state.superstep import run_supersteps
+from .decomposition import _id_bases
+
+_LOW32 = np.uint64(0xFFFFFFFF)
+_INF_DEPTH = np.uint64(1 << 30)
+
+
+def make_vid_lookup(vids: np.ndarray, vals: np.ndarray, default: float = 0.0):
+    """f(query_vids) -> values — sorted-array vid lookup (missing → default)."""
+    order = np.argsort(vids)
+    vs, xs = vids[order], np.asarray(vals, dtype=np.float64)[order]
+
+    def _f(q: np.ndarray) -> np.ndarray:
+        out = np.full(len(q), default, dtype=np.float64)
+        pos = np.searchsorted(vs, q)
+        ok = pos < len(vs)
+        hit = np.zeros(len(q), dtype=bool)
+        hit[ok] = vs[pos[ok]] == q[ok]
+        out[hit] = xs[pos[hit]]
+        return out
+
+    return _f
+
+
+def rooted_bfs(graph: ShardedGraph, ckpt_dir: str, *, max_iters: int = 300):
+    """Orient an undirected forest/graph from per-component min-vid roots.
+
+    Returns (Dataset (vid, own_id, parent_id, depth), summary). For a
+    root, parent_id == own_id and depth == 0. On a non-tree graph this
+    yields a BFS spanning tree per component (shallowest-then-smallest
+    parent, deterministic).
+    """
+    from .components import connected_components
+    from .walks import vertex_lookup_init  # noqa: F401  (pattern reference)
+
+    assert not graph.directed, "rooted_bfs requires an undirected graph"
+    comp_ds, _ = connected_components(graph, f"{ckpt_dir}/cc")
+    ctbl = comp_ds.to_pandas()
+    cv = ctbl["vid"].to_numpy().astype(np.uint64)
+    cl = ctbl["component"].to_numpy().astype(np.uint64)
+    order = np.argsort(cv)
+    cv, cl = cv[order], cl[order]
+
+    bases = _id_bases(graph)
+
+    def init_fn(csr):
+        vids = csr["vids"]
+        own = np.uint64(bases[int(csr["part"])]) + np.arange(len(vids), dtype=np.uint64)
+        lab = cl[np.searchsorted(cv, vids)]
+        is_root = lab == vids
+        depth = np.where(is_root, np.uint64(0), _INF_DEPTH).astype(np.uint64)
+        return (depth << np.uint64(32)) | own
+
+    def msg_fn(value, csr):
+        own = np.uint64(bases[int(csr["part"])]) + np.arange(len(value), dtype=np.uint64)
+        depth = value >> np.uint64(32)
+        return np.where(
+            depth < _INF_DEPTH,
+            ((depth + np.uint64(1)) << np.uint64(32)) | own,
+            np.uint64(UNLABELED),
+        ).astype(np.uint64)
+
+    summary = run_supersteps(
+        graph, f"{ckpt_dir}/bfs", "min", init_fn, tol=0.0, max_iters=max_iters,
+        msg_fn=msg_fn,
+    )
+
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from ..state.ckpt import read_state_part
+
+    refs = graph.refs
+    final_dir = summary["final_iter_dir"]
+
+    def _emit(batch: pa.Table) -> pa.Table:
+        parts = batch.column("part").to_numpy(zero_copy_only=False)
+        vid_o, own_o, par_o, dep_o = [], [], [], []
+        for p in parts:
+            csr = ray.get(refs[int(p)])
+            enc = read_state_part(final_dir, int(p)).astype(np.uint64)
+            n = len(enc)
+            vid_o.append(csr["vids"])
+            own_o.append(
+                (np.uint64(bases[int(p)]) + np.arange(n, dtype=np.uint64)).astype(np.int64)
+            )
+            par_o.append((enc & _LOW32).astype(np.int64))
+            dep_o.append((enc >> np.uint64(32)).astype(np.int64))
+        return pa.table(
+            {
+                "vid": pa.array(np.concatenate(vid_o), type=pa.uint64()),
+                "own_id": pa.array(np.concatenate(own_o), type=pa.int64()),
+                "parent_id": pa.array(np.concatenate(par_o), type=pa.int64()),
+                "depth": pa.array(np.concatenate(dep_o), type=pa.int64()),
+            }
+        )
+
+    parts_ds = rd.from_arrow(pa.table({"part": pa.array(graph.parts, type=pa.int64())}))
+    return parts_ds.map_batches(_emit, batch_format="pyarrow", batch_size=4), summary
+
+
+def _parent_edge_arrays(parents_df):
+    """(child vid, parent vid) uint64 arrays, roots excluded."""
+    id2vid = dict(zip(parents_df["own_id"], parents_df["vid"]))
+    nonroot = parents_df[parents_df["parent_id"] != parents_df["own_id"]]
+    child = nonroot["vid"].to_numpy().astype(np.uint64)
+    parent = nonroot["parent_id"].map(id2vid).to_numpy().astype(np.uint64)
+    return child, parent
+
+
+def subtree_aggregate(
+    graph: ShardedGraph,
+    parents_df,
+    x_lookup,
+    ckpt_dir: str,
+    *,
+    num_partitions: int | None = None,
+    max_iters: int = 500,
+):
+    """Bottom-up subtree sums over an oriented forest.
+
+    ``parents_df``: pandas output of ``rooted_bfs`` (vid, own_id,
+    parent_id, depth). ``x_lookup(vids) -> float array`` supplies the
+    per-vertex field. Returns (Dataset (vid, subtree_sum), summary).
+    Covers every vertex of ``parents_df`` (single-vertex trees
+    included — they are their own root).
+    """
+    import pyarrow as pa
+    import ray.data as rd
+
+    from .graph_build import build_graph
+
+    child, parent = _parent_edge_arrays(parents_df)
+    all_vids = parents_df["vid"].to_numpy().astype(np.uint64)
+    # child counts per parent vid (sorted lookup)
+    pv, pc = np.unique(parent, return_counts=True)
+
+    # DP graph: child → parent edges, PLUS self-loop-free isolated roots
+    # kept in the vertex set via a zero-degree union (src=dst self rows
+    # are dropped by the CSR pack, so add them as explicit vertices).
+    iso = np.setdiff1d(all_vids, np.union1d(child, parent))
+    src = np.concatenate([child, iso])
+    dst = np.concatenate([parent, iso])
+    edges = rd.from_arrow(
+        pa.table(
+            {"src": pa.array(src, type=pa.uint64()), "dst": pa.array(dst, type=pa.uint64())}
+        )
+    )
+    P = num_partitions or graph.num_partitions
+    dp_graph = build_graph(edges, EngineConfig(num_partitions=P), directed=True)
+
+    def init_fn(csr):
+        vids = csr["vids"]
+        n = len(vids)
+        state = np.zeros((n, 4), dtype=np.float64)
+        state[:, 0] = x_lookup(vids)
+        pos = np.searchsorted(pv, vids)
+        ok = pos < len(pv)
+        hit = np.zeros(n, dtype=bool)
+        hit[ok] = pv[pos[ok]] == vids[ok]
+        state[hit, 2] = pc[np.searchsorted(pv, vids[hit])]
+        return state
+
+    def _ready(state):
+        return (state[:, 1] >= state[:, 2]) & (state[:, 3] == 0)
+
+    def msg_fn(state, csr):
+        r = _ready(state)
+        msg = np.zeros_like(state)
+        msg[:, 0] = state[:, 0] * r
+        msg[:, 1] = r
+        return msg
+
+    def apply_fn(agg, old, T, dm, csr):
+        new = old.copy()
+        new[:, 0] += agg[:, 0]
+        new[:, 1] += agg[:, 1]
+        new[:, 3] += _ready(old)
+        return new
+
+    summary = run_supersteps(
+        dp_graph, ckpt_dir, "sum", init_fn,
+        tol=1e-12, max_iters=max_iters, normalize=False,
+        apply_fn=apply_fn, msg_fn=msg_fn,
+    )
+
+    from ..state.superstep import state_vertex_dataset
+
+    state = state_vertex_dataset(dp_graph, summary["final_iter_dir"], "state")
+
+    def _shape(batch: pa.Table) -> pa.Table:
+        from ..util import list_rows
+
+        rows = list_rows(batch, "state")
+        acc = np.array([r[0] for r in rows]) if rows else np.empty(0)
+        return pa.table(
+            {
+                "vid": batch.column("vid"),
+                "subtree_sum": pa.array(acc, type=pa.float64()),
+            }
+        )
+
+    return state.map_batches(_shape, batch_format="pyarrow"), summary
+
+
+def topdown_prefix(
+    graph: ShardedGraph,
+    parents_df,
+    x_lookup,
+    ckpt_dir: str,
+    *,
+    num_partitions: int | None = None,
+    max_iters: int = 500,
+):
+    """Top-down pass: root-to-vertex path sums (prefix(v) = Σ x over
+    the root→v path, root included). Returns (Dataset (vid, prefix),
+    summary) — with ``subtree_aggregate`` this is the reference's full
+    two-pass tree DP."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from .graph_build import build_graph
+
+    child, parent = _parent_edge_arrays(parents_df)
+    all_vids = parents_df["vid"].to_numpy().astype(np.uint64)
+    roots = np.sort(
+        parents_df.loc[parents_df["parent_id"] == parents_df["own_id"], "vid"]
+        .to_numpy()
+        .astype(np.uint64)
+    )
+    iso = np.setdiff1d(all_vids, np.union1d(child, parent))
+    src = np.concatenate([parent, iso])  # parent → child
+    dst = np.concatenate([child, iso])
+    edges = rd.from_arrow(
+        pa.table(
+            {"src": pa.array(src, type=pa.uint64()), "dst": pa.array(dst, type=pa.uint64())}
+        )
+    )
+    P = num_partitions or graph.num_partitions
+    dp_graph = build_graph(edges, EngineConfig(num_partitions=P), directed=True)
+
+    def init_fn(csr):
+        vids = csr["vids"]
+        n = len(vids)
+        state = np.zeros((n, 4), dtype=np.float64)
+        x = np.asarray(x_lookup(vids), dtype=np.float64)
+        pos = np.searchsorted(roots, vids)
+        ok = pos < len(roots)
+        is_root = np.zeros(n, dtype=bool)
+        is_root[ok] = roots[pos[ok]] == vids[ok]
+        state[:, 3] = x
+        state[:, 0] = x * is_root
+        state[:, 1] = is_root
+        return state
+
+    def _ready(state):
+        return (state[:, 1] > 0) & (state[:, 2] == 0)
+
+    def msg_fn(state, csr):
+        r = _ready(state)
+        msg = np.zeros_like(state)
+        msg[:, 0] = state[:, 0] * r
+        msg[:, 1] = r
+        return msg
+
+    def apply_fn(agg, old, T, dm, csr):
+        new = old.copy()
+        arrived = agg[:, 1] > 0
+        new[:, 0] += agg[:, 0] + arrived * old[:, 3]
+        new[:, 1] += agg[:, 1]
+        new[:, 2] += _ready(old)
+        return new
+
+    summary = run_supersteps(
+        dp_graph, ckpt_dir, "sum", init_fn,
+        tol=1e-12, max_iters=max_iters, normalize=False,
+        apply_fn=apply_fn, msg_fn=msg_fn,
+    )
+
+    from ..state.superstep import state_vertex_dataset
+
+    state = state_vertex_dataset(dp_graph, summary["final_iter_dir"], "state")
+
+    def _shape(batch: pa.Table) -> pa.Table:
+        from ..util import list_rows
+
+        rows = list_rows(batch, "state")
+        acc = np.array([r[0] for r in rows]) if rows else np.empty(0)
+        return pa.table(
+            {"vid": batch.column("vid"), "prefix": pa.array(acc, type=pa.float64())}
+        )
+
+    return state.map_batches(_shape, batch_format="pyarrow"), summary

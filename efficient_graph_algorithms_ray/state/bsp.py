@@ -77,10 +77,12 @@ class BSPWorker:
         # user-extension surface, mirroring the reference's abstract
         # GFIntegrator contract). None → damped-walk update.
         self.apply_fn = apply_fn
-        # msg_fn(value, csr) -> per-vertex message values (min mode):
-        # transforms state before the gather — e.g. the +1-hop encoded
-        # distance increment of the random-shift decomposition. None →
-        # forward the label unchanged (connected components).
+        # msg_fn(value, csr) -> per-vertex message values: transforms
+        # state before the gather. min mode: e.g. the +1-hop encoded
+        # distance increment of the random-shift decomposition (None →
+        # forward the label unchanged, connected components). sum mode:
+        # replaces the contribution entirely (e.g. readiness-gated
+        # tree-DP sends).
         self.msg_fn = msg_fn
         self.csrs = {p: ray.get(r) for p, r in owned}  # zero-copy plasma views
         self.values: dict[int, np.ndarray] = {}
@@ -171,7 +173,12 @@ class BSPWorker:
         for p in self.parts:
             csr, sc, value = self.csrs[p], self._sc[p], self.values[p]
             if self.mode == "sum":
-                if not self.normalize:
+                if self.msg_fn is not None:
+                    # gated/transformed messages (e.g. readiness-gated
+                    # tree-DP accumulation) — replaces the contribution;
+                    # normalization is the msg_fn's responsibility.
+                    contrib = np.asarray(self.msg_fn(value, csr), dtype=np.float64)
+                elif not self.normalize:
                     contrib = value.astype(np.float64, copy=False)
                 else:
                     norm = csr.get("wdeg", csr["deg"])  # random-walk normalizer

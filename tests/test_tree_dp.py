@@ -1,0 +1,113 @@
+"""Two-pass tree DP (rooted BFS, subtree sums, top-down prefix) vs
+recursive numpy oracles on random forests."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from efficient_graph_algorithms_ray.config import EngineConfig
+from efficient_graph_algorithms_ray.pipelines.graph_build import build_graph
+from efficient_graph_algorithms_ray.pipelines.tree_dp import (
+    make_vid_lookup,
+    rooted_bfs,
+    subtree_aggregate,
+    topdown_prefix,
+)
+from efficient_graph_algorithms_ray.stages.hashing import hash_to_vid
+
+
+def _forest(n=90, n_trees=3, seed=17):
+    """Random forest: each non-seed vertex attaches to a random earlier
+    vertex of its tree — returns (graph, vids, undirected edge arrays)."""
+    rng = np.random.Generator(np.random.Philox(key=[seed, 0]))
+    vids = hash_to_vid([f"t{i}" for i in range(n)])
+    tree_of = np.arange(n) % n_trees
+    src, dst = [], []
+    for i in range(n_trees, n):
+        cands = np.flatnonzero(tree_of[:i] == tree_of[i])
+        j = int(rng.choice(cands))
+        src.append(vids[i])
+        dst.append(vids[j])
+    src, dst = np.array(src, dtype=np.uint64), np.array(dst, dtype=np.uint64)
+    ds = rd.from_arrow(
+        pa.table(
+            {"src": pa.array(src, type=pa.uint64()), "dst": pa.array(dst, type=pa.uint64())}
+        )
+    )
+    g = build_graph(ds, EngineConfig(num_partitions=4), directed=False)
+    return g, vids, src, dst
+
+
+def test_rooted_bfs_depths_and_parent_validity(tmp_path):
+    g, vids, src, dst = _forest()
+    out, summary = rooted_bfs(g, str(tmp_path / "bfs"))
+    df = out.to_pandas()
+    assert len(df) == len(vids)
+    # trees: exactly n_trees roots, every non-root's parent is a real vertex
+    roots = df[df["parent_id"] == df["own_id"]]
+    assert len(roots) == 3
+    assert (roots["depth"] == 0).all()
+    id2row = df.set_index("own_id")
+    nonroot = df[df["parent_id"] != df["own_id"]]
+    pdepth = id2row.loc[nonroot["parent_id"], "depth"].to_numpy()
+    assert (nonroot["depth"].to_numpy() == pdepth + 1).all()  # BFS property
+    # parent is an actual neighbor
+    und = set()
+    for s, d in zip(src, dst):
+        und.add((int(s), int(d)))
+        und.add((int(d), int(s)))
+    pvid = id2row.loc[nonroot["parent_id"], "vid"].to_numpy()
+    for v, p in zip(nonroot["vid"], pvid):
+        assert (int(v), int(p)) in und
+    assert summary["converged"]
+
+
+def test_two_pass_dp_matches_recursive_oracle(tmp_path):
+    g, vids, src, dst = _forest(n=80, n_trees=2, seed=5)
+    out, _ = rooted_bfs(g, str(tmp_path / "bfs"))
+    pdf = out.to_pandas()
+
+    rng = np.random.Generator(np.random.Philox(key=[77, 0]))
+    x = rng.random(len(vids))
+    x_lookup = make_vid_lookup(vids, x)
+
+    sub, s1 = subtree_aggregate(g, pdf, x_lookup, str(tmp_path / "sub"))
+    pre, s2 = topdown_prefix(g, pdf, x_lookup, str(tmp_path / "pre"))
+    sub_df = sub.to_pandas().set_index("vid")
+    pre_df = pre.to_pandas().set_index("vid")
+
+    # recursive oracles over the BFS forest the engine itself produced
+    # (parent correctness is covered by the structural test above);
+    # arrays, not iterrows — pandas coerces uint64 vids to float there
+    idx = {v: i for i, v in enumerate(vids)}
+    vid_arr = pdf["vid"].to_numpy().astype(np.uint64)
+    own_arr = pdf["own_id"].to_numpy()
+    par_arr = pdf["parent_id"].to_numpy()
+    dep_arr = pdf["depth"].to_numpy()
+    id2vid = dict(zip(own_arr, vid_arr))
+    par = np.arange(len(vids))
+    for vv, pp in zip(vid_arr, par_arr):
+        par[idx[vv]] = idx[id2vid[pp]]
+
+    subtree = x.copy()
+    for r in np.argsort(-dep_arr):
+        vi = idx[vid_arr[r]]
+        if par[vi] != vi:
+            subtree[par[vi]] += subtree[vi]
+    prefix = x.copy()
+    for r in np.argsort(dep_arr):
+        vi = idx[vid_arr[r]]
+        if par[vi] != vi:
+            prefix[vi] = prefix[par[vi]] + x[vi]
+
+    for v in vids:
+        assert np.isclose(sub_df.loc[v, "subtree_sum"], subtree[idx[v]], atol=1e-9)
+        assert np.isclose(pre_df.loc[v, "prefix"], prefix[idx[v]], atol=1e-9)
+
+    # root subtree sums = per-tree totals; leaves' prefixes end at x-sums
+    roots = pdf[pdf["parent_id"] == pdf["own_id"]]["vid"]
+    assert np.isclose(
+        sum(sub_df.loc[r, "subtree_sum"] for r in roots), x.sum(), atol=1e-9
+    )
