@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sinkhorn_dist_coocc": R.q_sinkhorn_coocc,
         "ldd_coocc": R.q_ldd_coocc,
         "subtree_sizes_msf": R.q_subtree_sizes_msf,
+        "sssp_partsupp": R.q_sssp_partsupp,
         "events_prev_gap": R.q_events_prev_gap,
         "events_sessions": R.q_events_sessions,
         "events_asof_last_order": R.q_events_asof_last_order,

@@ -377,6 +377,47 @@ def q_heat_smooth_coocc(sf_dir: str):
     return out.map_batches(_round, batch_format="pyarrow")
 
 
+def q_sssp_partsupp(sf_dir: str):
+    """Weighted shortest-path forest over the part–supplier graph,
+    edge length 1/Σquantity (high-volume links are close): Bellman–Ford
+    supersteps with quantized edge shifts (rows-only at the driver;
+    bit-exact vs the dense replica in pytest)."""
+    from .paths import shortest_path_forest
+
+    def _weighted(batch: pa.Table) -> pa.Table:
+        qty = batch.column("l_quantity").to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "src": batch.column("l_partkey").cast(pa.uint64()),
+                "dst": pc.add(
+                    batch.column("l_suppkey").cast(pa.int64()), SUPP_OFFSET
+                ).cast(pa.uint64()),
+                # 1/qty per lineitem row; duplicates sum at CSR pack →
+                # parallel-conductance-style length per (part, supplier)
+                "w": pa.array(1.0 / np.maximum(qty, 1.0), type=pa.float64()),
+            }
+        )
+
+    edges = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_quantity"]).map_batches(
+        _weighted, batch_format="pyarrow"
+    )
+    g = build_graph(edges, EngineConfig(num_partitions=16), directed=False)
+    sources = np.array([1, 2, 3], dtype=np.uint64)  # partkeys 1–3
+    out, _ = shortest_path_forest(g, sources, _ckpt("sssp"))
+
+    def _shape(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vid": batch.column("vid").cast(pa.int64()),
+                "dist_q": batch.column("dist_q"),
+                "parent_id": batch.column("parent_id"),
+                "reached": batch.column("reached"),
+            }
+        )
+
+    return out.map_batches(_shape, batch_format="pyarrow")
+
+
 def q_subtree_sizes_msf(sf_dir: str):
     """Two-pass tree DP over the MSF of the co-occurrence graph:
     Borůvka forest → rooted BFS orientation → gated bottom-up subtree

@@ -61,6 +61,7 @@ class BSPWorker:
         normalize: bool = True,
         apply_fn=None,
         msg_fn=None,
+        edge_shift_fn=None,
     ) -> None:
         self.w = worker_id
         self.W = W
@@ -125,6 +126,16 @@ class BSPWorker:
                 # per-edge weights in permuted order (weighted graphs only)
                 "w_perm": csr["weights"][perm] if "weights" in csr else None,
             }
+            # edge_shift_fn(w_perm | None, csr) -> uint64 per-edge addend
+            # for min-mode messages (weighted shortest paths: quantized
+            # edge length in the encoded key's high bits). Precomputed
+            # once — static like the rest of the scatter structure.
+            if edge_shift_fn is not None:
+                self._sc[p]["edge_shift"] = np.asarray(
+                    edge_shift_fn(self._sc[p]["w_perm"], csr), dtype=np.uint64
+                )
+            else:
+                self._sc[p]["edge_shift"] = None
 
     # ---- state management -------------------------------------------------
     def init_state(self, init_fn, iter0_dir: str) -> float:
@@ -201,6 +212,12 @@ class BSPWorker:
             else:
                 msg = value if self.msg_fn is None else self.msg_fn(value, csr)
                 vals = msg[sc["gather"]]
+                if sc["edge_shift"] is not None:
+                    # saturation guard: identity/unreached messages
+                    # (≥ 2^62) must not wrap past UNLABELED
+                    vals = np.where(
+                        vals >= np.uint64(1 << 62), vals, vals + sc["edge_shift"]
+                    )
                 sums = (
                     np.minimum.reduceat(vals, sc["seg_starts"])
                     if len(sc["seg_starts"])

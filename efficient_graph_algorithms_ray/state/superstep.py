@@ -90,6 +90,7 @@ def run_supersteps(
     normalize: bool = True,
     apply_fn=None,
     msg_fn=None,
+    edge_shift_fn=None,
 ) -> dict:
     """Drive supersteps to convergence; returns the run summary dict.
 
@@ -119,7 +120,7 @@ def run_supersteps(
     actors = [
         BSPWorker.options(num_cpus=cpu_frac).remote(
             w, W, owned_by_w[w], P, mode, N, damping, owner_map, teleport_fn,
-            normalize, apply_fn, msg_fn,
+            normalize, apply_fn, msg_fn, edge_shift_fn,
         )
         for w in range(W)
     ]

@@ -1,0 +1,136 @@
+"""Weighted shortest-path forest vs a bit-identical dense Bellman–Ford
+replica (same quantized integer arithmetic)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from efficient_graph_algorithms_ray.config import EngineConfig, UNLABELED
+from efficient_graph_algorithms_ray.pipelines.graph_build import build_graph
+from efficient_graph_algorithms_ray.pipelines.paths import shortest_path_forest
+from efficient_graph_algorithms_ray.stages.hashing import hash_to_vid
+
+
+def _weighted_graph(n=70, p=0.08, seed=3, with_island=True):
+    rng = np.random.Generator(np.random.Philox(key=[seed, 0]))
+    vids = hash_to_vid([f"p{i}" for i in range(n)])
+    iu, ju = np.triu_indices(n - (3 if with_island else 0), 1)
+    keep = rng.random(len(iu)) < p
+    si, di = iu[keep], ju[keep]
+    w = np.round(rng.random(len(si)) * 3 + 0.25, 3)
+    if with_island:  # a 3-vertex triangle with no source in it
+        si = np.concatenate([si, [n - 3, n - 2, n - 1]])
+        di = np.concatenate([di, [n - 2, n - 1, n - 3]])
+        w = np.concatenate([w, [1.0, 1.0, 1.0]])
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array(vids[si], type=pa.uint64()),
+                "dst": pa.array(vids[di], type=pa.uint64()),
+                "w": pa.array(w, type=pa.float64()),
+            }
+        )
+    )
+    g = build_graph(ds, EngineConfig(num_partitions=4), directed=False)
+    return g, vids, si, di, w
+
+
+def _replica(df, vids, si, di, w, sources, scale):
+    """Fixpoint of the engine's exact message arithmetic."""
+    vid_arr = df["vid"].to_numpy().astype(np.uint64)
+    vid_sorted = vid_arr[np.argsort(vid_arr)]
+    pos = {v: i for i, v in enumerate(vid_sorted)}
+    n = len(vid_sorted)
+    own_sorted = df.sort_values("vid")["own_id"].to_numpy().astype(np.uint64)
+    INF = np.uint64(1 << 30)
+    dist = np.full(n, int(INF), dtype=np.uint64)
+    for s in sources:
+        dist[pos[s]] = 0
+    enc = (dist << np.uint64(32)) | own_sorted
+    q = np.maximum(np.rint(w * scale), 1).astype(np.uint64)
+    edges = [(pos[vids[a]], pos[vids[b]], qq) for a, b, qq in zip(si, di, q)]
+    while True:
+        new = enc.copy()
+        for a, b, qq in edges:
+            for u, v in ((a, b), (b, a)):
+                du = enc[u] >> np.uint64(32)
+                if du < INF:
+                    cand = ((du << np.uint64(32)) | own_sorted[u]) + (qq << np.uint64(32))
+                    if cand < new[v]:
+                        new[v] = cand
+        if (new == enc).all():
+            return enc
+        enc = new
+
+
+def test_sssp_matches_dense_replica(tmp_path):
+    g, vids, si, di, w = _weighted_graph()
+    sources = np.sort(vids[:3].astype(np.uint64))
+    scale = 1 << 16
+    out, summary = shortest_path_forest(
+        g, sources, str(tmp_path / "sssp"), scale=scale
+    )
+    df = out.to_pandas()
+    enc = _replica(df, vids, si, di, w, sources, scale)
+
+    got = df.sort_values("vid").reset_index(drop=True)
+    got_dq = got["dist_q"].to_numpy()
+    got_par = got["parent_id"].to_numpy()
+    exp_dq = (enc >> np.uint64(32)).astype(np.int64)
+    exp_par = (enc & np.uint64(0xFFFFFFFF)).astype(np.int64)
+    reached = exp_dq < (1 << 30)
+    assert (got["reached"].to_numpy() == reached).all()
+    assert (got_dq[reached] == exp_dq[reached]).all()
+    assert (got_par[reached] == exp_par[reached]).all()
+    # island: unreached, dist −1/inf, parent self
+    assert (~reached).sum() == 3
+    assert (got_dq[~reached] == -1).all()
+    assert np.isinf(got.loc[~reached, "dist"]).all()
+    assert (got.loc[~reached, "parent_id"].to_numpy() == got.loc[~reached, "own_id"].to_numpy()).all()
+    # sources at distance 0, parent self
+    for s in sources:
+        row = got[got["vid"] == s].iloc[0]
+        assert row["dist_q"] == 0 and row["parent_id"] == row["own_id"]
+    assert summary["converged"]
+
+
+def test_sssp_unweighted_equals_hop_bfs(tmp_path):
+    g, vids, si, di, w = _weighted_graph(with_island=False)
+    # rebuild WITHOUT weights → unit edge length
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array(vids[si], type=pa.uint64()),
+                "dst": pa.array(vids[di], type=pa.uint64()),
+            }
+        )
+    )
+    g = build_graph(ds, EngineConfig(num_partitions=4), directed=False)
+    src0 = np.array([min(vids[np.unique(np.concatenate([si, di]))])], dtype=np.uint64)
+    scale = 1 << 16
+    out, _ = shortest_path_forest(g, src0, str(tmp_path / "bfsd"), scale=scale)
+    df = out.to_pandas()
+    # numpy hop BFS
+    uvids = np.unique(np.concatenate([vids[si], vids[di]]))
+    pos = {v: i for i, v in enumerate(uvids)}
+    adj = {i: set() for i in range(len(uvids))}
+    for a, b in zip(vids[si], vids[di]):
+        adj[pos[a]].add(pos[b])
+        adj[pos[b]].add(pos[a])
+    hops = np.full(len(uvids), -1)
+    frontier = [pos[src0[0]]]
+    hops[frontier[0]] = 0
+    d = 0
+    while frontier:
+        nxt = [v for u in frontier for v in adj[u] if hops[v] == -1]
+        nxt = sorted(set(nxt))
+        d += 1
+        for v in nxt:
+            hops[v] = d
+        frontier = nxt
+    got = df.set_index("vid")
+    for v in uvids:
+        expect = hops[pos[v]] * scale if hops[pos[v]] >= 0 else -1
+        assert got.loc[v, "dist_q"] == expect
