@@ -377,6 +377,34 @@ def q_heat_smooth_coocc(sf_dir: str):
     return out.map_batches(_round, batch_format="pyarrow")
 
 
+def q_anf_coocc(sf_dir: str):
+    """HyperANF neighborhood function of the part co-occurrence graph
+    (mode='max' HLL-register supersteps; rows-only at the driver,
+    engine ≡ dense replica + exact-ball tolerance in pytest).
+    Returns (t, n_t_r2) plus the interpolated effective diameter."""
+    from .anf import neighborhood_function
+
+    g = build_graph(
+        part_cooccurrence_edges(sf_dir), EngineConfig(num_partitions=16), directed=False
+    )
+    res = neighborhood_function(g, _ckpt("anf"), p=6)
+    import ray.data as rd
+
+    t = np.arange(len(res["n_t"]), dtype=np.int64)
+    return rd.from_arrow(
+        pa.table(
+            {
+                "t": pa.array(t, type=pa.int64()),
+                "n_t_r2": pa.array(np.round(res["n_t"], 2), type=pa.float64()),
+                "effective_diameter_r3": pa.array(
+                    np.full(len(t), round(res["effective_diameter"], 3)),
+                    type=pa.float64(),
+                ),
+            }
+        )
+    )
+
+
 def q_sssp_partsupp(sf_dir: str):
     """Weighted shortest-path forest over the part–supplier graph,
     edge length 1/Σquantity (high-volume links are close): Bellman–Ford

@@ -209,6 +209,17 @@ class BSPWorker:
                     if len(sc["seg_starts"])
                     else np.empty((0,) + vals.shape[1:])
                 )
+            elif self.mode == "max":
+                # elementwise-max monoid over non-negative float fields
+                # (HLL register propagation / neighborhood sketches);
+                # identity = 0, so the state contract is value ≥ 0.
+                msg = value if self.msg_fn is None else self.msg_fn(value, csr)
+                vals = np.asarray(msg, dtype=np.float64)[sc["gather"]]
+                sums = (
+                    np.maximum.reduceat(vals, sc["seg_starts"], axis=0)
+                    if len(sc["seg_starts"])
+                    else np.empty((0,) + vals.shape[1:])
+                )
             else:
                 msg = value if self.msg_fn is None else self.msg_fn(value, csr)
                 vals = msg[sc["gather"]]
@@ -254,7 +265,7 @@ class BSPWorker:
             old = self.values[p]
             is2d = old.ndim == 2
             width = old.shape[1] if is2d else 1
-            if self.mode == "sum":
+            if self.mode in ("sum", "max"):  # max identity: 0 (value ≥ 0)
                 acc = np.zeros((n, width)) if is2d else np.zeros(n)
             else:
                 acc = np.full(n, UNLABELED, dtype=np.uint64)
@@ -279,6 +290,8 @@ class BSPWorker:
                             acc[:, j] += np.bincount(idx, weights=reds_m[:, j], minlength=n)
                     else:
                         acc += np.bincount(idx, weights=reds_m, minlength=n)
+                elif self.mode == "max":
+                    np.maximum.at(acc, idx, reds[mask])
                 else:
                     np.minimum.at(acc, idx, reds[mask])
             if self.mode == "sum":
@@ -310,7 +323,7 @@ class BSPWorker:
                     "msg_bytes": msg_bytes if not metrics else 0,
                 }
             else:
-                new = np.minimum(old, acc)
+                new = np.maximum(old, acc) if self.mode == "max" else np.minimum(old, acc)
                 ch = int((new != old).sum())
                 m = {
                     "part": p,

@@ -33,7 +33,7 @@ def write_state_part(idir: str, p: int, value: np.ndarray, mode: str) -> None:
     """Atomic per-partition state file; vector fields ([n, d]) are
     stored flattened with their width for exact round-trip."""
     os.makedirs(idir, exist_ok=True)
-    arrow_type = _F64 if mode == "sum" else _U64
+    arrow_type = _U64 if mode == "min" else _F64  # sum/max: float fields
     # width 0 encodes a 1-D array; >0 a 2-D [n, width] field (so [n, 1]
     # round-trips as 2-D — the d=1 vector-field edge case)
     width = value.shape[1] if value.ndim == 2 else 0

@@ -138,7 +138,7 @@ def run_supersteps(
             prev = m.get("metrics") or {}
             if last > 0 and (
                 (mode == "sum" and tol > 0 and prev.get("delta_inf", np.inf) < tol)
-                or (mode == "min" and prev.get("changed", 1) == 0)
+                or (mode in ("min", "max") and prev.get("changed", 1) == 0)
             ):
                 # already converged — nothing to recompute
                 return {
@@ -212,7 +212,7 @@ def run_supersteps(
                 )
             if mode == "sum" and tol > 0 and delta_inf < tol:
                 break
-            if mode == "min" and changed == 0:
+            if mode in ("min", "max") and changed == 0:
                 break
     finally:
         for a in actors:
