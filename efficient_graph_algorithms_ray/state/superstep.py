@@ -3,14 +3,19 @@
 Engine equivalent of the reference's abstract integrator contract
 ``GFIntegrator.integrate_graph_field(field) -> field`` (/root/
 reference/src/ega/algorithms/gf_integrator.py:3-37): one superstep is
-one distributed matvec over the partitioned graph. Two combine
-monoids cover the north-star algorithms:
+one distributed matvec over the partitioned graph. Three combine
+monoids cover the algorithm families:
 
 - mode='sum'  → PageRank power iteration (damped random walk with
-  restart, /root/reference/src/ega/algorithms/graph_kernels.py:72-79)
+  restart, /root/reference/src/ega/algorithms/graph_kernels.py:72-79);
+  with ``msg_fn`` also gated tree-DP accumulation (pipelines/tree_dp.py)
 - mode='min'  → connected components / label propagation (min-label
   hash propagation; BFS-coloring semantics per
-  /root/reference/src/planar_separators/lipton_tarjan/utils.py:62-76)
+  /root/reference/src/planar_separators/lipton_tarjan/utils.py:62-76);
+  with ``msg_fn``/``edge_shift_fn`` also encoded-key propagation:
+  random-shift decomposition, rooted BFS, weighted shortest paths
+- mode='max'  → elementwise max over non-negative vector fields
+  (HyperANF HLL-register propagation, pipelines/anf.py)
 
 Why the superstep loop is actors + tasks rather than a Dataset
 ``groupby`` (the one deliberate departure — everything non-iterative
