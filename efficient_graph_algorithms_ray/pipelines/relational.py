@@ -377,6 +377,40 @@ def q_heat_smooth_coocc(sf_dir: str):
     return out.map_batches(_round, batch_format="pyarrow")
 
 
+def q_walk_corpus_coocc(sf_dir: str):
+    """Deterministic DeepWalk-style training sequences over the part
+    co-occurrence graph (undirected → full-length walks): L map_batches
+    steps, zero-shuffle, broadcast CSR reads (rows-only at the driver;
+    edge-validity/determinism oracles in pytest). Returns (walk_id,
+    seq_len, first, last)."""
+    from .walk_corpus import random_walk_corpus
+
+    g = build_graph(
+        part_cooccurrence_edges(sf_dir), EngineConfig(num_partitions=16), directed=False
+    )
+    walks = random_walk_corpus(g, walk_len=8, walks_per_vertex=1, seed=7)
+
+    def _shape(batch: pa.Table) -> pa.Table:
+        from ..util import list_rows
+
+        seqs = list_rows(batch, "seq")
+        return pa.table(
+            {
+                # full-range uint64 hash — int64 cast would overflow
+                "walk_id": batch.column("walk_id"),
+                "seq_len": pa.array([len(s) for s in seqs], type=pa.int64()),
+                "first": pa.array(
+                    np.array([s[0] for s in seqs], dtype=np.int64), type=pa.int64()
+                ),
+                "last": pa.array(
+                    np.array([s[-1] for s in seqs], dtype=np.int64), type=pa.int64()
+                ),
+            }
+        )
+
+    return walks.map_batches(_shape, batch_format="pyarrow")
+
+
 def q_anf_coocc(sf_dir: str):
     """HyperANF neighborhood function of the part co-occurrence graph
     (mode='max' HLL-register supersteps; rows-only at the driver,

@@ -1,0 +1,71 @@
+"""Random-walk corpus: every hop is a real edge, deterministic, correct
+lengths, dangling truncation."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from efficient_graph_algorithms_ray.config import EngineConfig
+from efficient_graph_algorithms_ray.pipelines.graph_build import build_graph
+from efficient_graph_algorithms_ray.pipelines.walk_corpus import random_walk_corpus
+from efficient_graph_algorithms_ray.stages.hashing import hash_to_vid
+
+
+def _graph(n=50, p=0.12, seed=2, with_dangling=True):
+    rng = np.random.Generator(np.random.Philox(key=[seed, 0]))
+    vids = hash_to_vid([f"c{i}" for i in range(n)])
+    mask = rng.random((n, n)) < p
+    np.fill_diagonal(mask, False)
+    if with_dangling:
+        mask[n - 1, :] = False  # vertex with no out-edges
+    si, di = np.nonzero(mask)
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array(vids[si], type=pa.uint64()),
+                "dst": pa.array(vids[di], type=pa.uint64()),
+            }
+        )
+    )
+    g = build_graph(ds, EngineConfig(num_partitions=4), directed=True)
+    edges = set(zip(vids[si].tolist(), vids[di].tolist()))
+    return g, vids, edges
+
+
+def test_walks_follow_real_edges_with_correct_length(tmp_path):
+    g, vids, edges = _graph()
+    out = random_walk_corpus(g, walk_len=6, walks_per_vertex=2).to_pandas()
+    n_vertices = g.n_vertices
+    assert len(out) == 2 * n_vertices
+    dangling_seen = 0
+    for seq in out["seq"]:
+        seq = [int(x) for x in seq]
+        assert 1 <= len(seq) <= 6
+        if len(seq) < 6:
+            dangling_seen += 1
+        for a, b in zip(seq, seq[1:]):
+            assert (a, b) in edges  # every hop is a real directed edge
+    assert dangling_seen >= 2  # walks reaching the dangling vertex truncate
+
+
+def test_walks_deterministic_across_runs(tmp_path):
+    g, _, _ = _graph(seed=9)
+    a = random_walk_corpus(g, walk_len=5, seed=13).to_pandas()
+    b = random_walk_corpus(g, walk_len=5, seed=13).to_pandas()
+    a = a.sort_values("walk_id").reset_index(drop=True)
+    b = b.sort_values("walk_id").reset_index(drop=True)
+    assert list(a["walk_id"]) == list(b["walk_id"])
+    for x, y in zip(a["seq"], b["seq"]):
+        assert [int(i) for i in x] == [int(i) for i in y]
+    # a different seed changes at least one walk
+    c = (
+        random_walk_corpus(g, walk_len=5, seed=14)
+        .to_pandas()
+        .sort_values("walk_id")
+        .reset_index(drop=True)
+    )
+    assert any(
+        [int(i) for i in x] != [int(i) for i in y] for x, y in zip(a["seq"], c["seq"])
+    )
