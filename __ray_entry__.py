@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "subtree_sizes_msf": R.q_subtree_sizes_msf,
         "sssp_partsupp": R.q_sssp_partsupp,
         "anf_coocc": R.q_anf_coocc,
+        "coreness_coocc": R.q_coreness_coocc,
         "walk_corpus_coocc": R.q_walk_corpus_coocc,
         "events_prev_gap": R.q_events_prev_gap,
         "events_sessions": R.q_events_sessions,

@@ -411,6 +411,20 @@ def q_walk_corpus_coocc(sf_dir: str):
     return walks.map_batches(_shape, batch_format="pyarrow")
 
 
+def q_coreness_coocc(sf_dir: str):
+    """k-core decomposition of the part co-occurrence graph via the
+    distributed h-index iteration (rows-only at the driver;
+    peeling-oracle-exact in pytest). cap=256 bounds representable
+    coreness (dense graph)."""
+    from .kcore import coreness
+
+    g = build_graph(
+        part_cooccurrence_edges(sf_dir), EngineConfig(num_partitions=16), directed=False
+    )
+    out, _ = coreness(g, _ckpt("kcore"), cap=256)
+    return _vid_to_int64(out, {"coreness": pa.int64()})
+
+
 def q_anf_coocc(sf_dir: str):
     """HyperANF neighborhood function of the part co-occurrence graph
     (mode='max' HLL-register supersteps; rows-only at the driver,
