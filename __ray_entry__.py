@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sssp_partsupp": R.q_sssp_partsupp,
         "anf_coocc": R.q_anf_coocc,
         "coreness_coocc": R.q_coreness_coocc,
+        "clustering_coeff_coocc": R.q_clustering_coeff_coocc,
         "walk_corpus_coocc": R.q_walk_corpus_coocc,
         "events_prev_gap": R.q_events_prev_gap,
         "events_sessions": R.q_events_sessions,
@@ -150,6 +151,7 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_partsupp_k4": S.pagerank_partsupp_sql(k=4, damping=0.85),
         "cc_customer_orders": S.CC_CUSTOMER_ORDERS,
         "triangles_coocc": S.TRIANGLES_COOCC,
+        "clustering_coeff_coocc": S.CLUSTERING_COEFF_COOCC,
         "pricing_summary": S.PRICING_SUMMARY,
         "top_customers": S.TOP_CUSTOMERS,
         "events_hourly": S.EVENTS_HOURLY,

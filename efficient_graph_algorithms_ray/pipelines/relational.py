@@ -411,6 +411,21 @@ def q_walk_corpus_coocc(sf_dir: str):
     return walks.map_batches(_shape, batch_format="pyarrow")
 
 
+def q_clustering_coeff_coocc(sf_dir: str):
+    """Per-vertex local clustering coefficient (2T/deg(deg−1) as
+    FLOOR-ppm) over the part co-occurrence graph — SQL-oracled
+    (composition of the exact triangle counts and degrees)."""
+    from .triangles import clustering_coefficient
+
+    g = build_graph(
+        part_cooccurrence_edges(sf_dir), EngineConfig(num_partitions=16), directed=False
+    )
+    return _vid_to_int64(
+        clustering_coefficient(g),
+        {"triangles": pa.int64(), "deg": pa.int64(), "cc_ppm": pa.int64()},
+    )
+
+
 def q_coreness_coocc(sf_dir: str):
     """k-core decomposition of the part co-occurrence graph via the
     distributed h-index iteration (rows-only at the driver;

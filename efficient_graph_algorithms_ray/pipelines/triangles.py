@@ -288,3 +288,40 @@ def total_triangles(tri_ds) -> int:
     """Global triangle count = Σ per-vertex / 3."""
     s = tri_ds.sum("triangles")
     return int(s // 3)
+
+
+def clustering_coefficient(graph: ShardedGraph):
+    """(vid, triangles, deg, cc_ppm): local clustering coefficient
+    2T/(deg·(deg−1)) as FLOOR(ppm) — floor of the same IEEE double
+    expression is bit-identical in numpy and DuckDB (ROUND is not),
+    so this composition stays SQL-oracle-exact. Reference analogue:
+    the normalized common-neighbor statistics on top of
+    ``interconnected_kernel`` (graph_kernels.py:107-121)."""
+    tri = triangle_count(graph)
+    deg_refs = _degree_index(graph)
+    P = graph.num_partitions
+
+    def _cc(batch: pa.Table) -> pa.Table:
+        vids = batch.column("vid").to_numpy(zero_copy_only=False).astype(np.uint64)
+        tris = batch.column("triangles").to_numpy(zero_copy_only=False).astype(np.float64)
+        deg = np.zeros(len(vids), dtype=np.float64)
+        parts = (vids % np.uint64(P)).astype(np.int64)
+        for p in np.unique(parts):
+            d = ray.get(deg_refs[int(p)])
+            rows = np.flatnonzero(parts == p)
+            pos = np.searchsorted(d["vids"], vids[rows])
+            deg[rows] = d["deg"][pos]
+        den = deg * (deg - 1.0)
+        cc_ppm = np.zeros(len(vids), dtype=np.int64)
+        ok = deg >= 2
+        cc_ppm[ok] = np.floor(2000000.0 * tris[ok] / den[ok]).astype(np.int64)
+        return pa.table(
+            {
+                "vid": batch.column("vid"),
+                "triangles": batch.column("triangles"),
+                "deg": pa.array(deg.astype(np.int64), type=pa.int64()),
+                "cc_ppm": pa.array(cc_ppm, type=pa.int64()),
+            }
+        )
+
+    return tri.map_batches(_cc, batch_format="pyarrow")

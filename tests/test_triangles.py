@@ -76,3 +76,30 @@ def test_erdos_renyi_triangles():
 def test_web_fixture_triangles(tiny_edges):
     src, dst = tiny_edges
     _check(src, dst, P=8)
+
+
+def test_clustering_coefficient_path_and_triangle(tmp_path):
+    """Path endpoints (deg 1 → cc 0 by guard) + a closed triangle (cc 1)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from efficient_graph_algorithms_ray.pipelines.triangles import clustering_coefficient
+
+    names = [f"x{i}" for i in range(6)]
+    vids = hash_to_vid(names)
+    # path 0-1-2  +  triangle 3-4-5
+    pairs = [(0, 1), (1, 2), (3, 4), (4, 5), (3, 5)]
+    src = np.array([vids[a] for a, b in pairs], dtype=np.uint64)
+    dst = np.array([vids[b] for a, b in pairs], dtype=np.uint64)
+    ds = rd.from_arrow(pa.table(
+        {"src": pa.array(src, type=pa.uint64()), "dst": pa.array(dst, type=pa.uint64())}
+    ))
+    g = build_graph(ds, EngineConfig(num_partitions=4), directed=False)
+    df = clustering_coefficient(g).to_pandas().set_index("vid")
+    # endpoints of the path: deg 1 → guard gives 0; middle: deg 2, no triangle → 0
+    assert df.loc[vids[0], "cc_ppm"] == 0 and df.loc[vids[0], "deg"] == 1
+    assert df.loc[vids[1], "cc_ppm"] == 0 and df.loc[vids[1], "deg"] == 2
+    # triangle vertices: cc = 1.0 → 1_000_000 ppm
+    for i in (3, 4, 5):
+        assert df.loc[vids[i], "cc_ppm"] == 1_000_000
+        assert df.loc[vids[i], "triangles"] == 1
