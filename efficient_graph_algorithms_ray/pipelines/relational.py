@@ -50,6 +50,33 @@ def _ckpt(name: str) -> str:
     return tempfile.mkdtemp(prefix=f"ega_ray_{name}_", dir="/tmp")
 
 
+# Built-graph cache: the driver runs every query in ONE Ray session, and
+# ~10 queries share the same co-occurrence / part-supplier graph — each
+# build is a full groupby shuffle + CSR pack (~4-5 s at sf0.01), so
+# pinning the ShardedGraph once per (kind, sf_dir) cuts the whole gate
+# by ~30%. ObjectRefs stay valid for the session; a new session starts
+# with an empty cache.
+_GRAPH_CACHE: dict = {}
+
+
+def _coocc_graph(sf_dir: str):
+    key = ("coocc", sf_dir)
+    if key not in _GRAPH_CACHE:
+        _GRAPH_CACHE[key] = build_graph(
+            part_cooccurrence_edges(sf_dir), EngineConfig(num_partitions=16), directed=False
+        )
+    return _GRAPH_CACHE[key]
+
+
+def _partsupp_graph(sf_dir: str):
+    key = ("partsupp", sf_dir)
+    if key not in _GRAPH_CACHE:
+        _GRAPH_CACHE[key] = build_graph(
+            partsupp_edges(sf_dir), EngineConfig(num_partitions=16), directed=True
+        )
+    return _GRAPH_CACHE[key]
+
+
 # --------------------------------------------------------------------------
 # edge tables derived from testdata (int64 keys, SQL-reproducible)
 # --------------------------------------------------------------------------
@@ -135,14 +162,14 @@ def _vid_to_int64(ds, value_cols: dict[str, pa.DataType]):
 # --------------------------------------------------------------------------
 
 def q_degree_partsupp(sf_dir: str):
-    g = build_graph(partsupp_edges(sf_dir), EngineConfig(num_partitions=16), directed=True)
+    g = _partsupp_graph(sf_dir)
     return _vid_to_int64(
         degree_table(g), {"out_deg": pa.int64(), "in_deg": pa.int64()}
     )
 
 
 def q_pagerank_partsupp_k4(sf_dir: str):
-    g = build_graph(partsupp_edges(sf_dir), EngineConfig(num_partitions=16), directed=True)
+    g = _partsupp_graph(sf_dir)
     ranks, _ = pagerank(g, _ckpt("prk4"), damping=0.85, tol=0.0, max_iters=4)
 
     def _round(batch: pa.Table) -> pa.Table:
@@ -164,7 +191,7 @@ def q_avg_rank_small_parts(sf_dir: str):
 
     from .pagerank import average_projection
 
-    g = build_graph(partsupp_edges(sf_dir), EngineConfig(num_partitions=16), directed=True)
+    g = _partsupp_graph(sf_dir)
     ranks, _ = pagerank(g, _ckpt("prk4avg"), damping=0.85, tol=0.0, max_iters=4)
     part_tbl = pq_.read_table(
         os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_size"]
@@ -194,9 +221,7 @@ def q_cc_customer_orders(sf_dir: str):
 
 
 def q_triangles_coocc(sf_dir: str):
-    g = build_graph(
-        part_cooccurrence_edges(sf_dir), EngineConfig(num_partitions=16), directed=False
-    )
+    g = _coocc_graph(sf_dir)
     return _vid_to_int64(triangle_count(g), {"triangles": pa.int64()})
 
 
@@ -305,9 +330,7 @@ def q_walk2_coocc(sf_dir: str):
     ``random_walk_kernel`` semantics (graph_kernels.py:66-68), SQL-oracled."""
     from .walks import k_step_walk
 
-    g = build_graph(
-        part_cooccurrence_edges(sf_dir), EngineConfig(num_partitions=16), directed=False
-    )
+    g = _coocc_graph(sf_dir)
     mass, _ = k_step_walk(g, _ckpt("walk2"), k=2)
 
     def _round(batch: pa.Table) -> pa.Table:
@@ -328,7 +351,7 @@ def q_ppr_parts(sf_dir: str):
     generalized-walk oracle."""
     from .walks import personalized_pagerank
 
-    g = build_graph(partsupp_edges(sf_dir), EngineConfig(num_partitions=16), directed=True)
+    g = _partsupp_graph(sf_dir)
     seeds = [1, 2, 3, 4, 5]
     scores, _ = personalized_pagerank(g, _ckpt("ppr"), seeds, tol=1e-8, max_iters=200)
 
@@ -354,9 +377,7 @@ def q_heat_smooth_coocc(sf_dir: str):
     from .diffusion import heat_kernel_smooth
     from .walks import vertex_lookup_init
 
-    g = build_graph(
-        part_cooccurrence_edges(sf_dir), EngineConfig(num_partitions=16), directed=False
-    )
+    g = _coocc_graph(sf_dir)
     part_tbl = pq_.read_table(
         os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_retailprice"]
     )
@@ -385,9 +406,7 @@ def q_walk_corpus_coocc(sf_dir: str):
     seq_len, first, last)."""
     from .walk_corpus import random_walk_corpus
 
-    g = build_graph(
-        part_cooccurrence_edges(sf_dir), EngineConfig(num_partitions=16), directed=False
-    )
+    g = _coocc_graph(sf_dir)
     walks = random_walk_corpus(g, walk_len=8, walks_per_vertex=1, seed=7)
 
     def _shape(batch: pa.Table) -> pa.Table:
@@ -417,9 +436,7 @@ def q_clustering_coeff_coocc(sf_dir: str):
     (composition of the exact triangle counts and degrees)."""
     from .triangles import clustering_coefficient
 
-    g = build_graph(
-        part_cooccurrence_edges(sf_dir), EngineConfig(num_partitions=16), directed=False
-    )
+    g = _coocc_graph(sf_dir)
     return _vid_to_int64(
         clustering_coefficient(g),
         {"triangles": pa.int64(), "deg": pa.int64(), "cc_ppm": pa.int64()},
@@ -433,9 +450,7 @@ def q_coreness_coocc(sf_dir: str):
     coreness (dense graph)."""
     from .kcore import coreness
 
-    g = build_graph(
-        part_cooccurrence_edges(sf_dir), EngineConfig(num_partitions=16), directed=False
-    )
+    g = _coocc_graph(sf_dir)
     out, _ = coreness(g, _ckpt("kcore"), cap=256)
     return _vid_to_int64(out, {"coreness": pa.int64()})
 
@@ -447,9 +462,7 @@ def q_anf_coocc(sf_dir: str):
     Returns (t, n_t_r2) plus the interpolated effective diameter."""
     from .anf import neighborhood_function
 
-    g = build_graph(
-        part_cooccurrence_edges(sf_dir), EngineConfig(num_partitions=16), directed=False
-    )
+    g = _coocc_graph(sf_dir)
     res = neighborhood_function(g, _ckpt("anf"), p=6)
     import ray.data as rd
 
@@ -518,9 +531,7 @@ def q_subtree_sizes_msf(sf_dir: str):
     from .mst import minimum_spanning_forest
     from .tree_dp import rooted_bfs, subtree_aggregate
 
-    g = build_graph(
-        part_cooccurrence_edges(sf_dir), EngineConfig(num_partitions=16), directed=False
-    )
+    g = _coocc_graph(sf_dir)
     forest_edges, _ = minimum_spanning_forest(g)
 
     def _as_src_dst(batch: pa.Table) -> pa.Table:
@@ -567,9 +578,7 @@ def q_ldd_coocc(sf_dir: str):
     rows-only at the driver; bit-exact vs the dense replica in pytest."""
     from .decomposition import low_diameter_decomposition
 
-    g = build_graph(
-        part_cooccurrence_edges(sf_dir), EngineConfig(num_partitions=16), directed=False
-    )
+    g = _coocc_graph(sf_dir)
     # β sized to this graph: the co-occurrence graph has diameter ≈ 4,
     # so small β (radius O(log n / β) > diameter) degenerates to one
     # cluster; β=4 yields ~1000 clusters with largest ≈ 110 at sf0.01.
@@ -597,9 +606,7 @@ def q_sinkhorn_coocc(sf_dir: str):
 
     from .diffusion import sinkhorn_distance
 
-    g = build_graph(
-        part_cooccurrence_edges(sf_dir), EngineConfig(num_partitions=16), directed=False
-    )
+    g = _coocc_graph(sf_dir)
     part_tbl = pq_.read_table(
         os.path.join(sf_dir, "part.parquet"),
         columns=["p_partkey", "p_retailprice", "p_size"],
