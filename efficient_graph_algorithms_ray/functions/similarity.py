@@ -90,7 +90,7 @@ def knn_brute_force(embeddings_ds, query_ids: list[int], k: int = 5):
             col = sims[:, j]
             mask = ids != qid  # exclude self
             cand_ids, cand = ids[mask], col[mask]
-            top = min(len(cand), 64)  # local partial top (> final k for ties)
+            top = min(len(cand), max(k, 64))  # local partial top ≥ k (ties margin)
             sel = np.argpartition(-cand, top - 1)[:top] if top else np.empty(0, np.int64)
             out_q.append(np.full(len(sel), qid, dtype=np.int64))
             out_v.append(cand_ids[sel].astype(np.int64))

@@ -71,9 +71,17 @@ def personalized_pagerank(
     resume: bool = False,
 ):
     """Seeded PageRank: restart at the seed distribution. ``seeds`` is
-    a {vid: weight} dict or a list of vids (uniform over the set)."""
+    a {vid: weight} dict or a list of vids (uniform over the set).
+
+    Seeds absent from the graph are dropped BEFORE normalization (so
+    the teleport still sums to 1 — matching generalized_walk_oracle's
+    semantics; silently leaking teleport mass was the round-1 bug)."""
     if not isinstance(seeds, dict):
         seeds = {int(v): 1.0 for v in seeds}
+    present = graph.vids_present(np.array(sorted(seeds), dtype=np.uint64))
+    seeds = {v: seeds[v] for v, ok in zip(sorted(seeds), present) if ok}
+    if not seeds:
+        raise ValueError("none of the seed vids exist in the graph")
     tfn = _seed_teleport(seeds)
     summary = run_supersteps(
         graph,

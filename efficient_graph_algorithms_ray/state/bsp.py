@@ -202,7 +202,11 @@ class BSPWorker:
                             value, norm, out=np.zeros_like(value, dtype=np.float64), where=norm > 0
                         )
                 vals = contrib[sc["gather"]]
-                if sc["w_perm"] is not None:
+                # msg_fn replaces the contribution ENTIRELY (documented
+                # contract) — per-edge weights must not scale gated sends
+                # (one-hot histograms / readiness gates would silently
+                # weight-scale on a weighted graph).
+                if sc["w_perm"] is not None and self.msg_fn is None:
                     vals = vals * (sc["w_perm"][:, None] if vals.ndim == 2 else sc["w_perm"])
                 sums = (
                     np.add.reduceat(vals, sc["seg_starts"], axis=0)

@@ -123,6 +123,28 @@ class ShardedGraph:
                 ne[p] = len(csr["indices"])
         return ShardedGraph(meta["num_partitions"], meta["directed"], refs, nv, ne, meta)
 
+    def vids_present(self, vids) -> np.ndarray:
+        """Boolean mask: which of ``vids`` exist in the graph.
+
+        Owning-shard lookup (vid % P → shard, searchsorted in its sorted
+        vids) — fetches only the queried partitions' vid arrays, never
+        the whole vertex set; meant for small driver-side sets (seeds)."""
+        arr = np.asarray(list(vids) if not isinstance(vids, np.ndarray) else vids, dtype=np.uint64)
+        mask = np.zeros(len(arr), dtype=bool)
+        parts = (arr % np.uint64(self.num_partitions)).astype(np.int64)
+        for p in np.unique(parts):
+            ref = self.refs.get(int(p))
+            if ref is None:
+                continue
+            shard_vids = ray.get(ref)["vids"]
+            sel = parts == p
+            sub = arr[sel]
+            pos = np.searchsorted(shard_vids, sub)
+            ok = pos < len(shard_vids)
+            ok[ok] = shard_vids[pos[ok]] == sub[ok]
+            mask[sel] = ok
+        return mask
+
     def vertex_dataset(self):
         """All (vid, deg) rows as a Dataset — degree table, zero-fills, joins."""
         import ray.data as rd

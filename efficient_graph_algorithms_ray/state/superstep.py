@@ -67,6 +67,17 @@ def _iter_dir(ckpt: str, k: int) -> str:
     return _iter_dir_fn(ckpt, k)
 
 
+def _write_manifest(ckpt: str, k: int, obj: dict) -> None:
+    """Atomic manifest write (tmp + rename), mirroring write_state_part:
+    find_last_complete keys on file existence, so a torn manifest from a
+    mid-write crash must never be left behind."""
+    path = _manifest_path(ckpt, k)
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f)
+    os.replace(tmp, path)
+
+
 def _pool_plan(num_parts: int) -> tuple[int, float]:
     """(W, num_cpus per worker). W = one worker per CPU (balanced
     partition ownership), but each worker reserves (cpus-1)/cpus CPU so
@@ -163,17 +174,11 @@ def run_supersteps(
             ]
             tot = sum(parts_d)
             dangling = tot.tolist() if np.ndim(tot) else float(tot)
-            with open(_manifest_path(ckpt, 0), "w") as f:
-                json.dump(
-                    {
-                        "iter": 0,
-                        "mode": mode,
-                        "dangling": dangling,
-                        "parts": parts,
-                        "metrics": {},
-                    },
-                    f,
-                )
+            _write_manifest(
+                ckpt,
+                0,
+                {"iter": 0, "mode": mode, "dangling": dangling, "parts": parts, "metrics": {}},
+            )
 
         phase_secs["init"] = time.perf_counter() - t_init0
         history: list[dict] = []
@@ -204,17 +209,17 @@ def run_supersteps(
                 "msg_bytes": int(sum(r.get("msg_bytes", 0) for r in rows)),
             }
             history.append(metrics)
-            with open(_manifest_path(ckpt, k), "w") as f:
-                json.dump(
-                    {
-                        "iter": k,
-                        "mode": mode,
-                        "dangling": dangling,
-                        "parts": sorted(int(r["part"]) for r in rows),
-                        "metrics": metrics,
-                    },
-                    f,
-                )
+            _write_manifest(
+                ckpt,
+                k,
+                {
+                    "iter": k,
+                    "mode": mode,
+                    "dangling": dangling,
+                    "parts": sorted(int(r["part"]) for r in rows),
+                    "metrics": metrics,
+                },
+            )
             if mode == "sum" and tol > 0 and delta_inf < tol:
                 break
             if mode in ("min", "max") and changed == 0:
@@ -247,17 +252,19 @@ def state_vertex_dataset(graph: ShardedGraph, iter_dir: str, value_name: str):
         widths = (
             batch.column("width").to_numpy(zero_copy_only=False)
             if "width" in batch.schema.names
-            else np.ones(len(parts), dtype=np.int64)
+            else np.zeros(len(parts), dtype=np.int64)
         )
         values = list_rows(batch, "value")
         vid_out, val_out = [], []
-        width = int(widths[0]) if len(widths) else 1
+        # width 0 = scalar state; width >= 1 = 2-D [n, width] vector field
+        # (so d=1 fields keep the documented list<float64>[d] output schema)
+        width = int(widths[0]) if len(widths) else 0
         for p, v, w in zip(parts, values, widths):
             csr = ray.get(refs[int(p)])
             vid_out.append(csr["vids"])
-            val_out.append(v.reshape(-1, int(w)) if int(w) > 1 else v)
+            val_out.append(v.reshape(-1, int(w)) if int(w) >= 1 else v)
         vids = np.concatenate(vid_out) if vid_out else np.empty(0, dtype=np.uint64)
-        if width > 1:
+        if width >= 1:
             mat = np.concatenate(val_out) if val_out else np.empty((0, width))
             val_arr = list_array(list(mat), np.float64, pa.float64())
         else:
