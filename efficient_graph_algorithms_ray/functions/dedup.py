@@ -34,6 +34,19 @@ MINHASH_PERMS = 128
 LSH_BANDS = 16  # 16 bands × 8 rows
 LSH_ROWS = MINHASH_PERMS // LSH_BANDS
 _MERSENNE = np.uint64((1 << 61) - 1)
+# skew guard: a degenerate bucket (empty docs, constant content) would be
+# O(n²) pairs in ONE task — skip oversized buckets instead (real near-dups
+# still collide in their other 15 bands / 3 bands with normal-sized buckets)
+MAX_BUCKET = 512
+
+
+def popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (numpy<2 has no bitwise_count):
+    one byte-view + unpackbits pass, no per-row Python."""
+    if len(x) == 0:
+        return np.zeros(0, dtype=np.int64)
+    by = np.ascontiguousarray(x, dtype=np.uint64).view(np.uint8)
+    return np.unpackbits(by).reshape(len(x), 64).sum(axis=1).astype(np.int64)
 
 
 def _perm_params(k: int = MINHASH_PERMS, seed: int = HASH_SEED):
@@ -106,12 +119,19 @@ def minhash_batch(batch: pa.Table) -> pa.Table:
 
 
 def _band_rows(batch: pa.Table) -> pa.Table:
-    """Explode signatures → (band, band_hash, doc_id, sig) LSH rows."""
-    from ..util import list_rows
+    """Explode signatures → (band, band_hash, doc_id, sig) LSH rows.
+
+    The FULL signature rides along on every band row so the bucket
+    group can verify candidates locally — a ×LSH_BANDS shuffle-volume
+    amplification (16 KB/doc at k=128), bought to keep verification
+    co-partitioned: no driver pass, no whole-corpus broadcast. (The
+    alternative at extreme scale is a doc_id hash-join of candidate
+    pairs back to the signature table.)"""
+    from ..util import list_array, list_rows
 
     doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
     sigs = list_rows(batch, "sig")
-    band, bhash, dids = [], [], []
+    band, bhash, dids, sig_rep = [], [], [], []
     for did, sig in zip(doc_ids, sigs):
         bands = sig.reshape(LSH_BANDS, LSH_ROWS)
         with np.errstate(over="ignore"):
@@ -119,6 +139,7 @@ def _band_rows(batch: pa.Table) -> pa.Table:
         band.append(np.arange(LSH_BANDS, dtype=np.int64))
         bhash.append(bh)
         dids.append(np.full(LSH_BANDS, did, dtype=np.int64))
+        sig_rep.extend([sig] * LSH_BANDS)
     return pa.table(
         {
             "band": pa.array(np.concatenate(band) if band else np.empty(0, np.int64), type=pa.int64()),
@@ -128,6 +149,7 @@ def _band_rows(batch: pa.Table) -> pa.Table:
             "doc_id": pa.array(
                 np.concatenate(dids) if dids else np.empty(0, np.int64), type=pa.int64()
             ),
+            "sig": list_array(sig_rep, np.uint64, pa.uint64()),
         }
     )
 
@@ -135,57 +157,154 @@ def _band_rows(batch: pa.Table) -> pa.Table:
 def minhash_candidate_pairs(docs_ds, threshold: float = 0.5):
     """MinHash+LSH near-dup pairs with signature-estimated Jaccard ≥ threshold.
 
-    Returns Dataset (doc_a, doc_b, est_jaccard). Signatures are
-    re-paired per bucket via a broadcast of the (small) signature
-    table of *bucketed candidates only* — at web scale this would be
-    a co-partitioned join keyed by doc_id; documented trade-off.
+    Returns Dataset (doc_a, doc_b, est_jaccard). Verification happens
+    INSIDE each (band, band_hash) bucket group against the signatures
+    co-shuffled with the band rows — fully partition-local; buckets
+    larger than MAX_BUCKET are skipped (degenerate-content skew guard).
+    Cross-band duplicates collapse via one hash aggregate (the est is
+    a pure function of the pair, identical in every band).
     """
-    import ray
-    import ray.data as rd
+    from ray.data.aggregate import Min
 
-    sigs = docs_ds.map_batches(minhash_batch, batch_format="pyarrow").materialize()
+    sigs = docs_ds.map_batches(minhash_batch, batch_format="pyarrow")
     bands = sigs.map_batches(_band_rows, batch_format="pyarrow")
 
-    def _pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = np.unique(group["doc_id"].to_numpy())
-        if len(ids) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": []}).astype(np.int64)
-        ia, ib = np.triu_indices(len(ids), 1)
-        return pd.DataFrame({"doc_a": ids[ia], "doc_b": ids[ib]})
-
-    cand = (
-        bands.groupby(["band", "band_hash"])
-        .map_groups(_pairs, batch_format="pandas")
-        .groupby(["doc_a", "doc_b"])
-        .map_groups(lambda g: g.head(1), batch_format="pandas")
-    )
-
-    # verify with full signatures (broadcast signature dict once)
-    sig_map = {}
-    for b in sigs.iter_batches(batch_size=None, batch_format="pyarrow"):
-        from ..util import list_rows
-
-        for did, sig in zip(b.column("doc_id").to_pylist(), list_rows(b, "sig")):
-            sig_map[did] = sig
-    sig_ref = ray.put(sig_map)
-
-    def _verify(batch: pa.Table) -> pa.Table:
-        sm = ray.get(sig_ref)
-        a = batch.column("doc_a").to_numpy(zero_copy_only=False)
-        b = batch.column("doc_b").to_numpy(zero_copy_only=False)
-        est = np.array(
-            [float((sm[x] == sm[y]).mean()) for x, y in zip(a, b)], dtype=np.float64
-        )
-        keep = est >= threshold
-        return pa.table(
+    def _bucket_verify(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
             {
-                "doc_a": pa.array(a[keep], type=pa.int64()),
-                "doc_b": pa.array(b[keep], type=pa.int64()),
-                "est_jaccard": pa.array(np.round(est[keep], 6)),
+                "doc_a": pd.Series([], dtype=np.int64),
+                "doc_b": pd.Series([], dtype=np.int64),
+                "est_jaccard": pd.Series([], dtype=np.float64),
+            }
+        )
+        g = group.drop_duplicates("doc_id").sort_values("doc_id")
+        n = len(g)
+        if n < 2 or n > MAX_BUCKET:
+            return empty
+        ids = g["doc_id"].to_numpy()
+        sig_mat = np.vstack(g["sig"].to_numpy())
+        ia, ib = np.triu_indices(n, 1)
+        est = (sig_mat[ia] == sig_mat[ib]).mean(axis=1)
+        keep = est >= threshold
+        return pd.DataFrame(
+            {
+                "doc_a": ids[ia][keep],
+                "doc_b": ids[ib][keep],
+                "est_jaccard": np.round(est[keep], 6),
             }
         )
 
-    return cand.map_batches(_verify, batch_format="pyarrow")
+    pairs = (
+        bands.groupby(["band", "band_hash"])
+        .map_groups(_bucket_verify, batch_format="pandas")
+    )
+    out = pairs.groupby(["doc_a", "doc_b"]).aggregate(
+        Min("est_jaccard", alias_name="est_jaccard")
+    )
+    return out.select_columns(["doc_a", "doc_b", "est_jaccard"])
+
+
+def minhash_exact_jaccard_pairs(docs_ds, threshold: float = 0.3):
+    """Exact w-shingle Jaccard for MinHash-LSH candidate pairs — the
+    verify step of the near-dup pipeline, fully partition-local.
+
+    The distinct shingle-hash SET rides the band rows next to the
+    signature (≈ sig-sized for normal prose), so each bucket group
+    verifies exactly (est ≥ threshold gate, then exact |A∩B|/|A∪B|)
+    with no driver text scan and no corpus broadcast (round 1 collected
+    candidate texts through the driver). Returns (doc_a, doc_b,
+    jaccard_r6); cross-band duplicates collapse via one hash aggregate.
+    """
+    from ray.data.aggregate import Min
+
+    from ..util import list_array, list_rows
+
+    def _sig_shingles(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pandas().fillna("")
+        shingles = [shingle_hashes(t) for t in texts]
+        sigs = [minhash_signature(s) for s in shingles]
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "sig": list_array(sigs, np.uint64, pa.uint64()),
+                "shingles": list_array(shingles, np.uint64, pa.uint64()),
+            }
+        )
+
+    def _bands(batch: pa.Table) -> pa.Table:
+        doc_ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        sigs = list_rows(batch, "sig")
+        shingles = list_rows(batch, "shingles")
+        band, bhash, dids, sig_rep, sh_rep = [], [], [], [], []
+        for did, sig, sh in zip(doc_ids, sigs, shingles):
+            bands = sig.reshape(LSH_BANDS, LSH_ROWS)
+            with np.errstate(over="ignore"):
+                bh = (bands * _PERM_A[:LSH_ROWS][None, :]).sum(axis=1, dtype=np.uint64)
+            band.append(np.arange(LSH_BANDS, dtype=np.int64))
+            bhash.append(bh)
+            dids.append(np.full(LSH_BANDS, did, dtype=np.int64))
+            sig_rep.extend([sig] * LSH_BANDS)
+            sh_rep.extend([sh] * LSH_BANDS)
+        return pa.table(
+            {
+                "band": pa.array(
+                    np.concatenate(band) if band else np.empty(0, np.int64), type=pa.int64()
+                ),
+                "band_hash": pa.array(
+                    np.concatenate(bhash) if bhash else np.empty(0, np.uint64), type=pa.uint64()
+                ),
+                "doc_id": pa.array(
+                    np.concatenate(dids) if dids else np.empty(0, np.int64), type=pa.int64()
+                ),
+                "sig": list_array(sig_rep, np.uint64, pa.uint64()),
+                "shingles": list_array(sh_rep, np.uint64, pa.uint64()),
+            }
+        )
+
+    def _bucket_exact(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "doc_a": pd.Series([], dtype=np.int64),
+                "doc_b": pd.Series([], dtype=np.int64),
+                "jaccard_r6": pd.Series([], dtype=np.float64),
+            }
+        )
+        g = group.drop_duplicates("doc_id").sort_values("doc_id")
+        n = len(g)
+        if n < 2 or n > MAX_BUCKET:
+            return empty
+        ids = g["doc_id"].to_numpy()
+        sig_mat = np.vstack(g["sig"].to_numpy())
+        sh = list(g["shingles"].to_numpy())
+        ia, ib = np.triu_indices(n, 1)
+        est = (sig_mat[ia] == sig_mat[ib]).mean(axis=1)
+        keep = np.flatnonzero(est >= threshold)
+        out_a, out_b, out_j = [], [], []
+        for kk in keep:  # est-gated pairs only — small per bucket
+            x, y = int(ia[kk]), int(ib[kk])
+            sa, sb = sh[x], sh[y]
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
+            j = 1.0 if union == 0 else inter / union
+            out_a.append(ids[x])
+            out_b.append(ids[y])
+            out_j.append(round(j, 6))
+        if not out_a:
+            return empty
+        return pd.DataFrame(
+            {
+                "doc_a": np.array(out_a, dtype=np.int64),
+                "doc_b": np.array(out_b, dtype=np.int64),
+                "jaccard_r6": np.array(out_j, dtype=np.float64),
+            }
+        )
+
+    rows = docs_ds.map_batches(_sig_shingles, batch_format="pyarrow").map_batches(
+        _bands, batch_format="pyarrow"
+    )
+    pairs = rows.groupby(["band", "band_hash"]).map_groups(_bucket_exact, batch_format="pandas")
+    out = pairs.groupby(["doc_a", "doc_b"]).aggregate(Min("jaccard_r6", alias_name="jaccard_r6"))
+    return out.select_columns(["doc_a", "doc_b", "jaccard_r6"])
 
 
 def simhash_candidate_pairs(docs_ds, max_hamming: int = 8):
@@ -218,11 +337,10 @@ def simhash_candidate_pairs(docs_ds, max_hamming: int = 8):
         g = group.drop_duplicates("doc_id").sort_values("doc_id")
         ids = g["doc_id"].to_numpy()
         sh = g["simhash"].to_numpy().astype(np.uint64)
-        if len(ids) < 2:
+        if len(ids) < 2 or len(ids) > MAX_BUCKET:  # degenerate-bucket skew guard
             return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64), "doc_b": pd.Series([], dtype=np.int64), "hamming": pd.Series([], dtype=np.int64)})
         ia, ib = np.triu_indices(len(ids), 1)
-        x = sh[ia] ^ sh[ib]
-        ham = np.array([bin(int(v)).count("1") for v in x], dtype=np.int64)
+        ham = popcount64(sh[ia] ^ sh[ib])
         keep = ham <= max_hamming
         return pd.DataFrame(
             {"doc_a": ids[ia][keep], "doc_b": ids[ib][keep], "hamming": ham[keep]}
@@ -233,9 +351,12 @@ def simhash_candidate_pairs(docs_ds, max_hamming: int = 8):
         .groupby(["band", "key"])
         .map_groups(_pairs, batch_format="pandas")
     )
-    return pairs.groupby(["doc_a", "doc_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+    # hamming is a pure function of the pair — one hash aggregate
+    # replaces the round-1 sort-shuffle + per-group pandas head(1)
+    from ray.data.aggregate import Min
+
+    out = pairs.groupby(["doc_a", "doc_b"]).aggregate(Min("hamming", alias_name="hamming"))
+    return out.select_columns(["doc_a", "doc_b", "hamming"])
 
 
 def exact_jaccard(text_a: str, text_b: str, w: int = 3) -> float:
@@ -280,18 +401,31 @@ def neardup_clusters(docs_ds, pairs_ds, num_partitions: int = 8, ckpt_dir: str |
     g = build_graph(edges, EngineConfig(num_partitions=num_partitions), directed=False)
     ckpt = ckpt_dir or tempfile.mkdtemp(prefix="ega_neardup_cc_", dir="/tmp")
     comp, _ = connected_components(g, ckpt)
-    comp_df = comp.to_pandas()  # clustered docs only — small vs corpus
-    cmap = dict(
-        zip(comp_df["vid"].astype(np.int64), comp_df["component"].astype(np.int64))
-    )
+    # broadcast the clustered set as two SORTED numpy arrays (16 B/row,
+    # ray.put once) — vectorized searchsorted per batch, no Python dict,
+    # no per-row loop. The clustered set is the docs that appeared in a
+    # near-dup pair — a small fraction of the corpus; if it ever isn't,
+    # flip to a doc_id-partitioned join of comp against docs.
     import ray
 
-    cmap_ref = ray.put(cmap)
+    ctbl = pa.concat_tables(
+        comp.select_columns(["vid", "component"]).iter_batches(
+            batch_size=None, batch_format="pyarrow"
+        )
+    )
+    cvid = ctbl.column("vid").to_numpy(zero_copy_only=False).astype(np.int64)
+    ccomp = ctbl.column("component").to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(cvid)
+    arr_ref = ray.put((cvid[order], ccomp[order]))
 
     def _fill(batch: pa.Table) -> pa.Table:
-        cm = ray.get(cmap_ref)
-        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        cl = np.array([cm.get(int(i), int(i)) for i in ids], dtype=np.int64)
+        cv, cc = ray.get(arr_ref)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        cl = ids.copy()
+        pos = np.searchsorted(cv, ids)
+        ok = pos < len(cv)
+        ok[ok] = cv[pos[ok]] == ids[ok]
+        cl[ok] = cc[pos[ok]]
         return pa.table(
             {"doc_id": batch.column("doc_id"), "cluster": pa.array(cl, type=pa.int64())}
         )

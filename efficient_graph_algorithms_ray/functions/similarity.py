@@ -48,29 +48,39 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
     return mat / np.maximum(norms, 1e-30)
 
 
+def _fetch_query_vectors(embeddings_ds, query_ids) -> tuple[np.ndarray, np.ndarray]:
+    """(sorted query ids, their vectors) via a DISTRIBUTED filter —
+    the scan runs in tasks; only the Q matching rows reach the driver."""
+    import pyarrow.compute as pc
+
+    qset = sorted(set(int(q) for q in query_ids))
+    value_set = pa.array(qset, type=pa.int64())
+
+    def _flt(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_in(b.column("vec_id"), value_set=value_set))
+
+    qtbl = pa.concat_tables(
+        embeddings_ds.map_batches(_flt, batch_format="pyarrow").iter_batches(
+            batch_size=None, batch_format="pyarrow"
+        )
+    )
+    q_ids, q_mat = _embedding_matrix(qtbl)
+    if len(q_ids) < len(qset):
+        raise ValueError(
+            f"query vec_ids not found in embeddings: {sorted(set(qset) - set(map(int, q_ids)))}"
+        )
+    order = np.argsort(q_ids)
+    return q_ids[order], q_mat[order]
+
+
 def knn_brute_force(embeddings_ds, query_ids: list[int], k: int = 5):
     """Exact cosine top-k neighbors for each query vector.
 
     Returns Dataset (query_id, vec_id, cosine) — k rows per query,
     self-matches excluded, ties broken by lower vec_id (deterministic).
     """
-    # fetch query vectors (tiny filter pass), broadcast once
-    import pyarrow.compute as pc
-
-    qset = set(int(q) for q in query_ids)
-    qtbl = pa.concat_tables(
-        [
-            b.filter(pc.is_in(b.column("vec_id"), value_set=pa.array(list(qset))))
-            for b in embeddings_ds.iter_batches(batch_size=None, batch_format="pyarrow")
-        ]
-    )
-    q_ids, q_mat = _embedding_matrix(qtbl)
-    if len(q_ids) < len(qset):
-        raise ValueError(
-            f"query vec_ids not found in embeddings: {sorted(qset - set(map(int, q_ids)))}"
-        )
-    order = np.argsort(q_ids)
-    q_ids, q_mat = q_ids[order], _normalize(q_mat[order])
+    q_ids, q_mat = _fetch_query_vectors(embeddings_ds, query_ids)
+    q_mat = _normalize(q_mat)
     q_ref = ray.put((q_ids, q_mat))
 
     def _partial(batch: pa.Table) -> pa.Table:
@@ -136,14 +146,29 @@ def lsh_signatures(embeddings_ds, n_bits: int = 16, seed: int = HASH_SEED):
     return embeddings_ds.map_batches(_sig, batch_format="pyarrow")
 
 
-def ann_lsh_pairs(embeddings_ds, threshold: float = 0.9, n_bits: int = 12):
+def lsh_sign_planes(d: int, n_bits: int, seed: int = HASH_SEED) -> np.ndarray:
+    """(d, n_bits) ±1 Rademacher hyperplanes from splitmix64 bit 0 —
+    a valid sign-random-projection family that is REPRODUCIBLE IN SQL
+    (plane[j, i] = ±1 from splitmix64((i << 32) | j XOR seed), so the
+    DuckDB oracle can rebuild the exact same buckets; Gaussian Philox
+    planes were not expressible)."""
+    from ..sources.edges_synth import _splitmix64
+
+    i = np.arange(n_bits, dtype=np.uint64)
+    j = np.arange(d, dtype=np.uint64)
+    keys = (i[None, :] << np.uint64(32)) | j[:, None]  # (d, n_bits)
+    h = _splitmix64(keys.reshape(-1) ^ np.uint64(seed)).reshape(d, n_bits)
+    return np.where((h & np.uint64(1)).astype(bool), 1.0, -1.0)
+
+
+def ann_lsh_pairs(embeddings_ds, threshold: float = 0.25, n_bits: int = 6):
     """Near-duplicate embedding pairs: LSH bucket → exact cosine ≥ threshold.
 
     Returns Dataset (vec_a, vec_b, cosine). Bucket verification holds
     the bucket's vectors only (power-law bucket sizes bounded by the
-    signature width — raise n_bits at scale).
+    signature width — raise n_bits at scale; buckets over MAX_BUCKET
+    are skipped as a degenerate-content skew guard).
     """
-    from ..util import list_rows
 
     def _sig_with_vec(batch: pa.Table) -> pa.Table:
         ids, mat = _embedding_matrix(batch)
@@ -155,9 +180,7 @@ def ann_lsh_pairs(embeddings_ds, threshold: float = 0.9, n_bits: int = 12):
                     "embedding": pa.array([], type=pa.list_(pa.float32())),
                 }
             )
-        d = mat.shape[1]
-        rng = np.random.Generator(np.random.Philox(key=[HASH_SEED, 1]))
-        planes = rng.standard_normal((d, n_bits))
+        planes = lsh_sign_planes(mat.shape[1], n_bits)
         bits = (mat @ planes) > 0
         bucket = (bits.astype(np.int64) << np.arange(n_bits, dtype=np.int64)).sum(axis=1)
         return pa.table(
@@ -169,9 +192,13 @@ def ann_lsh_pairs(embeddings_ds, threshold: float = 0.9, n_bits: int = 12):
         )
 
     def _verify(group: pd.DataFrame) -> pd.DataFrame:
+        from .dedup import MAX_BUCKET
+
         g = group.drop_duplicates("vec_id").sort_values("vec_id")
         ids = g["vec_id"].to_numpy()
-        if len(ids) < 2:
+        # MAX_BUCKET: degenerate-bucket (e.g. zero vectors) skew guard —
+        # one hot bucket must not become O(n²) memory in one task
+        if len(ids) < 2 or len(ids) > MAX_BUCKET:
             return pd.DataFrame(
                 {
                     "vec_a": pd.Series([], dtype=np.int64),
@@ -192,10 +219,10 @@ def ann_lsh_pairs(embeddings_ds, threshold: float = 0.9, n_bits: int = 12):
         )
 
     sigs = embeddings_ds.map_batches(_sig_with_vec, batch_format="pyarrow")
-    pairs = sigs.groupby("bucket").map_groups(_verify, batch_format="pandas")
-    return pairs.groupby(["vec_a", "vec_b"]).map_groups(
-        lambda g: g.head(1), batch_format="pandas"
-    )
+    # single-band signatures: every vector lives in EXACTLY one bucket,
+    # so pairs cannot repeat — no distinct pass needed (round 1 paid an
+    # extra sort-shuffle + per-group pandas here for nothing)
+    return sigs.groupby("bucket").map_groups(_verify, batch_format="pandas")
 
 
 def ivf_train_centroids(
@@ -205,17 +232,41 @@ def ivf_train_centroids(
     iters: int = 10,
     seed: int = HASH_SEED,
 ) -> np.ndarray:
-    """Spherical k-means centroids from a bounded sample (driver-side).
+    """Spherical k-means centroids from a bounded RANDOM sample (driver-side).
 
     The sample is O(sample_n · d) — at 100 TB you still train on ~100k
     sampled vectors, so Lloyd on the driver stays tiny; only the (C, d)
-    centroid matrix is ever broadcast. Deterministic: seeded Philox
-    init, fixed iteration count, empty clusters keep their centroid.
+    centroid matrix is ever broadcast. Sampling is a distributed
+    bottom-``sample_n`` by a per-row splitmix64 hash of vec_id: uniform
+    regardless of how the corpus is sorted/partitioned (a plain
+    ``limit(sample_n)`` takes the FIRST rows — biased centroids on
+    sorted corpora, the round-1 bug), deterministic across runs and
+    cluster sizes. Each task keeps only its local bottom-``sample_n``
+    (the combiner), so the driver merge sees ≤ blocks × sample_n rows.
+    Deterministic: seeded Philox init, fixed iteration count, empty
+    clusters keep their centroid.
     """
-    sample = pa.concat_tables(
-        embeddings_ds.limit(sample_n).iter_batches(batch_size=None, batch_format="pyarrow")
+    from ..sources.edges_synth import _splitmix64
+
+    def _local_bottom(b: pa.Table) -> pa.Table:
+        ids = b.column("vec_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        if len(ids) == 0:
+            return b
+        h = _splitmix64(ids ^ np.uint64(seed * 0x9E3779B97F4A7C15 & 0xFFFFFFFFFFFFFFFF))
+        keep = np.argsort(h, kind="stable")[:sample_n]
+        return b.take(pa.array(np.sort(keep)))
+
+    cand = pa.concat_tables(
+        embeddings_ds.map_batches(_local_bottom, batch_format="pyarrow").iter_batches(
+            batch_size=None, batch_format="pyarrow"
+        )
     )
-    _, mat = _embedding_matrix(sample)
+    ids_all = cand.column("vec_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+    if len(ids_all):
+        h_all = _splitmix64(ids_all ^ np.uint64(seed * 0x9E3779B97F4A7C15 & 0xFFFFFFFFFFFFFFFF))
+        sel = np.argsort(h_all, kind="stable")[:sample_n]
+        cand = cand.take(pa.array(np.sort(sel)))
+    _, mat = _embedding_matrix(cand)
     if mat.size == 0:
         raise ValueError("cannot train IVF centroids on an empty embeddings dataset")
     x = _normalize(mat)
@@ -271,28 +322,14 @@ def knn_ivf(
 
     Returns Dataset (query_id, vec_id, cosine), k rows per query.
     """
-    import pyarrow.compute as pc
-
     centroids = ivf_train_centroids(
         embeddings_ds, n_clusters=n_clusters, sample_n=sample_n, seed=seed
     )
     n_clusters = len(centroids)
     nprobe = min(nprobe, n_clusters)
 
-    qset = set(int(q) for q in query_ids)
-    qtbl = pa.concat_tables(
-        [
-            b.filter(pc.is_in(b.column("vec_id"), value_set=pa.array(list(qset))))
-            for b in embeddings_ds.iter_batches(batch_size=None, batch_format="pyarrow")
-        ]
-    )
-    q_ids, q_mat = _embedding_matrix(qtbl)
-    if len(q_ids) < len(qset):
-        raise ValueError(
-            f"query vec_ids not found in embeddings: {sorted(qset - set(map(int, q_ids)))}"
-        )
-    order = np.argsort(q_ids)
-    q_ids, q_mat = q_ids[order], _normalize(q_mat[order])
+    q_ids, q_mat = _fetch_query_vectors(embeddings_ds, query_ids)
+    q_mat = _normalize(q_mat)
     # per-query probe set: top-nprobe centroids by cosine
     probe = np.argsort(-(q_mat @ centroids.T), axis=1)[:, :nprobe]
     cluster_to_q: dict[int, np.ndarray] = {

@@ -65,19 +65,22 @@ class QualityScorer:
     def __init__(self) -> None:
         self.token_re = _TOKEN_RE
         self.stop = _STOPWORDS
+        # one vectorized regex counts stopword-tokens: a \S+ token equals
+        # a stopword iff the stopword occurs with no \S on either side
+        # (longest-first alternation; case-insensitive = w.lower() match)
+        alts = "|".join(sorted(self.stop, key=len, reverse=True))
+        self.stop_re = re.compile(r"(?<!\S)(?:" + alts + r")(?!\S)", re.I)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pandas().fillna("")
         n_chars = texts.str.len().astype(np.float64)
-        toks = texts.str.findall(self.token_re)
-        n_tokens = toks.map(len).astype(np.float64)
-        mean_tok_len = np.where(n_tokens > 0, toks.map(lambda t: sum(map(len, t))), 0) / np.maximum(
-            n_tokens, 1
+        n_tokens = texts.str.count(self.token_re.pattern).astype(np.float64)
+        # Σ token lengths ≡ count of non-whitespace chars (tokens are \S+)
+        tok_chars = texts.str.count(r"\S").astype(np.float64)
+        mean_tok_len = np.where(n_tokens > 0, tok_chars, 0) / np.maximum(n_tokens, 1)
+        stop_ratio = texts.str.count(self.stop_re).to_numpy() / np.maximum(
+            n_tokens.to_numpy(), 1
         )
-        stop = self.stop
-        stop_ratio = toks.map(
-            lambda t: sum(1 for w in t if w.lower() in stop)
-        ).to_numpy() / np.maximum(n_tokens.to_numpy(), 1)
         alpha_ratio = texts.str.count(r"[A-Za-z]").to_numpy() / np.maximum(n_chars.to_numpy(), 1)
         digit_ratio = texts.str.count(r"[0-9]").to_numpy() / np.maximum(n_chars.to_numpy(), 1)
         punct_ratio = texts.str.count(r"[^\w\s]").to_numpy() / np.maximum(n_chars.to_numpy(), 1)
@@ -112,21 +115,33 @@ class LangId:
     fixed ('en','de','fr') order; zero hits → 'und'.
     """
 
+    _WORD_CLS = "a-zäöüßéèêàçûî"
+
     def __init__(self) -> None:
-        self.word_re = re.compile(r"[a-zäöüßéèêàçûî]+")
-        self.profiles = [(lang, _LANG_MARKERS[lang]) for lang in ("en", "de", "fr")]
+        # marker-count per language as ONE vectorized regex each: a word
+        # (maximal [_WORD_CLS]+ run of the lowercased text) equals a
+        # marker iff the marker occurs with no word-char on either side
+        cls = self._WORD_CLS
+        self.lang_res = [
+            (
+                lang,
+                re.compile(
+                    f"(?<![{cls}])(?:"
+                    + "|".join(sorted(_LANG_MARKERS[lang], key=len, reverse=True))
+                    + f")(?![{cls}])"
+                ),
+            )
+            for lang in ("en", "de", "fr")
+        ]
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pandas().fillna("")
-        preds = []
-        for t in texts:
-            words = self.word_re.findall(t.lower())
-            best, best_n = "und", 0
-            for lang, markers in self.profiles:
-                n = sum(1 for w in words if w in markers)
-                if n > best_n:
-                    best, best_n = lang, n
-            preds.append(best)
+        texts = batch.column("text").to_pandas().fillna("").str.lower()
+        counts = np.stack(
+            [texts.str.count(rx).to_numpy() for _, rx in self.lang_res], axis=1
+        )
+        best = counts.argmax(axis=1)  # ties resolve in ('en','de','fr') order
+        langs = np.array([lang for lang, _ in self.lang_res])
+        preds = np.where(counts.max(axis=1) > 0, langs[best], "und")
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),

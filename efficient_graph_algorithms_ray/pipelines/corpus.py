@@ -118,7 +118,10 @@ def q_neardup_clusters(sf_dir: str):
 
 
 def q_ann_lsh_pairs(sf_dir: str):
-    return S.ann_lsh_pairs(_emb(sf_dir), threshold=0.9, n_bits=10)
+    # threshold sized to the fixture: sf0.01 embeddings top out at
+    # cosine ≈ 0.51, so 0.9 exercised nothing (0 rows in round 1);
+    # 0.25 / 6 bits yields a real verified-pair set
+    return S.ann_lsh_pairs(_emb(sf_dir), threshold=0.25, n_bits=6)
 
 
 def q_doclen_percentiles(sf_dir: str):
@@ -168,12 +171,28 @@ def q_lowrank_diffusion(sf_dir: str):
 
 
 def q_ann_ivf_knn(sf_dir: str):
-    """IVF approximate top-5 for three probe vectors (rows-only at the
-    driver; pytest oracle: exact-equality vs brute force at full nprobe
-    + planted-dup recall at nprobe=1)."""
-    return S.knn_ivf(
-        _emb(sf_dir), query_ids=[0, 7, 42], k=5, n_clusters=16, nprobe=4
+    """IVF top-5 for three probe vectors, run at nprobe == n_clusters —
+    exactly brute force by construction, so the FULL IVF path (sampled
+    centroid training, per-cluster probe routing, partial top-k merge)
+    is exercised while the output stays SQL-oracle-exact. The
+    approximate regime (nprobe < C) is pytest-verified instead
+    (planted-dup recall at nprobe=1)."""
+    knn = S.knn_ivf(
+        _emb(sf_dir), query_ids=[0, 7, 42], k=5, n_clusters=16, nprobe=16
     )
+
+    def _shape(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "query_id": batch.column("query_id").cast(pa.int64()),
+                "vec_id": batch.column("vec_id").cast(pa.int64()),
+                "cosine_r5": pa.array(
+                    np.round(batch.column("cosine").to_numpy(zero_copy_only=False), 5)
+                ),
+            }
+        )
+
+    return knn.map_batches(_shape, batch_format="pyarrow")
 
 
 def q_image_features(sf_dir: str):
@@ -241,42 +260,10 @@ def q_quality_zscores(sf_dir: str):
 def q_ngram_jaccard_pairs(sf_dir: str):
     """Exact w-shingle Jaccard for MinHash candidate pairs (the
     verify step of the near-dup pipeline): (doc_a, doc_b, jaccard_r6).
-    Rows-only; the estimator-vs-exact relationship is pytest-checked."""
-    import ray
-
-    from ..functions.dedup import exact_jaccard, minhash_candidate_pairs
-
-    docs = _docs(sf_dir, ["doc_id", "text"])
-    pairs = minhash_candidate_pairs(docs, threshold=0.3)
-    # candidate set is small — broadcast the candidate docs' texts only
-    cand = pairs.to_pandas()
-    ids = set(cand["doc_a"]) | set(cand["doc_b"])
-    texts = {}
-    for b in docs.iter_batches(batch_size=None, batch_format="pyarrow"):
-        for i, t in zip(b.column("doc_id").to_pylist(), b.column("text").to_pylist()):
-            if i in ids:
-                texts[i] = t
-    tref = ray.put(texts)
-
-    def _exact(batch: pa.Table) -> pa.Table:
-        tm = ray.get(tref)
-        a = batch.column("doc_a").to_numpy(zero_copy_only=False)
-        bcol = batch.column("doc_b").to_numpy(zero_copy_only=False)
-        j = np.array(
-            [exact_jaccard(tm[int(x)], tm[int(y)]) for x, y in zip(a, bcol)]
-        )
-        return pa.table(
-            {
-                "doc_a": batch.column("doc_a"),
-                "doc_b": batch.column("doc_b"),
-                "jaccard_r6": pa.array(np.round(j, 6)),
-            }
-        )
-
-    import ray.data as rd2
-
-    return rd2.from_pandas(cand[["doc_a", "doc_b"]]).map_batches(
-        _exact, batch_format="pyarrow"
+    Partition-local: shingle sets ride the LSH band rows; no driver
+    text scan (see dedup.minhash_exact_jaccard_pairs)."""
+    return D.minhash_exact_jaccard_pairs(
+        _docs(sf_dir, ["doc_id", "text"]), threshold=0.3
     )
 
 
@@ -298,24 +285,27 @@ def q_top_pages_with_urls(sf_dir: str):
     parsed = parse_pages(pages, batch_size=256).materialize()
     g = build_graph(edges_from_parsed(parsed), EngineConfig(num_partitions=8), directed=True)
     ranks, _ = pagerank(g, tempfile.mkdtemp(prefix="ega_tpu_", dir="/tmp"), tol=1e-6)
-    top = top_k_ranks(ranks, 20)
-    url_map = {
-        int(v): u
-        for b in vertex_urls(parsed).iter_batches(batch_size=None, batch_format="pyarrow")
-        for v, u in zip(b.column("vid").to_pylist(), b.column("url").to_pylist())
-    }
-    uref = ray.put(url_map)
+    top = top_k_ranks(ranks, 20).to_pandas()  # 20 rows on the driver
+    # reverse-map the 20 winners only: DISTRIBUTED filter of the url
+    # table by the tiny vid set (round 1 collected the whole vid→url
+    # dictionary through the driver — O(corpus) broadcast)
+    import pyarrow.compute as pc
 
-    def _join(batch: pa.Table) -> pa.Table:
-        um = ray.get(uref)
-        vids = batch.column("vid").to_pylist()
-        return pa.table(
-            {
-                "url": pa.array([um.get(int(v), "<external>") for v in vids], type=pa.string()),
-                "rank_r9": pa.array(
-                    np.round(batch.column("rank").to_numpy(zero_copy_only=False), 9)
-                ),
-            }
-        )
+    vset = pa.array(top["vid"].to_numpy().astype(np.uint64), type=pa.uint64())
 
-    return top.map_batches(_join, batch_format="pyarrow")
+    def _flt(b: pa.Table) -> pa.Table:
+        return b.filter(pc.is_in(b.column("vid"), value_set=vset))
+
+    hits = (
+        vertex_urls(parsed)
+        .map_batches(_flt, batch_format="pyarrow")
+        .to_pandas()
+        .set_index("vid")["url"]
+    )
+    urls = [hits.get(v, "<external>") for v in top["vid"]]  # 20 lookups
+    return pa.table(
+        {
+            "url": pa.array(urls, type=pa.string()),
+            "rank_r9": pa.array(np.round(top["rank"].to_numpy(), 9)),
+        }
+    )

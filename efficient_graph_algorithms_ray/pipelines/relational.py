@@ -233,22 +233,28 @@ def q_pricing_summary(sf_dir: str):
     """TPC-H Q1 shape with exact integer aggregates (cents)."""
 
     def _partial(batch: pa.Table) -> pa.Table:
-        df = pd.DataFrame(
+        # Arrow-native hash aggregate — zero pandas round-trip
+        t = pa.table(
             {
-                "l_returnflag": batch.column("l_returnflag").to_pandas(),
-                "l_linestatus": batch.column("l_linestatus").to_pandas(),
-                "sum_qty": batch.column("l_quantity").to_numpy(zero_copy_only=False).astype(np.int64),
-                "sum_price_cents": np.floor(
-                    batch.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100
-                ).astype(np.int64),
+                "l_returnflag": batch.column("l_returnflag"),
+                "l_linestatus": batch.column("l_linestatus"),
+                "sum_qty": pa.array(
+                    batch.column("l_quantity").to_numpy(zero_copy_only=False).astype(np.int64)
+                ),
+                "sum_price_cents": pa.array(
+                    np.floor(
+                        batch.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100
+                    ).astype(np.int64)
+                ),
             }
         )
-        out = (
-            df.groupby(["l_returnflag", "l_linestatus"], as_index=False)
-            .agg(sum_qty=("sum_qty", "sum"), sum_price_cents=("sum_price_cents", "sum"), n=("sum_qty", "size"))
+        out = t.group_by(["l_returnflag", "l_linestatus"]).aggregate(
+            [("sum_qty", "sum"), ("sum_price_cents", "sum"), ("sum_qty", "count")]
         )
-        out["n"] = out["n"].astype(np.int64)
-        return pa.Table.from_pandas(out, preserve_index=False)
+        out = out.rename_columns(
+            ["l_returnflag", "l_linestatus", "sum_qty", "sum_price_cents", "n"]
+        )
+        return out.set_column(4, "n", out.column("n").cast(pa.int64()))
 
     partials = _read(
         sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"]
@@ -548,16 +554,23 @@ def q_subtree_sizes_msf(sf_dir: str):
         directed=False,
     )
     parents, _ = rooted_bfs(fg, _ckpt("treebfs"))
+    # the forest metadata (vid, parent, depth) is the tree-DP API input;
+    # collected once, broadcast as SORTED arrays via ray.put (vectorized
+    # searchsorted per batch — no dict, no per-row loop)
+    import ray
+
     pdf = parents.to_pandas()
     sub, _ = subtree_aggregate(fg, pdf, lambda v: np.ones(len(v)), _ckpt("treedp"))
 
-    depth_map = dict(
-        zip(pdf["vid"].to_numpy().astype(np.uint64), pdf["depth"].to_numpy())
-    )
+    dv = pdf["vid"].to_numpy().astype(np.uint64)
+    dd = pdf["depth"].to_numpy().astype(np.int64)
+    _o = np.argsort(dv)
+    depth_ref = ray.put((dv[_o], dd[_o]))
 
     def _shape(batch: pa.Table) -> pa.Table:
+        dvs, dds = ray.get(depth_ref)
         vids = batch.column("vid").to_numpy(zero_copy_only=False).astype(np.uint64)
-        depths = np.array([depth_map[v] for v in vids], dtype=np.int64)
+        depths = dds[np.searchsorted(dvs, vids)]
         return pa.table(
             {
                 "vid": batch.column("vid").cast(pa.int64()),
@@ -720,48 +733,75 @@ def q_events_sessions(sf_dir: str):
 
 
 def q_events_asof_last_order(sf_dir: str):
-    """As-of join: each event matched to the user's most recent order
-    date ≤ event ts (broadcast small side + per-batch searchsorted —
-    the guide's as-of pattern), SQL-oracled via DuckDB ASOF JOIN."""
-    import pyarrow.parquet as pq_
-    import ray
-
-    orders = pq_.read_table(
-        os.path.join(sf_dir, "orders.parquet"), columns=["o_custkey", "o_orderdate"]
-    )
-    odf = orders.to_pandas().sort_values(["o_custkey", "o_orderdate"])
-    by_cust = {
-        int(k): g["o_orderdate"].to_numpy(dtype="datetime64[us]")
-        for k, g in odf.groupby("o_custkey")
-    }
-    ref = ray.put(by_cust)
+    """As-of join as a partitioned sort-merge: each event matched to the
+    user's most recent order date ≤ event ts. Both sides are tagged into
+    ONE superset schema and a single ``groupby(user_id)`` co-locates
+    each user's events with their orders; the group task does one
+    vectorized ``searchsorted``. Neither side is ever materialized on
+    the driver (round 1 read the whole orders table to driver pandas
+    and broadcast a per-customer dict — unbounded at scale).
+    SQL-oracled via DuckDB ASOF JOIN."""
     sentinel = np.datetime64("1970-01-01T00:00:00", "us")
 
-    def _asof(batch: pa.Table) -> pa.Table:
-        bc = ray.get(ref)
-        uid = batch.column("user_id").to_numpy(zero_copy_only=False)
-        ts = batch.column("ts").to_numpy(zero_copy_only=False).astype("datetime64[us]")
-        out = np.full(len(uid), sentinel, dtype="datetime64[us]")
-        for u in np.unique(uid):
-            dates = bc.get(int(u))
-            if dates is None or len(dates) == 0:
-                continue
-            sel = uid == u
-            pos = np.searchsorted(dates, ts[sel], side="right") - 1
-            ok = pos >= 0
-            vals = out[sel]
-            vals[ok] = dates[pos[ok]]
-            out[sel] = vals
+    def _tag_events(b: pa.Table) -> pa.Table:
         return pa.table(
             {
-                "event_id": batch.column("event_id"),
-                "last_order_ts": pa.array(out, type=pa.timestamp("us")),
+                "user_id": b.column("user_id").cast(pa.int64()),
+                "event_id": b.column("event_id").cast(pa.int64()),
+                "ts": b.column("ts").cast(pa.timestamp("us")),
+                "o_ts": pa.nulls(b.num_rows, type=pa.timestamp("us")),
             }
         )
 
-    return _read(sf_dir, "events", ["event_id", "user_id", "ts"]).map_batches(
-        _asof, batch_format="pyarrow"
+    def _tag_orders(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": b.column("o_custkey").cast(pa.int64()),
+                "event_id": pa.nulls(b.num_rows, type=pa.int64()),
+                "ts": pa.nulls(b.num_rows, type=pa.timestamp("us")),
+                "o_ts": b.column("o_orderdate").cast(pa.timestamp("us")),
+            }
+        )
+
+    both = _read(sf_dir, "events", ["event_id", "user_id", "ts"]).map_batches(
+        _tag_events, batch_format="pyarrow"
+    ).union(
+        _read(sf_dir, "orders", ["o_custkey", "o_orderdate"]).map_batches(
+            _tag_orders, batch_format="pyarrow"
+        )
     )
+
+    def _asof(g: pd.DataFrame) -> pd.DataFrame:
+        ev = g[g["event_id"].notna()]
+        if not len(ev):
+            return pd.DataFrame(
+                {
+                    "event_id": pd.Series([], dtype=np.int64),
+                    "last_order_ts": pd.Series([], dtype="datetime64[us]"),
+                }
+            )
+        od = np.sort(g["o_ts"].dropna().to_numpy(dtype="datetime64[us]"))
+        ts = ev["ts"].to_numpy(dtype="datetime64[us]")
+        out = np.full(len(ev), sentinel, dtype="datetime64[us]")
+        if len(od):
+            pos = np.searchsorted(od, ts, side="right") - 1
+            ok = pos >= 0
+            out[ok] = od[pos[ok]]
+        return pd.DataFrame(
+            {"event_id": ev["event_id"].to_numpy(dtype=np.int64), "last_order_ts": out}
+        )
+
+    merged = both.groupby("user_id").map_groups(_asof, batch_format="pandas")
+
+    def _shape(batch: pa.Table) -> pa.Table:  # re-cast after the shuffle
+        return pa.table(
+            {
+                "event_id": batch.column("event_id").cast(pa.int64()),
+                "last_order_ts": batch.column("last_order_ts").cast(pa.timestamp("us")),
+            }
+        )
+
+    return merged.map_batches(_shape, batch_format="pyarrow")
 
 
 def q_approx_distinct_users(sf_dir: str):

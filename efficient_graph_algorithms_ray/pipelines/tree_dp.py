@@ -24,10 +24,10 @@ BFS levels of a spanning tree, and #38's subtree cost aggregation
   vertex adds its parent's prefix to its own x and fires once.
   Root-to-vertex path sums in O(depth) rounds.
 
-Driver-side vid→value lookups (component labels, child counts) are
-closure-captured sorted arrays — fine to ~10⁸ vertices on one driver;
-the documented scale path replaces them with a broadcast ``ray.put``
-ref per lookup (same pattern as ``_dict_init`` in diffusion.py).
+Scale notes: root detection reads the CC *checkpoint* per partition
+inside ``init_fn`` (no driver collect); the child-count / root-set
+lookup arrays are ``ray.put`` once and read from plasma in ``init_fn``
+(never closure-captured, never re-shipped per actor).
 """
 
 from __future__ import annotations
@@ -69,22 +69,24 @@ def rooted_bfs(graph: ShardedGraph, ckpt_dir: str, *, max_iters: int = 300):
     parent, deterministic).
     """
     from .components import connected_components
-    from .walks import vertex_lookup_init  # noqa: F401  (pattern reference)
 
     assert not graph.directed, "rooted_bfs requires an undirected graph"
-    comp_ds, _ = connected_components(graph, f"{ckpt_dir}/cc")
-    ctbl = comp_ds.to_pandas()
-    cv = ctbl["vid"].to_numpy().astype(np.uint64)
-    cl = ctbl["component"].to_numpy().astype(np.uint64)
-    order = np.argsort(cv)
-    cv, cl = cv[order], cl[order]
+    # roots come straight from the CC CHECKPOINT, read per-partition
+    # inside init_fn (state parts are in partition vertex order, exactly
+    # aligned with csr["vids"]) — no driver collect of the component
+    # table, no O(V) arrays captured in the closure (the round-1
+    # scale-killer this replaces).
+    _, cc_summary = connected_components(graph, f"{ckpt_dir}/cc")
+    cc_dir = cc_summary["final_iter_dir"]
 
     bases = _id_bases(graph)
 
     def init_fn(csr):
+        from ..state.ckpt import read_state_part
+
         vids = csr["vids"]
         own = np.uint64(bases[int(csr["part"])]) + np.arange(len(vids), dtype=np.uint64)
-        lab = cl[np.searchsorted(cv, vids)]
+        lab = read_state_part(cc_dir, int(csr["part"])).astype(np.uint64)
         is_root = lab == vids
         depth = np.where(is_root, np.uint64(0), _INF_DEPTH).astype(np.uint64)
         return (depth << np.uint64(32)) | own
@@ -139,12 +141,16 @@ def rooted_bfs(graph: ShardedGraph, ckpt_dir: str, *, max_iters: int = 300):
 
 
 def _parent_edge_arrays(parents_df):
-    """(child vid, parent vid) uint64 arrays, roots excluded."""
-    id2vid = dict(zip(parents_df["own_id"], parents_df["vid"]))
-    nonroot = parents_df[parents_df["parent_id"] != parents_df["own_id"]]
-    child = nonroot["vid"].to_numpy().astype(np.uint64)
-    parent = nonroot["parent_id"].map(id2vid).to_numpy().astype(np.uint64)
-    return child, parent
+    """(child vid, parent vid) uint64 arrays, roots excluded —
+    vectorized sorted-array dense-id→vid translation (no dict/.map)."""
+    own = parents_df["own_id"].to_numpy().astype(np.int64)
+    vids = parents_df["vid"].to_numpy().astype(np.uint64)
+    order = np.argsort(own)
+    own_s, vid_s = own[order], vids[order]
+    nonroot = parents_df["parent_id"].to_numpy() != own
+    child = vids[nonroot]
+    parent = vid_s[np.searchsorted(own_s, parents_df["parent_id"].to_numpy()[nonroot])]
+    return child.astype(np.uint64), parent.astype(np.uint64)
 
 
 def subtree_aggregate(
@@ -169,10 +175,15 @@ def subtree_aggregate(
 
     from .graph_build import build_graph
 
+    import ray
+
     child, parent = _parent_edge_arrays(parents_df)
     all_vids = parents_df["vid"].to_numpy().astype(np.uint64)
-    # child counts per parent vid (sorted lookup)
+    # child counts per parent vid — ray.put ONCE; init_fn reads the
+    # plasma copy instead of closure-capturing O(V) arrays that would
+    # re-ship with every actor construction
     pv, pc = np.unique(parent, return_counts=True)
+    pvc_ref = ray.put((pv, pc))
 
     # DP graph: child → parent edges, PLUS self-loop-free isolated roots
     # kept in the vertex set via a zero-degree union (src=dst self rows
@@ -189,15 +200,16 @@ def subtree_aggregate(
     dp_graph = build_graph(edges, EngineConfig(num_partitions=P), directed=True)
 
     def init_fn(csr):
+        pv_, pc_ = ray.get(pvc_ref)
         vids = csr["vids"]
         n = len(vids)
         state = np.zeros((n, 4), dtype=np.float64)
         state[:, 0] = x_lookup(vids)
-        pos = np.searchsorted(pv, vids)
-        ok = pos < len(pv)
+        pos = np.searchsorted(pv_, vids)
+        ok = pos < len(pv_)
         hit = np.zeros(n, dtype=bool)
-        hit[ok] = pv[pos[ok]] == vids[ok]
-        state[hit, 2] = pc[np.searchsorted(pv, vids[hit])]
+        hit[ok] = pv_[pos[ok]] == vids[ok]
+        state[hit, 2] = pc_[np.searchsorted(pv_, vids[hit])]
         return state
 
     def _ready(state):
@@ -260,6 +272,8 @@ def topdown_prefix(
 
     from .graph_build import build_graph
 
+    import ray
+
     child, parent = _parent_edge_arrays(parents_df)
     all_vids = parents_df["vid"].to_numpy().astype(np.uint64)
     roots = np.sort(
@@ -267,6 +281,7 @@ def topdown_prefix(
         .to_numpy()
         .astype(np.uint64)
     )
+    roots_ref = ray.put(roots)  # plasma once, not a per-actor closure copy
     iso = np.setdiff1d(all_vids, np.union1d(child, parent))
     src = np.concatenate([parent, iso])  # parent → child
     dst = np.concatenate([child, iso])
@@ -279,14 +294,15 @@ def topdown_prefix(
     dp_graph = build_graph(edges, EngineConfig(num_partitions=P), directed=True)
 
     def init_fn(csr):
+        roots_ = ray.get(roots_ref)
         vids = csr["vids"]
         n = len(vids)
         state = np.zeros((n, 4), dtype=np.float64)
         x = np.asarray(x_lookup(vids), dtype=np.float64)
-        pos = np.searchsorted(roots, vids)
-        ok = pos < len(roots)
+        pos = np.searchsorted(roots_, vids)
+        ok = pos < len(roots_)
         is_root = np.zeros(n, dtype=bool)
-        is_root[ok] = roots[pos[ok]] == vids[ok]
+        is_root[ok] = roots_[pos[ok]] == vids[ok]
         state[:, 3] = x
         state[:, 0] = x * is_root
         state[:, 1] = is_root

@@ -18,15 +18,21 @@ edge-orientation algorithm instead:
 2. generate wedges (a, b, u) from each vertex u's oriented neighbor
    list (a before b in (deg,vid) order), chunked generator;
 3. closure-check wedge (a,b) against the oriented edge set of a's
-   partition — a *no-shuffle* ``map_batches`` lookup against the
-   pinned shard index (exact pair membership via structured-array
-   searchsorted, no hashing → no collision risk);
+   partition — PARTITION-LOCAL: one ``groupby(part)`` co-locates each
+   partition's oriented CSR row with exactly the wedges keyed to it
+   (wedge home = part(a)), and the group task builds the sorted pair
+   index for that one partition in-task (exact pair membership via
+   structured-array searchsorted, no hashing → no collision risk).
+   No driver pass over the graph, no whole-graph broadcast: each task
+   holds ONE partition's oriented edges, O(E/P) not O(E);
 4. every closed wedge is one triangle (u,a,b): count 1 per corner;
-   partial-aggregate per batch into per-home-partition list rows, then
+   partial-aggregate per group into per-home-partition list rows, then
    ONE ``groupby(part)`` merge of P list-row groups.
 
-Shuffle inventory: exactly one — the final P-group count merge.
-Edges, wedges and orientation never shuffle.
+Shuffle inventory: two — the wedge-to-owner exchange (the honest cost
+of distributed closure checking; the round-1 alternative cached O(E)
+oriented edges on every node) and the final P-group count merge.
+Edges and orientation never shuffle.
 """
 
 from __future__ import annotations
@@ -103,39 +109,37 @@ def _orient_local(graph: ShardedGraph, deg_refs: dict):
     return _fn
 
 
-def _build_oriented_index(oriented_ds) -> dict[int, "ray.ObjectRef"]:
+# superset schema shared by wedge rows and padded oriented rows so the
+# union can shuffle as one block stream (groupby needs a single schema);
+# wedge rows null the list columns, oriented rows null a/b/u.
+def _coshuffle_schema() -> pa.Schema:
+    return pa.schema(
+        [
+            ("part", pa.int64()),
+            ("a", pa.uint64()),
+            ("b", pa.uint64()),
+            ("u", pa.uint64()),
+            ("vids", pa.list_(pa.uint64())),
+            ("indptr", pa.list_(pa.int64())),
+            ("indices", pa.list_(pa.uint64())),
+        ]
+    )
+
+
+def _wedges_from_rows(P: int):
+    """Oriented CSR row → wedge rows (part(a), a, b, u), chunked generator.
+
+    Reads ONLY its own input row — no shard refs, no driver index."""
     from ..util import list_rows
 
-    refs: dict[int, ray.ObjectRef] = {}
-    for block in oriented_ds.iter_batches(batch_size=None, batch_format="pyarrow"):
-        for i in range(block.num_rows):
-            row = block.slice(i, 1)
+    def _fn(batch: pa.Table):
+        buf_a, buf_b, buf_u, buffered = [], [], [], 0
+        for i in range(batch.num_rows):
+            row = batch.slice(i, 1)
             vids = list_rows(row, "vids")[0]
             indptr = list_rows(row, "indptr")[0]
-            indices = list_rows(row, "indices")[0]
-            ideg = list_rows(row, "ideg")[0]
-            pairs = pair_struct(np.repeat(vids, np.diff(indptr)), indices)
-            refs[int(block.column("part")[i].as_py())] = ray.put(
-                {
-                    "vids": vids,
-                    "indptr": indptr,
-                    "indices": indices,
-                    "ideg": ideg,
-                    "pairs": np.sort(pairs),
-                }
-            )
-    return refs
-
-
-def _wedges(oriented_refs: dict, P: int):
-    """Oriented shard → wedge rows (part(a), a, b, u), chunked generator."""
-
-    def _fn(batch: pa.Table):
-        parts = batch.column("part").to_numpy(zero_copy_only=False)
-        buf_a, buf_b, buf_u, buffered = [], [], [], 0
-        for p in parts:
-            sh = ray.get(oriented_refs[int(p)])
-            vids, indptr, nbrs, nd = sh["vids"], sh["indptr"], sh["indices"], sh["ideg"]
+            nbrs = list_rows(row, "indices")[0]
+            nd = list_rows(row, "ideg")[0]
             for j in range(len(vids)):
                 lo, hi = indptr[j], indptr[j + 1]
                 k = hi - lo
@@ -162,18 +166,45 @@ def _wedge_table(buf_a, buf_b, buf_u, P) -> pa.Table:
     a = np.concatenate(buf_a)
     b = np.concatenate(buf_b)
     u = np.concatenate(buf_u)
+    n = len(a)
     return pa.table(
         {
             "part": pa.array((a % np.uint64(P)).astype(np.int64), type=pa.int64()),
             "a": pa.array(a, type=pa.uint64()),
             "b": pa.array(b, type=pa.uint64()),
             "u": pa.array(u, type=pa.uint64()),
-        }
+            "vids": pa.nulls(n, type=pa.list_(pa.uint64())),
+            "indptr": pa.nulls(n, type=pa.list_(pa.int64())),
+            "indices": pa.nulls(n, type=pa.list_(pa.uint64())),
+        },
+        schema=_coshuffle_schema(),
     )
 
 
-def _closure_counts(oriented_refs: dict, P: int):
-    """Wedge batch → per-home-partition pre-aggregated count list rows.
+def _pad_oriented(batch: pa.Table) -> pa.Table:
+    """Oriented CSR row → superset-schema row (a/b/u null)."""
+    n = batch.num_rows
+    return pa.table(
+        {
+            "part": batch.column("part"),
+            "a": pa.nulls(n, type=pa.uint64()),
+            "b": pa.nulls(n, type=pa.uint64()),
+            "u": pa.nulls(n, type=pa.uint64()),
+            "vids": batch.column("vids"),
+            "indptr": batch.column("indptr"),
+            "indices": batch.column("indices"),
+        },
+        schema=_coshuffle_schema(),
+    )
+
+
+def _closure_group(P: int):
+    """Per-partition group (oriented row + that partition's wedges) →
+    per-home-partition pre-aggregated count list rows.
+
+    The task builds the sorted (a,b) pair index for its ONE partition
+    in-task from the co-shuffled oriented row — peak memory O(E/P +
+    local wedges), nothing cached across tasks, no driver involvement.
 
     Emitting (part, vids:list, cnt:list) rows (the superstep message
     shape) keeps the final exchange at P groups of list rows instead
@@ -182,29 +213,42 @@ def _closure_counts(oriented_refs: dict, P: int):
     group keys (> 2^63 vids fail int64 inference in the sort shuffle).
     """
 
-    def _fn(batch: pa.Table) -> pa.Table:
-        from ..util import list_array
+    def _fn(group: pa.Table) -> pa.Table:
+        from ..util import list_array, list_rows
 
-        parts = batch.column("part").to_numpy(zero_copy_only=False)
-        a = batch.column("a").to_numpy(zero_copy_only=False).astype(np.uint64, copy=False)
-        b = batch.column("b").to_numpy(zero_copy_only=False).astype(np.uint64, copy=False)
-        u = batch.column("u").to_numpy(zero_copy_only=False).astype(np.uint64, copy=False)
-        hit = np.zeros(len(a), dtype=bool)
-        for p in np.unique(parts):
-            sel = parts == p
-            sh = ray.get(oriented_refs[int(p)])
-            hit[sel] = pairs_in_sorted(a[sel], b[sel], sh["pairs"])
+        import pyarrow.compute as pc
+
+        is_oriented = pc.is_valid(group.column("indptr")).to_numpy(zero_copy_only=False)
+        empty = pa.table(
+            {
+                "part": pa.array([], type=pa.int64()),
+                "vids": list_array([], np.uint64, pa.uint64()),
+                "cnt": list_array([], np.int64, pa.int64()),
+            }
+        )
+        o_rows = np.flatnonzero(is_oriented)
+        w_rows = np.flatnonzero(~is_oriented)
+        if len(o_rows) == 0 or len(w_rows) == 0:
+            return empty
+        orow = group.slice(int(o_rows[0]), 1)
+        vids_o = list_rows(orow, "vids")[0]
+        indptr_o = list_rows(orow, "indptr")[0]
+        indices_o = list_rows(orow, "indices")[0]
+        pairs = np.sort(pair_struct(np.repeat(vids_o, np.diff(indptr_o)), indices_o))
+        wed = group.take(pa.array(w_rows))
+        a = wed.column("a").to_numpy(zero_copy_only=False).astype(np.uint64, copy=False)
+        b = wed.column("b").to_numpy(zero_copy_only=False).astype(np.uint64, copy=False)
+        u = wed.column("u").to_numpy(zero_copy_only=False).astype(np.uint64, copy=False)
+        hit = pairs_in_sorted(a, b, pairs)
         corners = np.concatenate([a[hit], b[hit], u[hit]])
+        if not len(corners):
+            return empty
         uk, cnt = group_reduce(corners, np.ones(len(corners), dtype=np.int64), "sum")
         home = (uk % np.uint64(P)).astype(np.int64)
         order = np.argsort(home, kind="stable")
         home_s, uk_s, cnt_s = home[order], uk[order], cnt[order]
-        bounds = (
-            np.flatnonzero(np.concatenate(([True], home_s[1:] != home_s[:-1])))
-            if len(home_s)
-            else np.empty(0, dtype=np.int64)
-        )
-        ends = np.append(bounds[1:], len(home_s)) if len(bounds) else bounds
+        bounds = np.flatnonzero(np.concatenate(([True], home_s[1:] != home_s[:-1])))
+        ends = np.append(bounds[1:], len(home_s))
         out_p, out_v, out_c = [], [], []
         for lo, hi in zip(bounds, ends):
             out_p.append(int(home_s[lo]))
@@ -257,13 +301,12 @@ def triangle_count(graph: ShardedGraph):
     oriented_ds = parts_ds.map_batches(
         _orient_local(graph, deg_refs), batch_format="pyarrow", batch_size=1
     )
-    oriented_refs = _build_oriented_index(oriented_ds)
-
-    o_parts_ds = rd.from_arrow(
-        pa.table({"part": pa.array(sorted(oriented_refs), type=pa.int64())})
-    )
-    wedges = o_parts_ds.map_batches(_wedges(oriented_refs, P), batch_format="pyarrow", batch_size=1)
-    partials = wedges.map_batches(_closure_counts(oriented_refs, P), batch_format="pyarrow")
+    # one pipeline consumes oriented rows twice (wedge gen + closure
+    # side); materialize so orientation runs once, shards stay blocks
+    oriented_ds = oriented_ds.materialize()
+    wedges = oriented_ds.map_batches(_wedges_from_rows(P), batch_format="pyarrow", batch_size=1)
+    co = wedges.union(oriented_ds.map_batches(_pad_oriented, batch_format="pyarrow"))
+    partials = co.groupby("part").map_groups(_closure_group(P), batch_format="pyarrow")
 
     # presence rows → every partition forms a merge group (zeros included)
     from ..util import list_array as _la
