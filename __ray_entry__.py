@@ -171,4 +171,12 @@ def oracle_sql() -> dict[str, str]:
         "exact_dedup_docs": S.EXACT_DEDUP_DOCS,
         "knn_vec0": S.KNN_VEC0,
         "embedding_norms": S.EMBEDDING_NORMS,
+        # round-2 oracles
+        "quality_scores": S.QUALITY_SCORES,
+        "quality_zscores": S.QUALITY_ZSCORES,
+        "langid": S.LANGID,
+        "doc_fingerprints": S.DOC_FINGERPRINTS,
+        "approx_distinct_users": S.approx_distinct_users_sql(),
+        "ppr_parts_top20": S.ppr_parts_sql(k=20, damping=0.85),
+        "ann_ivf_knn": S.ann_ivf_knn_sql(),
     }

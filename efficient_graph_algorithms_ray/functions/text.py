@@ -93,17 +93,27 @@ class QualityScorer:
             + 0.25 * np.clip(stop_ratio * 4, 0, 1)
             + 0.15 * (1 - np.clip(punct_ratio * 4, 0, 1))
         )
+
+        # FLOOR-ppm integers for every ratio: floor of the same IEEE
+        # double expression is bit-identical in numpy and DuckDB (the
+        # proven cc_ppm pattern) — half-even vs half-away ROUND is not,
+        # and these ratios are exact rationals that can land on .5.
+        def ppm(x):
+            return pa.array(np.floor(x * 1000000.0).astype(np.int64), type=pa.int64())
+
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
                 "n_tokens": pa.array(n_tokens.astype(np.int64), type=pa.int64()),
-                "mean_tok_len": pa.array(np.round(mean_tok_len, 6)),
-                "alpha_ratio": pa.array(np.round(alpha_ratio, 6)),
-                "digit_ratio": pa.array(np.round(digit_ratio, 6)),
-                "punct_ratio": pa.array(np.round(punct_ratio, 6)),
-                "upper_ratio": pa.array(np.round(upper_ratio, 6)),
-                "stop_ratio": pa.array(np.round(stop_ratio, 6)),
-                "quality": pa.array(np.round(score, 6)),
+                "mean_tok_len_ppm": ppm(mean_tok_len),
+                "alpha_ppm": ppm(alpha_ratio),
+                "digit_ppm": ppm(digit_ratio),
+                "punct_ppm": ppm(punct_ratio),
+                "upper_ppm": ppm(upper_ratio),
+                "stop_ppm": ppm(stop_ratio),
+                "quality_ppm": ppm(score),
+                # unrounded double for downstream standardization (zscores)
+                "quality": pa.array(score, type=pa.float64()),
             }
         )
 
@@ -165,7 +175,9 @@ def fingerprint_batch(batch: pa.Table) -> pa.Table:
     return pa.table(
         {
             "doc_id": batch.column("doc_id"),
-            "fingerprint": pa.array(fps, type=pa.uint64()),
+            # signed int64 reinterpretation: BIGINT-comparable at the
+            # driver (full-range uint64 can't round-trip DuckDB BIGINT)
+            "fingerprint": pa.array(fps.view(np.int64), type=pa.int64()),
         }
     )
 

@@ -265,6 +265,266 @@ UNION ALL SELECT CAST(0.9 AS DOUBLE), CAST(quantile_disc(n_chars, 0.9) AS BIGINT
 UNION ALL SELECT CAST(0.99 AS DOUBLE), CAST(quantile_disc(n_chars, 0.99) AS BIGINT) FROM documents"""
 
 
+# --------------------------------------------------------------------------
+# round-2 oracles: text heuristics, sketches, seeded walks
+# --------------------------------------------------------------------------
+
+_U64 = 18446744073709551616  # 2^64
+_SM_C1 = 0x9E3779B97F4A7C15
+_SM_C2 = 0xBF58476D1CE4E5B9
+_SM_C3 = 0x94D049BB133111EB
+
+
+def u64_to_i64(expr: str) -> str:
+    """Signed reinterpretation of a UBIGINT expression (numpy
+    ``.view(int64)`` equivalent) so outputs stay BIGINT-comparable."""
+    return (
+        f"CAST(CAST({expr} AS HUGEINT) - CASE WHEN {expr} >= 9223372036854775808::UBIGINT"
+        f" THEN {_U64}::HUGEINT ELSE 0::HUGEINT END AS BIGINT)"
+    )
+
+
+def _mulmod64(expr: str, const: int) -> str:
+    """(expr * const) mod 2^64 without INT128 overflow: split the
+    constant into 32-bit halves — a·C = a·C_lo + (a·C_hi mod 2^32)·2^32
+    (mod 2^64); every intermediate stays below 2^97 < HUGEINT max."""
+    c_hi, c_lo = const >> 32, const & 0xFFFFFFFF
+    a = f"CAST({expr} AS HUGEINT)"
+    return (
+        f"CAST((({a} * {c_lo}) % {_U64}"
+        f" + (({a} * {c_hi}) % {1 << 32}) * {1 << 32}) % {_U64} AS UBIGINT)"
+    )
+
+
+def sm64_stages(cte_in: str, col_in: str, prefix: str, carry: list[str]) -> tuple[str, str, str]:
+    """CTE chain computing splitmix64 of UBIGINT column ``col_in``.
+
+    Returns (sql_fragment, final_cte_name, hash_col_name); ``carry``
+    columns are passed through every stage."""
+    ks = ", ".join(carry) + (", " if carry else "")
+    a, b, c, d, e, f = (f"{prefix}_s{i}" for i in range(6))
+    frag = f""",
+{a} AS (SELECT {ks}CAST((CAST({col_in} AS HUGEINT) + {_SM_C1}) % {_U64} AS UBIGINT) AS h FROM {cte_in}),
+{b} AS (SELECT {ks}xor(h, h >> 30) AS h FROM {a}),
+{c} AS (SELECT {ks}{_mulmod64('h', _SM_C2)} AS h FROM {b}),
+{d} AS (SELECT {ks}xor(h, h >> 27) AS h FROM {c}),
+{e} AS (SELECT {ks}{_mulmod64('h', _SM_C3)} AS h FROM {d}),
+{f} AS (SELECT {ks}xor(h, h >> 31) AS h FROM {e})"""
+    return frag, f, "h"
+
+
+def sm64_py(x: int) -> int:
+    """Python splitmix64 (for inlining constants into generated SQL)."""
+    M = _U64 - 1
+    x = (x + _SM_C1) & M
+    x ^= x >> 30
+    x = (x * _SM_C2) & M
+    x ^= x >> 27
+    x = (x * _SM_C3) & M
+    x ^= x >> 31
+    return x
+
+
+_STOPLIST = (
+    "'the','and','of','to','a','in','is','that','for','it','with','as',"
+    "'der','die','und','das','ist','nicht','ein','mit','den','von','zu','für',"
+    "'le','la','et','les','des','est','un','une','du','que','pour','dans'"
+)
+
+_QUALITY_RATIOS = f"""c AS (
+  SELECT doc_id,
+    CAST(length(text) AS DOUBLE) AS n_chars,
+    CAST(len(regexp_extract_all(text, '\\S+')) AS DOUBLE) AS n_tokens,
+    CAST(len(regexp_extract_all(text, '\\S')) AS DOUBLE) AS tok_chars,
+    CAST(len(list_filter(regexp_extract_all(text, '\\S+'),
+         t -> lower(t) IN ({_STOPLIST}))) AS DOUBLE) AS stop_cnt,
+    CAST(len(regexp_extract_all(text, '[A-Za-z]')) AS DOUBLE) AS alpha_cnt,
+    CAST(len(regexp_extract_all(text, '[0-9]')) AS DOUBLE) AS digit_cnt,
+    CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS DOUBLE) AS punct_cnt,
+    CAST(len(regexp_extract_all(text, '[A-Z]')) AS DOUBLE) AS upper_cnt
+  FROM documents
+),
+r AS (
+  SELECT doc_id, n_tokens,
+    (CASE WHEN n_tokens > 0 THEN tok_chars ELSE 0 END) / GREATEST(n_tokens, 1.0) AS mean_tok_len,
+    alpha_cnt / GREATEST(n_chars, 1.0) AS alpha_ratio,
+    digit_cnt / GREATEST(n_chars, 1.0) AS digit_ratio,
+    punct_cnt / GREATEST(n_chars, 1.0) AS punct_ratio,
+    upper_cnt / GREATEST(n_chars, 1.0) AS upper_ratio,
+    stop_cnt / GREATEST(n_tokens, 1.0) AS stop_ratio,
+    LEAST(GREATEST(n_chars / 500.0, 0.0), 1.0) AS length_score
+  FROM c
+),
+q AS (
+  SELECT doc_id, n_tokens, mean_tok_len, alpha_ratio, digit_ratio, punct_ratio,
+         upper_ratio, stop_ratio,
+         (((0.35 * length_score) + (0.25 * alpha_ratio))
+          + (0.25 * LEAST(GREATEST(stop_ratio * 4.0, 0.0), 1.0)))
+          + (0.15 * (1.0 - LEAST(GREATEST(punct_ratio * 4.0, 0.0), 1.0))) AS quality
+  FROM r
+)"""
+
+QUALITY_SCORES = f"""WITH {_QUALITY_RATIOS}
+SELECT doc_id,
+  CAST(n_tokens AS BIGINT) AS n_tokens,
+  CAST(FLOOR(mean_tok_len * 1000000.0) AS BIGINT) AS mean_tok_len_ppm,
+  CAST(FLOOR(alpha_ratio * 1000000.0) AS BIGINT) AS alpha_ppm,
+  CAST(FLOOR(digit_ratio * 1000000.0) AS BIGINT) AS digit_ppm,
+  CAST(FLOOR(punct_ratio * 1000000.0) AS BIGINT) AS punct_ppm,
+  CAST(FLOOR(upper_ratio * 1000000.0) AS BIGINT) AS upper_ppm,
+  CAST(FLOOR(stop_ratio * 1000000.0) AS BIGINT) AS stop_ppm,
+  CAST(FLOOR(quality * 1000000.0) AS BIGINT) AS quality_ppm
+FROM q"""
+
+QUALITY_ZSCORES = f"""WITH {_QUALITY_RATIOS},
+s AS (SELECT AVG(quality) AS m, stddev_pop(quality) AS sd FROM q)
+SELECT doc_id,
+  ROUND(CASE WHEN s.sd > 0 THEN (q.quality - s.m) / s.sd ELSE 0.0 END, 6) AS quality_z_r6
+FROM q, s"""
+
+LANGID = f"""WITH w AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '[a-zäöüßéèêàçûî]+') AS ws FROM documents
+),
+c AS (
+  SELECT doc_id,
+    len(list_filter(ws, x -> x IN ('the','and','of','to','a','in','is','that','for','it','with','as'))) AS en,
+    len(list_filter(ws, x -> x IN ('der','die','und','das','ist','nicht','ein','mit','den','von','zu','für'))) AS de,
+    len(list_filter(ws, x -> x IN ('le','la','et','les','des','est','un','une','du','que','pour','dans'))) AS fr
+  FROM w
+)
+SELECT doc_id,
+  CASE WHEN en = 0 AND de = 0 AND fr = 0 THEN 'und'
+       WHEN en >= de AND en >= fr THEN 'en'
+       WHEN de >= fr THEN 'de'
+       ELSE 'fr' END AS pred_lang
+FROM c"""
+
+# FNV-1a per token folded over UTF-8 bytes (ASCII fixture: ascii(ch) ==
+# byte), then the polynomial rolling hash over the token-hash stream —
+# both folds exactly mirror functions/text.py (mod-2^64 wraparound via
+# HUGEINT). Output is the signed int64 reinterpretation on both sides.
+_FNV_TOKEN = (
+    "tok -> list_reduce("
+    "list_prepend(14695981039346656037::UBIGINT,"
+    " list_transform(string_split(tok, ''), ch -> ascii(ch)::UBIGINT)),"
+    " (h, b) -> CAST((CAST(xor(h, b) AS HUGEINT) * 1099511628211)"
+    f" % {_U64} AS UBIGINT))"
+)
+
+DOC_FINGERPRINTS = f"""WITH fp AS (
+  SELECT doc_id, list_reduce(
+    list_prepend(14695981039346656037::UBIGINT,
+      list_transform(regexp_extract_all(text, '\\S+'), {_FNV_TOKEN})),
+    (h, th) -> CAST((CAST(h AS HUGEINT) * 1099511628211 + CAST(th AS HUGEINT)) % {_U64} AS UBIGINT)
+  ) AS f
+  FROM documents
+)
+SELECT doc_id, {u64_to_i64('f')} AS fingerprint FROM fp"""
+
+
+def approx_distinct_users_sql(p: int = 12) -> str:
+    """HLL (splitmix64 hash, 2^p registers) re-implemented in SQL —
+    register-exact vs functions/sketches.py, including the branchless
+    CLZ cascade and the linear-counting small-range correction."""
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    frag, last, hcol = sm64_stages("u", "x", "sm", ["event_type"])
+    # rest = (h << p) | (2^p - 1), computed without shift overflow:
+    # (h mod 2^(64-p)) * 2^p + (2^p - 1)
+    clz = []
+    prev = "z0"
+    clz.append(
+        f"z0 AS (SELECT event_type, idx, ((h % {1 << (64 - p)}::UBIGINT) * {m}::UBIGINT"
+        f" + {m - 1}::UBIGINT) AS probe, 0 AS rank FROM hh)"
+    )
+    for shift in (32, 16, 8, 4, 2, 1):
+        nxt = f"z{shift}"
+        lim = 1 << (64 - shift)
+        clz.append(
+            f"{nxt} AS (SELECT event_type, idx,"
+            f" CASE WHEN probe < {lim}::UBIGINT THEN probe * {1 << shift}::UBIGINT ELSE probe END AS probe,"
+            f" rank + CASE WHEN probe < {lim}::UBIGINT THEN {shift} ELSE 0 END AS rank FROM {prev})"
+        )
+        prev = nxt
+    return f"""WITH u AS (
+  SELECT DISTINCT event_type, CAST(user_id AS UBIGINT) AS x FROM events
+){frag},
+hh AS (SELECT event_type, (h >> {64 - p}) AS idx, h FROM {last}),
+{", ".join(clz)},
+regs AS (SELECT event_type, idx, MAX(rank + 1) AS r FROM {prev} GROUP BY 1, 2),
+est AS (
+  SELECT event_type,
+    {alpha * m * m!r} / (SUM(pow(2.0, -r)) + CAST({m} - COUNT(*) AS DOUBLE)) AS raw,
+    {m} - COUNT(*) AS zeros
+  FROM regs GROUP BY event_type
+)
+SELECT event_type,
+  CAST(ROUND(CASE WHEN raw <= {2.5 * m!r} AND zeros > 0
+       THEN CAST({m} AS DOUBLE) * ln(CAST({m} AS DOUBLE) / zeros) ELSE raw END) AS BIGINT) AS approx_distinct
+FROM est"""
+
+
+def ppr_parts_sql(k: int = 20, damping: float = 0.85, seeds=(1, 2, 3, 4, 5), top: int = 20) -> str:
+    """Seeded (personalized) PageRank, k unrolled steps — the engine's
+    exact update new = (1-d)·T + d·(M·r + T·dang), T uniform on seeds."""
+    seed_list = ", ".join(str(s) for s in seeds)
+    tw = 1.0 / len(seeds)
+    # MATERIALIZED: k unrolled steps reference the edge CTE ~3k times;
+    # without it DuckDB re-inlines the parquet scan per reference and
+    # exhausts file handles
+    edges_mat = _PARTSUPP_EDGES.replace("e AS (", "e AS MATERIALIZED (", 1)
+    parts = [
+        f"WITH {edges_mat},",
+        "od AS (SELECT src AS vid, CAST(COUNT(*) AS DOUBLE) AS d FROM e GROUP BY 1),",
+        f"tp AS (SELECT vid, CASE WHEN vid IN ({seed_list}) THEN {tw!r} ELSE 0.0 END AS t FROM v),",
+        "r0 AS (SELECT vid, t AS r FROM tp)",
+    ]
+    for i in range(1, k + 1):
+        p = f"r{i-1}"
+        # MATERIALIZED r{i}: each round references the previous one 3×,
+        # so default CTE inlining expands 3^k plans — k=20 never finishes
+        parts.append(
+            f""",
+m{i} AS (
+  SELECT e.dst AS vid, SUM({p}.r / od.d) AS s
+  FROM e JOIN {p} ON e.src = {p}.vid JOIN od ON e.src = od.vid
+  GROUP BY e.dst
+),
+dang{i} AS (
+  SELECT COALESCE(SUM({p}.r), 0) AS dm
+  FROM {p} LEFT JOIN od ON {p}.vid = od.vid WHERE od.vid IS NULL
+),
+r{i} AS MATERIALIZED (
+  SELECT tp.vid,
+         (1 - {damping}) * tp.t
+         + {damping} * (COALESCE(m{i}.s, 0) + tp.t * (SELECT dm FROM dang{i})) AS r
+  FROM tp LEFT JOIN m{i} ON tp.vid = m{i}.vid
+)"""
+        )
+    parts.append(
+        f"\nSELECT vid, ROUND(r, 9) AS score_r9 FROM r{k}"
+        f" ORDER BY ROUND(r, 9) DESC, vid ASC LIMIT {top}"
+    )
+    return "".join(parts)
+
+
+def ann_ivf_knn_sql(query_ids=(0, 7, 42), k: int = 5) -> str:
+    """nprobe == n_clusters IVF ≡ exact cosine top-k per query."""
+    blocks = []
+    for q in query_ids:
+        blocks.append(
+            f"""(
+WITH qq AS (SELECT embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id = {q})
+SELECT {q}::BIGINT AS query_id, e.vec_id AS vec_id,
+       ROUND(list_cosine_similarity(e.embedding::DOUBLE[], (SELECT e FROM qq)), 5) AS cosine_r5
+FROM embeddings e
+WHERE e.vec_id <> {q}
+ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], (SELECT e FROM qq)) DESC, e.vec_id ASC
+LIMIT {k})"""
+        )
+    return "\nUNION ALL\n".join(blocks)
+
+
 CLUSTERING_COEFF_COOCC = """WITH pr AS (
   SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
   FROM lineitem a JOIN lineitem b

@@ -77,14 +77,29 @@ def q_embedding_norms(sf_dir: str):
 # ---- rows-only (heuristic / sketch operators) ---------------------------
 
 def q_quality_scores(sf_dir: str):
+    """Heuristic quality signals — FLOOR-ppm integer columns, SQL-oracled
+    (every ratio is floor(expr·1e6) of the identical IEEE expression)."""
     import ray
 
     total = int(ray.cluster_resources().get("CPU", 4))
-    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+    scored = _docs(sf_dir, ["doc_id", "text"]).map_batches(
         T.QualityScorer,
         batch_format="pyarrow",
         batch_size=1024,
         concurrency=max(2, total - 2),
+    )
+    return scored.select_columns(
+        [
+            "doc_id",
+            "n_tokens",
+            "mean_tok_len_ppm",
+            "alpha_ppm",
+            "digit_ppm",
+            "punct_ppm",
+            "upper_ppm",
+            "stop_ppm",
+            "quality_ppm",
+        ]
     )
 
 
@@ -234,27 +249,38 @@ def q_doc_len_stats_by_lang(sf_dir: str):
 
 
 def q_quality_zscores(sf_dir: str):
-    """Quality scores standardized by global Welford stats + one-tail
-    significance (zscore/onetail parity, graph_kernels.py:23-48) —
-    rows-only (heuristic upstream)."""
-    import numpy as np
+    """Quality scores standardized by global Welford stats (zscore
+    parity, graph_kernels.py:23-38) — SQL-oracled vs AVG/STDDEV_POP.
+    The one-tail normal probability (``stats.onetail``) stays a library
+    function + pytest check: DuckDB 1.0 has no erf/erfc, so it cannot
+    appear in a hash-compared column."""
+    import ray
 
-    from ..functions.stats import onetail, zscore_column
+    total = int(ray.cluster_resources().get("CPU", 4))
+    from ..functions.stats import zscore_column
 
-    scored = q_quality_scores(sf_dir).select_columns(["doc_id", "quality"])
+    scored = (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(
+            T.QualityScorer,
+            batch_format="pyarrow",
+            batch_size=1024,
+            concurrency=max(2, total - 2),
+        )
+        .select_columns(["doc_id", "quality"])
+    )
     z = zscore_column(scored.materialize(), "quality")
 
-    def _tail(batch: pa.Table) -> pa.Table:
+    def _shape(batch: pa.Table) -> pa.Table:
         zs = batch.column("quality_z").to_numpy(zero_copy_only=False)
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
-                "quality_z": pa.array(np.round(zs, 6)),
-                "p_upper": pa.array(np.round(onetail(zs), 6)),
+                "quality_z_r6": pa.array(np.round(zs, 6)),
             }
         )
 
-    return z.map_batches(_tail, batch_format="pyarrow")
+    return z.map_batches(_shape, batch_format="pyarrow")
 
 
 def q_ngram_jaccard_pairs(sf_dir: str):

@@ -353,13 +353,14 @@ def q_walk2_coocc(sf_dir: str):
 def q_ppr_parts(sf_dir: str):
     """Personalized PageRank over the part→supplier graph seeded at the
     5 lowest partkeys (get_projection seed-set scoring analogue) —
-    rows-only at the driver; exactness pytest-verified vs the dense
-    generalized-walk oracle."""
+    SQL-oracled via the unrolled seeded recurrence (fixed k=20 steps,
+    tol=0 → both sides run the identical 20 updates); convergence-mode
+    exactness is pytest-verified vs the dense generalized-walk oracle."""
     from .walks import personalized_pagerank
 
     g = _partsupp_graph(sf_dir)
     seeds = [1, 2, 3, 4, 5]
-    scores, _ = personalized_pagerank(g, _ckpt("ppr"), seeds, tol=1e-8, max_iters=200)
+    scores, _ = personalized_pagerank(g, _ckpt("ppr"), seeds, tol=0.0, max_iters=20)
 
     def _shape(batch: pa.Table) -> pa.Table:
         return pa.table(
