@@ -111,3 +111,45 @@ def test_two_pass_dp_matches_recursive_oracle(tmp_path):
     assert np.isclose(
         sum(sub_df.loc[r, "subtree_sum"] for r in roots), x.sum(), atol=1e-9
     )
+
+
+def test_integrate_tree_field_matches_dense_exp_kernel(tmp_path):
+    """y = exp(a·dist_T)·x via the two scaled DP passes ≡ the dense
+    kernel matvec (reference TreeGFIntegrator semantics,
+    /root/reference/src/ega/algorithms/trees.py:93-125)."""
+    from efficient_graph_algorithms_ray.pipelines.tree_dp import integrate_tree_field
+
+    g, vids, src, dst = _forest(n=70, n_trees=2, seed=23)
+    parents, _ = rooted_bfs(g, str(tmp_path / "bfs"))
+    pdf = parents.to_pandas()
+
+    rng = np.random.Generator(np.random.Philox(key=[99, 0]))
+    xs = rng.uniform(0.5, 2.0, len(vids))
+    x_lookup = make_vid_lookup(vids, xs)
+    a = -0.7
+    out, _ = integrate_tree_field(g, pdf, x_lookup, a, str(tmp_path / "tk"))
+    got = out.to_pandas().set_index("vid")["integral"]
+
+    # dense oracle: BFS tree distances per component, K = exp(a·dist)
+    idx = {int(v): i for i, v in enumerate(vids)}
+    n = len(vids)
+    adj = [[] for _ in range(n)]
+    for s, d in zip(src, dst):
+        adj[idx[int(s)]].append(idx[int(d)])
+        adj[idx[int(d)]].append(idx[int(s)])
+    K = np.zeros((n, n))
+    for s0 in range(n):
+        dist = np.full(n, -1)
+        dist[s0] = 0
+        q = [s0]
+        while q:
+            u = q.pop()
+            for w in adj[u]:
+                if dist[w] < 0:
+                    dist[w] = dist[u] + 1
+                    q.append(w)
+        reach = dist >= 0
+        K[s0, reach] = np.exp(a * dist[reach])
+    want = K @ xs
+    got_arr = np.array([got[int(v)] for v in vids])
+    np.testing.assert_allclose(got_arr, want, rtol=1e-8, atol=1e-10)
