@@ -57,7 +57,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "msf_coocc": R.q_msf_coocc,
         "sinkhorn_dist_coocc": R.q_sinkhorn_coocc,
         "ldd_coocc": R.q_ldd_coocc,
-        "subtree_sizes_msf": R.q_subtree_sizes_msf,
+        "subtree_sizes_forest": R.q_subtree_sizes_forest,
+        "tree_kernel_forest": R.q_tree_kernel_forest,
         "sssp_partsupp": R.q_sssp_partsupp,
         "anf_coocc": R.q_anf_coocc,
         "coreness_coocc": R.q_coreness_coocc,
@@ -179,4 +180,10 @@ def oracle_sql() -> dict[str, str]:
         "approx_distinct_users": S.approx_distinct_users_sql(),
         "ppr_parts_top20": S.ppr_parts_sql(k=20, damping=0.85),
         "ann_ivf_knn": S.ann_ivf_knn_sql(),
+        "sssp_partsupp": S.sssp_partsupp_sql(rounds=8),
+        "subtree_sizes_forest": S.SUBTREE_SIZES_FOREST,
+        "tree_kernel_forest": S.tree_kernel_forest_sql(a=-0.5),
+        "coreness_coocc": S.coreness_coocc_sql(rounds=24),
+        "ldd_coocc": S.ldd_coocc_sql(rounds=5),
+        "walk_corpus_coocc": S.walk_corpus_coocc_sql(walk_len=8, seed=7),
     }

@@ -525,6 +525,245 @@ LIMIT {k})"""
     return "\nUNION ALL\n".join(blocks)
 
 
+_COOCC_UND_MAT = """pr AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+und AS MATERIALIZED (SELECT u, v FROM pr UNION ALL SELECT v AS u, u AS v FROM pr)"""
+
+
+def sssp_partsupp_sql(rounds: int = 8, scale: int = 1 << 16, sources=(1, 2, 3), P: int = 16) -> str:
+    """Unrolled Bellman–Ford over the weighted part–supplier graph,
+    quantized edge lengths q = max(round_even(w·scale), 1) — the exact
+    integer metric of pipelines/paths.py. Parent = lexicographic argmin
+    (dist(u)+q, own_id(u)) over the FINAL distances (the min-monoid's
+    converged encoding). own_id mirrors the engine's dense-id layout:
+    rank over (vid % P, vid)."""
+    sent = 1 << 40  # > any reachable quantized distance, < BIGINT overflow
+    inf_q = 1 << 30  # engine's _INF (unreached sentinel in keyhi units)
+    seeds = ", ".join(str(s) for s in sources)
+    rounds_sql = []
+    for i in range(1, rounds + 1):
+        p = f"d{i-1}"
+        rounds_sql.append(
+            f""",
+rx{i} AS (
+  SELECT wq.v AS vid, MIN(dp.dist + wq.q) AS m
+  FROM wq JOIN {p} dp ON wq.u = dp.vid WHERE dp.dist < {sent}
+  GROUP BY wq.v
+),
+d{i} AS MATERIALIZED (
+  SELECT d.vid, LEAST(d.dist, COALESCE(r.m, {sent})) AS dist
+  FROM {p} d LEFT JOIN rx{i} r ON d.vid = r.vid
+)"""
+        )
+    return f"""WITH el AS MATERIALIZED (
+  SELECT l_partkey AS a, l_suppkey + {SUPP_OFFSET} AS b,
+         SUM(1.0 / GREATEST(CAST(l_quantity AS DOUBLE), 1.0)) AS w
+  FROM lineitem GROUP BY 1, 2
+),
+und AS MATERIALIZED (SELECT a AS u, b AS v, w FROM el UNION ALL SELECT b AS u, a AS v, w FROM el),
+verts AS (SELECT DISTINCT u AS vid FROM und),
+ids AS MATERIALIZED (SELECT vid, ROW_NUMBER() OVER (ORDER BY vid % {P}, vid) - 1 AS own_id FROM verts),
+wq AS MATERIALIZED (
+  SELECT u, v, CAST(GREATEST(round_even(w * {float(scale)!r}, 0), 1) AS BIGINT) AS q FROM und
+),
+d0 AS MATERIALIZED (
+  SELECT vid, CASE WHEN vid IN ({seeds}) THEN 0 ELSE {sent} END AS dist FROM verts
+){"".join(rounds_sql)},
+par AS (
+  SELECT wq.v AS vid, iu.own_id AS pid,
+         ROW_NUMBER() OVER (PARTITION BY wq.v
+                            ORDER BY dp.dist + wq.q ASC, iu.own_id ASC) AS rn
+  FROM wq JOIN d{rounds} dp ON wq.u = dp.vid JOIN ids iu ON wq.u = iu.vid
+  WHERE dp.dist < {sent}
+)
+SELECT CAST(d.vid AS BIGINT) AS vid,
+  CAST(CASE WHEN d.dist >= {sent} OR d.vid IN ({seeds}) THEN ids.own_id ELSE par.pid END AS BIGINT) AS parent_id,
+  CAST(CASE WHEN d.dist >= {sent} THEN -1 ELSE d.dist END AS BIGINT) AS dist_q,
+  d.dist < {inf_q} AS reached
+FROM d{rounds} d
+JOIN ids ON d.vid = ids.vid
+LEFT JOIN par ON d.vid = par.vid AND par.rn = 1"""
+
+
+def coreness_coocc_sql(rounds: int = 24, cap: int = 256) -> str:
+    """Unrolled distributed h-index iteration (Montresor et al.) over
+    the part co-occurrence graph — extra rounds past the fixpoint are
+    no-ops (monotone non-increasing update), so ``rounds`` just needs
+    to exceed the engine's measured convergence (19 at sf0.01)."""
+    body = []
+    for i in range(1, rounds + 1):
+        p = f"e{i-1}"
+        body.append(
+            f""",
+nb{i} AS (SELECT und.v AS vid, e.est FROM und JOIN {p} e ON und.u = e.vid),
+rk{i} AS (SELECT vid, est, ROW_NUMBER() OVER (PARTITION BY vid ORDER BY est DESC) AS rn FROM nb{i}),
+h{i} AS (SELECT vid, COALESCE(MAX(CASE WHEN est >= rn THEN rn END), 0) AS h FROM rk{i} GROUP BY vid),
+e{i} AS MATERIALIZED (
+  SELECT e.vid, LEAST(e.est, COALESCE(h.h, 0)) AS est
+  FROM {p} e LEFT JOIN h{i} h ON e.vid = h.vid
+)"""
+        )
+    return f"""WITH {_COOCC_UND_MAT},
+deg AS (SELECT u AS vid, COUNT(*) AS d FROM und GROUP BY u),
+e0 AS MATERIALIZED (SELECT vid, LEAST(d, {cap - 1}) AS est FROM deg){"".join(body)}
+SELECT CAST(vid AS BIGINT) AS vid, CAST(est AS BIGINT) AS coreness FROM e{rounds}"""
+
+
+def ldd_coocc_sql(rounds: int = 5, beta: float = 4.0, seed: int = 42, P: int = 16) -> str:
+    """Unrolled Miller–Peng–Xu random-shift decomposition: quantized
+    exponential shifts from splitmix64 (integer-exact after the single
+    round_even), then min-propagation of (CAP − shift) << 32 | own_id
+    with a SCALE<<32 hop increment — all BIGINT arithmetic, mirroring
+    pipelines/decomposition.py bit-for-bit."""
+    SCALE = 1024
+    CAP = 1 << 24
+    STEP = SCALE << 32
+    frag, last, _ = sm64_stages("vx", "x", "ldd", ["vid"])
+    body = []
+    for i in range(1, rounds + 1):
+        p = f"k{i-1}"
+        body.append(
+            f""",
+mn{i} AS (
+  SELECT und.v AS vid, MIN(k.enc + {STEP}) AS m
+  FROM und JOIN {p} k ON und.u = k.vid GROUP BY und.v
+),
+k{i} AS MATERIALIZED (
+  SELECT k.vid, LEAST(k.enc, COALESCE(m.m, k.enc)) AS enc
+  FROM {p} k LEFT JOIN mn{i} m ON k.vid = m.vid
+)"""
+        )
+    return f"""WITH {_COOCC_UND_MAT},
+verts AS (SELECT DISTINCT u AS vid FROM und),
+ids AS MATERIALIZED (SELECT vid, ROW_NUMBER() OVER (ORDER BY vid % {P}, vid) - 1 AS own_id FROM verts),
+vx AS (SELECT vid, xor(CAST(vid AS UBIGINT), {seed}::UBIGINT) AS x FROM verts){frag},
+shq AS (
+  SELECT vid,
+    LEAST(CAST(round_even((-ln(1.0 - (CAST(h >> 11 AS DOUBLE) / {float(1 << 53)!r})) / {beta!r})
+         * {SCALE}.0, 0) AS BIGINT), {CAP - 1}) AS q
+  FROM {last}
+),
+k0 AS MATERIALIZED (
+  SELECT s.vid, ({CAP} - s.q) * {1 << 32} + i.own_id AS enc
+  FROM shq s JOIN ids i ON s.vid = i.vid
+){"".join(body)}
+SELECT CAST(k.vid AS BIGINT) AS vid,
+  CAST(k.enc % {1 << 32} AS BIGINT) AS cluster,
+  (k.enc % {1 << 32}) = i.own_id AS is_center
+FROM k{rounds} k JOIN ids i ON k.vid = i.vid"""
+
+
+def walk_corpus_coocc_sql(walk_len: int = 8, seed: int = 7) -> str:
+    """Deterministic DeepWalk sequences over the part co-occurrence
+    graph, replayed in SQL: hop t takes neighbor index
+    splitmix64(walk_id ⊕ splitmix64(t) ⊕ seed) mod degree, neighbors
+    ranked ascending (the CSR order). walk_id = splitmix64(vid ⊕
+    splitmix64(0)); all splitmix constants are inlined from Python."""
+    sm0 = sm64_py(0)
+    # w0: start vertex + walk id
+    frag0, last0, _ = sm64_stages("vx", "x", "wid", ["start"])
+    parts = [
+        f"WITH {_COOCC_UND_MAT},",
+        "verts AS (SELECT DISTINCT u AS vid FROM und),",
+        "deg AS MATERIALIZED (SELECT u AS vid, COUNT(*) AS d FROM und GROUP BY u),",
+        "adj AS MATERIALIZED (SELECT u, v, ROW_NUMBER() OVER (PARTITION BY u ORDER BY v) - 1 AS idx FROM und),",
+        f"vx AS (SELECT vid AS start, xor(CAST(vid AS UBIGINT), {sm0}::UBIGINT) AS x FROM verts)",
+        frag0,
+        f",\nw0 AS MATERIALIZED (SELECT start, h AS wid, CAST(start AS UBIGINT) AS cur FROM {last0})",
+    ]
+    carry = ["start", "wid"]
+    hops: list[str] = []
+    for t in range(1, walk_len):
+        smt = sm64_py(t)
+        hop_cols = ", ".join(hops)
+        hc = (hop_cols + ", ") if hops else ""
+        parts.append(
+            f""",
+sx{t} AS (SELECT {hc}start, wid, cur, xor(xor(wid, {smt}::UBIGINT), {seed}::UBIGINT) AS x FROM w{t-1})"""
+        )
+        frag, last, _ = sm64_stages(f"sx{t}", "x", f"st{t}", carry + hops + ["cur"])
+        parts.append(frag)
+        parts.append(
+            f""",
+w{t} AS MATERIALIZED (
+  SELECT {hc}t.start, t.wid, CAST(adj.v AS UBIGINT) AS cur, adj.v AS v{t}
+  FROM {last} t
+  JOIN deg ON deg.vid = CAST(t.cur AS BIGINT)
+  JOIN adj ON adj.u = CAST(t.cur AS BIGINT)
+         AND adj.idx = CAST(t.h % CAST(deg.d AS UBIGINT) AS BIGINT)
+)"""
+        )
+        hops.append(f"v{t}")
+    sel = ", ".join(f"CAST(v{t} AS BIGINT) AS v{t}" for t in range(1, walk_len))
+    parts.append(f"\nSELECT CAST(start AS BIGINT) AS start, {sel} FROM w{walk_len-1}")
+    return "".join(parts)
+
+
+# min-neighbor forest over the co-occurrence graph: parent(v) = the
+# smallest neighbor u < v — chains strictly decrease, so this is a
+# forest whose roots are the vertices with no smaller neighbor.
+_FOREST = f"""{_COOCC_UND_MAT},
+verts AS (SELECT DISTINCT u AS vid FROM und),
+pe AS MATERIALIZED (SELECT u AS child, MIN(v) AS parent FROM und WHERE v < u GROUP BY u)"""
+
+SUBTREE_SIZES_FOREST = f"""WITH RECURSIVE {_FOREST},
+roots AS (SELECT vid FROM verts WHERE vid NOT IN (SELECT child FROM pe)),
+dep AS (
+  SELECT vid, 0 AS depth FROM roots
+  UNION ALL
+  SELECT pe.child, dep.depth + 1 FROM pe JOIN dep ON pe.parent = dep.vid
+),
+anc AS (
+  SELECT vid AS node, vid AS anc FROM verts
+  UNION ALL
+  SELECT a.node, pe.parent FROM anc a JOIN pe ON a.anc = pe.child
+)
+SELECT CAST(d.vid AS BIGINT) AS vid,
+  CAST(s.n AS BIGINT) AS subtree_size,
+  CAST(d.depth AS BIGINT) AS depth
+FROM dep d JOIN (SELECT anc, COUNT(*) AS n FROM anc GROUP BY anc) s ON d.vid = s.anc"""
+
+
+def tree_kernel_forest_sql(a: float = -0.5) -> str:
+    """exp(a·dist_T)·p_retailprice over the min-neighbor forest via the
+    LCA identity dist(u,v) = depth(u) + depth(v) − 2·depth(lca) on
+    recursive ancestor closures (same-tree pairs only — cross-tree
+    kernel weight is 0, matching the engine's two-pass integrator)."""
+    import math
+
+    lam = math.exp(a)
+    return f"""WITH RECURSIVE {_FOREST},
+roots AS (SELECT vid FROM verts WHERE vid NOT IN (SELECT child FROM pe)),
+dep AS (
+  SELECT vid, 0 AS depth FROM roots
+  UNION ALL
+  SELECT pe.child, dep.depth + 1 FROM pe JOIN dep ON pe.parent = dep.vid
+),
+anc AS (
+  SELECT vid AS node, vid AS anc FROM verts
+  UNION ALL
+  SELECT a.node, pe.parent FROM anc a JOIN pe ON a.anc = pe.child
+),
+lca AS (
+  SELECT a1.node AS s, a2.node AS t, MAX(d.depth) AS ld
+  FROM anc a1 JOIN anc a2 ON a1.anc = a2.anc JOIN dep d ON a1.anc = d.vid
+  GROUP BY a1.node, a2.node
+),
+y AS (
+  SELECT l.s AS vid,
+    SUM(pow({lam!r}, ds.depth + dt.depth - 2 * l.ld) * CAST(p.p_retailprice AS DOUBLE)) AS val
+  FROM lca l
+  JOIN dep ds ON l.s = ds.vid
+  JOIN dep dt ON l.t = dt.vid
+  JOIN part p ON p.p_partkey = l.t
+  GROUP BY l.s
+)
+SELECT CAST(vid AS BIGINT) AS vid, ROUND(val, 4) AS integral_r4 FROM y"""
+
+
 CLUSTERING_COEFF_COOCC = """WITH pr AS (
   SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
   FROM lineitem a JOIN lineitem b

@@ -408,31 +408,28 @@ def q_heat_smooth_coocc(sf_dir: str):
 def q_walk_corpus_coocc(sf_dir: str):
     """Deterministic DeepWalk-style training sequences over the part
     co-occurrence graph (undirected → full-length walks): L map_batches
-    steps, zero-shuffle, broadcast CSR reads (rows-only at the driver;
-    edge-validity/determinism oracles in pytest). Returns (walk_id,
-    seq_len, first, last)."""
+    steps, zero-shuffle, broadcast CSR reads. SQL-oracled: the full
+    8-vertex sequence per walk, replayed hop-by-hop in DuckDB from the
+    same splitmix64 recurrence. Returns (start, v1..v7)."""
     from .walk_corpus import random_walk_corpus
 
     g = _coocc_graph(sf_dir)
-    walks = random_walk_corpus(g, walk_len=8, walks_per_vertex=1, seed=7)
+    walk_len = 8
+    walks = random_walk_corpus(g, walk_len=walk_len, walks_per_vertex=1, seed=7)
 
     def _shape(batch: pa.Table) -> pa.Table:
         from ..util import list_rows
 
         seqs = list_rows(batch, "seq")
-        return pa.table(
-            {
-                # full-range uint64 hash — int64 cast would overflow
-                "walk_id": batch.column("walk_id"),
-                "seq_len": pa.array([len(s) for s in seqs], type=pa.int64()),
-                "first": pa.array(
-                    np.array([s[0] for s in seqs], dtype=np.int64), type=pa.int64()
-                ),
-                "last": pa.array(
-                    np.array([s[-1] for s in seqs], dtype=np.int64), type=pa.int64()
-                ),
-            }
+        mat = (
+            np.vstack(seqs).astype(np.int64)
+            if seqs
+            else np.empty((0, walk_len), dtype=np.int64)
         )
+        cols = {"start": pa.array(mat[:, 0], type=pa.int64())}
+        for t in range(1, walk_len):
+            cols[f"v{t}"] = pa.array(mat[:, t], type=pa.int64())
+        return pa.table(cols)
 
     return walks.map_batches(_shape, batch_format="pyarrow")
 
@@ -529,31 +526,31 @@ def q_sssp_partsupp(sf_dir: str):
     return out.map_batches(_shape, batch_format="pyarrow")
 
 
-def q_subtree_sizes_msf(sf_dir: str):
-    """Two-pass tree DP over the MSF of the co-occurrence graph:
-    Borůvka forest → rooted BFS orientation → gated bottom-up subtree
-    sizes (TreeGFIntegrator / subtree-cost parity; rows-only at the
-    driver, recursive-oracle-exact in pytest). Returns (vid,
-    subtree_size, depth)."""
-    from .mst import minimum_spanning_forest
+def _forest_graph(sf_dir: str):
+    """Min-neighbor forest of the co-occurrence graph as an undirected
+    ShardedGraph (cached — shared by the tree-DP and tree-kernel
+    queries)."""
+    from .tree_dp import min_neighbor_forest_edges
+
+    key = ("forest", sf_dir)
+    if key not in _GRAPH_CACHE:
+        g = _coocc_graph(sf_dir)
+        _GRAPH_CACHE[key] = build_graph(
+            min_neighbor_forest_edges(g), EngineConfig(num_partitions=16), directed=False
+        )
+    return _GRAPH_CACHE[key]
+
+
+def q_subtree_sizes_forest(sf_dir: str):
+    """Two-pass tree DP over the canonical min-neighbor forest of the
+    co-occurrence graph: rooted BFS orientation → gated bottom-up
+    subtree sizes (TreeGFIntegrator / subtree-cost parity). SQL-oracled
+    via recursive CTEs (depth chase + ancestor-closure counts) — the
+    forest is defined so DuckDB can rebuild it exactly (parent(v) =
+    min neighbor < v). Returns (vid, subtree_size, depth)."""
     from .tree_dp import rooted_bfs, subtree_aggregate
 
-    g = _coocc_graph(sf_dir)
-    forest_edges, _ = minimum_spanning_forest(g)
-
-    def _as_src_dst(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "src": batch.column("a").cast(pa.uint64()),
-                "dst": batch.column("b").cast(pa.uint64()),
-            }
-        )
-
-    fg = build_graph(
-        forest_edges.map_batches(_as_src_dst, batch_format="pyarrow"),
-        EngineConfig(num_partitions=16),
-        directed=False,
-    )
+    fg = _forest_graph(sf_dir)
     parents, _ = rooted_bfs(fg, _ckpt("treebfs"))
     # the forest metadata (vid, parent, depth) is the tree-DP API input;
     # collected once, broadcast as SORTED arrays via ray.put (vectorized
@@ -584,6 +581,40 @@ def q_subtree_sizes_msf(sf_dir: str):
         )
 
     return sub.map_batches(_shape, batch_format="pyarrow")
+
+
+def q_tree_kernel_forest(sf_dir: str):
+    """Tree-metric kernel field integration y = exp(a·dist_T)·x over
+    the min-neighbor forest, x = p_retailprice, a = −0.5 — the
+    reference's TreeGFIntegrator readout (trees.py:93-125) as two
+    scaled gated DP passes. SQL-oracled via the LCA distance identity
+    (dist = depth(u)+depth(v)−2·depth(lca)) over recursive ancestor
+    closures. Returns (vid, integral_r4)."""
+    import pyarrow.parquet as pq_  # noqa: N813
+
+    from .tree_dp import integrate_tree_field, make_vid_lookup, rooted_bfs
+
+    fg = _forest_graph(sf_dir)
+    parents, _ = rooted_bfs(fg, _ckpt("tkbfs"))
+    pdf = parents.to_pandas()
+    part_tbl = pq_.read_table(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_retailprice"]
+    )
+    x_lookup = make_vid_lookup(
+        part_tbl.column("p_partkey").to_numpy().astype(np.uint64),
+        part_tbl.column("p_retailprice").to_numpy().astype(np.float64),
+    )
+    out, _ = integrate_tree_field(fg, pdf, x_lookup, a=-0.5, ckpt_dir=_ckpt("tkern"))
+
+    def _shape(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vid": batch.column("vid").cast(pa.int64()),
+                "integral_r4": pc.round(batch.column("integral"), ndigits=4),
+            }
+        )
+
+    return out.map_batches(_shape, batch_format="pyarrow")
 
 
 def q_ldd_coocc(sf_dir: str):

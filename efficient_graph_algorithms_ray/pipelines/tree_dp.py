@@ -140,6 +140,117 @@ def rooted_bfs(graph: ShardedGraph, ckpt_dir: str, *, max_iters: int = 300):
     return parts_ds.map_batches(_emit, batch_format="pyarrow", batch_size=4), summary
 
 
+def min_neighbor_forest_edges(graph: ShardedGraph):
+    """Canonical SQL-reproducible forest over any undirected graph:
+    parent(v) = min neighbor u with u < v (absent → v is a root).
+
+    Parent chains strictly decrease, so the structure is a forest whose
+    tree roots are exactly the vertices with no smaller neighbor — and
+    each root is its tree's minimum vid, so the engine's generic
+    ``rooted_bfs`` (roots = per-component min vid) orients this forest
+    back onto itself. Emitted partition-locally from each CSR shard
+    (indices are sorted, so the parent is the first neighbor when it is
+    smaller). Returns a (src=child, dst=parent) edge Dataset.
+    """
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    refs = graph.refs
+
+    def _emit(batch: pa.Table) -> pa.Table:
+        parts = batch.column("part").to_numpy(zero_copy_only=False)
+        child_o, par_o = [], []
+        for p in parts:
+            csr = ray.get(refs[int(p)])
+            vids, indptr, idx = csr["vids"], csr["indptr"], csr["indices"]
+            has_edge = np.diff(indptr) > 0
+            first = idx[indptr[:-1][has_edge]]  # min neighbor (sorted indices)
+            keep = first < vids[has_edge]
+            child_o.append(vids[has_edge][keep])
+            par_o.append(first[keep])
+        return pa.table(
+            {
+                "src": pa.array(
+                    np.concatenate(child_o) if child_o else np.empty(0, np.uint64),
+                    type=pa.uint64(),
+                ),
+                "dst": pa.array(
+                    np.concatenate(par_o) if par_o else np.empty(0, np.uint64),
+                    type=pa.uint64(),
+                ),
+            }
+        )
+
+    parts_ds = rd.from_arrow(pa.table({"part": pa.array(graph.parts, type=pa.int64())}))
+    return parts_ds.map_batches(_emit, batch_format="pyarrow", batch_size=4)
+
+
+def integrate_tree_field(
+    graph: ShardedGraph,
+    parents_df,
+    x_lookup,
+    a: float,
+    ckpt_dir: str,
+    *,
+    num_partitions: int | None = None,
+):
+    """Tree-metric kernel matvec y = K·x with K(u,v) = exp(a·dist_T) —
+    the reference's ``TreeGFIntegrator.integrate_graph_field``
+    (/root/reference/src/ega/algorithms/trees.py:93-125), O(n) via the
+    classic two-pass identity with λ = e^a (unit edge lengths):
+
+        up(v) = x(v) + λ·Σ_children up(c)          (bottom-up)
+        y(v)  = λ·y(parent) + (1−λ²)·up(v),  y(root) = up(root)
+
+    Vertices in different trees contribute 0 to each other (the passes
+    never cross trees), matching the disconnected-kernel convention.
+    Returns (Dataset (vid, integral), summaries).
+    """
+    import ray
+
+    lam = float(np.exp(a))
+    up_ds, s_up = subtree_aggregate(
+        graph, parents_df, x_lookup, f"{ckpt_dir}/up",
+        num_partitions=num_partitions, child_scale=lam,
+    )
+    up_df = up_ds.to_pandas()  # forest metadata scale (same as parents_df)
+    uv = up_df["vid"].to_numpy().astype(np.uint64)
+    uu = up_df["subtree_sum"].to_numpy().astype(np.float64)
+    order = np.argsort(uv)
+    uv, uu = uv[order], uu[order]
+    root_vids = np.sort(
+        parents_df.loc[parents_df["parent_id"] == parents_df["own_id"], "vid"]
+        .to_numpy()
+        .astype(np.uint64)
+    )
+    # x2 = up(root) at roots, (1−λ²)·up(v) elsewhere — broadcast once
+    arr_ref = ray.put((uv, uu, root_vids))
+
+    def x2_lookup(q: np.ndarray) -> np.ndarray:
+        uv_, uu_, roots_ = ray.get(arr_ref)
+        vals = uu_[np.searchsorted(uv_, q)]
+        pos = np.searchsorted(roots_, q)
+        ok = pos < len(roots_)
+        is_root = np.zeros(len(q), dtype=bool)
+        is_root[ok] = roots_[pos[ok]] == q[ok]
+        return np.where(is_root, vals, (1.0 - lam * lam) * vals)
+
+    z_ds, s_dn = topdown_prefix(
+        graph, parents_df, x2_lookup, f"{ckpt_dir}/down",
+        num_partitions=num_partitions, parent_scale=lam,
+    )
+
+    import pyarrow as pa
+
+    def _shape(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"vid": batch.column("vid"), "integral": batch.column("prefix")}
+        )
+
+    return z_ds.map_batches(_shape, batch_format="pyarrow"), {"up": s_up, "down": s_dn}
+
+
 def _parent_edge_arrays(parents_df):
     """(child vid, parent vid) uint64 arrays, roots excluded —
     vectorized sorted-array dense-id→vid translation (no dict/.map)."""
@@ -161,6 +272,7 @@ def subtree_aggregate(
     *,
     num_partitions: int | None = None,
     max_iters: int = 500,
+    child_scale: float = 1.0,
 ):
     """Bottom-up subtree sums over an oriented forest.
 
@@ -169,6 +281,13 @@ def subtree_aggregate(
     per-vertex field. Returns (Dataset (vid, subtree_sum), summary).
     Covers every vertex of ``parents_df`` (single-vertex trees
     included — they are their own root).
+
+    ``child_scale`` = λ generalizes the sum to
+    up(v) = x(v) + λ·Σ_children up(c) — the bottom-up half of the
+    reference's exp-kernel tree integrator
+    (``TreeGFIntegrator.integrate_graph_field``,
+    /root/reference/src/ega/algorithms/trees.py:93-125); λ=1 is the
+    plain subtree sum.
     """
     import pyarrow as pa
     import ray.data as rd
@@ -218,7 +337,7 @@ def subtree_aggregate(
     def msg_fn(state, csr):
         r = _ready(state)
         msg = np.zeros_like(state)
-        msg[:, 0] = state[:, 0] * r
+        msg[:, 0] = child_scale * (state[:, 0] * r)
         msg[:, 1] = r
         return msg
 
@@ -262,11 +381,16 @@ def topdown_prefix(
     *,
     num_partitions: int | None = None,
     max_iters: int = 500,
+    parent_scale: float = 1.0,
 ):
     """Top-down pass: root-to-vertex path sums (prefix(v) = Σ x over
     the root→v path, root included). Returns (Dataset (vid, prefix),
     summary) — with ``subtree_aggregate`` this is the reference's full
-    two-pass tree DP."""
+    two-pass tree DP.
+
+    ``parent_scale`` = λ generalizes to prefix(v) = λ·prefix(parent)
+    + x(v) (root: prefix = x) — the top-down half of the exp-kernel
+    tree integrator; λ=1 is the plain path sum."""
     import pyarrow as pa
     import ray.data as rd
 
@@ -321,7 +445,7 @@ def topdown_prefix(
     def apply_fn(agg, old, T, dm, csr):
         new = old.copy()
         arrived = agg[:, 1] > 0
-        new[:, 0] += agg[:, 0] + arrived * old[:, 3]
+        new[:, 0] += parent_scale * agg[:, 0] + arrived * old[:, 3]
         new[:, 1] += agg[:, 1]
         new[:, 2] += _ready(old)
         return new
