@@ -186,4 +186,9 @@ def oracle_sql() -> dict[str, str]:
         "coreness_coocc": S.coreness_coocc_sql(rounds=24),
         "ldd_coocc": S.ldd_coocc_sql(rounds=5),
         "walk_corpus_coocc": S.walk_corpus_coocc_sql(walk_len=8, seed=7),
+        "minhash_neardup_pairs": S.minhash_pairs_sql(threshold=0.5),
+        "ngram_jaccard_pairs": S.ngram_jaccard_pairs_sql(threshold=0.3),
+        "neardup_clusters": S.neardup_clusters_sql(threshold=0.5),
+        "simhash_neardup_pairs": S.simhash_pairs_sql(max_hamming=12),
+        "ann_lsh_pairs": S.ann_lsh_pairs_sql(threshold=0.25, n_bits=6),
     }

@@ -186,11 +186,14 @@ def minhash_candidate_pairs(docs_ds, threshold: float = 0.5):
         ia, ib = np.triu_indices(n, 1)
         est = (sig_mat[ia] == sig_mat[ib]).mean(axis=1)
         keep = est >= threshold
+        # est = matches/128 is an exact binary fraction — emit it raw
+        # (identical double in DuckDB; rounding a .5-boundary rational
+        # would split on half-even vs half-away)
         return pd.DataFrame(
             {
                 "doc_a": ids[ia][keep],
                 "doc_b": ids[ib][keep],
-                "est_jaccard": np.round(est[keep], 6),
+                "est_jaccard": est[keep],
             }
         )
 
@@ -213,7 +216,7 @@ def minhash_exact_jaccard_pairs(docs_ds, threshold: float = 0.3):
     verifies exactly (est ≥ threshold gate, then exact |A∩B|/|A∪B|)
     with no driver text scan and no corpus broadcast (round 1 collected
     candidate texts through the driver). Returns (doc_a, doc_b,
-    jaccard_r6); cross-band duplicates collapse via one hash aggregate.
+    jaccard, an exact double); cross-band duplicates collapse via one hash aggregate.
     """
     from ray.data.aggregate import Min
 
@@ -266,7 +269,7 @@ def minhash_exact_jaccard_pairs(docs_ds, threshold: float = 0.3):
             {
                 "doc_a": pd.Series([], dtype=np.int64),
                 "doc_b": pd.Series([], dtype=np.int64),
-                "jaccard_r6": pd.Series([], dtype=np.float64),
+                "jaccard": pd.Series([], dtype=np.float64),
             }
         )
         g = group.drop_duplicates("doc_id").sort_values("doc_id")
@@ -285,17 +288,19 @@ def minhash_exact_jaccard_pairs(docs_ds, threshold: float = 0.3):
             sa, sb = sh[x], sh[y]
             inter = len(np.intersect1d(sa, sb, assume_unique=True))
             union = len(sa) + len(sb) - inter
+            # raw correctly-rounded double of two exact ints — identical
+            # in DuckDB; rounding rationals risks half-even splits
             j = 1.0 if union == 0 else inter / union
             out_a.append(ids[x])
             out_b.append(ids[y])
-            out_j.append(round(j, 6))
+            out_j.append(j)
         if not out_a:
             return empty
         return pd.DataFrame(
             {
                 "doc_a": np.array(out_a, dtype=np.int64),
                 "doc_b": np.array(out_b, dtype=np.int64),
-                "jaccard_r6": np.array(out_j, dtype=np.float64),
+                "jaccard": np.array(out_j, dtype=np.float64),
             }
         )
 
@@ -303,8 +308,8 @@ def minhash_exact_jaccard_pairs(docs_ds, threshold: float = 0.3):
         _bands, batch_format="pyarrow"
     )
     pairs = rows.groupby(["band", "band_hash"]).map_groups(_bucket_exact, batch_format="pandas")
-    out = pairs.groupby(["doc_a", "doc_b"]).aggregate(Min("jaccard_r6", alias_name="jaccard_r6"))
-    return out.select_columns(["doc_a", "doc_b", "jaccard_r6"])
+    out = pairs.groupby(["doc_a", "doc_b"]).aggregate(Min("jaccard", alias_name="jaccard"))
+    return out.select_columns(["doc_a", "doc_b", "jaccard"])
 
 
 def simhash_candidate_pairs(docs_ds, max_hamming: int = 8):

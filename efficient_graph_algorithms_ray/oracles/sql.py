@@ -764,6 +764,178 @@ y AS (
 SELECT CAST(vid AS BIGINT) AS vid, ROUND(val, 4) AS integral_r4 FROM y"""
 
 
+# --- MinHash / SimHash / embedding-LSH oracles ----------------------------
+# The permutation constants are the engine's own module-level arrays —
+# inlined as literals at SQL-generation time, so the Philox seeding never
+# needs to be reproduced inside DuckDB.
+
+_M61 = (1 << 61) - 1
+
+
+def _minhash_frag(threshold: float) -> str:
+    """Shared CTE chain: shingles → 128-perm signatures → banded buckets
+    → candidate pairs with exact est = matches/128 (an exact binary
+    fraction — emitted raw on both sides). Mirrors functions/dedup.py
+    including the uint64 wraparound in (s·a + b) and the band hash."""
+    from ..functions.dedup import _PERM_A, _PERM_B, LSH_ROWS, MAX_BUCKET
+
+    perms = ", ".join(
+        f"({k}, {int(a)}::UBIGINT, {int(b)}::UBIGINT)"
+        for k, (a, b) in enumerate(zip(_PERM_A, _PERM_B))
+    )
+    rperm = ", ".join(f"({r}, {int(_PERM_A[r])}::UBIGINT)" for r in range(LSH_ROWS))
+    return f"""toks AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS tk FROM documents),
+shs AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - 2),
+         i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s
+  FROM toks
+),
+shr AS MATERIALIZED (
+  SELECT DISTINCT doc_id, list_reduce(
+    list_prepend(14695981039346656037::UBIGINT,
+      list_transform(string_split(s, ''), ch -> ascii(ch)::UBIGINT)),
+    (h, b) -> CAST((CAST(xor(h, b) AS HUGEINT) * 1099511628211) % {_U64} AS UBIGINT)
+  ) AS sh
+  FROM shs
+),
+perms(k, a, b) AS (VALUES {perms}),
+rperm(r, a2) AS (VALUES {rperm}),
+sigt AS MATERIALIZED (
+  SELECT doc_id, k,
+    MIN(CAST((CAST(CAST((CAST(sh % {_M61}::UBIGINT AS HUGEINT) * a) % {_U64} AS UBIGINT) AS HUGEINT)
+        + b) % {_U64} AS UBIGINT) % {_M61}::UBIGINT) AS v
+  FROM shr, perms GROUP BY doc_id, k
+),
+bandt AS MATERIALIZED (
+  SELECT s.doc_id, s.k // 8 AS band,
+    CAST(SUM(CAST((CAST(s.v AS HUGEINT) * r.a2) % {_U64} AS HUGEINT)) % {_U64}::HUGEINT AS UBIGINT) AS bh
+  FROM sigt s JOIN rperm r ON s.k % 8 = r.r
+  GROUP BY s.doc_id, s.k // 8
+),
+bsz AS (SELECT band, bh, COUNT(DISTINCT doc_id) AS n FROM bandt GROUP BY 1, 2),
+cand AS MATERIALIZED (
+  SELECT DISTINCT b1.doc_id AS da, b2.doc_id AS db
+  FROM bandt b1
+  JOIN bandt b2 ON b1.band = b2.band AND b1.bh = b2.bh AND b1.doc_id < b2.doc_id
+  JOIN bsz ON bsz.band = b1.band AND bsz.bh = b1.bh AND bsz.n <= {MAX_BUCKET}
+),
+estt AS MATERIALIZED (
+  SELECT c.da, c.db,
+    SUM(CASE WHEN s1.v = s2.v THEN 1 ELSE 0 END) / 128.0 AS est
+  FROM cand c
+  JOIN sigt s1 ON s1.doc_id = c.da
+  JOIN sigt s2 ON s2.doc_id = c.db AND s1.k = s2.k
+  GROUP BY c.da, c.db
+),
+hits AS (SELECT da, db, est FROM estt WHERE est >= {threshold!r})"""
+
+
+def minhash_pairs_sql(threshold: float = 0.5) -> str:
+    return f"""WITH {_minhash_frag(threshold)}
+SELECT da AS doc_a, db AS doc_b, est AS est_jaccard FROM hits"""
+
+
+def ngram_jaccard_pairs_sql(threshold: float = 0.3) -> str:
+    return f"""WITH {_minhash_frag(threshold)},
+szs AS (SELECT doc_id, COUNT(*) AS n FROM shr GROUP BY doc_id),
+inter AS (
+  SELECT h.da, h.db, COUNT(*) AS i
+  FROM hits h JOIN shr s1 ON s1.doc_id = h.da JOIN shr s2 ON s2.doc_id = h.db AND s1.sh = s2.sh
+  GROUP BY h.da, h.db
+)
+SELECT h.da AS doc_a, h.db AS doc_b,
+  CASE WHEN (sa.n + sb.n - COALESCE(i.i, 0)) = 0 THEN 1.0
+       ELSE CAST(COALESCE(i.i, 0) AS DOUBLE) / CAST(sa.n + sb.n - COALESCE(i.i, 0) AS DOUBLE)
+  END AS jaccard
+FROM hits h
+JOIN szs sa ON h.da = sa.doc_id JOIN szs sb ON h.db = sb.doc_id
+LEFT JOIN inter i ON h.da = i.da AND h.db = i.db"""
+
+
+def neardup_clusters_sql(threshold: float = 0.5) -> str:
+    """Connected components (min doc_id label) over the MinHash near-dup
+    pair graph via a recursive reachability closure — tiny edge set, so
+    the closure stays small; singletons label themselves."""
+    return f"""WITH RECURSIVE {_minhash_frag(threshold)},
+pe AS (SELECT da AS x, db AS y FROM hits UNION ALL SELECT db, da FROM hits),
+reach AS (
+  SELECT doc_id AS node, doc_id AS r FROM documents
+  UNION
+  SELECT pe.x AS node, reach.r FROM reach JOIN pe ON reach.node = pe.y
+)
+SELECT node AS doc_id, MIN(r) AS cluster FROM reach GROUP BY node"""
+
+
+def simhash_pairs_sql(max_hamming: int = 12) -> str:
+    """64-bit SimHash over FNV token hashes, 4×16-bit band buckets,
+    exact Hamming verify — register-exact vs functions/text.py +
+    functions/dedup.py."""
+    from ..functions.dedup import MAX_BUCKET
+
+    return f"""WITH tkt AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS tok FROM documents
+),
+tht AS MATERIALIZED (
+  SELECT doc_id, list_reduce(
+    list_prepend(14695981039346656037::UBIGINT,
+      list_transform(string_split(tok, ''), ch -> ascii(ch)::UBIGINT)),
+    (h, b) -> CAST((CAST(xor(h, b) AS HUGEINT) * 1099511628211) % {_U64} AS UBIGINT)
+  ) AS th
+  FROM tkt
+),
+bits(i) AS (SELECT unnest(generate_series(0, 63))),
+votes AS (
+  SELECT doc_id, i, SUM(CASE WHEN (th >> i) & 1::UBIGINT = 1::UBIGINT THEN 1 ELSE -1 END) AS vote
+  FROM tht, bits GROUP BY doc_id, i
+),
+fp AS MATERIALIZED (
+  SELECT doc_id,
+    CAST(SUM(CASE WHEN vote > 0 THEN CAST(1::UBIGINT << i AS HUGEINT) ELSE 0::HUGEINT END) AS UBIGINT) AS f
+  FROM votes GROUP BY doc_id
+),
+bandk AS MATERIALIZED (
+  SELECT doc_id, b.b AS band, CAST((f >> (16 * b.b)) & 65535::UBIGINT AS BIGINT) AS key, f
+  FROM fp, (SELECT unnest(generate_series(0, 3)) AS b) b
+),
+bsz AS (SELECT band, key, COUNT(DISTINCT doc_id) AS n FROM bandk GROUP BY 1, 2)
+SELECT DISTINCT b1.doc_id AS doc_a, b2.doc_id AS doc_b,
+  CAST(bit_count(xor(b1.f, b2.f)) AS BIGINT) AS hamming
+FROM bandk b1
+JOIN bandk b2 ON b1.band = b2.band AND b1.key = b2.key AND b1.doc_id < b2.doc_id
+JOIN bsz ON bsz.band = b1.band AND bsz.key = b1.key AND bsz.n <= {MAX_BUCKET}
+WHERE bit_count(xor(b1.f, b2.f)) <= {max_hamming}"""
+
+
+def ann_lsh_pairs_sql(threshold: float = 0.25, n_bits: int = 6, d: int = 64) -> str:
+    """±1-hyperplane LSH buckets + exact cosine verify — the planes are
+    the engine's own splitmix64-derived signs, inlined as literals."""
+    from ..functions.dedup import MAX_BUCKET
+    from ..functions.similarity import lsh_sign_planes
+
+    planes = lsh_sign_planes(d, n_bits)
+    vals = ", ".join(
+        f"({j}, {i}, {planes[j, i]!r})" for j in range(d) for i in range(n_bits)
+    )
+    return f"""WITH planes(j, i, s) AS (VALUES {vals}),
+dots AS (
+  SELECT e.vec_id, p.i, SUM(CAST(e.embedding[p.j + 1] AS DOUBLE) * p.s) AS dot
+  FROM embeddings e, planes p GROUP BY e.vec_id, p.i
+),
+buck AS MATERIALIZED (
+  SELECT vec_id, CAST(SUM(CASE WHEN dot > 0 THEN (1::BIGINT << i) ELSE 0 END) AS BIGINT) AS bucket
+  FROM dots GROUP BY vec_id
+),
+bsz AS (SELECT bucket, COUNT(*) AS n FROM buck GROUP BY bucket)
+SELECT b1.vec_id AS vec_a, b2.vec_id AS vec_b,
+  ROUND(list_cosine_similarity(e1.embedding::DOUBLE[], e2.embedding::DOUBLE[]), 6) AS cosine
+FROM buck b1
+JOIN buck b2 ON b1.bucket = b2.bucket AND b1.vec_id < b2.vec_id
+JOIN bsz ON bsz.bucket = b1.bucket AND bsz.n <= {MAX_BUCKET}
+JOIN embeddings e1 ON e1.vec_id = b1.vec_id
+JOIN embeddings e2 ON e2.vec_id = b2.vec_id
+WHERE list_cosine_similarity(e1.embedding::DOUBLE[], e2.embedding::DOUBLE[]) >= {threshold!r}"""
+
+
 CLUSTERING_COEFF_COOCC = """WITH pr AS (
   SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
   FROM lineitem a JOIN lineitem b
