@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sssp_partsupp": R.q_sssp_partsupp,
         "anf_coocc": R.q_anf_coocc,
         "coreness_coocc": R.q_coreness_coocc,
+        "dsd_pairs_coocc": R.q_dsd_pairs_coocc,
         "clustering_coeff_coocc": R.q_clustering_coeff_coocc,
         "walk_corpus_coocc": R.q_walk_corpus_coocc,
         "events_prev_gap": R.q_events_prev_gap,
@@ -191,4 +192,8 @@ def oracle_sql() -> dict[str, str]:
         "neardup_clusters": S.neardup_clusters_sql(threshold=0.5),
         "simhash_neardup_pairs": S.simhash_pairs_sql(max_hamming=12),
         "ann_lsh_pairs": S.ann_lsh_pairs_sql(threshold=0.25, n_bits=6),
+        "sinkhorn_dist_coocc": S.sinkhorn_coocc_sql(blur_t=0.01, blur_steps=3, n_iters=4),
+        "anf_coocc": S.anf_coocc_sql(p=6, rounds=8),
+        "msf_coocc": S.msf_coocc_sql(rounds=6),
+        "dsd_pairs_coocc": S.dsd_pairs_coocc_sql(queries=(1, 2, 3, 4), n_rw=3),
     }

@@ -936,6 +936,272 @@ JOIN embeddings e2 ON e2.vec_id = b2.vec_id
 WHERE list_cosine_similarity(e1.embedding::DOUBLE[], e2.embedding::DOUBLE[]) >= {threshold!r}"""
 
 
+def sinkhorn_coocc_sql(blur_t: float = 0.01, blur_steps: int = 3, n_iters: int = 4) -> str:
+    """Unrolled convolutional Sinkhorn (Gauss–Seidel v/w fixed point
+    with explicit-Euler heat blurs) over the part co-occurrence graph —
+    the exact recurrence of pipelines/diffusion.py::sinkhorn_distance
+    with both targets carried as two columns. ~2·n_iters·blur_steps
+    matvec CTEs, all MATERIALIZED."""
+    dt = blur_t / blur_steps
+    eps = 1e-300
+
+    def euler(tag: str, src: str) -> tuple[str, str]:
+        out, prev = [], src
+        for k in range(1, blur_steps + 1):
+            cur = f"{tag}e{k}"
+            out.append(
+                f""",
+nb_{cur} AS (
+  SELECT und.v AS vid, SUM(x.a) AS sa, SUM(x.b) AS sb
+  FROM und JOIN {prev} x ON und.u = x.vid GROUP BY und.v
+),
+{cur} AS MATERIALIZED (
+  SELECT x.vid,
+    x.a - {dt!r} * (deg.d * x.a - COALESCE(nb.sa, 0)) AS a,
+    x.b - {dt!r} * (deg.d * x.b - COALESCE(nb.sb, 0)) AS b
+  FROM {prev} x JOIN deg ON x.vid = deg.vid
+  LEFT JOIN nb_{cur} nb ON x.vid = nb.vid
+)"""
+            )
+            prev = cur
+        return "".join(out), prev
+
+    parts = [
+        f"WITH {_COOCC_UND_MAT},",
+        "verts AS (SELECT DISTINCT u AS vid FROM und),",
+        "deg AS MATERIALIZED (SELECT u AS vid, CAST(COUNT(*) AS DOUBLE) AS d FROM und GROUP BY u),",
+        "tot AS (SELECT SUM(CAST(p_retailprice AS DOUBLE)) AS sp, SUM(CAST(p_size AS DOUBLE)) AS ss FROM part),",
+        """mu AS MATERIALIZED (
+  SELECT v.vid,
+    CAST(p.p_retailprice AS DOUBLE) / (SELECT sp FROM tot) AS m,
+    CAST(p.p_size AS DOUBLE) / (SELECT ss FROM tot) AS nu1
+  FROM verts v JOIN part p ON p.p_partkey = v.vid
+)""",
+        ",\nw0 AS MATERIALIZED (SELECT vid, 1.0 AS a, 1.0 AS b FROM verts)",
+    ]
+    w_cur, v_cur = "w0", None
+    for it in range(n_iters):
+        frag, hw = euler(f"hw{it}", w_cur)
+        parts.append(frag)
+        v_cur = f"v{it}"
+        parts.append(
+            f""",
+{v_cur} AS MATERIALIZED (
+  SELECT mu.vid,
+    mu.m / GREATEST(h.a, {eps!r}) AS a,
+    mu.m / GREATEST(h.b, {eps!r}) AS b
+  FROM mu JOIN {hw} h ON mu.vid = h.vid
+)"""
+        )
+        frag, hv = euler(f"hv{it}", v_cur)
+        parts.append(frag)
+        w_cur = f"w{it + 1}"
+        parts.append(
+            f""",
+{w_cur} AS MATERIALIZED (
+  SELECT mu.vid,
+    mu.m / GREATEST(h.a, {eps!r}) AS a,
+    mu.nu1 / GREATEST(h.b, {eps!r}) AS b
+  FROM mu JOIN {hv} h ON mu.vid = h.vid
+)"""
+        )
+    parts.append(
+        f"""
+SELECT 0::BIGINT AS target,
+  ROUND(SUM(mu.m * ln(GREATEST(v.a, {eps!r})) + mu.m * ln(GREATEST(w.a, {eps!r}))) * {blur_t!r}, 6) AS dist_r6
+FROM mu JOIN {v_cur} v ON mu.vid = v.vid JOIN {w_cur} w ON mu.vid = w.vid
+UNION ALL
+SELECT 1::BIGINT AS target,
+  ROUND(SUM(mu.m * ln(GREATEST(v.b, {eps!r})) + mu.nu1 * ln(GREATEST(w.b, {eps!r}))) * {blur_t!r}, 6) AS dist_r6
+FROM mu JOIN {v_cur} v ON mu.vid = v.vid JOIN {w_cur} w ON mu.vid = w.vid"""
+    )
+    return "".join(parts)
+
+
+def anf_coocc_sql(p: int = 6, rounds: int = 8, quantile: float = 0.9) -> str:
+    """HyperANF replayed in SQL: per-vertex singleton HLL registers
+    (splitmix64, integer CLZ cascade), ``rounds`` unrolled sparse
+    max-merge propagations, per-round register-exact estimates, closure
+    detection via the monotone (count, sum) signature, and the same
+    interpolated effective diameter. Mirrors pipelines/anf.py."""
+    m = 1 << p
+    alpha_m = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
+    amm = alpha_m * m * m
+    frag, last, _ = sm64_stages("vx", "x", "anf", ["vid"])
+    clz = [
+        f"z0 AS (SELECT vid, idx, ((h % {1 << (64 - p)}::UBIGINT) * {m}::UBIGINT"
+        f" + {m - 1}::UBIGINT) AS probe, 0 AS rank FROM hh)"
+    ]
+    prev = "z0"
+    for shift in (32, 16, 8, 4, 2, 1):
+        nxt = f"z{shift}"
+        lim = 1 << (64 - shift)
+        clz.append(
+            f"{nxt} AS (SELECT vid, idx,"
+            f" CASE WHEN probe < {lim}::UBIGINT THEN probe * {1 << shift}::UBIGINT ELSE probe END AS probe,"
+            f" rank + CASE WHEN probe < {lim}::UBIGINT THEN {shift} ELSE 0 END AS rank FROM {prev})"
+        )
+        prev = nxt
+    rounds_sql, est_sql, sig_sql = [], [], []
+    for t in range(rounds + 1):
+        if t > 0:
+            rounds_sql.append(
+                f""",
+rg{t} AS MATERIALIZED (
+  SELECT vid, idx, MAX(r) AS r FROM (
+    SELECT vid, idx, r FROM rg{t-1}
+    UNION ALL
+    SELECT und.v AS vid, q.idx, q.r FROM und JOIN rg{t-1} q ON und.u = q.vid
+  ) GROUP BY vid, idx
+)"""
+            )
+        est_sql.append(
+            f""",
+ev{t} AS (
+  SELECT vid,
+    {amm!r} / (SUM(pow(2.0, -r)) + CAST({m} - COUNT(*) AS DOUBLE)) AS est,
+    {m} - COUNT(*) AS zeros
+  FROM rg{t} GROUP BY vid
+),
+nt{t} AS (
+  SELECT {t} AS t, SUM(
+    CASE WHEN est <= {2.5 * m!r} AND zeros > 0
+         THEN CAST({m} AS DOUBLE) * ln(GREATEST(CAST({m} AS DOUBLE) / GREATEST(zeros, 1), 1.0))
+         ELSE est END) AS val
+  FROM ev{t}
+)"""
+        )
+        sig_sql.append(
+            f"SELECT {t} AS t, COUNT(*) AS c, SUM(r) AS s FROM rg{t}"
+        )
+    nt_union = "\nUNION ALL\n".join(f"SELECT t, val FROM nt{t}" for t in range(rounds + 1))
+    sig_union = "\nUNION ALL\n".join(sig_sql)
+    return f"""WITH {_COOCC_UND_MAT},
+verts AS (SELECT DISTINCT u AS vid FROM und),
+vx AS (SELECT vid, CAST(vid AS UBIGINT) AS x FROM verts){frag},
+hh AS (SELECT vid, (h >> {64 - p}) AS idx, h FROM {last}),
+{", ".join(clz)},
+rg0 AS MATERIALIZED (SELECT vid, CAST(idx AS BIGINT) AS idx, rank + 1 AS r FROM {prev})
+{"".join(rounds_sql)}{"".join(est_sql)},
+sig AS ({sig_union}),
+tmax AS (
+  SELECT MIN(a.t) AS tm FROM sig a JOIN sig b ON a.t = b.t + 1
+  WHERE a.c = b.c AND a.s = b.s
+),
+ntv AS (SELECT t, val FROM ({nt_union}) u, tmax WHERE t <= tm),
+lastv AS (SELECT val AS vlast FROM ntv, tmax WHERE t = tm),
+tgt AS (SELECT {quantile!r} * vlast AS target FROM lastv),
+hit AS (SELECT MIN(t) AS th FROM ntv, tgt WHERE val >= target),
+eff AS (
+  SELECT CASE WHEN h.th = 0 THEN 0.0
+    ELSE h.th - 1 + ((SELECT target FROM tgt) - pv.val) / GREATEST(cv.val - pv.val, 1e-30)
+  END AS e
+  FROM hit h
+  JOIN ntv cv ON cv.t = h.th
+  LEFT JOIN ntv pv ON pv.t = h.th - 1
+)
+SELECT CAST(n.t AS BIGINT) AS t, ROUND(n.val, 2) AS n_t_r2,
+  ROUND((SELECT e FROM eff), 3) AS effective_diameter_r3
+FROM ntv n"""
+
+
+def msf_coocc_sql(rounds: int = 6) -> str:
+    """Minimum spanning forest via unrolled Borůvka: per round each
+    component's lexicographic-min crossing edge (w, a, b) is chosen,
+    components merge to their min label through a recursive closure
+    over the contracted chosen-edge graph. Under the total edge order
+    the MSF is unique, so this replays pipelines/mst.py exactly; extra
+    rounds past convergence choose nothing."""
+    body = []
+    for r in range(1, rounds + 1):
+        p = f"c{r-1}"
+        body.append(
+            f""",
+cand{r} AS (
+  SELECT cu.c AS comp, undw.w,
+    LEAST(undw.u, undw.v) AS a, GREATEST(undw.u, undw.v) AS b,
+    ROW_NUMBER() OVER (PARTITION BY cu.c
+      ORDER BY undw.w, LEAST(undw.u, undw.v), GREATEST(undw.u, undw.v)) AS rn
+  FROM undw JOIN {p} cu ON undw.u = cu.vid JOIN {p} cv ON undw.v = cv.vid
+  WHERE cu.c <> cv.c
+),
+chosen{r} AS MATERIALIZED (SELECT DISTINCT w, a, b FROM cand{r} WHERE rn = 1),
+ceb{r} AS MATERIALIZED (
+  SELECT ca.c AS x, cb.c AS y
+  FROM chosen{r} ch JOIN {p} ca ON ch.a = ca.vid JOIN {p} cb ON ch.b = cb.vid
+  UNION ALL
+  SELECT cb.c, ca.c
+  FROM chosen{r} ch JOIN {p} ca ON ch.a = ca.vid JOIN {p} cb ON ch.b = cb.vid
+),
+reach{r} AS (
+  SELECT x AS node, x AS lab FROM ceb{r}
+  UNION
+  SELECT ceb.y AS node, rc.lab FROM reach{r} rc JOIN ceb{r} ceb ON rc.node = ceb.x
+),
+newlab{r} AS (SELECT node, MIN(lab) AS lab FROM reach{r} GROUP BY node),
+c{r} AS MATERIALIZED (
+  SELECT c.vid, COALESCE(n.lab, c.c) AS c FROM {p} c LEFT JOIN newlab{r} n ON c.c = n.node
+)"""
+        )
+    allch = "\nUNION ALL\n".join(f"SELECT a, b, w FROM chosen{r}" for r in range(1, rounds + 1))
+    return f"""WITH RECURSIVE prw AS MATERIALIZED (
+  SELECT a.l_partkey AS u, b.l_partkey AS v,
+         CAST(COUNT(DISTINCT a.l_orderkey) AS DOUBLE) AS w
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+),
+undw AS MATERIALIZED (SELECT u, v, w FROM prw UNION ALL SELECT v AS u, u AS v, w FROM prw),
+c0 AS MATERIALIZED (SELECT DISTINCT u AS vid, u AS c FROM undw){"".join(body)}
+SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b, w FROM ({allch})"""
+
+
+def dsd_pairs_coocc_sql(queries=(1, 2, 3, 4), n_rw: int = 3) -> str:
+    """Diffusion State Distance for a bounded query set: unrolled walk
+    powers c_q = Σ_{i=0..nRw} e_qᵀPⁱ per query, then pairwise L1 —
+    mirrors pipelines/walks.diffusion_state_distance_pairs."""
+    qs = list(queries)
+    parts = [
+        f"WITH {_COOCC_UND_MAT},",
+        "verts AS (SELECT DISTINCT u AS vid FROM und),",
+        "deg AS MATERIALIZED (SELECT u AS vid, CAST(COUNT(*) AS DOUBLE) AS d FROM und GROUP BY u)",
+    ]
+    for q in qs:
+        parts.append(
+            f",\nr{q}_0 AS MATERIALIZED (SELECT vid, CASE WHEN vid = {q} THEN 1.0 ELSE 0.0 END AS r FROM verts)"
+        )
+        for i in range(1, n_rw + 1):
+            p = f"r{q}_{i-1}"
+            parts.append(
+                f""",
+r{q}_{i} AS MATERIALIZED (
+  SELECT v.vid, COALESCE(s.r, 0) AS r FROM verts v LEFT JOIN (
+    SELECT und.v AS vid, SUM(x.r / deg.d) AS r
+    FROM und JOIN {p} x ON und.u = x.vid JOIN deg ON und.u = deg.vid
+    GROUP BY und.v
+  ) s ON v.vid = s.vid
+)"""
+            )
+        acc_terms = " + ".join(f"t{i}.r" for i in range(n_rw + 1))
+        joins = " ".join(
+            f"JOIN r{q}_{i} t{i} ON t0.vid = t{i}.vid" for i in range(1, n_rw + 1)
+        )
+        parts.append(
+            f",\nacc{q} AS MATERIALIZED (SELECT t0.vid, {acc_terms} AS c FROM r{q}_0 t0 {joins})"
+        )
+    pair_sql = []
+    for x in range(len(qs)):
+        for y in range(x + 1, len(qs)):
+            a, b = qs[x], qs[y]
+            pair_sql.append(
+                f"""SELECT {a}::BIGINT AS qa, {b}::BIGINT AS qb,
+  ROUND(SUM(ABS(pa.c - pb.c)), 9) AS dsd_r9
+FROM acc{a} pa JOIN acc{b} pb ON pa.vid = pb.vid"""
+            )
+    parts.append("\n" + "\nUNION ALL\n".join(pair_sql))
+    return "".join(parts)
+
+
 CLUSTERING_COEFF_COOCC = """WITH pr AS (
   SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
   FROM lineitem a JOIN lineitem b

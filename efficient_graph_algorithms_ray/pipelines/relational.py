@@ -617,6 +617,25 @@ def q_tree_kernel_forest(sf_dir: str):
     return out.map_batches(_shape, batch_format="pyarrow")
 
 
+def q_dsd_pairs_coocc(sf_dir: str):
+    """Exact Diffusion State Distance between the 4 lowest partkeys on
+    the co-occurrence graph (diffusion_state_distance parity for a
+    bounded query set — the all-pairs matrix cannot exist at scale).
+    SQL-oracled via unrolled walk powers + L1 aggregation. Returns
+    (qa, qb, dsd_r9)."""
+    from .walks import diffusion_state_distance_pairs
+
+    g = _coocc_graph(sf_dir)
+    pairs, _ = diffusion_state_distance_pairs(g, _ckpt("dsd"), [1, 2, 3, 4], n_rw=3)
+    return pa.table(
+        {
+            "qa": pa.array([int(r[0]) for r in pairs], type=pa.int64()),
+            "qb": pa.array([int(r[1]) for r in pairs], type=pa.int64()),
+            "dsd_r9": pa.array([round(float(r[2]), 9) for r in pairs], type=pa.float64()),
+        }
+    )
+
+
 def q_ldd_coocc(sf_dir: str):
     """Random-shift low-diameter decomposition (Bartal/FRT-family
     parity via Miller–Peng–Xu) of the part co-occurrence graph —

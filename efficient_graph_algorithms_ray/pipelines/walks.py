@@ -166,6 +166,96 @@ def k_step_walk(graph: ShardedGraph, ckpt_dir: str, k: int, init_fn=None):
     return state_vertex_dataset(graph, summary["final_iter_dir"], "mass"), summary
 
 
+def diffusion_state_distance_pairs(
+    graph: ShardedGraph,
+    ckpt_dir: str,
+    query_vids,
+    n_rw: int = 3,
+):
+    """Exact Diffusion State Distance between all pairs of a bounded
+    query set — the distributed answer to the reference's all-pairs
+    ``diffusion_state_distance`` (graph_kernels.py:82-95), whose O(N²)
+    output cannot exist at scale. DSD(u,v) = ‖c_u − c_v‖₁ with
+    c_u = Σ_{i=0..nRw} e_uᵀPⁱ.
+
+    One superstep run carries all |Q| rows as a [n, 2d] field (current
+    walk power ‖ accumulator); the pairwise L1 reduce is a per-batch
+    partial + tiny driver merge (d² scalars). Returns an ndarray
+    [(qa, qb, dsd)] over qa < qb.
+    """
+    import pyarrow as pa  # noqa: F401
+
+    q = np.sort(np.asarray(list(query_vids), dtype=np.uint64))
+    d = len(q)
+
+    def init_fn(csr):
+        n = len(csr["vids"])
+        state = np.zeros((n, 2 * d), dtype=np.float64)
+        pos = np.searchsorted(csr["vids"], q)
+        ok = pos < n
+        hit = np.zeros(d, dtype=bool)
+        hit[ok] = csr["vids"][pos[ok]] == q[ok]
+        for j in np.flatnonzero(hit):
+            state[pos[j], j] = 1.0  # current power e_q
+            state[pos[j], d + j] = 1.0  # accumulator starts at e_q (P^0 term)
+        return state
+
+    def msg_fn(state, csr):
+        # msg_fn owns normalization: send P-step of the power half only
+        norm = csr.get("wdeg", csr["deg"]).astype(np.float64)
+        msg = np.zeros_like(state)
+        nz = norm > 0
+        msg[nz, :d] = state[nz, :d] / norm[nz, None]
+        return msg
+
+    def apply_fn(agg, old, T, dm, csr):
+        new = np.empty_like(old)
+        new[:, :d] = agg[:, :d]  # next walk power e_qᵀP^{i+1}
+        new[:, d:] = old[:, d:] + agg[:, :d]  # accumulate
+        return new
+
+    summary = run_supersteps(
+        graph, ckpt_dir, "sum", init_fn,
+        tol=0.0, max_iters=n_rw, normalize=False,
+        msg_fn=msg_fn, apply_fn=apply_fn,
+    )
+
+    state = state_vertex_dataset(graph, summary["final_iter_dir"], "state")
+
+    # pairwise L1 between accumulator columns: per-batch partials
+    ia, ib = np.triu_indices(d, 1)
+
+    def _partial(batch):
+        from ..util import list_rows
+
+        rows = list_rows(batch, "state")
+        if not rows:
+            return pa.table({"pair": pa.array([], type=pa.int64()),
+                             "s": pa.array([], type=pa.float64())})
+        mat = np.vstack(rows)[:, d:]  # [rows, d] accumulators
+        diffs = np.abs(mat[:, ia] - mat[:, ib]).sum(axis=0)  # [d*(d-1)/2]
+        return pa.table(
+            {
+                "pair": pa.array(np.arange(len(ia), dtype=np.int64), type=pa.int64()),
+                "s": pa.array(diffs, type=pa.float64()),
+            }
+        )
+
+    import pyarrow as pa
+
+    totals = np.zeros(len(ia))
+    for b in state.map_batches(_partial, batch_format="pyarrow").iter_batches(
+        batch_size=None, batch_format="pyarrow"
+    ):
+        pid = b.column("pair").to_numpy(zero_copy_only=False)
+        s = b.column("s").to_numpy(zero_copy_only=False)
+        np.add.at(totals, pid, s)
+    return np.array(
+        [(int(q[a]), int(q[b]), float(t)) for a, b, t in zip(ia, ib, totals)],
+        dtype=object,
+    ), summary
+
+
 def masked_neighbor_interpolate(
     graph: ShardedGraph, ckpt_dir: str, value_init, mask_init
 ):
