@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anf_coocc": R.q_anf_coocc,
         "coreness_coocc": R.q_coreness_coocc,
         "dsd_pairs_coocc": R.q_dsd_pairs_coocc,
+        "gw_graph_distance": R.q_gw_graph_distance,
         "clustering_coeff_coocc": R.q_clustering_coeff_coocc,
         "walk_corpus_coocc": R.q_walk_corpus_coocc,
         "events_prev_gap": R.q_events_prev_gap,

@@ -617,6 +617,36 @@ def q_tree_kernel_forest(sf_dir: str):
     return out.map_batches(_shape, batch_format="pyarrow")
 
 
+def q_gw_graph_distance(sf_dir: str):
+    """Gromov–Wasserstein discrepancy between engine-coarsened graphs
+    (gromov_wasserstein_discrepancy parity): k=32 hash-sampled vertices
+    per graph, structure costs from ONE distributed multi-source walk
+    run each, entropic proximal-point solver on the k×k blocks.
+    Self-match lands ≈0; co-occurrence vs the customer→order star
+    forest separates. Rows-only: the solver is an iterative
+    data-dependent optimization (early-break + restarts) with no SQL
+    form; invariants are pytest-verified (tests/test_matching.py)."""
+    from .matching import gromov_wasserstein, sampled_cost_matrix
+
+    g1 = _coocc_graph(sf_dir)
+    g2 = build_graph(
+        customer_order_edges(sf_dir), EngineConfig(num_partitions=16), directed=False
+    )
+    c1, _ = sampled_cost_matrix(g1, _ckpt("gw1"), k=32, walk_k=2)
+    c1b, _ = sampled_cost_matrix(g1, _ckpt("gw1b"), k=32, walk_k=2, seed=43)
+    c2, _ = sampled_cost_matrix(g2, _ckpt("gw2"), k=32, walk_k=2)
+    _, d_self = gromov_wasserstein(c1, c1b, beta=0.05, n_restarts=3)
+    _, d_cross = gromov_wasserstein(c1, c2, beta=0.05, n_restarts=3)
+    return pa.table(
+        {
+            "pair": pa.array(["coocc_vs_coocc", "coocc_vs_custorders"], type=pa.string()),
+            "gw_r6": pa.array(
+                [round(d_self, 6), round(d_cross, 6)], type=pa.float64()
+            ),
+        }
+    )
+
+
 def q_dsd_pairs_coocc(sf_dir: str):
     """Exact Diffusion State Distance between the 4 lowest partkeys on
     the co-occurrence graph (diffusion_state_distance parity for a

@@ -62,9 +62,14 @@ class BSPWorker:
         apply_fn=None,
         msg_fn=None,
         edge_shift_fn=None,
+        multi_returns: bool = False,
     ) -> None:
         self.w = worker_id
         self.W = W
+        # multi_returns: combine receives ITS OWN W incoming blocks
+        # directly (per-destination objects) instead of W fused
+        # all-destination objects to slice
+        self.multi = multi_returns
         self.P = num_partitions
         self.mode = mode
         self.N = total_n
@@ -252,12 +257,28 @@ class BSPWorker:
                 blocks.append(None)
         return blocks
 
+    def scatter_multi(self):
+        """Multi-node variant of :meth:`scatter`: the same W blocks, but
+        returned as W SEPARATE objects (call with
+        ``.options(num_returns=W)``) so each destination's ``combine``
+        fetches ONLY its own block over the network instead of the whole
+        fused object. On one box the fused return wins (measured 2.5× —
+        W² sub-MB objects cost more than they save); on a real N→4N
+        cluster per-destination blocks are ≥16 MB and this is the
+        network-honest exchange. Enabled via
+        ``run_supersteps(..., multi_returns=True)`` /
+        ``GRAFT_MULTI_RETURNS=1``."""
+        blocks = self.scatter()
+        return tuple(blocks) if self.W > 1 else blocks[0]
+
     def combine(self, k: int, iter_dir: str, dangling_mass: float, *scatter_outs):
         """Merge this worker's slice of every scatter output, apply,
         checkpoint; returns per-part metrics."""
         from .ckpt import write_state_part
 
-        blocks = [out[self.w] for out in scatter_outs]
+        blocks = (
+            list(scatter_outs) if self.multi else [out[self.w] for out in scatter_outs]
+        )
         msg_bytes = int(
             sum(b[0].nbytes + b[1].nbytes for b in blocks if b is not None)
         )  # reported once (on the first owned part) so the driver can sum

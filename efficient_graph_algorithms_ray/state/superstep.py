@@ -107,6 +107,7 @@ def run_supersteps(
     apply_fn=None,
     msg_fn=None,
     edge_shift_fn=None,
+    multi_returns: bool | None = None,
 ) -> dict:
     """Drive supersteps to convergence; returns the run summary dict.
 
@@ -127,6 +128,12 @@ def run_supersteps(
     E = graph.n_edges
     W, cpu_frac = _pool_plan(len(parts))
     owner_map = make_owner_map(parts, P, W)
+    # multi-node exchange flip: per-destination scatter objects
+    # (num_returns=W) instead of one fused object per worker — see
+    # BSPWorker.scatter_multi. Default: fused (single-node optimum).
+    if multi_returns is None:
+        multi_returns = os.environ.get("GRAFT_MULTI_RETURNS", "0") == "1"
+    multi_returns = bool(multi_returns) and W > 1
 
     owned_by_w: list[list[tuple[int, ray.ObjectRef]]] = [[] for _ in range(W)]
     for p in parts:
@@ -136,7 +143,7 @@ def run_supersteps(
     actors = [
         BSPWorker.options(num_cpus=cpu_frac).remote(
             w, W, owned_by_w[w], P, mode, N, damping, owner_map, teleport_fn,
-            normalize, apply_fn, msg_fn, edge_shift_fn,
+            normalize, apply_fn, msg_fn, edge_shift_fn, multi_returns,
         )
         for w in range(W)
     ]
@@ -187,10 +194,21 @@ def run_supersteps(
             k += 1
             t0 = time.perf_counter()
             iter_dir = _iter_dir(ckpt, k)
-            scatter_refs = [a.scatter.remote() for a in actors]
-            metric_refs = [
-                a.combine.remote(k, iter_dir, dangling, *scatter_refs) for a in actors
-            ]
+            if multi_returns:
+                per_worker = [
+                    a.scatter_multi.options(num_returns=W).remote() for a in actors
+                ]
+                metric_refs = [
+                    actors[w].combine.remote(
+                        k, iter_dir, dangling, *[pw[w] for pw in per_worker]
+                    )
+                    for w in range(W)
+                ]
+            else:
+                scatter_refs = [a.scatter.remote() for a in actors]
+                metric_refs = [
+                    a.combine.remote(k, iter_dir, dangling, *scatter_refs) for a in actors
+                ]
             rows = [m for ms in ray.get(metric_refs) for m in ms]
             seconds = time.perf_counter() - t0
             delta_inf = max((r["delta_inf"] for r in rows), default=0.0)

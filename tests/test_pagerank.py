@@ -85,3 +85,40 @@ def test_top_k(tmp_path, tiny_edges):
     top = top_k_ranks(ranks, 10).to_pandas()
     assert len(top) == 10
     assert (np.diff(top["rank"].to_numpy()) <= 1e-18).all()
+
+
+def test_multi_returns_exchange_identical(tmp_path):
+    """Per-destination scatter objects (the multi-node exchange variant,
+    GRAFT_MULTI_RETURNS) produce bit-identical ranks to the fused
+    single-object exchange."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from efficient_graph_algorithms_ray.config import EngineConfig
+    from efficient_graph_algorithms_ray.pipelines.graph_build import build_graph
+    from efficient_graph_algorithms_ray.state.superstep import run_supersteps, state_vertex_dataset
+
+    rng = np.random.Generator(np.random.Philox(key=[3, 0]))
+    src = rng.integers(0, 500, 4000).astype(np.uint64)
+    dst = rng.integers(0, 500, 4000).astype(np.uint64)
+    edges = rd.from_arrow(
+        pa.table({"src": pa.array(src, type=pa.uint64()), "dst": pa.array(dst, type=pa.uint64())})
+    )
+    g = build_graph(edges, EngineConfig(num_partitions=8), directed=True)
+    outs = []
+    for flag, name in ((False, "fused"), (True, "multi")):
+        s = run_supersteps(
+            g, str(tmp_path / name), "sum",
+            lambda csr: np.full(len(csr["vids"]), 1.0 / g.n_vertices),
+            tol=1e-10, max_iters=30, multi_returns=flag,
+        )
+        df = (
+            state_vertex_dataset(g, s["final_iter_dir"], "rank")
+            .to_pandas()
+            .sort_values("vid")
+            .reset_index(drop=True)
+        )
+        outs.append(df)
+    assert (outs[0]["vid"].to_numpy() == outs[1]["vid"].to_numpy()).all()
+    assert (outs[0]["rank"].to_numpy() == outs[1]["rank"].to_numpy()).all()  # bit-identical
