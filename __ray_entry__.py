@@ -64,6 +64,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "coreness_coocc": R.q_coreness_coocc,
         "dsd_pairs_coocc": R.q_dsd_pairs_coocc,
         "gw_graph_distance": R.q_gw_graph_distance,
+        "distance_buckets_partsupp": R.q_distance_buckets_partsupp,
         "clustering_coeff_coocc": R.q_clustering_coeff_coocc,
         "walk_corpus_coocc": R.q_walk_corpus_coocc,
         "events_prev_gap": R.q_events_prev_gap,
@@ -197,4 +198,5 @@ def oracle_sql() -> dict[str, str]:
         "anf_coocc": S.anf_coocc_sql(p=6, rounds=8),
         "msf_coocc": S.msf_coocc_sql(rounds=6),
         "dsd_pairs_coocc": S.dsd_pairs_coocc_sql(queries=(1, 2, 3, 4), n_rw=3),
+        "distance_buckets_partsupp": S.distance_buckets_partsupp_sql(rounds=8, unit_q=256),
     }

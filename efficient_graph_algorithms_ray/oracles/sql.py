@@ -533,6 +533,21 @@ _COOCC_UND_MAT = """pr AS MATERIALIZED (
 und AS MATERIALIZED (SELECT u, v FROM pr UNION ALL SELECT v AS u, u AS v FROM pr)"""
 
 
+def distance_buckets_partsupp_sql(
+    rounds: int = 8, unit_q: int = 1 << 14, scale: int = 1 << 16, sources=(1, 2, 3)
+) -> str:
+    """Distance-bucket histogram over the same unrolled Bellman–Ford
+    metric as ``sssp_partsupp_sql`` — bucket = dist_q // unit_q
+    (integer-exact), unreached → −1."""
+    base = sssp_partsupp_sql(rounds=rounds, scale=scale, sources=sources)
+    cut = base.rindex("\nSELECT CAST(d.vid AS BIGINT)")
+    sent = 1 << 40
+    return base[:cut] + f"""
+SELECT CASE WHEN d.dist >= {sent} THEN -1 ELSE d.dist // {unit_q} END AS bucket,
+       COUNT(*) AS n
+FROM d{rounds} d GROUP BY 1"""
+
+
 def sssp_partsupp_sql(rounds: int = 8, scale: int = 1 << 16, sources=(1, 2, 3), P: int = 16) -> str:
     """Unrolled Bellman–Ford over the weighted part–supplier graph,
     quantized edge lengths q = max(round_even(w·scale), 1) — the exact

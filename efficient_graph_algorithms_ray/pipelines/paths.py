@@ -132,3 +132,49 @@ def shortest_path_forest(
 
     parts_ds = rd.from_arrow(pa.table({"part": pa.array(graph.parts, type=pa.int64())}))
     return parts_ds.map_batches(_emit, batch_format="pyarrow", batch_size=4), summary
+
+
+def distance_bucket_aggregate(
+    graph: ShardedGraph,
+    sources: np.ndarray,
+    ckpt_dir: str,
+    *,
+    unit_q: int,
+    scale: int = 1 << 16,
+    max_iters: int = 500,
+):
+    """Distance-bucketed vertex clustering — the reference's
+    ``base_compute_clustering`` sub-pattern (/root/reference/src/ega/
+    util/separator_utils.py:28-57): multi-source shortest-path
+    distances, vertices grouped by ⌊dist/unit⌋. Distributed form: one
+    SSSP superstep run, then an integer bucket map + one tiny
+    ``groupby(bucket)`` count (buckets are exact int division of the
+    quantized metric, so the result is integer-exact and
+    SQL-oracleable). Unreached vertices land in bucket −1.
+
+    Returns (Dataset (bucket, n), summary).
+    """
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    out, summary = shortest_path_forest(
+        graph, sources, ckpt_dir, scale=scale, max_iters=max_iters
+    )
+
+    def _bucket(batch: pa.Table) -> pa.Table:
+        dq = batch.column("dist_q").to_numpy(zero_copy_only=False)
+        bucket = np.where(dq >= 0, dq // unit_q, -1)
+        uniq, cnt = np.unique(bucket, return_counts=True)  # per-block combiner
+        return pa.table(
+            {
+                "bucket": pa.array(uniq.astype(np.int64), type=pa.int64()),
+                "n": pa.array(cnt.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    agg = (
+        out.map_batches(_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    return agg, summary

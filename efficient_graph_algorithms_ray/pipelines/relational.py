@@ -492,24 +492,7 @@ def q_sssp_partsupp(sf_dir: str):
     bit-exact vs the dense replica in pytest)."""
     from .paths import shortest_path_forest
 
-    def _weighted(batch: pa.Table) -> pa.Table:
-        qty = batch.column("l_quantity").to_numpy(zero_copy_only=False).astype(np.float64)
-        return pa.table(
-            {
-                "src": batch.column("l_partkey").cast(pa.uint64()),
-                "dst": pc.add(
-                    batch.column("l_suppkey").cast(pa.int64()), SUPP_OFFSET
-                ).cast(pa.uint64()),
-                # 1/qty per lineitem row; duplicates sum at CSR pack →
-                # parallel-conductance-style length per (part, supplier)
-                "w": pa.array(1.0 / np.maximum(qty, 1.0), type=pa.float64()),
-            }
-        )
-
-    edges = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_quantity"]).map_batches(
-        _weighted, batch_format="pyarrow"
-    )
-    g = build_graph(edges, EngineConfig(num_partitions=16), directed=False)
+    g = _weighted_partsupp_graph(sf_dir)
     sources = np.array([1, 2, 3], dtype=np.uint64)  # partkeys 1–3
     out, _ = shortest_path_forest(g, sources, _ckpt("sssp"))
 
@@ -615,6 +598,44 @@ def q_tree_kernel_forest(sf_dir: str):
         )
 
     return out.map_batches(_shape, batch_format="pyarrow")
+
+
+def _weighted_partsupp_graph(sf_dir: str):
+    """1/Σquantity-weighted part–supplier graph (cached — shared by the
+    SSSP and distance-bucket queries)."""
+    key = ("wpartsupp", sf_dir)
+    if key not in _GRAPH_CACHE:
+        def _weighted(batch: pa.Table) -> pa.Table:
+            qty = batch.column("l_quantity").to_numpy(zero_copy_only=False).astype(np.float64)
+            return pa.table(
+                {
+                    "src": batch.column("l_partkey").cast(pa.uint64()),
+                    "dst": pc.add(
+                        batch.column("l_suppkey").cast(pa.int64()), SUPP_OFFSET
+                    ).cast(pa.uint64()),
+                    "w": pa.array(1.0 / np.maximum(qty, 1.0), type=pa.float64()),
+                }
+            )
+
+        edges = _read(
+            sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_quantity"]
+        ).map_batches(_weighted, batch_format="pyarrow")
+        _GRAPH_CACHE[key] = build_graph(edges, EngineConfig(num_partitions=16), directed=False)
+    return _GRAPH_CACHE[key]
+
+
+def q_distance_buckets_partsupp(sf_dir: str):
+    """Distance-bucketed clustering histogram (base_compute_clustering
+    parity, separator_utils.py:28-57): ⌊dist/unit⌋ buckets of the
+    weighted SSSP metric from parts 1–3 — SQL-oracled via the unrolled
+    Bellman–Ford + integer division. Returns (bucket, n)."""
+    from .paths import distance_bucket_aggregate
+
+    g = _weighted_partsupp_graph(sf_dir)
+    out, _ = distance_bucket_aggregate(
+        g, np.array([1, 2, 3], dtype=np.uint64), _ckpt("dbuck"), unit_q=256
+    )
+    return out
 
 
 def q_gw_graph_distance(sf_dir: str):
