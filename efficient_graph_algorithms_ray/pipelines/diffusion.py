@@ -68,6 +68,48 @@ def heat_kernel_smooth(
     return state_vertex_dataset(graph, summary["final_iter_dir"], "value"), summary
 
 
+def _parts_ds(graph: ShardedGraph):
+    import pyarrow as pa
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table({"part": pa.array(graph.parts, type=pa.int64())}))
+
+
+def _persist_fields(graph: ShardedGraph, out_dir: str, fn):
+    """Run ``fn(part, csr) -> [n, d] array`` in TASKS and write each
+    partition's result with write_state_part — field data never touches
+    the driver (the worker-resident Sinkhorn state store)."""
+    import pyarrow as pa
+
+    refs = graph.refs
+
+    def _write(batch: pa.Table) -> pa.Table:
+        import ray
+
+        from ..state.ckpt import write_state_part
+
+        for p in batch.column("part").to_numpy(zero_copy_only=False):
+            p = int(p)
+            csr = ray.get(refs[p])
+            write_state_part(out_dir, p, np.asarray(fn(p, csr), dtype=np.float64), "sum")
+        return batch
+
+    # count() drives the stage — the write is the effect
+    _parts_ds(graph).map_batches(_write, batch_format="pyarrow", batch_size=4).count()
+
+
+def _ckpt_field_init(field_dir: str):
+    """init_fn reading THIS partition's field from a state directory —
+    per-partition worker-side reads, nothing driver-held."""
+
+    def _init(csr):
+        from ..state.ckpt import read_state_part
+
+        return read_state_part(field_dir, int(csr["part"]))
+
+    return _init
+
+
 def convolutional_barycenter(
     graph: ShardedGraph,
     ckpt_dir: str,
@@ -90,82 +132,97 @@ def convolutional_barycenter(
     blur operator differs): v ← μ ⊘ H(w), b ← Π H(v)^α, w ← w·b⊘H(v),
     iterated; every H(·) is ``blur_steps`` supersteps over the [n, d]
     field, driven by the same checkpointed engine.
-    """
-    import ray
 
+    WORKER-RESIDENT state: μ, the scalings w and the barycenter live as
+    per-partition state files read/written inside tasks and superstep
+    init — the driver moves only directory names and per-iteration
+    scalar metrics (round-1 held {part: [n, d]} dicts on the driver
+    between blurs — unbounded at scale).
+    """
     alpha = (
         np.full(n_marginals, 1.0 / n_marginals) if alpha is None else np.asarray(alpha)
     )
-
-    # driver-held per-outer-iteration state lives in the object store as
-    # the engine's own checkpoints; each blur is its own superstep run.
-    def blur(tag: str, init_fn):
-        out, _ = heat_kernel_smooth(
-            graph, f"{ckpt_dir}/{tag}", init_fn, t=blur_t, steps=blur_steps
-        )
-        return out
-
-    # gather the small per-vertex matrices to drive elementwise steps —
-    # the elementwise math itself runs distributed via map_batches below.
-    from ..state.ckpt import read_state_part
-
-    def _collect(run_dir_ckpt, final_iter_dir):
-        return {
-            p: read_state_part(final_iter_dir, p) for p in graph.parts
-        }
-
     eps = 1e-300
-    w = None  # {part: [n,d]} — Sinkhorn scaling
-    mu = {}  # marginals per part
-    for p in graph.parts:
-        csr = ray.get(graph.refs[p])
-        mu[p] = np.asarray(marginals_init(csr), dtype=np.float64)
-        if w is None:
-            d = mu[p].shape[1]
-        # init scalings to 1
-    w = {p: np.ones_like(mu[p]) for p in graph.parts}
+    mu_dir = f"{ckpt_dir}/mu"
+    _persist_fields(graph, mu_dir, lambda p, csr: marginals_init(csr))
+    _persist_fields(
+        graph, f"{ckpt_dir}/w0",
+        lambda p, csr: np.ones((len(csr["vids"]), n_marginals)),
+    )
 
     history = []
-    bary = None
+    prev_bary_dir = None
     for it in range(n_iters):
-        # H(w)
-        hw_run, s1 = heat_kernel_smooth(
-            graph, f"{ckpt_dir}/hw{it}", _dict_init(w), t=blur_t, steps=blur_steps
+        _, s1 = heat_kernel_smooth(
+            graph, f"{ckpt_dir}/hw{it}", _ckpt_field_init(f"{ckpt_dir}/w{it}"),
+            t=blur_t, steps=blur_steps,
         )
-        hw = _collect(None, s1["final_iter_dir"])
-        v = {p: mu[p] / np.maximum(hw[p], eps) for p in graph.parts}
-        hv_run, s2 = heat_kernel_smooth(
-            graph, f"{ckpt_dir}/hv{it}", _dict_init(v), t=blur_t, steps=blur_steps
+        hw_dir = s1["final_iter_dir"]
+
+        def _v(p, csr, _hw=hw_dir):
+            from ..state.ckpt import read_state_part
+
+            mu = read_state_part(mu_dir, p)
+            return mu / np.maximum(read_state_part(_hw, p), eps)
+
+        _persist_fields(graph, f"{ckpt_dir}/v{it}", _v)
+        _, s2 = heat_kernel_smooth(
+            graph, f"{ckpt_dir}/hv{it}", _ckpt_field_init(f"{ckpt_dir}/v{it}"),
+            t=blur_t, steps=blur_steps,
         )
-        hv = _collect(None, s2["final_iter_dir"])
-        new_bary = {}
-        for p in graph.parts:
-            logs = np.log(np.maximum(hv[p], eps)) @ alpha
-            new_bary[p] = np.exp(logs)
-        change = sum(
-            float(np.abs(new_bary[p] - (bary[p] if bary else 0)).sum())
-            for p in graph.parts
-        ) if bary is not None else float("inf")
-        bary = new_bary
-        w = {
-            p: w[p] * bary[p][:, None] / np.maximum(hv[p], eps) for p in graph.parts
-        }
+        hv_dir = s2["final_iter_dir"]
+        bary_dir = f"{ckpt_dir}/bary{it}"
+
+        def _bary(p, csr, _hv=hv_dir):
+            from ..state.ckpt import read_state_part
+
+            hv = read_state_part(_hv, p)
+            return np.exp(np.log(np.maximum(hv, eps)) @ alpha).reshape(-1, 1)
+
+        _persist_fields(graph, bary_dir, _bary)
+
+        def _w_next(p, csr, _hv=hv_dir, _b=bary_dir, _w=f"{ckpt_dir}/w{it}"):
+            from ..state.ckpt import read_state_part
+
+            w = read_state_part(_w, p)
+            b = read_state_part(_b, p)[:, 0]
+            hv = read_state_part(_hv, p)
+            return w * b[:, None] / np.maximum(hv, eps)
+
+        _persist_fields(graph, f"{ckpt_dir}/w{it + 1}", _w_next)
+
+        # per-iteration metric: L1 change of the barycenter (partial
+        # sums per part inside a task; driver adds P scalars)
+        if prev_bary_dir is not None:
+            change = _sum_over_parts(
+                graph,
+                lambda p, csr, _a=bary_dir, _b=prev_bary_dir: float(
+                    np.abs(
+                        _read_part(_a, p) - _read_part(_b, p)
+                    ).sum()
+                ),
+            )
+        else:
+            change = float("inf")
+        prev_bary_dir = bary_dir
         history.append({"iter": it, "l1_change": change})
 
     import pyarrow as pa
-    import ray.data as rd
 
     refs = graph.refs
-    bary_ref = ray.put(bary)
+    final_bary = prev_bary_dir
 
     def _emit(batch: pa.Table) -> pa.Table:
-        b = ray.get(bary_ref)
+        import ray
+
+        from ..state.ckpt import read_state_part
+
         parts = batch.column("part").to_numpy(zero_copy_only=False)
         vid_out, val_out = [], []
         for p in parts:
             csr = ray.get(refs[int(p)])
             vid_out.append(csr["vids"])
-            val_out.append(b[int(p)])
+            val_out.append(read_state_part(final_bary, int(p))[:, 0])
         return pa.table(
             {
                 "vid": pa.array(np.concatenate(vid_out), type=pa.uint64()),
@@ -173,8 +230,38 @@ def convolutional_barycenter(
             }
         )
 
-    parts_ds = rd.from_arrow(pa.table({"part": pa.array(graph.parts, type=pa.int64())}))
-    return parts_ds.map_batches(_emit, batch_format="pyarrow", batch_size=4), history
+    return _parts_ds(graph).map_batches(_emit, batch_format="pyarrow", batch_size=4), history
+
+
+def _read_part(field_dir: str, p: int) -> np.ndarray:
+    from ..state.ckpt import read_state_part
+
+    return read_state_part(field_dir, p)
+
+
+def _sum_over_parts(graph: ShardedGraph, fn) -> float:
+    """Σ_p fn(p, csr) computed in tasks; the driver adds P scalars."""
+    import pyarrow as pa
+
+    refs = graph.refs
+
+    def _part(batch: pa.Table) -> pa.Table:
+        import ray
+
+        vals = [
+            float(fn(int(p), ray.get(refs[int(p)])))
+            for p in batch.column("part").to_numpy(zero_copy_only=False)
+        ]
+        return pa.table({"s": pa.array(vals, type=pa.float64())})
+
+    tot = 0.0
+    for b in (
+        _parts_ds(graph)
+        .map_batches(_part, batch_format="pyarrow", batch_size=4)
+        .iter_batches(batch_size=None, batch_format="pyarrow")
+    ):
+        tot += float(np.sum(b.column("s").to_numpy(zero_copy_only=False)))
+    return tot
 
 
 def _rff_features(mat: np.ndarray, w: np.ndarray, b: np.ndarray, epsilon: float):
@@ -308,53 +395,111 @@ def sinkhorn_distance(
     single ``blur_steps``-superstep run regardless of d. ``mu_init``
     returns the [n] source column per partition, ``nu_init`` the
     [n, d] target matrix. Returns (distances ndarray [d], history).
-    Driver holds the per-part scaling dicts between blurs (same
-    moderate-V·d note as ``_dict_init``).
+
+    WORKER-RESIDENT state: μ, ν and the v/w scalings are per-partition
+    state files computed and read inside tasks / superstep init; the
+    driver only moves directory names and the per-iteration [d]
+    distance partials (round-1 held every field as driver dicts
+    between blurs — unbounded at scale).
     """
-    import ray
-
     eps = 1e-300
-    mu, nu = {}, {}
-    for p in graph.parts:
-        csr = ray.get(graph.refs[p])
-        mu[p] = np.asarray(mu_init(csr), dtype=np.float64).reshape(-1)
-        nu[p] = np.asarray(nu_init(csr), dtype=np.float64).reshape(len(mu[p]), -1)
-    w = {p: np.ones_like(nu[p]) for p in graph.parts}
-    v = {p: np.ones_like(nu[p]) for p in graph.parts}
-
-    from ..state.ckpt import read_state_part
-
-    def _blur(tag, field):
-        _, s = heat_kernel_smooth(
-            graph, f"{ckpt_dir}/{tag}", _dict_init(field), t=blur_t, steps=blur_steps
-        )
-        return {p: read_state_part(s["final_iter_dir"], p) for p in graph.parts}
+    mu_dir = f"{ckpt_dir}/mu"
+    nu_dir = f"{ckpt_dir}/nu"
+    _persist_fields(
+        graph, mu_dir,
+        lambda p, csr: np.asarray(mu_init(csr), dtype=np.float64).reshape(-1, 1),
+    )
+    _persist_fields(
+        graph, nu_dir,
+        lambda p, csr: np.asarray(nu_init(csr), dtype=np.float64).reshape(
+            len(csr["vids"]), -1
+        ),
+    )
+    _persist_fields(
+        graph, f"{ckpt_dir}/w0",
+        lambda p, csr: np.ones((len(csr["vids"]), n_targets)),
+    )
 
     history = []
+    dist = None
     for it in range(n_iters):
-        hw = _blur(f"hw{it}", w)
-        v = {p: mu[p][:, None] / np.maximum(hw[p], eps) for p in graph.parts}
-        hv = _blur(f"hv{it}", v)
-        w = {p: nu[p] / np.maximum(hv[p], eps) for p in graph.parts}
-        dist = sum(
-            (mu[p][:, None] * np.log(np.maximum(v[p], eps))
-             + nu[p] * np.log(np.maximum(w[p], eps))).sum(axis=0)
-            for p in graph.parts
-        ) * blur_t
+        _, s1 = heat_kernel_smooth(
+            graph, f"{ckpt_dir}/hw{it}", _ckpt_field_init(f"{ckpt_dir}/w{it}"),
+            t=blur_t, steps=blur_steps,
+        )
+        hw_dir = s1["final_iter_dir"]
+
+        def _v(p, csr, _hw=hw_dir):
+            mu = _read_part(mu_dir, p)[:, 0]
+            return mu[:, None] / np.maximum(_read_part(_hw, p), eps)
+
+        v_dir = f"{ckpt_dir}/v{it}"
+        _persist_fields(graph, v_dir, _v)
+        _, s2 = heat_kernel_smooth(
+            graph, f"{ckpt_dir}/hv{it}", _ckpt_field_init(v_dir),
+            t=blur_t, steps=blur_steps,
+        )
+        hv_dir = s2["final_iter_dir"]
+
+        def _w_next(p, csr, _hv=hv_dir):
+            nu = _read_part(nu_dir, p)
+            return nu / np.maximum(_read_part(_hv, p), eps)
+
+        w_dir = f"{ckpt_dir}/w{it + 1}"
+        _persist_fields(graph, w_dir, _w_next)
+
+        # per-iteration distance: [d] partials per part inside tasks,
+        # driver adds P tiny vectors (matches the round-1 float order:
+        # per-part sums over axis 0, then the part-ordered driver sum)
+        def _dist_part(p, csr, _v=v_dir, _w=w_dir):
+            mu = _read_part(mu_dir, p)[:, 0]
+            nu = _read_part(nu_dir, p)
+            v = _read_part(_v, p)
+            w = _read_part(_w, p)
+            return (
+                mu[:, None] * np.log(np.maximum(v, eps))
+                + nu * np.log(np.maximum(w, eps))
+            ).sum(axis=0)
+
+        dist = _sum_vec_over_parts(graph, _dist_part, n_targets) * blur_t
         history.append({"iter": it, "dist": dist.copy()})
 
     return dist, history
 
 
-def _dict_init(d: dict):
-    """init_fn from a {part: array} dict (captured by workers).
+def _sum_vec_over_parts(graph: ShardedGraph, fn, d: int) -> np.ndarray:
+    """Σ_p fn(p, csr) for [d]-vector partials, summed in graph.parts
+    order on the driver (P tiny vectors — preserves the original
+    part-ordered float accumulation)."""
+    import pyarrow as pa
 
-    NOTE: the barycenter driver holds the per-part field dicts on the
-    driver between blurs — fine for moderate V·d; the scale path would
-    keep scalings worker-resident (a persistent-pool variant) and is a
-    documented follow-up, not a semantics change."""
+    from ..util import list_array, list_rows
 
-    def _init(csr):
-        return d[int(csr["part"])]
+    refs = graph.refs
 
-    return _init
+    def _part(batch: pa.Table) -> pa.Table:
+        import ray
+
+        parts = batch.column("part").to_numpy(zero_copy_only=False)
+        vals = [np.asarray(fn(int(p), ray.get(refs[int(p)])), dtype=np.float64) for p in parts]
+        return pa.table(
+            {
+                "part": pa.array(parts, type=pa.int64()),
+                "v": list_array(vals, np.float64, pa.float64()),
+            }
+        )
+
+    partials: dict[int, np.ndarray] = {}
+    for b in (
+        _parts_ds(graph)
+        .map_batches(_part, batch_format="pyarrow", batch_size=4)
+        .iter_batches(batch_size=None, batch_format="pyarrow")
+    ):
+        for p, v in zip(b.column("part").to_numpy(zero_copy_only=False), list_rows(b, "v")):
+            partials[int(p)] = v
+    tot = np.zeros(d)
+    for p in graph.parts:
+        tot = tot + partials[p]
+    return tot
+
+
