@@ -60,9 +60,16 @@ _PERM_A, _PERM_B = _perm_params()
 
 
 def content_hash_batch(batch: pa.Table) -> pa.Table:
-    """Vectorized 64-bit content hash of text (polars seeded xxhash)."""
+    """Vectorized 64-bit content hash of text (polars seeded xxhash).
+
+    Emitted as the SIGNED int64 reinterpretation: Ray's sort-shuffle
+    infers int64 for group keys, and uint64 values past 2^63 force a
+    per-block pickled-object fallback (observed in the gate logs).
+    Same bits, same collision behavior — only the key dtype changes."""
     h = pl.Series(pl.from_arrow(batch.column("text"))).hash(seed=HASH_SEED)
-    return batch.append_column("content_hash", pa.array(h.to_numpy(), type=pa.uint64()))
+    return batch.append_column(
+        "content_hash", pa.array(h.to_numpy().view(np.int64), type=pa.int64())
+    )
 
 
 def exact_dedup(docs_ds):
