@@ -134,3 +134,48 @@ def test_sssp_unweighted_equals_hop_bfs(tmp_path):
     for v in uvids:
         expect = hops[pos[v]] * scale if hops[pos[v]] >= 0 else -1
         assert got.loc[v, "dist_q"] == expect
+
+
+def test_distance_buckets_consistent_with_forest(tmp_path):
+    """Bucket histogram == integer recount of the SSSP forest output."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from efficient_graph_algorithms_ray.config import EngineConfig
+    from efficient_graph_algorithms_ray.pipelines.graph_build import build_graph
+    from efficient_graph_algorithms_ray.pipelines.paths import (
+        distance_bucket_aggregate,
+        shortest_path_forest,
+    )
+
+    rng = np.random.Generator(np.random.Philox(key=[31, 0]))
+    src = rng.integers(0, 80, 400).astype(np.uint64)
+    dst = rng.integers(0, 80, 400).astype(np.uint64)
+    w = rng.uniform(0.1, 2.0, 400)
+    keep = src != dst
+    edges = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array(src[keep], type=pa.uint64()),
+                "dst": pa.array(dst[keep], type=pa.uint64()),
+                "w": pa.array(w[keep], type=pa.float64()),
+            }
+        )
+    )
+    g = build_graph(edges, EngineConfig(num_partitions=4), directed=False)
+    sources = np.array([0, 1], dtype=np.uint64)
+    unit_q = 1 << 14
+    agg, _ = distance_bucket_aggregate(
+        g, sources, str(tmp_path / "b"), unit_q=unit_q
+    )
+    got = agg.to_pandas().set_index("bucket")["n"].to_dict()
+    forest, _ = shortest_path_forest(g, sources, str(tmp_path / "f"))
+    df = forest.to_pandas()
+    import collections
+
+    want = collections.Counter(
+        int(dq) // unit_q if dq >= 0 else -1 for dq in df["dist_q"]
+    )
+    assert got == dict(want)
+    assert sum(got.values()) == g.n_vertices

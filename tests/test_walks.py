@@ -115,3 +115,57 @@ def test_masked_interpolation_matches_oracle(tmp_path):
     ovids, ov = interpolate_oracle(src, dst, values, known)
     assert np.array_equal(df["vid"].to_numpy().astype(np.uint64), ovids)
     assert np.allclose(df["value"].to_numpy(), ov, atol=1e-12)
+
+
+def test_dsd_pairs_matches_dense_oracle(tmp_path):
+    """Bounded-set Diffusion State Distance ≡ the dense c = Σ P^i rows
+    (reference diffusion_state_distance semantics, graph_kernels.py:82-95)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from efficient_graph_algorithms_ray.config import EngineConfig
+    from efficient_graph_algorithms_ray.pipelines.graph_build import build_graph
+    from efficient_graph_algorithms_ray.pipelines.walks import diffusion_state_distance_pairs
+
+    rng = np.random.Generator(np.random.Philox(key=[21, 0]))
+    src = rng.integers(0, 60, 500).astype(np.uint64)
+    dst = rng.integers(0, 60, 500).astype(np.uint64)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    edges = rd.from_arrow(
+        pa.table({"src": pa.array(src, type=pa.uint64()), "dst": pa.array(dst, type=pa.uint64())})
+    )
+    g = build_graph(edges, EngineConfig(num_partitions=4), directed=False)
+    queries = [0, 1, 2]
+    n_rw = 3
+    pairs, _ = diffusion_state_distance_pairs(g, str(tmp_path / "dsd"), queries, n_rw=n_rw)
+
+    # dense oracle over the symmetrized, deduped adjacency
+    und = set()
+    for a, b in zip(src, dst):
+        und.add((int(a), int(b)))
+        und.add((int(b), int(a)))
+    vids = sorted({v for e in und for v in e})
+    idx = {v: i for i, v in enumerate(vids)}
+    n = len(vids)
+    A = np.zeros((n, n))
+    for a, b in und:
+        A[idx[a], idx[b]] = 1.0
+    P = A / np.maximum(A.sum(axis=1, keepdims=True), 1e-300)
+    c = {}
+    for qv in queries:
+        r = np.zeros(n)
+        r[idx[qv]] = 1.0
+        acc = r.copy()
+        for _ in range(n_rw):
+            r = r @ P
+            acc += r
+        c[qv] = acc
+    want = {
+        (qa, qb): float(np.abs(c[qa] - c[qb]).sum())
+        for i, qa in enumerate(queries)
+        for qb in queries[i + 1 :]
+    }
+    for qa, qb, d in pairs:
+        np.testing.assert_allclose(d, want[(qa, qb)], rtol=1e-8, atol=1e-12)
