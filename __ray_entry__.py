@@ -99,6 +99,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": C.q_ngram_jaccard_pairs,
         "top_pages_with_urls": C.q_top_pages_with_urls,
         "image_features": C.q_image_features,
+        "audio_features": C.q_audio_features,
+        "video_frame_features": C.q_video_frame_features,
     }
     # flagship synthetic-pages pipelines (non-SQL-expressible → rows-only)
     q.update(_pages_queries())

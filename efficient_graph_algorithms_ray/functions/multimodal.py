@@ -125,20 +125,186 @@ def _phash64(arr: np.ndarray) -> np.uint64:
     )
 
 
-def resize_stub(batch: pa.Table, target: tuple[int, int] = (224, 224)) -> pa.Table:
-    """Resize stage — STUB: needs a real image library.
+def resize_nearest_ega1(batch: pa.Table, target: tuple[int, int] = (16, 16)) -> pa.Table:
+    """Resize stage — REAL for EGA1 payloads (nearest-neighbor
+    resampling is pure numpy indexing; no image library needed).
+    Schema contract: image binary in → image binary out with updated
+    width/height. For real codecs see ``resize_stub``."""
+    th, tw = target
+    blobs = batch.column("image").to_pylist()
+    out = []
+    for blob in blobs:
+        arr = decode_rgb8(blob)
+        h, w, _ = arr.shape
+        ys = (np.arange(th) * h) // th
+        xs = (np.arange(tw) * w) // tw
+        out.append(encode_rgb8(np.ascontiguousarray(arr[ys][:, xs])))
+    return pa.table(
+        {
+            "img_id": batch.column("img_id"),
+            "image": pa.array(out, type=pa.binary()),
+            "width": pa.array(np.full(len(out), tw, dtype=np.int32), type=pa.int32()),
+            "height": pa.array(np.full(len(out), th, dtype=np.int32), type=pa.int32()),
+            "channels": batch.column("channels"),
+        }
+    )
 
-    Raises NotImplementedError by design; kept so the pipeline shape
-    (schema contract: image binary in → image binary out + new
-    width/height) is pinned by tests.
+
+def resize_stub(batch: pa.Table, target: tuple[int, int] = (224, 224)) -> pa.Table:
+    """Resize stage for REAL codecs — STUB: needs an image library.
+
+    Raises NotImplementedError by design (``resize_nearest_ega1`` is
+    the functional path for the fake codec; the schema contract is
+    identical).
     """
     raise NotImplementedError(
         "resize requires an image library not present in this container"
     )
 
 
+# --- audio: PCM16 is decodable with numpy alone — fully REAL path ---------
+
+AUDIO_MAGIC = b"EGW1"  # fake container: magic + uint32 sample_rate + PCM16-LE
+AUDIO_HEADER = struct.Struct("<4sI")
+
+
+def encode_pcm16(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """int16 sample array → EGW1 blob."""
+    return AUDIO_HEADER.pack(AUDIO_MAGIC, sample_rate) + samples.astype("<i2").tobytes()
+
+
+def decode_pcm16(blob: bytes) -> tuple[np.ndarray, int]:
+    """EGW1 blob → (int16 samples, sample_rate). Pure numpy — a REAL
+    decode, not a stub (PCM needs no codec library)."""
+    magic, sr = AUDIO_HEADER.unpack_from(blob, 0)
+    if magic != AUDIO_MAGIC:
+        raise ValueError("not an EGW1 payload")
+    return np.frombuffer(blob, dtype="<i2", offset=AUDIO_HEADER.size), int(sr)
+
+
+def synthetic_audio(n: int, seed: int = 42, seconds: float = 0.5, sample_rate: int = 16000) -> pa.Table:
+    """Deterministic synthetic audio table (clip_id, audio, sample_rate):
+    a per-clip tone + noise mix, PCM16 in the EGW1 container."""
+    blobs = []
+    t = np.arange(int(seconds * sample_rate)) / sample_rate
+    for i in range(n):
+        rng = np.random.Generator(np.random.Philox(key=[seed, i]))
+        freq = 100.0 + 50.0 * (i % 40)
+        wave = 0.5 * np.sin(2 * np.pi * freq * t) + 0.05 * rng.standard_normal(len(t))
+        blobs.append(encode_pcm16((np.clip(wave, -1, 1) * 32767).astype(np.int16), sample_rate))
+    return pa.table(
+        {
+            "clip_id": pa.array(np.arange(n, dtype=np.int64), type=pa.int64()),
+            "audio": pa.array(blobs, type=pa.binary()),
+            "sample_rate": pa.array(
+                np.full(n, sample_rate, dtype=np.int32), type=pa.int32()
+            ),
+        }
+    )
+
+
+class AudioFeatures:
+    """Actor-pool stage: PCM16 audio column → per-clip features
+    (duration, RMS, zero-crossing rate, spectral centroid via rfft) —
+    the audio analogue of ``ImageDecoder``, fully functional (PCM16
+    decoding is numpy; only compressed codecs would need a stub).
+    Use small ``batch_size`` — rows are the big payload."""
+
+    def __init__(self) -> None:
+        pass  # stateless; class form keeps the actor-pool shape
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        blobs = batch.column("audio").to_pylist()
+        dur = np.empty(len(blobs))
+        rms = np.empty(len(blobs))
+        zcr = np.empty(len(blobs))
+        cent = np.empty(len(blobs))
+        for i, blob in enumerate(blobs):
+            x, sr = decode_pcm16(blob)
+            xf = x.astype(np.float64) / 32768.0
+            dur[i] = len(xf) / sr
+            rms[i] = float(np.sqrt(np.mean(xf * xf))) if len(xf) else 0.0
+            zcr[i] = (
+                float(np.mean(np.signbit(xf[1:]) != np.signbit(xf[:-1]))) if len(xf) > 1 else 0.0
+            )
+            if len(xf):
+                spec = np.abs(np.fft.rfft(xf))
+                freqs = np.fft.rfftfreq(len(xf), d=1.0 / sr)
+                tot = spec.sum()
+                cent[i] = float((freqs * spec).sum() / tot) if tot > 0 else 0.0
+            else:
+                cent[i] = 0.0
+        return pa.table(
+            {
+                "clip_id": batch.column("clip_id"),
+                "duration_s": pa.array(np.round(dur, 6)),
+                "rms": pa.array(np.round(rms, 6)),
+                "zcr": pa.array(np.round(zcr, 6)),
+                "spectral_centroid_hz": pa.array(np.round(cent, 2)),
+            }
+        )
+
+
+# --- video: fake EGV1 container → REAL frame sampling (byte slicing) ------
+
+VIDEO_MAGIC = b"EGV1"  # magic + uint16 w + uint16 h + uint8 c + uint16 n_frames
+VIDEO_HEADER = struct.Struct("<4sHHBH")
+
+
+def encode_video(frames: np.ndarray) -> bytes:
+    """uint8 [n, h, w, c] frame stack → EGV1 blob."""
+    n, h, w, c = frames.shape
+    return VIDEO_HEADER.pack(VIDEO_MAGIC, w, h, c, n) + frames.tobytes()
+
+
+def synthetic_videos(n: int, seed: int = 42, n_frames: int = 12, size: int = 16) -> pa.Table:
+    """Deterministic synthetic video table (vid_id, video, n_frames)."""
+    blobs = []
+    for i in range(n):
+        rng = np.random.Generator(np.random.Philox(key=[seed, 1000 + i]))
+        frames = rng.integers(0, 256, size=(n_frames, size, size, 3), dtype=np.uint8)
+        blobs.append(encode_video(frames))
+    return pa.table(
+        {
+            "vid_id": pa.array(np.arange(n, dtype=np.int64), type=pa.int64()),
+            "video": pa.array(blobs, type=pa.binary()),
+            "n_frames": pa.array(np.full(n, n_frames, dtype=np.int32), type=pa.int32()),
+        }
+    )
+
+
+def frame_sample_ega1(batch: pa.Table, every_n: int = 4) -> pa.Table:
+    """Video frame-sampling — REAL for the EGV1 container (frames are
+    fixed-stride byte slices; no codec needed): one output row per
+    sampled frame, re-encoded as an EGA1 image (composable with
+    ``ImageDecoder``/``resize_nearest_ega1``). For real containers see
+    ``frame_sample_stub``."""
+    out_vid, out_frame, out_img = [], [], []
+    for vid_id, blob in zip(
+        batch.column("vid_id").to_pylist(), batch.column("video").to_pylist()
+    ):
+        magic, w, h, c, n = VIDEO_HEADER.unpack_from(blob, 0)
+        if magic != VIDEO_MAGIC:
+            raise ValueError("not an EGV1 payload")
+        frames = np.frombuffer(
+            blob, dtype=np.uint8, offset=VIDEO_HEADER.size, count=n * h * w * c
+        ).reshape(n, h, w, c)
+        for f in range(0, n, every_n):
+            out_vid.append(vid_id)
+            out_frame.append(f)
+            out_img.append(encode_rgb8(frames[f]))
+    return pa.table(
+        {
+            "vid_id": pa.array(out_vid, type=pa.int64()),
+            "frame": pa.array(out_frame, type=pa.int64()),
+            "image": pa.array(out_img, type=pa.binary()),
+        }
+    )
+
+
 def frame_sample_stub(batch: pa.Table, every_n: int = 30) -> pa.Table:
-    """Video frame-sampling stage — STUB (no codecs in container)."""
+    """Video frame-sampling for REAL containers — STUB (no libav/ffmpeg
+    in this container; ``frame_sample_ega1`` is the functional path)."""
     raise NotImplementedError(
         "video decode requires libav/ffmpeg, not present in this container"
     )

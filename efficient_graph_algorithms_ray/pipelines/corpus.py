@@ -210,6 +210,50 @@ def q_ann_ivf_knn(sf_dir: str):
     return knn.map_batches(_shape, batch_format="pyarrow")
 
 
+def q_audio_features(sf_dir: str):
+    """Multimodal audio: deterministic synthetic PCM16 clips →
+    actor-pool feature stage (REAL decode — PCM needs no codec;
+    duration/RMS/ZCR/spectral centroid). Rows-only: byte-level binary
+    decode has no SQL form; features are analytically pytest-verified
+    (tests/test_text.py)."""
+    from ..functions.multimodal import AudioFeatures, synthetic_audio
+
+    clips = rd.from_arrow(synthetic_audio(128))
+    return clips.map_batches(
+        AudioFeatures, batch_format="pyarrow", batch_size=32, concurrency=2
+    )
+
+
+def q_video_frame_features(sf_dir: str):
+    """Multimodal video: EGV1 frame sampling (real byte slicing) →
+    EGA1 image features per sampled frame — the compose-through
+    pipeline (sample → decode → features). Rows-only (binary decode)."""
+    from ..functions.multimodal import ImageDecoder, frame_sample_ega1, synthetic_videos
+
+    vids = rd.from_arrow(synthetic_videos(32, n_frames=12, size=16))
+    frames = vids.map_batches(frame_sample_ega1, batch_format="pyarrow", batch_size=4)
+
+    def _as_images(b: pa.Table) -> pa.Table:
+        import pyarrow as pa_
+
+        return pa_.table(
+            {
+                "img_id": pa.array(
+                    (
+                        np.asarray(b.column("vid_id")) * 1000
+                        + np.asarray(b.column("frame"))
+                    ).astype(np.int64),
+                    type=pa.int64(),
+                ),
+                "image": b.column("image"),
+            }
+        )
+
+    return frames.map_batches(_as_images, batch_format="pyarrow").map_batches(
+        ImageDecoder, batch_format="pyarrow", batch_size=16, concurrency=2
+    )
+
+
 def q_image_features(sf_dir: str):
     """Multimodal plumbing demo: deterministic synthetic images →
     actor-pool decode/feature stage (fake EGA1 codec — real codecs

@@ -127,3 +127,89 @@ def test_hll_approx_distinct_within_tolerance():
     m = hll_merge(hll_sketch(a), hll_sketch(b))
     both = hll_sketch(np.concatenate([a, b]))
     assert np.array_equal(m, both)
+
+
+def test_audio_features_real_pcm_decode():
+    """PCM16 audio features are a REAL decode path (numpy only): a pure
+    440 Hz tone yields centroid ≈ 440 and the analytic RMS/ZCR."""
+    import numpy as np
+    import ray.data as rd
+
+    from efficient_graph_algorithms_ray.functions.multimodal import (
+        AudioFeatures,
+        encode_pcm16,
+        synthetic_audio,
+    )
+    import pyarrow as pa
+
+    sr = 16000
+    t = np.arange(sr) / sr  # 1 second
+    tone = (0.5 * np.sin(2 * np.pi * 440 * t) * 32767).astype(np.int16)
+    tbl = pa.table(
+        {
+            "clip_id": pa.array([0], type=pa.int64()),
+            "audio": pa.array([encode_pcm16(tone, sr)], type=pa.binary()),
+            "sample_rate": pa.array([sr], type=pa.int32()),
+        }
+    )
+    out = (
+        rd.from_arrow(tbl)
+        .map_batches(AudioFeatures, batch_format="pyarrow", batch_size=8, concurrency=2)
+        .to_pandas()
+    )
+    assert abs(out["duration_s"][0] - 1.0) < 1e-6
+    assert abs(out["rms"][0] - 0.5 / np.sqrt(2)) < 1e-3
+    assert abs(out["zcr"][0] - 2 * 440 / sr) < 2e-3  # 2 crossings per cycle
+    assert abs(out["spectral_centroid_hz"][0] - 440.0) < 5.0
+
+    # determinism of the synthetic corpus + batch-size independence
+    a = rd.from_arrow(synthetic_audio(16)).map_batches(
+        AudioFeatures, batch_format="pyarrow", batch_size=4, concurrency=2
+    ).to_pandas().sort_values("clip_id").reset_index(drop=True)
+    b = rd.from_arrow(synthetic_audio(16)).map_batches(
+        AudioFeatures, batch_format="pyarrow", batch_size=16, concurrency=2
+    ).to_pandas().sort_values("clip_id").reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_video_frame_sampling_and_resize_compose():
+    """EGV1 frame sampling (byte slicing — real) composes with the EGA1
+    image decoder and the nearest-neighbor resize."""
+    import ray.data as rd
+
+    from efficient_graph_algorithms_ray.functions.multimodal import (
+        ImageDecoder,
+        decode_rgb8,
+        frame_sample_ega1,
+        resize_nearest_ega1,
+        synthetic_videos,
+    )
+
+    vids = rd.from_arrow(synthetic_videos(4, n_frames=12, size=16))
+    frames = vids.map_batches(frame_sample_ega1, batch_format="pyarrow", batch_size=2)
+    fdf = frames.to_pandas()
+    assert len(fdf) == 4 * 3  # every_n=4 over 12 frames
+    assert sorted(set(fdf["frame"])) == [0, 4, 8]
+
+    # rename for the image stages' schema contract
+    import pyarrow as pa
+
+    def _as_images(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "img_id": b.column("vid_id"),
+                "image": b.column("image"),
+                "channels": pa.array([3] * b.num_rows, type=pa.int32()),
+            }
+        )
+
+    imgs = frames.map_batches(_as_images, batch_format="pyarrow")
+    small = imgs.map_batches(
+        lambda b: resize_nearest_ega1(b, target=(8, 8)), batch_format="pyarrow"
+    )
+    one = small.take(1)[0]
+    assert decode_rgb8(one["image"]).shape == (8, 8, 3)
+    feats = small.map_batches(
+        ImageDecoder, batch_format="pyarrow", batch_size=8, concurrency=2
+    )
+    assert feats.count() == 12
