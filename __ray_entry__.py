@@ -82,6 +82,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_len_stats_by_lang": C.q_doc_len_stats_by_lang,
         "quality_zscores": C.q_quality_zscores,
         "doclen_percentiles": C.q_doclen_percentiles,
+        "gaussian_doclen": C.q_gaussian_doclen,
         # embeddings (SQL-oracled)
         "knn_vec0": C.q_knn_vec0,
         "embedding_norms": C.q_embedding_norms,
@@ -201,4 +202,5 @@ def oracle_sql() -> dict[str, str]:
         "msf_coocc": S.msf_coocc_sql(rounds=6),
         "dsd_pairs_coocc": S.dsd_pairs_coocc_sql(queries=(1, 2, 3, 4), n_rw=3),
         "distance_buckets_partsupp": S.distance_buckets_partsupp_sql(rounds=8, unit_q=256),
+        "gaussian_doclen": S.GAUSSIAN_DOCLEN,
     }

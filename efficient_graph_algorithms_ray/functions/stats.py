@@ -164,6 +164,19 @@ def onetail(z: np.ndarray) -> np.ndarray:
     return 0.5 * erfc(np.asarray(z, dtype=np.float64) / math.sqrt(2.0))
 
 
+def gaussian_kernel_column(ds, col: str, sigma: float, out_col: str | None = None):
+    """Elementwise Gaussian kernel exp(−σ·x) — ``GaussianKernel``
+    parity (/root/reference/src/ega/util/gaussian_kernel.py:5-17) as a
+    vectorized column map."""
+    out_col = out_col or f"{col}_gk"
+
+    def _fn(batch: pa.Table) -> pa.Table:
+        x = batch.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
+        return batch.append_column(out_col, pa.array(np.exp(-sigma * x)))
+
+    return ds.map_batches(_fn, batch_format="pyarrow")
+
+
 def zscore_column(ds, col: str, out_col: str | None = None):
     """Append a z-scored column (two passes: global Welford, then map)."""
     out_col = out_col or f"{col}_z"

@@ -525,6 +525,11 @@ LIMIT {k})"""
     return "\nUNION ALL\n".join(blocks)
 
 
+GAUSSIAN_DOCLEN = """SELECT doc_id,
+  ROUND(exp(-0.01 * CAST(n_chars AS DOUBLE)), 9) AS gk_r9
+FROM documents"""
+
+
 _COOCC_UND_MAT = """pr AS MATERIALIZED (
   SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
   FROM lineitem a JOIN lineitem b

@@ -139,6 +139,26 @@ def q_ann_lsh_pairs(sf_dir: str):
     return S.ann_lsh_pairs(_emb(sf_dir), threshold=0.25, n_bits=6)
 
 
+def q_gaussian_doclen(sf_dir: str):
+    """GaussianKernel parity: exp(−σ·n_chars) per document — SQL-oracled
+    (same IEEE expression, rounded r9)."""
+    from ..functions.stats import gaussian_kernel_column
+
+    out = gaussian_kernel_column(_docs(sf_dir, ["doc_id", "n_chars"]), "n_chars", 0.01)
+
+    def _shape(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "gk_r9": pa.array(
+                    np.round(batch.column("n_chars_gk").to_numpy(zero_copy_only=False), 9)
+                ),
+            }
+        )
+
+    return out.map_batches(_shape, batch_format="pyarrow")
+
+
 def q_doclen_percentiles(sf_dir: str):
     """Exact p25/p50/p90/p99 of document length via the bounded-domain
     histogram percentile operator — SQL-oracled vs quantile_disc."""

@@ -80,6 +80,21 @@ def _part_rows(num_partitions: int, symmetrize: bool):
             src, dst = np.concatenate([src, dst]), np.concatenate([dst, src])
             if weighted:
                 w = np.concatenate([w, w])
+        # map-side combiner: collapse duplicate (src, dst) pairs within
+        # the batch BEFORE the shuffle (weights partial-sum; the CSR
+        # pack still does the exact cross-batch merge) — same pattern
+        # as the marker dedup below, shrinks exchange volume on
+        # duplicate-heavy link data for free
+        if len(src):
+            order = np.lexsort((dst, src))
+            s_s, d_s = src[order], dst[order]
+            first = np.concatenate(
+                ([True], (s_s[1:] != s_s[:-1]) | (d_s[1:] != d_s[:-1]))
+            )
+            if weighted:
+                gid = np.cumsum(first) - 1
+                w = np.bincount(gid, weights=w[order])
+            src, dst = s_s[first], d_s[first]
         marker_vids = np.unique(dst)
         out_src = np.concatenate([src, marker_vids])
         out_dst = np.concatenate([dst, np.zeros(len(marker_vids), dtype=np.uint64)])
