@@ -509,61 +509,62 @@ def q_sssp_partsupp(sf_dir: str):
     return out.map_batches(_shape, batch_format="pyarrow")
 
 
-def _forest_graph(sf_dir: str):
-    """Min-neighbor forest of the co-occurrence graph as an undirected
-    ShardedGraph (cached — shared by the tree-DP and tree-kernel
-    queries)."""
-    from .tree_dp import min_neighbor_forest_edges
+def _forest_graphs(sf_dir: str):
+    """Both orientations of the min-neighbor forest of the
+    co-occurrence graph (cached — shared by the tree-DP and tree-kernel
+    queries); aligned shards, see tree_dp.forest_graphs."""
+    from .tree_dp import forest_graphs, min_neighbor_forest_edges
 
-    key = ("forest", sf_dir)
+    key = ("forest2", sf_dir)
     if key not in _GRAPH_CACHE:
         g = _coocc_graph(sf_dir)
-        _GRAPH_CACHE[key] = build_graph(
-            min_neighbor_forest_edges(g), EngineConfig(num_partitions=16), directed=False
+        _GRAPH_CACHE[key] = forest_graphs(
+            min_neighbor_forest_edges(g), num_partitions=16
         )
     return _GRAPH_CACHE[key]
 
 
 def q_subtree_sizes_forest(sf_dir: str):
     """Two-pass tree DP over the canonical min-neighbor forest of the
-    co-occurrence graph: rooted BFS orientation → gated bottom-up
-    subtree sizes (TreeGFIntegrator / subtree-cost parity). SQL-oracled
-    via recursive CTEs (depth chase + ancestor-closure counts) — the
-    forest is defined so DuckDB can rebuild it exactly (parent(v) =
-    min neighbor < v). Returns (vid, subtree_size, depth)."""
-    from .tree_dp import rooted_bfs, subtree_aggregate
-
-    fg = _forest_graph(sf_dir)
-    parents, _ = rooted_bfs(fg, _ckpt("treebfs"))
-    # the forest metadata (vid, parent, depth) is the tree-DP API input;
-    # collected once, broadcast as SORTED arrays via ray.put (vectorized
-    # searchsorted per batch — no dict, no per-row loop)
+    co-occurrence graph — the fully DATASET-NATIVE path: both forest
+    orientations share aligned shards, so child counts, roots and the
+    depth/size merge all resolve partition-locally (no driver-side
+    forest table at any point). SQL-oracled via recursive CTEs (depth
+    chase + ancestor-closure counts) — the forest is defined so DuckDB
+    can rebuild it exactly (parent(v) = min neighbor < v). Returns
+    (vid, subtree_size, depth)."""
     import ray
 
-    pdf = parents.to_pandas()
-    sub, _ = subtree_aggregate(fg, pdf, lambda v: np.ones(len(v)), _ckpt("treedp"))
+    from ..state.ckpt import read_state_part
+    from .tree_dp import subtree_aggregate_g, topdown_prefix_g
 
-    dv = pdf["vid"].to_numpy().astype(np.uint64)
-    dd = pdf["depth"].to_numpy().astype(np.int64)
-    _o = np.argsort(dv)
-    depth_ref = ray.put((dv[_o], dd[_o]))
+    g_up, g_down = _forest_graphs(sf_dir)
+    ones = lambda v: np.ones(len(v))  # noqa: E731
+    _, s_up = subtree_aggregate_g(g_up, g_down, ones, _ckpt("treedp"))
+    _, s_dn = topdown_prefix_g(g_up, g_down, ones, _ckpt("treedepth"))
+    up_dir, dn_dir = s_up["final_iter_dir"], s_dn["final_iter_dir"]
+    refs = g_up.refs
 
-    def _shape(batch: pa.Table) -> pa.Table:
-        dvs, dds = ray.get(depth_ref)
-        vids = batch.column("vid").to_numpy(zero_copy_only=False).astype(np.uint64)
-        depths = dds[np.searchsorted(dvs, vids)]
+    def _emit(batch: pa.Table) -> pa.Table:
+        vid_o, sz_o, dp_o = [], [], []
+        for p in batch.column("part").to_numpy(zero_copy_only=False):
+            p = int(p)
+            csr = ray.get(refs[p])
+            vid_o.append(csr["vids"].astype(np.int64))
+            sz_o.append(read_state_part(up_dir, p)[:, 0].astype(np.int64))
+            # prefix of the all-ones field counts root→v path vertices
+            # (root included) = depth + 1
+            dp_o.append((read_state_part(dn_dir, p)[:, 0] - 1.0).astype(np.int64))
         return pa.table(
             {
-                "vid": batch.column("vid").cast(pa.int64()),
-                "subtree_size": pa.array(
-                    batch.column("subtree_sum").to_numpy(zero_copy_only=False).astype(np.int64),
-                    type=pa.int64(),
-                ),
-                "depth": pa.array(depths, type=pa.int64()),
+                "vid": pa.array(np.concatenate(vid_o), type=pa.int64()),
+                "subtree_size": pa.array(np.concatenate(sz_o), type=pa.int64()),
+                "depth": pa.array(np.concatenate(dp_o), type=pa.int64()),
             }
         )
 
-    return sub.map_batches(_shape, batch_format="pyarrow")
+    parts_ds = rd.from_arrow(pa.table({"part": pa.array(g_up.parts, type=pa.int64())}))
+    return parts_ds.map_batches(_emit, batch_format="pyarrow", batch_size=4)
 
 
 def q_tree_kernel_forest(sf_dir: str):
@@ -575,11 +576,9 @@ def q_tree_kernel_forest(sf_dir: str):
     closures. Returns (vid, integral_r4)."""
     import pyarrow.parquet as pq_  # noqa: N813
 
-    from .tree_dp import integrate_tree_field, make_vid_lookup, rooted_bfs
+    from .tree_dp import integrate_tree_field_g, make_vid_lookup
 
-    fg = _forest_graph(sf_dir)
-    parents, _ = rooted_bfs(fg, _ckpt("tkbfs"))
-    pdf = parents.to_pandas()
+    g_up, g_down = _forest_graphs(sf_dir)
     part_tbl = pq_.read_table(
         os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_retailprice"]
     )
@@ -587,7 +586,7 @@ def q_tree_kernel_forest(sf_dir: str):
         part_tbl.column("p_partkey").to_numpy().astype(np.uint64),
         part_tbl.column("p_retailprice").to_numpy().astype(np.float64),
     )
-    out, _ = integrate_tree_field(fg, pdf, x_lookup, a=-0.5, ckpt_dir=_ckpt("tkern"))
+    out, _ = integrate_tree_field_g(g_up, g_down, x_lookup, a=-0.5, ckpt_dir=_ckpt("tkern"))
 
     def _shape(batch: pa.Table) -> pa.Table:
         return pa.table(

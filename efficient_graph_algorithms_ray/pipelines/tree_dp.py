@@ -169,6 +169,14 @@ def min_neighbor_forest_edges(graph: ShardedGraph):
             keep = first < vids[has_edge]
             child_o.append(vids[has_edge][keep])
             par_o.append(first[keep])
+            # roots (no smaller neighbor) emit a SELF row: the CSR pack
+            # drops the self-loop but keeps the vid in the vertex set,
+            # so singleton trees exist in BOTH forest orientations
+            roots = np.concatenate(
+                [vids[has_edge][~keep], vids[~has_edge]]
+            )
+            child_o.append(roots)
+            par_o.append(roots)
         return pa.table(
             {
                 "src": pa.array(
@@ -184,6 +192,259 @@ def min_neighbor_forest_edges(graph: ShardedGraph):
 
     parts_ds = rd.from_arrow(pa.table({"part": pa.array(graph.parts, type=pa.int64())}))
     return parts_ds.map_batches(_emit, batch_format="pyarrow", batch_size=4)
+
+
+def forest_graphs(forest_edges_ds, num_partitions: int = 16):
+    """(child→parent graph, parent→child graph) from a (src=child,
+    dst=parent) forest edge Dataset — same hash partitioner, so both
+    graphs hold IDENTICAL per-partition vid arrays (sorted) and any
+    per-vertex array from one aligns with the other. The foundation of
+    the fully dataset-native tree-DP path (no driver-side forest
+    table). Root self-rows in the input keep singletons in both vertex
+    sets (the pack drops the self-loop, keeps the vid)."""
+    import pyarrow as pa
+
+    from ..config import EngineConfig
+    from .graph_build import build_graph
+
+    cfg = EngineConfig(num_partitions=num_partitions)
+    edges = forest_edges_ds.materialize()
+    g_up = build_graph(edges, cfg, directed=True)  # child → parent
+
+    def _rev(batch: pa.Table) -> pa.Table:
+        return pa.table({"src": batch.column("dst"), "dst": batch.column("src")})
+
+    g_down = build_graph(
+        edges.map_batches(_rev, batch_format="pyarrow"), cfg, directed=True
+    )
+    return g_up, g_down
+
+
+def _sibling_children_counts(g_down):
+    """init-time lookup: n_children(v) = out-degree in the parent→child
+    orientation, read from the ALIGNED sibling shard (plasma,
+    partition-local, zero driver involvement)."""
+    refs = g_down.refs
+
+    def _counts(csr):
+        import ray
+
+        return ray.get(refs[int(csr["part"])])["deg"].astype(np.float64)
+
+    return _counts
+
+
+def subtree_aggregate_g(
+    g_up,
+    g_down,
+    x_lookup,
+    ckpt_dir: str,
+    *,
+    max_iters: int = 500,
+    child_scale: float = 1.0,
+):
+    """Dataset-native bottom-up pass: like :func:`subtree_aggregate`
+    but with NO driver-side forest table — child counts come from the
+    aligned parent→child sibling graph inside ``init_fn``.
+    Returns (Dataset (vid, subtree_sum), summary)."""
+    import pyarrow as pa
+
+    from ..state.superstep import run_supersteps, state_vertex_dataset
+
+    n_children = _sibling_children_counts(g_down)
+
+    def init_fn(csr):
+        n = len(csr["vids"])
+        state = np.zeros((n, 4), dtype=np.float64)
+        state[:, 0] = x_lookup(csr["vids"])
+        state[:, 2] = n_children(csr)
+        return state
+
+    def _ready(state):
+        return (state[:, 1] >= state[:, 2]) & (state[:, 3] == 0)
+
+    def msg_fn(state, csr):
+        r = _ready(state)
+        msg = np.zeros_like(state)
+        msg[:, 0] = child_scale * (state[:, 0] * r)
+        msg[:, 1] = r
+        return msg
+
+    def apply_fn(agg, old, T, dm, csr):
+        new = old.copy()
+        new[:, 0] += agg[:, 0]
+        new[:, 1] += agg[:, 1]
+        new[:, 3] += _ready(old)
+        return new
+
+    summary = run_supersteps(
+        g_up, ckpt_dir, "sum", init_fn,
+        tol=1e-12, max_iters=max_iters, normalize=False,
+        apply_fn=apply_fn, msg_fn=msg_fn,
+    )
+    state = state_vertex_dataset(g_up, summary["final_iter_dir"], "state")
+
+    def _shape(batch: pa.Table) -> pa.Table:
+        from ..util import list_rows
+
+        rows = list_rows(batch, "state")
+        acc = np.array([r[0] for r in rows]) if rows else np.empty(0)
+        return pa.table(
+            {"vid": batch.column("vid"), "subtree_sum": pa.array(acc, type=pa.float64())}
+        )
+
+    return state.map_batches(_shape, batch_format="pyarrow"), summary
+
+
+def topdown_prefix_g(
+    g_up,
+    g_down,
+    x_lookup,
+    ckpt_dir: str,
+    *,
+    max_iters: int = 500,
+    parent_scale: float = 1.0,
+):
+    """Dataset-native top-down pass: prefix(v) = λ·prefix(parent) + x(v)
+    over the parent→child graph; roots (out-degree 0 in the aligned
+    child→parent sibling) detected partition-locally.
+    ``x_lookup(vids, csr)``-style callables are supported via a plain
+    vids signature. Returns (Dataset (vid, prefix), summary)."""
+    import pyarrow as pa
+
+    from ..state.superstep import run_supersteps, state_vertex_dataset
+
+    up_refs = g_up.refs
+
+    def init_fn(csr):
+        import ray
+
+        vids = csr["vids"]
+        n = len(vids)
+        state = np.zeros((n, 4), dtype=np.float64)
+        x = np.asarray(x_lookup(vids), dtype=np.float64)
+        is_root = ray.get(up_refs[int(csr["part"])])["deg"] == 0
+        state[:, 3] = x
+        state[:, 0] = x * is_root
+        state[:, 1] = is_root
+        return state
+
+    def _ready(state):
+        return (state[:, 1] > 0) & (state[:, 2] == 0)
+
+    def msg_fn(state, csr):
+        r = _ready(state)
+        msg = np.zeros_like(state)
+        msg[:, 0] = state[:, 0] * r
+        msg[:, 1] = r
+        return msg
+
+    def apply_fn(agg, old, T, dm, csr):
+        new = old.copy()
+        arrived = agg[:, 1] > 0
+        new[:, 0] += parent_scale * agg[:, 0] + arrived * old[:, 3]
+        new[:, 1] += agg[:, 1]
+        new[:, 2] += _ready(old)
+        return new
+
+    summary = run_supersteps(
+        g_down, ckpt_dir, "sum", init_fn,
+        tol=1e-12, max_iters=max_iters, normalize=False,
+        apply_fn=apply_fn, msg_fn=msg_fn,
+    )
+    state = state_vertex_dataset(g_down, summary["final_iter_dir"], "state")
+
+    def _shape(batch: pa.Table) -> pa.Table:
+        from ..util import list_rows
+
+        rows = list_rows(batch, "state")
+        acc = np.array([r[0] for r in rows]) if rows else np.empty(0)
+        return pa.table(
+            {"vid": batch.column("vid"), "prefix": pa.array(acc, type=pa.float64())}
+        )
+
+    return state.map_batches(_shape, batch_format="pyarrow"), summary
+
+
+def integrate_tree_field_g(
+    g_up,
+    g_down,
+    x_lookup,
+    a: float,
+    ckpt_dir: str,
+):
+    """Dataset-native tree-metric kernel matvec (see
+    :func:`integrate_tree_field` for the math): the up-pass checkpoint
+    is read per-partition inside the down-pass ``init_fn`` through the
+    ALIGNED sibling shards — no driver collect of up values."""
+    import pyarrow as pa
+    import ray
+
+    from ..state.superstep import run_supersteps, state_vertex_dataset
+
+    lam = float(np.exp(a))
+    _, s_up = subtree_aggregate_g(
+        g_up, g_down, x_lookup, f"{ckpt_dir}/up", child_scale=lam
+    )
+    up_dir = s_up["final_iter_dir"]
+    up_refs = g_up.refs
+
+    def x2_lookup_init(csr):
+        # called with the g_down csr; partitions/vids align with g_up
+        from ..state.ckpt import read_state_part
+
+        up = read_state_part(up_dir, int(csr["part"]))[:, 0]
+        is_root = ray.get(up_refs[int(csr["part"])])["deg"] == 0
+        return np.where(is_root, up, (1.0 - lam * lam) * up)
+
+    # topdown_prefix_g takes a vids-based lookup; here the field depends
+    # on the PARTITION (checkpoint read), so inline a tailored run
+    def init_fn(csr):
+        vids = csr["vids"]
+        n = len(vids)
+        state = np.zeros((n, 4), dtype=np.float64)
+        x = x2_lookup_init(csr)
+        is_root = ray.get(up_refs[int(csr["part"])])["deg"] == 0
+        state[:, 3] = x
+        state[:, 0] = x * is_root
+        state[:, 1] = is_root
+        return state
+
+    def _ready(state):
+        return (state[:, 1] > 0) & (state[:, 2] == 0)
+
+    def msg_fn(state, csr):
+        r = _ready(state)
+        msg = np.zeros_like(state)
+        msg[:, 0] = state[:, 0] * r
+        msg[:, 1] = r
+        return msg
+
+    def apply_fn(agg, old, T, dm, csr):
+        new = old.copy()
+        arrived = agg[:, 1] > 0
+        new[:, 0] += lam * agg[:, 0] + arrived * old[:, 3]
+        new[:, 1] += agg[:, 1]
+        new[:, 2] += _ready(old)
+        return new
+
+    summary = run_supersteps(
+        g_down, f"{ckpt_dir}/down", "sum", init_fn,
+        tol=1e-12, max_iters=500, normalize=False,
+        apply_fn=apply_fn, msg_fn=msg_fn,
+    )
+    state = state_vertex_dataset(g_down, summary["final_iter_dir"], "state")
+
+    def _shape(batch: pa.Table) -> pa.Table:
+        from ..util import list_rows
+
+        rows = list_rows(batch, "state")
+        acc = np.array([r[0] for r in rows]) if rows else np.empty(0)
+        return pa.table(
+            {"vid": batch.column("vid"), "integral": pa.array(acc, type=pa.float64())}
+        )
+
+    return state.map_batches(_shape, batch_format="pyarrow"), {"up": s_up, "down": summary}
 
 
 def integrate_tree_field(

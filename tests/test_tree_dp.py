@@ -153,3 +153,67 @@ def test_integrate_tree_field_matches_dense_exp_kernel(tmp_path):
     want = K @ xs
     got_arr = np.array([got[int(v)] for v in vids])
     np.testing.assert_allclose(got_arr, want, rtol=1e-8, atol=1e-10)
+
+
+def test_dataset_native_tree_dp_matches_pandas_api(tmp_path):
+    """subtree_aggregate_g / topdown_prefix_g / integrate_tree_field_g
+    (aligned-sibling-shard path, no driver forest table) ≡ the
+    pandas-API passes on the same oriented forest."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from efficient_graph_algorithms_ray.pipelines.tree_dp import (
+        forest_graphs,
+        integrate_tree_field,
+        integrate_tree_field_g,
+        subtree_aggregate,
+        subtree_aggregate_g,
+        topdown_prefix,
+        topdown_prefix_g,
+    )
+
+    g, vids, src, dst = _forest(n=80, n_trees=3, seed=29)
+    parents, _ = rooted_bfs(g, str(tmp_path / "bfs"))
+    pdf = parents.to_pandas()
+
+    # oriented forest edges (child → parent) + root self rows, straight
+    # from the BFS orientation so both APIs run the SAME forest
+    # numpy arrays, NOT iterrows — pandas iterrows coerces uint64 vids
+    # to float64 and silently corrupts them
+    vv = pdf["vid"].to_numpy().astype(np.uint64)
+    own = pdf["own_id"].to_numpy().astype(np.int64)
+    par = pdf["parent_id"].to_numpy().astype(np.int64)
+    own2vid = dict(zip(own.tolist(), vv.tolist()))
+    child, parent = [], []
+    for v, o, pid in zip(vv.tolist(), own.tolist(), par.tolist()):
+        child.append(v)
+        parent.append(v if pid == o else own2vid[pid])
+    edges = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array(np.array(child, dtype=np.uint64), type=pa.uint64()),
+                "dst": pa.array(np.array(parent, dtype=np.uint64), type=pa.uint64()),
+            }
+        )
+    )
+    g_up, g_down = forest_graphs(edges, num_partitions=4)
+
+    rng = np.random.Generator(np.random.Philox(key=[71, 0]))
+    xs = rng.uniform(0.5, 2.0, len(vids))
+    xl = make_vid_lookup(vids, xs)
+
+    a1 = subtree_aggregate(g, pdf, xl, str(tmp_path / "p_up"))[0].to_pandas()
+    a2 = subtree_aggregate_g(g_up, g_down, xl, str(tmp_path / "g_up"))[0].to_pandas()
+    m = pd.merge(a1, a2, on="vid", suffixes=("_p", "_g"))
+    assert len(m) == len(vids)
+    np.testing.assert_allclose(m["subtree_sum_p"], m["subtree_sum_g"], rtol=1e-12)
+
+    b1 = topdown_prefix(g, pdf, xl, str(tmp_path / "p_dn"))[0].to_pandas()
+    b2 = topdown_prefix_g(g_up, g_down, xl, str(tmp_path / "g_dn"))[0].to_pandas()
+    m = pd.merge(b1, b2, on="vid", suffixes=("_p", "_g"))
+    np.testing.assert_allclose(m["prefix_p"], m["prefix_g"], rtol=1e-12)
+
+    c1 = integrate_tree_field(g, pdf, xl, -0.6, str(tmp_path / "p_tk"))[0].to_pandas()
+    c2 = integrate_tree_field_g(g_up, g_down, xl, -0.6, str(tmp_path / "g_tk"))[0].to_pandas()
+    m = pd.merge(c1, c2, on="vid", suffixes=("_p", "_g"))
+    np.testing.assert_allclose(m["integral_p"], m["integral_g"], rtol=1e-10)
