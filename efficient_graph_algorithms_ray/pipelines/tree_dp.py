@@ -44,11 +44,16 @@ _INF_DEPTH = np.uint64(1 << 30)
 
 
 def make_vid_lookup(vids: np.ndarray, vals: np.ndarray, default: float = 0.0):
-    """f(query_vids) -> values — sorted-array vid lookup (missing → default)."""
+    """f(query_vids) -> values — sorted-array vid lookup (missing →
+    default). Arrays go through ``ray.put`` once (plasma broadcast),
+    not per-actor closure shipping — the map can be O(V)."""
+    import ray
+
     order = np.argsort(vids)
-    vs, xs = vids[order], np.asarray(vals, dtype=np.float64)[order]
+    ref = ray.put((vids[order], np.asarray(vals, dtype=np.float64)[order]))
 
     def _f(q: np.ndarray) -> np.ndarray:
+        vs, xs = ray.get(ref)
         out = np.full(len(q), default, dtype=np.float64)
         pos = np.searchsorted(vs, q)
         ok = pos < len(vs)

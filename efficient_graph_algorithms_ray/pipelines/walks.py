@@ -31,11 +31,17 @@ from ..state.superstep import run_supersteps, state_vertex_dataset
 
 
 def vertex_lookup_init(vids: np.ndarray, vals: np.ndarray, default=0.0, width: int = 1):
-    """init_fn factory: per-partition array from a sorted (vids → vals) map."""
+    """init_fn factory: per-partition array from a sorted (vids → vals)
+    map. The arrays are ``ray.put`` ONCE — workers read the plasma copy
+    instead of a closure capture re-shipped per actor (the map can be
+    O(V))."""
+    import ray
+
     order = np.argsort(vids)
-    vids_s, vals_s = vids[order], vals[order]
+    ref = ray.put((vids[order], np.asarray(vals)[order]))
 
     def _init(csr):
+        vids_s, vals_s = ray.get(ref)
         n = len(csr["vids"])
         out = (
             np.full((n, width), default, dtype=np.float64)
