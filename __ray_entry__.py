@@ -62,6 +62,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sssp_partsupp": R.q_sssp_partsupp,
         "anf_coocc": R.q_anf_coocc,
         "coreness_coocc": R.q_coreness_coocc,
+        "label_prop_coocc": R.q_label_prop_coocc,
+        "interpolate_coocc": R.q_interpolate_coocc,
         "dsd_pairs_coocc": R.q_dsd_pairs_coocc,
         "gw_graph_distance": R.q_gw_graph_distance,
         "distance_buckets_partsupp": R.q_distance_buckets_partsupp,
@@ -203,4 +205,6 @@ def oracle_sql() -> dict[str, str]:
         "dsd_pairs_coocc": S.dsd_pairs_coocc_sql(queries=(1, 2, 3, 4), n_rw=3),
         "distance_buckets_partsupp": S.distance_buckets_partsupp_sql(rounds=8, unit_q=256),
         "gaussian_doclen": S.GAUSSIAN_DOCLEN,
+        "label_prop_coocc": S.label_prop_coocc_sql(rounds=8),
+        "interpolate_coocc": S.INTERPOLATE_COOCC,
     }

@@ -538,6 +538,50 @@ _COOCC_UND_MAT = """pr AS MATERIALIZED (
 und AS MATERIALIZED (SELECT u, v FROM pr UNION ALL SELECT v AS u, u AS v FROM pr)"""
 
 
+def label_prop_coocc_sql(rounds: int = 8, seeds=((1, 100), (2, 200), (3, 300))) -> str:
+    """Unrolled seeded min-label propagation over the co-occurrence
+    graph; unreached keeps the sentinel → −1."""
+    sent = 1 << 62
+    seed_case = " ".join(f"WHEN vid = {v} THEN {lab}" for v, lab in seeds)
+    body = []
+    for i in range(1, rounds + 1):
+        p = f"l{i-1}"
+        body.append(
+            f""",
+mn{i} AS (SELECT und.v AS vid, MIN(x.lab) AS m FROM und JOIN {p} x ON und.u = x.vid GROUP BY und.v),
+l{i} AS MATERIALIZED (
+  SELECT l.vid, LEAST(l.lab, COALESCE(m.m, l.lab)) AS lab
+  FROM {p} l LEFT JOIN mn{i} m ON l.vid = m.vid
+)"""
+        )
+    return f"""WITH {_COOCC_UND_MAT},
+verts AS (SELECT DISTINCT u AS vid FROM und),
+l0 AS MATERIALIZED (SELECT vid, CASE {seed_case} ELSE {sent} END AS lab FROM verts){"".join(body)}
+SELECT CAST(vid AS BIGINT) AS vid,
+  CAST(CASE WHEN lab >= {sent} THEN -1 ELSE lab END AS BIGINT) AS label
+FROM l{rounds}"""
+
+
+INTERPOLATE_COOCC = f"""WITH {_COOCC_UND_MAT},
+verts AS (SELECT DISTINCT u AS vid FROM und),
+deg AS (SELECT u AS vid, CAST(COUNT(*) AS DOUBLE) AS d FROM und GROUP BY u),
+f AS (
+  SELECT v.vid,
+    CASE WHEN p.p_size <= 25 THEN CAST(p.p_retailprice AS DOUBLE) ELSE 0.0 END AS x,
+    CASE WHEN p.p_size <= 25 THEN 1.0 ELSE 0.0 END AS m
+  FROM verts v JOIN part p ON p.p_partkey = v.vid
+),
+acc AS (
+  SELECT und.v AS vid, SUM(f.x / deg.d) AS num, SUM(f.m / deg.d) AS den
+  FROM und JOIN f ON und.u = f.vid JOIN deg ON und.u = deg.vid
+  GROUP BY und.v
+)
+SELECT CAST(v.vid AS BIGINT) AS vid,
+  ROUND(CASE WHEN COALESCE(a.den, 0) > 0 THEN a.num / a.den ELSE 0.0 END, 6) AS value_r6
+FROM verts v LEFT JOIN acc a ON v.vid = a.vid"""
+
+
+
 def distance_buckets_partsupp_sql(
     rounds: int = 8, unit_q: int = 1 << 14, scale: int = 1 << 16, sources=(1, 2, 3)
 ) -> str:

@@ -447,6 +447,64 @@ def q_clustering_coeff_coocc(sf_dir: str):
     )
 
 
+def q_label_prop_coocc(sf_dir: str):
+    """Seeded min-label propagation over the part co-occurrence graph
+    (node_cluster_assignment parity): parts 1–3 seed labels 100/200/300,
+    every vertex adopts the min reachable seed label (unreached → −1).
+    SQL-oracled via unrolled min rounds. Returns (vid, label)."""
+    from .components import label_propagation
+
+    g = _coocc_graph(sf_dir)
+    labels, _ = label_propagation(g, _ckpt("labelprop"), {1: 100, 2: 200, 3: 300})
+
+    def _shape(batch: pa.Table) -> pa.Table:
+        from ..config import UNLABELED
+
+        lab = batch.column("label").to_numpy(zero_copy_only=False).astype(np.uint64)
+        out = np.where(lab == np.uint64(UNLABELED), -1, lab.astype(np.int64))
+        return pa.table(
+            {
+                "vid": batch.column("vid").cast(pa.int64()),
+                "label": pa.array(out, type=pa.int64()),
+            }
+        )
+
+    return labels.map_batches(_shape, batch_format="pyarrow")
+
+
+def q_interpolate_coocc(sf_dir: str):
+    """Masked neighbor interpolation (Interpolator parity,
+    interpolator.py:5-33): retailprice known on parts with p_size ≤ 25,
+    interpolated elsewhere as Σ(F·mask)/deg ⊘ Σ mask/deg over one
+    normalized gather each — SQL-oracled. Returns (vid, value_r6)."""
+    import pyarrow.parquet as pq_  # noqa: N813
+
+    from .walks import masked_neighbor_interpolate, vertex_lookup_init
+
+    g = _coocc_graph(sf_dir)
+    part_tbl = pq_.read_table(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_retailprice", "p_size"],
+    )
+    keys = part_tbl.column("p_partkey").to_numpy().astype(np.uint64)
+    price = part_tbl.column("p_retailprice").to_numpy().astype(np.float64)
+    size = part_tbl.column("p_size").to_numpy()
+    mask = (size <= 25).astype(np.float64)
+    value_init = vertex_lookup_init(keys, price)
+    mask_init = vertex_lookup_init(keys, mask)
+    out = masked_neighbor_interpolate(g, _ckpt("interp"), value_init, mask_init)
+
+    def _shape(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vid": batch.column("vid").cast(pa.int64()),
+                "value_r6": pc.round(batch.column("value"), ndigits=6),
+            }
+        )
+
+    return out.map_batches(_shape, batch_format="pyarrow")
+
+
 def q_coreness_coocc(sf_dir: str):
     """k-core decomposition of the part co-occurrence graph via the
     distributed h-index iteration (rows-only at the driver;
