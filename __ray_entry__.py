@@ -64,6 +64,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "coreness_coocc": R.q_coreness_coocc,
         "label_prop_coocc": R.q_label_prop_coocc,
         "interpolate_coocc": R.q_interpolate_coocc,
+        "multi_ppr_coocc": R.q_multi_ppr_coocc,
+        "matvec_coocc": R.q_matvec_coocc,
+        "barycenter_coocc": R.q_barycenter_coocc,
         "dsd_pairs_coocc": R.q_dsd_pairs_coocc,
         "gw_graph_distance": R.q_gw_graph_distance,
         "distance_buckets_partsupp": R.q_distance_buckets_partsupp,
@@ -207,4 +210,7 @@ def oracle_sql() -> dict[str, str]:
         "gaussian_doclen": S.GAUSSIAN_DOCLEN,
         "label_prop_coocc": S.label_prop_coocc_sql(rounds=8),
         "interpolate_coocc": S.INTERPOLATE_COOCC,
+        "multi_ppr_coocc": S.multi_ppr_coocc_sql(k=6, damping=0.85),
+        "matvec_coocc": S.MATVEC_COOCC,
+        "barycenter_coocc": S.barycenter_coocc_sql(blur_t=0.01, blur_steps=3, n_iters=3),
     }

@@ -1220,6 +1220,143 @@ c0 AS MATERIALIZED (SELECT DISTINCT u AS vid, u AS c FROM undw){"".join(body)}
 SELECT CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b, w FROM ({allch})"""
 
 
+def multi_ppr_coocc_sql(seed_sets=((1, 2), (3, 4, 5), (6,)), k: int = 6, damping: float = 0.85) -> str:
+    """d seeded PageRank recurrences over the co-occurrence graph,
+    unrolled and UNION ALL'd with a set_id — the SQL view of the
+    engine's single [n, d] vector-field run (no dangling terms: every
+    co-occurrence vertex has degree ≥ 1)."""
+    parts = [
+        f"WITH {_COOCC_UND_MAT},",
+        "verts AS (SELECT DISTINCT u AS vid FROM und),",
+        "deg AS MATERIALIZED (SELECT u AS vid, CAST(COUNT(*) AS DOUBLE) AS d FROM und GROUP BY u)",
+    ]
+    finals = []
+    for j, seeds in enumerate(seed_sets):
+        tw = 1.0 / len(seeds)
+        seed_list = ", ".join(str(s) for s in seeds)
+        parts.append(
+            f",\ntp{j} AS (SELECT vid, CASE WHEN vid IN ({seed_list}) THEN {tw!r} ELSE 0.0 END AS t FROM verts)"
+        )
+        parts.append(f",\ns{j}r0 AS MATERIALIZED (SELECT vid, t AS r FROM tp{j})")
+        for i in range(1, k + 1):
+            p = f"s{j}r{i-1}"
+            parts.append(
+                f""",
+s{j}m{i} AS (
+  SELECT und.v AS vid, SUM(x.r / deg.d) AS m
+  FROM und JOIN {p} x ON und.u = x.vid JOIN deg ON und.u = deg.vid
+  GROUP BY und.v
+),
+s{j}r{i} AS MATERIALIZED (
+  SELECT tp.vid, (1 - {damping}) * tp.t + {damping} * COALESCE(m.m, 0) AS r
+  FROM tp{j} tp LEFT JOIN s{j}m{i} m ON tp.vid = m.vid
+)"""
+            )
+        finals.append(
+            f"SELECT CAST(vid AS BIGINT) AS vid, {j}::BIGINT AS set_id,"
+            f" ROUND(r, 9) AS score_r9 FROM s{j}r{k}"
+        )
+    parts.append("\n" + "\nUNION ALL\n".join(finals))
+    return "".join(parts)
+
+
+MATVEC_COOCC = f"""WITH {_COOCC_UND_MAT},
+verts AS (SELECT DISTINCT u AS vid FROM und),
+acc AS (
+  SELECT und.v AS vid, SUM(CAST(p.p_retailprice AS DOUBLE)) AS s
+  FROM und JOIN part p ON p.p_partkey = und.u
+  GROUP BY und.v
+)
+SELECT CAST(v.vid AS BIGINT) AS vid, ROUND(COALESCE(a.s, 0), 6) AS value_r6
+FROM verts v LEFT JOIN acc a ON v.vid = a.vid"""
+
+
+def barycenter_coocc_sql(blur_t: float = 0.01, blur_steps: int = 3, n_iters: int = 3) -> str:
+    """Unrolled convolutional barycenter (2 marginals, α = ½½): the
+    exact Bregman loop of pipelines/diffusion.py, heat blurs as Euler
+    CTE chains, bary = exp(½·ln hv_a + ½·ln hv_b)."""
+    dt = blur_t / blur_steps
+    eps = 1e-300
+
+    def euler(tag: str, src: str) -> tuple[str, str]:
+        out, prev = [], src
+        for kk in range(1, blur_steps + 1):
+            cur = f"{tag}e{kk}"
+            out.append(
+                f""",
+nb_{cur} AS (
+  SELECT und.v AS vid, SUM(x.a) AS sa, SUM(x.b) AS sb
+  FROM und JOIN {prev} x ON und.u = x.vid GROUP BY und.v
+),
+{cur} AS MATERIALIZED (
+  SELECT x.vid,
+    x.a - {dt!r} * (deg.d * x.a - COALESCE(nb.sa, 0)) AS a,
+    x.b - {dt!r} * (deg.d * x.b - COALESCE(nb.sb, 0)) AS b
+  FROM {prev} x JOIN deg ON x.vid = deg.vid
+  LEFT JOIN nb_{cur} nb ON x.vid = nb.vid
+)"""
+            )
+            prev = cur
+        return "".join(out), prev
+
+    parts = [
+        f"WITH {_COOCC_UND_MAT},",
+        "verts AS (SELECT DISTINCT u AS vid FROM und),",
+        "deg AS MATERIALIZED (SELECT u AS vid, CAST(COUNT(*) AS DOUBLE) AS d FROM und GROUP BY u),",
+        "tot AS (SELECT SUM(CAST(p_retailprice AS DOUBLE)) AS sp, SUM(CAST(p_size AS DOUBLE)) AS ss FROM part),",
+        """mu AS MATERIALIZED (
+  SELECT v.vid,
+    CAST(p.p_retailprice AS DOUBLE) / (SELECT sp FROM tot) AS ma,
+    CAST(p.p_size AS DOUBLE) / (SELECT ss FROM tot) AS mb
+  FROM verts v JOIN part p ON p.p_partkey = v.vid
+)""",
+        ",\nw0 AS MATERIALIZED (SELECT vid, 1.0 AS a, 1.0 AS b FROM verts)",
+    ]
+    w_cur = "w0"
+    bary_cur = None
+    for it in range(n_iters):
+        frag, hw = euler(f"bhw{it}", w_cur)
+        parts.append(frag)
+        v_cur = f"bv{it}"
+        parts.append(
+            f""",
+{v_cur} AS MATERIALIZED (
+  SELECT mu.vid, mu.ma / GREATEST(h.a, {eps!r}) AS a, mu.mb / GREATEST(h.b, {eps!r}) AS b
+  FROM mu JOIN {hw} h ON mu.vid = h.vid
+)"""
+        )
+        frag, hv = euler(f"bhv{it}", v_cur)
+        parts.append(frag)
+        bary_cur = f"bb{it}"
+        parts.append(
+            f""",
+{bary_cur} AS MATERIALIZED (
+  SELECT h.vid,
+    exp(ln(GREATEST(h.a, {eps!r})) * 0.5 + ln(GREATEST(h.b, {eps!r})) * 0.5) AS bary,
+    h.a AS hva, h.b AS hvb
+  FROM {hv} h
+)"""
+        )
+        w_next = f"w{it + 1}"
+        parts.append(
+            f""",
+{w_next} AS MATERIALIZED (
+  SELECT w.vid,
+    w.a * bb.bary / GREATEST(bb.hva, {eps!r}) AS a,
+    w.b * bb.bary / GREATEST(bb.hvb, {eps!r}) AS b
+  FROM {w_cur} w JOIN {bary_cur} bb ON w.vid = bb.vid
+)"""
+        )
+        w_cur = w_next
+    parts.append(
+        f"""
+SELECT CAST(bb.vid AS BIGINT) AS vid,
+  ROUND(bb.bary * (SELECT COUNT(*) FROM verts), 6) AS barycenter_r6
+FROM {bary_cur} bb"""
+    )
+    return "".join(parts)
+
+
 def dsd_pairs_coocc_sql(queries=(1, 2, 3, 4), n_rw: int = 3) -> str:
     """Diffusion State Distance for a bounded query set: unrolled walk
     powers c_q = Σ_{i=0..nRw} e_qᵀPⁱ per query, then pairwise L1 —

@@ -447,6 +447,110 @@ def q_clustering_coeff_coocc(sf_dir: str):
     )
 
 
+def q_multi_ppr_coocc(sf_dir: str):
+    """Multi-source PageRank (get_projections_batch parity): 3 seed
+    sets scored in ONE [n, 3] vector-field superstep run, fixed k=6
+    undamped... damped steps — SQL-oracled via 3 unrolled seeded
+    recurrences. Returns (vid, set_id, score_r9) exploded."""
+    from .walks import multi_source_pagerank
+
+    g = _coocc_graph(sf_dir)
+    seed_sets = [[1, 2], [3, 4, 5], [6]]
+    scores, _ = multi_source_pagerank(
+        g, _ckpt("mppr"), seed_sets, damping=0.85, tol=0.0, max_iters=6
+    )
+
+    def _explode(batch: pa.Table) -> pa.Table:
+        from ..util import list_rows
+
+        vids = batch.column("vid").to_numpy(zero_copy_only=False).astype(np.int64)
+        rows = list_rows(batch, "scores")
+        mat = np.vstack(rows) if rows else np.empty((0, len(seed_sets)))
+        d = mat.shape[1]
+        return pa.table(
+            {
+                "vid": pa.array(np.repeat(vids, d), type=pa.int64()),
+                "set_id": pa.array(
+                    np.tile(np.arange(d, dtype=np.int64), len(vids)), type=pa.int64()
+                ),
+                "score_r9": pa.array(np.round(mat.reshape(-1), 9), type=pa.float64()),
+            }
+        )
+
+    return scores.map_batches(_explode, batch_format="pyarrow")
+
+
+def q_matvec_coocc(sf_dir: str):
+    """Raw adjacency matvec A·x (the unnormalized gather underlying the
+    diffusion integrators): one superstep over retailprice — SQL-oracled
+    via the direct neighbor sum. Returns (vid, value_r6)."""
+    import pyarrow.parquet as pq_  # noqa: N813
+
+    from .diffusion import adjacency_matvec
+    from .walks import vertex_lookup_init
+
+    g = _coocc_graph(sf_dir)
+    part_tbl = pq_.read_table(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_retailprice"]
+    )
+    init = vertex_lookup_init(
+        part_tbl.column("p_partkey").to_numpy().astype(np.uint64),
+        part_tbl.column("p_retailprice").to_numpy().astype(np.float64),
+    )
+    out, _ = adjacency_matvec(g, _ckpt("matvec"), init, k=1)
+
+    def _shape(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vid": batch.column("vid").cast(pa.int64()),
+                "value_r6": pc.round(batch.column("value"), ndigits=6),
+            }
+        )
+
+    return out.map_batches(_shape, batch_format="pyarrow")
+
+
+def q_barycenter_coocc(sf_dir: str):
+    """Convolutional Wasserstein barycenter of the price and size
+    distributions over the part co-occurrence graph
+    (ConvolutionalBarycenter parity) — SQL-oracled via the fully
+    unrolled Bregman loop. Returns (vid, barycenter_r6)."""
+    import pyarrow.parquet as pq_  # noqa: N813
+
+    from .diffusion import convolutional_barycenter
+    from .walks import vertex_lookup_init
+
+    g = _coocc_graph(sf_dir)
+    part_tbl = pq_.read_table(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_retailprice", "p_size"],
+    )
+    keys = part_tbl.column("p_partkey").to_numpy().astype(np.uint64)
+    price = part_tbl.column("p_retailprice").to_numpy().astype(np.float64)
+    size = part_tbl.column("p_size").to_numpy().astype(np.float64)
+    marg = vertex_lookup_init(
+        keys, np.stack([price / price.sum(), size / size.sum()], axis=1), width=2
+    )
+    out, _ = convolutional_barycenter(
+        g, _ckpt("bary"), marg, 2, blur_t=0.01, blur_steps=3, n_iters=3
+    )
+
+    # scale by the GLOBAL N before rounding so r6 keeps ~5
+    # significant digits (barycenter entries are ~1/N)
+    N = g.n_vertices
+
+    def _shape2(batch: pa.Table) -> pa.Table:
+        vals = batch.column("barycenter").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "vid": batch.column("vid").cast(pa.int64()),
+                "barycenter_r6": pa.array(np.round(vals * N, 6), type=pa.float64()),
+            }
+        )
+
+    return out.map_batches(_shape2, batch_format="pyarrow")
+
+
 def q_label_prop_coocc(sf_dir: str):
     """Seeded min-label propagation over the part co-occurrence graph
     (node_cluster_assignment parity): parts 1–3 seed labels 100/200/300,
