@@ -111,14 +111,14 @@ def _orient_local(graph: ShardedGraph, deg_refs: dict):
 
 # superset schema shared by wedge rows and padded oriented rows so the
 # union can shuffle as one block stream (groupby needs a single schema);
-# wedge rows null the list columns, oriented rows null a/b/u.
+# wedge rows null the CSR list columns, oriented rows null a/u/bs.
 def _coshuffle_schema() -> pa.Schema:
     return pa.schema(
         [
             ("part", pa.int64()),
             ("a", pa.uint64()),
-            ("b", pa.uint64()),
             ("u", pa.uint64()),
+            ("bs", pa.list_(pa.uint64())),
             ("vids", pa.list_(pa.uint64())),
             ("indptr", pa.list_(pa.int64())),
             ("indices", pa.list_(pa.uint64())),
@@ -127,13 +127,15 @@ def _coshuffle_schema() -> pa.Schema:
 
 
 def _wedges_from_rows(P: int):
-    """Oriented CSR row → wedge rows (part(a), a, b, u), chunked generator.
-
-    Reads ONLY its own input row — no shard refs, no driver index."""
-    from ..util import list_rows
+    """Oriented CSR row → COMPRESSED wedge rows: one row per (u, a)
+    carrying the b-suffix as a list — Σ outdeg rows instead of
+    Σ C(outdeg, 2) pairs, ~3× less shuffle volume for the same wedges
+    (a and u are not repeated per pair). Reads ONLY its own input row —
+    no shard refs, no driver index."""
+    from ..util import list_array, list_rows
 
     def _fn(batch: pa.Table):
-        buf_a, buf_b, buf_u, buffered = [], [], [], 0
+        buf_a, buf_u, buf_bs, buffered = [], [], [], 0
         for i in range(batch.num_rows):
             row = batch.slice(i, 1)
             vids = list_rows(row, "vids")[0]
@@ -148,31 +150,31 @@ def _wedges_from_rows(P: int):
                 seg_n, seg_d = nbrs[lo:hi], nd[lo:hi]
                 order = np.lexsort((seg_n, seg_d))  # (deg, vid) ascending
                 seg = seg_n[order]
-                ia, ib = np.triu_indices(k, 1)
-                buf_a.append(seg[ia])
-                buf_b.append(seg[ib])
-                buf_u.append(np.full(len(ia), vids[j], dtype=np.uint64))
-                buffered += len(ia)
+                buf_a.append(seg[:-1])
+                buf_u.append(np.full(k - 1, vids[j], dtype=np.uint64))
+                buf_bs.extend(seg[t + 1 :] for t in range(k - 1))  # views, no copy
+                buffered += (k * (k - 1)) // 2
                 if buffered >= _WEDGE_CHUNK:
-                    yield _wedge_table(buf_a, buf_b, buf_u, P)
-                    buf_a, buf_b, buf_u, buffered = [], [], [], 0
+                    yield _wedge_table(buf_a, buf_u, buf_bs, P)
+                    buf_a, buf_u, buf_bs, buffered = [], [], [], 0
         if buffered:
-            yield _wedge_table(buf_a, buf_b, buf_u, P)
+            yield _wedge_table(buf_a, buf_u, buf_bs, P)
 
     return _fn
 
 
-def _wedge_table(buf_a, buf_b, buf_u, P) -> pa.Table:
-    a = np.concatenate(buf_a)
-    b = np.concatenate(buf_b)
+def _wedge_table(buf_a, buf_u, buf_bs, P) -> pa.Table:
+    from ..util import list_array
+
+    a = np.concatenate(buf_a).astype(np.uint64, copy=False)
     u = np.concatenate(buf_u)
     n = len(a)
     return pa.table(
         {
             "part": pa.array((a % np.uint64(P)).astype(np.int64), type=pa.int64()),
             "a": pa.array(a, type=pa.uint64()),
-            "b": pa.array(b, type=pa.uint64()),
             "u": pa.array(u, type=pa.uint64()),
+            "bs": list_array(buf_bs, np.uint64, pa.uint64()),
             "vids": pa.nulls(n, type=pa.list_(pa.uint64())),
             "indptr": pa.nulls(n, type=pa.list_(pa.int64())),
             "indices": pa.nulls(n, type=pa.list_(pa.uint64())),
@@ -182,14 +184,14 @@ def _wedge_table(buf_a, buf_b, buf_u, P) -> pa.Table:
 
 
 def _pad_oriented(batch: pa.Table) -> pa.Table:
-    """Oriented CSR row → superset-schema row (a/b/u null)."""
+    """Oriented CSR row → superset-schema row (a/u/bs null)."""
     n = batch.num_rows
     return pa.table(
         {
             "part": batch.column("part"),
             "a": pa.nulls(n, type=pa.uint64()),
-            "b": pa.nulls(n, type=pa.uint64()),
             "u": pa.nulls(n, type=pa.uint64()),
+            "bs": pa.nulls(n, type=pa.list_(pa.uint64())),
             "vids": batch.column("vids"),
             "indptr": batch.column("indptr"),
             "indices": batch.column("indices"),
@@ -236,9 +238,18 @@ def _closure_group(P: int):
         indices_o = list_rows(orow, "indices")[0]
         pairs = np.sort(pair_struct(np.repeat(vids_o, np.diff(indptr_o)), indices_o))
         wed = group.take(pa.array(w_rows))
-        a = wed.column("a").to_numpy(zero_copy_only=False).astype(np.uint64, copy=False)
-        b = wed.column("b").to_numpy(zero_copy_only=False).astype(np.uint64, copy=False)
-        u = wed.column("u").to_numpy(zero_copy_only=False).astype(np.uint64, copy=False)
+        # decompress (a, u, bs-list) wedge rows back to per-pair arrays
+        a_row = wed.column("a").to_numpy(zero_copy_only=False).astype(np.uint64, copy=False)
+        u_row = wed.column("u").to_numpy(zero_copy_only=False).astype(np.uint64, copy=False)
+        bs_rows = list_rows(wed, "bs")
+        lens = np.fromiter((len(r) for r in bs_rows), dtype=np.int64, count=len(bs_rows))
+        a = np.repeat(a_row, lens)
+        u = np.repeat(u_row, lens)
+        b = (
+            np.concatenate(bs_rows).astype(np.uint64, copy=False)
+            if bs_rows
+            else np.empty(0, np.uint64)
+        )
         hit = pairs_in_sorted(a, b, pairs)
         corners = np.concatenate([a[hit], b[hit], u[hit]])
         if not len(corners):
