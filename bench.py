@@ -131,7 +131,7 @@ def _run_bench() -> dict:
         "sf": sf_dir.rstrip("/").split("sf")[-1],
         "num_cpus": num_cpus,
         "extra": {
-            k: (round(v, 1) if isinstance(v, float) else v) for k, v in extra.items()
+            k: (round(v, 4) if isinstance(v, float) else v) for k, v in extra.items()
         },
     }
 
