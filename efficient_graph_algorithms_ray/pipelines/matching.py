@@ -187,6 +187,35 @@ def gw_graph_partition(
     return np.argmax(T, axis=1)
 
 
+def recursive_gw_partition(
+    C: np.ndarray,
+    depth: int = 2,
+    *,
+    beta: float = 0.05,
+    min_block: int = 4,
+) -> np.ndarray:
+    """Recursive GW bisection (the reference's
+    ``recursive_graph_partition`` driver, gromov_wasserstein_graphs.py
+    :960-1112): split into 2 blocks by template matching, recurse into
+    each block's cost submatrix until ``depth`` levels or blocks get
+    smaller than ``min_block``. Returns int labels in [0, 2^depth)."""
+    n = len(C)
+    labels = np.zeros(n, dtype=np.int64)
+    if depth <= 0 or n < 2 * min_block:
+        return labels
+    half = gw_graph_partition(C, 2, beta=beta)
+    for side in (0, 1):
+        idx = np.flatnonzero(half == side)
+        if len(idx) >= 2 * min_block and depth > 1:
+            sub = recursive_gw_partition(
+                C[np.ix_(idx, idx)], depth - 1, beta=beta, min_block=min_block
+            )
+        else:
+            sub = np.zeros(len(idx), dtype=np.int64)
+        labels[idx] = side * (1 << (depth - 1)) + sub
+    return labels
+
+
 def sampled_cost_matrix(
     graph,
     ckpt_dir: str,

@@ -138,3 +138,24 @@ def test_sampled_cost_matrix_from_engine(tmp_path):
     cost2, sample2 = sampled_cost_matrix(g, str(tmp_path / "gw2"), k=16, walk_k=2)
     assert (sample == sample2).all()
     np.testing.assert_allclose(cost, cost2)
+
+
+def test_recursive_gw_partition_four_cliques():
+    """Recursive bisection separates 4 cliques into 4 distinct labels."""
+    from efficient_graph_algorithms_ray.pipelines.matching import recursive_gw_partition
+
+    n = 24
+    C = np.full((n, n), 2.0)
+    blocks = [range(0, 6), range(6, 12), range(12, 18), range(18, 24)]
+    for blk in blocks:
+        for i in blk:
+            for j in blk:
+                C[i, j] = 0.0 if i == j else 1.0
+    # sparse inter-block links so the graph is connected
+    for a, b in ((5, 6), (11, 12), (17, 18)):
+        C[a, b] = C[b, a] = 1.0
+    lab = recursive_gw_partition(C, depth=2, beta=0.05, min_block=3)
+    # every clique is label-pure and the four cliques get 4 labels
+    per_block = [set(lab[list(blk)[1:-1]]) for blk in blocks]  # interior nodes
+    assert all(len(sb) == 1 for sb in per_block)
+    assert len(set.union(*per_block)) == 4
