@@ -169,3 +169,35 @@ def test_dsd_pairs_matches_dense_oracle(tmp_path):
     }
     for qa, qb, d in pairs:
         np.testing.assert_allclose(d, want[(qa, qb)], rtol=1e-8, atol=1e-12)
+
+
+def test_multi_source_single_set_keeps_list_schema(tmp_path):
+    """d=1 vector fields must round-trip checkpoints as list<float64>[1]
+    (the documented schema), not flatten to a scalar column."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from efficient_graph_algorithms_ray.config import EngineConfig
+    from efficient_graph_algorithms_ray.pipelines.graph_build import build_graph
+    from efficient_graph_algorithms_ray.pipelines.walks import multi_source_pagerank
+
+    rng = np.random.Generator(np.random.Philox(key=[41, 0]))
+    src = rng.integers(0, 50, 300).astype(np.uint64)
+    dst = rng.integers(0, 50, 300).astype(np.uint64)
+    keep = src != dst
+    edges = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array(src[keep], type=pa.uint64()),
+                "dst": pa.array(dst[keep], type=pa.uint64()),
+            }
+        )
+    )
+    g = build_graph(edges, EngineConfig(num_partitions=4), directed=False)
+    scores, _ = multi_source_pagerank(
+        g, str(tmp_path / "m1"), [[int(src[0])]], damping=0.85, tol=0.0, max_iters=3
+    )
+    tbl = scores.to_pandas()
+    first = tbl["scores"].iloc[0]
+    assert hasattr(first, "__len__") and len(first) == 1  # list-typed, width 1
