@@ -72,7 +72,10 @@ def _run_bench() -> dict:
 
     t0 = time.perf_counter()
     edges = edges_from_parsed(
-        parse_pages(rd.read_parquet(pages_dir), batch_size=cfg.parse_batch_size)
+        parse_pages(
+            rd.read_parquet(pages_dir, columns=["url", "html"]),
+            batch_size=cfg.parse_batch_size,
+        )
     ).materialize()  # parse once; both graph orientations build from this
     g = build_graph(edges, cfg, directed=True)
     queries["pages_build"] = time.perf_counter() - t0

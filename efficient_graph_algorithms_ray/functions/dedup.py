@@ -90,10 +90,15 @@ def exact_dedup(docs_ds):
 
 
 def shingle_hashes(text: str, w: int = 3) -> np.ndarray:
-    """Distinct 64-bit hashes of w-word shingles."""
+    """Distinct 64-bit hashes of w-word shingles.
+
+    Docs shorter than the shingle width have NO shingles (and thus
+    never form near-dup pairs) — matching the SQL oracle's
+    generate_series semantics exactly; padding such docs would give
+    every short/empty doc an identical signature and pair them all."""
     toks = _TOKEN_RE.findall(text)
     if len(toks) < w:
-        toks = toks + ["\x00"] * (w - len(toks))
+        return np.empty(0, dtype=np.uint64)
     hs = np.array(
         [hash_token(" ".join(toks[i : i + w])) for i in range(len(toks) - w + 1)],
         dtype=np.uint64,
@@ -116,10 +121,12 @@ def minhash_batch(batch: pa.Table) -> pa.Table:
     from ..util import list_array
 
     texts = batch.column("text").to_pandas().fillna("")
-    sigs = [minhash_signature(shingle_hashes(t)) for t in texts]
+    shingles = [shingle_hashes(t) for t in texts]
+    keep = pa.array([len(s) > 0 for s in shingles])  # shingle-less docs drop out
+    sigs = [minhash_signature(s) for s in shingles if len(s) > 0]
     return pa.table(
         {
-            "doc_id": batch.column("doc_id"),
+            "doc_id": batch.column("doc_id").filter(keep),
             "sig": list_array(sigs, np.uint64, pa.uint64()),
         }
     )
@@ -232,10 +239,12 @@ def minhash_exact_jaccard_pairs(docs_ds, threshold: float = 0.3):
     def _sig_shingles(batch: pa.Table) -> pa.Table:
         texts = batch.column("text").to_pandas().fillna("")
         shingles = [shingle_hashes(t) for t in texts]
+        keep = pa.array([len(s) > 0 for s in shingles])
+        shingles = [s for s in shingles if len(s) > 0]
         sigs = [minhash_signature(s) for s in shingles]
         return pa.table(
             {
-                "doc_id": batch.column("doc_id"),
+                "doc_id": batch.column("doc_id").filter(keep),
                 "sig": list_array(sigs, np.uint64, pa.uint64()),
                 "shingles": list_array(shingles, np.uint64, pa.uint64()),
             }

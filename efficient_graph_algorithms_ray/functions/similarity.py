@@ -256,10 +256,16 @@ def ivf_train_centroids(
         keep = np.argsort(h, kind="stable")[:sample_n]
         return b.take(pa.array(np.sort(keep)))
 
+    # tree-reduce the per-block bottom-k: coalesce the (already tiny)
+    # candidate blocks into ≤8 partitions and re-run the combiner on
+    # each, so the driver merge is O(sample_n) regardless of how many
+    # input blocks the corpus had (10⁵ blocks at 100 TB would otherwise
+    # funnel blocks × sample_n rows through one process).
     cand = pa.concat_tables(
-        embeddings_ds.map_batches(_local_bottom, batch_format="pyarrow").iter_batches(
-            batch_size=None, batch_format="pyarrow"
-        )
+        embeddings_ds.map_batches(_local_bottom, batch_format="pyarrow")
+        .repartition(8)
+        .map_batches(_local_bottom, batch_format="pyarrow", batch_size=None)
+        .iter_batches(batch_size=None, batch_format="pyarrow")
     )
     ids_all = cand.column("vec_id").to_numpy(zero_copy_only=False).astype(np.uint64)
     if len(ids_all):

@@ -384,7 +384,9 @@ def q_top_pages_with_urls(sf_dir: str):
     from ..sources.pages import write_pages
     from ..stages.extract import parse_pages
 
-    pages = rd2.read_parquet(write_pages("/tmp/ega_pages_q", n_pages=2000))
+    pages = rd2.read_parquet(
+        write_pages("/tmp/ega_pages_q", n_pages=2000), columns=["url", "html"]
+    )
     parsed = parse_pages(pages, batch_size=256).materialize()
     g = build_graph(edges_from_parsed(parsed), EngineConfig(num_partitions=8), directed=True)
     ranks, _ = pagerank(g, tempfile.mkdtemp(prefix="ega_tpu_", dir="/tmp"), tol=1e-6)

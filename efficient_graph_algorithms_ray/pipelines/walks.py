@@ -224,6 +224,10 @@ def diffusion_state_distance_pairs(
         graph, ckpt_dir, "sum", init_fn,
         tol=0.0, max_iters=n_rw, normalize=False,
         msg_fn=msg_fn, apply_fn=apply_fn,
+        # msg_fn normalizes by wdeg; the scatter must still scale each
+        # send by the per-edge weight for P to be row-stochastic on a
+        # weighted graph (no-op when weights are unit).
+        msg_edge_weights=True,
     )
 
     state = state_vertex_dataset(graph, summary["final_iter_dir"], "state")

@@ -62,10 +62,15 @@ def write_partitioned_parquet(
         knum = keys.to_numpy(zero_copy_only=False)
         if knum.dtype.kind in "iu":
             h = _splitmix64(knum.astype(np.uint64))
-        else:  # strings: stable polars hash (same family as vid hashing)
-            import polars as pl
+        else:
+            # strings: in-repo FNV-1a over UTF-8 bytes — stable across
+            # library versions (polars .hash() is not), so a resumed run
+            # after an upgrade keeps the same partition assignment
+            from ..functions.text import hash_token
 
-            h = pl.Series(knum.astype(str)).hash(seed=7).to_numpy().astype(np.uint64)
+            h = np.fromiter(
+                (hash_token(str(k)) for k in knum), dtype=np.uint64, count=len(knum)
+            )
         part = (h % np.uint64(num_partitions)).astype(np.int64)
         batch = batch.append_column("__part", pa.array(part, type=pa.int64()))
         if done:
@@ -105,4 +110,6 @@ def read_partitioned_parquet(out_dir: str):
         os.path.join(_part_dir(out_dir, p), "data.parquet")
         for p in sorted(finished_partitions(out_dir))
     ]
+    if not paths:  # zero sealed partitions: empty dataset, not a read error
+        return rd.from_arrow(pa.table({}))
     return rd.read_parquet(paths)

@@ -63,6 +63,7 @@ class BSPWorker:
         msg_fn=None,
         edge_shift_fn=None,
         multi_returns: bool = False,
+        msg_edge_weights: bool = False,
     ) -> None:
         self.w = worker_id
         self.W = W
@@ -90,6 +91,13 @@ class BSPWorker:
         # replaces the contribution entirely (e.g. readiness-gated
         # tree-DP sends).
         self.msg_fn = msg_fn
+        # msg_edge_weights: explicit opt-in for sum-mode msg_fn pipelines
+        # whose per-vertex message should STILL be scaled by the per-edge
+        # weight in the scatter (e.g. DSD's walk power on a weighted
+        # graph: msg = state/wdeg, scatter × w(u,v) → row-stochastic P).
+        # Default False: msg_fn replaces the contribution entirely
+        # (one-hot histograms / readiness gates must not weight-scale).
+        self.msg_edge_weights = msg_edge_weights
         self.csrs = {p: ray.get(r) for p, r in owned}  # zero-copy plasma views
         self.values: dict[int, np.ndarray] = {}
         # teleport distribution per partition (sum mode): uniform 1/N by
@@ -211,7 +219,9 @@ class BSPWorker:
                 # contract) — per-edge weights must not scale gated sends
                 # (one-hot histograms / readiness gates would silently
                 # weight-scale on a weighted graph).
-                if sc["w_perm"] is not None and self.msg_fn is None:
+                if sc["w_perm"] is not None and (
+                    self.msg_fn is None or self.msg_edge_weights
+                ):
                     vals = vals * (sc["w_perm"][:, None] if vals.ndim == 2 else sc["w_perm"])
                 sums = (
                     np.add.reduceat(vals, sc["seg_starts"], axis=0)

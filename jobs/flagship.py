@@ -61,7 +61,9 @@ def main() -> None:
 
     cfg = EngineConfig(num_partitions=args.partitions)
     t0 = time.time()
-    pages = rd.read_parquet(args.pages)
+    # prune at the read: the parse stage uses only url+html, so the large
+    # text/lang/warc_ts columns never leave storage
+    pages = rd.read_parquet(args.pages, columns=["url", "html"])
     edges = edges_from_parsed(parse_pages(pages, batch_size=cfg.parse_batch_size)).materialize()
     g = build_graph(edges, cfg, directed=True)
     build_s = time.time() - t0
