@@ -239,18 +239,19 @@ def sampled_cost_matrix(
     from ..sources.edges_synth import _splitmix64
     from .walks import multi_source_pagerank
 
-    # deterministic bottom-k sample of the vertex set (per-shard partial
-    # bottom-k, then a driver merge of k·P candidates)
-    cand_vids = []
-    cand_h = []
-    for part in graph.parts:
-        vids = ray.get(graph.refs[part])["vids"]
-        h = _splitmix64(vids ^ np.uint64(seed))
-        take = np.argsort(h, kind="stable")[:k]
-        cand_vids.append(vids[take])
-        cand_h.append(h[take])
-    vids_all = np.concatenate(cand_vids)
-    h_all = np.concatenate(cand_h)
+    # deterministic bottom-k sample of the vertex set: a remote task per
+    # shard returns only its k (vid, hash) candidates — the driver merge
+    # sees k·P tiny rows, never a shard
+    @ray.remote
+    def _bottomk(csr: dict, kk: int, sd: int):
+        vids = csr["vids"]
+        h = _splitmix64(vids ^ np.uint64(sd))
+        take = np.argsort(h, kind="stable")[:kk]
+        return vids[take], h[take]
+
+    cands = ray.get([_bottomk.remote(graph.refs[p], k, seed) for p in graph.parts])
+    vids_all = np.concatenate([c[0] for c in cands])
+    h_all = np.concatenate([c[1] for c in cands])
     sel = np.argsort(h_all, kind="stable")[:k]
     sample = np.sort(vids_all[sel])
 

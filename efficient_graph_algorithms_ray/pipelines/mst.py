@@ -98,6 +98,13 @@ def _scan_round(graph: ShardedGraph, label_refs: dict):
 
 
 @ray.remote
+def _init_labels(csr: dict) -> np.ndarray:
+    """Initial per-partition component labels = own vids (remote task:
+    the shard never streams through the driver)."""
+    return csr["vids"].copy()
+
+
+@ray.remote
 def _relabel_task(labels: np.ndarray, old_sorted: np.ndarray, new_sorted: np.ndarray):
     pos = np.searchsorted(old_sorted, labels)
     ok = pos < len(old_sorted)
@@ -116,9 +123,7 @@ def minimum_spanning_forest(graph: ShardedGraph, max_rounds: int = 64):
     """
     assert not graph.directed, "MSF requires an undirected graph"
     refs = graph.refs
-    label_refs = {
-        p: ray.put(ray.get(refs[p])["vids"].copy()) for p in graph.parts
-    }
+    label_refs = {p: _init_labels.remote(refs[p]) for p in graph.parts}
     parts_ds = rd.from_arrow(pa.table({"part": pa.array(graph.parts, type=pa.int64())}))
 
     chosen_a: list[np.ndarray] = []

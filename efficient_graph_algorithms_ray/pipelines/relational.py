@@ -1084,35 +1084,60 @@ def q_top3_orders_per_customer_segment(sf_dir: str):
     cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
     import ray
 
-    seg = {
-        int(k): s
-        for b in cust.iter_batches(batch_size=None, batch_format="pyarrow")
-        for k, s in zip(b.column("c_custkey").to_pylist(), b.column("c_mktsegment").to_pylist())
-    }
-    ref = ray.put(seg)
+    # broadcast the SMALL side as two parallel sorted numpy arrays
+    # (custkey → segment code) — searchsorted lookup per batch, no
+    # Python dict and no per-row loop
+    keys_parts, seg_parts = [], []
+    for b in cust.iter_batches(batch_size=None, batch_format="pyarrow"):
+        keys_parts.append(b.column("c_custkey").to_numpy(zero_copy_only=False))
+        seg_parts.append(b.column("c_mktsegment").to_numpy(zero_copy_only=False))
+    keys = np.concatenate(keys_parts)
+    segs_all = np.concatenate(seg_parts)
+    seg_names, seg_codes_all = np.unique(segs_all, return_inverse=True)
+    order = np.argsort(keys, kind="stable")
+    ref = ray.put((keys[order], seg_codes_all[order].astype(np.int64)))
+    names_ref = ray.put(seg_names.astype(str))
 
-    def _attach(batch: pa.Table) -> pa.Table:
-        sm = ray.get(ref)
-        segs = [sm[int(c)] for c in batch.column("o_custkey").to_pylist()]
+    def _attach_top3(batch: pa.Table) -> pa.Table:
+        # attach segment code + per-block partial top-3 per segment:
+        # each block forwards ≤ 3×|segments| rows into the groupby
+        ck_sorted, code_sorted = ray.get(ref)
+        ck = batch.column("o_custkey").to_numpy(zero_copy_only=False)
+        code = code_sorted[np.searchsorted(ck_sorted, ck)]
+        cents = np.floor(
+            batch.column("o_totalprice").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        okey = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
+        # top-3 by (-cents, o_orderkey) within segment: lexsort then
+        # rank-within-group via grouped cumcount
+        srt = np.lexsort((okey, -cents, code))
+        code_s, cents_s, okey_s = code[srt], cents[srt], okey[srt]
+        grp_start = np.concatenate(([True], code_s[1:] != code_s[:-1]))
+        idx = np.arange(len(code_s))
+        rank = idx - np.maximum.accumulate(np.where(grp_start, idx, 0))
+        keep = rank < 3
         return pa.table(
             {
-                "segment": pa.array(segs, type=pa.string()),
-                "o_orderkey": batch.column("o_orderkey"),
-                "cents": pa.array(
-                    np.floor(
-                        batch.column("o_totalprice").to_numpy(zero_copy_only=False) * 100
-                    ).astype(np.int64),
-                    type=pa.int64(),
-                ),
+                "segcode": pa.array(code_s[keep], type=pa.int64()),
+                "o_orderkey": pa.array(okey_s[keep], type=pa.int64()),
+                "cents": pa.array(cents_s[keep], type=pa.int64()),
             }
         )
 
     def _top3(group: pd.DataFrame) -> pd.DataFrame:
-        return group.sort_values(["cents", "o_orderkey"], ascending=[False, True]).head(3)
+        names = ray.get(names_ref)
+        g = group.sort_values(["cents", "o_orderkey"], ascending=[False, True]).head(3)
+        return pd.DataFrame(
+            {
+                "segment": names[g["segcode"].to_numpy()],
+                "o_orderkey": g["o_orderkey"].to_numpy(),
+                "cents": g["cents"].to_numpy(),
+            }
+        )
 
     return (
-        orders.map_batches(_attach, batch_format="pyarrow")
-        .groupby("segment")
+        orders.map_batches(_attach_top3, batch_format="pyarrow")
+        .groupby("segcode")
         .map_groups(_top3, batch_format="pandas")
     )
 
@@ -1122,11 +1147,18 @@ def q_customers_without_orders(sf_dir: str):
     the guide's semi/anti-join pattern), SQL-oracled."""
     import ray
 
-    orders = _read(sf_dir, "orders", ["o_custkey"])
-    have = set()
-    for b in orders.iter_batches(batch_size=None, batch_format="pyarrow"):
-        have.update(b.column("o_custkey").to_pylist())
-    ref = ray.put(np.array(sorted(have), dtype=np.int64))
+    # distributed distinct FIRST (per-block unique combiner, then the
+    # groupby-backed Dataset.unique) — only the small distinct key set
+    # (≤ |customers|) ever reaches the driver, never the orders table
+    def _block_unique(b: pa.Table) -> pa.Table:
+        ck = np.unique(b.column("o_custkey").to_numpy(zero_copy_only=False))
+        return pa.table({"o_custkey": pa.array(ck, type=pa.int64())})
+
+    orders = _read(sf_dir, "orders", ["o_custkey"]).map_batches(
+        _block_unique, batch_format="pyarrow"
+    )
+    have = orders.unique("o_custkey")
+    ref = ray.put(np.sort(np.asarray(have, dtype=np.int64)))
 
     def _anti(batch: pa.Table) -> pa.Table:
         keys = ray.get(ref)

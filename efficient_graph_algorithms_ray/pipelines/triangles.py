@@ -48,14 +48,19 @@ from ..util import group_reduce, pair_struct, pairs_in_sorted
 _WEDGE_CHUNK = 2_000_000  # max wedges emitted per yielded batch
 
 
+@ray.remote
+def _extract_degrees(csr: dict) -> dict:
+    return {"vids": csr["vids"], "deg": csr["deg"].astype(np.int64)}
+
+
 def _degree_index(graph: ShardedGraph) -> dict[int, "ray.ObjectRef"]:
     """Small per-partition degree lookup {part: {vids, deg}} — the only
-    cross-partition data orientation needs (16 B/vertex, not the edges)."""
-    out = {}
-    for p in graph.parts:
-        csr = ray.get(graph.refs[p])
-        out[p] = ray.put({"vids": csr["vids"], "deg": csr["deg"].astype(np.int64)})
-    return out
+    cross-partition data orientation needs (16 B/vertex, not the edges).
+
+    Extracted by a remote task per shard: the full CSR is fetched
+    node-locally by the task, and only the driver-owned ref to the
+    small degree slice comes back — the driver never funnels shards."""
+    return {p: _extract_degrees.remote(graph.refs[p]) for p in graph.parts}
 
 
 def _orient_local(graph: ShardedGraph, deg_refs: dict):

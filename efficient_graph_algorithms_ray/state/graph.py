@@ -29,6 +29,49 @@ import ray
 from .csr import unpack_csr_row
 
 
+@ray.remote
+def _count_rows(block: pa.Table) -> int:
+    return block.num_rows
+
+
+@ray.remote(num_returns=2)
+def _pin_block_row(block: pa.Table, i: int):
+    """Unpack one CSR shard row; the big dict is return #1 (stays on
+    this node, driver-owned), the (part, nv, ne) triple is return #2."""
+    csr = unpack_csr_row(block, i)
+    return csr, (int(csr["part"]), len(csr["vids"]), len(csr["indices"]))
+
+
+@ray.remote(num_returns=2)
+def _load_row(path: str, i: int):
+    tbl = pq.read_table(path)
+    csr = unpack_csr_row(tbl, i)
+    return csr, (int(csr["part"]), len(csr["vids"]), len(csr["indices"]))
+
+
+@ray.remote
+def _save_shard(csr: dict, p: int, out_dir: str) -> int:
+    from ..util import list_array
+    from .csr import CSR_SCHEMA
+
+    os.makedirs(out_dir, exist_ok=True)  # task may run on another node
+    wcol = csr.get("weights", np.empty(0, dtype=np.float64))
+    tbl = pa.Table.from_arrays(
+        [
+            pa.array([p], type=pa.int64()),
+            list_array([csr["vids"]], np.uint64, pa.uint64()),
+            list_array([csr["indptr"]], np.int64, pa.int64()),
+            list_array([csr["indices"]], np.uint64, pa.uint64()),
+            list_array([wcol], np.float64, pa.float64()),
+        ],
+        schema=CSR_SCHEMA,
+    )
+    tmp = os.path.join(out_dir, f".part_{p:05d}.parquet.tmp")
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, os.path.join(out_dir, f"part_{p:05d}.parquet"))
+    return p
+
+
 @dataclass
 class ShardedGraph:
     num_partitions: int
@@ -52,47 +95,43 @@ class ShardedGraph:
 
     @staticmethod
     def from_shard_dataset(shard_ds, num_partitions: int, directed: bool) -> "ShardedGraph":
-        """Pin each CSR shard into the object store (driver-owned refs).
+        """Pin each CSR shard into the object store from REMOTE tasks.
 
-        Streams shard blocks through the driver one at a time — peak
-        driver memory is one shard. Driver ownership keeps refs alive
-        for the whole run regardless of worker churn.
+        A task's return value is stored in the object store of the node
+        that ran it but is OWNED by the caller (the driver) — so shard
+        bytes never cross the driver's NIC and refs stay alive for the
+        whole run regardless of worker churn. The driver only touches
+        per-shard (part, n_vertices, n_edges) triples.
         """
         refs: dict[int, ray.ObjectRef] = {}
+        meta_refs: list[ray.ObjectRef] = []
+        csr_refs: list[ray.ObjectRef] = []
+        for bundle in shard_ds.iter_internal_ref_bundles():
+            for block_ref, md in bundle.blocks:
+                n_rows = md.num_rows
+                if n_rows is None:  # metadata-less block: one tiny count task
+                    n_rows = ray.get(_count_rows.remote(block_ref))
+                for i in range(n_rows):
+                    csr_ref, meta_ref = _pin_block_row.remote(block_ref, i)
+                    csr_refs.append(csr_ref)
+                    meta_refs.append(meta_ref)
         nv: dict[int, int] = {}
         ne: dict[int, int] = {}
-        for block in shard_ds.iter_batches(batch_size=None, batch_format="pyarrow"):
-            for i in range(block.num_rows):
-                csr = unpack_csr_row(block, i)
-                p = int(csr["part"])
-                refs[p] = ray.put(csr)
-                nv[p] = len(csr["vids"])
-                ne[p] = len(csr["indices"])
+        for csr_ref, (p, v, e) in zip(csr_refs, ray.get(meta_refs)):
+            refs[p] = csr_ref
+            nv[p] = v
+            ne[p] = e
         return ShardedGraph(num_partitions, directed, refs, nv, ne)
 
     # --- persistence (graph checkpoints, reused across runs/resume) ---
 
     def save(self, out_dir: str) -> None:
+        """Each shard is written by a remote task on the node that holds
+        it (shared-filesystem/object-store target assumed, as for any
+        multi-node checkpoint dir) — no shard streams through the
+        driver."""
         os.makedirs(out_dir, exist_ok=True)
-        from ..util import list_array
-        from .csr import CSR_SCHEMA
-
-        for p in self.parts:
-            csr = ray.get(self.refs[p])
-            wcol = csr.get("weights", np.empty(0, dtype=np.float64))
-            tbl = pa.Table.from_arrays(
-                [
-                    pa.array([p], type=pa.int64()),
-                    list_array([csr["vids"]], np.uint64, pa.uint64()),
-                    list_array([csr["indptr"]], np.int64, pa.int64()),
-                    list_array([csr["indices"]], np.uint64, pa.uint64()),
-                    list_array([wcol], np.float64, pa.float64()),
-                ],
-                schema=CSR_SCHEMA,
-            )
-            tmp = os.path.join(out_dir, f".part_{p:05d}.parquet.tmp")
-            pq.write_table(tbl, tmp)
-            os.replace(tmp, os.path.join(out_dir, f"part_{p:05d}.parquet"))
+        ray.get([_save_shard.remote(self.refs[p], p, out_dir) for p in self.parts])
         with open(os.path.join(out_dir, "meta.json"), "w") as f:
             json.dump(
                 {
@@ -106,21 +145,28 @@ class ShardedGraph:
 
     @staticmethod
     def load(in_dir: str) -> "ShardedGraph":
+        """Each shard file is read and pinned by a remote task (driver
+        reads only parquet footers for row counts + tiny meta triples)."""
         with open(os.path.join(in_dir, "meta.json")) as f:
             meta = json.load(f)
-        refs: dict[int, ray.ObjectRef] = {}
-        nv: dict[int, int] = {}
-        ne: dict[int, int] = {}
+        csr_refs: list[ray.ObjectRef] = []
+        meta_refs: list[ray.ObjectRef] = []
         for name in sorted(os.listdir(in_dir)):
             if not (name.startswith("part_") and name.endswith(".parquet")):
                 continue
-            tbl = pq.read_table(os.path.join(in_dir, name))
-            for i in range(tbl.num_rows):
-                csr = unpack_csr_row(tbl, i)
-                p = int(csr["part"])
-                refs[p] = ray.put(csr)
-                nv[p] = len(csr["vids"])
-                ne[p] = len(csr["indices"])
+            path = os.path.join(in_dir, name)
+            n_rows = pq.ParquetFile(path).metadata.num_rows  # footer only
+            for i in range(n_rows):
+                csr_ref, meta_ref = _load_row.remote(path, i)
+                csr_refs.append(csr_ref)
+                meta_refs.append(meta_ref)
+        refs: dict[int, ray.ObjectRef] = {}
+        nv: dict[int, int] = {}
+        ne: dict[int, int] = {}
+        for csr_ref, (p, v, e) in zip(csr_refs, ray.get(meta_refs)):
+            refs[p] = csr_ref
+            nv[p] = v
+            ne[p] = e
         return ShardedGraph(meta["num_partitions"], meta["directed"], refs, nv, ne, meta)
 
     def vids_present(self, vids) -> np.ndarray:
