@@ -12,9 +12,8 @@ from efficient_graph_algorithms_ray.pipelines.graph_build import build_graph
 from efficient_graph_algorithms_ray.pipelines.tree_dp import (
     make_vid_lookup,
     rooted_bfs,
-    subtree_aggregate,
-    topdown_prefix,
 )
+from tests.legacy_tree_dp import subtree_aggregate, topdown_prefix
 from efficient_graph_algorithms_ray.stages.hashing import hash_to_vid
 
 
@@ -117,7 +116,7 @@ def test_integrate_tree_field_matches_dense_exp_kernel(tmp_path):
     """y = exp(a·dist_T)·x via the two scaled DP passes ≡ the dense
     kernel matvec (reference TreeGFIntegrator semantics,
     /root/reference/src/ega/algorithms/trees.py:93-125)."""
-    from efficient_graph_algorithms_ray.pipelines.tree_dp import integrate_tree_field
+    from tests.legacy_tree_dp import integrate_tree_field
 
     g, vids, src, dst = _forest(n=70, n_trees=2, seed=23)
     parents, _ = rooted_bfs(g, str(tmp_path / "bfs"))
@@ -164,12 +163,14 @@ def test_dataset_native_tree_dp_matches_pandas_api(tmp_path):
 
     from efficient_graph_algorithms_ray.pipelines.tree_dp import (
         forest_graphs,
-        integrate_tree_field,
         integrate_tree_field_g,
-        subtree_aggregate,
         subtree_aggregate_g,
-        topdown_prefix,
         topdown_prefix_g,
+    )
+    from tests.legacy_tree_dp import (
+        integrate_tree_field,
+        subtree_aggregate,
+        topdown_prefix,
     )
 
     g, vids, src, dst = _forest(n=80, n_trees=3, seed=29)
