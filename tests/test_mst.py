@@ -67,3 +67,18 @@ def test_msf_disconnected_forest():
     w = np.round(rng.random(len(src)) * 3, 3)
     s = _check(src, dst, w, P=3)
     assert s["n_edges"] == 15  # (10-1) + (7-1)
+
+
+def test_msf_chain_graph_deep_pointer_jumping():
+    """Path graph with strictly increasing weights: every component
+    hooks to its left neighbor, so round 0 merges the WHOLE chain via
+    one hook chain of depth n — the pointer-doubling fixpoint loop
+    (not the per-round halving) must do the contraction work."""
+    n = 400
+    vids = hash_to_vid([f"chain{i}" for i in range(n)])
+    src, dst = vids[:-1], vids[1:]
+    w = (np.arange(1, n) / 7.0).round(6)
+    s = _check(src, dst, w, P=6)
+    assert s["n_edges"] == n - 1
+    assert s["rounds"] == 1  # one Borůvka round collapses the chain
+    assert s["history"][0]["jumps"] >= 6  # log2(depth) doubling steps
