@@ -50,6 +50,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_lsh_pairs": C.q_ann_lsh_pairs,
         "ann_ivf_knn": C.q_ann_ivf_knn,
         "ngram_jaccard_pairs": C.q_ngram_jaccard_pairs,
+        # round-3 additions (SQL-oracled)
+        "tree_ensemble_coocc": R.q_tree_ensemble_coocc,
         # graph engine end-to-end (SQL-oracled)
         "degree_partsupp": R.q_degree_partsupp,
         "pagerank_partsupp_k4": R.q_pagerank_partsupp_k4,
@@ -200,6 +202,7 @@ def oracle_sql() -> dict[str, str]:
         "sssp_partsupp": S.sssp_partsupp_sql(rounds=8),
         "subtree_sizes_forest": S.SUBTREE_SIZES_FOREST,
         "tree_kernel_forest": S.tree_kernel_forest_sql(a=-0.5),
+        "tree_ensemble_coocc": S.tree_ensemble_coocc_sql(a=-0.5),
         "coreness_coocc": S.coreness_coocc_sql(rounds=24),
         "ldd_coocc": S.ldd_coocc_sql(rounds=5),
         "walk_corpus_coocc": S.walk_corpus_coocc_sql(walk_len=8, seed=7),

@@ -828,6 +828,118 @@ y AS (
 SELECT CAST(vid AS BIGINT) AS vid, ROUND(val, 4) AS integral_r4 FROM y"""
 
 
+def tree_ensemble_coocc_sql(
+    a: float = -0.5, seeds=(42, 42 + 1000003), rounds: int = 14
+) -> str:
+    """Random-spanning-tree ensemble kernel over the co-occurrence
+    graph: per seed, edge weights = splitmix64(u ⊕ v ⊕ seed) >> 11
+    (exact 53-bit float64 on both sides), the unique MSF under the
+    (w, a, b) total order via unrolled Borůvka, orientation from the
+    per-tree min vid by a back-edge-excluding recursion (parent is
+    unique in a tree), then the LCA-identity exp-kernel; averaged over
+    the seeds. Replays pipelines/tree_ensemble.py exactly."""
+    import math
+
+    lam = math.exp(a)
+    chunks = []
+    y_names = []
+    for i, seed in enumerate(seeds):
+        sm_frag, sm_cte, hcol = sm64_stages(f"s{i}ein", "x", f"s{i}e", ["u", "v"])
+        boruvka = []
+        for r in range(1, rounds + 1):
+            p = f"s{i}c{r-1}"
+            boruvka.append(
+                f""",
+s{i}cand{r} AS (
+  SELECT cu.c AS comp, undw.w,
+    LEAST(undw.u, undw.v) AS ea, GREATEST(undw.u, undw.v) AS eb,
+    ROW_NUMBER() OVER (PARTITION BY cu.c
+      ORDER BY undw.w, LEAST(undw.u, undw.v), GREATEST(undw.u, undw.v)) AS rn
+  FROM s{i}undw undw JOIN {p} cu ON undw.u = cu.vid JOIN {p} cv ON undw.v = cv.vid
+  WHERE cu.c <> cv.c
+),
+s{i}chosen{r} AS MATERIALIZED (SELECT DISTINCT ea, eb FROM s{i}cand{r} WHERE rn = 1),
+s{i}ceb{r} AS MATERIALIZED (
+  SELECT ca.c AS x, cb.c AS y
+  FROM s{i}chosen{r} ch JOIN {p} ca ON ch.ea = ca.vid JOIN {p} cb ON ch.eb = cb.vid
+  UNION ALL
+  SELECT cb.c, ca.c
+  FROM s{i}chosen{r} ch JOIN {p} ca ON ch.ea = ca.vid JOIN {p} cb ON ch.eb = cb.vid
+),
+s{i}reach{r} AS (
+  SELECT x AS node, x AS lab FROM s{i}ceb{r}
+  UNION
+  SELECT ceb.y AS node, rc.lab FROM s{i}reach{r} rc JOIN s{i}ceb{r} ceb ON rc.node = ceb.x
+),
+s{i}newlab{r} AS (SELECT node, MIN(lab) AS lab FROM s{i}reach{r} GROUP BY node),
+s{i}c{r} AS MATERIALIZED (
+  SELECT c.vid, COALESCE(n.lab, c.c) AS c FROM {p} c LEFT JOIN s{i}newlab{r} n ON c.c = n.node
+)"""
+            )
+        tree_union = "\nUNION ALL\n".join(
+            f"SELECT ea, eb FROM s{i}chosen{r}" for r in range(1, rounds + 1)
+        )
+        chunks.append(
+            f""",
+s{i}ein AS (SELECT u, v,
+  xor(xor(CAST(u AS UBIGINT), CAST(v AS UBIGINT)), {seed}::UBIGINT) AS x FROM pr){sm_frag},
+s{i}we AS MATERIALIZED (SELECT u, v, CAST({hcol} >> 11 AS DOUBLE) AS w FROM {sm_cte}),
+s{i}undw AS MATERIALIZED (
+  SELECT u, v, w FROM s{i}we UNION ALL SELECT v AS u, u AS v, w FROM s{i}we
+),
+s{i}c0 AS MATERIALIZED (SELECT vid, vid AS c FROM verts){"".join(boruvka)},
+s{i}tree AS MATERIALIZED ({tree_union}),
+s{i}te AS MATERIALIZED (
+  SELECT ea AS x, eb AS y FROM s{i}tree UNION ALL SELECT eb, ea FROM s{i}tree
+),
+s{i}treach AS (
+  SELECT vid AS node, vid AS lab FROM verts
+  UNION
+  SELECT te.y AS node, t.lab FROM s{i}treach t JOIN s{i}te te ON t.node = te.x
+),
+s{i}comp AS (SELECT node, MIN(lab) AS c FROM s{i}treach GROUP BY node),
+s{i}roots AS (SELECT node AS vid FROM s{i}comp WHERE node = c),
+s{i}ori AS (
+  SELECT vid, vid AS parent, 0 AS depth FROM s{i}roots
+  UNION ALL
+  SELECT te.y, o.vid, o.depth + 1
+  FROM s{i}ori o JOIN s{i}te te ON te.x = o.vid AND te.y <> o.parent
+),
+s{i}pe AS MATERIALIZED (SELECT vid AS child, parent FROM s{i}ori WHERE vid <> parent),
+s{i}dep AS MATERIALIZED (SELECT vid, depth FROM s{i}ori),
+s{i}anc AS (
+  SELECT vid AS node, vid AS anc FROM verts
+  UNION ALL
+  SELECT a.node, pe.parent FROM s{i}anc a JOIN s{i}pe pe ON a.anc = pe.child
+),
+s{i}lca AS (
+  SELECT a1.node AS s, a2.node AS t, MAX(d.depth) AS ld
+  FROM s{i}anc a1 JOIN s{i}anc a2 ON a1.anc = a2.anc JOIN s{i}dep d ON a1.anc = d.vid
+  GROUP BY a1.node, a2.node
+),
+s{i}y AS MATERIALIZED (
+  SELECT l.s AS vid,
+    SUM(pow({lam!r}, ds.depth + dt.depth - 2 * l.ld) * CAST(p.p_retailprice AS DOUBLE)) AS val
+  FROM s{i}lca l
+  JOIN s{i}dep ds ON l.s = ds.vid
+  JOIN s{i}dep dt ON l.t = dt.vid
+  JOIN part p ON p.p_partkey = l.t
+  GROUP BY l.s
+)"""
+        )
+        y_names.append(f"s{i}y")
+    k = len(seeds)
+    avg = " + ".join(f"{y}.val" for y in y_names)
+    joins = y_names[0] + "".join(
+        f" JOIN {y} ON {y}.vid = {y_names[0]}.vid" for y in y_names[1:]
+    )
+    return f"""WITH RECURSIVE {_COOCC_UND_MAT},
+verts AS (SELECT DISTINCT u AS vid FROM und){"".join(chunks)}
+SELECT CAST({y_names[0]}.vid AS BIGINT) AS vid,
+  ROUND(({avg}) / {k}, 4) AS integral_r4
+FROM {joins}"""
+
+
 # --- MinHash / SimHash / embedding-LSH oracles ----------------------------
 # The permutation constants are the engine's own module-level arrays —
 # inlined as literals at SQL-generation time, so the Philox seeding never

@@ -78,11 +78,15 @@ def _route_by_owner(vals: np.ndarray, parts: list[int], P: int):
 
 
 @ray.remote
-def _scan_part(p: int, P: int, csr_refs: dict, label_refs: dict):
+def _scan_part(p: int, P: int, csr_refs: dict, label_refs: dict, wseed=None):
     """Per-shard scan → per-local-component best crossing edge
     (comp, w, a, b, other-comp), pre-routed by comp % P.
 
-    Returns P blocks (num_returns=P set by the caller)."""
+    ``wseed`` (optional) overrides edge weights with the seeded hash
+    splitmix64(min⊕max⊕wseed) >> 11 — a 53-bit integer, exact as
+    float64 — turning the MSF into a seeded RANDOM spanning forest
+    (pipelines/tree_ensemble.py). Returns P blocks (num_returns=P set
+    by the caller)."""
     csr = ray.get(csr_refs[p])
     vids, deg, v = csr["vids"], csr["deg"], csr["indices"]
     w = csr.get("weights")
@@ -109,6 +113,12 @@ def _scan_part(p: int, P: int, csr_refs: dict, label_refs: dict):
             oo = cv[crossing]
             umin = np.minimum(u, vv)
             umax = np.maximum(u, vv)
+            if wseed is not None:
+                from ..sources.edges_synth import _splitmix64
+
+                ww = (
+                    _splitmix64(umin ^ umax ^ np.uint64(wseed)) >> np.uint64(11)
+                ).astype(np.float64)
             # per-component argmin by (w, umin, umax): lexsort, first per comp
             order = np.lexsort((umax, umin, ww, cc))
             cc_s = cc[order]
@@ -232,7 +242,9 @@ def _apply_relabel(labels: np.ndarray, parts: list[int], P: int, *resp_blocks):
     return new_of_uniq[np.searchsorted(uniq, labels)]
 
 
-def minimum_spanning_forest(graph: ShardedGraph, max_rounds: int = 64):
+def minimum_spanning_forest(
+    graph: ShardedGraph, max_rounds: int = 64, *, edge_weight_seed: int | None = None
+):
     """→ (Dataset (a, b, w) of forest edges, summary dict).
 
     ``graph`` must be undirected (symmetrized); weights optional
@@ -252,7 +264,10 @@ def minimum_spanning_forest(graph: ShardedGraph, max_rounds: int = 64):
     history = []
     for r in range(max_rounds):
         # 1. scan: per shard → per-owner candidate blocks
-        scan = {p: _call_routed(_scan_part, P, p, P, refs, label_refs) for p in parts}
+        scan = {
+            p: _call_routed(_scan_part, P, p, P, refs, label_refs, edge_weight_seed)
+            for p in parts
+        }
         # 2. owner-side per-component min
         reduced = {}
         count_refs = []

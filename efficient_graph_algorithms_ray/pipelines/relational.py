@@ -761,6 +761,42 @@ def q_tree_kernel_forest(sf_dir: str):
     return out.map_batches(_shape, batch_format="pyarrow")
 
 
+def q_tree_ensemble_coocc(sf_dir: str):
+    """Random-spanning-tree ensemble kernel y = (1/k)·Σ_T
+    exp(−0.5·dist_T)·p_retailprice over the co-occurrence graph, k=2 —
+    the reference's Bartal/FRT tree-ensemble readout (frt_trees.py:
+    41-46) on seeded random-weight MSF trees. SQL-oracled: per-seed
+    hashed-weight Borůvka + recursive orientation + LCA distance
+    kernel, averaged. Returns (vid, integral_r4)."""
+    import pyarrow.parquet as pq_  # noqa: N813
+
+    from .tree_dp import make_vid_lookup
+    from .tree_ensemble import tree_ensemble_kernel
+
+    g = _coocc_graph(sf_dir)
+    part_tbl = pq_.read_table(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_retailprice"]
+    )
+    x_lookup = make_vid_lookup(
+        part_tbl.column("p_partkey").to_numpy().astype(np.uint64),
+        part_tbl.column("p_retailprice").to_numpy().astype(np.float64),
+    )
+    out, _ = tree_ensemble_kernel(
+        g, x_lookup, a=-0.5, ckpt_dir=_ckpt("tens"), n_trees=2, seed=42,
+        num_partitions=16,
+    )
+
+    def _shape(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vid": batch.column("vid").cast(pa.int64()),
+                "integral_r4": pc.round(batch.column("integral"), ndigits=4),
+            }
+        )
+
+    return out.map_batches(_shape, batch_format="pyarrow")
+
+
 def _weighted_partsupp_graph(sf_dir: str):
     """1/Σquantity-weighted part–supplier graph (cached — shared by the
     SSSP and distance-bucket queries)."""

@@ -1,0 +1,178 @@
+"""Tree-ensemble kernel approximation — random spanning trees.
+
+Reference parity: ``BartalTreeGFIntegrator`` / ``FRTTreeGFIntegrator``
+(/root/reference/src/ega/algorithms/bartal_trees.py:15-45,
+frt_trees.py:8-46) estimate the graph-metric kernel
+M_ij = exp(a·dist_G(i,j)) by averaging the EXACT tree-metric kernel
+over k random trees whose metrics dominate the graph metric:
+``integrate_graph_field`` = (1/k) Σ_T two-pass-DP(T) (frt_trees.py:
+41-46). The reference samples trees from ball-growing hierarchies
+over dense all-pairs distances — O(N²) machinery that cannot exist
+at 10^12 vertices.
+
+The distributed sampler here is the **random-weight spanning tree**:
+give every edge the weight splitmix64(min⊕max⊕seed) (deterministic,
+symmetric, partition-independent) and take the minimum spanning
+forest under the engine's distributed Borůvka — one spanning tree
+per connected component, uniformly randomized by the seed. Tree
+edges are graph edges, so dist_T ≥ dist_G always (the domination the
+reference's trees provide); the distortion-band analysis of
+``print_subopt_ratios`` (graphs_networkx_utils.py:70-76) is mirrored
+in tests/test_tree_ensemble.py.
+
+Per tree: MSF → rooted_bfs orientation → one groupby id→vid
+translation → ``integrate_tree_field_g`` (the dataset-native two-pass
+integrator). The ensemble average is one ``groupby(vid)`` mean over
+the k outputs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+from ..config import EngineConfig, HASH_SEED
+from ..state.graph import ShardedGraph
+from .graph_build import build_graph
+from .mst import minimum_spanning_forest
+from .tree_dp import forest_graphs, integrate_tree_field_g, rooted_bfs
+
+_SEED_STRIDE = 1000003  # distinct-seed spacing across ensemble members
+
+
+def random_spanning_forest_edges(graph: ShardedGraph, seed: int):
+    """One random spanning tree per connected component: the MSF under
+    seeded hash edge weights w(u,v) = splitmix64(min⊕max⊕seed) >> 11
+    (a 53-bit integer — exact as float64 on both the engine and any
+    SQL oracle; residual ties break on (min, max)). Returns the
+    undirected (a, b) tree-edge Dataset."""
+    edges, _ = minimum_spanning_forest(graph, edge_weight_seed=seed)
+    return edges
+
+
+def _orient_forest(tree_graph: ShardedGraph, ckpt_dir: str):
+    """Oriented (src=child, dst=parent) vid edges of an undirected
+    forest via rooted_bfs + ONE groupby id→vid translation (the
+    parent comes back as a dense id; co-grouping (own_id → vid) rows
+    with (parent_id → child vid) rows resolves it without any
+    driver-side table)."""
+    bfs_ds, _ = rooted_bfs(tree_graph, ckpt_dir)
+
+    def _split(batch: pa.Table) -> pa.Table:
+        vid = batch.column("vid").to_numpy(zero_copy_only=False).astype(np.uint64)
+        own = batch.column("own_id").to_numpy(zero_copy_only=False)
+        par = batch.column("parent_id").to_numpy(zero_copy_only=False)
+        nonroot = par != own
+        key = np.concatenate([own, par[nonroot]])
+        v = np.concatenate([vid, vid[nonroot]])
+        role = np.concatenate(
+            [np.zeros(len(own), dtype=np.int8), np.ones(int(nonroot.sum()), dtype=np.int8)]
+        )
+        return pa.table(
+            {
+                "key": pa.array(key, type=pa.int64()),
+                "v": pa.array(v.view(np.int64), type=pa.int64()),
+                "role": pa.array(role, type=pa.int8()),
+            }
+        )
+
+    def _emit(group: pd.DataFrame) -> pd.DataFrame:
+        v = group["v"].to_numpy().view(np.uint64)
+        role = group["role"].to_numpy()
+        owner = v[role == 0]
+        children = v[role == 1]
+        # the owner row doubles as the root self row when it has no
+        # parent edge anywhere (roots never appear as a child key — the
+        # self row keeps singleton trees in both orientations)
+        src = np.concatenate([children, owner])
+        dst = np.concatenate([np.repeat(owner, len(children)), owner])
+        return pd.DataFrame(
+            {"src": src.view(np.int64), "dst": dst.view(np.int64)}
+        )
+
+    out = (
+        bfs_ds.map_batches(_split, batch_format="pyarrow")
+        .groupby("key")
+        .map_groups(_emit, batch_format="pandas")
+    )
+
+    def _uncast(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": pa.array(
+                    batch.column("src").to_numpy(zero_copy_only=False).view(np.uint64),
+                    type=pa.uint64(),
+                ),
+                "dst": pa.array(
+                    batch.column("dst").to_numpy(zero_copy_only=False).view(np.uint64),
+                    type=pa.uint64(),
+                ),
+            }
+        )
+
+    return out.map_batches(_uncast, batch_format="pyarrow")
+
+
+def random_forest_graphs(
+    graph: ShardedGraph, seed: int, ckpt_dir: str, num_partitions: int = 16
+):
+    """(g_up, g_down) of one sampled random spanning forest — the
+    aligned-shard pair the dataset-native tree DP runs on. The tree
+    vertex set is the FULL graph vertex set (self rows keep vertices
+    the MSF left isolated)."""
+    tree_edges = random_spanning_forest_edges(graph, seed)
+
+    def _sd(batch: pa.Table) -> pa.Table:
+        return pa.table({"src": batch.column("a"), "dst": batch.column("b")})
+
+    def _selfrows(batch: pa.Table) -> pa.Table:
+        return pa.table({"src": batch.column("vid"), "dst": batch.column("vid")})
+
+    und = tree_edges.map_batches(_sd, batch_format="pyarrow").union(
+        graph.vertex_dataset().map_batches(_selfrows, batch_format="pyarrow")
+    )
+    tree_g = build_graph(
+        und, EngineConfig(num_partitions=num_partitions), directed=False
+    )
+    oriented = _orient_forest(tree_g, f"{ckpt_dir}/orient")
+    return forest_graphs(oriented, num_partitions)
+
+
+def tree_ensemble_kernel(
+    graph: ShardedGraph,
+    x_lookup,
+    a: float,
+    ckpt_dir: str,
+    *,
+    n_trees: int = 3,
+    seed: int = HASH_SEED,
+    num_partitions: int = 16,
+):
+    """Ensemble estimate y ≈ (1/k) Σ_T exp(a·dist_T)·x over k seeded
+    random spanning forests — the reference's tree-ensemble readout
+    (frt_trees.py:41-46) on the distributed two-pass integrator.
+
+    Returns (Dataset (vid, integral), per-tree summaries). Cross-tree
+    pairs contribute 0 per tree (disconnected-kernel convention);
+    dist_T ≥ dist_G per tree, so for a < 0 and x ≥ 0 the estimate
+    lower-bounds the dense graph-metric kernel matvec — and is EXACT
+    when the graph is itself a forest.
+    """
+    from ray.data.aggregate import Mean
+
+    outs = []
+    summaries = []
+    for i in range(n_trees):
+        g_up, g_down = random_forest_graphs(
+            graph, seed + i * _SEED_STRIDE, f"{ckpt_dir}/tree_{i}", num_partitions
+        )
+        out, s = integrate_tree_field_g(
+            g_up, g_down, x_lookup, a, f"{ckpt_dir}/tree_{i}/dp"
+        )
+        outs.append(out)
+        summaries.append(s)
+    ds = outs[0].union(*outs[1:]) if len(outs) > 1 else outs[0]
+    avg = ds.groupby("vid").aggregate(Mean("integral", alias_name="integral"))
+    return avg.select_columns(["vid", "integral"]), summaries
