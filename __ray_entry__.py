@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only tail (non-SQL-expressible; pytest-verified against
         # brute-force oracles)
         "lowrank_diffusion_norms": C.q_lowrank_diffusion,
+        "gw_barycenter_summary": R.q_gw_barycenter_summary,
         "top_pages_with_urls": C.q_top_pages_with_urls,
         "image_features": C.q_image_features,
         "audio_features": C.q_audio_features,

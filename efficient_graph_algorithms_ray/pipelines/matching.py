@@ -99,6 +99,7 @@ def gromov_wasserstein(
     inner_iter: int = 50,
     tol: float = 1e-6,
     n_restarts: int = 1,
+    trans0: np.ndarray | None = None,
 ) -> tuple[np.ndarray, float]:
     """Entropic proximal-point GW: returns (transport T, discrepancy).
 
@@ -107,14 +108,15 @@ def gromov_wasserstein(
     term). GW is non-convex — ``n_restarts`` deterministic perturbed
     inits are solved and the lowest-discrepancy plan wins (the
     reference's outer sweep over hyperparameters plays the same role).
+    ``trans0`` warm-starts a single run (barycenter fixed-point use).
     """
     n_s, n_t = len(C1), len(C2)
     p = np.full(n_s, 1.0 / n_s) if p is None else np.asarray(p, dtype=np.float64)
     q = np.full(n_t, 1.0 / n_t) if q is None else np.asarray(q, dtype=np.float64)
     const = _gw_cost_const(C1, C2, p, q)
     best: tuple[np.ndarray, float] | None = None
-    for r in range(max(1, n_restarts)):
-        T = _init_plan(p, q, seed=r)
+    for r in range(max(1, n_restarts) if trans0 is None else 1):
+        T = _init_plan(p, q, seed=r) if trans0 is None else trans0
         d_prev = np.inf
         for _ in range(outer_iter):
             cost = const - 2.0 * (C1 @ T @ C2.T)
@@ -214,6 +216,152 @@ def recursive_gw_partition(
             sub = np.zeros(len(idx), dtype=np.int64)
         labels[idx] = side * (1 << (depth - 1)) + sub
     return labels
+
+
+def estimate_target_distribution(probs: list[np.ndarray], dim_t: int = 2) -> np.ndarray:
+    """Average of sorted-descending source distributions, resampled to
+    ``dim_t`` points (reference ``estimate_target_distribution``,
+    gromov_wasserstein_graphs.py:731-750)."""
+    p_t = np.zeros(dim_t)
+    x_t = np.linspace(0, 1, dim_t)
+    for p_s in probs:
+        p_s = np.sort(np.asarray(p_s, dtype=np.float64).ravel())[::-1]
+        x_s = np.linspace(0, 1, len(p_s))
+        p_t += np.interp(x_t, x_s, p_s)
+    return p_t / p_t.sum()
+
+
+def _struct_init(C: np.ndarray, p: np.ndarray, q: np.ndarray, seed: int = 0) -> np.ndarray:
+    """Product coupling with a cost-rank-anchored perturbation: vertex
+    i's normalized row-sum rank in C is matched against the barycenter
+    column index, so alike vertices across graphs prefer the same
+    columns. A 10× smaller seeded term breaks ties on graphs with
+    constant row sums."""
+    n, m = len(p), len(q)
+    r = C.sum(axis=1)
+    rank = np.argsort(np.argsort(r)) / max(n - 1, 1)
+    col = np.arange(m) / max(m - 1, 1)
+    noise = 1.0 + 0.05 * np.outer(2.0 * rank - 1.0, 2.0 * col - 1.0)
+    rng = np.random.Generator(np.random.Philox(key=[13, 7 + seed]))
+    noise = noise * (1.0 + 0.005 * rng.uniform(-1.0, 1.0, (n, m)))
+    return np.outer(p, q) * noise
+
+
+def gromov_wasserstein_average(
+    transports: list[np.ndarray],
+    costs: list[np.ndarray],
+    p_center: np.ndarray,
+    weights: list[float] | None = None,
+) -> np.ndarray:
+    """L2 barycenter cost update Σ_n w_n·TᵀC_nT / (p_c·p_cᵀ)
+    (reference ``gromov_wasserstein_average``,
+    gromov_wasserstein_graphs.py:598-635, L2 branch)."""
+    k = len(costs)
+    if weights is None:
+        weights = [1.0 / k] * k
+    bary = np.zeros((len(p_center), len(p_center)))
+    for w, C, T in zip(weights, costs, transports):
+        bary += w * (T.T @ (C @ T))
+    return bary / np.outer(p_center, p_center)
+
+
+def gromov_wasserstein_barycenter(
+    costs: list[np.ndarray],
+    ps: list[np.ndarray] | None = None,
+    p_center: np.ndarray | None = None,
+    *,
+    n_center: int | None = None,
+    weights: list[float] | None = None,
+    beta: float = 0.1,
+    max_iter: int = 20,
+    cost_bound: float = 1e-4,
+) -> tuple[np.ndarray, list[np.ndarray], list[float]]:
+    """One-step GW barycenter fixed point over k graphs (reference
+    ``gromov_wasserstein_barycenter``, gromov_wasserstein_graphs.py:
+    638-715): alternate (a) per-graph GW transports to the current
+    barycenter (warm-started), (b) the L2 cost average. Returns
+    (barycenter cost [n_c, n_c], transports, per-iter Σ d_gw).
+
+    Source cost matrices come from ``sampled_cost_matrix`` — the
+    distributed front-end keeps each at a bounded k regardless of
+    graph size, exactly as for pairwise GW distance.
+    """
+    k = len(costs)
+    if ps is None:
+        ps = [np.full(len(C), 1.0 / len(C)) for C in costs]
+    if p_center is None:
+        if n_center is None:
+            raise ValueError("give p_center or n_center")
+        p_center = estimate_target_distribution(ps, n_center)
+    p_center = np.asarray(p_center, dtype=np.float64).ravel()
+    # structure-anchored perturbed couplings: the plain product is a
+    # SADDLE of the GW objective (see _init_plan), and independent
+    # per-graph noise breaks it in arbitrary directions — which lets
+    # different graphs lock onto DIFFERENT barycenter-column
+    # alignments. Anchoring the perturbation on each vertex's cost
+    # row-sum rank steers structurally-alike vertices of every graph
+    # toward the same barycenter columns (consistent multi-graph
+    # labels); a small seeded term still covers vertex-transitive
+    # graphs whose row sums are constant.
+    transports = [
+        _struct_init(C, p, p_center, seed=n) for n, (C, p) in enumerate(zip(costs, ps))
+    ]
+    bary0 = np.diag(p_center)
+    d_sum_hist: list[float] = []
+    for _ in range(max_iter):
+        d_sum = 0.0
+        for n in range(k):
+            transports[n], d = gromov_wasserstein(
+                costs[n], bary0, ps[n], p_center, beta=beta, trans0=transports[n]
+            )
+            d_sum += d
+        bary = gromov_wasserstein_average(transports, costs, p_center, weights)
+        rel = float(np.abs(bary - bary0).sum() / max(np.abs(bary0).sum(), 1e-300))
+        bary0 = bary
+        d_sum_hist.append(d_sum)
+        if rel < cost_bound:
+            break
+    return bary0, transports, d_sum_hist
+
+
+def multi_graph_partition(
+    costs: list[np.ndarray],
+    k: int,
+    ps: list[np.ndarray] | None = None,
+    *,
+    beta: float = 0.05,
+    max_iter: int = 20,
+) -> tuple[list[np.ndarray], np.ndarray]:
+    """Consistent multi-graph partition via the GW barycenter against a
+    k-node template (reference ``multi_graph_partition``,
+    gromov_wasserstein_graphs.py:1032-1210): every graph transports to
+    the SHARED barycenter; block id = transport column argmax, so block
+    labels align across graphs (matched communities). Returns
+    (per-graph label arrays, barycenter cost matrix)."""
+    bary, transports, _ = gromov_wasserstein_barycenter(
+        costs, ps, n_center=k, beta=beta, max_iter=max_iter
+    )
+    labels = [np.argmax(T, axis=1).astype(np.int64) for T in transports]
+    return labels, bary
+
+
+def exact_ot_cost_bruteforce(M: np.ndarray) -> float:
+    """Exact OT optimum for UNIFORM square marginals: by Birkhoff–von
+    Neumann an optimal vertex is a permutation/n, so the LP optimum is
+    the min-cost assignment — enumerated exactly for tiny n (the
+    POT/scipy-free LP oracle pinning the entropic solver's bias,
+    reference ``optimization.py:358`` emd branch)."""
+    from itertools import permutations
+
+    n = len(M)
+    assert M.shape == (n, n) and n <= 8, "brute-force LP oracle is for tiny n"
+    best = np.inf
+    idx = np.arange(n)
+    for perm in permutations(range(n)):
+        c = float(M[idx, list(perm)].sum())
+        if c < best:
+            best = c
+    return best / n
 
 
 def sampled_cost_matrix(

@@ -865,6 +865,45 @@ def q_gw_graph_distance(sf_dir: str):
     )
 
 
+def q_gw_barycenter_summary(sf_dir: str):
+    """GW barycenter over three engine-coarsened graph views
+    (gromov_wasserstein_barycenter parity, gromov_wasserstein_graphs
+    .py:638-715): k=24 sampled costs of the co-occurrence graph under
+    three sample seeds, 16-node barycenter; reports the summed
+    discrepancy at start/end of the fixed point and the barycenter's
+    mean off-diagonal cost. Rows-only: iterative data-dependent
+    optimization with no SQL form; structural invariants are
+    pytest-verified (tests/test_matching.py)."""
+    from .matching import gromov_wasserstein_barycenter, sampled_cost_matrix
+
+    g = _coocc_graph(sf_dir)
+    costs = []
+    for i, sd in enumerate((42, 43, 44)):
+        c, _ = sampled_cost_matrix(g, _ckpt(f"gwb{i}"), k=24, walk_k=2, seed=sd)
+        costs.append(c)
+    bary, transports, d_hist = gromov_wasserstein_barycenter(
+        costs, n_center=16, beta=0.05, max_iter=15
+    )
+    off = bary[~np.eye(len(bary), dtype=bool)]
+    return pa.table(
+        {
+            "stat": pa.array(
+                ["d_sum_first", "d_sum_last", "bary_offdiag_mean", "n_center"],
+                type=pa.string(),
+            ),
+            "value_r6": pa.array(
+                [
+                    round(float(d_hist[0]), 6),
+                    round(float(d_hist[-1]), 6),
+                    round(float(off.mean()), 6),
+                    float(len(bary)),
+                ],
+                type=pa.float64(),
+            ),
+        }
+    )
+
+
 def q_dsd_pairs_coocc(sf_dir: str):
     """Exact Diffusion State Distance between the 4 lowest partkeys on
     the co-occurrence graph (diffusion_state_distance parity for a

@@ -159,3 +159,100 @@ def test_recursive_gw_partition_four_cliques():
     per_block = [set(lab[list(blk)[1:-1]]) for blk in blocks]  # interior nodes
     assert all(len(sb) == 1 for sb in per_block)
     assert len(set.union(*per_block)) == 4
+
+
+def test_gw_barycenter_of_isomorphic_graphs_recovers_structure():
+    """Barycenter of k permuted copies of one graph sits at (near) zero
+    GW distance to each input, far below the distance to a different
+    structure (reference gromov_wasserstein_barycenter semantics)."""
+    from efficient_graph_algorithms_ray.pipelines.matching import (
+        gromov_wasserstein_barycenter,
+    )
+
+    C = _tree_cost(_TREE, 10)
+    rng = np.random.Generator(np.random.Philox(key=[3, 1]))
+    costs = []
+    for _ in range(3):
+        perm = rng.permutation(10)
+        costs.append(C[np.ix_(perm, perm)])
+    bary, transports, d_hist = gromov_wasserstein_barycenter(
+        costs, n_center=10, beta=0.02, max_iter=30
+    )
+    assert bary.shape == (10, 10)
+    assert len(transports) == 3
+    # fixed point decreased the summed discrepancy
+    assert d_hist[-1] <= d_hist[0] + 1e-9
+    # the barycenter matches each input much better than a star does
+    _, d_b = gromov_wasserstein(C, bary, beta=0.02, outer_iter=100, n_restarts=3)
+    star = np.full((10, 10), 2.0)
+    star[0, :] = 1.0
+    star[:, 0] = 1.0
+    np.fill_diagonal(star, 0.0)
+    _, d_s = gromov_wasserstein(C, star, beta=0.02, outer_iter=100, n_restarts=3)
+    assert d_b < d_s
+
+
+def test_multi_graph_partition_consistent_blocks():
+    """Two graphs with the same 2-block structure partition into
+    consistent blocks through the shared barycenter (multi_graph_
+    partition, gromov_wasserstein_graphs.py:1032-1210)."""
+    from efficient_graph_algorithms_ray.pipelines.matching import (
+        multi_graph_partition,
+    )
+
+    def two_cliques(n, h):
+        # asymmetric blocks (h ≠ n−h): distinguishable, so cross-graph
+        # alignment through the barycenter is well-defined
+        C = np.full((n, n), 3.0)
+        C[:h, :h] = 1.0
+        C[h:, h:] = 1.0
+        np.fill_diagonal(C, 0.0)
+        return C
+
+    splits = [(12, 8), (10, 7)]
+    costs = [two_cliques(n, h) for n, h in splits]
+    labels, bary = multi_graph_partition(costs, 2, beta=0.05)
+    for lab, (n, h) in zip(labels, splits):
+        # each block uniform, blocks differ
+        assert len(set(lab[:h].tolist())) == 1
+        assert len(set(lab[h:].tolist())) == 1
+        assert lab[0] != lab[-1]
+    # block labels ALIGN across graphs (the point of the shared
+    # barycenter): the BIG block of each graph takes the same label
+    assert labels[0][0] == labels[1][0]
+    assert labels[0][-1] == labels[1][-1]
+
+
+def test_estimate_target_distribution_matches_reference_semantics():
+    from efficient_graph_algorithms_ray.pipelines.matching import (
+        estimate_target_distribution,
+    )
+
+    probs = [np.array([0.5, 0.3, 0.2]), np.array([0.25, 0.25, 0.25, 0.25])]
+    p_t = estimate_target_distribution(probs, dim_t=2)
+    assert p_t.shape == (2,)
+    assert abs(p_t.sum() - 1.0) < 1e-12
+    assert p_t[0] >= p_t[1]  # sorted-descending interpolation
+
+
+def test_sinkhorn_plan_vs_exact_lp_bruteforce():
+    """Entropic OT cost is within the entropic gap of the EXACT LP
+    optimum (brute-force assignment oracle — POT/scipy-free): pins the
+    solver's bias at small n (verdict item: exact-LP cross-check)."""
+    from efficient_graph_algorithms_ray.pipelines.matching import (
+        exact_ot_cost_bruteforce,
+    )
+
+    rng = np.random.Generator(np.random.Philox(key=[9, 9]))
+    for trial in range(3):
+        n = 6
+        M = rng.uniform(0.0, 1.0, (n, n))
+        lp = exact_ot_cost_bruteforce(M)
+        p = np.full(n, 1.0 / n)
+        T = sinkhorn_plan(M, p, p, beta=0.005, max_iter=5000, error_bound=1e-12)
+        ent_cost = float((M * T).sum())
+        # LP lower-bounds any FEASIBLE plan; the Sinkhorn plan carries
+        # ~1e-4 marginal error at this iteration budget, so allow a
+        # matching slack below the bound
+        assert ent_cost >= lp - 1e-3
+        assert ent_cost - lp < 0.05  # entropic gap at beta=0.005
