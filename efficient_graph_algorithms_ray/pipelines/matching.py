@@ -145,14 +145,16 @@ def fused_gromov_wasserstein(
     outer_iter: int = 30,
     inner_iter: int = 50,
     tol: float = 1e-6,
+    trans0: np.ndarray | None = None,
 ) -> tuple[np.ndarray, float]:
     """Fused GW (Vayer et al.): structure + feature cost
     (1−α)·M + α·GW-term; α=0 degrades to plain entropic OT on M
-    (the pytest identity), α=1 to pure GW."""
+    (the pytest identity), α=1 to pure GW. ``trans0`` warm-starts
+    (barycenter fixed-point use)."""
     n_s, n_t = len(C1), len(C2)
     p = np.full(n_s, 1.0 / n_s) if p is None else np.asarray(p, dtype=np.float64)
     q = np.full(n_t, 1.0 / n_t) if q is None else np.asarray(q, dtype=np.float64)
-    T = _init_plan(p, q)
+    T = _init_plan(p, q) if trans0 is None else trans0
     const = _gw_cost_const(C1, C2, p, q)
     d_prev = np.inf
     for _ in range(outer_iter):
@@ -343,6 +345,70 @@ def multi_graph_partition(
     )
     labels = [np.argmax(T, axis=1).astype(np.int64) for T in transports]
     return labels, bary
+
+
+def fgw_barycenters(
+    Ys: list[np.ndarray],
+    Cs: list[np.ndarray],
+    ps: list[np.ndarray] | None = None,
+    *,
+    n_center: int,
+    alpha: float = 0.5,
+    lambdas: list[float] | None = None,
+    beta: float = 0.1,
+    max_iter: int = 20,
+    tol: float = 1e-6,
+) -> tuple[np.ndarray, np.ndarray, list[np.ndarray], list[float]]:
+    """Fused-GW barycenter of attributed graphs (reference
+    ``fgw_barycenters``, fused_gromov_wasserstein.py:1233-1465 — eq (5)
+    of Vayer et al. 2019): alternate per-sample FGW transports with
+
+        X ← (Σ_s λ_s·T_sᵀY_s) / p_c      (feature barycentric map)
+        C ← (Σ_s λ_s·T_sᵀC_sT_s) / p_cp_cᵀ  (sq-euclidean structure avg)
+
+    Feature cost M_s = squared-euclidean distance between Y_s and X.
+    Returns (X [n_c, d], C [n_c, n_c], transports, per-iter Σ d_fgw).
+    Solver substitution as everywhere in this module: entropic
+    proximal-point plans instead of Frank-Wolfe+Armijo (the exact-LP
+    pytest cross-check bounds the bias).
+    """
+    k = len(Cs)
+    if ps is None:
+        ps = [np.full(len(C), 1.0 / len(C)) for C in Cs]
+    if lambdas is None:
+        lambdas = [1.0 / k] * k
+    p_c = estimate_target_distribution(ps, n_center)
+    d = Ys[0].shape[1]
+    transports = [
+        _struct_init(C, p, p_c, seed=n) for n, (C, p) in enumerate(zip(Cs, ps))
+    ]
+    # barycentric inits from the transports themselves
+    X = sum(
+        lam * (T.T @ Y) for lam, T, Y in zip(lambdas, transports, Ys)
+    ) / p_c.reshape(-1, 1)
+    C = gromov_wasserstein_average(transports, Cs, p_c, lambdas)
+    d_hist: list[float] = []
+    for _ in range(max_iter):
+        d_sum = 0.0
+        for s in range(k):
+            M = (
+                (Ys[s] ** 2).sum(axis=1, keepdims=True)
+                - 2.0 * (Ys[s] @ X.T)
+                + (X**2).sum(axis=1)[None, :]
+            )
+            transports[s], d_s = fused_gromov_wasserstein(
+                Cs[s], C, M, alpha, ps[s], p_c, beta=beta, trans0=transports[s]
+            )
+            d_sum += lambdas[s] * d_s
+        X = sum(
+            lam * (T.T @ Y) for lam, T, Y in zip(lambdas, transports, Ys)
+        ) / p_c.reshape(-1, 1)
+        C = gromov_wasserstein_average(transports, Cs, p_c, lambdas)
+        d_hist.append(d_sum)
+        if len(d_hist) >= 2 and abs(d_hist[-2] - d_hist[-1]) < tol:
+            break
+    assert X.shape == (n_center, d)
+    return X, C, transports, d_hist
 
 
 def exact_ot_cost_bruteforce(M: np.ndarray) -> float:

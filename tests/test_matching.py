@@ -256,3 +256,39 @@ def test_sinkhorn_plan_vs_exact_lp_bruteforce():
         # matching slack below the bound
         assert ent_cost >= lp - 1e-3
         assert ent_cost - lp < 0.05  # entropic gap at beta=0.005
+
+
+def test_fgw_barycenter_recovers_attributed_blocks():
+    """FGW barycenter of two attributed two-block graphs: barycenter
+    features stay in the convex hull of sample features and split into
+    the two block-level feature values; the fixed point decreases the
+    summed discrepancy (fgw_barycenters, eq (5) of Vayer et al.)."""
+    from efficient_graph_algorithms_ray.pipelines.matching import fgw_barycenters
+
+    def blocky(n, h, f_lo, f_hi):
+        C = np.full((n, n), 3.0)
+        C[:h, :h] = 1.0
+        C[h:, h:] = 1.0
+        np.fill_diagonal(C, 0.0)
+        Y = np.zeros((n, 2))
+        Y[:h] = f_lo
+        Y[h:] = f_hi
+        return C, Y
+
+    C1, Y1 = blocky(12, 8, [0.0, 1.0], [5.0, 4.0])
+    C2, Y2 = blocky(10, 7, [0.1, 0.9], [5.1, 3.9])
+    X, C, transports, d_hist = fgw_barycenters(
+        [Y1, Y2], [C1, C2], n_center=6, alpha=0.5, beta=0.05, max_iter=25
+    )
+    assert X.shape == (6, 2) and C.shape == (6, 6)
+    assert d_hist[-1] <= d_hist[0] + 1e-9
+    # features live in the convex hull of the inputs
+    lo = np.minimum(Y1.min(axis=0), Y2.min(axis=0)) - 1e-6
+    hi = np.maximum(Y1.max(axis=0), Y2.max(axis=0)) + 1e-6
+    assert (X >= lo).all() and (X <= hi).all()
+    # barycenter nodes separate into the two feature clusters
+    d_lo = np.linalg.norm(X - np.array([0.05, 0.95]), axis=1)
+    d_hi = np.linalg.norm(X - np.array([5.05, 3.95]), axis=1)
+    near = (np.minimum(d_lo, d_hi) < 1.0)
+    assert near.all()
+    assert (d_lo < d_hi).any() and (d_hi < d_lo).any()
