@@ -251,7 +251,10 @@ def main() -> None:
         print(
             json.dumps(
                 {
-                    "metric": "PageRank superstep throughput scaling (8→32 cpus, 100M-edge kernel)",
+                    "metric": (
+                        "PageRank superstep throughput scaling (8→32 cpus, "
+                        f"{int(os.environ.get('GRAFT_SCALE_EDGES', '100000000')) // 1_000_000}M-edge kernel)"
+                    ),
                     "value": round(eff_kernel, 3),
                     "unit": "efficiency",
                     "edges_per_sec_superstep_8": k_lo["edges_per_sec_per_superstep"],

@@ -829,7 +829,7 @@ SELECT CAST(vid AS BIGINT) AS vid, ROUND(val, 4) AS integral_r4 FROM y"""
 
 
 def tree_ensemble_coocc_sql(
-    a: float = -0.5, seeds=(42, 42 + 1000003), rounds: int = 14
+    a: float = -0.5, seeds=(42, 42 + 1000003), rounds: int = 8
 ) -> str:
     """Random-spanning-tree ensemble kernel over the co-occurrence
     graph: per seed, edge weights = splitmix64(u ⊕ v ⊕ seed) >> 11
