@@ -907,24 +907,37 @@ s{i}ori AS (
 ),
 s{i}pe AS MATERIALIZED (SELECT vid AS child, parent FROM s{i}ori WHERE vid <> parent),
 s{i}dep AS MATERIALIZED (SELECT vid, depth FROM s{i}ori),
-s{i}anc AS (
-  SELECT vid AS node, vid AS anc FROM verts
+s{i}anc2 AS (
+  -- ancestor closure CARRYING the child-toward-node: lets the kernel
+  -- sum run in O(n·depth) via per-ancestor subtree sums instead of
+  -- the O(Σ|desc|²) lca self-join. λ powers are depth-RELATIVE
+  -- (exponents ≥ 0) so nothing overflows on deep trees.
+  SELECT vid AS node, vid AS anc, CAST(NULL AS BIGINT) AS child FROM verts
   UNION ALL
-  SELECT a.node, pe.parent FROM s{i}anc a JOIN s{i}pe pe ON a.anc = pe.child
+  SELECT a.node, pe.parent, pe.child FROM s{i}anc2 a JOIN s{i}pe pe ON a.anc = pe.child
 ),
-s{i}lca AS (
-  SELECT a1.node AS s, a2.node AS t, MAX(d.depth) AS ld
-  FROM s{i}anc a1 JOIN s{i}anc a2 ON a1.anc = a2.anc JOIN s{i}dep d ON a1.anc = d.vid
-  GROUP BY a1.node, a2.node
+s{i}sub AS MATERIALIZED (
+  SELECT a.anc, SUM(pow({lam!r}, dn.depth - da.depth) * CAST(p.p_retailprice AS DOUBLE)) AS sp
+  FROM s{i}anc2 a
+  JOIN s{i}dep dn ON a.node = dn.vid
+  JOIN s{i}dep da ON a.anc = da.vid
+  JOIN part p ON p.p_partkey = a.node
+  GROUP BY a.anc
 ),
 s{i}y AS MATERIALIZED (
-  SELECT l.s AS vid,
-    SUM(pow({lam!r}, ds.depth + dt.depth - 2 * l.ld) * CAST(p.p_retailprice AS DOUBLE)) AS val
-  FROM s{i}lca l
-  JOIN s{i}dep ds ON l.s = ds.vid
-  JOIN s{i}dep dt ON l.t = dt.vid
-  JOIN part p ON p.p_partkey = l.t
-  GROUP BY l.s
+  -- y(s) = Σ_{{a ∈ anc(s)}} λ^(d(s)−d(a))·S'(a) − λ^(d(s)−d(a)+1)·S'(child_a(s))
+  -- where S'(a) = Σ_{{t ∈ subtree(a)}} λ^(d(t)−d(a))·x(t): exactly the
+  -- lca identity with t grouped by lca(s,t) = a
+  SELECT a.node AS vid,
+    SUM(pow({lam!r}, ds.depth - da.depth) * sub_a.sp
+        - CASE WHEN a.child IS NULL THEN 0.0
+               ELSE pow({lam!r}, ds.depth - da.depth + 1) * sub_c.sp END) AS val
+  FROM s{i}anc2 a
+  JOIN s{i}dep ds ON a.node = ds.vid
+  JOIN s{i}dep da ON a.anc = da.vid
+  JOIN s{i}sub sub_a ON sub_a.anc = a.anc
+  LEFT JOIN s{i}sub sub_c ON sub_c.anc = a.child
+  GROUP BY a.node
 )"""
         )
         y_names.append(f"s{i}y")
