@@ -411,6 +411,127 @@ def fgw_barycenters(
     return X, C, transports, d_hist
 
 
+def hungarian(cost: np.ndarray) -> np.ndarray:
+    """Exact min-cost assignment, O(n³) shortest-augmenting-path with
+    potentials (the classical Kuhn–Munkres/Jonker-Volgenant scheme) —
+    the scipy/POT-free ``emd`` core for uniform equal marginals.
+    Returns perm with row i matched to column perm[i]."""
+    c = np.asarray(cost, dtype=np.float64)
+    n = len(c)
+    INF = np.inf
+    u = np.zeros(n + 1)
+    v = np.zeros(n + 1)
+    p = np.zeros(n + 1, dtype=np.int64)  # p[j] = row matched to column j
+    way = np.zeros(n + 1, dtype=np.int64)
+    for i in range(1, n + 1):
+        p[0] = i
+        j0 = 0
+        minv = np.full(n + 1, INF)
+        used = np.zeros(n + 1, dtype=bool)
+        while True:
+            used[j0] = True
+            i0 = p[j0]
+            delta = INF
+            j1 = -1
+            for j in range(1, n + 1):
+                if not used[j]:
+                    cur = c[i0 - 1, j - 1] - u[i0] - v[j]
+                    if cur < minv[j]:
+                        minv[j] = cur
+                        way[j] = j0
+                    if minv[j] < delta:
+                        delta = minv[j]
+                        j1 = j
+            for j in range(n + 1):
+                if used[j]:
+                    u[p[j]] += delta
+                    v[j] -= delta
+                else:
+                    minv[j] -= delta
+            j0 = j1
+            if p[j0] == 0:
+                break
+        while True:
+            j1 = way[j0]
+            p[j0] = p[j1]
+            j0 = j1
+            if j0 == 0:
+                break
+    perm = np.zeros(n, dtype=np.int64)
+    for j in range(1, n + 1):
+        perm[p[j] - 1] = j - 1
+    return perm
+
+
+def emd_uniform(M: np.ndarray) -> np.ndarray:
+    """Exact OT plan for uniform equal square marginals: by Birkhoff an
+    optimal vertex is a permutation matrix / n (Hungarian core)."""
+    n = len(M)
+    perm = hungarian(M)
+    T = np.zeros((n, n))
+    T[np.arange(n), perm] = 1.0 / n
+    return T
+
+
+def frank_wolfe_gw(
+    C1: np.ndarray,
+    C2: np.ndarray,
+    *,
+    max_iter: int = 100,
+    tol: float = 1e-9,
+    linesearch: str = "exact",
+    armijo_c: float = 1e-4,
+    armijo_rho: float = 0.5,
+    trans0: np.ndarray | None = None,
+) -> tuple[np.ndarray, float]:
+    """Frank-Wolfe (conditional-gradient) GW with EXACT emd direction —
+    the reference's ``cg`` + ``emd`` solver path (optimization.py:33-416,
+    fused_gromov_wasserstein.py:362-974) restricted to uniform equal
+    marginals (where emd = assignment, solved exactly by
+    :func:`hungarian`). The 1-d line-search (#80) is either the
+    CLOSED-FORM quadratic minimizer (f along the segment is
+    aτ² + bτ + c with a = −2⟨C1ΔC2ᵀ, Δ⟩, b = ⟨const, Δ⟩ −
+    4⟨C1TC2ᵀ, Δ⟩ for symmetric costs — the reference's
+    solve_linesearch) or Armijo backtracking. Returns (T, discrepancy);
+    an independent cross-check of the entropic proximal solver.
+    """
+    n = len(C1)
+    assert C2.shape[0] == n, "frank_wolfe_gw: uniform equal marginals only"
+    p = np.full(n, 1.0 / n)
+    const = _gw_cost_const(C1, C2, p, p)
+
+    def grad_half(T):
+        return const - 2.0 * (C1 @ T @ C2.T)
+
+    def f(T):
+        return float((grad_half(T) * T).sum())
+
+    T = np.outer(p, p) if trans0 is None else trans0.copy()
+    f_prev = f(T)
+    for _ in range(max_iter):
+        G = 2.0 * grad_half(T)  # ∇f for the quadratic objective
+        D = emd_uniform(G) - T  # FW direction toward an exact vertex
+        a = -2.0 * float((C1 @ D @ C2.T * D).sum())
+        b = float((const * D).sum()) - 4.0 * float((C1 @ T @ C2.T * D).sum())
+        if linesearch == "exact":
+            if a > 1e-18:
+                tau = float(np.clip(-b / (2.0 * a), 0.0, 1.0))
+            else:  # concave/linear along the segment: better endpoint
+                tau = 1.0 if a + b < 0 else 0.0
+        else:  # Armijo backtracking on the true objective
+            tau = 1.0
+            f0 = f(T)
+            slope = b  # directional derivative at τ=0
+            while tau > 1e-12 and f(T + tau * D) > f0 + armijo_c * tau * slope:
+                tau *= armijo_rho
+        T = T + tau * D
+        f_cur = f(T)
+        if abs(f_prev - f_cur) < tol:
+            break
+        f_prev = f_cur
+    return T, f(T)
+
+
 def exact_ot_cost_bruteforce(M: np.ndarray) -> float:
     """Exact OT optimum for UNIFORM square marginals: by Birkhoff–von
     Neumann an optimal vertex is a permutation/n, so the LP optimum is

@@ -292,3 +292,54 @@ def test_fgw_barycenter_recovers_attributed_blocks():
     near = (np.minimum(d_lo, d_hi) < 1.0)
     assert near.all()
     assert (d_lo < d_hi).any() and (d_hi < d_lo).any()
+
+
+def test_hungarian_exact_vs_bruteforce():
+    """O(n³) assignment core ≡ brute-force enumeration (the emd LP for
+    uniform marginals)."""
+    import itertools
+
+    from efficient_graph_algorithms_ray.pipelines.matching import hungarian
+
+    rng = np.random.Generator(np.random.Philox(key=[1, 2]))
+    for _ in range(20):
+        n = int(rng.integers(2, 8))
+        M = rng.uniform(0, 1, (n, n))
+        perm = hungarian(M)
+        assert sorted(perm.tolist()) == list(range(n))  # a permutation
+        got = M[np.arange(n), perm].sum()
+        best = min(
+            M[np.arange(n), list(p)].sum() for p in itertools.permutations(range(n))
+        )
+        assert abs(got - best) < 1e-12
+
+
+def test_frank_wolfe_gw_exact_emd_solver():
+    """Frank-Wolfe GW with exact emd directions (the reference's cg+emd
+    path, optimization.py:33-416): recovers isomorphisms at exactly 0
+    from the plain product init (no perturbation needed — emd vertices
+    are permutations), exact and Armijo line-searches agree, and the
+    solver cross-checks the entropic proximal one (FW's vertex
+    solutions are at least as sharp)."""
+    from efficient_graph_algorithms_ray.pipelines.matching import frank_wolfe_gw
+
+    C = _tree_cost(_TREE, 10)
+    perm = np.roll(np.arange(10), 3)
+    C2 = C[np.ix_(perm, perm)]
+    T, d = frank_wolfe_gw(C, C2, linesearch="exact")
+    assert abs(d) < 1e-9
+    # the plan is a permutation matrix / n — structure-preserving map
+    m = np.argmax(T, axis=1)
+    assert sorted(m.tolist()) == list(range(10))
+    assert np.allclose(C, C2[np.ix_(m, m)])
+    _, d_armijo = frank_wolfe_gw(C, C2, linesearch="armijo")
+    assert abs(d_armijo) < 1e-9
+
+    star = np.full((10, 10), 2.0)
+    star[0, :] = 1.0
+    star[:, 0] = 1.0
+    np.fill_diagonal(star, 0.0)
+    _, d_fw = frank_wolfe_gw(C, star)
+    _, d_px = gromov_wasserstein(C, star, beta=0.02, outer_iter=100, n_restarts=3)
+    assert d_fw > 0.5  # separates structures
+    assert d_fw <= d_px + 1e-6  # exact-vertex solver is at least as sharp
