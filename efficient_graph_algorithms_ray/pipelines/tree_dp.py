@@ -65,13 +65,20 @@ def make_vid_lookup(vids: np.ndarray, vals: np.ndarray, default: float = 0.0):
     return _f
 
 
-def rooted_bfs(graph: ShardedGraph, ckpt_dir: str, *, max_iters: int = 300):
+def rooted_bfs(
+    graph: ShardedGraph, ckpt_dir: str, *, max_iters: int = 300, cc_dir: str | None = None
+):
     """Orient an undirected forest/graph from per-component min-vid roots.
 
     Returns (Dataset (vid, own_id, parent_id, depth), summary). For a
     root, parent_id == own_id and depth == 0. On a non-tree graph this
     yields a BFS spanning tree per component (shallowest-then-smallest
     parent, deterministic).
+
+    ``cc_dir`` (optional) reuses an existing min-label CC checkpoint
+    from ANY graph with the same vertex set and partitioner (e.g. the
+    source graph of a sampled spanning forest — a forest has exactly
+    its source's components), skipping one superstep run per call.
     """
     from .components import connected_components
 
@@ -81,8 +88,9 @@ def rooted_bfs(graph: ShardedGraph, ckpt_dir: str, *, max_iters: int = 300):
     # aligned with csr["vids"]) — no driver collect of the component
     # table, no O(V) arrays captured in the closure (the round-1
     # scale-killer this replaces).
-    _, cc_summary = connected_components(graph, f"{ckpt_dir}/cc")
-    cc_dir = cc_summary["final_iter_dir"]
+    if cc_dir is None:
+        _, cc_summary = connected_components(graph, f"{ckpt_dir}/cc")
+        cc_dir = cc_summary["final_iter_dir"]
 
     bases = _id_bases(graph)
 

@@ -52,13 +52,13 @@ def random_spanning_forest_edges(graph: ShardedGraph, seed: int):
     return edges
 
 
-def _orient_forest(tree_graph: ShardedGraph, ckpt_dir: str):
+def _orient_forest(tree_graph: ShardedGraph, ckpt_dir: str, cc_dir: str | None = None):
     """Oriented (src=child, dst=parent) vid edges of an undirected
     forest via rooted_bfs + ONE groupby id→vid translation (the
     parent comes back as a dense id; co-grouping (own_id → vid) rows
     with (parent_id → child vid) rows resolves it without any
     driver-side table)."""
-    bfs_ds, _ = rooted_bfs(tree_graph, ckpt_dir)
+    bfs_ds, _ = rooted_bfs(tree_graph, ckpt_dir, cc_dir=cc_dir)
 
     def _split(batch: pa.Table) -> pa.Table:
         vid = batch.column("vid").to_numpy(zero_copy_only=False).astype(np.uint64)
@@ -116,7 +116,11 @@ def _orient_forest(tree_graph: ShardedGraph, ckpt_dir: str):
 
 
 def random_forest_graphs(
-    graph: ShardedGraph, seed: int, ckpt_dir: str, num_partitions: int = 16
+    graph: ShardedGraph,
+    seed: int,
+    ckpt_dir: str,
+    num_partitions: int = 16,
+    cc_dir: str | None = None,
 ):
     """(g_up, g_down) of one sampled random spanning forest — the
     aligned-shard pair the dataset-native tree DP runs on. The tree
@@ -136,7 +140,7 @@ def random_forest_graphs(
     tree_g = build_graph(
         und, EngineConfig(num_partitions=num_partitions), directed=False
     )
-    oriented = _orient_forest(tree_g, f"{ckpt_dir}/orient")
+    oriented = _orient_forest(tree_g, f"{ckpt_dir}/orient", cc_dir=cc_dir)
     return forest_graphs(oriented, num_partitions)
 
 
@@ -162,11 +166,22 @@ def tree_ensemble_kernel(
     """
     from ray.data.aggregate import Mean
 
+    # a spanning forest has exactly its source graph's components, and
+    # the tree graphs share the source's partitioner when P matches —
+    # so ONE CC run on the source serves every tree's root detection
+    cc_dir = None
+    if graph.num_partitions == num_partitions:
+        from .components import connected_components
+
+        _, cc_s = connected_components(graph, f"{ckpt_dir}/src_cc")
+        cc_dir = cc_s["final_iter_dir"]
+
     outs = []
     summaries = []
     for i in range(n_trees):
         g_up, g_down = random_forest_graphs(
-            graph, seed + i * _SEED_STRIDE, f"{ckpt_dir}/tree_{i}", num_partitions
+            graph, seed + i * _SEED_STRIDE, f"{ckpt_dir}/tree_{i}", num_partitions,
+            cc_dir=cc_dir,
         )
         out, s = integrate_tree_field_g(
             g_up, g_down, x_lookup, a, f"{ckpt_dir}/tree_{i}/dp"
