@@ -61,3 +61,44 @@ def test_partition_assignment_deterministic(tmp_path):
     rb = read_partitioned_parquet(str(tmp_path / "b")).to_pandas()
     assert sorted(ra["doc_id"]) == sorted(rb["doc_id"])
     assert a["written"] == b["written"]
+
+
+def test_read_empty_sink_dir_returns_empty_dataset(tmp_path):
+    """Zero sealed partitions → an empty dataset, not a read error."""
+    from efficient_graph_algorithms_ray.sources.sinks import read_partitioned_parquet
+
+    empty = str(tmp_path / "nothing")
+    ds = read_partitioned_parquet(empty)
+    assert ds.count() == 0
+
+
+def test_string_key_partitioning_is_fnv_stable(tmp_path):
+    """String keys partition by the in-repo FNV-1a (library-version
+    independent), so a resume after an upgrade keeps assignments."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from efficient_graph_algorithms_ray.functions.text import hash_token
+    from efficient_graph_algorithms_ray.sources.sinks import (
+        read_partitioned_parquet,
+        write_partitioned_parquet,
+    )
+
+    keys = [f"url-{i}" for i in range(40)]
+    ds = rd.from_arrow(pa.table({"k": keys, "v": list(range(40))}))
+    out = str(tmp_path / "s")
+    write_partitioned_parquet(ds, out, "k", 4)
+    back = read_partitioned_parquet(out).to_pandas()
+    assert sorted(back["v"]) == list(range(40))
+    # every row landed in the partition its FNV hash names
+    import os
+
+    for p in range(4):
+        f = os.path.join(out, f"part={p:05d}", "data.parquet")
+        if not os.path.exists(f):
+            continue
+        import pyarrow.parquet as pq
+
+        part_keys = pq.read_table(f).column("k").to_pylist()
+        for k in part_keys:
+            assert hash_token(k) % 4 == p
