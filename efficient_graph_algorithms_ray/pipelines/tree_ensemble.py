@@ -20,16 +20,15 @@ reference's trees provide); the distortion-band analysis of
 ``print_subopt_ratios`` (graphs_networkx_utils.py:70-76) is mirrored
 in tests/test_tree_ensemble.py.
 
-Per tree: MSF → rooted_bfs orientation → one groupby id→vid
-translation → ``integrate_tree_field_g`` (the dataset-native two-pass
-integrator). The ensemble average is one ``groupby(vid)`` mean over
-the k outputs.
+Per tree: MSF → rooted_bfs orientation → zero-shuffle map-side
+dense-id→vid translation (shard base ranges) →
+``integrate_tree_field_g`` (the dataset-native two-pass integrator).
+The ensemble average is one ``groupby(vid)`` mean over the k outputs.
 """
 
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import ray.data as rd
 
@@ -54,65 +53,61 @@ def random_spanning_forest_edges(graph: ShardedGraph, seed: int):
 
 def _orient_forest(tree_graph: ShardedGraph, ckpt_dir: str, cc_dir: str | None = None):
     """Oriented (src=child, dst=parent) vid edges of an undirected
-    forest via rooted_bfs + ONE groupby id→vid translation (the
-    parent comes back as a dense id; co-grouping (own_id → vid) rows
-    with (parent_id → child vid) rows resolves it without any
-    driver-side table)."""
-    bfs_ds, _ = rooted_bfs(tree_graph, ckpt_dir, cc_dir=cc_dir)
+    forest — ZERO-shuffle: rooted_bfs writes (depth << 32 | parent
+    dense-id) per partition, and a dense id maps back to its vid
+    through the shard base ranges (owner shard's sorted vids), so each
+    partition translates its parents map-side against the pinned
+    shards. Roots emit self rows (singleton trees survive the pack)."""
+    from ..state.ckpt import read_state_part
+    from .decomposition import _id_bases
 
-    def _split(batch: pa.Table) -> pa.Table:
-        vid = batch.column("vid").to_numpy(zero_copy_only=False).astype(np.uint64)
-        own = batch.column("own_id").to_numpy(zero_copy_only=False)
-        par = batch.column("parent_id").to_numpy(zero_copy_only=False)
-        nonroot = par != own
-        key = np.concatenate([own, par[nonroot]])
-        v = np.concatenate([vid, vid[nonroot]])
-        role = np.concatenate(
-            [np.zeros(len(own), dtype=np.int8), np.ones(int(nonroot.sum()), dtype=np.int8)]
-        )
-        return pa.table(
-            {
-                "key": pa.array(key, type=pa.int64()),
-                "v": pa.array(v.view(np.int64), type=pa.int64()),
-                "role": pa.array(role, type=pa.int8()),
-            }
-        )
+    _, summary = rooted_bfs(tree_graph, ckpt_dir, cc_dir=cc_dir)
+    final_dir = summary["final_iter_dir"]
+    bases = _id_bases(tree_graph)
+    parts_sorted = sorted(bases)
+    base_arr = np.array([bases[p] for p in parts_sorted], dtype=np.int64)
+    parts_arr = np.array(parts_sorted, dtype=np.int64)
+    refs = tree_graph.refs
+    _LOW32 = np.uint64(0xFFFFFFFF)
 
-    def _emit(group: pd.DataFrame) -> pd.DataFrame:
-        v = group["v"].to_numpy().view(np.uint64)
-        role = group["role"].to_numpy()
-        owner = v[role == 0]
-        children = v[role == 1]
-        # the owner row doubles as the root self row when it has no
-        # parent edge anywhere (roots never appear as a child key — the
-        # self row keeps singleton trees in both orientations)
-        src = np.concatenate([children, owner])
-        dst = np.concatenate([np.repeat(owner, len(children)), owner])
-        return pd.DataFrame(
-            {"src": src.view(np.int64), "dst": dst.view(np.int64)}
-        )
+    def _emit(batch: pa.Table) -> pa.Table:
+        import ray
 
-    out = (
-        bfs_ds.map_batches(_split, batch_format="pyarrow")
-        .groupby("key")
-        .map_groups(_emit, batch_format="pandas")
-    )
-
-    def _uncast(batch: pa.Table) -> pa.Table:
+        src_o, dst_o = [], []
+        for p in batch.column("part").to_numpy(zero_copy_only=False):
+            p = int(p)
+            vids = ray.get(refs[p])["vids"]
+            enc = read_state_part(final_dir, p).astype(np.uint64)
+            own = bases[p] + np.arange(len(enc), dtype=np.int64)
+            parent_id = (enc & _LOW32).astype(np.int64)
+            nonroot = parent_id != own
+            pid = parent_id[nonroot]
+            owner_idx = np.searchsorted(base_arr, pid, side="right") - 1
+            pvid = np.empty(len(pid), dtype=np.uint64)
+            for oi in np.unique(owner_idx):
+                q = int(parts_arr[oi])
+                qvids = vids if q == p else ray.get(refs[q])["vids"]
+                sel = owner_idx == oi
+                pvid[sel] = qvids[pid[sel] - base_arr[oi]]
+            src_o.extend([vids[nonroot], vids[~nonroot]])
+            dst_o.extend([pvid, vids[~nonroot]])
         return pa.table(
             {
                 "src": pa.array(
-                    batch.column("src").to_numpy(zero_copy_only=False).view(np.uint64),
+                    np.concatenate(src_o) if src_o else np.empty(0, np.uint64),
                     type=pa.uint64(),
                 ),
                 "dst": pa.array(
-                    batch.column("dst").to_numpy(zero_copy_only=False).view(np.uint64),
+                    np.concatenate(dst_o) if dst_o else np.empty(0, np.uint64),
                     type=pa.uint64(),
                 ),
             }
         )
 
-    return out.map_batches(_uncast, batch_format="pyarrow")
+    parts_ds = rd.from_arrow(
+        pa.table({"part": pa.array(tree_graph.parts, type=pa.int64())})
+    )
+    return parts_ds.map_batches(_emit, batch_format="pyarrow", batch_size=4)
 
 
 def random_forest_graphs(
