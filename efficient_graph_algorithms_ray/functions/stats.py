@@ -82,12 +82,29 @@ def welford_by_key(ds, key: str, col: str):
 
 
 def welford_global(ds, col: str) -> tuple[int, float, float]:
-    """Whole-dataset (n, mean, var_pop) — driver-side merge of per-batch
-    partials (P partial triples, not the column)."""
-    acc = (0, 0.0, 0.0)
-    for batch in ds.iter_batches(batch_size=None, batch_format="pyarrow"):
+    """Whole-dataset (n, mean, var_pop) — the Welford partial runs
+    INSIDE map_batches; only per-block (n, mean, M2) triples reach the
+    driver's Chan merge (the column itself never does)."""
+
+    def _part(batch: pa.Table) -> pa.Table:
         vals = batch.column(col).to_numpy(zero_copy_only=False).astype(np.float64)
-        acc = _chan_merge(acc, _welford_partial(vals))
+        n, mean, m2 = _welford_partial(vals)
+        return pa.table(
+            {
+                "n": pa.array([n], type=pa.int64()),
+                "mean": pa.array([mean], type=pa.float64()),
+                "m2": pa.array([m2], type=pa.float64()),
+            }
+        )
+
+    acc = (0, 0.0, 0.0)
+    for b in ds.map_batches(_part, batch_format="pyarrow").iter_batches(
+        batch_size=None, batch_format="pyarrow"
+    ):
+        for n_, mean_, m2_ in zip(
+            b.column("n").to_pylist(), b.column("mean").to_pylist(), b.column("m2").to_pylist()
+        ):
+            acc = _chan_merge(acc, (int(n_), float(mean_), float(m2_)))
     n, mean, m2 = acc
     return n, mean, (m2 / n if n else 0.0)
 
