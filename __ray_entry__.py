@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": C.q_ngram_jaccard_pairs,
         # round-3 additions (SQL-oracled)
         "tree_ensemble_coocc": R.q_tree_ensemble_coocc,
+        "corpus_splits": C.q_corpus_splits,
         # graph engine end-to-end (SQL-oracled)
         "degree_partsupp": R.q_degree_partsupp,
         "pagerank_partsupp_k4": R.q_pagerank_partsupp_k4,
@@ -78,7 +79,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "matvec_coocc": R.q_matvec_coocc,
         "barycenter_coocc": R.q_barycenter_coocc,
         "dsd_pairs_coocc": R.q_dsd_pairs_coocc,
-        "gw_graph_distance": R.q_gw_graph_distance,
         "distance_buckets_partsupp": R.q_distance_buckets_partsupp,
         "clustering_coeff_coocc": R.q_clustering_coeff_coocc,
         "walk_corpus_coocc": R.q_walk_corpus_coocc,
@@ -111,6 +111,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only tail (non-SQL-expressible; pytest-verified against
         # brute-force oracles)
         "lowrank_diffusion_norms": C.q_lowrank_diffusion,
+        "gw_graph_distance": R.q_gw_graph_distance,
         "gw_barycenter_summary": R.q_gw_barycenter_summary,
         "top_pages_with_urls": C.q_top_pages_with_urls,
         "image_features": C.q_image_features,
@@ -204,6 +205,7 @@ def oracle_sql() -> dict[str, str]:
         "subtree_sizes_forest": S.SUBTREE_SIZES_FOREST,
         "tree_kernel_forest": S.tree_kernel_forest_sql(a=-0.5),
         "tree_ensemble_coocc": S.tree_ensemble_coocc_sql(a=-0.5),
+        "corpus_splits": S.corpus_splits_sql(),
         "coreness_coocc": S.coreness_coocc_sql(rounds=24),
         "ldd_coocc": S.ldd_coocc_sql(rounds=5),
         "walk_corpus_coocc": S.walk_corpus_coocc_sql(walk_len=8, seed=7),

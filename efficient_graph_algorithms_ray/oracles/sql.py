@@ -1550,3 +1550,21 @@ SELECT verts.vid AS vid,
        THEN FLOOR(2000000.0 * CAST(COALESCE(t.c2, 0) // 2 AS DOUBLE) / (CAST(d.deg AS DOUBLE) * (CAST(d.deg AS DOUBLE) - 1.0)))
        ELSE 0 END AS BIGINT) AS cc_ppm
 FROM verts LEFT JOIN t ON verts.vid = t.vid JOIN d ON verts.vid = d.vid"""
+
+
+def corpus_splits_sql(seed: int = 42) -> str:
+    """Replays functions/splits.py exactly: splitmix64(doc_id ⊕ seed)
+    compared against the SAME Python-computed integer thresholds
+    (inlined as literals — no float boundary recomputation in SQL)."""
+    from ..functions.splits import DEFAULT_FRACTIONS, split_thresholds
+
+    thresholds = split_thresholds(DEFAULT_FRACTIONS)
+    frag, cte, hcol = sm64_stages("spl_in", "x", "spl", ["doc_id"])
+    cases = " ".join(
+        f"WHEN {hcol} < {t}::UBIGINT THEN '{name}'"
+        for name, t in thresholds[:-1]
+    )
+    return f"""WITH spl_in AS (
+  SELECT doc_id, xor(CAST(doc_id AS UBIGINT), {seed}::UBIGINT) AS x FROM documents
+){frag}
+SELECT doc_id, CASE {cases} ELSE '{thresholds[-1][0]}' END AS split FROM {cte}"""

@@ -414,3 +414,13 @@ def q_top_pages_with_urls(sf_dir: str):
             "rank_r9": pa.array(np.round(top["rank"].to_numpy(), 9)),
         }
     )
+
+
+def q_corpus_splits(sf_dir: str):
+    """Deterministic train/val/test assignment per document (90/5/5 by
+    splitmix64(doc_id ⊕ seed) against exact integer thresholds) — the
+    zero-shuffle corpus-splitting op; SQL-oracled bit-for-bit.
+    Returns (doc_id, split)."""
+    from ..functions.splits import assign_splits
+
+    return assign_splits(_docs(sf_dir, ["doc_id"]), "doc_id")
