@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-3 additions (SQL-oracled)
         "tree_ensemble_coocc": R.q_tree_ensemble_coocc,
         "corpus_splits": C.q_corpus_splits,
+        "token_shards": C.q_token_shards,
         # graph engine end-to-end (SQL-oracled)
         "degree_partsupp": R.q_degree_partsupp,
         "pagerank_partsupp_k4": R.q_pagerank_partsupp_k4,
@@ -206,6 +207,7 @@ def oracle_sql() -> dict[str, str]:
         "tree_kernel_forest": S.tree_kernel_forest_sql(a=-0.5),
         "tree_ensemble_coocc": S.tree_ensemble_coocc_sql(a=-0.5),
         "corpus_splits": S.corpus_splits_sql(),
+        "token_shards": S.TOKEN_SHARDS,
         "coreness_coocc": S.coreness_coocc_sql(rounds=24),
         "ldd_coocc": S.ldd_coocc_sql(rounds=5),
         "walk_corpus_coocc": S.walk_corpus_coocc_sql(walk_len=8, seed=7),

@@ -1568,3 +1568,9 @@ def corpus_splits_sql(seed: int = 42) -> str:
   SELECT doc_id, xor(CAST(doc_id AS UBIGINT), {seed}::UBIGINT) AS x FROM documents
 ){frag}
 SELECT doc_id, CASE {cases} ELSE '{thresholds[-1][0]}' END AS split FROM {cte}"""
+
+
+TOKEN_SHARDS = """SELECT doc_id,
+  CAST(COALESCE(SUM(n_chars) OVER (ORDER BY doc_id
+       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 50000 AS BIGINT) AS bin
+FROM documents"""

@@ -424,3 +424,13 @@ def q_corpus_splits(sf_dir: str):
     from ..functions.splits import assign_splits
 
     return assign_splits(_docs(sf_dir, ["doc_id"]), "doc_id")
+
+
+def q_token_shards(sf_dir: str):
+    """Contiguous char-budget shard id per document (sequence-packing
+    sharding): bin = ⌊exclusive-prefix-sum(n_chars) / 50000⌋ in doc_id
+    order, via the 2-pass distributed ordered scan — SQL-oracled
+    against a window-function prefix sum. Returns (doc_id, bin)."""
+    from ..functions.packing import token_budget_bins
+
+    return token_budget_bins(_docs(sf_dir, ["doc_id", "n_chars"]), "doc_id", "n_chars", 50000)
