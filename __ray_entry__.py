@@ -135,7 +135,9 @@ def _pages_queries() -> dict[str, Callable[[str], Any]]:
         from efficient_graph_algorithms_ray.pipelines.pagerank import pagerank, top_k_ranks
         from efficient_graph_algorithms_ray.sources.pages import write_pages
 
-        pages = rd.read_parquet(write_pages("/tmp/ega_pages_q", n_pages=2000))
+        pages = rd.read_parquet(
+            write_pages("/tmp/ega_pages_q", n_pages=2000), columns=["url", "html"]
+        )
         g = graph_from_pages(pages, EngineConfig(num_partitions=8), directed=True)
         ranks, _ = pagerank(
             g, tempfile.mkdtemp(prefix="ega_fpr_", dir="/tmp"), tol=1e-6, max_iters=100
@@ -152,7 +154,9 @@ def _pages_queries() -> dict[str, Callable[[str], Any]]:
         from efficient_graph_algorithms_ray.pipelines.graph_build import graph_from_pages
         from efficient_graph_algorithms_ray.sources.pages import write_pages
 
-        pages = rd.read_parquet(write_pages("/tmp/ega_pages_q", n_pages=2000))
+        pages = rd.read_parquet(
+            write_pages("/tmp/ega_pages_q", n_pages=2000), columns=["url", "html"]
+        )
         g = graph_from_pages(pages, EngineConfig(num_partitions=8), directed=False)
         comp, _ = connected_components(
             g, tempfile.mkdtemp(prefix="ega_fcc_", dir="/tmp")
