@@ -125,23 +125,62 @@ def customer_order_edges(sf_dir: str):
     )
 
 
+COOCC_PAIR_PARTS = 64  # order-hash partitions for pair generation
+
+
 def part_cooccurrence_edges(sf_dir: str):
     """Undirected part–part edges: parts sharing an order (dense, has
-    triangles). Pairs generated per order group, a < b."""
+    triangles). Pairs generated per order, a < b (distinct parts of the
+    order in ascending order, upper-triangle enumeration).
 
-    def _pairs(group: pd.DataFrame) -> pd.DataFrame:
-        parts = np.unique(group["l_partkey"].to_numpy())
-        if len(parts) < 2:
-            return pd.DataFrame({"src": np.empty(0, np.uint64), "dst": np.empty(0, np.uint64)})
-        ia, ib = np.triu_indices(len(parts), 1)
-        return pd.DataFrame(
-            {"src": parts[ia].astype(np.uint64), "dst": parts[ib].astype(np.uint64)}
+    One groupby over ``l_orderkey % COOCC_PAIR_PARTS`` (not per-order
+    groups: that made one pandas task per ORDER — thousands of tiny
+    Python calls). Each partition task handles all of its orders in one
+    vectorized pass: lexsort by (order, part), adjacent-dedup, then for
+    each distinct per-order part-count k gather the orders of that size
+    into an (m, k) matrix and emit its triu pairs in one shot — the
+    loop is over DISTINCT k values (≤ max lineitems per order, ~7),
+    never over orders. Per-task memory is O(rows / partitions); raise
+    ``COOCC_PAIR_PARTS`` with data size."""
+
+    def _with_part(b: pa.Table) -> pa.Table:
+        ok = b.column("l_orderkey").to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "part", pa.array((ok % COOCC_PAIR_PARTS).astype(np.int64))
+        )
+
+    def _pairs(group: pa.Table) -> pa.Table:
+        ok = group.column("l_orderkey").to_numpy(zero_copy_only=False)
+        pk = group.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.uint64)
+        srt = np.lexsort((pk, ok))
+        ok, pk = ok[srt], pk[srt]
+        # drop duplicate (order, part) rows (np.unique-per-order parity)
+        keep = np.concatenate(([True], (ok[1:] != ok[:-1]) | (pk[1:] != pk[:-1])))
+        ok, pk = ok[keep], pk[keep]
+        starts = np.flatnonzero(np.concatenate(([True], ok[1:] != ok[:-1])))
+        counts = np.diff(np.append(starts, len(ok)))
+        src_out, dst_out = [], []
+        for k in np.unique(counts):
+            if k < 2:
+                continue
+            mat = pk[starts[counts == k][:, None] + np.arange(k)[None, :]]
+            ia, ib = np.triu_indices(int(k), 1)
+            src_out.append(mat[:, ia].ravel())
+            dst_out.append(mat[:, ib].ravel())
+        src = np.concatenate(src_out) if src_out else np.empty(0, np.uint64)
+        dst = np.concatenate(dst_out) if dst_out else np.empty(0, np.uint64)
+        return pa.table(
+            {
+                "src": pa.array(src, type=pa.uint64()),
+                "dst": pa.array(dst, type=pa.uint64()),
+            }
         )
 
     return (
         _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
-        .groupby("l_orderkey")
-        .map_groups(_pairs, batch_format="pandas")
+        .map_batches(_with_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(_pairs, batch_format="pyarrow")
     )
 
 
@@ -1016,25 +1055,66 @@ def q_msf_coocc(sf_dir: str):
     return forest.map_batches(_shape, batch_format="pyarrow")
 
 
+EVENT_WINDOW_PARTS = 64  # user-hash partitions for window-op grouping
+
+
+def _events_by_part(sf_dir: str, extra_cols=()):
+    """events with a ``part = user_id % EVENT_WINDOW_PARTS`` column —
+    window ops group by PARTITION (≤ EVENT_WINDOW_PARTS vectorized
+    tasks over many users each), not by user (one Python call per user;
+    the round-2 shape). Per-task memory is O(rows / partitions)."""
+
+    def _with_part(b: pa.Table) -> pa.Table:
+        uid = b.column("user_id").to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "part", pa.array((uid % EVENT_WINDOW_PARTS).astype(np.int64))
+        )
+
+    cols = ["event_id", "user_id", "ts", *extra_cols]
+    return _read(sf_dir, "events", cols).map_batches(_with_part, batch_format="pyarrow")
+
+
+def _sorted_user_ts(group: pa.Table):
+    """(uid, ts_us:int64, eid) of a partition group, lexsorted by
+    (user, ts, event_id), plus the new-user boundary mask."""
+    uid = group.column("user_id").to_numpy(zero_copy_only=False)
+    ts = (
+        group.column("ts")
+        .cast(pa.timestamp("us"))
+        .to_numpy(zero_copy_only=False)
+        .astype("datetime64[us]")
+        .view(np.int64)
+    )
+    eid = group.column("event_id").to_numpy(zero_copy_only=False)
+    srt = np.lexsort((eid, ts, uid))
+    uid, ts, eid = uid[srt], ts[srt], eid[srt]
+    new_user = np.concatenate(([True], uid[1:] != uid[:-1]))
+    return uid, ts, eid, new_user
+
+
 def q_events_prev_gap(sf_dir: str):
     """Per-user LAG: microseconds since the user's previous event
-    (-1 for the first) — ordered-log window op, SQL-oracled."""
+    (-1 for the first) — ordered-log window op, SQL-oracled. One
+    vectorized diff per partition task; no per-user Python calls."""
 
-    def _lag(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["ts", "event_id"])
-        prev = g["ts"].shift(1)
-        gap = ((g["ts"] - prev).dt.total_seconds() * 1_000_000).round()
-        return pd.DataFrame(
+    def _lag(group: pa.Table) -> pa.Table:
+        _, ts, eid, new_user = _sorted_user_ts(group)
+        gap = np.empty(len(ts), dtype=np.int64)
+        gap[:1] = -1
+        if len(ts) > 1:
+            gap[1:] = ts[1:] - ts[:-1]
+        gap[new_user] = -1
+        return pa.table(
             {
-                "event_id": g["event_id"].to_numpy(),
-                "gap_us": gap.fillna(-1).astype(np.int64).to_numpy(),
+                "event_id": pa.array(eid, type=pa.int64()),
+                "gap_us": pa.array(gap, type=pa.int64()),
             }
         )
 
     return (
-        _read(sf_dir, "events", ["event_id", "user_id", "ts"])
-        .groupby("user_id")
-        .map_groups(_lag, batch_format="pandas")
+        _events_by_part(sf_dir)
+        .groupby("part")
+        .map_groups(_lag, batch_format="pyarrow")
     )
 
 
@@ -1044,47 +1124,74 @@ SESSION_GAP_US = 3_600_000_000  # 1 hour
 def q_events_sessions(sf_dir: str):
     """Gap-based session windows (1 h inactivity): per (user, session):
     event count and bounds — the guide's session-window pattern
-    (sorted per-key group + cumsum of gap flags), SQL-oracled."""
+    (sorted keys + cumsum of gap flags), SQL-oracled. All users of a
+    hash partition are segmented in ONE vectorized pass (lexsort +
+    boundary masks); session ids restart per user via a grouped
+    running-maximum, not a per-user loop."""
 
-    def _sessions(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["ts", "event_id"]).reset_index(drop=True)
-        prev = g["ts"].shift(1)
-        gap_us = ((g["ts"] - prev).dt.total_seconds() * 1_000_000).round()
-        new_s = (gap_us.isna() | (gap_us > SESSION_GAP_US)).astype(np.int64)
-        g["session_id"] = new_s.cumsum()
-        out = g.groupby("session_id").agg(
-            user_id=("user_id", "first"),
-            n_events=("event_id", "size"),
-            start_ts=("ts", "min"),
-            end_ts=("ts", "max"),
+    def _sessions(group: pa.Table) -> pa.Table:
+        uid, ts, _, new_user = _sorted_user_ts(group)
+        n = len(uid)
+        if not n:
+            return pa.table(
+                {
+                    "user_id": pa.array([], type=pa.int64()),
+                    "session_id": pa.array([], type=pa.int64()),
+                    "n_events": pa.array([], type=pa.int64()),
+                    "start_ts": pa.array([], type=pa.timestamp("us")),
+                    "end_ts": pa.array([], type=pa.timestamp("us")),
+                }
+            )
+        gap = np.empty(n, dtype=np.int64)
+        gap[:1] = 0
+        gap[1:] = ts[1:] - ts[:-1]
+        new_s = new_user | (gap > SESSION_GAP_US)
+        starts = np.flatnonzero(new_s)
+        n_events = np.diff(np.append(starts, n))
+        # per-user 1-based session counter over the partition's segments
+        seg_idx = np.arange(len(starts))
+        base = np.where(new_user[starts], seg_idx, 0)
+        session_id = seg_idx - np.maximum.accumulate(base) + 1
+        ends = starts + n_events - 1  # last row = max ts (sorted within user)
+        return pa.table(
+            {
+                "user_id": pa.array(uid[starts].astype(np.int64)),
+                "session_id": pa.array(session_id.astype(np.int64)),
+                "n_events": pa.array(n_events.astype(np.int64)),
+                "start_ts": pa.array(ts[starts].view("datetime64[us]")),
+                "end_ts": pa.array(ts[ends].view("datetime64[us]")),
+            }
         )
-        out = out.reset_index()[["user_id", "session_id", "n_events", "start_ts", "end_ts"]]
-        out["n_events"] = out["n_events"].astype(np.int64)
-        out["session_id"] = out["session_id"].astype(np.int64)
-        return out
 
     return (
-        _read(sf_dir, "events", ["event_id", "user_id", "ts"])
-        .groupby("user_id")
-        .map_groups(_sessions, batch_format="pandas")
+        _events_by_part(sf_dir)
+        .groupby("part")
+        .map_groups(_sessions, batch_format="pyarrow")
     )
 
 
 def q_events_asof_last_order(sf_dir: str):
     """As-of join as a partitioned sort-merge: each event matched to the
     user's most recent order date ≤ event ts. Both sides are tagged into
-    ONE superset schema and a single ``groupby(user_id)`` co-locates
-    each user's events with their orders; the group task does one
-    vectorized ``searchsorted``. Neither side is ever materialized on
-    the driver (round 1 read the whole orders table to driver pandas
-    and broadcast a per-customer dict — unbounded at scale).
-    SQL-oracled via DuckDB ASOF JOIN."""
+    ONE superset schema, a single ``groupby(user_id % P)`` co-locates
+    each user's events with their orders, and the partition task
+    resolves ALL of its users in one vectorized pass: lexsort by
+    (user, ts, kind) with orders before events at equal ts, then a
+    per-user-resetting running maximum over order-row indices (the
+    grouped-cummax offset trick) forward-fills "last order seen so
+    far". No per-user Python calls; neither side is ever materialized
+    on the driver. SQL-oracled via DuckDB ASOF JOIN."""
     sentinel = np.datetime64("1970-01-01T00:00:00", "us")
 
     def _tag_events(b: pa.Table) -> pa.Table:
+        uid = b.column("user_id").cast(pa.int64())
         return pa.table(
             {
-                "user_id": b.column("user_id").cast(pa.int64()),
+                "part": pa.array(
+                    uid.to_numpy(zero_copy_only=False) % EVENT_WINDOW_PARTS,
+                    type=pa.int64(),
+                ),
+                "user_id": uid,
                 "event_id": b.column("event_id").cast(pa.int64()),
                 "ts": b.column("ts").cast(pa.timestamp("us")),
                 "o_ts": pa.nulls(b.num_rows, type=pa.timestamp("us")),
@@ -1092,9 +1199,14 @@ def q_events_asof_last_order(sf_dir: str):
         )
 
     def _tag_orders(b: pa.Table) -> pa.Table:
+        uid = b.column("o_custkey").cast(pa.int64())
         return pa.table(
             {
-                "user_id": b.column("o_custkey").cast(pa.int64()),
+                "part": pa.array(
+                    uid.to_numpy(zero_copy_only=False) % EVENT_WINDOW_PARTS,
+                    type=pa.int64(),
+                ),
+                "user_id": uid,
                 "event_id": pa.nulls(b.num_rows, type=pa.int64()),
                 "ts": pa.nulls(b.num_rows, type=pa.timestamp("us")),
                 "o_ts": b.column("o_orderdate").cast(pa.timestamp("us")),
@@ -1109,27 +1221,53 @@ def q_events_asof_last_order(sf_dir: str):
         )
     )
 
-    def _asof(g: pd.DataFrame) -> pd.DataFrame:
-        ev = g[g["event_id"].notna()]
-        if not len(ev):
-            return pd.DataFrame(
-                {
-                    "event_id": pd.Series([], dtype=np.int64),
-                    "last_order_ts": pd.Series([], dtype="datetime64[us]"),
-                }
-            )
-        od = np.sort(g["o_ts"].dropna().to_numpy(dtype="datetime64[us]"))
-        ts = ev["ts"].to_numpy(dtype="datetime64[us]")
-        out = np.full(len(ev), sentinel, dtype="datetime64[us]")
-        if len(od):
-            pos = np.searchsorted(od, ts, side="right") - 1
-            ok = pos >= 0
-            out[ok] = od[pos[ok]]
-        return pd.DataFrame(
-            {"event_id": ev["event_id"].to_numpy(dtype=np.int64), "last_order_ts": out}
+    def _asof(g: pa.Table) -> pa.Table:
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        eid = (
+            g.column("event_id")
+            .fill_null(-1)
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        is_event = eid >= 0
+        ev_ts = (
+            g.column("ts")
+            .cast(pa.timestamp("us"))
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .view(np.int64)
+        )
+        od_ts = (
+            g.column("o_ts")
+            .cast(pa.timestamp("us"))
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .view(np.int64)
+        )
+        t = np.where(is_event, ev_ts, od_ts)
+        # orders sort BEFORE events at equal (user, ts): order at == ts counts
+        srt = np.lexsort((is_event, t, uid))
+        uid_s, t_s, eid_s, is_ev_s = uid[srt], t[srt], eid[srt], is_event[srt]
+        n = len(uid_s)
+        gid = np.cumsum(np.concatenate(([True], uid_s[1:] != uid_s[:-1]))) - 1
+        # per-user cummax of order-row indices: the gid*(n+1) offset makes
+        # a fresh user's "no order yet" floor exceed every prior user's max
+        idx = np.arange(n, dtype=np.int64)
+        score = gid * np.int64(n + 1) + np.where(is_ev_s, np.int64(-1), idx)
+        last = np.maximum.accumulate(score) - gid * np.int64(n + 1)
+        ev_rows = np.flatnonzero(is_ev_s)
+        last_ev = last[ev_rows]
+        out = np.full(len(ev_rows), sentinel.astype(np.int64), dtype=np.int64)
+        has = last_ev >= 0
+        out[has] = t_s[last_ev[has]]
+        return pa.table(
+            {
+                "event_id": pa.array(eid_s[ev_rows], type=pa.int64()),
+                "last_order_ts": pa.array(out.view("datetime64[us]")),
+            }
         )
 
-    merged = both.groupby("user_id").map_groups(_asof, batch_format="pandas")
+    merged = both.groupby("part").map_groups(_asof, batch_format="pyarrow")
 
     def _shape(batch: pa.Table) -> pa.Table:  # re-cast after the shuffle
         return pa.table(
