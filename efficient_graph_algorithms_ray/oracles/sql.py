@@ -597,6 +597,44 @@ SELECT CASE WHEN d.dist >= {sent} THEN -1 ELSE d.dist // {unit_q} END AS bucket,
 FROM d{rounds} d GROUP BY 1"""
 
 
+def hits_partsupp_sql(k: int = 1) -> str:
+    """HITS on the symmetrized part–supplier bipartite graph as the
+    engine computes it: one symmetric power chain x ← A_sym·x from
+    x₀ = 1, read at supersteps 2k (hub side = h_k) and 2k+1
+    (authority side = a_{k+1}), each side divided by its L2 norm.
+    All pre-normalization values are integer-valued (neighbor-count
+    sums ≪ 2^53), so SUM(x*x), SQRT and the quotient are bit-identical
+    between DuckDB and numpy; ROUND(…, 9) mirrors the engine."""
+    parts = [
+        f"""WITH e0 AS (
+    SELECT DISTINCT l_partkey AS src, l_suppkey + {SUPP_OFFSET} AS dst FROM lineitem
+),
+e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+v AS (SELECT DISTINCT src AS vid FROM e),
+x0 AS (SELECT vid, 1.0 AS x FROM v)"""
+    ]
+    for i in range(1, 2 * k + 2):
+        parts.append(
+            f""",
+x{i} AS (
+  SELECT v.vid, COALESCE(SUM(xp.x), 0) AS x
+  FROM v LEFT JOIN e ON e.dst = v.vid LEFT JOIN x{i-1} xp ON xp.vid = e.src
+  GROUP BY v.vid
+)"""
+        )
+    parts.append(
+        f""",
+hub AS (SELECT vid, x FROM x{2*k} WHERE vid < {SUPP_OFFSET}),
+auth AS (SELECT vid, x FROM x{2*k+1} WHERE vid >= {SUPP_OFFSET}),
+hn AS (SELECT SQRT(SUM(x * x)) AS n FROM hub),
+an AS (SELECT SQRT(SUM(x * x)) AS n FROM auth)
+SELECT vid, 'hub' AS kind, ROUND(x / (SELECT n FROM hn), 9) AS score_r9 FROM hub
+UNION ALL
+SELECT vid, 'auth' AS kind, ROUND(x / (SELECT n FROM an), 9) AS score_r9 FROM auth"""
+    )
+    return "".join(parts)
+
+
 def sssp_partsupp_sql(rounds: int = 8, scale: int = 1 << 16, sources=(1, 2, 3), P: int = 16) -> str:
     """Unrolled Bellman–Ford over the weighted part–supplier graph,
     quantized edge lengths q = max(round_even(w·scale), 1) — the exact

@@ -860,6 +860,58 @@ def _weighted_partsupp_graph(sf_dir: str):
     return _GRAPH_CACHE[key]
 
 
+def _partsupp_und_graph(sf_dir: str):
+    key = ("partsupp_und", sf_dir)
+    if key not in _GRAPH_CACHE:
+        _GRAPH_CACHE[key] = build_graph(
+            partsupp_edges(sf_dir), EngineConfig(num_partitions=16), directed=False
+        )
+    return _GRAPH_CACHE[key]
+
+
+def q_hits_partsupp(sf_dir: str):
+    """HITS hubs (parts) & authorities (suppliers) on the symmetrized
+    part–supplier graph, k=1: hub = h₁ (superstep 2), authority = a₂
+    (superstep 3) of one symmetric power chain from x₀ = 1; each side
+    L2-normalized. Scores before normalization are integer-valued
+    neighbor-count sums, so both the norm and the quotient are
+    bit-identical in DuckDB — SQL-oracled (unrolled x₁..x₃ CTEs)."""
+    from .hits import hits, l2_normalize
+
+    g = _partsupp_und_graph(sf_dir)
+    hub, auth, _ = hits(g, _ckpt("hits"), k=1)
+
+    def _side(kind: str):
+        lo, hi = (0, SUPP_OFFSET) if kind == "hub" else (SUPP_OFFSET, 1 << 62)
+
+        def _f(b: pa.Table) -> pa.Table:
+            vid = b.column("vid").to_numpy(zero_copy_only=False)
+            keep = (vid >= lo) & (vid < hi)
+            return b.filter(pa.array(keep))
+
+        return _f
+
+    def _shape(kind: str, col: str):
+        def _f(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "vid": b.column("vid").cast(pa.int64()),
+                    "kind": pa.array([kind] * b.num_rows, type=pa.string()),
+                    "score_r9": pc.round(b.column(col), ndigits=9),
+                }
+            )
+
+        return _f
+
+    hub = l2_normalize(
+        hub.map_batches(_side("hub"), batch_format="pyarrow"), "hub"
+    ).map_batches(_shape("hub", "hub"), batch_format="pyarrow")
+    auth = l2_normalize(
+        auth.map_batches(_side("auth"), batch_format="pyarrow"), "auth"
+    ).map_batches(_shape("auth", "auth"), batch_format="pyarrow")
+    return hub.union(auth)
+
+
 def q_distance_buckets_partsupp(sf_dir: str):
     """Distance-bucketed clustering histogram (base_compute_clustering
     parity, separator_utils.py:28-57): ⌊dist/unit⌋ buckets of the
