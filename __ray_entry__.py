@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": C.q_ngram_jaccard_pairs,
         # round-3 additions (SQL-oracled)
         "hits_partsupp": R.q_hits_partsupp,
+        "pagerank_weighted_coocc_k4": R.q_pagerank_weighted_coocc_k4,
         "tree_ensemble_coocc": R.q_tree_ensemble_coocc,
         "corpus_splits": C.q_corpus_splits,
         "token_shards": C.q_token_shards,
@@ -208,6 +209,7 @@ def oracle_sql() -> dict[str, str]:
         "ppr_parts_top20": S.ppr_parts_sql(k=20, damping=0.85),
         "ann_ivf_knn": S.ann_ivf_knn_sql(),
         "hits_partsupp": S.hits_partsupp_sql(k=1),
+        "pagerank_weighted_coocc_k4": S.pagerank_weighted_coocc_sql(k=4, damping=0.85),
         "sssp_partsupp": S.sssp_partsupp_sql(rounds=8),
         "subtree_sizes_forest": S.SUBTREE_SIZES_FOREST,
         "tree_kernel_forest": S.tree_kernel_forest_sql(a=-0.5),

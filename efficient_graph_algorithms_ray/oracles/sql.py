@@ -597,6 +597,50 @@ SELECT CASE WHEN d.dist >= {sent} THEN -1 ELSE d.dist // {unit_q} END AS bucket,
 FROM d{rounds} d GROUP BY 1"""
 
 
+def pagerank_weighted_coocc_sql(k: int = 4, damping: float = 0.85) -> str:
+    """k unrolled WEIGHTED power-iteration steps on the part
+    co-occurrence graph: w(u,v) = number of orders the pair shares,
+    message = r / wdeg(u) * w(u,v) — written in that association order
+    to mirror the engine's (state / wdeg) normalize-then-scatter-by-w
+    arithmetic bit-for-bit (before the r9 round absorbs summation-order
+    drift). No dangling term: every vertex has wdeg > 0."""
+    parts = [
+        """WITH pairs AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v, a.l_orderkey AS o
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2, 3
+),
+ew AS (SELECT u, v, CAST(COUNT(*) AS DOUBLE) AS w FROM pairs GROUP BY 1, 2),
+e AS (
+  SELECT u AS src, v AS dst, w FROM ew
+  UNION ALL SELECT v AS src, u AS dst, w FROM ew
+),
+v AS (SELECT DISTINCT src AS vid FROM e),
+nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM v),
+wd AS (SELECT src AS vid, SUM(w) AS d FROM e GROUP BY 1),
+r0 AS (SELECT vid, 1.0 / (SELECT c FROM nn) AS r FROM v)"""
+    ]
+    for i in range(1, k + 1):
+        p = f"r{i-1}"
+        parts.append(
+            f""",
+m{i} AS (
+  SELECT e.dst AS vid, SUM({p}.r / wd.d * e.w) AS s
+  FROM e JOIN {p} ON e.src = {p}.vid JOIN wd ON e.src = wd.vid
+  GROUP BY e.dst
+),
+r{i} AS (
+  SELECT v.vid,
+         (1 - {damping}) / (SELECT c FROM nn)
+         + {damping} * COALESCE(m{i}.s, 0) AS r
+  FROM v LEFT JOIN m{i} ON v.vid = m{i}.vid
+)"""
+        )
+    parts.append(f"\nSELECT vid, ROUND(r, 9) AS rank_r9 FROM r{k}")
+    return "".join(parts)
+
+
 def hits_partsupp_sql(k: int = 1) -> str:
     """HITS on the symmetrized part–supplier bipartite graph as the
     engine computes it: one symmetric power chain x ← A_sym·x from

@@ -68,6 +68,27 @@ def _coocc_graph(sf_dir: str):
     return _GRAPH_CACHE[key]
 
 
+def _coocc_w_graph(sf_dir: str):
+    """Weighted co-occurrence graph: w(u,v) = number of orders the pair
+    shares (unit weights per generated pair, duplicates summed at CSR
+    pack). Shared by the weighted-PageRank and MSF queries."""
+    key = ("coocc_w", sf_dir)
+    if key not in _GRAPH_CACHE:
+
+        def _with_w(batch: pa.Table) -> pa.Table:
+            return batch.append_column(
+                "w", pa.array(np.ones(batch.num_rows), type=pa.float64())
+            )
+
+        edges = part_cooccurrence_edges(sf_dir).map_batches(
+            _with_w, batch_format="pyarrow"
+        )
+        _GRAPH_CACHE[key] = build_graph(
+            edges, EngineConfig(num_partitions=16), directed=False
+        )
+    return _GRAPH_CACHE[key]
+
+
 def _partsupp_graph(sf_dir: str):
     key = ("partsupp", sf_dir)
     if key not in _GRAPH_CACHE:
@@ -860,6 +881,27 @@ def _weighted_partsupp_graph(sf_dir: str):
     return _GRAPH_CACHE[key]
 
 
+def q_pagerank_weighted_coocc_k4(sf_dir: str):
+    """Weighted PageRank (4 fixed steps, damping 0.85) on the weighted
+    co-occurrence graph — exercises the engine's edge-weight path
+    end-to-end: wdeg normalizer + per-edge scatter weights make the
+    walk matrix row-stochastic in w. No dangling vertices (every
+    vertex has wdeg > 0). SQL-oracled with the weighted recurrence
+    SUM(r / wdeg * w), associated exactly as the engine computes it."""
+    g = _coocc_w_graph(sf_dir)
+    ranks, _ = pagerank(g, _ckpt("prw4"), damping=0.85, tol=0.0, max_iters=4)
+
+    def _round(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vid": batch.column("vid").cast(pa.int64()),
+                "rank_r9": pc.round(batch.column("rank"), ndigits=9),
+            }
+        )
+
+    return ranks.map_batches(_round, batch_format="pyarrow")
+
+
 def _partsupp_und_graph(sf_dir: str):
     key = ("partsupp_und", sf_dir)
     if key not in _GRAPH_CACHE:
@@ -1083,16 +1125,11 @@ def q_sinkhorn_coocc(sf_dir: str):
 def q_msf_coocc(sf_dir: str):
     """Minimum spanning forest of the part co-occurrence graph, edge
     weight = co-occurrence count (duplicate pairs sum at CSR pack) —
-    Borůvka rounds; rows-only at the driver, Kruskal-exact in pytest."""
+    Borůvka rounds; SQL-oracled (unrolled Borůvka rounds) and
+    Kruskal-exact in pytest."""
     from .mst import minimum_spanning_forest
 
-    def _with_w(batch: pa.Table) -> pa.Table:
-        return batch.append_column(
-            "w", pa.array(np.ones(batch.num_rows), type=pa.float64())
-        )
-
-    edges = part_cooccurrence_edges(sf_dir).map_batches(_with_w, batch_format="pyarrow")
-    g = build_graph(edges, EngineConfig(num_partitions=16), directed=False)
+    g = _coocc_w_graph(sf_dir)
     forest, _ = minimum_spanning_forest(g)
 
     def _shape(batch: pa.Table) -> pa.Table:
