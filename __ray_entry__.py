@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hits_partsupp": R.q_hits_partsupp,
         "pagerank_weighted_coocc_k4": R.q_pagerank_weighted_coocc_k4,
         "tree_ensemble_coocc": R.q_tree_ensemble_coocc,
+        "corpus_prep_docs": C.q_corpus_prep_docs,
         "corpus_splits": C.q_corpus_splits,
         "token_shards": C.q_token_shards,
         # graph engine end-to-end (SQL-oracled)
@@ -214,6 +215,7 @@ def oracle_sql() -> dict[str, str]:
         "subtree_sizes_forest": S.SUBTREE_SIZES_FOREST,
         "tree_kernel_forest": S.tree_kernel_forest_sql(a=-0.5),
         "tree_ensemble_coocc": S.tree_ensemble_coocc_sql(a=-0.5),
+        "corpus_prep_docs": S.corpus_prep_sql(threshold=0.5, qmin_ppm=550_000),
         "corpus_splits": S.corpus_splits_sql(),
         "token_shards": S.TOKEN_SHARDS,
         "coreness_coocc": S.coreness_coocc_sql(rounds=24),

@@ -168,20 +168,53 @@ def _band_rows(batch: pa.Table) -> pa.Table:
     )
 
 
-def minhash_candidate_pairs(docs_ds, threshold: float = 0.5):
-    """MinHash+LSH near-dup pairs with signature-estimated Jaccard ≥ threshold.
+def restrict_bands_to(bands_ds, keep_ids_ds, num_partitions: int = 32):
+    """Filter LSH band rows to the docs in ``keep_ids_ds`` (doc_id,)
+    WITHOUT a broadcast membership set: marker rows (band = −1) ride
+    one ``groupby(doc_id % P)`` co-shuffle next to the band rows, and
+    each partition group does a vectorized ``np.isin`` — the keep set
+    can be O(corpus) and never touches the driver."""
+    from ..util import list_array
 
-    Returns Dataset (doc_a, doc_b, est_jaccard). Verification happens
-    INSIDE each (band, band_hash) bucket group against the signatures
-    co-shuffled with the band rows — fully partition-local; buckets
-    larger than MAX_BUCKET are skipped (degenerate-content skew guard).
-    Cross-band duplicates collapse via one hash aggregate (the est is
-    a pure function of the pair, identical in every band).
-    """
+    def _markers(b: pa.Table) -> pa.Table:
+        n = b.num_rows
+        return pa.table(
+            {
+                "band": pa.array(np.full(n, -1, dtype=np.int64)),
+                "band_hash": pa.array(np.zeros(n, dtype=np.uint64), type=pa.uint64()),
+                "doc_id": b.column("doc_id").cast(pa.int64()),
+                "sig": list_array(
+                    [np.empty(0, np.uint64)] * n, np.uint64, pa.uint64()
+                ),
+            }
+        )
+
+    def _with_part(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "part", pa.array((ids % num_partitions).astype(np.int64))
+        )
+
+    both = (
+        bands_ds.union(keep_ids_ds.map_batches(_markers, batch_format="pyarrow"))
+        .map_batches(_with_part, batch_format="pyarrow")
+    )
+
+    def _filter(g: pa.Table) -> pa.Table:
+        band = g.column("band").to_numpy(zero_copy_only=False)
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False)
+        kept = np.unique(ids[band < 0])
+        keep = (band >= 0) & np.isin(ids, kept)
+        return g.drop_columns(["part"]).filter(pa.array(keep))
+
+    return both.groupby("part").map_groups(_filter, batch_format="pyarrow")
+
+
+def pairs_from_band_rows(bands, threshold: float):
+    """(band, band_hash, doc_id, sig) rows → verified near-dup pairs
+    (doc_a, doc_b, est_jaccard): bucket-local verify + one hash
+    aggregate to collapse cross-band duplicates."""
     from ray.data.aggregate import Min
-
-    sigs = docs_ds.map_batches(minhash_batch, batch_format="pyarrow")
-    bands = sigs.map_batches(_band_rows, batch_format="pyarrow")
 
     def _bucket_verify(group: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
@@ -219,6 +252,21 @@ def minhash_candidate_pairs(docs_ds, threshold: float = 0.5):
         Min("est_jaccard", alias_name="est_jaccard")
     )
     return out.select_columns(["doc_a", "doc_b", "est_jaccard"])
+
+
+def minhash_candidate_pairs(docs_ds, threshold: float = 0.5):
+    """MinHash+LSH near-dup pairs with signature-estimated Jaccard ≥ threshold.
+
+    Returns Dataset (doc_a, doc_b, est_jaccard). Verification happens
+    INSIDE each (band, band_hash) bucket group against the signatures
+    co-shuffled with the band rows — fully partition-local; buckets
+    larger than MAX_BUCKET are skipped (degenerate-content skew guard).
+    Cross-band duplicates collapse via one hash aggregate (the est is
+    a pure function of the pair, identical in every band).
+    """
+    sigs = docs_ds.map_batches(minhash_batch, batch_format="pyarrow")
+    bands = sigs.map_batches(_band_rows, batch_format="pyarrow")
+    return pairs_from_band_rows(bands, threshold)
 
 
 def minhash_exact_jaccard_pairs(docs_ds, threshold: float = 0.3):

@@ -1043,11 +1043,13 @@ FROM {joins}"""
 _M61 = (1 << 61) - 1
 
 
-def _minhash_frag(threshold: float) -> str:
+def _minhash_frag(threshold: float, source: str = "documents") -> str:
     """Shared CTE chain: shingles → 128-perm signatures → banded buckets
     → candidate pairs with exact est = matches/128 (an exact binary
     fraction — emitted raw on both sides). Mirrors functions/dedup.py
-    including the uint64 wraparound in (s·a + b) and the band hash."""
+    including the uint64 wraparound in (s·a + b) and the band hash.
+    ``source`` is the (doc_id, text) relation to run over — a filtered
+    CTE for composed pipelines."""
     from ..functions.dedup import _PERM_A, _PERM_B, LSH_ROWS, MAX_BUCKET
 
     perms = ", ".join(
@@ -1055,7 +1057,7 @@ def _minhash_frag(threshold: float) -> str:
         for k, (a, b) in enumerate(zip(_PERM_A, _PERM_B))
     )
     rperm = ", ".join(f"({r}, {int(_PERM_A[r])}::UBIGINT)" for r in range(LSH_ROWS))
-    return f"""toks AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS tk FROM documents),
+    return f"""toks AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS tk FROM {source}),
 shs AS (
   SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - 2),
          i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS s
@@ -1135,6 +1137,33 @@ reach AS (
   SELECT pe.x AS node, reach.r FROM reach JOIN pe ON reach.node = pe.y
 )
 SELECT node AS doc_id, MIN(r) AS cluster FROM reach GROUP BY node"""
+
+
+def corpus_prep_sql(threshold: float = 0.5, qmin_ppm: int = 550_000) -> str:
+    """The full corpus-prep chain in one statement: quality filter →
+    exact dedup (min doc_id per text) → MinHash near-dup clusters over
+    the representatives → keep the min-doc_id cluster rep. The MinHash
+    fragment runs over the DEDUPED relation (``docs_r``), mirroring
+    the engine's band-row restriction, so bucket caps agree."""
+    return f"""WITH RECURSIVE {_QUALITY_RATIOS},
+keepq AS (
+  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens
+  FROM q WHERE CAST(FLOOR(quality * 1000000.0) AS BIGINT) >= {qmin_ppm}
+),
+docs_f AS (SELECT d.doc_id, d.text FROM documents d JOIN keepq USING (doc_id)),
+reps AS (SELECT MIN(doc_id) AS doc_id FROM docs_f GROUP BY text),
+docs_r AS (SELECT f.doc_id, f.text FROM docs_f f JOIN reps USING (doc_id)),
+{_minhash_frag(threshold, source="docs_r")},
+pe AS (SELECT da AS x, db AS y FROM hits UNION ALL SELECT db, da FROM hits),
+reach AS (
+  SELECT doc_id AS node, doc_id AS r FROM docs_r
+  UNION
+  SELECT pe.x AS node, reach.r FROM reach JOIN pe ON reach.node = pe.y
+),
+clus AS (SELECT node AS doc_id, MIN(r) AS cluster FROM reach GROUP BY node)
+SELECT c.doc_id, k.n_tokens
+FROM clus c JOIN keepq k USING (doc_id)
+WHERE c.doc_id = c.cluster"""
 
 
 def simhash_pairs_sql(max_hamming: int = 12) -> str:

@@ -416,6 +416,135 @@ def q_top_pages_with_urls(sf_dir: str):
     )
 
 
+CORPUS_PREP_QMIN_PPM = 550_000  # quality floor (drops ~quartile of docs)
+CORPUS_PREP_THRESHOLD = 0.5  # MinHash est-Jaccard near-dup threshold
+
+
+def q_corpus_prep_docs(sf_dir: str):
+    """END-TO-END training-corpus prep — the composition a reference
+    user runs before tokenization, every stage the engine's own
+    operator, one SQL oracle over the whole chain:
+
+    1. quality filter (quality_ppm ≥ QMIN) — map-side, text never
+       shuffles, survivors keep (doc_id, text, n_tokens);
+    2. exact dedup — keep min doc_id per identical text (8-byte
+       content-hash groupby);
+    3. MinHash+LSH near-dup clustering over the exact-dedup
+       representatives (band rows restricted via the marker-row
+       co-shuffle — no broadcast membership set), CC clusters, keep
+       the min-doc_id representative of each near-dup cluster;
+    4. output (doc_id, n_tokens) of the surviving docs.
+    """
+    import pyarrow.compute as pc
+    import ray
+
+    from ..functions.dedup import (
+        content_hash_batch,
+        minhash_batch,
+        _band_rows,
+        neardup_clusters,
+        pairs_from_band_rows,
+        restrict_bands_to,
+    )
+    from ray.data.aggregate import Min
+
+    total = int(ray.cluster_resources().get("CPU", 4))
+
+    class _QualityFilter(T.QualityScorer):
+        """QualityScorer + in-batch filter, keeping text for dedup."""
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            scored = super().__call__(batch)
+            keep = pc.greater_equal(
+                scored.column("quality_ppm"), CORPUS_PREP_QMIN_PPM
+            )
+            return pa.table(
+                {
+                    "doc_id": batch.column("doc_id").filter(keep),
+                    "text": batch.column("text").filter(keep),
+                    "n_tokens": scored.column("n_tokens").filter(keep),
+                }
+            )
+
+    qd = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _QualityFilter,
+        batch_format="pyarrow",
+        batch_size=1024,
+        concurrency=max(2, total - 2),
+    ).materialize()
+    # ^ qd feeds THREE branches (rep hash, band rows, token join);
+    # materializing pins the quality-FILTERED subset in the object
+    # store (spillable to disk, never driver heap) so the corpus isn't
+    # re-read + re-scored once per branch. At extreme scale swap for a
+    # written intermediate (write_parquet + read) — same single pass.
+
+    # exact-dedup representatives: min doc_id per content hash
+    reps = (
+        qd.map_batches(content_hash_batch, batch_format="pyarrow")
+        .select_columns(["content_hash", "doc_id"])
+        .groupby("content_hash")
+        .aggregate(Min("doc_id", alias_name="doc_id"))
+        .select_columns(["doc_id"])
+    )
+
+    # near-dup pairs among representatives only: bucket membership and
+    # skew caps are computed over the DEDUPED doc set (mirrored in SQL)
+    bands = qd.map_batches(minhash_batch, batch_format="pyarrow").map_batches(
+        _band_rows, batch_format="pyarrow"
+    )
+    pairs = pairs_from_band_rows(
+        restrict_bands_to(bands, reps), CORPUS_PREP_THRESHOLD
+    )
+    clusters = neardup_clusters(reps, pairs)
+
+    def _survivors(b: pa.Table) -> pa.Table:
+        keep = pc.equal(b.column("doc_id"), b.column("cluster"))
+        return pa.table({"doc_id": b.column("doc_id").filter(keep)})
+
+    surv = clusters.map_batches(_survivors, batch_format="pyarrow")
+
+    # join survivors back to n_tokens via a marker-row co-shuffle
+    P = 32
+
+    def _tag_tokens(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "part": pa.array((ids % P).astype(np.int64)),
+                "doc_id": b.column("doc_id").cast(pa.int64()),
+                "n_tokens": b.column("n_tokens").cast(pa.int64()),
+            }
+        )
+
+    def _tag_surv(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "part": pa.array((ids % P).astype(np.int64)),
+                "doc_id": b.column("doc_id").cast(pa.int64()),
+                "n_tokens": pa.array(np.full(len(ids), -1, dtype=np.int64)),
+            }
+        )
+
+    both = qd.select_columns(["doc_id", "n_tokens"]).map_batches(
+        _tag_tokens, batch_format="pyarrow"
+    ).union(surv.map_batches(_tag_surv, batch_format="pyarrow"))
+
+    def _join(g: pa.Table) -> pa.Table:
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False)
+        toks = g.column("n_tokens").to_numpy(zero_copy_only=False)
+        kept = np.unique(ids[toks < 0])
+        keep = (toks >= 0) & np.isin(ids, kept)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[keep], type=pa.int64()),
+                "n_tokens": pa.array(toks[keep], type=pa.int64()),
+            }
+        )
+
+    return both.groupby("part").map_groups(_join, batch_format="pyarrow")
+
+
 def q_corpus_splits(sf_dir: str):
     """Deterministic train/val/test assignment per document (90/5/5 by
     splitmix64(doc_id ⊕ seed) against exact integer thresholds) — the
