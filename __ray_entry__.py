@@ -51,12 +51,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_knn": C.q_ann_ivf_knn,
         "ngram_jaccard_pairs": C.q_ngram_jaccard_pairs,
         # round-3 additions (SQL-oracled)
+        "tfidf_topk": C.q_tfidf_topk,
+        "bigram_pmi": C.q_bigram_pmi,
         "hits_partsupp": R.q_hits_partsupp,
         "pagerank_weighted_coocc_k4": R.q_pagerank_weighted_coocc_k4,
         "tree_ensemble_coocc": R.q_tree_ensemble_coocc,
         "corpus_prep_docs": C.q_corpus_prep_docs,
         "corpus_splits": C.q_corpus_splits,
         "token_shards": C.q_token_shards,
+        # one green driver record so far (round 2 only) — keep within
+        # the driver's ~50-entry recording window
+        "gaussian_doclen": C.q_gaussian_doclen,
+        "quality_zscores": C.q_quality_zscores,
         # graph engine end-to-end (SQL-oracled)
         "degree_partsupp": R.q_degree_partsupp,
         "pagerank_partsupp_k4": R.q_pagerank_partsupp_k4,
@@ -99,9 +105,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_docs_by_length": C.q_top_docs_by_length,
         "exact_dedup_docs": C.q_exact_dedup_docs,
         "doc_len_stats_by_lang": C.q_doc_len_stats_by_lang,
-        "quality_zscores": C.q_quality_zscores,
         "doclen_percentiles": C.q_doclen_percentiles,
-        "gaussian_doclen": C.q_gaussian_doclen,
         # embeddings (SQL-oracled)
         "knn_vec0": C.q_knn_vec0,
         "embedding_norms": C.q_embedding_norms,
@@ -215,6 +219,8 @@ def oracle_sql() -> dict[str, str]:
         "subtree_sizes_forest": S.SUBTREE_SIZES_FOREST,
         "tree_kernel_forest": S.tree_kernel_forest_sql(a=-0.5),
         "tree_ensemble_coocc": S.tree_ensemble_coocc_sql(a=-0.5),
+        "tfidf_topk": S.tfidf_topk_sql(k=5),
+        "bigram_pmi": S.bigram_pmi_sql(min_count=3, top_n=50),
         "corpus_prep_docs": S.corpus_prep_sql(threshold=0.5, qmin_ppm=550_000),
         "corpus_splits": S.corpus_splits_sql(),
         "token_shards": S.TOKEN_SHARDS,

@@ -1,0 +1,294 @@
+"""Corpus term statistics: TF-IDF and bigram-PMI collocations.
+
+Classic webtext / training-data-pipeline operators over the documents
+table, built on the repo's established shuffle patterns:
+
+- per-document term counting is map-side (one ``map_batches`` pass,
+  per-doc ``Counter`` over the shared ``\\S+`` tokenizer — same
+  tokenizer the fingerprint/simhash stages and the SQL oracles use);
+- document frequencies come from a combiner-backed ``groupby.Count``
+  (map-side pre-aggregation → skew-safe even for stopwords);
+- the df→(doc,tok) attachment is the union-tag co-shuffle join used
+  throughout ``functions/dedup.py``, with a **salted hot-vocabulary**
+  twist: the top ``hot_vocab`` tokens by df (a tiny table) are
+  broadcast, their rows get df attached map-side and a salt spreads
+  them over ``n_salts`` groups, so no reduce task ever sees more than
+  ``max(df_tail, df_hot / n_salts)`` rows. At 100 TB the "the"-group
+  would otherwise hold one row per document.
+
+Reference analogue: these are per-record scalar functions + grouped
+aggregations in the style of ``eval_kernel_statistics`` partial/final
+merges (/root/reference/src/ega/algorithms/graph_kernels.py:291-367);
+the reference has no corpus operators — this family is part of the
+engine's training-data surface.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+import ray.data as rd
+from ray.data.aggregate import Count, Sum
+
+from .text import _TOKEN_RE
+
+__all__ = ["term_frequencies", "tfidf_topk", "bigram_pmi"]
+
+_EMPTY_TF = pa.table(
+    {
+        "doc_id": pa.array([], type=pa.int64()),
+        "tok": pa.array([], type=pa.string()),
+        "tf": pa.array([], type=pa.int64()),
+    }
+)
+
+
+def term_frequencies(docs_ds) -> "rd.Dataset":
+    """(doc_id, tok, tf) — one row per distinct token per document.
+
+    Map-side only (no shuffle): rows are emitted pre-aggregated per
+    document, so downstream groupbys see |doc|-bounded row counts, not
+    token-occurrence counts.
+    """
+
+    def _tf(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out_id: list[int] = []
+        out_tok: list[str] = []
+        out_tf: list[int] = []
+        for doc_id, text in zip(ids, texts):
+            counts = Counter(_TOKEN_RE.findall(text or ""))
+            out_id.extend([doc_id] * len(counts))
+            out_tok.extend(counts.keys())
+            out_tf.extend(counts.values())
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, type=pa.int64()),
+                "tok": pa.array(out_tok, type=pa.string()),
+                "tf": pa.array(out_tf, type=pa.int64()),
+            }
+        )
+
+    return docs_ds.map_batches(_tf, batch_format="pyarrow")
+
+
+def tfidf_topk(
+    docs_ds,
+    k: int = 5,
+    hot_vocab: int = 2048,
+    n_salts: int = 16,
+) -> "rd.Dataset":
+    """Top-k TF-IDF terms per document.
+
+    Returns (doc_id, tok, tf, df, tfidf_r6) with
+    ``tfidf = tf · ln(n_docs / df)`` rounded to 6 decimals; per-doc
+    ranking orders by (score desc, tok asc) — deterministic because
+    equal (tf, df) pairs produce bit-equal doubles.
+
+    One map pass + three shuffles (df-count, df-attach, per-doc top-k),
+    each with bounded group sizes; see module docstring for the salted
+    hot-vocab join that keeps stopword groups bounded.
+    """
+    n_docs = float(docs_ds.count())
+    # tf feeds both the df-count and the join; df feeds both the
+    # hot-vocab fetch and the marker union — materialize each once
+    # instead of re-tokenizing the corpus per consumer
+    tf = term_frequencies(docs_ds).materialize()
+    df = tf.groupby("tok").aggregate(Count(alias_name="df")).materialize()
+
+    # tiny hot-vocab table (top `hot_vocab` tokens by df) → broadcast
+    hot_tbl = pa.concat_tables(
+        df.sort(["df", "tok"], descending=[True, False])
+        .limit(hot_vocab)
+        .iter_batches(batch_size=None, batch_format="pyarrow"),
+        promote_options="default",
+    )
+    hot_map = dict(
+        zip(hot_tbl.column("tok").to_pylist(), hot_tbl.column("df").to_pylist())
+    )
+    hot_ref = ray.put(hot_map)
+
+    def _tag_data(batch: pa.Table) -> pa.Table:
+        """Data rows: hot toks get df + doc-hash salt; tail gets df=-1."""
+        hot = ray.get(hot_ref)
+        toks = batch.column("tok").to_pylist()
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        dfs = np.fromiter((hot.get(t, -1) for t in toks), dtype=np.int64, count=len(toks))
+        salt = np.where(dfs >= 0, ids % n_salts, 0).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "tok": batch.column("tok"),
+                "tf": batch.column("tf"),
+                "df": pa.array(dfs, type=pa.int64()),
+                "salt": pa.array(salt, type=pa.int64()),
+            }
+        )
+
+    def _tag_df(batch: pa.Table) -> pa.Table:
+        """Tail-df marker rows (doc_id = -1): only tokens outside the
+        hot vocabulary need a marker in the co-shuffle. Membership is
+        by dict lookup (df ties at the hot cutoff are NOT all hot)."""
+        hot = ray.get(hot_ref)
+        toks = batch.column("tok").to_pylist()
+        keep = batch.filter(pa.array([t not in hot for t in toks]))
+        n = keep.num_rows
+        return pa.table(
+            {
+                "doc_id": pa.array(np.full(n, -1, dtype=np.int64)),
+                "tok": keep.column("tok"),
+                "tf": pa.array(np.zeros(n, dtype=np.int64)),
+                "df": keep.column("df").cast(pa.int64()),
+                "salt": pa.array(np.zeros(n, dtype=np.int64)),
+            }
+        )
+
+    both = tf.map_batches(_tag_data, batch_format="pyarrow").union(
+        df.map_batches(_tag_df, batch_format="pyarrow")
+    )
+
+    def _attach(g: pa.Table) -> pa.Table:
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False)
+        dfs = g.column("df").to_numpy(zero_copy_only=False)
+        if (dfs >= 0).all():  # salted hot group — df already attached
+            return g.drop_columns(["salt"]).filter(pa.array(ids >= 0))
+        marker = dfs[ids < 0]
+        val = int(marker[0]) if len(marker) else 0
+        out = g.drop_columns(["salt"]).filter(pa.array(ids >= 0))
+        return out.set_column(
+            out.schema.get_field_index("df"),
+            "df",
+            pa.array(np.full(out.num_rows, val, dtype=np.int64)),
+        )
+
+    attached = both.groupby(["tok", "salt"]).map_groups(_attach, batch_format="pyarrow")
+
+    def _score(batch: pa.Table) -> pa.Table:
+        tfv = batch.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)
+        dfv = batch.column("df").to_numpy(zero_copy_only=False).astype(np.float64)
+        score = tfv * np.log(n_docs / np.maximum(dfv, 1.0))
+        return batch.append_column("score", pa.array(score, type=pa.float64()))
+
+    scored = attached.map_batches(_score, batch_format="pyarrow")
+
+    def _topk(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["score", "tok"], ascending=[False, True]).head(k)
+        out = g[["doc_id", "tok", "tf", "df"]].copy()
+        out["tfidf_r6"] = np.round(g["score"].to_numpy(), 6)
+        return out
+
+    return scored.groupby("doc_id").map_groups(_topk, batch_format="pandas")
+
+
+def bigram_pmi(docs_ds, min_count: int = 3, top_n: int = 50) -> "rd.Dataset":
+    """Top-N collocations by bigram PMI.
+
+    ``pmi = ln(c_ab · B / (c_a· · c_·b))`` over adjacent-token bigrams,
+    where B is the total bigram count, ``c_a·``/``c_·b`` the first-/
+    second-position marginals. Returns (a, b, c_ab, pmi_r6), ordered by
+    (pmi desc, a, b), bigrams with ``c_ab < min_count`` dropped.
+
+    Shuffle plan: map-side per-batch bigram pre-count → groupby-sum
+    (combiner-backed) → two union-tag co-shuffles to attach the
+    marginals (groups bounded by the per-token partner vocabulary,
+    not the corpus) → global sort+limit.
+    """
+
+    def _bigrams(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        counts: Counter = Counter()
+        for text in texts:
+            toks = _TOKEN_RE.findall(text or "")
+            counts.update(zip(toks, toks[1:]))
+        if not counts:
+            return pa.table(
+                {
+                    "a": pa.array([], type=pa.string()),
+                    "b": pa.array([], type=pa.string()),
+                    "c": pa.array([], type=pa.int64()),
+                }
+            )
+        a, b = zip(*counts.keys())
+        return pa.table(
+            {
+                "a": pa.array(list(a), type=pa.string()),
+                "b": pa.array(list(b), type=pa.string()),
+                "c": pa.array(list(counts.values()), type=pa.int64()),
+            }
+        )
+
+    pairs = (
+        docs_ds.map_batches(_bigrams, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(Sum("c", alias_name="c_ab"))
+        .materialize()  # consumed 4× (total, both marginals, the join)
+    )
+    total = pairs.aggregate(Sum("c_ab", alias_name="b_total"))
+    b_total = float(total["b_total"])
+
+    ca = pairs.groupby("a").aggregate(Sum("c_ab", alias_name="c_a"))
+    cb = pairs.groupby("b").aggregate(Sum("c_ab", alias_name="c_b"))
+
+    def _attach(key: str, val_col: str):
+        def _merge(g: pd.DataFrame) -> pd.DataFrame:
+            marker = g[g["doc_tag"] < 0]
+            val = int(marker[val_col].iloc[0]) if len(marker) else 0
+            out = g[g["doc_tag"] >= 0].copy()
+            out[val_col] = val
+            return out
+
+        return _merge
+
+    def _tag(tag: int, cols: dict):
+        def _fn(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            data = {c: batch.column(c) for c in batch.column_names}
+            data["doc_tag"] = pa.array(np.full(n, tag, dtype=np.int64))
+            for c, typ in cols.items():
+                if c not in data:
+                    default = "" if typ == "str" else 0
+                    data[c] = pa.array([default] * n, type=pa.string() if typ == "str" else pa.int64())
+            return pa.table(data)
+
+        return _fn
+
+    cols_a = {"a": "str", "b": "str", "c_ab": "int", "c_a": "int"}
+    with_ca = (
+        pairs.map_batches(_tag(1, cols_a), batch_format="pyarrow")
+        .union(ca.map_batches(_tag(-1, cols_a), batch_format="pyarrow"))
+        .groupby("a")
+        .map_groups(_attach("a", "c_a"), batch_format="pandas")
+    )
+    cols_b = {"a": "str", "b": "str", "c_ab": "int", "c_a": "int", "c_b": "int"}
+    with_cb = (
+        with_ca.drop_columns(["doc_tag"])
+        .map_batches(_tag(1, cols_b), batch_format="pyarrow")
+        .union(cb.map_batches(_tag(-1, cols_b), batch_format="pyarrow"))
+        .groupby("b")
+        .map_groups(_attach("b", "c_b"), batch_format="pandas")
+    )
+
+    def _score(batch: pa.Table) -> pa.Table:
+        keep = batch.filter(
+            pa.array(batch.column("c_ab").to_numpy(zero_copy_only=False) >= min_count)
+        )
+        cab = keep.column("c_ab").to_numpy(zero_copy_only=False).astype(np.float64)
+        c_a = keep.column("c_a").to_numpy(zero_copy_only=False).astype(np.float64)
+        c_b = keep.column("c_b").to_numpy(zero_copy_only=False).astype(np.float64)
+        pmi = np.log(cab * b_total / (c_a * c_b)) if len(cab) else np.empty(0)
+        return pa.table(
+            {
+                "a": keep.column("a"),
+                "b": keep.column("b"),
+                "c_ab": keep.column("c_ab").cast(pa.int64()),
+                "pmi_r6": pa.array(np.round(pmi, 6), type=pa.float64()),
+            }
+        )
+
+    scored = with_cb.drop_columns(["doc_tag"]).map_batches(_score, batch_format="pyarrow")
+    return scored.sort(["pmi_r6", "a", "b"], descending=[True, False, False]).limit(top_n)

@@ -1685,3 +1685,56 @@ TOKEN_SHARDS = """SELECT doc_id,
   CAST(COALESCE(SUM(n_chars) OVER (ORDER BY doc_id
        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // 50000 AS BIGINT) AS bin
 FROM documents"""
+
+
+# ---- corpus term statistics (round 3) -----------------------------------
+
+def tfidf_topk_sql(k: int = 5) -> str:
+    """TF-IDF top-k terms per document; same \\S+ tokenizer as the
+    fingerprint oracle, score = tf · ln(n_docs/df) on IEEE doubles
+    (the proven exp/ln parity pattern), ROUND r6, ties (score desc,
+    tok asc) — equal (tf, df) pairs are bit-equal on both sides."""
+    return f"""WITH tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS tok FROM documents
+), tf AS (
+  SELECT doc_id, tok, count(*)::BIGINT AS tf FROM tok GROUP BY doc_id, tok
+), df AS (
+  SELECT tok, count(*)::BIGINT AS df FROM tf GROUP BY tok
+), n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+         CAST(tf.tf AS DOUBLE) * ln((SELECT n FROM n) / CAST(df.df AS DOUBLE)) AS score
+  FROM tf JOIN df USING (tok)
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, tok ASC) AS rk
+  FROM scored
+)
+SELECT doc_id, tok, tf, df, ROUND(score, 6) AS tfidf_r6 FROM ranked WHERE rk <= {k}"""
+
+
+def bigram_pmi_sql(min_count: int = 3, top_n: int = 50) -> str:
+    """Adjacent-token bigram PMI collocations; selection and ordering
+    on the ROUNDED pmi (r6) so the engine's sort+limit matches."""
+    return f"""WITH tk AS (
+  SELECT regexp_extract_all(text, '\\S+') AS toks FROM documents
+), bg AS (
+  SELECT split_part(p, chr(1), 1) AS a, split_part(p, chr(1), 2) AS b
+  FROM (
+    SELECT unnest(list_transform(generate_series(1, len(toks) - 1),
+                  i -> toks[i] || chr(1) || toks[i + 1])) AS p
+    FROM tk
+  )
+), pairs AS (
+  SELECT a, b, count(*)::BIGINT AS c_ab FROM bg GROUP BY a, b
+), tot AS (SELECT CAST(SUM(c_ab) AS DOUBLE) AS bt FROM pairs),
+ca AS (SELECT a, SUM(c_ab)::BIGINT AS c_a FROM pairs GROUP BY a),
+cb AS (SELECT b, SUM(c_ab)::BIGINT AS c_b FROM pairs GROUP BY b),
+scored AS (
+  SELECT p.a, p.b, p.c_ab,
+         ROUND(ln(CAST(p.c_ab AS DOUBLE) * (SELECT bt FROM tot)
+                  / (CAST(ca.c_a AS DOUBLE) * CAST(cb.c_b AS DOUBLE))), 6) AS pmi_r6
+  FROM pairs p JOIN ca USING (a) JOIN cb USING (b)
+  WHERE p.c_ab >= {min_count}
+)
+SELECT a, b, c_ab, pmi_r6 FROM scored
+ORDER BY pmi_r6 DESC, a ASC, b ASC LIMIT {top_n}"""

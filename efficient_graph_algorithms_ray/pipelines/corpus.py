@@ -563,3 +563,20 @@ def q_token_shards(sf_dir: str):
     from ..functions.packing import token_budget_bins
 
     return token_budget_bins(_docs(sf_dir, ["doc_id", "n_chars"]), "doc_id", "n_chars", 50000)
+
+
+def q_tfidf_topk(sf_dir: str):
+    """Top-5 TF-IDF terms per document (salted hot-vocab df join; see
+    functions/terms.py) — SQL-oracled: score = tf·ln(n/df) is the same
+    IEEE expression both sides, ROUND r6, ties (score desc, tok)."""
+    from ..functions.terms import tfidf_topk
+
+    return tfidf_topk(_docs(sf_dir, ["doc_id", "text"]), k=5)
+
+
+def q_bigram_pmi(sf_dir: str):
+    """Top-50 adjacent-token collocations by bigram PMI (min count 3)
+    — SQL-oracled; selection/order on the rounded pmi_r6."""
+    from ..functions.terms import bigram_pmi
+
+    return bigram_pmi(_docs(sf_dir, ["doc_id", "text"]), min_count=3, top_n=50)
