@@ -53,6 +53,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-3 additions (SQL-oracled)
         "tfidf_topk": C.q_tfidf_topk,
         "bigram_pmi": C.q_bigram_pmi,
+        "assortativity_coocc": R.q_assortativity_coocc,
+        "modularity_coocc": R.q_modularity_coocc,
+        "adamic_adar_coocc": R.q_adamic_adar_coocc,
         "hits_partsupp": R.q_hits_partsupp,
         "pagerank_weighted_coocc_k4": R.q_pagerank_weighted_coocc_k4,
         "tree_ensemble_coocc": R.q_tree_ensemble_coocc,
@@ -221,6 +224,9 @@ def oracle_sql() -> dict[str, str]:
         "tree_ensemble_coocc": S.tree_ensemble_coocc_sql(a=-0.5),
         "tfidf_topk": S.tfidf_topk_sql(k=5),
         "bigram_pmi": S.bigram_pmi_sql(min_count=3, top_n=50),
+        "assortativity_coocc": S.ASSORTATIVITY_COOCC,
+        "modularity_coocc": S.modularity_coocc_sql(rounds=1),
+        "adamic_adar_coocc": S.adamic_adar_coocc_sql(k=100),
         "corpus_prep_docs": S.corpus_prep_sql(threshold=0.5, qmin_ppm=550_000),
         "corpus_splits": S.corpus_splits_sql(),
         "token_shards": S.TOKEN_SHARDS,

@@ -102,15 +102,18 @@ def tfidf_topk(
     df = tf.groupby("tok").aggregate(Count(alias_name="df")).materialize()
 
     # tiny hot-vocab table (top `hot_vocab` tokens by df) → broadcast
-    hot_tbl = pa.concat_tables(
-        df.sort(["df", "tok"], descending=[True, False])
-        .limit(hot_vocab)
-        .iter_batches(batch_size=None, batch_format="pyarrow"),
-        promote_options="default",
+    hot_batches = (
+        list(
+            df.sort(["df", "tok"], descending=[True, False])
+            .limit(hot_vocab)
+            .iter_batches(batch_size=None, batch_format="pyarrow")
+        )
+        if hot_vocab > 0
+        else []
     )
-    hot_map = dict(
-        zip(hot_tbl.column("tok").to_pylist(), hot_tbl.column("df").to_pylist())
-    )
+    hot_map: dict = {}
+    for hb in hot_batches:
+        hot_map.update(zip(hb.column("tok").to_pylist(), hb.column("df").to_pylist()))
     hot_ref = ray.put(hot_map)
 
     def _tag_data(batch: pa.Table) -> pa.Table:

@@ -1738,3 +1738,64 @@ scored AS (
 )
 SELECT a, b, c_ab, pmi_r6 FROM scored
 ORDER BY pmi_r6 DESC, a ASC, b ASC LIMIT {top_n}"""
+
+
+# ---- graph summary statistics (round 3) ---------------------------------
+
+ASSORTATIVITY_COOCC = f"""WITH {_COOCC_UND_MAT},
+deg AS (SELECT u AS vid, count(*)::BIGINT AS d FROM und GROUP BY u),
+slots AS (SELECT CAST(du.d AS DOUBLE) AS x, CAST(dv.d AS DOUBLE) AS y
+          FROM und JOIN deg du ON und.u = du.vid JOIN deg dv ON und.v = dv.vid),
+s AS (SELECT CAST(count(*) AS DOUBLE) AS m, SUM(x) AS sx, SUM(x*x) AS sxx, SUM(x*y) AS sxy FROM slots)
+SELECT CAST(m AS BIGINT) AS m_slots, CAST(sx AS BIGINT) AS s_x,
+  CAST(sxx AS BIGINT) AS s_xx, CAST(sxy AS BIGINT) AS s_xy,
+  ROUND((sxy/m - (sx/m)*(sx/m)) / (sxx/m - (sx/m)*(sx/m)), 6) AS assortativity_r6
+FROM s"""
+
+
+def modularity_coocc_sql(rounds: int = 8) -> str:
+    """Per-community Newman modularity over the SAME unrolled seeded
+    label propagation the label_prop_coocc oracle replays."""
+    lp = label_prop_coocc_sql(rounds=rounds)
+    # outer CTE names must not collide with the nested label-prop
+    # statement's pr/und (DuckDB rejects duplicate aliases)
+    return f"""WITH labels AS MATERIALIZED (SELECT * FROM ({lp}) t),
+mpr AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+mund AS MATERIALIZED (SELECT u, v FROM mpr UNION ALL SELECT v AS u, u AS v FROM mpr),
+m2 AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM mund),
+ds AS (SELECT l.label AS label, count(*)::BIGINT AS deg_sum
+       FROM mund JOIN labels l ON mund.u = l.vid GROUP BY 1),
+intra AS (SELECT lu.label AS label, count(*)::BIGINT AS intra_slots
+          FROM mund JOIN labels lu ON mund.u = lu.vid JOIN labels lv ON mund.v = lv.vid
+          WHERE lu.label = lv.label GROUP BY 1)
+SELECT ds.label, COALESCE(intra.intra_slots, 0) AS intra_slots, ds.deg_sum,
+  ROUND(CAST(COALESCE(intra.intra_slots, 0) AS DOUBLE) / (SELECT m FROM m2)
+        - (CAST(ds.deg_sum AS DOUBLE) / (SELECT m FROM m2))
+          * (CAST(ds.deg_sum AS DOUBLE) / (SELECT m FROM m2)), 6) AS q_r6
+FROM ds LEFT JOIN intra ON ds.label = intra.label"""
+
+
+def adamic_adar_coocc_sql(k: int = 100) -> str:
+    """Top-k non-adjacent pairs by Adamic-Adar via the wedge self-join;
+    selection/order on the rounded aa_r6 with (u, v) tie-break."""
+    return f"""WITH {_COOCC_UND_MAT},
+deg AS (SELECT u AS vid, count(*)::BIGINT AS d FROM und GROUP BY u),
+wedge AS (
+  SELECT e1.v AS u, e2.v AS w, e1.u AS a
+  FROM und e1 JOIN und e2 ON e1.u = e2.u AND e1.v < e2.v
+),
+aa AS (
+  SELECT u, w, count(*)::BIGINT AS cn, SUM(1.0 / ln(CAST(d.d AS DOUBLE))) AS s
+  FROM wedge JOIN deg d ON wedge.a = d.vid
+  GROUP BY u, w
+),
+cand AS (
+  SELECT aa.u, aa.w, aa.cn, ROUND(aa.s, 6) AS aa_r6 FROM aa
+  WHERE NOT EXISTS (SELECT 1 FROM pr WHERE pr.u = aa.u AND pr.v = aa.w)
+)
+SELECT CAST(u AS BIGINT) AS u, CAST(w AS BIGINT) AS v, cn, aa_r6
+FROM cand ORDER BY aa_r6 DESC, u, v LIMIT {k}"""

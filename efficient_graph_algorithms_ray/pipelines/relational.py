@@ -1484,3 +1484,170 @@ def q_customers_without_orders(sf_dir: str):
         if batches
         else schema.empty_table()
     )
+
+
+# --------------------------------------------------------------------------
+# graph summary statistics (round 3): assortativity, modularity, link pred
+# --------------------------------------------------------------------------
+
+def q_assortativity_coocc(sf_dir: str):
+    """Degree assortativity of the co-occurrence graph as one raw
+    superstep: with x = degree vector, the slot sums the Pearson
+    formula needs are Σdeg, Σdeg², Σdeg³ and degᵀ·(A·deg) — the last
+    one is the engine's adjacency matvec applied to the degree field
+    (interconnected_kernel-style reuse). All four sums are exact
+    integers at fixture scale (< 2^53); r = (sxy/m − (sx/m)²) /
+    (sxx/m − (sx/m)²) is the identical IEEE expression in SQL.
+    Returns one row (m_slots, s_x, s_xx, s_xy, assortativity_r6)."""
+    from ..state.superstep import run_supersteps, state_vertex_dataset
+    from ..util import list_rows
+
+    g = _coocc_graph(sf_dir)
+
+    def init_fn(csr):
+        n = len(csr["vids"])
+        out = np.zeros((n, 2), dtype=np.float64)
+        out[:, 0] = csr["deg"]
+        return out
+
+    def apply_fn(agg, old, T, dm, csr):
+        # col0 keeps deg; col1 receives (A·deg)
+        return np.stack([old[:, 0], agg[:, 0]], axis=1)
+
+    summary = run_supersteps(
+        g, _ckpt("assort"), "sum", init_fn,
+        tol=0.0, max_iters=1, normalize=False, apply_fn=apply_fn,
+    )
+    st = state_vertex_dataset(g, summary["final_iter_dir"], "dv")
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        rows = list_rows(batch, "dv")
+        if not rows:
+            mat = np.zeros((0, 2))
+        else:
+            mat = np.stack(rows)
+        d, y = mat[:, 0], mat[:, 1]
+        return pa.table(
+            {
+                "m": pa.array([d.sum()], type=pa.float64()),
+                "sx": pa.array([(d * d).sum()], type=pa.float64()),
+                "sxx": pa.array([(d * d * d).sum()], type=pa.float64()),
+                "sxy": pa.array([(d * y).sum()], type=pa.float64()),
+            }
+        )
+
+    agg = st.map_batches(_partial, batch_format="pyarrow").aggregate(
+        Sum("m", alias_name="m"),
+        Sum("sx", alias_name="sx"),
+        Sum("sxx", alias_name="sxx"),
+        Sum("sxy", alias_name="sxy"),
+    )
+    m, sx, sxx, sxy = (float(agg[c]) for c in ("m", "sx", "sxx", "sxy"))
+    r = (sxy / m - (sx / m) * (sx / m)) / (sxx / m - (sx / m) * (sx / m))
+    return pa.table(
+        {
+            "m_slots": pa.array([int(m)], type=pa.int64()),
+            "s_x": pa.array([int(sx)], type=pa.int64()),
+            "s_xx": pa.array([int(sxx)], type=pa.int64()),
+            "s_xy": pa.array([int(sxy)], type=pa.int64()),
+            "assortativity_r6": pa.array([np.round(r, 6)], type=pa.float64()),
+        }
+    )
+
+
+def q_modularity_coocc(sf_dir: str):
+    """Newman modularity of the label-propagation communities, per
+    community: Q_c = intra_slots_c/m₂ − (deg_sum_c/m₂)². Labels come
+    from the SAME seeded min-label run as q_label_prop_coocc (its
+    final checkpoint seeds the second superstep via per-part state
+    files — no driver-side vertex table). The second superstep is one
+    raw gather of the [one-hot(label) | 1] field: A·x_c gives
+    per-vertex same-label neighbor counts, A·1 gives degrees.
+    Returns (label, intra_slots, deg_sum, q_r6)."""
+    from ..config import UNLABELED
+    from ..state.ckpt import read_state_part
+    from ..state.superstep import run_supersteps, state_vertex_dataset
+    from ..util import list_rows
+    from .components import label_propagation
+
+    g = _coocc_graph(sf_dir)
+    # ONE propagation round: the converged min-label flood would merge a
+    # connected graph into a single community (degenerate Q); one round
+    # yields the seeds' 1-hop clusters + the unreached group — four real
+    # communities on this fixture, a far stronger value check
+    _, lp_summary = label_propagation(
+        g, _ckpt("labelprop_mod"), {1: 100, 2: 200, 3: 300}, max_iters=1
+    )
+    lab_dir = lp_summary["final_iter_dir"]
+    lab_values = np.array([100, 200, 300, UNLABELED], dtype=np.uint64)
+
+    def init_fn(csr):
+        lab = read_state_part(lab_dir, csr["part"]).astype(np.uint64)
+        x = (lab[:, None] == lab_values[None, :]).astype(np.float64)  # [n, 4]
+        n = len(lab)
+        # width stays 9 across the superstep (the engine diffs new vs
+        # old state): [x (4) | scratch (4) | 1]
+        return np.concatenate([x, np.zeros((n, 4)), np.ones((n, 1))], axis=1)
+
+    def apply_fn(agg, old, T, dm, csr):
+        # [x (4) | A·x (4) | deg (1)] — everything the reduction needs
+        return np.concatenate([old[:, :4], agg[:, :4], agg[:, 8:9]], axis=1)
+
+    summary = run_supersteps(
+        g, _ckpt("modularity"), "sum", init_fn,
+        tol=0.0, max_iters=1, normalize=False, apply_fn=apply_fn,
+    )
+    st = state_vertex_dataset(g, summary["final_iter_dir"], "xy")
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        rows = list_rows(batch, "xy")
+        mat = np.stack(rows) if rows else np.zeros((0, 9))
+        x, y, deg = mat[:, :4], mat[:, 4:8], mat[:, 8]
+        return pa.table(
+            {
+                "m2": pa.array([deg.sum()], type=pa.float64()),
+                **{
+                    f"intra{c}": pa.array([(x[:, c] * y[:, c]).sum()], type=pa.float64())
+                    for c in range(4)
+                },
+                **{
+                    f"dsum{c}": pa.array([(x[:, c] * deg).sum()], type=pa.float64())
+                    for c in range(4)
+                },
+            }
+        )
+
+    aggs = [Sum("m2", alias_name="m2")]
+    for c in range(4):
+        aggs.append(Sum(f"intra{c}", alias_name=f"intra{c}"))
+        aggs.append(Sum(f"dsum{c}", alias_name=f"dsum{c}"))
+    res = st.map_batches(_partial, batch_format="pyarrow").aggregate(*aggs)
+    m2 = float(res["m2"])
+    labels, intra, dsum, q = [], [], [], []
+    out_labels = [100, 200, 300, -1]
+    for c in range(4):
+        d_c = float(res[f"dsum{c}"])
+        if d_c <= 0:
+            continue
+        i_c = float(res[f"intra{c}"])
+        labels.append(out_labels[c])
+        intra.append(int(i_c))
+        dsum.append(int(d_c))
+        q.append(np.round(i_c / m2 - (d_c / m2) * (d_c / m2), 6))
+    return pa.table(
+        {
+            "label": pa.array(labels, type=pa.int64()),
+            "intra_slots": pa.array(intra, type=pa.int64()),
+            "deg_sum": pa.array(dsum, type=pa.int64()),
+            "q_r6": pa.array(q, type=pa.float64()),
+        }
+    )
+
+
+def q_adamic_adar_coocc(sf_dir: str):
+    """Top-100 non-adjacent co-occurrence pairs by Adamic-Adar score
+    (common-neighbor link prediction; see pipelines/linkpred.py) —
+    SQL-oracled via the wedge self-join. Returns (u, v, cn, aa_r6)."""
+    from .linkpred import adamic_adar_topk
+
+    return adamic_adar_topk(_coocc_graph(sf_dir), k=100)

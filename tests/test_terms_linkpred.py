@@ -1,0 +1,163 @@
+"""TF-IDF / bigram-PMI / Adamic-Adar / assortativity vs brute-force
+oracles on tiny fixtures."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from efficient_graph_algorithms_ray.config import EngineConfig
+from efficient_graph_algorithms_ray.functions.terms import bigram_pmi, tfidf_topk
+from efficient_graph_algorithms_ray.pipelines.graph_build import build_graph
+from efficient_graph_algorithms_ray.pipelines.linkpred import adamic_adar_topk
+
+DOCS = [
+    "the cat sat on the mat",
+    "the dog sat on the log",
+    "cats and dogs and cats",
+    "a quick brown fox jumps over the lazy dog",
+    "the quick brown cat",
+    "lorem ipsum dolor sit amet",
+]
+
+
+def _docs_ds():
+    return rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(DOCS)), type=pa.int64()),
+                "text": pa.array(DOCS, type=pa.string()),
+            }
+        )
+    )
+
+
+def test_tfidf_matches_bruteforce():
+    out = tfidf_topk(_docs_ds(), k=3, hot_vocab=4, n_salts=2).to_pandas()
+    # brute force
+    n = float(len(DOCS))
+    tfs = [Counter(d.split()) for d in DOCS]
+    df: Counter = Counter()
+    for c in tfs:
+        df.update(c.keys())
+    for doc_id, c in enumerate(tfs):
+        scored = sorted(
+            ((tf * math.log(n / df[t]), t, tf) for t, tf in c.items()),
+            key=lambda x: (-x[0], x[1]),
+        )[:3]
+        got = out[out.doc_id == doc_id].sort_values(
+            ["tfidf_r6", "tok"], ascending=[False, True]
+        )
+        assert len(got) == len(scored)
+        for (s, t, tf), (_, row) in zip(scored, got.iterrows()):
+            assert row["tok"] == t and row["tf"] == tf and row["df"] == df[t]
+            assert abs(row["tfidf_r6"] - round(s, 6)) < 1e-9
+
+
+def test_tfidf_hot_vocab_invariance():
+    """Result must not depend on the hot-vocab / salt split."""
+    a = (
+        tfidf_topk(_docs_ds(), k=3, hot_vocab=0, n_salts=1)
+        .to_pandas()
+        .sort_values(["doc_id", "tok"])
+        .reset_index(drop=True)
+    )
+    b = (
+        tfidf_topk(_docs_ds(), k=3, hot_vocab=1000, n_salts=8)
+        .to_pandas()
+        .sort_values(["doc_id", "tok"])
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
+
+
+def test_bigram_pmi_bruteforce():
+    out = bigram_pmi(_docs_ds(), min_count=2, top_n=10).to_pandas()
+    big: Counter = Counter()
+    for d in DOCS:
+        toks = d.split()
+        big.update(zip(toks, toks[1:]))
+    B = sum(big.values())
+    ca: Counter = Counter()
+    cb: Counter = Counter()
+    for (a, b), c in big.items():
+        ca[a] += c
+        cb[b] += c
+    exp = sorted(
+        (
+            (round(math.log(c * B / (ca[a] * cb[b])), 6), a, b, c)
+            for (a, b), c in big.items()
+            if c >= 2
+        ),
+        key=lambda x: (-x[0], x[1], x[2]),
+    )[:10]
+    assert len(out) == len(exp)
+    for (pmi, a, b, c), (_, row) in zip(exp, out.iterrows()):
+        assert (row["a"], row["b"], row["c_ab"]) == (a, b, c)
+        assert abs(row["pmi_r6"] - pmi) < 1e-9
+
+
+def _graph(pairs, P=4):
+    src = np.array([u for u, v in pairs] + [v for u, v in pairs], dtype=np.uint64)
+    dst = np.array([v for u, v in pairs] + [u for u, v in pairs], dtype=np.uint64)
+    ds = rd.from_arrow(
+        pa.table({"src": pa.array(src, type=pa.uint64()), "dst": pa.array(dst, type=pa.uint64())})
+    )
+    return build_graph(ds, EngineConfig(num_partitions=P), directed=False), pairs
+
+
+def test_adamic_adar_bruteforce():
+    # two squares sharing a corner + a pendant
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 1), (4, 5), (5, 6), (6, 7), (7, 4), (7, 8)]
+    g, _ = _graph(pairs)
+    out = adamic_adar_topk(g, k=100).to_pandas()
+    # brute force
+    adj: dict[int, set[int]] = {}
+    for u, v in pairs:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    edge_set = {(min(u, v), max(u, v)) for u, v in pairs}
+    exp = {}
+    verts = sorted(adj)
+    for i, u in enumerate(verts):
+        for w in verts[i + 1 :]:
+            if (u, w) in edge_set:
+                continue
+            common = adj[u] & adj[w]
+            if common:
+                exp[(u, w)] = (
+                    len(common),
+                    round(sum(1.0 / math.log(len(adj[a])) for a in common), 6),
+                )
+    assert len(out) == len(exp)
+    for _, row in out.iterrows():
+        cn, aa = exp[(row["u"], row["v"])]
+        assert row["cn"] == cn
+        assert abs(row["aa_r6"] - aa) < 1e-9
+    # ordering: aa desc then (u, v)
+    key = list(zip(-out["aa_r6"], out["u"], out["v"]))
+    assert key == sorted(key)
+
+
+def test_assortativity_star_is_negative():
+    """A star graph is maximally disassortative (r = -1)."""
+    import os
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    pairs = [(0, i) for i in range(1, 8)]
+    g, _ = _graph(pairs)
+    # reuse the query's math on a custom graph via the same superstep path
+    from efficient_graph_algorithms_ray.pipelines import relational as R
+
+    R._GRAPH_CACHE[("coocc", "/tmp/_star_test")] = g
+    try:
+        out = R.q_assortativity_coocc("/tmp/_star_test").to_pandas()
+    finally:
+        del R._GRAPH_CACHE[("coocc", "/tmp/_star_test")]
+    assert out["m_slots"].iloc[0] == 14  # 7 undirected edges
+    assert abs(out["assortativity_r6"].iloc[0] + 1.0) < 1e-9
