@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "assortativity_coocc": R.q_assortativity_coocc,
         "modularity_coocc": R.q_modularity_coocc,
         "adamic_adar_coocc": R.q_adamic_adar_coocc,
+        "orders_events_range_join": R.q_orders_events_range_join,
         "hits_partsupp": R.q_hits_partsupp,
         "pagerank_weighted_coocc_k4": R.q_pagerank_weighted_coocc_k4,
         "tree_ensemble_coocc": R.q_tree_ensemble_coocc,
@@ -227,6 +228,7 @@ def oracle_sql() -> dict[str, str]:
         "assortativity_coocc": S.ASSORTATIVITY_COOCC,
         "modularity_coocc": S.modularity_coocc_sql(rounds=1),
         "adamic_adar_coocc": S.adamic_adar_coocc_sql(k=100),
+        "orders_events_range_join": S.ORDERS_EVENTS_RANGE_JOIN,
         "corpus_prep_docs": S.corpus_prep_sql(threshold=0.5, qmin_ppm=550_000),
         "corpus_splits": S.corpus_splits_sql(),
         "token_shards": S.TOKEN_SHARDS,

@@ -1799,3 +1799,13 @@ cand AS (
 )
 SELECT CAST(u AS BIGINT) AS u, CAST(w AS BIGINT) AS v, cn, aa_r6
 FROM cand ORDER BY aa_r6 DESC, u, v LIMIT {k}"""
+
+
+ORDERS_EVENTS_RANGE_JOIN = """SELECT o.o_orderkey,
+  count(e.user_id)::BIGINT AS n_events,
+  COALESCE(SUM(CAST(floor(e.value * 100) AS BIGINT)), 0)::BIGINT AS cents_sum
+FROM orders o LEFT JOIN events e
+  ON e.user_id = o.o_custkey
+ AND e.ts >= o.o_orderdate
+ AND e.ts < o.o_orderdate + INTERVAL 7 DAY
+GROUP BY o.o_orderkey"""

@@ -1651,3 +1651,117 @@ def q_adamic_adar_coocc(sf_dir: str):
     from .linkpred import adamic_adar_topk
 
     return adamic_adar_topk(_coocc_graph(sf_dir), k=100)
+
+
+def q_orders_events_range_join(sf_dir: str):
+    """Range join: per order, the count and exact-cents value sum of the
+    customer's events inside [o_orderdate, o_orderdate + 7 days).
+
+    Partitioned sort-merge like the as-of join: both sides tagged into
+    one superset schema, ONE ``groupby(user % P)`` co-locates a user's
+    orders with their events, and each partition task resolves all its
+    users via per-user prefix sums + two ``searchsorted`` probes per
+    order (windows overlap, so per-order sums are prefix-sum
+    differences — no event is ever scanned twice). Event values enter
+    as floor(value·100) cents BIGINTs so sums are exact integers in
+    any summation order (the proven floor-cents pattern).
+    Returns (o_orderkey, n_events, cents_sum) — one row per order,
+    zero-match orders included."""
+    window_us = np.int64(7 * 24 * 3600) * np.int64(1_000_000)
+
+    def _tag_orders(b: pa.Table) -> pa.Table:
+        uid = b.column("o_custkey").cast(pa.int64())
+        return pa.table(
+            {
+                "part": pa.array(
+                    uid.to_numpy(zero_copy_only=False) % EVENT_WINDOW_PARTS,
+                    type=pa.int64(),
+                ),
+                "user_id": uid,
+                "o_orderkey": b.column("o_orderkey").cast(pa.int64()),
+                "o_ts": b.column("o_orderdate").cast(pa.timestamp("us")),
+                "ts": pa.nulls(b.num_rows, type=pa.timestamp("us")),
+                "cents": pa.nulls(b.num_rows, type=pa.int64()),
+            }
+        )
+
+    def _tag_events(b: pa.Table) -> pa.Table:
+        uid = b.column("user_id").cast(pa.int64())
+        cents = np.floor(
+            b.column("value").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "part": pa.array(
+                    uid.to_numpy(zero_copy_only=False) % EVENT_WINDOW_PARTS,
+                    type=pa.int64(),
+                ),
+                "user_id": uid,
+                "o_orderkey": pa.nulls(b.num_rows, type=pa.int64()),
+                "o_ts": pa.nulls(b.num_rows, type=pa.timestamp("us")),
+                "ts": b.column("ts").cast(pa.timestamp("us")),
+                "cents": pa.array(cents, type=pa.int64()),
+            }
+        )
+
+    both = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        _tag_orders, batch_format="pyarrow"
+    ).union(
+        _read(sf_dir, "events", ["user_id", "ts", "value"]).map_batches(
+            _tag_events, batch_format="pyarrow"
+        )
+    )
+
+    def _range_join(g: pa.Table) -> pa.Table:
+        okey = g.column("o_orderkey").fill_null(-1).to_numpy(zero_copy_only=False)
+        is_order = okey >= 0
+        uid = g.column("user_id").to_numpy(zero_copy_only=False)
+        ev_uid = uid[~is_order]
+        ev_ts = (
+            g.column("ts")
+            .cast(pa.timestamp("us"))
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .view(np.int64)[~is_order]
+        )
+        ev_cents = g.column("cents").to_numpy(zero_copy_only=False)[~is_order]
+        o_uid = uid[is_order]
+        o_key = okey[is_order]
+        o_ts = (
+            g.column("o_ts")
+            .cast(pa.timestamp("us"))
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .view(np.int64)[is_order]
+        )
+        # events sorted by (user, ts) with per-user prefix sums of cents
+        es = np.lexsort((ev_ts, ev_uid))
+        ev_uid, ev_ts, ev_cents = ev_uid[es], ev_ts[es], ev_cents[es]
+        csum = np.concatenate(([0], np.cumsum(ev_cents)))
+        # orders sorted by user → one slice of events per user run
+        os_ = np.lexsort((o_ts, o_uid))
+        o_uid, o_key, o_ts = o_uid[os_], o_key[os_], o_ts[os_]
+        n_ev = np.zeros(len(o_key), dtype=np.int64)
+        c_sum = np.zeros(len(o_key), dtype=np.int64)
+        starts = np.searchsorted(ev_uid, o_uid, side="left")
+        ends = np.searchsorted(ev_uid, o_uid, side="right")
+        run_start = np.concatenate(([True], o_uid[1:] != o_uid[:-1]))
+        for i0 in np.flatnonzero(run_start):
+            u0, u1 = starts[i0], ends[i0]
+            if u0 == u1:
+                continue
+            i1 = i0 + np.searchsorted(o_uid[i0:], o_uid[i0], side="right")
+            seg = ev_ts[u0:u1]
+            lo = u0 + np.searchsorted(seg, o_ts[i0:i1], side="left")
+            hi = u0 + np.searchsorted(seg, o_ts[i0:i1] + window_us, side="left")
+            n_ev[i0:i1] = hi - lo
+            c_sum[i0:i1] = csum[hi] - csum[lo]
+        return pa.table(
+            {
+                "o_orderkey": pa.array(o_key, type=pa.int64()),
+                "n_events": pa.array(n_ev, type=pa.int64()),
+                "cents_sum": pa.array(c_sum, type=pa.int64()),
+            }
+        )
+
+    return both.groupby("part").map_groups(_range_join, batch_format="pyarrow")
