@@ -1809,3 +1809,33 @@ FROM orders o LEFT JOIN events e
  AND e.ts >= o.o_orderdate
  AND e.ts < o.o_orderdate + INTERVAL 7 DAY
 GROUP BY o.o_orderkey"""
+
+
+def ktruss_coocc_sql(k: int = 4, rounds: int = 2) -> str:
+    """Unrolled fixed-round k-truss peeling over the co-occurrence
+    graph (mirrors pipelines/truss.py: per-round per-edge triangle
+    support on the current edge set, drop support < k-2, report the
+    last round's support for survivors)."""
+    min_sup = k - 2
+    parts = [f"WITH {_COOCC_UND_MAT},\ne0 AS MATERIALIZED (SELECT u, v FROM pr)"]
+    for r in range(rounds):
+        parts.append(f""",
+tri{r} AS MATERIALIZED (
+  SELECT x1.u AS a, x1.v AS b, x2.v AS c
+  FROM e{r} x1 JOIN e{r} x2 ON x2.u = x1.u AND x1.v < x2.v
+  JOIN e{r} x3 ON x3.u = x1.v AND x3.v = x2.v
+),
+s{r} AS MATERIALIZED (
+  SELECT e.u, e.v, COALESCE(t.cnt, 0) AS support FROM e{r} e LEFT JOIN (
+    SELECT u, v, count(*)::BIGINT AS cnt FROM (
+      SELECT a AS u, b AS v FROM tri{r} UNION ALL
+      SELECT a, c FROM tri{r} UNION ALL
+      SELECT b, c FROM tri{r}
+    ) GROUP BY u, v) t ON t.u = e.u AND t.v = e.v
+),
+e{r + 1} AS MATERIALIZED (SELECT u, v FROM s{r} WHERE support >= {min_sup})""")
+    parts.append(
+        f"\nSELECT u::BIGINT AS u, v::BIGINT AS v, support::BIGINT AS support\n"
+        f"FROM s{rounds - 1} WHERE support >= {min_sup}"
+    )
+    return "".join(parts)

@@ -1765,3 +1765,12 @@ def q_orders_events_range_join(sf_dir: str):
         )
 
     return both.groupby("part").map_groups(_range_join, batch_format="pyarrow")
+
+
+def q_ktruss_coocc(sf_dir: str):
+    """4-truss of the co-occurrence graph, 2 fixed peel rounds (see
+    pipelines/truss.py for the three-exchange round plan). Returns the
+    surviving edges (u, v, support) with the last round's support."""
+    from .truss import k_truss
+
+    return k_truss(part_cooccurrence_edges(sf_dir), k=4, rounds=2)
