@@ -1839,3 +1839,15 @@ e{r + 1} AS MATERIALIZED (SELECT u, v FROM s{r} WHERE support >= {min_sup})""")
         f"FROM s{rounds - 1} WHERE support >= {min_sup}"
     )
     return "".join(parts)
+
+
+BUTTERFLIES_PARTSUPP = """WITH e AS MATERIALIZED (
+  SELECT DISTINCT l_partkey AS p, l_suppkey AS s FROM lineitem
+),
+w AS (
+  SELECT a.p AS p1, b.p AS p2, count(*)::BIGINT AS c
+  FROM e a JOIN e b ON a.s = b.s AND a.p < b.p GROUP BY a.p, b.p
+),
+bf AS (SELECT p1, p2, CAST(c*(c-1)/2 AS BIGINT) AS b FROM w WHERE c >= 2)
+SELECT p::BIGINT AS l_partkey, SUM(b)::BIGINT AS butterflies FROM (
+  SELECT p1 AS p, b FROM bf UNION ALL SELECT p2, b FROM bf) GROUP BY p"""

@@ -1774,3 +1774,28 @@ def q_ktruss_coocc(sf_dir: str):
     from .truss import k_truss
 
     return k_truss(part_cooccurrence_edges(sf_dir), k=4, rounds=2)
+
+
+def q_butterflies_partsupp(sf_dir: str):
+    """Per-part butterfly (K2,2) counts over the bipartite part–supplier
+    graph (see pipelines/bipartite.py for the two-exchange plan).
+    Returns (l_partkey, butterflies) for parts in at least one butterfly."""
+    from .bipartite import butterfly_counts
+
+    def _t(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "left": b.column("l_partkey").cast(pa.int64()),
+                "right": b.column("l_suppkey").cast(pa.int64()),
+            }
+        )
+
+    edges = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"]).map_batches(
+        _t, batch_format="pyarrow"
+    )
+    out = butterfly_counts(edges)
+
+    def _rename(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["l_partkey", "butterflies"])
+
+    return out.map_batches(_rename, batch_format="pyarrow")

@@ -57,6 +57,8 @@ def _mix(u: np.ndarray, v: np.ndarray) -> np.ndarray:
 
 def _pair_agg(u: np.ndarray, v: np.ndarray, c: np.ndarray):
     """Sum c over distinct (u, v); returns (u, v, c) deduped."""
+    if len(u) == 0:
+        return u, v, np.zeros(0, dtype=np.int64)
     order = np.lexsort((v, u))
     u, v, c = u[order], v[order], c[order]
     first = np.concatenate(([True], (u[1:] != u[:-1]) | (v[1:] != v[:-1])))
