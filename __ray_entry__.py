@@ -59,6 +59,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_events_range_join": R.q_orders_events_range_join,
         "ktruss_coocc": R.q_ktruss_coocc,
         "butterflies_partsupp": R.q_butterflies_partsupp,
+        "repetition_scores": C.q_repetition_scores,
+        "stratified_sample": C.q_stratified_sample,
         "hits_partsupp": R.q_hits_partsupp,
         "pagerank_weighted_coocc_k4": R.q_pagerank_weighted_coocc_k4,
         "tree_ensemble_coocc": R.q_tree_ensemble_coocc,
@@ -233,6 +235,8 @@ def oracle_sql() -> dict[str, str]:
         "orders_events_range_join": S.ORDERS_EVENTS_RANGE_JOIN,
         "ktruss_coocc": S.ktruss_coocc_sql(k=4, rounds=2),
         "butterflies_partsupp": S.BUTTERFLIES_PARTSUPP,
+        "repetition_scores": S.REPETITION_SCORES,
+        "stratified_sample": S.stratified_sample_sql(),
         "corpus_prep_docs": S.corpus_prep_sql(threshold=0.5, qmin_ppm=550_000),
         "corpus_splits": S.corpus_splits_sql(),
         "token_shards": S.TOKEN_SHARDS,

@@ -58,3 +58,66 @@ def assign_splits(
         )
 
     return ds.map_batches(_fn, batch_format="pyarrow")
+
+
+DEFAULT_STRATA_RATES = (("en", 0.5), ("de", 0.25), ("zh", 0.25))
+DEFAULT_STRATA_OTHER = 0.1
+
+
+def strata_thresholds(
+    rates=DEFAULT_STRATA_RATES, default_rate: float = DEFAULT_STRATA_OTHER
+) -> tuple[dict[str, int], int]:
+    """EXACT uint64 keep-thresholds per stratum (shared by the engine
+    and the SQL oracle so the float→int conversion happens once)."""
+    return (
+        {name: int(r * float(1 << 64)) for name, r in rates},
+        int(default_rate * float(1 << 64)),
+    )
+
+
+def stratified_sample_summary(
+    ds,
+    key: str = "doc_id",
+    strata_col: str = "lang",
+    rates=DEFAULT_STRATA_RATES,
+    default_rate: float = DEFAULT_STRATA_OTHER,
+    seed: int = HASH_SEED,
+):
+    """Deterministic per-stratum Bernoulli sampling — keep a row iff
+    splitmix64(id ⊕ seed) < threshold(stratum) — reduced to a
+    per-stratum audit table (stratum, n_total, n_sampled, id_checksum).
+
+    The keep decision is a pure map (stable at any parallelism /
+    cluster size — the 100-TB property that matters); only the tiny
+    per-stratum partials shuffle. id_checksum = Σ sampled ids pins the
+    exact sampled SET, not just its size."""
+    from ray.data.aggregate import Sum
+
+    thr_map, thr_other = strata_thresholds(rates, default_rate)
+
+    def _fn(batch: pa.Table) -> pa.Table:
+        ids = batch.column(key).to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = _splitmix64(ids ^ np.uint64(seed))
+        strata = batch.column(strata_col).to_pylist()
+        thr = np.array(
+            [thr_map.get(s, thr_other) for s in strata], dtype=np.uint64
+        )
+        keep = (h < thr).astype(np.int64)
+        return pa.table(
+            {
+                strata_col: batch.column(strata_col),
+                "n_total": pa.array(np.ones(len(ids), np.int64)),
+                "n_sampled": pa.array(keep),
+                "id_checksum": pa.array(ids.astype(np.int64) * keep),
+            }
+        )
+
+    return (
+        ds.map_batches(_fn, batch_format="pyarrow")
+        .groupby(strata_col)
+        .aggregate(
+            Sum("n_total", alias_name="n_total"),
+            Sum("n_sampled", alias_name="n_sampled"),
+            Sum("id_checksum", alias_name="id_checksum"),
+        )
+    )

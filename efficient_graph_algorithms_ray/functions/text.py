@@ -214,3 +214,44 @@ def simhash64_batch(batch: pa.Table) -> pa.Table:
 def tokenize_words(text: str) -> list[str]:
     """BPE-ish pre-tokenization (words + punctuation marks)."""
     return _WORD_RE.findall(text)
+
+
+def repetition_batch(batch: pa.Table) -> pa.Table:
+    """Gopher-style repetition signals per document (the synthetic
+    corpus has no newlines, so the line-level rules become their
+    token-level analogues):
+
+      dup_token_frac  = 1 − distinct/total tokens
+      top_token_frac  = count(most frequent token) / total tokens
+      top_bigram_frac = count(most frequent adjacent bigram) / total bigrams
+
+    Ratios are emitted RAW (single IEEE division — bit-identical to the
+    SQL oracle's expression); empty docs yield 0.0."""
+    from collections import Counter
+
+    texts = batch.column("text").to_pylist()
+    n_tok = np.zeros(len(texts), dtype=np.int64)
+    dup = np.zeros(len(texts), dtype=np.float64)
+    top_tok = np.zeros(len(texts), dtype=np.float64)
+    top_bg = np.zeros(len(texts), dtype=np.float64)
+    for i, t in enumerate(texts):
+        toks = (t or "").split()
+        n = len(toks)
+        n_tok[i] = n
+        if n == 0:
+            continue
+        tc = Counter(toks)
+        dup[i] = 1.0 - len(tc) / n
+        top_tok[i] = max(tc.values()) / n
+        if n >= 2:
+            bc = Counter(zip(toks, toks[1:]))
+            top_bg[i] = max(bc.values()) / (n - 1)
+    return pa.table(
+        {
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": pa.array(n_tok, type=pa.int64()),
+            "dup_token_frac": pa.array(dup, type=pa.float64()),
+            "top_token_frac": pa.array(top_tok, type=pa.float64()),
+            "top_bigram_frac": pa.array(top_bg, type=pa.float64()),
+        }
+    )

@@ -1851,3 +1851,58 @@ w AS (
 bf AS (SELECT p1, p2, CAST(c*(c-1)/2 AS BIGINT) AS b FROM w WHERE c >= 2)
 SELECT p::BIGINT AS l_partkey, SUM(b)::BIGINT AS butterflies FROM (
   SELECT p1 AS p, b FROM bf UNION ALL SELECT p2, b FROM bf) GROUP BY p"""
+
+
+REPETITION_SCORES = """WITH tk AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks FROM documents
+),
+tok_counts AS (
+  SELECT doc_id, t, count(*)::BIGINT AS c
+  FROM (SELECT doc_id, unnest(toks) AS t FROM tk) GROUP BY doc_id, t
+),
+tok_stats AS (
+  SELECT doc_id, SUM(c)::BIGINT AS tot, COUNT(*)::BIGINT AS dt, MAX(c)::BIGINT AS mc
+  FROM tok_counts GROUP BY doc_id
+),
+bg AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(toks) - 1),
+                 i -> toks[i] || chr(1) || toks[i + 1])) AS p
+  FROM tk
+),
+bg_counts AS (SELECT doc_id, p, count(*)::BIGINT AS c FROM bg GROUP BY doc_id, p),
+bg_stats AS (SELECT doc_id, SUM(c)::BIGINT AS bt, MAX(c)::BIGINT AS bm FROM bg_counts GROUP BY doc_id)
+SELECT d.doc_id,
+  COALESCE(ts.tot, 0)::BIGINT AS n_tokens,
+  CASE WHEN COALESCE(ts.tot, 0) = 0 THEN 0.0
+       ELSE 1.0 - CAST(ts.dt AS DOUBLE) / CAST(ts.tot AS DOUBLE) END AS dup_token_frac,
+  CASE WHEN COALESCE(ts.tot, 0) = 0 THEN 0.0
+       ELSE CAST(ts.mc AS DOUBLE) / CAST(ts.tot AS DOUBLE) END AS top_token_frac,
+  CASE WHEN COALESCE(bs.bt, 0) = 0 THEN 0.0
+       ELSE CAST(bs.bm AS DOUBLE) / CAST(bs.bt AS DOUBLE) END AS top_bigram_frac
+FROM documents d LEFT JOIN tok_stats ts USING (doc_id) LEFT JOIN bg_stats bs USING (doc_id)"""
+
+
+def stratified_sample_sql(seed: int | None = None) -> str:
+    """Replays functions/splits.py:stratified_sample_summary — the SAME
+    Python-computed integer thresholds inlined as literals."""
+    from ..config import HASH_SEED
+    from ..functions.splits import strata_thresholds
+
+    if seed is None:
+        seed = HASH_SEED
+    thr_map, thr_other = strata_thresholds()
+    frag, cte, hcol = sm64_stages("ss_in", "x", "ss", ["doc_id", "lang"])
+    cases = " ".join(
+        f"WHEN lang = '{name}' THEN {t}::UBIGINT" for name, t in thr_map.items()
+    )
+    return f"""WITH ss_in AS (
+  SELECT doc_id, lang, xor(CAST(doc_id AS UBIGINT), {seed}::UBIGINT) AS x FROM documents
+){frag},
+kept AS (
+  SELECT lang, doc_id,
+    CASE WHEN {hcol} < (CASE {cases} ELSE {thr_other}::UBIGINT END) THEN 1 ELSE 0 END AS k
+  FROM {cte}
+)
+SELECT lang, count(*)::BIGINT AS n_total, SUM(k)::BIGINT AS n_sampled,
+  SUM(doc_id * k)::BIGINT AS id_checksum
+FROM kept GROUP BY lang"""

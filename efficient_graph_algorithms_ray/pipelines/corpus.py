@@ -580,3 +580,33 @@ def q_bigram_pmi(sf_dir: str):
     from ..functions.terms import bigram_pmi
 
     return bigram_pmi(_docs(sf_dir, ["doc_id", "text"]), min_count=3, top_n=50)
+
+
+def q_repetition_scores(sf_dir: str):
+    """Token-level repetition/boilerplate signals per doc (Gopher-style;
+    see functions/text.py:repetition_batch). Pure map — no shuffle."""
+    import os as _os
+
+    import ray.data as rd
+
+    from ..functions.text import repetition_batch
+
+    ds = rd.read_parquet(
+        _os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+    )
+    return ds.map_batches(repetition_batch, batch_format="pyarrow")
+
+
+def q_stratified_sample(sf_dir: str):
+    """Per-language deterministic Bernoulli sample audit (see
+    functions/splits.py:stratified_sample_summary)."""
+    import os as _os
+
+    import ray.data as rd
+
+    from ..functions.splits import stratified_sample_summary
+
+    ds = rd.read_parquet(
+        _os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang"]
+    )
+    return stratified_sample_summary(ds)

@@ -42,3 +42,43 @@ def test_split_thresholds_cover_uint64():
 def test_custom_fractions_renormalize():
     th = split_thresholds((("a", 2.0), ("b", 2.0)))
     assert th[0][1] == int(0.5 * float(1 << 64))
+
+
+def _strat_ds(n, blocks=1):
+    langs = np.array(["en", "de", "zh", "fr"], dtype=object)[
+        np.arange(n) % 4
+    ]
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n, dtype=np.int64), type=pa.int64()),
+            "lang": pa.array(langs, type=pa.string()),
+        }
+    )
+    ds = rd.from_arrow(t)
+    return ds.repartition(blocks) if blocks > 1 else ds
+
+
+def test_stratified_sample_rates_and_partition_invariance():
+    from efficient_graph_algorithms_ray.functions.splits import (
+        stratified_sample_summary,
+    )
+
+    n = 40000
+    df = (
+        stratified_sample_summary(_strat_ds(n))
+        .to_pandas()
+        .set_index("lang")
+        .sort_index()
+    )
+    # expected rates: en 0.5, de 0.25, zh 0.25, fr (other) 0.1
+    for lang, rate in (("en", 0.5), ("de", 0.25), ("zh", 0.25), ("fr", 0.1)):
+        frac = df.loc[lang, "n_sampled"] / df.loc[lang, "n_total"]
+        assert abs(frac - rate) < 0.02, (lang, frac)
+    # pure map → identical sampled SET at any partitioning
+    df2 = (
+        stratified_sample_summary(_strat_ds(n, blocks=9))
+        .to_pandas()
+        .set_index("lang")
+        .sort_index()
+    )
+    assert (df == df2).all().all()

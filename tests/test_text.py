@@ -213,3 +213,28 @@ def test_video_frame_sampling_and_resize_compose():
         ImageDecoder, batch_format="pyarrow", batch_size=8, concurrency=2
     )
     assert feats.count() == 12
+
+
+def test_repetition_batch_hand_check():
+    import pyarrow as pa
+
+    from efficient_graph_algorithms_ray.functions.text import repetition_batch
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+            "text": pa.array(["a b a b a", "x y z", ""], type=pa.string()),
+        }
+    )
+    out = repetition_batch(t).to_pydict()
+    assert out["n_tokens"] == [5, 3, 0]
+    # doc0: 5 tokens, 2 distinct → dup 0.6; top token 'a' 3/5; top
+    # bigram ('a','b') or ('b','a') both 2 of 4 → 0.5
+    assert out["dup_token_frac"][0] == 1.0 - 2 / 5
+    assert out["top_token_frac"][0] == 3 / 5
+    assert out["top_bigram_frac"][0] == 2 / 4
+    # doc1: all distinct
+    assert out["dup_token_frac"][1] == 0.0
+    assert out["top_bigram_frac"][1] == 1 / 2
+    # empty doc: all zeros
+    assert out["dup_token_frac"][2] == 0.0 and out["top_bigram_frac"][2] == 0.0
