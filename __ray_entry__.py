@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "butterflies_partsupp": R.q_butterflies_partsupp,
         "repetition_scores": C.q_repetition_scores,
         "stratified_sample": C.q_stratified_sample,
+        "closeness_coocc": R.q_closeness_coocc,
         "hits_partsupp": R.q_hits_partsupp,
         "pagerank_weighted_coocc_k4": R.q_pagerank_weighted_coocc_k4,
         "tree_ensemble_coocc": R.q_tree_ensemble_coocc,
@@ -237,6 +238,7 @@ def oracle_sql() -> dict[str, str]:
         "butterflies_partsupp": S.BUTTERFLIES_PARTSUPP,
         "repetition_scores": S.REPETITION_SCORES,
         "stratified_sample": S.stratified_sample_sql(),
+        "closeness_coocc": S.closeness_coocc_sql(rounds=8),
         "corpus_prep_docs": S.corpus_prep_sql(threshold=0.5, qmin_ppm=550_000),
         "corpus_splits": S.corpus_splits_sql(),
         "token_shards": S.TOKEN_SHARDS,

@@ -1906,3 +1906,40 @@ kept AS (
 SELECT lang, count(*)::BIGINT AS n_total, SUM(k)::BIGINT AS n_sampled,
   SUM(doc_id * k)::BIGINT AS id_checksum
 FROM kept GROUP BY lang"""
+
+
+def closeness_coocc_sql(rounds: int = 8, seeds=(1, 2, 3, 4)) -> str:
+    """Unrolled BFS per seed over the co-occurrence graph; closeness =
+    n_reached / sum_hops as the same single IEEE division the engine
+    emits."""
+    sent = 1 << 40
+    chains = []
+    selects = []
+    for s in seeds:
+        chains.append(f""",
+c{s}_d0 AS MATERIALIZED (
+  SELECT vid, CASE WHEN vid = {s} THEN 0 ELSE {sent} END AS dist
+  FROM (SELECT DISTINCT u AS vid FROM und)
+)""")
+        for i in range(1, rounds + 1):
+            p = f"c{s}_d{i-1}"
+            chains.append(f""",
+c{s}_rx{i} AS (
+  SELECT und.v AS vid, MIN(dp.dist + 1) AS m
+  FROM und JOIN {p} dp ON und.u = dp.vid WHERE dp.dist < {sent}
+  GROUP BY und.v
+),
+c{s}_d{i} AS MATERIALIZED (
+  SELECT d.vid, LEAST(d.dist, COALESCE(r.m, {sent})) AS dist
+  FROM {p} d LEFT JOIN c{s}_rx{i} r ON d.vid = r.vid
+)""")
+        selects.append(
+            f"""SELECT {s}::BIGINT AS seed, count(*)::BIGINT AS n_reached,
+  SUM(dist)::BIGINT AS sum_hops,
+  CAST(count(*) AS DOUBLE) / CAST(SUM(dist) AS DOUBLE) AS closeness
+FROM c{s}_d{rounds} WHERE dist < {sent} AND vid <> {s}"""
+        )
+    return (
+        f"WITH {_COOCC_UND_MAT}" + "".join(chains) + "\n"
+        + "\nUNION ALL\n".join(selects)
+    )

@@ -1799,3 +1799,51 @@ def q_butterflies_partsupp(sf_dir: str):
         return b.rename_columns(["l_partkey", "butterflies"])
 
     return out.map_batches(_rename, batch_format="pyarrow")
+
+
+def q_closeness_coocc(sf_dir: str):
+    """Closeness centrality of 4 seed parts over the (unweighted)
+    co-occurrence graph: one BFS shortest-path forest per seed
+    (pipelines/paths.py min-monoid supersteps, scale=1 → dist_q =
+    hops), reduced to (seed, n_reached, sum_hops, closeness).
+    closeness = n_reached / sum_hops as ONE raw IEEE division —
+    replayed exactly by the unrolled-BFS SQL oracle. Bounded seed set
+    → K graph passes, the same contract as the DSD query."""
+    from .paths import shortest_path_forest
+
+    g = _coocc_graph(sf_dir)
+    seeds = [1, 2, 3, 4]
+    out_seed, out_n, out_sum, out_c = [], [], [], []
+    for s in seeds:
+        out, _ = shortest_path_forest(
+            g, np.array([s], dtype=np.uint64), _ckpt(f"close{s}"), scale=1
+        )
+
+        def _partial(batch: pa.Table, s=s) -> pa.Table:
+            vid = batch.column("vid").to_numpy(zero_copy_only=False)
+            dq = batch.column("dist_q").to_numpy(zero_copy_only=False)
+            reached = batch.column("reached").to_numpy(zero_copy_only=False)
+            sel = reached & (vid != s)
+            return pa.table(
+                {
+                    "n": pa.array([int(sel.sum())], type=pa.int64()),
+                    "sd": pa.array([int(dq[sel].sum())], type=pa.int64()),
+                }
+            )
+
+        agg = out.map_batches(_partial, batch_format="pyarrow").aggregate(
+            Sum("n", alias_name="n"), Sum("sd", alias_name="sd")
+        )
+        n, sd = int(agg["n"]), int(agg["sd"])
+        out_seed.append(s)
+        out_n.append(n)
+        out_sum.append(sd)
+        out_c.append(float(n) / float(sd) if sd else 0.0)
+    return pa.table(
+        {
+            "seed": pa.array(out_seed, type=pa.int64()),
+            "n_reached": pa.array(out_n, type=pa.int64()),
+            "sum_hops": pa.array(out_sum, type=pa.int64()),
+            "closeness": pa.array(out_c, type=pa.float64()),
+        }
+    )
