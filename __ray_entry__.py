@@ -62,6 +62,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_scores": C.q_repetition_scores,
         "stratified_sample": C.q_stratified_sample,
         "closeness_coocc": R.q_closeness_coocc,
+        "degree_histogram_coocc": R.q_degree_histogram_coocc,
+        "jaccard_coocc": R.q_jaccard_coocc,
         "hits_partsupp": R.q_hits_partsupp,
         "pagerank_weighted_coocc_k4": R.q_pagerank_weighted_coocc_k4,
         "tree_ensemble_coocc": R.q_tree_ensemble_coocc,
@@ -239,6 +241,8 @@ def oracle_sql() -> dict[str, str]:
         "repetition_scores": S.REPETITION_SCORES,
         "stratified_sample": S.stratified_sample_sql(),
         "closeness_coocc": S.closeness_coocc_sql(rounds=8),
+        "degree_histogram_coocc": S.DEGREE_HISTOGRAM_COOCC,
+        "jaccard_coocc": S.jaccard_coocc_sql(k=100),
         "corpus_prep_docs": S.corpus_prep_sql(threshold=0.5, qmin_ppm=550_000),
         "corpus_splits": S.corpus_splits_sql(),
         "token_shards": S.TOKEN_SHARDS,

@@ -1943,3 +1943,32 @@ FROM c{s}_d{rounds} WHERE dist < {sent} AND vid <> {s}"""
         f"WITH {_COOCC_UND_MAT}" + "".join(chains) + "\n"
         + "\nUNION ALL\n".join(selects)
     )
+
+
+DEGREE_HISTOGRAM_COOCC = f"""WITH {_COOCC_UND_MAT},
+deg AS (SELECT u AS vid, count(*)::BIGINT AS d FROM und GROUP BY u)
+SELECT (length(printf('%b', d)) - 1)::BIGINT AS bin,
+  count(*)::BIGINT AS n_vertices, MIN(d)::BIGINT AS min_deg,
+  MAX(d)::BIGINT AS max_deg, SUM(d)::BIGINT AS sum_deg
+FROM deg GROUP BY 1"""
+
+
+def jaccard_coocc_sql(k: int = 100) -> str:
+    """Top-k non-adjacent pairs by neighborhood Jaccard via the wedge
+    self-join; the score is the raw integer-quotient double, so no
+    rounding is involved anywhere."""
+    return f"""WITH {_COOCC_UND_MAT},
+deg AS (SELECT u AS vid, count(*)::BIGINT AS d FROM und GROUP BY u),
+wedge AS (
+  SELECT e1.v AS u, e2.v AS w
+  FROM und e1 JOIN und e2 ON e1.u = e2.u AND e1.v < e2.v
+),
+cnq AS (SELECT u, w, count(*)::BIGINT AS cn FROM wedge GROUP BY u, w),
+cand AS (
+  SELECT c.u, c.w, c.cn,
+    CAST(c.cn AS DOUBLE) / CAST(du.d + dw.d - c.cn AS DOUBLE) AS jaccard
+  FROM cnq c JOIN deg du ON c.u = du.vid JOIN deg dw ON c.w = dw.vid
+  WHERE NOT EXISTS (SELECT 1 FROM pr WHERE pr.u = c.u AND pr.v = c.w)
+)
+SELECT CAST(u AS BIGINT) AS u, CAST(w AS BIGINT) AS v, cn, jaccard
+FROM cand ORDER BY jaccard DESC, u, v LIMIT {k}"""

@@ -1,5 +1,5 @@
-"""Link prediction over CSR shards: common-neighbor / Adamic-Adar
-scores for non-adjacent vertex pairs.
+"""Link prediction over CSR shards: common-neighbor / Adamic-Adar /
+Jaccard scores for non-adjacent vertex pairs.
 
 The wedge machinery is the ``interconnected_kernel`` A² common-
 neighbor term of the reference
@@ -7,10 +7,11 @@ neighbor term of the reference
 into a ranking operator: for every pair (u, w) with at least one
 common neighbor a, score
 
-    cn(u, w)  = |N(u) ∩ N(w)|            (common-neighbor count)
-    aa(u, w)  = Σ_a 1 / ln(deg(a))       (Adamic–Adar)
+    cn(u, w)   = |N(u) ∩ N(w)|            (common-neighbor count)
+    aa(u, w)   = Σ_a 1 / ln(deg(a))       (Adamic–Adar)
+    jacc(u, w) = cn / (deg(u)+deg(w)−cn)  (neighborhood Jaccard)
 
-existing edges are excluded, and the global top-k by (rounded) aa is
+existing edges are excluded, and the global top-k by score is
 returned.
 
 Shuffle plan (two exchanges total):
@@ -21,14 +22,22 @@ Shuffle plan (two exchanges total):
 - edge-marker rows ride the SAME (u, w) groupby that merges the
   partials, folding the anti-join into the aggregation shuffle
   (group size ≤ #shards + 1);
+- Jaccard's endpoint degrees come from the broadcast degree index
+  (triangles._degree_index — remote-extracted 16 B/vertex slices, no
+  driver shard funnel), looked up map-side per batch;
 - global ``sort + limit`` for the top-k.
 
-Scale note: exact all-pairs AA is inherently Σ deg² wedge work — the
-same bound as triangle counting, without the orientation trick
+Scale note: exact all-pairs scoring is inherently Σ deg² wedge work —
+the same bound as triangle counting, without the orientation trick
 (wedge centers must see BOTH endpoints). ``max_center_degree`` caps
 hub centers for the approximate large-scale regime (a hub shared by
 two pages is weak evidence anyway: weight 1/ln(deg) → 0); the
 default None keeps the operator exact for the oracle check.
+
+Jaccard emits the RAW IEEE quotient (integer cn / integer denom, one
+division) — no rounding, so the SQL oracle is bit-identical; AA is an
+irrational log-sum, rounded r6 with a deterministic (sorted) partial
+sum on both sides.
 """
 
 from __future__ import annotations
@@ -55,16 +64,13 @@ def _empty() -> pa.Table:
     )
 
 
-def adamic_adar_topk(
+def _cn_pairs(
     graph: ShardedGraph,
-    k: int = 100,
-    max_center_degree: int | None = None,
-) -> "ray.data.Dataset":
-    """Top-k non-adjacent pairs by Adamic-Adar score.
-
-    Returns (u, v, cn, aa_r6) ordered by (aa_r6 desc, u, v); u < v.
-    ``graph`` must be undirected (both directions present).
-    """
+    max_center_degree: int | None,
+    aa_weights: bool,
+):
+    """Merged non-adjacent common-neighbor pairs: Dataset (u, w, cn, s)
+    with u < w; s = Σ 1/ln(deg(center)) when ``aa_weights`` else 0."""
     import ray.data as rd
 
     assert not graph.directed
@@ -91,14 +97,15 @@ def adamic_adar_topk(
                 iu, iw = np.triu_indices(d, 1)
                 us.append(row[iu])  # row is sorted → u < w already
                 ws.append(row[iw])
-                wts.append(np.full(len(iu), 1.0 / np.log(d)))
+                if aa_weights:
+                    wts.append(np.full(len(iu), 1.0 / np.log(d)))
         if not us and not e_us:
             return _empty()
         out = []
         if us:
             u = np.concatenate(us)
             w = np.concatenate(ws)
-            wt = np.concatenate(wts)
+            wt = np.concatenate(wts) if aa_weights else np.zeros(len(u))
             # shard-local pre-aggregation: one row per distinct (u, w)
             order = np.lexsort((w, u))
             u, w, wt = u[order], w[order], wt[order]
@@ -144,9 +151,7 @@ def adamic_adar_topk(
 
     def _merge(g: pa.Table) -> pa.Table:
         if g.column("is_edge").to_numpy(zero_copy_only=False).any():
-            return _empty().drop_columns(["s", "is_edge"]).append_column(
-                "aa_r6", pa.array([], type=_F64)
-            )
+            return _empty().drop_columns(["is_edge"])
         cn = int(g.column("cn").to_numpy(zero_copy_only=False).sum())
         # sort partials before summing: group rows arrive in task order,
         # sorting makes the float sum run-to-run deterministic
@@ -156,14 +161,98 @@ def adamic_adar_topk(
                 "u": g.slice(0, 1).column("u"),
                 "w": g.slice(0, 1).column("w"),
                 "cn": pa.array([cn], type=_I64),
-                "aa_r6": pa.array([round(s, 6)], type=_F64),
+                "s": pa.array([s], type=_F64),
             }
         )
 
-    merged = partials.groupby(["u", "w"]).map_groups(_merge, batch_format="pyarrow")
-    top = merged.sort(["aa_r6", "u", "w"], descending=[True, False, False]).limit(k)
+    return partials.groupby(["u", "w"]).map_groups(_merge, batch_format="pyarrow")
+
+
+def adamic_adar_topk(
+    graph: ShardedGraph,
+    k: int = 100,
+    max_center_degree: int | None = None,
+) -> "ray.data.Dataset":
+    """Top-k non-adjacent pairs by Adamic-Adar score.
+
+    Returns (u, v, cn, aa_r6) ordered by (aa_r6 desc, u, v); u < w.
+    ``graph`` must be undirected (both directions present).
+    """
+    merged = _cn_pairs(graph, max_center_degree, aa_weights=True)
+
+    def _score(batch: pa.Table) -> pa.Table:
+        s = batch.column("s").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "u": batch.column("u"),
+                "w": batch.column("w"),
+                "cn": batch.column("cn"),
+                "aa_r6": pa.array(np.round(s, 6), type=_F64),
+            }
+        )
+
+    top = (
+        merged.map_batches(_score, batch_format="pyarrow")
+        .sort(["aa_r6", "u", "w"], descending=[True, False, False])
+        .limit(k)
+    )
 
     def _rename(batch: pa.Table) -> pa.Table:
         return batch.rename_columns(["u", "v", "cn", "aa_r6"])
+
+    return top.map_batches(_rename, batch_format="pyarrow")
+
+
+def jaccard_topk(
+    graph: ShardedGraph,
+    k: int = 100,
+    max_center_degree: int | None = None,
+) -> "ray.data.Dataset":
+    """Top-k non-adjacent pairs by neighborhood Jaccard similarity.
+
+    Returns (u, v, cn, jaccard) ordered by (jaccard desc, u, v);
+    jaccard is the raw IEEE quotient cn / (deg u + deg w − cn).
+    """
+    from .triangles import _degree_index
+
+    merged = _cn_pairs(graph, max_center_degree, aa_weights=False)
+    deg_refs = _degree_index(graph)
+    P = graph.num_partitions
+
+    def _lookup(vs: np.ndarray) -> np.ndarray:
+        """deg per vid, via the per-partition broadcast degree slices."""
+        out = np.zeros(len(vs), dtype=np.int64)
+        parts = (vs.astype(np.uint64) % np.uint64(P)).astype(np.int64)
+        for p in np.unique(parts):
+            sl = ray.get(deg_refs[int(p)])
+            sel = parts == p
+            pos = np.searchsorted(sl["vids"], vs[sel].astype(np.uint64))
+            out[sel] = sl["deg"][pos]
+        return out
+
+    def _score(batch: pa.Table) -> pa.Table:
+        u = batch.column("u").to_numpy(zero_copy_only=False)
+        w = batch.column("w").to_numpy(zero_copy_only=False)
+        cn = batch.column("cn").to_numpy(zero_copy_only=False)
+        denom = _lookup(u) + _lookup(w) - cn
+        return pa.table(
+            {
+                "u": batch.column("u"),
+                "w": batch.column("w"),
+                "cn": batch.column("cn"),
+                "jaccard": pa.array(
+                    cn.astype(np.float64) / denom.astype(np.float64), type=_F64
+                ),
+            }
+        )
+
+    top = (
+        merged.map_batches(_score, batch_format="pyarrow")
+        .sort(["jaccard", "u", "w"], descending=[True, False, False])
+        .limit(k)
+    )
+
+    def _rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["u", "v", "cn", "jaccard"])
 
     return top.map_batches(_rename, batch_format="pyarrow")

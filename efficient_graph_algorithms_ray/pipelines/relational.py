@@ -1847,3 +1847,47 @@ def q_closeness_coocc(sf_dir: str):
             "closeness": pa.array(out_c, type=pa.float64()),
         }
     )
+
+
+def q_degree_histogram_coocc(sf_dir: str):
+    """Log2-binned degree distribution of the co-occurrence graph (the
+    power-law sanity check every link-graph run starts with). Degrees
+    stream out of the CSR shards; bins are computed with INTEGER bit
+    arithmetic (floor(log2 d) via the binary representation length on
+    both sides — no libm/floor boundary ambiguity).
+    Returns (bin, n_vertices, min_deg, max_deg, sum_deg)."""
+    from ray.data.aggregate import Count, Max, Min
+
+    g = _coocc_graph(sf_dir)
+    degs = degree_table(g)
+    pows = np.power(2.0, np.arange(1, 63)).astype(np.uint64)  # 2,4,8,…
+
+    def _bin(batch: pa.Table) -> pa.Table:
+        d = batch.column("out_deg").to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = np.searchsorted(pows, d, side="right").astype(np.int64)
+        return pa.table(
+            {
+                "bin": pa.array(b, type=pa.int64()),
+                "deg": pa.array(d.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    return (
+        degs.map_batches(_bin, batch_format="pyarrow")
+        .groupby("bin")
+        .aggregate(
+            Count(alias_name="n_vertices"),
+            Min("deg", alias_name="min_deg"),
+            Max("deg", alias_name="max_deg"),
+            Sum("deg", alias_name="sum_deg"),
+        )
+    )
+
+
+def q_jaccard_coocc(sf_dir: str):
+    """Top-100 non-adjacent co-occurrence pairs by neighborhood Jaccard
+    similarity (pipelines/linkpred.py; raw IEEE quotient — bit-exact vs
+    SQL). Returns (u, v, cn, jaccard)."""
+    from .linkpred import jaccard_topk
+
+    return jaccard_topk(_coocc_graph(sf_dir), k=100)
