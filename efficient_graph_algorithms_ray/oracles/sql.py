@@ -1972,3 +1972,48 @@ cand AS (
 )
 SELECT CAST(u AS BIGINT) AS u, CAST(w AS BIGINT) AS v, cn, jaccard
 FROM cand ORDER BY jaccard DESC, u, v LIMIT {k}"""
+
+
+def mis_coocc_sql(rounds: int = 3, seed: int = 7) -> str:
+    """Unrolled Luby MIS over the co-occurrence graph (mirrors
+    pipelines/mis.py exactly): per round, undecided vertex v wins iff
+    pri_r(v) < MIN(pri_r of undecided neighbors) (empty min → wins);
+    winners' undecided neighbors are excluded; live edges shrink to
+    undecided–undecided. pri_r(v) = ((v + RC_r)·C mod 2^64) ⊕ (·>>29),
+    RC_r inlined from Python — bijective, so no ties."""
+    from ..pipelines.mis import PRI_C, round_constants
+
+    rcs = round_constants(seed, rounds)
+    body = []
+    for r, rc in enumerate(rcs):
+        t = _mulmod64(f"CAST((CAST(vid AS HUGEINT) + {rc}) % {_U64} AS UBIGINT)", PRI_C)
+        body.append(f""",
+pm{r} AS (SELECT vid, {t} AS t FROM verts),
+pp{r} AS MATERIALIZED (SELECT vid, xor(t, t >> 29) AS pri FROM pm{r}),
+mn{r} AS (SELECT e.u AS vid, MIN(p.pri) AS m
+          FROM ed{r} e JOIN pp{r} p ON p.vid = e.v GROUP BY e.u),
+win{r} AS MATERIALIZED (
+  SELECT s.vid FROM st{r} s JOIN pp{r} p ON p.vid = s.vid
+  LEFT JOIN mn{r} m ON m.vid = s.vid
+  WHERE s.status = 0 AND (m.m IS NULL OR p.pri < m.m)
+),
+ex{r} AS (SELECT DISTINCT e.v AS vid
+          FROM ed{r} e JOIN win{r} w ON w.vid = e.u),
+st{r + 1} AS MATERIALIZED (
+  SELECT s.vid, CASE WHEN s.status <> 0 THEN s.status
+                     WHEN w.vid IS NOT NULL THEN 1
+                     WHEN x.vid IS NOT NULL THEN 2
+                     ELSE 0 END AS status
+  FROM st{r} s LEFT JOIN win{r} w ON w.vid = s.vid
+  LEFT JOIN ex{r} x ON x.vid = s.vid
+),
+ed{r + 1} AS MATERIALIZED (
+  SELECT e.u, e.v FROM ed{r} e
+  JOIN st{r + 1} a ON a.vid = e.u AND a.status = 0
+  JOIN st{r + 1} b ON b.vid = e.v AND b.status = 0
+)""")
+    return f"""WITH {_COOCC_UND_MAT},
+verts AS MATERIALIZED (SELECT DISTINCT u AS vid FROM und),
+st0 AS MATERIALIZED (SELECT vid, 0 AS status FROM verts),
+ed0 AS MATERIALIZED (SELECT u, v FROM und){"".join(body)}
+SELECT CAST(vid AS BIGINT) AS vid, CAST(status AS BIGINT) AS status FROM st{rounds}"""

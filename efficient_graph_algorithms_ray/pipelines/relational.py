@@ -1891,3 +1891,12 @@ def q_jaccard_coocc(sf_dir: str):
     from .linkpred import jaccard_topk
 
     return jaccard_topk(_coocc_graph(sf_dir), k=100)
+
+
+def q_mis_coocc(sf_dir: str):
+    """3-round Luby maximal independent set over the co-occurrence
+    graph (pipelines/mis.py). Returns (vid, status): 1 = in MIS,
+    2 = excluded, 0 = still undecided after the fixed rounds."""
+    from .mis import maximal_independent_set
+
+    return maximal_independent_set(part_cooccurrence_edges(sf_dir), rounds=3)
