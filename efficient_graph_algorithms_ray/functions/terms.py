@@ -36,7 +36,13 @@ from ray.data.aggregate import Count, Sum
 
 from .text import _TOKEN_RE
 
-__all__ = ["term_frequencies", "tfidf_topk", "bigram_pmi"]
+__all__ = [
+    "term_frequencies",
+    "tfidf_topk",
+    "bigram_pmi",
+    "attach_token_stat",
+    "unigram_familiarity",
+]
 
 _EMPTY_TF = pa.table(
     {
@@ -77,6 +83,145 @@ def term_frequencies(docs_ds) -> "rd.Dataset":
     return docs_ds.map_batches(_tf, batch_format="pyarrow")
 
 
+def attach_token_stat(
+    tf, stat, stat_col: str, *, hot_vocab: int = 2048, n_salts: int = 16
+):
+    """(doc_id, tok, tf) ⨝ (tok, ``stat_col``) → the tf rows with the
+    per-token statistic attached.
+
+    The top ``hot_vocab`` tokens by the statistic form a tiny broadcast
+    map: their rows get the value attached map-side and a per-doc salt
+    spreads them over ``n_salts`` reduce groups; tail tokens use the
+    union-tag marker co-shuffle. No reduce task ever holds more than
+    max(tail-token df, hot-token df / n_salts) rows — the stopword
+    group never concentrates.
+    """
+    hot_batches = (
+        list(
+            stat.sort([stat_col, "tok"], descending=[True, False])
+            .limit(hot_vocab)
+            .iter_batches(batch_size=None, batch_format="pyarrow")
+        )
+        if hot_vocab > 0
+        else []
+    )
+    hot_map: dict = {}
+    for hb in hot_batches:
+        hot_map.update(
+            zip(hb.column("tok").to_pylist(), hb.column(stat_col).to_pylist())
+        )
+    hot_ref = ray.put(hot_map)
+
+    def _tag_data(batch: pa.Table) -> pa.Table:
+        """Data rows: hot toks get the stat + doc-hash salt; tail −1."""
+        hot = ray.get(hot_ref)
+        toks = batch.column("tok").to_pylist()
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        vals = np.fromiter(
+            (hot.get(t, -1) for t in toks), dtype=np.int64, count=len(toks)
+        )
+        salt = np.where(vals >= 0, ids % n_salts, 0).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "tok": batch.column("tok"),
+                "tf": batch.column("tf"),
+                stat_col: pa.array(vals, type=pa.int64()),
+                "salt": pa.array(salt, type=pa.int64()),
+            }
+        )
+
+    def _tag_stat(batch: pa.Table) -> pa.Table:
+        """Tail marker rows (doc_id = -1): only tokens outside the hot
+        vocabulary need a marker in the co-shuffle. Membership is by
+        dict lookup (stat ties at the hot cutoff are NOT all hot)."""
+        hot = ray.get(hot_ref)
+        toks = batch.column("tok").to_pylist()
+        keep = batch.filter(pa.array([t not in hot for t in toks]))
+        n = keep.num_rows
+        return pa.table(
+            {
+                "doc_id": pa.array(np.full(n, -1, dtype=np.int64)),
+                "tok": keep.column("tok"),
+                "tf": pa.array(np.zeros(n, dtype=np.int64)),
+                stat_col: keep.column(stat_col).cast(pa.int64()),
+                "salt": pa.array(np.zeros(n, dtype=np.int64)),
+            }
+        )
+
+    both = tf.map_batches(_tag_data, batch_format="pyarrow").union(
+        stat.map_batches(_tag_stat, batch_format="pyarrow")
+    )
+
+    def _attach(g: pa.Table) -> pa.Table:
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False)
+        vals = g.column(stat_col).to_numpy(zero_copy_only=False)
+        if (vals >= 0).all():  # salted hot group — stat already attached
+            return g.drop_columns(["salt"]).filter(pa.array(ids >= 0))
+        marker = vals[ids < 0]
+        val = int(marker[0]) if len(marker) else 0
+        out = g.drop_columns(["salt"]).filter(pa.array(ids >= 0))
+        return out.set_column(
+            out.schema.get_field_index(stat_col),
+            stat_col,
+            pa.array(np.full(out.num_rows, val, dtype=np.int64)),
+        )
+
+    return both.groupby(["tok", "salt"]).map_groups(_attach, batch_format="pyarrow")
+
+
+def unigram_familiarity(docs_ds, *, hot_vocab: int = 2048, n_salts: int = 16):
+    """Per-document unigram familiarity: the mean corpus frequency of
+    the document's tokens — Σ_tok tf·cf / Σ_tok tf, where cf is the
+    corpus-wide occurrence count. Rare-token documents (typos, exotic
+    boilerplate, non-language noise) score LOW; the log-free cousin of
+    unigram-LM perplexity filters in training-data pipelines.
+
+    Everything up to the final quotient is INTEGER arithmetic (sums of
+    int64 products commute exactly), then one IEEE division per doc —
+    bit-identical to the SQL oracle with no rounding step. Returns
+    (doc_id, n_tokens, fam_num, familiarity).
+
+    Two corpus passes + two bounded shuffles: tf (map-side) →
+    cf = groupby(tok).sum (combiner-backed) → salted hot-vocab attach
+    → per-doc groupby-sum.
+    """
+    tf = term_frequencies(docs_ds).materialize()
+    cf = tf.groupby("tok").aggregate(Sum("tf", alias_name="cf")).materialize()
+    attached = attach_token_stat(tf, cf, "cf", hot_vocab=hot_vocab, n_salts=n_salts)
+
+    def _prod(batch: pa.Table) -> pa.Table:
+        tfv = batch.column("tf").to_numpy(zero_copy_only=False).astype(np.int64)
+        cfv = batch.column("cf").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "tf": pa.array(tfv, type=pa.int64()),
+                "tfcf": pa.array(tfv * cfv, type=pa.int64()),
+            }
+        )
+
+    sums = (
+        attached.map_batches(_prod, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("tf", alias_name="n_tokens"), Sum("tfcf", alias_name="fam_num"))
+    )
+
+    def _score(batch: pa.Table) -> pa.Table:
+        n = batch.column("n_tokens").to_numpy(zero_copy_only=False).astype(np.float64)
+        num = batch.column("fam_num").to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "n_tokens": batch.column("n_tokens").cast(pa.int64()),
+                "fam_num": batch.column("fam_num").cast(pa.int64()),
+                "familiarity": pa.array(num / n, type=pa.float64()),
+            }
+        )
+
+    return sums.map_batches(_score, batch_format="pyarrow")
+
+
 def tfidf_topk(
     docs_ds,
     k: int = 5,
@@ -100,76 +245,7 @@ def tfidf_topk(
     # instead of re-tokenizing the corpus per consumer
     tf = term_frequencies(docs_ds).materialize()
     df = tf.groupby("tok").aggregate(Count(alias_name="df")).materialize()
-
-    # tiny hot-vocab table (top `hot_vocab` tokens by df) → broadcast
-    hot_batches = (
-        list(
-            df.sort(["df", "tok"], descending=[True, False])
-            .limit(hot_vocab)
-            .iter_batches(batch_size=None, batch_format="pyarrow")
-        )
-        if hot_vocab > 0
-        else []
-    )
-    hot_map: dict = {}
-    for hb in hot_batches:
-        hot_map.update(zip(hb.column("tok").to_pylist(), hb.column("df").to_pylist()))
-    hot_ref = ray.put(hot_map)
-
-    def _tag_data(batch: pa.Table) -> pa.Table:
-        """Data rows: hot toks get df + doc-hash salt; tail gets df=-1."""
-        hot = ray.get(hot_ref)
-        toks = batch.column("tok").to_pylist()
-        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        dfs = np.fromiter((hot.get(t, -1) for t in toks), dtype=np.int64, count=len(toks))
-        salt = np.where(dfs >= 0, ids % n_salts, 0).astype(np.int64)
-        return pa.table(
-            {
-                "doc_id": batch.column("doc_id"),
-                "tok": batch.column("tok"),
-                "tf": batch.column("tf"),
-                "df": pa.array(dfs, type=pa.int64()),
-                "salt": pa.array(salt, type=pa.int64()),
-            }
-        )
-
-    def _tag_df(batch: pa.Table) -> pa.Table:
-        """Tail-df marker rows (doc_id = -1): only tokens outside the
-        hot vocabulary need a marker in the co-shuffle. Membership is
-        by dict lookup (df ties at the hot cutoff are NOT all hot)."""
-        hot = ray.get(hot_ref)
-        toks = batch.column("tok").to_pylist()
-        keep = batch.filter(pa.array([t not in hot for t in toks]))
-        n = keep.num_rows
-        return pa.table(
-            {
-                "doc_id": pa.array(np.full(n, -1, dtype=np.int64)),
-                "tok": keep.column("tok"),
-                "tf": pa.array(np.zeros(n, dtype=np.int64)),
-                "df": keep.column("df").cast(pa.int64()),
-                "salt": pa.array(np.zeros(n, dtype=np.int64)),
-            }
-        )
-
-    both = tf.map_batches(_tag_data, batch_format="pyarrow").union(
-        df.map_batches(_tag_df, batch_format="pyarrow")
-    )
-
-    def _attach(g: pa.Table) -> pa.Table:
-        ids = g.column("doc_id").to_numpy(zero_copy_only=False)
-        dfs = g.column("df").to_numpy(zero_copy_only=False)
-        if (dfs >= 0).all():  # salted hot group — df already attached
-            return g.drop_columns(["salt"]).filter(pa.array(ids >= 0))
-        marker = dfs[ids < 0]
-        val = int(marker[0]) if len(marker) else 0
-        out = g.drop_columns(["salt"]).filter(pa.array(ids >= 0))
-        return out.set_column(
-            out.schema.get_field_index("df"),
-            "df",
-            pa.array(np.full(out.num_rows, val, dtype=np.int64)),
-        )
-
-    attached = both.groupby(["tok", "salt"]).map_groups(_attach, batch_format="pyarrow")
+    attached = attach_token_stat(tf, df, "df", hot_vocab=hot_vocab, n_salts=n_salts)
 
     def _score(batch: pa.Table) -> pa.Table:
         tfv = batch.column("tf").to_numpy(zero_copy_only=False).astype(np.float64)

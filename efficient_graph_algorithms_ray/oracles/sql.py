@@ -2017,3 +2017,15 @@ verts AS MATERIALIZED (SELECT DISTINCT u AS vid FROM und),
 st0 AS MATERIALIZED (SELECT vid, 0 AS status FROM verts),
 ed0 AS MATERIALIZED (SELECT u, v FROM und){"".join(body)}
 SELECT CAST(vid AS BIGINT) AS vid, CAST(status AS BIGINT) AS status FROM st{rounds}"""
+
+
+UNIGRAM_FAMILIARITY = """WITH tk AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS t FROM documents
+),
+tf AS (SELECT doc_id, t, count(*)::BIGINT AS tf FROM tk GROUP BY doc_id, t),
+cf AS (SELECT t, SUM(tf)::BIGINT AS cf FROM tf GROUP BY t)
+SELECT f.doc_id::BIGINT AS doc_id,
+  SUM(f.tf)::BIGINT AS n_tokens,
+  SUM(f.tf * c.cf)::BIGINT AS fam_num,
+  CAST(SUM(f.tf * c.cf) AS DOUBLE) / CAST(SUM(f.tf) AS DOUBLE) AS familiarity
+FROM tf f JOIN cf c ON f.t = c.t GROUP BY f.doc_id"""

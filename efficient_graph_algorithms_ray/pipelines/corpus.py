@@ -610,3 +610,12 @@ def q_stratified_sample(sf_dir: str):
         _os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "lang"]
     )
     return stratified_sample_summary(ds)
+
+
+def q_unigram_familiarity(sf_dir: str):
+    """Mean corpus frequency of each document's tokens (the log-free
+    unigram-LM quality signal; functions/terms.py:unigram_familiarity).
+    Integer sums + one IEEE division → exact SQL parity."""
+    from ..functions.terms import unigram_familiarity
+
+    return unigram_familiarity(_docs(sf_dir, ["doc_id", "text"]))

@@ -161,3 +161,44 @@ def test_assortativity_star_is_negative():
         del R._GRAPH_CACHE[("coocc", "/tmp/_star_test")]
     assert out["m_slots"].iloc[0] == 14  # 7 undirected edges
     assert abs(out["assortativity_r6"].iloc[0] + 1.0) < 1e-9
+
+
+def test_unigram_familiarity_bruteforce():
+    from efficient_graph_algorithms_ray.functions.terms import unigram_familiarity
+
+    out = (
+        unigram_familiarity(_docs_ds(), hot_vocab=2, n_salts=2)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # brute force on the same fixture
+    docs = _docs_ds().to_pandas()
+    cf: Counter = Counter()
+    toks = {}
+    for _, r in docs.iterrows():
+        toks[r["doc_id"]] = r["text"].split()
+        cf.update(toks[r["doc_id"]])
+    for doc_id, tk in toks.items():
+        num = sum(cf[t] for t in tk)
+        assert out.loc[doc_id, "n_tokens"] == len(tk)
+        assert out.loc[doc_id, "fam_num"] == num
+        assert out.loc[doc_id, "familiarity"] == num / len(tk)
+
+
+def test_unigram_familiarity_hot_vocab_invariance():
+    from efficient_graph_algorithms_ray.functions.terms import unigram_familiarity
+
+    a = (
+        unigram_familiarity(_docs_ds(), hot_vocab=0, n_salts=1)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    b = (
+        unigram_familiarity(_docs_ds(), hot_vocab=1000, n_salts=8)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
