@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-3 additions (SQL-oracled)
         "tfidf_topk": C.q_tfidf_topk,
         "unigram_familiarity": C.q_unigram_familiarity,
+        "contamination_docs": C.q_contamination,
         "bigram_pmi": C.q_bigram_pmi,
         "assortativity_coocc": R.q_assortativity_coocc,
         "modularity_coocc": R.q_modularity_coocc,
@@ -234,6 +235,7 @@ def oracle_sql() -> dict[str, str]:
         "tree_ensemble_coocc": S.tree_ensemble_coocc_sql(a=-0.5),
         "tfidf_topk": S.tfidf_topk_sql(k=5),
         "unigram_familiarity": S.UNIGRAM_FAMILIARITY,
+        "contamination_docs": S.contamination_sql(eval_mod=20, w=8),
         "bigram_pmi": S.bigram_pmi_sql(min_count=3, top_n=50),
         "assortativity_coocc": S.ASSORTATIVITY_COOCC,
         "modularity_coocc": S.modularity_coocc_sql(rounds=1),

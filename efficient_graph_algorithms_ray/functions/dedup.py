@@ -500,3 +500,76 @@ def neardup_clusters(docs_ds, pairs_ds, num_partitions: int = 8, ckpt_dir: str |
         )
 
     return docs_ds.map_batches(_fill, batch_format="pyarrow")
+
+
+def contamination_counts(
+    docs_ds, *, eval_mod: int = 20, w: int = 8, num_partitions: int = 32
+):
+    """Benchmark-decontamination sweep: for every corpus document,
+    count the distinct w-token shingles it shares with the "eval"
+    slice (doc_id % eval_mod == 0 — a deterministic stand-in for a
+    held-out benchmark set; real runs pass the benchmark table).
+    Returns (doc_id, n_hits), contaminated docs only.
+
+    Plan: both sides emit (shingle-hash, doc) rows pre-deduped per doc
+    (``shingle_hashes`` returns distinct hashes), hash-bucketed by
+    shingle so each reduce group holds the eval membership set for its
+    bucket only — the eval n-gram set is co-shuffled, never broadcast
+    (at 100 TB an eval suite can be millions of n-grams × hundreds of
+    benchmarks). Per-group hits pre-aggregate per doc before the final
+    combiner-backed ``groupby(doc_id).sum``.
+    """
+    from ray.data.aggregate import Sum
+
+    P = num_partitions
+
+    def _sh(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pandas().fillna("")
+        out_id: list[np.ndarray] = []
+        out_h: list[np.ndarray] = []
+        for i, t in zip(ids, texts):
+            hs = shingle_hashes(t, w=w)
+            if len(hs):
+                out_h.append(hs)
+                out_id.append(np.full(len(hs), i, dtype=np.int64))
+        h = np.concatenate(out_h) if out_h else np.empty(0, np.uint64)
+        d = np.concatenate(out_id) if out_id else np.empty(0, np.int64)
+        return pa.table(
+            {
+                "part": pa.array((h % np.uint64(P)).astype(np.int64)),
+                "h": pa.array(h, type=pa.uint64()),
+                "doc_id": pa.array(d, type=pa.int64()),
+            }
+        )
+
+    def _hits(group: pa.Table) -> pa.Table:
+        h = group.column("h").to_numpy(zero_copy_only=False)
+        d = group.column("doc_id").to_numpy(zero_copy_only=False)
+        is_eval = d % eval_mod == 0
+        ev = np.unique(h[is_eval])
+        cand = ~is_eval
+        hit = cand & np.isin(h, ev)
+        if not hit.any():
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "n": pa.array([], type=pa.int64()),
+                }
+            )
+        docs, cnt = np.unique(d[hit], return_counts=True)
+        return pa.table(
+            {
+                "doc_id": pa.array(docs, type=pa.int64()),
+                "n": pa.array(cnt.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    out = (
+        docs_ds.map_batches(_sh, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(_hits, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("n", alias_name="n_hits"))
+    )
+    return out

@@ -2029,3 +2029,31 @@ SELECT f.doc_id::BIGINT AS doc_id,
   SUM(f.tf * c.cf)::BIGINT AS fam_num,
   CAST(SUM(f.tf * c.cf) AS DOUBLE) / CAST(SUM(f.tf) AS DOUBLE) AS familiarity
 FROM tf f JOIN cf c ON f.t = c.t GROUP BY f.doc_id"""
+
+
+def contamination_sql(eval_mod: int = 20, w: int = 8) -> str:
+    """Replays functions/dedup.py:contamination_counts — distinct
+    w-token shingles (FNV-1a over the space-joined tokens, the same
+    reduce as the minhash fragment), eval slice = doc_id % eval_mod
+    == 0, per-corpus-doc count of shared shingles."""
+    terms = " || ' ' || ".join("tk[i]" if j == 0 else f"tk[i+{j}]" for j in range(w))
+    return f"""WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS tk FROM documents
+),
+shs AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - {w - 1}),
+         i -> {terms})) AS s
+  FROM toks
+),
+shrw AS MATERIALIZED (
+  SELECT DISTINCT doc_id, list_reduce(
+    list_prepend(14695981039346656037::UBIGINT,
+      list_transform(string_split(s, ''), ch -> ascii(ch)::UBIGINT)),
+    (h, b) -> CAST((CAST(xor(h, b) AS HUGEINT) * 1099511628211) % {_U64} AS UBIGINT)
+  ) AS sh
+  FROM shs
+),
+ev AS (SELECT DISTINCT sh FROM shrw WHERE doc_id % {eval_mod} = 0)
+SELECT s.doc_id::BIGINT AS doc_id, COUNT(*)::BIGINT AS n_hits
+FROM shrw s JOIN ev USING (sh)
+WHERE s.doc_id % {eval_mod} <> 0 GROUP BY s.doc_id"""

@@ -619,3 +619,12 @@ def q_unigram_familiarity(sf_dir: str):
     from ..functions.terms import unigram_familiarity
 
     return unigram_familiarity(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def q_contamination(sf_dir: str):
+    """Benchmark decontamination: per-doc count of 8-token shingles
+    shared with the eval slice (doc_id % 20 == 0); co-shuffled by
+    shingle hash (functions/dedup.py:contamination_counts)."""
+    from ..functions.dedup import contamination_counts
+
+    return contamination_counts(_docs(sf_dir, ["doc_id", "text"]))

@@ -87,3 +87,49 @@ def test_neardup_clusters_via_cc_engine():
     assert cl[0] == cl[1] == cl[2] == 0  # cluster label = min doc_id
     assert cl[3] == cl[5] == 3
     assert cl[4] == 4  # singleton keeps own id
+
+
+def test_contamination_counts_bruteforce():
+    import ray.data as rd
+
+    from efficient_graph_algorithms_ray.functions.dedup import (
+        contamination_counts,
+        shingle_hashes,
+    )
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = {
+        0: base + " extra words here",          # eval doc (0 % 4 == 0)
+        1: base + " totally different tail",    # shares the base 8-grams
+        2: "no overlap with anything at all whatsoever in this one text",
+        3: base,                                # shares them too
+        4: "another eval doc with its own words only",  # eval
+        5: "short doc",                          # < w tokens → no shingles
+    }
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(list(docs), type=pa.int64()),
+                "text": pa.array(list(docs.values()), type=pa.string()),
+            }
+        )
+    )
+    out = (
+        contamination_counts(ds, eval_mod=4, w=8, num_partitions=4)
+        .to_pandas()
+        .set_index("doc_id")["n_hits"]
+        .to_dict()
+    )
+    ev = set()
+    for i, t in docs.items():
+        if i % 4 == 0:
+            ev.update(shingle_hashes(t, w=8).tolist())
+    want = {}
+    for i, t in docs.items():
+        if i % 4 == 0:
+            continue
+        n = len(set(shingle_hashes(t, w=8).tolist()) & ev)
+        if n:
+            want[i] = n
+    assert out == want
+    assert 1 in out and 3 in out and 2 not in out and 5 not in out
