@@ -2057,3 +2057,57 @@ ev AS (SELECT DISTINCT sh FROM shrw WHERE doc_id % {eval_mod} = 0)
 SELECT s.doc_id::BIGINT AS doc_id, COUNT(*)::BIGINT AS n_hits
 FROM shrw s JOIN ev USING (sh)
 WHERE s.doc_id % {eval_mod} <> 0 GROUP BY s.doc_id"""
+
+
+def betweenness_coocc_sql(rounds: int = 6, seeds=(1, 2, 3, 4)) -> str:
+    """Unrolled two-phase Brandes over the co-occurrence graph
+    (mirrors pipelines/betweenness.py): per seed, ``rounds`` forward
+    BFS steps accumulating shortest-path counts σ (senders at
+    dist = t−1, integer-exact float sums), then ``rounds`` backward
+    steps over descending levels accumulating
+    δ(v) += σ(v)·Σ (1+δ(w))/σ(w); C_B(v) = Σ_seeds δ with the seed's
+    own column zeroed, ROUND 6 (the repo's sum-monoid convention)."""
+    R = rounds
+    body = []
+    finals = []
+    for s in seeds:
+        body.append(f""",
+d{s}_0 AS (SELECT {s} AS vid, 1.0 AS sig, 0 AS dist)""")
+        for t in range(1, R + 1):
+            body.append(f""",
+nx{s}_{t} AS (
+  SELECT und.v AS vid, SUM(p.sig) AS sig
+  FROM und JOIN d{s}_{t - 1} p ON und.u = p.vid AND p.dist = {t - 1}
+  GROUP BY und.v
+),
+d{s}_{t} AS MATERIALIZED (
+  SELECT vid, sig, dist FROM d{s}_{t - 1}
+  UNION ALL
+  SELECT n.vid, n.sig, {t} AS dist FROM nx{s}_{t} n
+  WHERE NOT EXISTS (SELECT 1 FROM d{s}_{t - 1} o WHERE o.vid = n.vid)
+)""")
+        body.append(f""",
+dl{s}_0 AS (SELECT vid, sig, dist, 0.0 AS delta FROM d{s}_{R})""")
+        for t in range(1, R + 1):
+            lvl = R - t + 1
+            body.append(f""",
+m{s}_{t} AS (
+  SELECT und.v AS vid, SUM((1.0 + w.delta) / w.sig) AS a
+  FROM und JOIN dl{s}_{t - 1} w ON und.u = w.vid AND w.dist = {lvl}
+  GROUP BY und.v
+),
+dl{s}_{t} AS MATERIALIZED (
+  SELECT d.vid, d.sig, d.dist,
+    d.delta + CASE WHEN d.dist = {lvl - 1} THEN d.sig * COALESCE(m.a, 0) ELSE 0 END AS delta
+  FROM dl{s}_{t - 1} d LEFT JOIN m{s}_{t} m ON m.vid = d.vid
+)""")
+        finals.append(
+            f"SELECT vid, delta FROM dl{s}_{R} WHERE vid <> {s}"
+        )
+    allsql = " UNION ALL ".join(finals)
+    return f"""WITH {_COOCC_UND_MAT},
+verts AS MATERIALIZED (SELECT DISTINCT u AS vid FROM und){"".join(body)},
+alls AS ({allsql})
+SELECT CAST(v.vid AS BIGINT) AS vid,
+  ROUND(COALESCE(SUM(a.delta), 0), 6) AS bc_r6
+FROM verts v LEFT JOIN alls a ON a.vid = v.vid GROUP BY v.vid"""

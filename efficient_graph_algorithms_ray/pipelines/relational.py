@@ -1900,3 +1900,37 @@ def q_mis_coocc(sf_dir: str):
     from .mis import maximal_independent_set
 
     return maximal_independent_set(part_cooccurrence_edges(sf_dir), rounds=3)
+
+
+def q_betweenness_coocc(sf_dir: str):
+    """Seed-set Brandes betweenness (seeds 1–4, 6 BFS rounds) over the
+    co-occurrence graph (pipelines/betweenness.py: forward σ/dist +
+    backward δ supersteps, all seeds in one vector-state pair of
+    runs). bc_r6 = ROUND(Σ_seeds δ excluding each seed's own column, 6).
+    """
+    from .betweenness import seed_betweenness
+
+    g = _coocc_graph(sf_dir)
+    seeds = [1, 2, 3, 4]
+    out, _, _ = seed_betweenness(g, _ckpt("btw"), seeds, rounds=6)
+    seeds_u64 = np.array(seeds, dtype=np.uint64)
+
+    def _bc(batch: pa.Table) -> pa.Table:
+        from ..util import list_rows
+
+        vids = batch.column("vid").to_numpy(zero_copy_only=False)
+        rows = list_rows(batch, "deltas")
+        mat = np.stack(rows) if len(rows) else np.empty((0, len(seeds)))
+        own = vids[:, None] == seeds_u64[None, :]
+        mat = np.where(own, 0.0, mat)
+        bc = mat[:, 0].copy()
+        for j in range(1, mat.shape[1]):
+            bc = bc + mat[:, j]  # fixed column order, like the SQL sum
+        return pa.table(
+            {
+                "vid": pa.array(vids.astype(np.int64), type=pa.int64()),
+                "bc_r6": pa.array(np.round(bc, 6), type=pa.float64()),
+            }
+        )
+
+    return out.map_batches(_bc, batch_format="pyarrow")
