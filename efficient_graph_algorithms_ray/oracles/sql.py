@@ -2111,3 +2111,50 @@ alls AS ({allsql})
 SELECT CAST(v.vid AS BIGINT) AS vid,
   ROUND(COALESCE(SUM(a.delta), 0), 6) AS bc_r6
 FROM verts v LEFT JOIN alls a ON a.vid = v.vid GROUP BY v.vid"""
+
+
+def maxmatch_coocc_sql(rounds: int = 3, seed: int = 11) -> str:
+    """Unrolled fixed-round greedy maximal matching over the
+    co-occurrence graph (mirrors pipelines/maxmatch.py): per round,
+    edge priorities are splitmix64(u ⊕ v ⊕ RC_r); an edge matches iff
+    its priority is the UNIQUE strict minimum at BOTH endpoints; ties
+    produce no winner; edges touching matched vertices die."""
+    from ..pipelines.maxmatch import round_constants
+
+    rcs = round_constants(seed, rounds)
+    body = []
+    outs = []
+    for r, rc in enumerate(rcs):
+        frag, fin, hcol = sm64_stages(
+            f"xin{r}", "hx", f"pri{r}", ["u", "v"]
+        )
+        body.append(f""",
+xin{r} AS (SELECT u, v,
+  xor(xor(CAST(u AS UBIGINT), CAST(v AS UBIGINT)), {rc}::UBIGINT) AS hx
+  FROM le{r}){frag},
+pe{r} AS MATERIALIZED (SELECT u, v, {hcol} AS pri FROM {fin}),
+bo{r} AS (SELECT u AS x, pri FROM pe{r} UNION ALL SELECT v AS x, pri FROM pe{r}),
+mnm{r} AS (SELECT x, MIN(pri) AS mp FROM bo{r} GROUP BY x),
+cntm{r} AS (
+  SELECT b.x, COUNT(*) AS c FROM bo{r} b JOIN mnm{r} m ON b.x = m.x AND b.pri = m.mp
+  GROUP BY b.x
+),
+wins{r} AS MATERIALIZED (
+  SELECT p.u, p.v FROM pe{r} p
+  JOIN mnm{r} mu ON mu.x = p.u AND p.pri = mu.mp
+  JOIN cntm{r} cu ON cu.x = p.u AND cu.c = 1
+  JOIN mnm{r} mv ON mv.x = p.v AND p.pri = mv.mp
+  JOIN cntm{r} cv ON cv.x = p.v AND cv.c = 1
+),
+mverts{r} AS (SELECT u AS x FROM wins{r} UNION SELECT v FROM wins{r}
+              {f"UNION SELECT x FROM mverts{r - 1}" if r > 0 else ""}),
+le{r + 1} AS MATERIALIZED (
+  SELECT e.u, e.v FROM le{r} e
+  WHERE e.u NOT IN (SELECT x FROM mverts{r})
+    AND e.v NOT IN (SELECT x FROM mverts{r})
+)""")
+        outs.append(f"SELECT u, v, {r + 1} AS rnd FROM wins{r}")
+    return f"""WITH {_COOCC_UND_MAT},
+le0 AS MATERIALIZED (SELECT u, v FROM pr){"".join(body)}
+SELECT CAST(u AS BIGINT) AS u, CAST(v AS BIGINT) AS v, CAST(rnd AS BIGINT) AS round
+FROM ({" UNION ALL ".join(outs)})"""

@@ -1934,3 +1934,11 @@ def q_betweenness_coocc(sf_dir: str):
         )
 
     return out.map_batches(_bc, batch_format="pyarrow")
+
+
+def q_maxmatch_coocc(sf_dir: str):
+    """3-round greedy maximal matching over the co-occurrence graph
+    (pipelines/maxmatch.py). Returns matched edges (u, v, round)."""
+    from .maxmatch import maximal_matching
+
+    return maximal_matching(part_cooccurrence_edges(sf_dir), rounds=3)
