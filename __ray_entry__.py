@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mis_coocc": R.q_mis_coocc,
         "betweenness_coocc": R.q_betweenness_coocc,
         "maxmatch_coocc": R.q_maxmatch_coocc,
+        "diameter_coocc": R.q_diameter_coocc,
         "hits_partsupp": R.q_hits_partsupp,
         "pagerank_weighted_coocc_k4": R.q_pagerank_weighted_coocc_k4,
         "tree_ensemble_coocc": R.q_tree_ensemble_coocc,
@@ -253,6 +254,7 @@ def oracle_sql() -> dict[str, str]:
         "mis_coocc": S.mis_coocc_sql(rounds=3, seed=7),
         "betweenness_coocc": S.betweenness_coocc_sql(rounds=6, seeds=(1, 2, 3, 4)),
         "maxmatch_coocc": S.maxmatch_coocc_sql(rounds=3, seed=11),
+        "diameter_coocc": S.diameter_coocc_sql(rounds=8, seed=1),
         "corpus_prep_docs": S.corpus_prep_sql(threshold=0.5, qmin_ppm=550_000),
         "corpus_splits": S.corpus_splits_sql(),
         "token_shards": S.TOKEN_SHARDS,

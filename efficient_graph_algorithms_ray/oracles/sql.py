@@ -2158,3 +2158,60 @@ le{r + 1} AS MATERIALIZED (
 le0 AS MATERIALIZED (SELECT u, v FROM pr){"".join(body)}
 SELECT CAST(u AS BIGINT) AS u, CAST(v AS BIGINT) AS v, CAST(rnd AS BIGINT) AS round
 FROM ({" UNION ALL ".join(outs)})"""
+
+
+def diameter_coocc_sql(rounds: int = 8, seed: int = 1) -> str:
+    """Double-sweep diameter lower bound (mirrors
+    relational.q_diameter_coocc): BFS from ``seed`` → farthest vertex a
+    (max dist, tie-break min vid) → BFS from a → ecc(a) = diameter
+    lower bound and its witness b. Both BFS chains unrolled."""
+    sent = 1 << 40
+    chains = [f""",
+a_d0 AS MATERIALIZED (
+  SELECT vid, CASE WHEN vid = {seed} THEN 0 ELSE {sent} END AS dist
+  FROM verts
+)"""]
+    for i in range(1, rounds + 1):
+        chains.append(f""",
+a_rx{i} AS (
+  SELECT und.v AS vid, MIN(dp.dist + 1) AS m
+  FROM und JOIN a_d{i - 1} dp ON und.u = dp.vid WHERE dp.dist < {sent}
+  GROUP BY und.v
+),
+a_d{i} AS MATERIALIZED (
+  SELECT d.vid, LEAST(d.dist, COALESCE(r.m, {sent})) AS dist
+  FROM a_d{i - 1} d LEFT JOIN a_rx{i} r ON d.vid = r.vid
+)""")
+    chains.append(f""",
+f1 AS MATERIALIZED (
+  SELECT MAX(dist) AS ecc, MIN(vid) FILTER (dist = (
+    SELECT MAX(dist) FROM a_d{rounds} WHERE dist < {sent})) AS far
+  FROM a_d{rounds} WHERE dist < {sent}
+),
+b_d0 AS MATERIALIZED (
+  SELECT vid, CASE WHEN vid = (SELECT far FROM f1) THEN 0 ELSE {sent} END AS dist
+  FROM verts
+)""")
+    for i in range(1, rounds + 1):
+        chains.append(f""",
+b_rx{i} AS (
+  SELECT und.v AS vid, MIN(dp.dist + 1) AS m
+  FROM und JOIN b_d{i - 1} dp ON und.u = dp.vid WHERE dp.dist < {sent}
+  GROUP BY und.v
+),
+b_d{i} AS MATERIALIZED (
+  SELECT d.vid, LEAST(d.dist, COALESCE(r.m, {sent})) AS dist
+  FROM b_d{i - 1} d LEFT JOIN b_rx{i} r ON d.vid = r.vid
+)""")
+    return f"""WITH {_COOCC_UND_MAT},
+verts AS MATERIALIZED (SELECT DISTINCT u AS vid FROM und){"".join(chains)},
+f2 AS (
+  SELECT MAX(dist) AS ecc, MIN(vid) FILTER (dist = (
+    SELECT MAX(dist) FROM b_d{rounds} WHERE dist < {sent})) AS far
+  FROM b_d{rounds} WHERE dist < {sent}
+)
+SELECT {seed}::BIGINT AS seed,
+  (SELECT ecc FROM f1)::BIGINT AS ecc_seed,
+  (SELECT far FROM f1)::BIGINT AS far1,
+  (SELECT ecc FROM f2)::BIGINT AS diam_lb,
+  (SELECT far FROM f2)::BIGINT AS far2"""

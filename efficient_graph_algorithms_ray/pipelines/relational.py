@@ -1942,3 +1942,57 @@ def q_maxmatch_coocc(sf_dir: str):
     from .maxmatch import maximal_matching
 
     return maximal_matching(part_cooccurrence_edges(sf_dir), rounds=3)
+
+
+def _bfs_argmax(forest_out):
+    """(max hop distance, min vid attaining it) over a BFS forest
+    Dataset — per-block partials, tiny driver merge."""
+    def _pmax(batch: pa.Table) -> pa.Table:
+        vid = batch.column("vid").to_numpy(zero_copy_only=False)
+        dq = batch.column("dist_q").to_numpy(zero_copy_only=False)
+        reached = batch.column("reached").to_numpy(zero_copy_only=False)
+        if not reached.any():
+            return pa.table(
+                {"m": pa.array([], type=pa.int64()), "v": pa.array([], type=pa.int64())}
+            )
+        m = int(dq[reached].max())
+        at = reached & (dq == m)
+        return pa.table(
+            {
+                "m": pa.array([m], type=pa.int64()),
+                "v": pa.array([int(vid[at].min())], type=pa.int64()),
+            }
+        )
+
+    parts = forest_out.map_batches(_pmax, batch_format="pyarrow").to_pandas()
+    m = int(parts["m"].max())
+    v = int(parts.loc[parts["m"] == m, "v"].min())
+    return m, v
+
+
+def q_diameter_coocc(sf_dir: str):
+    """Double-sweep diameter lower bound of the co-occurrence graph:
+    BFS from seed 1 → farthest vertex a (tie-break min vid) → BFS from
+    a → ecc(a) = diam lower bound + witness. Two shortest-path-forest
+    runs (pipelines/paths.py), distributed per-block argmax partials."""
+    from .paths import shortest_path_forest
+
+    g = _coocc_graph(sf_dir)
+    seed = 1
+    out1, _ = shortest_path_forest(
+        g, np.array([seed], dtype=np.uint64), _ckpt("diam1"), scale=1
+    )
+    ecc1, far1 = _bfs_argmax(out1)
+    out2, _ = shortest_path_forest(
+        g, np.array([far1], dtype=np.uint64), _ckpt("diam2"), scale=1
+    )
+    diam_lb, far2 = _bfs_argmax(out2)
+    return pa.table(
+        {
+            "seed": pa.array([seed], type=pa.int64()),
+            "ecc_seed": pa.array([ecc1], type=pa.int64()),
+            "far1": pa.array([far1], type=pa.int64()),
+            "diam_lb": pa.array([diam_lb], type=pa.int64()),
+            "far2": pa.array([far2], type=pa.int64()),
+        }
+    )

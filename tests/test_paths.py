@@ -179,3 +179,29 @@ def test_distance_buckets_consistent_with_forest(tmp_path):
     )
     assert got == dict(want)
     assert sum(got.values()) == g.n_vertices
+
+
+def test_diameter_double_sweep_path_graph():
+    """Double sweep on a path graph finds the true diameter."""
+    import pyarrow as pa  # noqa: F811
+
+    from efficient_graph_algorithms_ray.pipelines import relational as R
+
+    # path 1-2-3-4-5-6 (+ a branch 3-7): diameter = 5 (1..6)
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (3, 7)]
+    u = np.array([e[0] for e in edges], dtype=np.uint64)
+    v = np.array([e[1] for e in edges], dtype=np.uint64)
+    ds = rd.from_arrow(pa.table({"src": pa.array(u), "dst": pa.array(v)}))
+    g = build_graph(ds, EngineConfig(num_partitions=4), directed=False)
+    import tempfile
+
+    out1, _ = shortest_path_forest(
+        g, np.array([3], dtype=np.uint64), tempfile.mkdtemp(dir="/tmp"), scale=1
+    )
+    ecc, far = R._bfs_argmax(out1)
+    assert ecc == 3 and far == 6  # only vid 6 is at dist 3 from seed 3
+    out2, _ = shortest_path_forest(
+        g, np.array([far], dtype=np.uint64), tempfile.mkdtemp(dir="/tmp"), scale=1
+    )
+    diam, far2 = R._bfs_argmax(out2)
+    assert diam == 5 and far2 == 1  # the sweep from 6 reaches 1 at dist 5
