@@ -187,9 +187,26 @@ def _pages_queries() -> dict[str, Callable[[str], Any]]:
         )
         return comp
 
+    def flagship_host_pagerank(sf_dir: str):
+        import tempfile
+
+        import ray.data as rd
+
+        from efficient_graph_algorithms_ray.pipelines.hostgraph import host_pagerank_topk
+        from efficient_graph_algorithms_ray.sources.pages import write_pages
+
+        pages = rd.read_parquet(
+            write_pages("/tmp/ega_pages_q", n_pages=2000), columns=["url", "html"]
+        )
+        out, _ = host_pagerank_topk(
+            pages, tempfile.mkdtemp(prefix="ega_hpr_", dir="/tmp"), k=20
+        )
+        return out
+
     return {
         "flagship_pages_pagerank_top50": flagship_pagerank,
         "flagship_pages_components": flagship_components,
+        "flagship_host_pagerank_top20": flagship_host_pagerank,
     }
 
 
