@@ -70,6 +70,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "betweenness_coocc": R.q_betweenness_coocc,
         "maxmatch_coocc": R.q_maxmatch_coocc,
         "diameter_coocc": R.q_diameter_coocc,
+        "eigencentrality_coocc": R.q_eigencentrality_coocc,
+        "harmonic_coocc": R.q_harmonic_coocc,
         "hits_partsupp": R.q_hits_partsupp,
         "pagerank_weighted_coocc_k4": R.q_pagerank_weighted_coocc_k4,
         "tree_ensemble_coocc": R.q_tree_ensemble_coocc,
@@ -272,6 +274,8 @@ def oracle_sql() -> dict[str, str]:
         "betweenness_coocc": S.betweenness_coocc_sql(rounds=6, seeds=(1, 2, 3, 4)),
         "maxmatch_coocc": S.maxmatch_coocc_sql(rounds=3, seed=11),
         "diameter_coocc": S.diameter_coocc_sql(rounds=8, seed=1),
+        "eigencentrality_coocc": S.EIGENCENTRALITY_COOCC,
+        "harmonic_coocc": S.harmonic_coocc_sql(rounds=8, seeds=(1, 2, 3, 4)),
         "corpus_prep_docs": S.corpus_prep_sql(threshold=0.5, qmin_ppm=550_000),
         "corpus_splits": S.corpus_splits_sql(),
         "token_shards": S.TOKEN_SHARDS,

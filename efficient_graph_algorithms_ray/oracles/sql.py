@@ -2215,3 +2215,56 @@ SELECT {seed}::BIGINT AS seed,
   (SELECT far FROM f1)::BIGINT AS far1,
   (SELECT ecc FROM f2)::BIGINT AS diam_lb,
   (SELECT far FROM f2)::BIGINT AS far2"""
+
+
+EIGENCENTRALITY_COOCC = f"""WITH {_COOCC_UND_MAT},
+verts AS MATERIALIZED (SELECT DISTINCT u AS vid FROM und),
+x0 AS (SELECT vid, 1.0 AS x FROM verts),
+x1 AS MATERIALIZED (SELECT und.v AS vid, SUM(p.x) AS x FROM und JOIN x0 p ON und.u = p.vid GROUP BY und.v),
+x2 AS MATERIALIZED (SELECT und.v AS vid, SUM(p.x) AS x FROM und JOIN x1 p ON und.u = p.vid GROUP BY und.v),
+x3 AS MATERIALIZED (SELECT und.v AS vid, SUM(p.x) AS x FROM und JOIN x2 p ON und.u = p.vid GROUP BY und.v),
+x4 AS MATERIALIZED (SELECT und.v AS vid, SUM(p.x) AS x FROM und JOIN x3 p ON und.u = p.vid GROUP BY und.v),
+nrm AS (SELECT SUM(x) AS s FROM x4)
+SELECT CAST(v.vid AS BIGINT) AS vid,
+  ROUND(COALESCE(x.x, 0) / (SELECT s FROM nrm), 6) AS ec_r6
+FROM verts v LEFT JOIN x4 x ON x.vid = v.vid"""
+
+
+def harmonic_coocc_sql(rounds: int = 8, seeds=(1, 2, 3, 4)) -> str:
+    """Unrolled BFS per seed (the closeness chain) reduced to a
+    distance histogram; harmonic = c1/1 + c2/2 + … + cR/R written as
+    one literal left-associated expression — the exact fixed-order sum
+    the engine computes."""
+    sent = 1 << 40
+    chains = []
+    selects = []
+    for s in seeds:
+        chains.append(f""",
+h{s}_d0 AS MATERIALIZED (
+  SELECT vid, CASE WHEN vid = {s} THEN 0 ELSE {sent} END AS dist
+  FROM (SELECT DISTINCT u AS vid FROM und)
+)""")
+        for i in range(1, rounds + 1):
+            p = f"h{s}_d{i-1}"
+            chains.append(f""",
+h{s}_rx{i} AS (
+  SELECT und.v AS vid, MIN(dp.dist + 1) AS m
+  FROM und JOIN {p} dp ON und.u = dp.vid WHERE dp.dist < {sent}
+  GROUP BY und.v
+),
+h{s}_d{i} AS MATERIALIZED (
+  SELECT d.vid, LEAST(d.dist, COALESCE(r.m, {sent})) AS dist
+  FROM {p} d LEFT JOIN h{s}_rx{i} r ON d.vid = r.vid
+)""")
+        cnt = lambda d, s=s: (
+            f"(SELECT count(*) FROM h{s}_d{rounds} WHERE dist = {d} AND vid <> {s})"
+        )
+        expr = " + ".join(f"CAST({cnt(d)} AS DOUBLE) / {d}.0" for d in range(1, rounds + 1))
+        ntot = f"(SELECT count(*) FROM h{s}_d{rounds} WHERE dist < {sent} AND vid <> {s})"
+        selects.append(
+            f"SELECT {s}::BIGINT AS seed, {ntot}::BIGINT AS n_reached, ({expr}) AS harmonic"
+        )
+    return (
+        f"WITH {_COOCC_UND_MAT}" + "".join(chains) + "\n"
+        + "\nUNION ALL\n".join(selects)
+    )

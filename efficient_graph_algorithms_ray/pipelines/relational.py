@@ -1996,3 +1996,87 @@ def q_diameter_coocc(sf_dir: str):
             "far2": pa.array([far2], type=pa.int64()),
         }
     )
+
+
+def q_eigencentrality_coocc(sf_dir: str):
+    """Eigenvector-centrality estimate: 4 raw power steps x ← A·x from
+    the all-ones vector (4-walk counts — integer-exact floats), one
+    L1 normalization at the end (the norm is an exact integer sum, so
+    the per-vertex quotient is a single IEEE division). ROUND 6.
+    Returns (vid, ec_r6)."""
+    from .diffusion import adjacency_matvec
+
+    g = _coocc_graph(sf_dir)
+
+    def _ones(csr):
+        return np.ones(len(csr["vids"]), dtype=np.float64)
+
+    out, _ = adjacency_matvec(g, _ckpt("eigc"), _ones, k=4)
+    total = out.map_batches(
+        lambda b: pa.table(
+            {"s": pa.array([float(b.column("value").to_numpy(zero_copy_only=False).sum())])}
+        ),
+        batch_format="pyarrow",
+    ).aggregate(Sum("s", alias_name="s"))
+    norm = float(total["s"])
+
+    def _shape(batch: pa.Table) -> pa.Table:
+        v = batch.column("value").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "vid": batch.column("vid").cast(pa.int64()),
+                "ec_r6": pa.array(np.round(v / norm, 6), type=pa.float64()),
+            }
+        )
+
+    return out.map_batches(_shape, batch_format="pyarrow")
+
+
+def q_harmonic_coocc(sf_dir: str):
+    """Harmonic centrality of 4 seed parts: one BFS forest per seed,
+    per-block distance HISTOGRAMS (integer), then
+    harmonic = Σ_d cnt_d / d summed in ascending-d order — the same
+    fixed-order IEEE expression the SQL oracle spells out literally.
+    Returns (seed, n_reached, harmonic)."""
+    from .paths import shortest_path_forest
+
+    g = _coocc_graph(sf_dir)
+    seeds = [1, 2, 3, 4]
+    rounds = 8
+    out_seed, out_n, out_h = [], [], []
+    for s in seeds:
+        out, _ = shortest_path_forest(
+            g, np.array([s], dtype=np.uint64), _ckpt(f"harm{s}"), scale=1
+        )
+
+        def _hist(batch: pa.Table, s=s) -> pa.Table:
+            vid = batch.column("vid").to_numpy(zero_copy_only=False)
+            dq = batch.column("dist_q").to_numpy(zero_copy_only=False)
+            reached = batch.column("reached").to_numpy(zero_copy_only=False)
+            sel = reached & (vid != s)
+            cnt = np.bincount(
+                np.minimum(dq[sel], rounds).astype(np.int64), minlength=rounds + 1
+            )
+            return pa.table(
+                {f"c{d}": pa.array([int(cnt[d])], type=pa.int64()) for d in range(1, rounds + 1)}
+            )
+
+        agg = out.map_batches(_hist, batch_format="pyarrow").aggregate(
+            *[Sum(f"c{d}", alias_name=f"c{d}") for d in range(1, rounds + 1)]
+        )
+        h = 0.0
+        n = 0
+        for d in range(1, rounds + 1):
+            c = int(agg[f"c{d}"])
+            n += c
+            h = h + c / float(d)  # fixed ascending-d order, like the SQL
+        out_seed.append(s)
+        out_n.append(n)
+        out_h.append(h)
+    return pa.table(
+        {
+            "seed": pa.array(out_seed, type=pa.int64()),
+            "n_reached": pa.array(out_n, type=pa.int64()),
+            "harmonic": pa.array(out_h, type=pa.float64()),
+        }
+    )

@@ -201,3 +201,38 @@ def test_multi_source_single_set_keeps_list_schema(tmp_path):
     tbl = scores.to_pandas()
     first = tbl["scores"].iloc[0]
     assert hasattr(first, "__len__") and len(first) == 1  # list-typed, width 1
+
+
+def test_eigencentrality_power_steps_match_dense():
+    """4 raw A·x power steps from ones ≡ dense A^4·1 (integer-exact)."""
+    import tempfile
+
+    from efficient_graph_algorithms_ray.pipelines.diffusion import adjacency_matvec
+
+    rng = np.random.default_rng(4)
+    n = 40
+    pairs = sorted(
+        {
+            (int(min(a, b)), int(max(a, b)))
+            for a, b in rng.integers(1, n + 1, size=(120, 2))
+            if a != b
+        }
+    )
+    u = np.array([p[0] for p in pairs], dtype=np.uint64)
+    v = np.array([p[1] for p in pairs], dtype=np.uint64)
+    ds = rd.from_arrow(pa.table({"src": pa.array(u), "dst": pa.array(v)}))
+    g = build_graph(ds, EngineConfig(num_partitions=4), directed=False)
+
+    out, _ = adjacency_matvec(
+        g, tempfile.mkdtemp(dir="/tmp"), lambda csr: np.ones(len(csr["vids"])), k=4
+    )
+    df = out.to_pandas().set_index("vid")["value"]
+    # dense replica
+    ids = sorted({x for e in pairs for x in e})
+    pos = {x: i for i, x in enumerate(ids)}
+    A = np.zeros((len(ids), len(ids)))
+    for a, b in pairs:
+        A[pos[a], pos[b]] = A[pos[b], pos[a]] = 1.0
+    x = np.linalg.matrix_power(A, 4) @ np.ones(len(ids))
+    for vid_, want in zip(ids, x):
+        assert df[vid_] == want  # integer-exact
