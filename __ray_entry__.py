@@ -72,6 +72,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "diameter_coocc": R.q_diameter_coocc,
         "eigencentrality_coocc": R.q_eigencentrality_coocc,
         "harmonic_coocc": R.q_harmonic_coocc,
+        "oddcycle_coocc": R.q_oddcycle_coocc,
+        "component_sizes": R.q_component_sizes,
+        "doclen_percentiles_by_lang": C.q_doclen_percentiles_by_lang,
         "hits_partsupp": R.q_hits_partsupp,
         "pagerank_weighted_coocc_k4": R.q_pagerank_weighted_coocc_k4,
         "tree_ensemble_coocc": R.q_tree_ensemble_coocc,
@@ -276,6 +279,9 @@ def oracle_sql() -> dict[str, str]:
         "diameter_coocc": S.diameter_coocc_sql(rounds=8, seed=1),
         "eigencentrality_coocc": S.EIGENCENTRALITY_COOCC,
         "harmonic_coocc": S.harmonic_coocc_sql(rounds=8, seeds=(1, 2, 3, 4)),
+        "oddcycle_coocc": S.oddcycle_coocc_sql(rounds=8, seed=1),
+        "component_sizes": S.COMPONENT_SIZES,
+        "doclen_percentiles_by_lang": S.DOCLEN_PERCENTILES_BY_LANG,
         "corpus_prep_docs": S.corpus_prep_sql(threshold=0.5, qmin_ppm=550_000),
         "corpus_splits": S.corpus_splits_sql(),
         "token_shards": S.TOKEN_SHARDS,

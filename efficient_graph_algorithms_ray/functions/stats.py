@@ -205,3 +205,59 @@ def zscore_column(ds, col: str, out_col: str | None = None):
         return batch.append_column(out_col, pa.array(zscore(vals, mean, std)))
 
     return ds.map_batches(_z, batch_format="pyarrow")
+
+
+def exact_percentiles_by(ds, group_col: str, col: str, qs: list[float]):
+    """Grouped exact percentiles via the bounded-domain histogram
+    (the per-group twin of :func:`exact_percentiles`): map-side
+    (group, value) partial counts → one combiner-backed
+    ``groupby([group, value])`` merge → per-group rank selection in a
+    ``groupby(group).map_groups`` task (each group's DISTINCT-value
+    histogram fits one task even when the group's row count does not).
+    Returns (``group_col``, q, value) rows, DuckDB quantile_disc
+    semantics.
+    """
+    import ray.data as rd  # noqa: F401
+    from ray.data.aggregate import Sum
+
+    def _counts(batch: pa.Table) -> pa.Table:
+        df = batch.select([group_col, col]).to_pandas()
+        cnt = df.groupby([group_col, col], sort=False).size().reset_index()
+        return pa.table(
+            {
+                group_col: pa.array(cnt[group_col]),
+                "value": pa.array(cnt[col].to_numpy().astype(np.int64), type=pa.int64()),
+                "n": pa.array(cnt[0].to_numpy().astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    hist = (
+        ds.map_batches(_counts, batch_format="pyarrow")
+        .groupby([group_col, "value"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def _select(group: pa.Table) -> pa.Table:
+        g = group.column(group_col)[0].as_py()
+        values = group.column("value").to_numpy(zero_copy_only=False)
+        counts = group.column("n").to_numpy(zero_copy_only=False)
+        order = np.argsort(values)
+        values, counts = values[order], counts[order]
+        cum = np.cumsum(counts)
+        total = int(cum[-1]) if len(cum) else 0
+        out_q, out_v = [], []
+        for q in qs:
+            rank = int(np.ceil(q * total)) if total else 0
+            rank = max(rank, 1)
+            idx = int(np.searchsorted(cum, rank))
+            out_q.append(float(q))
+            out_v.append(int(values[min(idx, len(values) - 1)]) if total else 0)
+        return pa.table(
+            {
+                group_col: pa.array([g] * len(qs)),
+                "q": pa.array(out_q, type=pa.float64()),
+                "value": pa.array(out_v, type=pa.int64()),
+            }
+        )
+
+    return hist.groupby(group_col).map_groups(_select, batch_format="pyarrow")

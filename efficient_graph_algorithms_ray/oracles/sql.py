@@ -2268,3 +2268,49 @@ h{s}_d{i} AS MATERIALIZED (
         f"WITH {_COOCC_UND_MAT}" + "".join(chains) + "\n"
         + "\nUNION ALL\n".join(selects)
     )
+
+
+DOCLEN_PERCENTILES_BY_LANG = """SELECT lang, CAST(0.25 AS DOUBLE) AS q, CAST(quantile_disc(n_chars, 0.25) AS BIGINT) AS value FROM documents GROUP BY lang
+UNION ALL SELECT lang, CAST(0.5 AS DOUBLE), CAST(quantile_disc(n_chars, 0.5) AS BIGINT) FROM documents GROUP BY lang
+UNION ALL SELECT lang, CAST(0.9 AS DOUBLE), CAST(quantile_disc(n_chars, 0.9) AS BIGINT) FROM documents GROUP BY lang"""
+
+
+def oddcycle_coocc_sql(rounds: int = 8, seed: int = 1) -> str:
+    """Frustrated-edge counts per BFS level from ``seed`` (mirrors
+    q_oddcycle_coocc): unrolled BFS, then canonical edges whose two
+    endpoints share a (finite) distance, counted per level."""
+    sent = 1 << 40
+    chains = [f""",
+o_d0 AS MATERIALIZED (
+  SELECT vid, CASE WHEN vid = {seed} THEN 0 ELSE {sent} END AS dist
+  FROM (SELECT DISTINCT u AS vid FROM und)
+)"""]
+    for i in range(1, rounds + 1):
+        chains.append(f""",
+o_rx{i} AS (
+  SELECT und.v AS vid, MIN(dp.dist + 1) AS m
+  FROM und JOIN o_d{i - 1} dp ON und.u = dp.vid WHERE dp.dist < {sent}
+  GROUP BY und.v
+),
+o_d{i} AS MATERIALIZED (
+  SELECT d.vid, LEAST(d.dist, COALESCE(r.m, {sent})) AS dist
+  FROM o_d{i - 1} d LEFT JOIN o_rx{i} r ON d.vid = r.vid
+)""")
+    return f"""WITH {_COOCC_UND_MAT}{"".join(chains)}
+SELECT CAST(du.dist AS BIGINT) AS dist, count(*)::BIGINT AS n_frustrated
+FROM pr e
+JOIN o_d{rounds} du ON du.vid = e.u AND du.dist < {sent}
+JOIN o_d{rounds} dv ON dv.vid = e.v AND dv.dist = du.dist
+GROUP BY du.dist"""
+
+
+COMPONENT_SIZES = f"""WITH e AS (
+    SELECT o_custkey AS src, o_orderkey + {ORDER_OFFSET} AS dst FROM orders
+),
+lab AS (
+  SELECT dst AS vid, src AS component FROM e
+  UNION ALL
+  SELECT DISTINCT src AS vid, src AS component FROM e
+),
+sz AS (SELECT component, count(*)::BIGINT AS size FROM lab GROUP BY component)
+SELECT size, count(*)::BIGINT AS n_components FROM sz GROUP BY size"""

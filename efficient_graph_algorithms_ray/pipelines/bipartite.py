@@ -143,3 +143,117 @@ def butterfly_counts(
         .aggregate(Sum("butterflies", alias_name="butterflies"))
     )
     return out
+
+
+def frustrated_edges(forest_out, edges, *, num_partitions: int = 16):
+    """Bipartiteness diagnostic: edges whose endpoints sit at EQUAL BFS
+    distance from the seed — each is a witness of an odd cycle (on an
+    unweighted graph adjacent distances differ by at most 1, and a
+    difference of 0 closes an odd walk). Returns (dist, n_frustrated)
+    per BFS level with at least one witness.
+
+    Plan: two union-tag co-shuffles attach dist(u) then dist(v) to each
+    edge (distance rows ride the same hash partitions — the dist table
+    is never broadcast), then a per-level count pre-aggregation.
+    ``forest_out``: (vid, dist_q, reached) Dataset;
+    ``edges``: (src, dst) Dataset (any orientation, dupes fine).
+    """
+    from ray.data.aggregate import Sum
+
+    P = num_partitions
+    _i64 = pa.int64()
+
+    def _rows(part, a, b, c):
+        return pa.table(
+            {
+                "part": pa.array(np.asarray(part, dtype=np.int64), type=_i64),
+                "a": pa.array(np.asarray(a, dtype=np.int64), type=_i64),
+                "b": pa.array(np.asarray(b, dtype=np.int64), type=_i64),
+                "c": pa.array(np.asarray(c, dtype=np.int64), type=_i64),
+            }
+        )
+
+    def _edge_rows(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").to_numpy(zero_copy_only=False).astype(np.uint64)
+        d = batch.column("dst").to_numpy(zero_copy_only=False).astype(np.uint64)
+        u, v = np.minimum(s, d), np.maximum(s, d)
+        keep = u != v
+        u, v = u[keep], v[keep]
+        # dedup map-side; exact dedup happens implicitly in the attach
+        # groups (duplicates count once via the pair-dedup below)
+        order = np.lexsort((v, u))
+        u, v = u[order], v[order]
+        first = np.concatenate(([True], (u[1:] != u[:-1]) | (v[1:] != v[:-1])))
+        u, v = u[first], v[first]
+        return _rows((u % np.uint64(P)).astype(np.int64), u, v, np.full(len(u), -1))
+
+    def _dist_rows(batch: pa.Table) -> pa.Table:
+        vid = batch.column("vid").to_numpy(zero_copy_only=False).astype(np.uint64)
+        dq = batch.column("dist_q").to_numpy(zero_copy_only=False)
+        reached = batch.column("reached").to_numpy(zero_copy_only=False)
+        vid, dq = vid[reached], dq[reached]
+        return _rows(
+            (vid % np.uint64(P)).astype(np.int64), vid, np.full(len(vid), -1), dq
+        )
+
+    def _attach(key_col_a: bool):
+        def _fn(group: pa.Table) -> pa.Table:
+            a = group.column("a").to_numpy(zero_copy_only=False)
+            b = group.column("b").to_numpy(zero_copy_only=False)
+            c = group.column("c").to_numpy(zero_copy_only=False)
+            is_d = b == -1
+            dk = a[is_d]
+            dv = c[is_d]
+            order = np.argsort(dk)
+            dk, dv = dk[order], dv[order]
+            eu, ev, ec = a[~is_d], b[~is_d], c[~is_d]
+            if key_col_a and len(eu):
+                # exact (u, v) dedup — every copy of an edge shares the
+                # u key, so this group sees them all
+                eorder = np.lexsort((ev, eu))
+                eu, ev, ec = eu[eorder], ev[eorder], ec[eorder]
+                efirst = np.concatenate(
+                    ([True], (eu[1:] != eu[:-1]) | (ev[1:] != ev[:-1]))
+                )
+                eu, ev, ec = eu[efirst], ev[efirst], ec[efirst]
+            pos = np.searchsorted(dk, eu)
+            ok = (pos < len(dk)) & (dk[np.minimum(pos, len(dk) - 1)] == eu)
+            eu, ev, ec, pos = eu[ok], ev[ok], ec[ok], pos[ok]
+            got = dv[pos]
+            if key_col_a:
+                # first attach: dist(u) into c, re-key by v (swap a/b)
+                return _rows(
+                    (ev.astype(np.uint64) % np.uint64(P)).astype(np.int64),
+                    ev,
+                    eu,
+                    got,
+                )
+            # second attach: compare dist(v) == carried dist(u)
+            eq = got == ec
+            lv = ec[eq]
+            if not len(lv):
+                return pa.table(
+                    {
+                        "dist": pa.array([], type=_i64),
+                        "n": pa.array([], type=_i64),
+                    }
+                )
+            d_u, cnt = np.unique(lv, return_counts=True)
+            return pa.table(
+                {
+                    "dist": pa.array(d_u.astype(np.int64), type=_i64),
+                    "n": pa.array(cnt.astype(np.int64), type=_i64),
+                }
+            )
+
+        return _fn
+
+    dist_ds = forest_out.map_batches(_dist_rows, batch_format="pyarrow")
+    e_ds = edges.map_batches(_edge_rows, batch_format="pyarrow")
+    first = e_ds.union(dist_ds).groupby("part").map_groups(
+        _attach(True), batch_format="pyarrow"
+    )
+    second = first.union(dist_ds).groupby("part").map_groups(
+        _attach(False), batch_format="pyarrow"
+    )
+    return second.groupby("dist").aggregate(Sum("n", alias_name="n_frustrated"))

@@ -628,3 +628,13 @@ def q_contamination(sf_dir: str):
     from ..functions.dedup import contamination_counts
 
     return contamination_counts(_docs(sf_dir, ["doc_id", "text"]))
+
+
+def q_doclen_percentiles_by_lang(sf_dir: str):
+    """Per-language exact p25/p50/p90 of document length (grouped
+    histogram percentiles, functions/stats.py:exact_percentiles_by)."""
+    from ..functions.stats import exact_percentiles_by
+
+    return exact_percentiles_by(
+        _docs(sf_dir, ["lang", "n_chars"]), "lang", "n_chars", [0.25, 0.5, 0.9]
+    )

@@ -2080,3 +2080,41 @@ def q_harmonic_coocc(sf_dir: str):
             "harmonic": pa.array(out_h, type=pa.float64()),
         }
     )
+
+
+def q_oddcycle_coocc(sf_dir: str):
+    """Bipartiteness diagnostic: per-BFS-level counts of edges whose
+    endpoints are equidistant from seed 1 (odd-cycle witnesses;
+    pipelines/bipartite.py:frustrated_edges). Returns
+    (dist, n_frustrated)."""
+    from .bipartite import frustrated_edges
+    from .paths import shortest_path_forest
+
+    g = _coocc_graph(sf_dir)
+    out, _ = shortest_path_forest(
+        g, np.array([1], dtype=np.uint64), _ckpt("oddc"), scale=1
+    )
+    return frustrated_edges(out, part_cooccurrence_edges(sf_dir))
+
+
+def q_component_sizes(sf_dir: str):
+    """Component-size histogram of the customer–order bipartite graph:
+    CC labels → per-component sizes → (size, n_components). The
+    standard first summary of any components run."""
+    from ray.data.aggregate import Count
+
+    comp = q_cc_customer_orders(sf_dir)
+    sizes = comp.groupby("component").aggregate(Count(alias_name="size"))
+    return (
+        sizes.groupby("size")
+        .aggregate(Count(alias_name="n_components"))
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "size": b.column("size").cast(pa.int64()),
+                    "n_components": b.column("n_components").cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+    )

@@ -49,3 +49,60 @@ def test_partition_count_invariance(parts):
     assert _result(butterfly_counts(_ds(pairs), num_partitions=parts)) == _result(
         butterfly_counts(_ds(pairs), num_partitions=4)
     )
+
+
+def test_frustrated_edges_odd_and_even_cycle():
+    import tempfile
+
+    import ray.data as rd2
+
+    from efficient_graph_algorithms_ray.config import EngineConfig
+    from efficient_graph_algorithms_ray.pipelines.bipartite import frustrated_edges
+    from efficient_graph_algorithms_ray.pipelines.graph_build import build_graph
+    from efficient_graph_algorithms_ray.pipelines.paths import shortest_path_forest
+
+    def run(edges):
+        u = np.array([e[0] for e in edges], dtype=np.uint64)
+        v = np.array([e[1] for e in edges], dtype=np.uint64)
+        # duplicate every edge to exercise the in-group dedup
+        ds = rd2.from_arrow(
+            pa.table(
+                {
+                    "src": pa.array(np.concatenate([u, v])),
+                    "dst": pa.array(np.concatenate([v, u])),
+                }
+            )
+        )
+        g = build_graph(ds, EngineConfig(num_partitions=4), directed=False)
+        out, _ = shortest_path_forest(
+            g, np.array([1], dtype=np.uint64), tempfile.mkdtemp(dir="/tmp"), scale=1
+        )
+        return {
+            int(r["dist"]): int(r["n_frustrated"])
+            for r in frustrated_edges(out, ds).to_pandas().to_dict("records")
+        }
+
+    # C5 (odd): 1-2-3-4-5-1 → exactly one frustrated edge at dist 2
+    assert run([(1, 2), (2, 3), (3, 4), (4, 5), (5, 1)]) == {2: 1}
+    # C4 (even, bipartite): no frustrated edges
+    assert run([(1, 2), (2, 3), (3, 4), (4, 1)]) == {}
+
+
+def test_exact_percentiles_by_group():
+    import ray.data as rd2
+
+    from efficient_graph_algorithms_ray.functions.stats import exact_percentiles_by
+
+    rng = np.random.default_rng(2)
+    langs = np.array(["en", "de", "fr"])[rng.integers(0, 3, 500)]
+    vals = rng.integers(10, 5000, 500)
+    ds = rd2.from_arrow(
+        pa.table({"lang": pa.array(langs), "n": pa.array(vals, type=pa.int64())})
+    )
+    out = exact_percentiles_by(ds, "lang", "n", [0.25, 0.5, 0.9]).to_pandas()
+    for lang in ("en", "de", "fr"):
+        sub = np.sort(vals[langs == lang])
+        for q in (0.25, 0.5, 0.9):
+            want = sub[int(np.ceil(q * len(sub))) - 1]  # quantile_disc
+            got = out[(out["lang"] == lang) & (out["q"] == q)]["value"].iloc[0]
+            assert got == want, (lang, q, got, want)
