@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "eigencentrality_coocc": R.q_eigencentrality_coocc,
         "harmonic_coocc": R.q_harmonic_coocc,
         "oddcycle_coocc": R.q_oddcycle_coocc,
+        "widest_partsupp": R.q_widest_partsupp,
         "component_sizes": R.q_component_sizes,
         "doclen_percentiles_by_lang": C.q_doclen_percentiles_by_lang,
         "hits_partsupp": R.q_hits_partsupp,
@@ -280,6 +281,7 @@ def oracle_sql() -> dict[str, str]:
         "eigencentrality_coocc": S.EIGENCENTRALITY_COOCC,
         "harmonic_coocc": S.harmonic_coocc_sql(rounds=8, seeds=(1, 2, 3, 4)),
         "oddcycle_coocc": S.oddcycle_coocc_sql(rounds=8, seed=1),
+        "widest_partsupp": S.widest_partsupp_sql(rounds=8, sources=(1, 2, 3)),
         "component_sizes": S.COMPONENT_SIZES,
         "doclen_percentiles_by_lang": S.DOCLEN_PERCENTILES_BY_LANG,
         "corpus_prep_docs": S.corpus_prep_sql(threshold=0.5, qmin_ppm=550_000),

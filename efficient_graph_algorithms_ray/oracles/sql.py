@@ -2314,3 +2314,39 @@ lab AS (
 ),
 sz AS (SELECT component, count(*)::BIGINT AS size FROM lab GROUP BY component)
 SELECT size, count(*)::BIGINT AS n_components FROM sz GROUP BY size"""
+
+
+def widest_partsupp_sql(rounds: int = 8, sources=(1, 2, 3), source_cap: float = 1e18) -> str:
+    """Unrolled max-min (widest-path) recurrence over the
+    Σquantity-capacity part–supplier graph (mirrors
+    pipelines/paths.py:widest_path_forest): w(v) ← GREATEST(w(v),
+    MAX over nbrs of LEAST(w(u), cap(u,v))) — selection arithmetic
+    only, exact with no rounding."""
+    src_list = ", ".join(str(s) for s in sources)
+    body = []
+    for i in range(1, rounds + 1):
+        body.append(f""",
+wm{i} AS (
+  SELECT e.v AS vid, MAX(LEAST(p.w, e.cap)) AS m
+  FROM ce e JOIN w{i - 1} p ON e.u = p.vid WHERE p.w > 0
+  GROUP BY e.v
+),
+w{i} AS MATERIALIZED (
+  SELECT s.vid, GREATEST(s.w, COALESCE(m.m, 0)) AS w
+  FROM w{i - 1} s LEFT JOIN wm{i} m ON m.vid = s.vid
+)""")
+    return f"""WITH cap AS MATERIALIZED (
+  SELECT l_partkey AS u, l_suppkey + {SUPP_OFFSET} AS v,
+         SUM(CAST(l_quantity AS DOUBLE)) AS cap
+  FROM lineitem GROUP BY 1, 2
+),
+ce AS MATERIALIZED (
+  SELECT u, v, cap FROM cap UNION ALL SELECT v, u, cap FROM cap
+),
+verts AS (SELECT DISTINCT u AS vid FROM ce),
+w0 AS MATERIALIZED (
+  SELECT vid, CASE WHEN vid IN ({src_list}) THEN {source_cap} ELSE 0 END AS w
+  FROM verts
+){"".join(body)}
+SELECT CAST(vid AS BIGINT) AS vid, CAST(w AS DOUBLE) AS width
+FROM w{rounds} WHERE vid NOT IN ({src_list})"""

@@ -178,3 +178,47 @@ def distance_bucket_aggregate(
         .aggregate(Sum("n", alias_name="n"))
     )
     return agg, summary
+
+
+def widest_path_forest(
+    graph,
+    sources: np.ndarray,
+    ckpt_dir: str,
+    *,
+    max_iters: int = 8,
+    source_cap: float = 1e18,
+):
+    """Max-bottleneck (widest-path) capacities from a source set.
+
+    The max-min semiring on the superstep engine: state = best
+    bottleneck capacity (0 = unreached, monoid identity), message =
+    min(cap(u), w(u, v)) via the engine's ``msg_edge_min`` clamp,
+    combine = max. Pure selection arithmetic (LEAST/GREATEST, no sums)
+    ⇒ bit-exact against the unrolled SQL oracle with NO rounding.
+    Returns (Dataset (vid, width), summary); sources carry
+    ``source_cap`` (exactly representable), unreached vertices 0.
+    """
+    from ..state.superstep import run_supersteps, state_vertex_dataset
+
+    src_sorted = np.sort(np.asarray(sources, dtype=np.uint64))
+
+    def init_fn(csr):
+        cap = np.zeros(len(csr["vids"]), dtype=np.float64)
+        pos = np.searchsorted(csr["vids"], src_sorted)
+        ok = pos < len(csr["vids"])
+        idx = pos[ok]
+        match = csr["vids"][idx] == src_sorted[ok]
+        cap[idx[match]] = source_cap
+        return cap
+
+    summary = run_supersteps(
+        graph,
+        ckpt_dir,
+        "max",
+        init_fn,
+        tol=0.0,
+        max_iters=max_iters,
+        msg_edge_min=True,
+    )
+    out = state_vertex_dataset(graph, summary["final_iter_dir"], "width")
+    return out, summary

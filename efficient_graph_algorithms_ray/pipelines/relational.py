@@ -2118,3 +2118,59 @@ def q_component_sizes(sf_dir: str):
             batch_format="pyarrow",
         )
     )
+
+
+def _capacity_partsupp_graph(sf_dir: str):
+    """Σquantity-capacity part–supplier graph (parallel lineitem links
+    sum their quantities in the CSR pack — integer-valued floats, so
+    the sums are exact and order-independent)."""
+    key = ("cappartsupp", sf_dir)
+    if key not in _GRAPH_CACHE:
+
+        def _cap(batch: pa.Table) -> pa.Table:
+            qty = batch.column("l_quantity").to_numpy(zero_copy_only=False).astype(
+                np.float64
+            )
+            return pa.table(
+                {
+                    "src": batch.column("l_partkey").cast(pa.uint64()),
+                    "dst": pc.add(
+                        batch.column("l_suppkey").cast(pa.int64()), SUPP_OFFSET
+                    ).cast(pa.uint64()),
+                    "w": pa.array(qty, type=pa.float64()),
+                }
+            )
+
+        edges = _read(
+            sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_quantity"]
+        ).map_batches(_cap, batch_format="pyarrow")
+        _GRAPH_CACHE[key] = build_graph(
+            edges, EngineConfig(num_partitions=16), directed=False
+        )
+    return _GRAPH_CACHE[key]
+
+
+def q_widest_partsupp(sf_dir: str):
+    """Widest-path (max-bottleneck) capacities from parts 1–3 over the
+    Σquantity-capacity part–supplier graph — the max-min semiring on
+    the superstep engine (pipelines/paths.py:widest_path_forest; pure
+    LEAST/GREATEST selection, bit-exact vs SQL with no rounding).
+    Sources excluded from the output; unreached vertices report 0."""
+    from .paths import widest_path_forest
+
+    g = _capacity_partsupp_graph(sf_dir)
+    sources = np.array([1, 2, 3], dtype=np.uint64)
+    out, _ = widest_path_forest(g, sources, _ckpt("widest"), max_iters=8)
+
+    def _shape(batch: pa.Table) -> pa.Table:
+        vid = batch.column("vid").to_numpy(zero_copy_only=False)
+        keep = ~np.isin(vid, sources)
+        sel = batch.filter(pa.array(keep))
+        return pa.table(
+            {
+                "vid": sel.column("vid").cast(pa.int64()),
+                "width": sel.column("width"),
+            }
+        )
+
+    return out.map_batches(_shape, batch_format="pyarrow")

@@ -64,6 +64,7 @@ class BSPWorker:
         edge_shift_fn=None,
         multi_returns: bool = False,
         msg_edge_weights: bool = False,
+        msg_edge_min: bool = False,
     ) -> None:
         self.w = worker_id
         self.W = W
@@ -98,6 +99,12 @@ class BSPWorker:
         # Default False: msg_fn replaces the contribution entirely
         # (one-hot histograms / readiness gates must not weight-scale).
         self.msg_edge_weights = msg_edge_weights
+        # msg_edge_min: max-mode opt-in — clamp each per-edge message to
+        # the edge weight (vals = min(msg, w)) before the max-reduce.
+        # Turns the max monoid into the max-min (bottleneck/widest-path)
+        # semiring; identity stays 0 (min(0, w) = 0 — unreached state
+        # never propagates).
+        self.msg_edge_min = msg_edge_min
         self.csrs = {p: ray.get(r) for p, r in owned}  # zero-copy plasma views
         self.values: dict[int, np.ndarray] = {}
         # teleport distribution per partition (sum mode): uniform 1/N by
@@ -234,6 +241,10 @@ class BSPWorker:
                 # identity = 0, so the state contract is value ≥ 0.
                 msg = value if self.msg_fn is None else self.msg_fn(value, csr)
                 vals = np.asarray(msg, dtype=np.float64)[sc["gather"]]
+                if self.msg_edge_min and sc["w_perm"] is not None:
+                    vals = np.minimum(
+                        vals, sc["w_perm"][:, None] if vals.ndim == 2 else sc["w_perm"]
+                    )
                 sums = (
                     np.maximum.reduceat(vals, sc["seg_starts"], axis=0)
                     if len(sc["seg_starts"])

@@ -109,6 +109,7 @@ def run_supersteps(
     edge_shift_fn=None,
     multi_returns: bool | None = None,
     msg_edge_weights: bool = False,
+    msg_edge_min: bool = False,
 ) -> dict:
     """Drive supersteps to convergence; returns the run summary dict.
 
@@ -145,7 +146,7 @@ def run_supersteps(
         BSPWorker.options(num_cpus=cpu_frac).remote(
             w, W, owned_by_w[w], P, mode, N, damping, owner_map, teleport_fn,
             normalize, apply_fn, msg_fn, edge_shift_fn, multi_returns,
-            msg_edge_weights,
+            msg_edge_weights, msg_edge_min,
         )
         for w in range(W)
     ]

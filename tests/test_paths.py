@@ -205,3 +205,46 @@ def test_diameter_double_sweep_path_graph():
     )
     diam, far2 = R._bfs_argmax(out2)
     assert diam == 5 and far2 == 1  # the sweep from 6 reaches 1 at dist 5
+
+
+def test_widest_path_dense_replica():
+    """Max-min semiring supersteps ≡ dense bottleneck Floyd-ish replica."""
+    import tempfile
+
+    from efficient_graph_algorithms_ray.pipelines.paths import widest_path_forest
+
+    rng = np.random.Generator(np.random.Philox(key=[7, 0]))
+    n = 50
+    iu, ju = np.triu_indices(n, 1)
+    keep = rng.random(len(iu)) < 0.08
+    si, di = iu[keep] + 1, ju[keep] + 1
+    w = rng.integers(1, 40, len(si)).astype(np.float64)
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array(si.astype(np.uint64)),
+                "dst": pa.array(di.astype(np.uint64)),
+                "w": pa.array(w),
+            }
+        )
+    )
+    g = build_graph(ds, EngineConfig(num_partitions=4), directed=False)
+    sources = np.array([1], dtype=np.uint64)
+    out, s = widest_path_forest(g, sources, tempfile.mkdtemp(dir="/tmp"), max_iters=60)
+    got = out.to_pandas().set_index("vid")["width"]
+
+    # dense replica: repeated max-min relaxation to fixpoint
+    ids = sorted(set(si) | set(di))
+    pos = {x: i for i, x in enumerate(ids)}
+    C = np.zeros((len(ids), len(ids)))
+    for a, b, ww in zip(si, di, w):
+        C[pos[a], pos[b]] = C[pos[b], pos[a]] = max(C[pos[a], pos[b]], ww)
+    cap = np.zeros(len(ids))
+    cap[pos[1]] = 1e18
+    for _ in range(len(ids)):
+        nxt = np.maximum(cap, np.max(np.minimum(cap[:, None], C), axis=0))
+        if (nxt == cap).all():
+            break
+        cap = nxt
+    for x in ids:
+        assert got[x] == cap[pos[x]], (x, got[x], cap[pos[x]])
