@@ -74,6 +74,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "harmonic_coocc": R.q_harmonic_coocc,
         "oddcycle_coocc": R.q_oddcycle_coocc,
         "widest_partsupp": R.q_widest_partsupp,
+        "events_rolling_spend": R.q_events_rolling_spend,
+        "orders_by_region": R.q_orders_by_region,
         "component_sizes": R.q_component_sizes,
         "doclen_percentiles_by_lang": C.q_doclen_percentiles_by_lang,
         "hits_partsupp": R.q_hits_partsupp,
@@ -282,6 +284,8 @@ def oracle_sql() -> dict[str, str]:
         "harmonic_coocc": S.harmonic_coocc_sql(rounds=8, seeds=(1, 2, 3, 4)),
         "oddcycle_coocc": S.oddcycle_coocc_sql(rounds=8, seed=1),
         "widest_partsupp": S.widest_partsupp_sql(rounds=8, sources=(1, 2, 3)),
+        "events_rolling_spend": S.EVENTS_ROLLING_SPEND,
+        "orders_by_region": S.ORDERS_BY_REGION,
         "component_sizes": S.COMPONENT_SIZES,
         "doclen_percentiles_by_lang": S.DOCLEN_PERCENTILES_BY_LANG,
         "corpus_prep_docs": S.corpus_prep_sql(threshold=0.5, qmin_ppm=550_000),

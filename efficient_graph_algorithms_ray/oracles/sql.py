@@ -2350,3 +2350,25 @@ w0 AS MATERIALIZED (
 ){"".join(body)}
 SELECT CAST(vid AS BIGINT) AS vid, CAST(w AS DOUBLE) AS width
 FROM w{rounds} WHERE vid NOT IN ({src_list})"""
+
+
+EVENTS_ROLLING_SPEND = """WITH ev AS (
+  SELECT event_id, user_id, ts, CAST(floor(value * 100) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_id::BIGINT AS event_id,
+  COUNT(cents) OVER w::BIGINT AS n_prev,
+  COALESCE(SUM(cents) OVER w, 0)::BIGINT AS prev_cents
+FROM ev
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)"""
+
+
+ORDERS_BY_REGION = """SELECT r_name,
+  count(*)::BIGINT AS n_orders,
+  SUM(CAST(floor(o_totalprice * 100) AS BIGINT))::BIGINT AS cents_sum
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name"""

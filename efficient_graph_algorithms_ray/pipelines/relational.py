@@ -2174,3 +2174,155 @@ def q_widest_partsupp(sf_dir: str):
         )
 
     return out.map_batches(_shape, batch_format="pyarrow")
+
+
+def q_events_rolling_spend(sf_dir: str):
+    """Per-event trailing window: sum + count of the user's previous
+    ≤3 events' integer cents (ROWS 3 PRECEDING … 1 PRECEDING) — the
+    rolling-feature op of behavioral pipelines. One vectorized
+    prefix-sum pass per hash partition (no per-user Python); cents are
+    floor(value·100) on both sides. Returns
+    (event_id, n_prev, prev_cents)."""
+
+    def _roll(group: pa.Table) -> pa.Table:
+        uid = group.column("user_id").to_numpy(zero_copy_only=False)
+        ts = (
+            group.column("ts")
+            .cast(pa.timestamp("us"))
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .view(np.int64)
+        )
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        cents = np.floor(
+            group.column("value").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        srt = np.lexsort((eid, ts, uid))
+        uid, eid, cents = uid[srt], eid[srt], cents[srt]
+        n = len(uid)
+        new_user = np.concatenate(([True], uid[1:] != uid[:-1]))
+        idx = np.arange(n)
+        ustart = idx.copy()
+        ustart[~new_user] = 0
+        ustart = np.maximum.accumulate(ustart)
+        lo = np.maximum(idx - 3, ustart)
+        csum = np.concatenate(([0], np.cumsum(cents)))
+        prev_sum = csum[idx] - csum[lo]
+        n_prev = idx - lo
+        return pa.table(
+            {
+                "event_id": pa.array(eid, type=pa.int64()),
+                "n_prev": pa.array(n_prev.astype(np.int64), type=pa.int64()),
+                "prev_cents": pa.array(prev_sum.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    return (
+        _events_by_part(sf_dir, extra_cols=("value",))
+        .groupby("part")
+        .map_groups(_roll, batch_format="pyarrow")
+    )
+
+
+def q_orders_by_region(sf_dir: str):
+    """Star-schema rollup: order count + total cents per region name.
+    The big join (orders ⨝ customer on custkey) is a union-tag
+    co-shuffle over custkey hash partitions; the nation→region-name
+    dimension (25 rows) is broadcast and applied map-side; the final
+    groupby touches ≤5 rows per task. Returns
+    (r_name, n_orders, cents_sum)."""
+    import ray
+    from ray.data.aggregate import Sum
+
+    # tiny dims → one broadcast dict custkey-side: nationkey → r_name
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_pandas()
+    reg = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    n2r = dict(
+        zip(
+            nat["n_nationkey"].astype(int),
+            reg.set_index("r_regionkey")["r_name"].reindex(nat["n_regionkey"]).to_numpy(),
+        )
+    )
+    n2r_ref = ray.put(n2r)
+    P = 32
+
+    def _tag_orders(b: pa.Table) -> pa.Table:
+        ck = b.column("o_custkey").cast(pa.int64())
+        cents = np.floor(
+            b.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "part": pa.array(
+                    (ck.to_numpy(zero_copy_only=False) % P).astype(np.int64)
+                ),
+                "custkey": ck,
+                "cents": pa.array(cents, type=pa.int64()),
+                "nationkey": pa.array(np.full(b.num_rows, -1, dtype=np.int64)),
+            }
+        )
+
+    def _tag_cust(b: pa.Table) -> pa.Table:
+        ck = b.column("c_custkey").cast(pa.int64())
+        return pa.table(
+            {
+                "part": pa.array(
+                    (ck.to_numpy(zero_copy_only=False) % P).astype(np.int64)
+                ),
+                "custkey": ck,
+                "cents": pa.array(np.full(b.num_rows, -1, dtype=np.int64)),
+                "nationkey": b.column("c_nationkey").cast(pa.int64()),
+            }
+        )
+
+    both = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        _tag_orders, batch_format="pyarrow"
+    ).union(
+        _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+            _tag_cust, batch_format="pyarrow"
+        )
+    )
+
+    def _join(group: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        ck = group.column("custkey").to_numpy(zero_copy_only=False)
+        cents = group.column("cents").to_numpy(zero_copy_only=False)
+        nk = group.column("nationkey").to_numpy(zero_copy_only=False)
+        is_cust = nk >= 0
+        cust_k = ck[is_cust]
+        cust_n = nk[is_cust]
+        order = np.argsort(cust_k)
+        cust_k, cust_n = cust_k[order], cust_n[order]
+        ok = ck[~is_cust]
+        oc = cents[~is_cust]
+        pos = np.searchsorted(cust_k, ok)
+        valid = (pos < len(cust_k)) & (cust_k[np.minimum(pos, len(cust_k) - 1)] == ok)
+        nkeys = cust_n[pos[valid]]
+        ocents = oc[valid]
+        lut = _ray.get(n2r_ref)
+        uk, inv = (
+            np.unique(nkeys, return_inverse=True)
+            if len(nkeys)
+            else (np.empty(0, np.int64), np.empty(0, np.int64))
+        )
+        cnt = np.bincount(inv, minlength=len(uk)).astype(np.int64)
+        sums = (
+            np.bincount(inv, weights=ocents, minlength=len(uk)).astype(np.int64)
+            if len(uk)
+            else np.empty(0, np.int64)
+        )
+        return pa.table(
+            {
+                "r_name": pa.array([lut[int(k)] for k in uk], type=pa.string()),
+                "n": pa.array(cnt, type=pa.int64()),
+                "cents": pa.array(sums, type=pa.int64()),
+            }
+        )
+
+    return (
+        both.groupby("part")
+        .map_groups(_join, batch_format="pyarrow")
+        .groupby("r_name")
+        .aggregate(Sum("n", alias_name="n_orders"), Sum("cents", alias_name="cents_sum"))
+    )
