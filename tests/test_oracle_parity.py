@@ -16,7 +16,7 @@ import pytest
 sys.path.insert(0, "/root/repo")
 import __ray_entry__ as entrymod
 
-SF_DIR = "/root/testdata/sf0.001"
+SF_DIR = os.environ.get("GRAFT_PARITY_SF_DIR", "/root/testdata/sf0.001")
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
