@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_knn": C.q_ann_ivf_knn,
         "ngram_jaccard_pairs": C.q_ngram_jaccard_pairs,
         # round-3 additions (SQL-oracled)
+        "scc_coocc": R.q_scc_coocc,
         "tfidf_topk": C.q_tfidf_topk,
         "unigram_familiarity": C.q_unigram_familiarity,
         "contamination_docs": C.q_contamination,
@@ -261,6 +262,7 @@ def oracle_sql() -> dict[str, str]:
         "subtree_sizes_forest": S.SUBTREE_SIZES_FOREST,
         "tree_kernel_forest": S.tree_kernel_forest_sql(a=-0.5),
         "tree_ensemble_coocc": S.tree_ensemble_coocc_sql(a=-0.5),
+        "scc_coocc": S.scc_coocc_sql(rounds=8, k=4),
         "tfidf_topk": S.tfidf_topk_sql(k=5),
         "unigram_familiarity": S.UNIGRAM_FAMILIARITY,
         "contamination_docs": S.contamination_sql(eval_mod=20, w=8),

@@ -1974,6 +1974,59 @@ SELECT CAST(u AS BIGINT) AS u, CAST(w AS BIGINT) AS v, cn, jaccard
 FROM cand ORDER BY jaccard DESC, u, v LIMIT {k}"""
 
 
+def scc_coocc_sql(rounds: int = 8, k: int = 4) -> str:
+    """Unrolled pivot FW-BW SCC over the hash-oriented directed
+    co-occurrence graph (mirrors pipelines/scc.py +
+    relational.directed_coocc_edges exactly): each pair (a < b) is
+    oriented by h = splitmix64(a ⊕ splitmix64(b)) — h % 4 = 0 → both
+    directions, else h odd → a→b, h even → b→a; pivots = the k
+    smallest vertex ids; ``rounds`` unrolled directed reachability
+    steps each way; vertex → smallest pivot whose forward and backward
+    reach sets both contain it."""
+    frag1, cte1, _ = sm64_stages("prc", "v", "scc_hb", ["u", "v"])
+    frag2, cte2, _ = sm64_stages("scc_x", "x", "scc_hf", ["u", "v"])
+    chains = []
+    for t in range(1, rounds + 1):
+        chains.append(f""",
+f{t} AS MATERIALIZED (
+  SELECT DISTINCT vid, j FROM (
+    SELECT vid, j FROM f{t - 1}
+    UNION ALL
+    SELECT e.d AS vid, f.j FROM dir e JOIN f{t - 1} f ON f.vid = e.s
+  )
+),
+b{t} AS MATERIALIZED (
+  SELECT DISTINCT vid, j FROM (
+    SELECT vid, j FROM b{t - 1}
+    UNION ALL
+    SELECT e.s AS vid, f.j FROM dir e JOIN b{t - 1} f ON f.vid = e.d
+  )
+)""")
+    return f"""WITH pr AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+prc AS (SELECT CAST(u AS UBIGINT) AS u, CAST(v AS UBIGINT) AS v FROM pr){frag1},
+scc_x AS (SELECT u, v, xor(u, h) AS x FROM {cte1}){frag2},
+dir AS MATERIALIZED (
+  SELECT u AS s, v AS d FROM {cte2} WHERE h % 4 = 0 OR h % 2 = 1
+  UNION ALL
+  SELECT v AS s, u AS d FROM {cte2} WHERE h % 2 = 0
+),
+verts AS (SELECT DISTINCT s AS vid FROM (SELECT s FROM dir UNION ALL SELECT d AS s FROM dir)),
+piv AS MATERIALIZED (
+  SELECT vid, ROW_NUMBER() OVER (ORDER BY vid) AS j
+  FROM (SELECT vid FROM verts ORDER BY vid LIMIT {k})
+),
+f0 AS (SELECT vid, j FROM piv),
+b0 AS (SELECT vid, j FROM piv){"".join(chains)}
+SELECT CAST(f.vid AS BIGINT) AS vid, CAST(MIN(p.vid) AS BIGINT) AS scc
+FROM f{rounds} f JOIN b{rounds} b ON b.vid = f.vid AND b.j = f.j
+JOIN piv p ON p.j = f.j
+GROUP BY f.vid"""
+
+
 def mis_coocc_sql(rounds: int = 3, seed: int = 7) -> str:
     """Unrolled Luby MIS over the co-occurrence graph (mirrors
     pipelines/mis.py exactly): per round, undecided vertex v wins iff

@@ -98,6 +98,27 @@ def _partsupp_graph(sf_dir: str):
     return _GRAPH_CACHE[key]
 
 
+def _coocc_dir_graphs(sf_dir: str):
+    """(fwd, rev) directed builds of the hash-oriented co-occurrence
+    graph — same edge table with src/dst swapped, same partition count,
+    so per-partition vid layouts are identical (pivot_scc asserts)."""
+    key = ("coocc_dir", sf_dir)
+    if key not in _GRAPH_CACHE:
+        edges = directed_coocc_edges(sf_dir)
+
+        def _swap(batch: pa.Table) -> pa.Table:
+            return pa.table({"src": batch.column("dst"), "dst": batch.column("src")})
+
+        fwd = build_graph(edges, EngineConfig(num_partitions=16), directed=True)
+        rev = build_graph(
+            directed_coocc_edges(sf_dir).map_batches(_swap, batch_format="pyarrow"),
+            EngineConfig(num_partitions=16),
+            directed=True,
+        )
+        _GRAPH_CACHE[key] = (fwd, rev)
+    return _GRAPH_CACHE[key]
+
+
 # --------------------------------------------------------------------------
 # edge tables derived from testdata (int64 keys, SQL-reproducible)
 # --------------------------------------------------------------------------
@@ -143,6 +164,38 @@ def customer_order_edges(sf_dir: str):
 
     return _read(sf_dir, "orders", ["o_custkey", "o_orderkey"]).map_batches(
         _fn, batch_format="pyarrow"
+    )
+
+
+def directed_coocc_edges(sf_dir: str):
+    """Hash-oriented directed version of the co-occurrence graph.
+
+    Each undirected pair (a < b) is oriented by h = splitmix64(a ⊕
+    splitmix64(b)): h % 4 == 0 → BOTH directions (2-cycles seed the
+    SCCs), else h odd → a→b, h even → b→a. Deterministic and
+    SQL-replayable (the oracle inlines the identical splitmix chain);
+    random orientation of a dense co-occurrence topology yields
+    non-trivial strongly connected cores."""
+    from ..sources.edges_synth import _splitmix64
+
+    def _orient(batch: pa.Table) -> pa.Table:
+        a = batch.column("src").to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = batch.column("dst").to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = _splitmix64(a ^ _splitmix64(b))
+        both = (h % np.uint64(4)) == 0
+        fwd = ((h % np.uint64(2)) == 1) | both
+        rev = ~fwd | both
+        src = np.concatenate([a[fwd], b[rev]])
+        dst = np.concatenate([b[fwd], a[rev]])
+        return pa.table(
+            {
+                "src": pa.array(src, type=pa.uint64()),
+                "dst": pa.array(dst, type=pa.uint64()),
+            }
+        )
+
+    return part_cooccurrence_edges(sf_dir).map_batches(
+        _orient, batch_format="pyarrow"
     )
 
 
@@ -634,6 +687,21 @@ def q_label_prop_coocc(sf_dir: str):
         )
 
     return labels.map_batches(_shape, batch_format="pyarrow")
+
+
+def q_scc_coocc(sf_dir: str):
+    """Pivot FW-BW strongly connected components over the
+    hash-oriented directed co-occurrence graph: pivots = the 4
+    smallest vertex ids, hop radius 8 per side; vertex v is assigned
+    to the smallest pivot p with v ∈ fwd-reach(p) ∩ bwd-reach(p).
+    SQL-oracled via unrolled directed reachability CTEs. Returns
+    (vid, scc) over assigned vertices."""
+    from .scc import pivot_scc, smallest_vids
+
+    fwd, rev = _coocc_dir_graphs(sf_dir)
+    pivots = smallest_vids(directed_coocc_edges(sf_dir), k=4)
+    out, _, _ = pivot_scc(fwd, rev, _ckpt("scc"), pivots, rounds=8)
+    return _vid_to_int64(out, {"scc": pa.int64()})
 
 
 def q_interpolate_coocc(sf_dir: str):

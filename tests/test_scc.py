@@ -1,0 +1,107 @@
+"""Pivot FW-BW strongly connected components vs a dense numpy oracle."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from efficient_graph_algorithms_ray.config import EngineConfig
+from efficient_graph_algorithms_ray.pipelines.graph_build import build_graph
+from efficient_graph_algorithms_ray.pipelines.scc import pivot_scc, smallest_vids
+
+
+def _edges_ds(src, dst):
+    return rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array(src, type=pa.uint64()),
+                "dst": pa.array(dst, type=pa.uint64()),
+            }
+        )
+    )
+
+
+def _scc_oracle(src, dst, pivots, rounds):
+    """Bounded-hop FW-BW: per pivot, BFS ≤ rounds hops forward and
+    backward; vertex → smallest pivot in whose fwd ∩ bwd reach it lies."""
+    src = np.asarray(src, dtype=np.uint64)
+    dst = np.asarray(dst, dtype=np.uint64)
+    vids = np.unique(np.concatenate([src, dst]))
+    idx = {int(v): i for i, v in enumerate(vids)}
+    n = len(vids)
+    A = np.zeros((n, n), dtype=bool)
+    for s, d in zip(src, dst):
+        A[idx[int(s)], idx[int(d)]] = True
+
+    def reach(mat, p):
+        r = np.zeros(n, dtype=bool)
+        r[idx[int(p)]] = True
+        for _ in range(rounds):
+            r = r | (mat.T @ r)
+        return r
+
+    out = {}
+    for p in sorted(int(x) for x in pivots):
+        both = reach(A, p) & reach(A.T, p)
+        for i in np.flatnonzero(both):
+            out.setdefault(int(vids[i]), p)
+    return out
+
+
+def _run(src, dst, pivots, tmp_path, rounds=8, P=8):
+    fwd = build_graph(_edges_ds(src, dst), EngineConfig(num_partitions=P), directed=True)
+    rev = build_graph(_edges_ds(dst, src), EngineConfig(num_partitions=P), directed=True)
+    out, _, _ = pivot_scc(fwd, rev, str(tmp_path / "scc"), pivots, rounds=rounds)
+    df = out.to_pandas().sort_values("vid").reset_index(drop=True)
+    return {int(r.vid): int(r.scc) for r in df.itertuples()}
+
+
+def test_two_cycles_and_dag_tail(tmp_path):
+    # cycle {1,2,3}, cycle {10,11}, DAG tail 3->20->21 (21 unassigned)
+    src = [1, 2, 3, 10, 11, 3, 20]
+    dst = [2, 3, 1, 11, 10, 20, 21]
+    got = _run(src, dst, [1, 10], tmp_path)
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_pivots_in_same_scc_collapse(tmp_path):
+    # pivots 1 and 2 share a cycle -> both report scc=1
+    src = [1, 2, 3, 5, 6]
+    dst = [2, 3, 1, 6, 5]
+    got = _run(src, dst, [1, 2, 5], tmp_path)
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}
+
+
+def test_hop_radius_bounds_reach(tmp_path):
+    # directed ring of 12 vertices: full SCC needs 11 hops; radius 4
+    # assigns only vertices within 4 hops forward AND backward of pivot
+    n = 12
+    src = list(range(n))
+    dst = [(i + 1) % n for i in range(n)]
+    got = _run(src, dst, [0], tmp_path, rounds=4)
+    oracle = _scc_oracle(src, dst, [0], rounds=4)
+    assert got == oracle
+    # sanity: ring vertex 6 is 6 hops away both ways -> unassigned
+    assert 6 not in got
+
+
+def test_random_graph_vs_oracle(tmp_path):
+    rng = np.random.default_rng(7)
+    n, m = 40, 160
+    src = rng.integers(1, n + 1, size=m)
+    dst = rng.integers(1, n + 1, size=m)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    pivots = sorted(np.unique(np.concatenate([src, dst])))[:4]
+    got = _run(src, dst, pivots, tmp_path, rounds=8, P=4)
+    oracle = _scc_oracle(src, dst, pivots, rounds=8)
+    assert got == oracle
+    assert len(got) > 0  # random dense digraph has a nontrivial core
+
+
+def test_smallest_vids(tmp_path):
+    src = [9, 5, 7, 100]
+    dst = [5, 9, 100, 7]
+    piv = smallest_vids(_edges_ds(src, dst), k=3)
+    assert piv.tolist() == [5, 7, 9]
