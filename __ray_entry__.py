@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": C.q_ngram_jaccard_pairs,
         # round-3 additions (SQL-oracled)
         "scc_coocc": R.q_scc_coocc,
+        "bowtie_coocc": R.q_bowtie_coocc,
         "tfidf_topk": C.q_tfidf_topk,
         "unigram_familiarity": C.q_unigram_familiarity,
         "contamination_docs": C.q_contamination,
@@ -263,6 +264,7 @@ def oracle_sql() -> dict[str, str]:
         "tree_kernel_forest": S.tree_kernel_forest_sql(a=-0.5),
         "tree_ensemble_coocc": S.tree_ensemble_coocc_sql(a=-0.5),
         "scc_coocc": S.scc_coocc_sql(rounds=8, k=4),
+        "bowtie_coocc": S.bowtie_coocc_sql(rounds=8),
         "tfidf_topk": S.tfidf_topk_sql(k=5),
         "unigram_familiarity": S.UNIGRAM_FAMILIARITY,
         "contamination_docs": S.contamination_sql(eval_mod=20, w=8),

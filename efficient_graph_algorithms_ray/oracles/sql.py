@@ -1974,15 +1974,12 @@ SELECT CAST(u AS BIGINT) AS u, CAST(w AS BIGINT) AS v, cn, jaccard
 FROM cand ORDER BY jaccard DESC, u, v LIMIT {k}"""
 
 
-def scc_coocc_sql(rounds: int = 8, k: int = 4) -> str:
-    """Unrolled pivot FW-BW SCC over the hash-oriented directed
-    co-occurrence graph (mirrors pipelines/scc.py +
-    relational.directed_coocc_edges exactly): each pair (a < b) is
-    oriented by h = splitmix64(a ⊕ splitmix64(b)) — h % 4 = 0 → both
-    directions, else h odd → a→b, h even → b→a; pivots = the k
-    smallest vertex ids; ``rounds`` unrolled directed reachability
-    steps each way; vertex → smallest pivot whose forward and backward
-    reach sets both contain it."""
+def _coocc_dir_base(k: int, rounds: int) -> str:
+    """Shared CTE prefix for the directed-coocc reachability oracles
+    (mirrors relational.directed_coocc_edges + pipelines/scc.py):
+    hash-oriented edges ``dir``, pivot set ``piv`` (k smallest vids,
+    j = 1-based rank), and ``rounds`` unrolled reachability steps —
+    forward ``f{rounds}`` and backward ``b{rounds}`` (vid, j) sets."""
     frag1, cte1, _ = sm64_stages("prc", "v", "scc_hb", ["u", "v"])
     frag2, cte2, _ = sm64_stages("scc_x", "x", "scc_hf", ["u", "v"])
     chains = []
@@ -2002,7 +1999,7 @@ b{t} AS MATERIALIZED (
     SELECT e.s AS vid, f.j FROM dir e JOIN b{t - 1} f ON f.vid = e.d
   )
 )""")
-    return f"""WITH pr AS MATERIALIZED (
+    return f"""pr AS MATERIALIZED (
   SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
   FROM lineitem a JOIN lineitem b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
@@ -2020,11 +2017,40 @@ piv AS MATERIALIZED (
   FROM (SELECT vid FROM verts ORDER BY vid LIMIT {k})
 ),
 f0 AS (SELECT vid, j FROM piv),
-b0 AS (SELECT vid, j FROM piv){"".join(chains)}
+b0 AS (SELECT vid, j FROM piv){"".join(chains)}"""
+
+
+def scc_coocc_sql(rounds: int = 8, k: int = 4) -> str:
+    """Unrolled pivot FW-BW SCC over the hash-oriented directed
+    co-occurrence graph (mirrors pipelines/scc.py +
+    relational.directed_coocc_edges exactly): each pair (a < b) is
+    oriented by h = splitmix64(a ⊕ splitmix64(b)) — h % 4 = 0 → both
+    directions, else h odd → a→b, h even → b→a; pivots = the k
+    smallest vertex ids; ``rounds`` unrolled directed reachability
+    steps each way; vertex → smallest pivot whose forward and backward
+    reach sets both contain it."""
+    return f"""WITH {_coocc_dir_base(k, rounds)}
 SELECT CAST(f.vid AS BIGINT) AS vid, CAST(MIN(p.vid) AS BIGINT) AS scc
 FROM f{rounds} f JOIN b{rounds} b ON b.vid = f.vid AND b.j = f.j
 JOIN piv p ON p.j = f.j
 GROUP BY f.vid"""
+
+
+def bowtie_coocc_sql(rounds: int = 8) -> str:
+    """Bowtie decomposition around the smallest-vid pivot (mirrors
+    pipelines/scc.bowtie_classes): cls 0 = core (fwd ∩ bwd reach of
+    the pivot), 1 = in (bwd only), 2 = out (fwd only), 3 = other."""
+    return f"""WITH {_coocc_dir_base(1, rounds)},
+fr AS (SELECT DISTINCT vid FROM f{rounds}),
+br AS (SELECT DISTINCT vid FROM b{rounds})
+SELECT CAST(v.vid AS BIGINT) AS vid,
+  CASE WHEN f.vid IS NOT NULL AND b.vid IS NOT NULL THEN 0
+       WHEN b.vid IS NOT NULL THEN 1
+       WHEN f.vid IS NOT NULL THEN 2
+       ELSE 3 END AS cls
+FROM verts v
+LEFT JOIN fr f ON f.vid = v.vid
+LEFT JOIN br b ON b.vid = v.vid"""
 
 
 def mis_coocc_sql(rounds: int = 3, seed: int = 7) -> str:

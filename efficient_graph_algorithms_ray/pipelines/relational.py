@@ -704,6 +704,19 @@ def q_scc_coocc(sf_dir: str):
     return _vid_to_int64(out, {"scc": pa.int64()})
 
 
+def q_bowtie_coocc(sf_dir: str):
+    """Bowtie decomposition (Broder et al., WWW 2000) of the
+    hash-oriented directed co-occurrence graph around the smallest-vid
+    pivot, hop radius 8: cls 0 = core (pivot's SCC), 1 = in, 2 = out,
+    3 = other. SQL-oracled. Returns (vid, cls) over all vertices."""
+    from .scc import bowtie_classes, smallest_vids
+
+    fwd, rev = _coocc_dir_graphs(sf_dir)
+    pivot = int(smallest_vids(directed_coocc_edges(sf_dir), k=1)[0])
+    out, _, _ = bowtie_classes(fwd, rev, _ckpt("bowtie"), pivot, rounds=8)
+    return _vid_to_int64(out, {"cls": pa.int64()})
+
+
 def q_interpolate_coocc(sf_dir: str):
     """Masked neighbor interpolation (Interpolator parity,
     interpolator.py:5-33): retailprice known on parts with p_size ≤ 25,

@@ -124,6 +124,67 @@ def pivot_scc(
     return ds, fwd, bwd
 
 
+def bowtie_classes(
+    fwd_graph: ShardedGraph,
+    rev_graph: ShardedGraph,
+    ckpt_dir: str,
+    pivot: int,
+    *,
+    rounds: int = 8,
+):
+    """Bowtie decomposition of a directed graph around one pivot
+    (Broder et al., "Graph structure in the Web", WWW 2000): with
+    F = forward-reach(pivot) and B = backward-reach(pivot), each
+    vertex is CORE (F ∩ B — the pivot's SCC), OUT (F \\ B — reachable
+    from the core but not back), IN (B \\ F — reaches the core but is
+    not reached), or OTHER (tendrils/disconnected). Bounded hop radius
+    ``rounds`` per side (the engine's fixed-round oracle contract).
+
+    Returns (Dataset (vid, cls), fwd_summary, bwd_summary) over ALL
+    vertices; cls codes: 0 = core, 1 = in, 2 = out, 3 = other.
+    """
+    assert fwd_graph.directed and rev_graph.directed
+    pivots = np.asarray([pivot], dtype=np.uint64)
+    init_fn = _pivot_init(pivots)
+
+    fwd = run_supersteps(
+        fwd_graph, ckpt_dir + "_f", "max", init_fn, tol=0.0, max_iters=rounds
+    )
+    bwd = run_supersteps(
+        rev_graph, ckpt_dir + "_b", "max", init_fn, tol=0.0, max_iters=rounds
+    )
+    f_dir, b_dir = fwd["final_iter_dir"], bwd["final_iter_dir"]
+    f_refs, b_refs = fwd_graph.refs, rev_graph.refs
+
+    def _classify(batch: pa.Table) -> pa.Table:
+        parts = batch.column("part").to_numpy(zero_copy_only=False)
+        vid_out, cls_out = [], []
+        for p in parts:
+            p = int(p)
+            vids = ray.get(f_refs[p])["vids"]
+            assert np.array_equal(vids, ray.get(b_refs[p])["vids"]), (
+                "fwd/rev graphs disagree on partition vid layout"
+            )
+            F = read_state_part(f_dir, p).reshape(-1) > 0
+            B = read_state_part(b_dir, p).reshape(-1) > 0
+            cls = np.full(len(vids), 3, dtype=np.int64)  # other
+            cls[F & B] = 0  # core
+            cls[B & ~F] = 1  # in
+            cls[F & ~B] = 2  # out
+            vid_out.append(vids)
+            cls_out.append(cls)
+        vids = np.concatenate(vid_out) if vid_out else np.empty(0, np.uint64)
+        cls = np.concatenate(cls_out) if cls_out else np.empty(0, np.int64)
+        return pa.table(
+            {"vid": pa.array(vids, type=_U64), "cls": pa.array(cls, type=pa.int64())}
+        )
+
+    ds = rd.read_parquet(f_dir, columns=["part"]).map_batches(
+        _classify, batch_format="pyarrow"
+    )
+    return ds, fwd, bwd
+
+
 def smallest_vids(edges, k: int = 4) -> np.ndarray:
     """The k smallest vertex ids of an edge table — per-block partial
     bottom-k over both endpoint columns, then a tiny driver merge."""

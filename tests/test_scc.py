@@ -100,6 +100,21 @@ def test_random_graph_vs_oracle(tmp_path):
     assert len(got) > 0  # random dense digraph has a nontrivial core
 
 
+def test_bowtie_classes(tmp_path):
+    from efficient_graph_algorithms_ray.pipelines.scc import bowtie_classes
+    from efficient_graph_algorithms_ray.pipelines.graph_build import build_graph
+    from efficient_graph_algorithms_ray.config import EngineConfig
+
+    # in-tendril 50 -> core cycle {1,2,3} -> out-tendril 60; island 70-71
+    src = [50, 1, 2, 3, 3, 70]
+    dst = [1, 2, 3, 1, 60, 71]
+    fwd = build_graph(_edges_ds(src, dst), EngineConfig(num_partitions=4), directed=True)
+    rev = build_graph(_edges_ds(dst, src), EngineConfig(num_partitions=4), directed=True)
+    out, _, _ = bowtie_classes(fwd, rev, str(tmp_path / "bt"), 1, rounds=8)
+    got = {int(r.vid): int(r.cls) for r in out.to_pandas().itertuples()}
+    assert got == {1: 0, 2: 0, 3: 0, 50: 1, 60: 2, 70: 3, 71: 3}
+
+
 def test_smallest_vids(tmp_path):
     src = [9, 5, 7, 100]
     dst = [5, 9, 100, 7]
