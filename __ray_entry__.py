@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-3 additions (SQL-oracled)
         "scc_coocc": R.q_scc_coocc,
         "bowtie_coocc": R.q_bowtie_coocc,
+        "salsa_partsupp": R.q_salsa_partsupp,
         "tfidf_topk": C.q_tfidf_topk,
         "unigram_familiarity": C.q_unigram_familiarity,
         "contamination_docs": C.q_contamination,
@@ -265,6 +266,7 @@ def oracle_sql() -> dict[str, str]:
         "tree_ensemble_coocc": S.tree_ensemble_coocc_sql(a=-0.5),
         "scc_coocc": S.scc_coocc_sql(rounds=8, k=4),
         "bowtie_coocc": S.bowtie_coocc_sql(rounds=8),
+        "salsa_partsupp": S.salsa_partsupp_sql(k=2),
         "tfidf_topk": S.tfidf_topk_sql(k=5),
         "unigram_familiarity": S.UNIGRAM_FAMILIARITY,
         "contamination_docs": S.contamination_sql(eval_mod=20, w=8),

@@ -679,6 +679,41 @@ SELECT vid, 'auth' AS kind, ROUND(x / (SELECT n FROM an), 9) AS score_r9 FROM au
     return "".join(parts)
 
 
+def salsa_partsupp_sql(k: int = 2) -> str:
+    """SALSA on the symmetrized part–supplier graph as the engine
+    computes it (pipelines/hits.salsa): x₀ = 1 on the supplier side,
+    then the degree-normalized walk x ← Σ x(src)/deg(src), read at
+    supersteps 2k−1 (hub side) and 2k (authority side); raw walk mass
+    ROUND 9 (walk2's sum-monoid convention)."""
+    parts = [
+        f"""WITH e0 AS (
+    SELECT DISTINCT l_partkey AS src, l_suppkey + {SUPP_OFFSET} AS dst FROM lineitem
+),
+e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst AS src, src AS dst FROM e0),
+v AS (SELECT DISTINCT src AS vid FROM e),
+deg AS (SELECT src AS vid, COUNT(*) AS d FROM e GROUP BY src),
+x0 AS (SELECT vid, CASE WHEN vid >= {SUPP_OFFSET} THEN 1.0 ELSE 0.0 END AS x FROM v)"""
+    ]
+    for i in range(1, 2 * k + 1):
+        parts.append(
+            f""",
+x{i} AS (
+  SELECT v.vid, COALESCE(SUM(xp.x / dg.d), 0) AS x
+  FROM v LEFT JOIN e ON e.dst = v.vid
+  LEFT JOIN x{i-1} xp ON xp.vid = e.src
+  LEFT JOIN deg dg ON dg.vid = e.src
+  GROUP BY v.vid
+)"""
+        )
+    parts.append(
+        f"""
+SELECT vid, 'hub' AS kind, ROUND(x, 9) AS score_r9 FROM x{2*k-1} WHERE vid < {SUPP_OFFSET}
+UNION ALL
+SELECT vid, 'auth' AS kind, ROUND(x, 9) AS score_r9 FROM x{2*k} WHERE vid >= {SUPP_OFFSET}"""
+    )
+    return "".join(parts)
+
+
 def sssp_partsupp_sql(rounds: int = 8, scale: int = 1 << 16, sources=(1, 2, 3), P: int = 16) -> str:
     """Unrolled Bellman–Ford over the weighted part–supplier graph,
     quantized edge lengths q = max(round_even(w·scale), 1) — the exact

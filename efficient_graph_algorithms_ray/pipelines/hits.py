@@ -55,6 +55,42 @@ def hits(graph: ShardedGraph, ckpt_dir: str, k: int = 1):
     return hub, auth, summary
 
 
+def salsa(graph: ShardedGraph, ckpt_dir: str, k: int = 1, auth_pred=None):
+    """SALSA hub/authority scores (Lempel & Moran, WWW 2000).
+
+    SALSA replaces HITS's unnormalized matvecs with the DEGREE-
+    NORMALIZED alternating walk: the authority chain is the 2-step
+    random walk on the symmetrized bipartite graph restricted to the
+    authority side (and likewise for hubs) — so on this engine it is
+    ONE k_step-style normalized-walk superstep chain (damping 1, zero
+    teleport) from x₀ = 1 on the authority side, read at superstep 2k
+    (authority side = a_k) and 2k−1 (hub side = h_k). Same
+    single-chain trick as ``hits`` above; the normalization is the
+    per-sender 1/deg the scatter already applies.
+
+    ``auth_pred``: vectorized vids → bool mask for the authority side.
+    Returns (hub_ds, auth_ds, summary) with RAW walk mass (callers
+    restrict to each side and scale/round).
+    """
+    if k < 1:
+        raise ValueError("k >= 1")
+    assert auth_pred is not None
+
+    def _init(csr):
+        return np.where(auth_pred(csr["vids"]), 1.0, 0.0)
+
+    def zero_teleport(csr):
+        return np.zeros(len(csr["vids"]))
+
+    summary = run_supersteps(
+        graph, ckpt_dir, "sum", _init,
+        damping=1.0, tol=0.0, max_iters=2 * k, teleport_fn=zero_teleport,
+    )
+    hub = state_vertex_dataset(graph, _iter_dir(ckpt_dir, 2 * k - 1), "hub")
+    auth = state_vertex_dataset(graph, _iter_dir(ckpt_dir, 2 * k), "auth")
+    return hub, auth, summary
+
+
 def l2_normalize(ds, col: str):
     """Divide ``col`` by its global L2 norm (two streaming passes: a
     sum-of-squares scalar reduce, then a broadcast scalar divide)."""

@@ -1035,6 +1035,43 @@ def q_hits_partsupp(sf_dir: str):
     return hub.union(auth)
 
 
+def q_salsa_partsupp(sf_dir: str):
+    """SALSA hubs (parts) & authorities (suppliers) on the symmetrized
+    part–supplier graph, k=2 alternating iterations: the degree-
+    normalized walk chain from x₀ = 1 on the supplier side, read at
+    supersteps 3 (hub = h₂) and 4 (authority = a₂). SQL-oracled via
+    unrolled normalized-walk CTEs; raw walk mass ROUND 9 (the repo's
+    sum-monoid convention). Returns (vid, kind, score_r9)."""
+    from .hits import salsa
+
+    g = _partsupp_und_graph(sf_dir)
+    hub, auth, _ = salsa(
+        g, _ckpt("salsa"), k=2, auth_pred=lambda v: v >= np.uint64(SUPP_OFFSET)
+    )
+
+    def _shape(kind: str, col: str, lo: int, hi: int):
+        def _f(b: pa.Table) -> pa.Table:
+            vid = b.column("vid").to_numpy(zero_copy_only=False)
+            b = b.filter(pa.array((vid >= lo) & (vid < hi)))
+            return pa.table(
+                {
+                    "vid": b.column("vid").cast(pa.int64()),
+                    "kind": pa.array([kind] * b.num_rows, type=pa.string()),
+                    "score_r9": pc.round(b.column(col), ndigits=9),
+                }
+            )
+
+        return _f
+
+    hub = hub.map_batches(
+        _shape("hub", "hub", 0, SUPP_OFFSET), batch_format="pyarrow"
+    )
+    auth = auth.map_batches(
+        _shape("auth", "auth", SUPP_OFFSET, 1 << 62), batch_format="pyarrow"
+    )
+    return hub.union(auth)
+
+
 def q_distance_buckets_partsupp(sf_dir: str):
     """Distance-bucketed clustering histogram (base_compute_clustering
     parity, separator_utils.py:28-57): ⌊dist/unit⌋ buckets of the
