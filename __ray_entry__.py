@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scc_coocc": R.q_scc_coocc,
         "bowtie_coocc": R.q_bowtie_coocc,
         "salsa_partsupp": R.q_salsa_partsupp,
+        "ann_pq_adc": C.q_ann_pq_adc,
         "tfidf_topk": C.q_tfidf_topk,
         "unigram_familiarity": C.q_unigram_familiarity,
         "contamination_docs": C.q_contamination,
@@ -267,6 +268,7 @@ def oracle_sql() -> dict[str, str]:
         "scc_coocc": S.scc_coocc_sql(rounds=8, k=4),
         "bowtie_coocc": S.bowtie_coocc_sql(rounds=8),
         "salsa_partsupp": S.salsa_partsupp_sql(k=2),
+        "ann_pq_adc": S.ann_pq_adc_sql(query_ids=(0, 7, 42), k=5),
         "tfidf_topk": S.tfidf_topk_sql(k=5),
         "unigram_familiarity": S.UNIGRAM_FAMILIARITY,
         "contamination_docs": S.contamination_sql(eval_mod=20, w=8),

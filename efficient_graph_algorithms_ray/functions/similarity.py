@@ -393,6 +393,192 @@ def knn_ivf(
     return partials.groupby("query_id").map_groups(_final, batch_format="pandas")
 
 
+def pq_train_codebooks(
+    embeddings_ds,
+    m: int = 8,
+    n_codes: int = 16,
+    iters: int = 0,
+    sample_n: int = 4096,
+    seed: int = HASH_SEED,
+) -> np.ndarray:
+    """Product-quantization codebooks (Jégou et al., TPAMI 2011):
+    split d dims into ``m`` equal subspaces, quantize each to
+    ``n_codes`` centroids; a vector compresses to m code bytes.
+
+    Anchor selection is the IVF sampler's deterministic bottom-k by
+    splitmix64(vec_id): the ``n_codes`` smallest-hash corpus vectors,
+    L2-normalized and ORDERED BY HASH ASCENDING (the order fixes the
+    code indices — the SQL oracle replays it). ``iters = 0`` keeps the
+    raw sampled anchors (fully SQL-replayable); ``iters > 0`` refines
+    each subspace codebook with Lloyd k-means over a bounded
+    ``sample_n`` sample (the quality path, pytest-verified — same
+    contract split as IVF's nprobe trick).
+
+    Returns (m, n_codes, d // m) float64.
+    """
+    from ..sources.edges_synth import _splitmix64
+
+    mix = np.uint64(seed * 0x9E3779B97F4A7C15 & 0xFFFFFFFFFFFFFFFF)
+
+    def _local_bottom(b: pa.Table) -> pa.Table:
+        ids = b.column("vec_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        if len(ids) == 0:
+            return b
+        h = _splitmix64(ids ^ mix)
+        keep = np.argsort(h, kind="stable")[:sample_n]
+        return b.take(pa.array(np.sort(keep)))
+
+    cand = pa.concat_tables(
+        embeddings_ds.map_batches(_local_bottom, batch_format="pyarrow")
+        .repartition(8)
+        .map_batches(_local_bottom, batch_format="pyarrow", batch_size=None)
+        .iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+    ids, mat = _embedding_matrix(cand)
+    if mat.size == 0:
+        raise ValueError("cannot train PQ codebooks on an empty embeddings dataset")
+    d = mat.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    h = _splitmix64(ids.astype(np.uint64) ^ mix)
+    order = np.argsort(h, kind="stable")
+    x = _normalize(mat[order])
+    n_codes = min(n_codes, len(x))
+    books = np.stack(
+        [x[:n_codes, j * sub : (j + 1) * sub].copy() for j in range(m)]
+    )  # (m, n_codes, sub)
+    if iters > 0:
+        for j in range(m):
+            xs = x[:, j * sub : (j + 1) * sub]
+            cent = books[j]
+            for _ in range(iters):
+                d2 = ((xs[:, None, :] - cent[None, :, :]) ** 2).sum(axis=-1)
+                assign = np.argmin(d2, axis=1)
+                for c in range(n_codes):
+                    members = xs[assign == c]
+                    if len(members):
+                        cent[c] = members.mean(axis=0)
+            books[j] = cent
+    return books
+
+
+def _pq_codes(mat: np.ndarray, books: np.ndarray) -> np.ndarray:
+    """(n, m) int64 codes: per-subspace argmin squared-L2 to the
+    codebook (first minimum wins — ties go to the smaller code)."""
+    n, d = mat.shape
+    m, _, sub = books.shape
+    x = _normalize(mat)
+    codes = np.empty((n, m), dtype=np.int64)
+    for j in range(m):
+        xs = x[:, j * sub : (j + 1) * sub]
+        d2 = ((xs[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=-1)
+        codes[:, j] = np.argmin(d2, axis=1)
+    return codes
+
+
+def pq_encode(embeddings_ds, books: np.ndarray):
+    """(vec_id, codes list<int64>[m]) — the compressed corpus. The
+    codebook tensor is broadcast once via ``ray.put``."""
+    from ..util import list_array
+
+    books_ref = ray.put(np.ascontiguousarray(books))
+
+    def _fn(batch: pa.Table) -> pa.Table:
+        bk = ray.get(books_ref)
+        ids, mat = _embedding_matrix(batch)
+        if len(ids) == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], type=pa.int64()),
+                    "codes": pa.array([], type=pa.list_(pa.int64())),
+                }
+            )
+        codes = _pq_codes(mat, bk)
+        return pa.table(
+            {
+                "vec_id": pa.array(ids.astype(np.int64), type=pa.int64()),
+                "codes": list_array(list(codes), np.int64, pa.int64()),
+            }
+        )
+
+    return embeddings_ds.map_batches(_fn, batch_format="pyarrow")
+
+
+def pq_adc_topk(embeddings_ds, books: np.ndarray, query_ids: list[int], k: int = 5):
+    """Asymmetric-distance top-k: queries stay exact, the corpus is
+    scored through its PQ codes via per-query lookup tables
+    LUT[j, c] = ⟨q_sub_j, codebook[j][c]⟩, score = Σ_j LUT[j, code_j].
+
+    One corpus pass re-encodes each batch against the broadcast
+    codebooks and sums LUT entries (at 100 TB the codes would be
+    precomputed once by ``pq_encode`` and this pass would read the
+    m-byte codes instead of the d-float vectors — the compression is
+    the point; here the single fused pass keeps the query
+    one-sweep). Partial top-k per batch + one small groupby merge,
+    exactly the brute-force pattern. Returns (query_id, vec_id, adc),
+    k rows per query, self excluded, ties → smaller vec_id.
+    """
+    q_ids, q_mat = _fetch_query_vectors(embeddings_ds, query_ids)
+    q_mat = _normalize(q_mat)
+    m, n_codes, sub = books.shape
+    # (Q, m, n_codes) lookup tables
+    luts = np.stack(
+        [
+            np.stack([q[j * sub : (j + 1) * sub] @ books[j].T for j in range(m)])
+            for q in q_mat
+        ]
+    )
+    state_ref = ray.put((q_ids, luts, np.ascontiguousarray(books)))
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        qids, lut, bk = ray.get(state_ref)
+        ids, mat = _embedding_matrix(batch)
+        empty = pa.table(
+            {
+                "query_id": pa.array([], type=pa.int64()),
+                "vec_id": pa.array([], type=pa.int64()),
+                "adc": pa.array([], type=pa.float64()),
+            }
+        )
+        if len(ids) == 0:
+            return empty
+        codes = _pq_codes(mat, bk)  # (n, m)
+        out_q, out_v, out_c = [], [], []
+        for qi, qid in enumerate(qids):
+            score = np.zeros(len(ids))
+            for j in range(bk.shape[0]):
+                score += lut[qi, j][codes[:, j]]
+            mask = ids != qid
+            cand_ids, cand = ids[mask], score[mask]
+            top = min(len(cand), max(k, 64))
+            if top == 0:
+                continue
+            # quantized scores tie OFTEN (equal codes ⇒ equal ADC), so the
+            # partial must keep the (score desc, vid asc) lexicographic
+            # top — argpartition would drop arbitrary tie members
+            sel = np.lexsort((cand_ids, -cand))[:top]
+            out_q.append(np.full(len(sel), qid, dtype=np.int64))
+            out_v.append(cand_ids[sel].astype(np.int64))
+            out_c.append(cand[sel])
+        if not out_q:
+            return empty
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), type=pa.int64()),
+                "vec_id": pa.array(np.concatenate(out_v), type=pa.int64()),
+                "adc": pa.array(np.concatenate(out_c), type=pa.float64()),
+            }
+        )
+
+    partials = embeddings_ds.map_batches(_partial, batch_format="pyarrow")
+
+    def _final(group: pd.DataFrame) -> pd.DataFrame:
+        return group.sort_values(["adc", "vec_id"], ascending=[False, True]).head(k)
+
+    return partials.groupby("query_id").map_groups(_final, batch_format="pandas")
+
+
 def embedding_norms(embeddings_ds):
     """(vec_id, norm_r5) — L2 norms, SQL-oracled via list_inner_product."""
 

@@ -525,6 +525,76 @@ LIMIT {k})"""
     return "\nUNION ALL\n".join(blocks)
 
 
+def ann_pq_adc_sql(
+    query_ids=(0, 7, 42), k: int = 5, m: int = 8, n_codes: int = 16
+) -> str:
+    """Replays functions/similarity.py's SQL-replayable PQ path
+    (iters=0) exactly: anchors = the n_codes corpus vectors with the
+    smallest splitmix64(vec_id ⊕ mix), hash-ordered (code index =
+    hash rank); vectors L2-normalize, split into m subspaces; code =
+    argmin L2 distance to the subspace anchors (ties → smaller code);
+    ADC score = Σ_j ⟨query_sub_j, anchor[code_j]_sub_j⟩, top-k by
+    (score DESC, vec_id), self excluded, ROUND 5."""
+    from ..config import HASH_SEED
+
+    mix = HASH_SEED * 0x9E3779B97F4A7C15 % (1 << 64)
+    frag, cte, _ = sm64_stages("hh0", "hx", "pq_h", ["vec_id"])
+    blocks = []
+    for q in query_ids:
+        blocks.append(
+            f"""(
+  SELECT {q}::BIGINT AS query_id, sc.vec_id::BIGINT AS vec_id,
+         ROUND(sc.score, 5) AS adc_r5
+  FROM (
+    SELECT cd.vec_id, SUM(list_inner_product(qs.s, a.s)) AS score
+    FROM code1 cd
+    JOIN asub a ON a.j = cd.j AND a.c = cd.c
+    JOIN vsub qs ON qs.vec_id = {q} AND qs.j = cd.j
+    GROUP BY cd.vec_id
+  ) sc
+  WHERE sc.vec_id <> {q}
+  ORDER BY sc.score DESC, sc.vec_id LIMIT {k}
+)"""
+        )
+    return f"""WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e0 FROM embeddings
+),
+nrm AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(e0, x -> x / sqrt(list_inner_product(e0, e0))) AS e
+  FROM base
+),
+hh0 AS (SELECT vec_id, xor(CAST(vec_id AS UBIGINT), {mix}::UBIGINT) AS hx FROM base){frag},
+anch AS MATERIALIZED (
+  SELECT n.vec_id, n.e, ROW_NUMBER() OVER (ORDER BY s.h) AS c
+  FROM {cte} s JOIN nrm n ON n.vec_id = s.vec_id
+  QUALIFY c <= {n_codes}
+),
+subs AS (SELECT j FROM generate_series(0, {m - 1}) AS t(j)),
+dim AS (SELECT len(e) // {m} AS w FROM nrm LIMIT 1),
+asub AS MATERIALIZED (
+  SELECT a.c, t.j,
+         list_slice(a.e, t.j * (SELECT w FROM dim) + 1, (t.j + 1) * (SELECT w FROM dim)) AS s
+  FROM anch a CROSS JOIN subs t
+),
+vsub AS MATERIALIZED (
+  SELECT n.vec_id, t.j,
+         list_slice(n.e, t.j * (SELECT w FROM dim) + 1, (t.j + 1) * (SELECT w FROM dim)) AS s
+  FROM nrm n CROSS JOIN subs t
+),
+code1 AS MATERIALIZED (
+  SELECT vec_id, j, c FROM (
+    SELECT v.vec_id, v.j, a.c,
+      ROW_NUMBER() OVER (
+        PARTITION BY v.vec_id, v.j
+        ORDER BY list_distance(v.s, a.s), a.c
+      ) AS rn
+    FROM vsub v JOIN asub a ON a.j = v.j
+  ) WHERE rn = 1
+)
+{"UNION ALL".join(blocks)}"""
+
+
 GAUSSIAN_DOCLEN = """SELECT doc_id,
   ROUND(exp(-0.01 * CAST(n_chars AS DOUBLE)), 9) AS gk_r9
 FROM documents"""

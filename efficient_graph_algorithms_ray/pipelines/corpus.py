@@ -243,6 +243,33 @@ def q_ann_ivf_knn(sf_dir: str):
     return knn.map_batches(_shape, batch_format="pyarrow")
 
 
+def q_ann_pq_adc(sf_dir: str):
+    """Product-quantization ADC top-5 for three probe vectors, run
+    with the SQL-replayable anchor codebooks (iters=0: the bottom-16
+    hash-sampled corpus vectors, hash-ordered, split into 8 subspaces
+    of 8 dims). The full PQ path — deterministic codebook selection,
+    per-subspace argmin encoding, per-query LUT build, ADC partial
+    top-k + merge — is exercised end-to-end; the Lloyd-refined regime
+    (iters>0) is pytest-verified instead (planted-dup recall), the
+    same contract split as IVF's nprobe trick."""
+    emb = _emb(sf_dir)
+    books = S.pq_train_codebooks(emb, m=8, n_codes=16, iters=0)
+    knn = S.pq_adc_topk(emb, books, query_ids=[0, 7, 42], k=5)
+
+    def _shape(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "query_id": batch.column("query_id").cast(pa.int64()),
+                "vec_id": batch.column("vec_id").cast(pa.int64()),
+                "adc_r5": pa.array(
+                    np.round(batch.column("adc").to_numpy(zero_copy_only=False), 5)
+                ),
+            }
+        )
+
+    return knn.map_batches(_shape, batch_format="pyarrow")
+
+
 def q_audio_features(sf_dir: str):
     """Multimodal audio: deterministic synthetic PCM16 clips →
     actor-pool feature stage (REAL decode — PCM needs no codec;

@@ -134,3 +134,101 @@ def test_embedding_norms_match_numpy():
     expect = np.round(np.linalg.norm(mat, axis=1), 5)
     order = np.argsort(ids)
     assert np.allclose(out["norm_r5"].to_numpy(), expect[order], atol=0)
+
+
+def _pq_numpy_replica(mat, ids, m, n_codes, q_idx, k):
+    """Pure-numpy replay of the iters=0 PQ path (anchor codebooks,
+    argmin-L2 codes, ADC LUT scoring) for exact comparison."""
+    from efficient_graph_algorithms_ray.config import HASH_SEED
+    from efficient_graph_algorithms_ray.sources.edges_synth import _splitmix64
+
+    mix = np.uint64(HASH_SEED * 0x9E3779B97F4A7C15 & 0xFFFFFFFFFFFFFFFF)
+    h = _splitmix64(ids.astype(np.uint64) ^ mix)
+    order = np.argsort(h, kind="stable")
+    nrm = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-30)
+    x = nrm[order]
+    sub = mat.shape[1] // m
+    books = np.stack([x[:n_codes, j * sub : (j + 1) * sub] for j in range(m)])
+    codes = np.empty((len(mat), m), dtype=np.int64)
+    for j in range(m):
+        d2 = ((nrm[:, None, j * sub : (j + 1) * sub] - books[j][None]) ** 2).sum(-1)
+        codes[:, j] = np.argmin(d2, axis=1)
+    q = nrm[q_idx]
+    score = np.zeros(len(mat))
+    for j in range(m):
+        lut = q[j * sub : (j + 1) * sub] @ books[j].T
+        score += lut[codes[:, j]]
+    score[q_idx] = -np.inf
+    top = np.lexsort((ids, -score))[:k]
+    return ids[top], score[top]
+
+
+def test_pq_adc_matches_numpy_replica():
+    from efficient_graph_algorithms_ray.functions.similarity import (
+        pq_adc_topk,
+        pq_train_codebooks,
+    )
+
+    tbl, ids, mat = _load()
+    books = pq_train_codebooks(rd.from_arrow(tbl), m=8, n_codes=16, iters=0)
+    for q in [0, 7, 42]:
+        out = (
+            pq_adc_topk(rd.from_arrow(tbl), books, query_ids=[q], k=5)
+            .to_pandas()
+            .sort_values(["adc", "vec_id"], ascending=[False, True])
+        )
+        qi = int(np.flatnonzero(ids == q)[0])
+        ref_ids, ref_scores = _pq_numpy_replica(mat, ids, 8, 16, qi, 5)
+        assert list(out["vec_id"]) == list(ref_ids)
+        assert np.allclose(out["adc"].to_numpy(), ref_scores, atol=1e-12)
+
+
+def test_pq_anchor_rows_code_to_themselves():
+    from efficient_graph_algorithms_ray.functions.similarity import (
+        pq_encode,
+        pq_train_codebooks,
+    )
+    from efficient_graph_algorithms_ray.sources.edges_synth import _splitmix64
+    from efficient_graph_algorithms_ray.config import HASH_SEED
+
+    tbl, ids, mat = _load()
+    books = pq_train_codebooks(rd.from_arrow(tbl), m=8, n_codes=16, iters=0)
+    codes = pq_encode(rd.from_arrow(tbl), books).to_pandas()
+    mix = np.uint64(HASH_SEED * 0x9E3779B97F4A7C15 & 0xFFFFFFFFFFFFFFFF)
+    h = _splitmix64(ids.astype(np.uint64) ^ mix)
+    anchor_ids = ids[np.argsort(h, kind="stable")[:16]]
+    by_id = {int(r.vec_id): list(r.codes) for r in codes.itertuples()}
+    for c, aid in enumerate(anchor_ids):
+        assert by_id[int(aid)] == [c] * 8  # own subvector is distance 0
+
+
+def test_pq_lloyd_finds_planted_duplicate():
+    from efficient_graph_algorithms_ray.functions.similarity import (
+        pq_adc_topk,
+        pq_train_codebooks,
+    )
+
+    tbl, ids, mat = _load()
+    rng = np.random.Generator(np.random.Philox(key=[13, 0]))
+    si = int(np.flatnonzero(ids == 7)[0])
+    dup = mat[si] + rng.standard_normal(mat.shape[1]) * 0.01
+    aug = pa.table(
+        {
+            "vec_id": pa.array(
+                np.concatenate([ids, [9200]]), type=tbl.schema.field("vec_id").type
+            ),
+            "embedding": pa.array(
+                tbl.column("embedding").to_pylist() + [list(map(float, dup))],
+                type=tbl.schema.field("embedding").type,
+            ),
+        }
+    )
+    ds = rd.from_arrow(aug)
+    books = pq_train_codebooks(ds, m=8, n_codes=16, iters=5)
+    out = (
+        pq_adc_topk(ds, books, query_ids=[7], k=5)
+        .to_pandas()
+        .sort_values("adc", ascending=False)
+    )
+    # the near-duplicate shares every code with the query -> top ADC
+    assert int(out.iloc[0]["vec_id"]) == 9200
