@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bowtie_coocc": R.q_bowtie_coocc,
         "salsa_partsupp": R.q_salsa_partsupp,
         "ann_pq_adc": C.q_ann_pq_adc,
+        "vocab_growth": C.q_vocab_growth,
         "tfidf_topk": C.q_tfidf_topk,
         "unigram_familiarity": C.q_unigram_familiarity,
         "contamination_docs": C.q_contamination,
@@ -269,6 +270,7 @@ def oracle_sql() -> dict[str, str]:
         "bowtie_coocc": S.bowtie_coocc_sql(rounds=8),
         "salsa_partsupp": S.salsa_partsupp_sql(k=2),
         "ann_pq_adc": S.ann_pq_adc_sql(query_ids=(0, 7, 42), k=5),
+        "vocab_growth": S.vocab_growth_sql(step=64),
         "tfidf_topk": S.tfidf_topk_sql(k=5),
         "unigram_familiarity": S.UNIGRAM_FAMILIARITY,
         "contamination_docs": S.contamination_sql(eval_mod=20, w=8),

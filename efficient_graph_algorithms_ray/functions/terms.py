@@ -42,6 +42,7 @@ __all__ = [
     "bigram_pmi",
     "attach_token_stat",
     "unigram_familiarity",
+    "vocab_growth",
 ]
 
 _EMPTY_TF = pa.table(
@@ -81,6 +82,65 @@ def term_frequencies(docs_ds) -> "rd.Dataset":
         )
 
     return docs_ds.map_batches(_tf, batch_format="pyarrow")
+
+
+def vocab_growth(docs_ds, step: int = 64) -> "rd.Dataset":
+    """Heaps'-law vocabulary growth curve: per doc-id bucket
+    (bucket = doc_id // step), total token occurrences and the number
+    of NEW vocabulary types (tokens whose corpus-wide first document
+    falls in the bucket). Cumulating new_types over ascending buckets
+    gives V(n) vs corpus size — the standard tokenizer-sizing /
+    dedup-health curve for a training corpus.
+
+    Two combiner-backed groupbys (token → min doc_id; bucket sums) and
+    one tiny per-bucket merge — token text shuffles once, pre-
+    aggregated per document. Returns (bucket, n_tokens, new_types).
+    """
+    from ray.data.aggregate import Min
+
+    tf = term_frequencies(docs_ds)
+
+    def _tok_bucket(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        tfs = b.column("tf").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bucket": pa.array(ids // step, type=pa.int64()),
+                "n_tokens": pa.array(tfs, type=pa.int64()),
+                "new_types": pa.array(np.zeros(len(ids), dtype=np.int64)),
+            }
+        )
+
+    def _first_bucket(b: pa.Table) -> pa.Table:
+        fd = b.column("min(doc_id)").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bucket": pa.array(fd // step, type=pa.int64()),
+                "n_tokens": pa.array(np.zeros(len(fd), dtype=np.int64)),
+                "new_types": pa.array(np.ones(len(fd), dtype=np.int64)),
+            }
+        )
+
+    tot = tf.map_batches(_tok_bucket, batch_format="pyarrow")
+    first = tf.groupby("tok").aggregate(Min("doc_id")).map_batches(
+        _first_bucket, batch_format="pyarrow"
+    )
+
+    def _shape(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "bucket": b.column("bucket"),
+                "n_tokens": b.column("sum(n_tokens)").cast(pa.int64()),
+                "new_types": b.column("sum(new_types)").cast(pa.int64()),
+            }
+        )
+
+    return (
+        tot.union(first)
+        .groupby("bucket")
+        .aggregate(Sum("n_tokens"), Sum("new_types"))
+        .map_batches(_shape, batch_format="pyarrow")
+    )
 
 
 def attach_token_stat(

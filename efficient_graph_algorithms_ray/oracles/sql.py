@@ -2215,6 +2215,21 @@ SELECT f.doc_id::BIGINT AS doc_id,
 FROM tf f JOIN cf c ON f.t = c.t GROUP BY f.doc_id"""
 
 
+def vocab_growth_sql(step: int = 64) -> str:
+    """Replays functions/terms.vocab_growth: bucket = doc_id // step,
+    n_tokens = token occurrences per bucket, new_types = tokens whose
+    corpus-wide MIN doc_id falls in the bucket (\\S+ tokenizer)."""
+    return f"""WITH tk AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS t FROM documents
+),
+tot AS (SELECT doc_id // {step} AS bucket, COUNT(*)::BIGINT AS n_tokens FROM tk GROUP BY 1),
+fs AS (SELECT t, MIN(doc_id) AS fd FROM tk GROUP BY t),
+nt AS (SELECT fd // {step} AS bucket, COUNT(*)::BIGINT AS new_types FROM fs GROUP BY 1)
+SELECT tot.bucket::BIGINT AS bucket, tot.n_tokens,
+       COALESCE(nt.new_types, 0)::BIGINT AS new_types
+FROM tot LEFT JOIN nt ON nt.bucket = tot.bucket"""
+
+
 def contamination_sql(eval_mod: int = 20, w: int = 8) -> str:
     """Replays functions/dedup.py:contamination_counts — distinct
     w-token shingles (FNV-1a over the space-joined tokens, the same

@@ -243,6 +243,15 @@ def q_ann_ivf_knn(sf_dir: str):
     return knn.map_batches(_shape, batch_format="pyarrow")
 
 
+def q_vocab_growth(sf_dir: str):
+    """Heaps'-law vocabulary growth: per 64-doc bucket, total token
+    occurrences and new vocabulary types (first-seen tokens).
+    SQL-oracled. Returns (bucket, n_tokens, new_types)."""
+    from ..functions.terms import vocab_growth
+
+    return vocab_growth(_docs(sf_dir, ["doc_id", "text"]), step=64)
+
+
 def q_ann_pq_adc(sf_dir: str):
     """Product-quantization ADC top-5 for three probe vectors, run
     with the SQL-replayable anchor codebooks (iters=0: the bottom-16

@@ -202,3 +202,44 @@ def test_unigram_familiarity_hot_vocab_invariance():
         .reset_index(drop=True)
     )
     assert a.equals(b)
+
+
+def test_vocab_growth_matches_counter_oracle():
+    import ray.data as rd
+    from collections import Counter
+    from efficient_graph_algorithms_ray.functions.terms import vocab_growth
+    from efficient_graph_algorithms_ray.functions.text import _TOKEN_RE
+
+    docs = [
+        (0, "a b b c"),
+        (1, "a d"),
+        (65, "d e e"),
+        (66, ""),
+        (130, "a f"),
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([d for d, _ in docs], type=pa.int64()),
+            "text": pa.array([t for _, t in docs], type=pa.string()),
+        }
+    )
+    out = (
+        vocab_growth(rd.from_arrow(tbl), step=64)
+        .to_pandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    # oracle
+    first: dict[str, int] = {}
+    tot: Counter = Counter()
+    new: Counter = Counter()
+    for d, t in docs:
+        toks = _TOKEN_RE.findall(t)
+        tot[d // 64] += len(toks)
+        for tk in toks:
+            if tk not in first or d < first[tk]:
+                first[tk] = d
+    for tk, d in first.items():
+        new[d // 64] += 1
+    got = {int(r.bucket): (int(r.n_tokens), int(r.new_types)) for r in out.itertuples()}
+    assert got == {b: (tot[b], new[b]) for b in tot if tot[b] > 0}
