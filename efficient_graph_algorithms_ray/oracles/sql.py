@@ -2079,14 +2079,33 @@ SELECT CAST(u AS BIGINT) AS u, CAST(w AS BIGINT) AS v, cn, jaccard
 FROM cand ORDER BY jaccard DESC, u, v LIMIT {k}"""
 
 
+def _coocc_dir_edges() -> str:
+    """CTE prefix building the hash-oriented directed co-occurrence
+    edge set ``dir`` (s, d) and its vertex universe ``verts`` (mirrors
+    relational.directed_coocc_edges exactly)."""
+    frag1, cte1, _ = sm64_stages("prc", "v", "scc_hb", ["u", "v"])
+    frag2, cte2, _ = sm64_stages("scc_x", "x", "scc_hf", ["u", "v"])
+    return f"""pr AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+prc AS (SELECT CAST(u AS UBIGINT) AS u, CAST(v AS UBIGINT) AS v FROM pr){frag1},
+scc_x AS (SELECT u, v, xor(u, h) AS x FROM {cte1}){frag2},
+dir AS MATERIALIZED (
+  SELECT u AS s, v AS d FROM {cte2} WHERE h % 4 = 0 OR h % 2 = 1
+  UNION ALL
+  SELECT v AS s, u AS d FROM {cte2} WHERE h % 2 = 0
+),
+verts AS (SELECT DISTINCT s AS vid FROM (SELECT s FROM dir UNION ALL SELECT d AS s FROM dir))"""
+
+
 def _coocc_dir_base(k: int, rounds: int) -> str:
     """Shared CTE prefix for the directed-coocc reachability oracles
     (mirrors relational.directed_coocc_edges + pipelines/scc.py):
     hash-oriented edges ``dir``, pivot set ``piv`` (k smallest vids,
     j = 1-based rank), and ``rounds`` unrolled reachability steps —
     forward ``f{rounds}`` and backward ``b{rounds}`` (vid, j) sets."""
-    frag1, cte1, _ = sm64_stages("prc", "v", "scc_hb", ["u", "v"])
-    frag2, cte2, _ = sm64_stages("scc_x", "x", "scc_hf", ["u", "v"])
     chains = []
     for t in range(1, rounds + 1):
         chains.append(f""",
@@ -2104,19 +2123,7 @@ b{t} AS MATERIALIZED (
     SELECT e.s AS vid, f.j FROM dir e JOIN b{t - 1} f ON f.vid = e.d
   )
 )""")
-    return f"""pr AS MATERIALIZED (
-  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
-  FROM lineitem a JOIN lineitem b
-    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-),
-prc AS (SELECT CAST(u AS UBIGINT) AS u, CAST(v AS UBIGINT) AS v FROM pr){frag1},
-scc_x AS (SELECT u, v, xor(u, h) AS x FROM {cte1}){frag2},
-dir AS MATERIALIZED (
-  SELECT u AS s, v AS d FROM {cte2} WHERE h % 4 = 0 OR h % 2 = 1
-  UNION ALL
-  SELECT v AS s, u AS d FROM {cte2} WHERE h % 2 = 0
-),
-verts AS (SELECT DISTINCT s AS vid FROM (SELECT s FROM dir UNION ALL SELECT d AS s FROM dir)),
+    return f"""{_coocc_dir_edges()},
 piv AS MATERIALIZED (
   SELECT vid, ROW_NUMBER() OVER (ORDER BY vid) AS j
   FROM (SELECT vid FROM verts ORDER BY vid LIMIT {k})
@@ -2139,6 +2146,41 @@ SELECT CAST(f.vid AS BIGINT) AS vid, CAST(MIN(p.vid) AS BIGINT) AS scc
 FROM f{rounds} f JOIN b{rounds} b ON b.vid = f.vid AND b.j = f.j
 JOIN piv p ON p.j = f.j
 GROUP BY f.vid"""
+
+
+def trim_coocc_sql(rounds: int = 6) -> str:
+    """Replays pipelines/scc.directed_trim_rounds: per round, alive
+    vertices with zero alive in-neighbors OR zero alive out-neighbors
+    die; trim_round = 1-based death round, 0 = survives all rounds.
+    (Edge multiplicity is irrelevant — only the zero-ness of the
+    alive-neighbor counts decides, so DISTINCT dir edges match the
+    engine's duplicate-summed CSR weights.)"""
+    body = []
+    for r in range(1, rounds + 1):
+        p = f"al{r - 1}"
+        body.append(f""",
+din{r} AS (SELECT e.d AS vid, COUNT(*) AS c FROM dir e JOIN {p} u ON u.vid = e.s
+           GROUP BY e.d),
+dout{r} AS (SELECT e.s AS vid, COUNT(*) AS c FROM dir e JOIN {p} u ON u.vid = e.d
+            GROUP BY e.s),
+die{r} AS MATERIALIZED (
+  SELECT a.vid FROM {p} a
+  LEFT JOIN din{r} i ON i.vid = a.vid
+  LEFT JOIN dout{r} o ON o.vid = a.vid
+  WHERE COALESCE(i.c, 0) = 0 OR COALESCE(o.c, 0) = 0
+),
+al{r} AS MATERIALIZED (
+  SELECT a.vid FROM {p} a LEFT JOIN die{r} x ON x.vid = a.vid WHERE x.vid IS NULL
+)""")
+    dies = "\nUNION ALL\n".join(
+        f"SELECT vid, {r} AS trim_round FROM die{r}" for r in range(1, rounds + 1)
+    )
+    return f"""WITH {_coocc_dir_edges()},
+al0 AS (SELECT vid FROM verts){"".join(body)},
+dead AS ({dies})
+SELECT CAST(v.vid AS BIGINT) AS vid,
+       COALESCE(d.trim_round, 0)::BIGINT AS trim_round
+FROM verts v LEFT JOIN dead d ON d.vid = v.vid"""
 
 
 def bowtie_coocc_sql(rounds: int = 8) -> str:

@@ -704,6 +704,27 @@ def q_scc_coocc(sf_dir: str):
     return _vid_to_int64(out, {"scc": pa.int64()})
 
 
+def q_trim_coocc(sf_dir: str):
+    """Iterative source/sink peeling ("trim") of the hash-oriented
+    directed co-occurrence graph, 6 rounds: per round, alive vertices
+    with no alive in-neighbor or no alive out-neighbor are removed.
+    trim_round = removal round (1-based), 0 = survives (the directed
+    core every SCC pipeline hands to FW-BW). One weighted superstep
+    run (din + K·dout fused gather). SQL-oracled. Returns
+    (vid, trim_round)."""
+    from .scc import directed_trim_rounds, trim_message_edges
+
+    key = ("coocc_trim", sf_dir)
+    if key not in _GRAPH_CACHE:
+        _GRAPH_CACHE[key] = build_graph(
+            trim_message_edges(directed_coocc_edges(sf_dir)),
+            EngineConfig(num_partitions=16),
+            directed=True,
+        )
+    out, _ = directed_trim_rounds(_GRAPH_CACHE[key], _ckpt("trim"), rounds=6)
+    return _vid_to_int64(out, {"trim_round": pa.int64()})
+
+
 def q_bowtie_coocc(sf_dir: str):
     """Bowtie decomposition (Broder et al., WWW 2000) of the
     hash-oriented directed co-occurrence graph around the smallest-vid

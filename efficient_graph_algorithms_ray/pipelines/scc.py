@@ -185,6 +185,116 @@ def bowtie_classes(
     return ds, fwd, bwd
 
 
+_TRIM_K = float(1 << 26)  # dual-direction weight radix (counts < 2^26)
+
+
+def trim_message_edges(edges):
+    """Directed edge table → the weighted message-edge table that
+    computes in-degree AND out-degree in ONE gather: each real edge
+    x→y emits (x→y, w=1) (alive(x) counts into din(y)) and (y→x,
+    w=K) (alive(y) counts into dout(x)). The CSR pack sums duplicate
+    slots, so a 2-cycle's fused weight 1+K carries both real
+    contributions. Exact while either per-vertex degree count stays
+    below K = 2^26 (float64 integer arithmetic; the beyond-2^26 path
+    is two unweighted runs per round, one per direction)."""
+    def _fn(batch: pa.Table) -> pa.Table:
+        u = batch.column("src").to_numpy(zero_copy_only=False).astype(np.uint64)
+        v = batch.column("dst").to_numpy(zero_copy_only=False).astype(np.uint64)
+        src = np.concatenate([u, v])
+        dst = np.concatenate([v, u])
+        w = np.concatenate([np.ones(len(u)), np.full(len(u), _TRIM_K)])
+        return pa.table(
+            {
+                "src": pa.array(src, type=_U64),
+                "dst": pa.array(dst, type=_U64),
+                "w": pa.array(w, type=pa.float64()),
+            }
+        )
+
+    return edges.map_batches(_fn, batch_format="pyarrow")
+
+
+def directed_trim_rounds(graph: ShardedGraph, ckpt_dir: str, *, rounds: int = 6):
+    """Iterative source/sink peeling of a directed graph — the "trim"
+    step of every distributed SCC pipeline (removes the vertices whose
+    SCC is a singleton because they have no in- or no out-edge in the
+    surviving subgraph; Slota-Rajamanickam-Madduri IPDPS 2014 and the
+    FW-BW-trim family).
+
+    ``graph`` must be the weighted build of ``trim_message_edges``.
+    One superstep run: state [alive, removed_round, counter]; each
+    superstep gathers acc = din + K·dout over ALIVE neighbors (dead
+    vertices send 0), then kills vertices with either side zero.
+    Returns (Dataset (vid, trim_round), summary): trim_round = the
+    1-based peel round that removed the vertex, 0 = survives all
+    ``rounds`` (the directed "core").
+    """
+
+    def init_fn(csr):
+        n = len(csr["vids"])
+        st = np.zeros((n, 3))
+        st[:, 0] = 1.0
+        return st
+
+    def msg_fn(value, csr):
+        msg = np.zeros_like(value)
+        msg[:, 0] = value[:, 0]
+        return msg
+
+    def apply_fn(acc, old, T, dm, csr):
+        new = old.copy()
+        if len(old) == 0:
+            return new
+        t = old[0, 2]
+        alive = old[:, 0] > 0
+        a = acc[:, 0]
+        dout = np.floor(a / _TRIM_K)
+        din = a - dout * _TRIM_K
+        die = alive & ((din == 0) | (dout == 0))
+        new[die, 0] = 0.0
+        new[die, 1] = t + 1.0
+        new[:, 2] = t + 1.0
+        return new
+
+    summary = run_supersteps(
+        graph,
+        ckpt_dir,
+        "sum",
+        init_fn,
+        tol=0.0,
+        max_iters=rounds,
+        normalize=False,
+        msg_fn=msg_fn,
+        apply_fn=apply_fn,
+        msg_edge_weights=True,
+    )
+    refs = graph.refs
+    final = summary["final_iter_dir"]
+
+    def _shape(batch: pa.Table) -> pa.Table:
+        parts = batch.column("part").to_numpy(zero_copy_only=False)
+        vid_out, r_out = [], []
+        for p in parts:
+            p = int(p)
+            vids = ray.get(refs[p])["vids"]
+            st = read_state_part(final, p)
+            vid_out.append(vids)
+            r_out.append(st[:, 1].astype(np.int64))
+        vids = np.concatenate(vid_out) if vid_out else np.empty(0, np.uint64)
+        rr = np.concatenate(r_out) if r_out else np.empty(0, np.int64)
+        return pa.table(
+            {
+                "vid": pa.array(vids, type=_U64),
+                "trim_round": pa.array(rr, type=pa.int64()),
+            }
+        )
+
+    ds = rd.read_parquet(final, columns=["part"]).map_batches(
+        _shape, batch_format="pyarrow"
+    )
+    return ds, summary
+
+
 def smallest_vids(edges, k: int = 4) -> np.ndarray:
     """The k smallest vertex ids of an edge table — per-block partial
     bottom-k over both endpoint columns, then a tiny driver merge."""

@@ -115,6 +115,63 @@ def test_bowtie_classes(tmp_path):
     assert got == {1: 0, 2: 0, 3: 0, 50: 1, 60: 2, 70: 3, 71: 3}
 
 
+def _trim_oracle(src, dst, rounds):
+    """Direct peeling replay: per round, alive vertices with no alive
+    in-neighbor or no alive out-neighbor die."""
+    src = [int(x) for x in src]
+    dst = [int(x) for x in dst]
+    verts = sorted(set(src) | set(dst))
+    alive = set(verts)
+    out = {v: 0 for v in verts}
+    for r in range(1, rounds + 1):
+        din = {v: 0 for v in alive}
+        dout = {v: 0 for v in alive}
+        for s, d in zip(src, dst):
+            if s in alive and d in alive:
+                din[d] += 1
+                dout[s] += 1
+        die = {v for v in alive if din[v] == 0 or dout[v] == 0}
+        for v in die:
+            out[v] = r
+        alive -= die
+    return out
+
+
+def _run_trim(src, dst, tmp_path, rounds=6, P=4):
+    from efficient_graph_algorithms_ray.pipelines.scc import (
+        directed_trim_rounds,
+        trim_message_edges,
+    )
+
+    g = build_graph(
+        trim_message_edges(_edges_ds(src, dst)),
+        EngineConfig(num_partitions=P),
+        directed=True,
+    )
+    out, _ = directed_trim_rounds(g, str(tmp_path / "trim"), rounds=rounds)
+    return {int(r.vid): int(r.trim_round) for r in out.to_pandas().itertuples()}
+
+
+def test_trim_chain_and_cycle(tmp_path):
+    # chain 1->2->3 peels outside-in; cycle {10,11,12} survives;
+    # pendant 20->10 dies round 1
+    src = [1, 2, 10, 11, 12, 20]
+    dst = [2, 3, 11, 12, 10, 10]
+    got = _run_trim(src, dst, tmp_path)
+    assert got == {1: 1, 3: 1, 2: 2, 10: 0, 11: 0, 12: 0, 20: 1}
+
+
+def test_trim_matches_oracle_random(tmp_path):
+    rng = np.random.default_rng(3)
+    n, m = 30, 70
+    src = rng.integers(1, n + 1, size=m)
+    dst = rng.integers(1, n + 1, size=m)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    got = _run_trim(src, dst, tmp_path, rounds=6)
+    assert got == _trim_oracle(src, dst, rounds=6)
+
+
 def test_smallest_vids(tmp_path):
     src = [9, 5, 7, 100]
     dst = [5, 9, 100, 7]
