@@ -106,6 +106,54 @@ def shingle_hashes(text: str, w: int = 3) -> np.ndarray:
     return np.unique(hs)
 
 
+def winnow_fingerprints(text: str, w: int = 3, window: int = 4) -> np.ndarray:
+    """Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD
+    2003): the distinct minimum shingle-hash over every sliding window
+    of ``window`` consecutive w-token shingles (positional, NOT the
+    deduped set ``shingle_hashes`` returns). Guarantee: any two
+    documents sharing a run of ``window + w - 1`` tokens share at
+    least one fingerprint — the density-bounded alternative to keeping
+    every shingle. Docs with fewer than ``window`` shingles (but ≥ 1)
+    emit the single global minimum; docs shorter than ``w`` tokens
+    emit none (the shingle_hashes convention)."""
+    toks = _TOKEN_RE.findall(text)
+    if len(toks) < w:
+        return np.empty(0, dtype=np.uint64)
+    hs = np.array(
+        [hash_token(" ".join(toks[i : i + w])) for i in range(len(toks) - w + 1)],
+        dtype=np.uint64,
+    )
+    if len(hs) < window:
+        return np.array([hs.min()], dtype=np.uint64)
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    return np.unique(sliding_window_view(hs, window).min(axis=1))
+
+
+def winnow_batch(batch: pa.Table, w: int = 3, window: int = 4) -> pa.Table:
+    """(doc_id, fp int64) — one row per distinct winnowing fingerprint
+    per document (int64-reinterpreted, the content_hash convention)."""
+    ids = batch.column("doc_id").to_pylist()
+    texts = batch.column("text").to_pandas().fillna("")
+    out_id: list[int] = []
+    out_fp: list[np.ndarray] = []
+    for doc_id, t in zip(ids, texts):
+        fps = winnow_fingerprints(t, w=w, window=window)
+        out_id.extend([doc_id] * len(fps))
+        out_fp.append(fps)
+    fp = (
+        np.concatenate(out_fp).view(np.int64)
+        if out_fp
+        else np.empty(0, dtype=np.int64)
+    )
+    return pa.table(
+        {
+            "doc_id": pa.array(out_id, type=pa.int64()),
+            "fp": pa.array(fp, type=pa.int64()),
+        }
+    )
+
+
 def minhash_signature(shingles: np.ndarray) -> np.ndarray:
     """k-perm MinHash signature via universal hashing mod 2^61-1."""
     if len(shingles) == 0:

@@ -2257,6 +2257,40 @@ SELECT f.doc_id::BIGINT AS doc_id,
 FROM tf f JOIN cf c ON f.t = c.t GROUP BY f.doc_id"""
 
 
+def winnow_docs_sql(w: int = 3, window: int = 4) -> str:
+    """Replays functions/dedup.winnow_fingerprints: positional w-token
+    shingle FNV-1a hashes (over the space-joined shingle string, the
+    contamination reduce), minimum per sliding window of ``window``
+    shingles (single global min when a doc has 1..window-1 shingles),
+    DISTINCT per doc, int64-reinterpreted."""
+    shingle = " || ' ' || ".join(
+        "tk[i]" if j == 0 else f"tk[i+{j}]" for j in range(w)
+    )
+    fnv = (
+        "list_reduce(list_prepend(14695981039346656037::UBIGINT, "
+        f"list_transform(string_split({shingle}, ''), ch -> ascii(ch)::UBIGINT)), "
+        f"(h, b) -> CAST((CAST(xor(h, b) AS HUGEINT) * 1099511628211) % {_U64} AS UBIGINT))"
+    )
+    return f"""WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS tk FROM documents
+),
+shs AS MATERIALIZED (
+  SELECT doc_id,
+    list_transform(generate_series(1, len(tk) - {w - 1}), i -> {fnv}) AS hs
+  FROM toks WHERE len(tk) >= {w}
+),
+wins AS (
+  SELECT doc_id,
+    CASE WHEN len(hs) < {window} THEN [list_min(hs)]
+         ELSE list_transform(generate_series(1, len(hs) - {window - 1}),
+                             j -> list_min(list_slice(hs, j, j + {window - 1})))
+    END AS fpl
+  FROM shs
+)
+SELECT DISTINCT doc_id, {u64_to_i64('f')} AS fp
+FROM (SELECT doc_id, unnest(fpl) AS f FROM wins)"""
+
+
 def vocab_growth_sql(step: int = 64) -> str:
     """Replays functions/terms.vocab_growth: bucket = doc_id // step,
     n_tokens = token occurrences per bucket, new_types = tokens whose

@@ -243,6 +243,17 @@ def q_ann_ivf_knn(sf_dir: str):
     return knn.map_batches(_shape, batch_format="pyarrow")
 
 
+def q_winnow_docs(sf_dir: str):
+    """Winnowing document fingerprints (3-token shingles, window 4):
+    one row per distinct selected min-hash per document — the
+    density-bounded plagiarism/overlap fingerprint set. SQL-oracled
+    (FNV shingle hashes + window minima replayed). Returns
+    (doc_id, fp)."""
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        D.winnow_batch, batch_format="pyarrow"
+    )
+
+
 def q_vocab_growth(sf_dir: str):
     """Heaps'-law vocabulary growth: per 64-doc bucket, total token
     occurrences and new vocabulary types (first-seen tokens).

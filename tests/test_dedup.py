@@ -133,3 +133,57 @@ def test_contamination_counts_bruteforce():
             want[i] = n
     assert out == want
     assert 1 in out and 3 in out and 2 not in out and 5 not in out
+
+
+def test_winnow_fingerprints_guarantee_and_density():
+    from efficient_graph_algorithms_ray.functions.dedup import winnow_fingerprints
+
+    w, window = 3, 4
+    base = "alpha beta gamma delta epsilon zeta".split()
+    shared = " ".join(base)  # 6 tokens = window + w - 1 -> guarantee run
+    a = "x1 x2 " + shared + " y1 y2"
+    b = "z9 " + shared + " q5 q6 q7"
+    fa = set(winnow_fingerprints(a, w, window).tolist())
+    fb = set(winnow_fingerprints(b, w, window).tolist())
+    assert fa & fb  # the winnowing guarantee
+    # density: far fewer fingerprints than shingles
+    long = " ".join(f"t{i}" for i in range(200))
+    fps = winnow_fingerprints(long, w, window)
+    assert 0 < len(fps) < 200 - w + 1
+
+
+def test_winnow_fingerprints_short_docs():
+    from efficient_graph_algorithms_ray.functions.dedup import winnow_fingerprints
+
+    assert len(winnow_fingerprints("a b", 3, 4)) == 0  # < w tokens
+    one = winnow_fingerprints("a b c d", 3, 4)  # 2 shingles < window
+    assert len(one) == 1
+    # and it is the global min shingle hash
+    from efficient_graph_algorithms_ray.functions.text import hash_token
+
+    hs = [hash_token("a b c"), hash_token("b c d")]
+    assert one[0] == min(hs)
+
+
+def test_winnow_batch_rows():
+    import ray.data as rd
+    from efficient_graph_algorithms_ray.functions.dedup import (
+        winnow_batch,
+        winnow_fingerprints,
+    )
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+            "text": pa.array(
+                [" ".join(f"w{i}" for i in range(30)), "a b", "c d e f g"],
+                type=pa.string(),
+            ),
+        }
+    )
+    out = rd.from_arrow(tbl).map_batches(winnow_batch, batch_format="pyarrow").to_pandas()
+    got = out.groupby("doc_id")["fp"].apply(lambda s: sorted(s))
+    exp1 = sorted(winnow_fingerprints(" ".join(f"w{i}" for i in range(30))).view("int64"))
+    assert list(got.get(1, [])) == [int(x) for x in exp1]
+    assert 2 not in got.index  # <w tokens -> no rows
+    assert len(got[3]) >= 1
