@@ -2100,36 +2100,70 @@ dir AS MATERIALIZED (
 verts AS (SELECT DISTINCT s AS vid FROM (SELECT s FROM dir UNION ALL SELECT d AS s FROM dir))"""
 
 
+def _reach_sql_chain(prefix: str, edges: str, rounds: int) -> str:
+    """``rounds`` unrolled directed-reachability steps: forward
+    ``{prefix}f{rounds}`` and backward ``{prefix}b{rounds}`` (vid, j)
+    sets over edge CTE ``edges`` (s, d); the caller defines
+    ``{prefix}f0`` / ``{prefix}b0``."""
+    chains = []
+    for t in range(1, rounds + 1):
+        chains.append(f""",
+{prefix}f{t} AS MATERIALIZED (
+  SELECT DISTINCT vid, j FROM (
+    SELECT vid, j FROM {prefix}f{t - 1}
+    UNION ALL
+    SELECT e.d AS vid, f.j FROM {edges} e JOIN {prefix}f{t - 1} f ON f.vid = e.s
+  )
+),
+{prefix}b{t} AS MATERIALIZED (
+  SELECT DISTINCT vid, j FROM (
+    SELECT vid, j FROM {prefix}b{t - 1}
+    UNION ALL
+    SELECT e.s AS vid, f.j FROM {edges} e JOIN {prefix}b{t - 1} f ON f.vid = e.d
+  )
+)""")
+    return "".join(chains)
+
+
+def _trim_sql_chain(prefix: str, edges: str, rounds: int) -> tuple[str, list[str], str]:
+    """``rounds`` unrolled trim-peel steps over edge CTE ``edges``;
+    the caller defines ``{prefix}al0`` (alive vids). Returns
+    (fragment, die CTE names, final alive CTE name)."""
+    body, dies = [], []
+    for r in range(1, rounds + 1):
+        p = f"{prefix}al{r - 1}"
+        body.append(f""",
+{prefix}di{r} AS (SELECT e.d AS vid, COUNT(*) AS c FROM {edges} e
+                  JOIN {p} u ON u.vid = e.s GROUP BY e.d),
+{prefix}do{r} AS (SELECT e.s AS vid, COUNT(*) AS c FROM {edges} e
+                  JOIN {p} u ON u.vid = e.d GROUP BY e.s),
+{prefix}dd{r} AS MATERIALIZED (
+  SELECT a.vid FROM {p} a
+  LEFT JOIN {prefix}di{r} i ON i.vid = a.vid
+  LEFT JOIN {prefix}do{r} o ON o.vid = a.vid
+  WHERE COALESCE(i.c, 0) = 0 OR COALESCE(o.c, 0) = 0
+),
+{prefix}al{r} AS MATERIALIZED (
+  SELECT a.vid FROM {p} a LEFT JOIN {prefix}dd{r} x ON x.vid = a.vid
+  WHERE x.vid IS NULL
+)""")
+        dies.append(f"{prefix}dd{r}")
+    return "".join(body), dies, f"{prefix}al{rounds}"
+
+
 def _coocc_dir_base(k: int, rounds: int) -> str:
     """Shared CTE prefix for the directed-coocc reachability oracles
     (mirrors relational.directed_coocc_edges + pipelines/scc.py):
     hash-oriented edges ``dir``, pivot set ``piv`` (k smallest vids,
     j = 1-based rank), and ``rounds`` unrolled reachability steps —
     forward ``f{rounds}`` and backward ``b{rounds}`` (vid, j) sets."""
-    chains = []
-    for t in range(1, rounds + 1):
-        chains.append(f""",
-f{t} AS MATERIALIZED (
-  SELECT DISTINCT vid, j FROM (
-    SELECT vid, j FROM f{t - 1}
-    UNION ALL
-    SELECT e.d AS vid, f.j FROM dir e JOIN f{t - 1} f ON f.vid = e.s
-  )
-),
-b{t} AS MATERIALIZED (
-  SELECT DISTINCT vid, j FROM (
-    SELECT vid, j FROM b{t - 1}
-    UNION ALL
-    SELECT e.s AS vid, f.j FROM dir e JOIN b{t - 1} f ON f.vid = e.d
-  )
-)""")
     return f"""{_coocc_dir_edges()},
 piv AS MATERIALIZED (
   SELECT vid, ROW_NUMBER() OVER (ORDER BY vid) AS j
   FROM (SELECT vid FROM verts ORDER BY vid LIMIT {k})
 ),
 f0 AS (SELECT vid, j FROM piv),
-b0 AS (SELECT vid, j FROM piv){"".join(chains)}"""
+b0 AS (SELECT vid, j FROM piv){_reach_sql_chain("", "dir", rounds)}"""
 
 
 def scc_coocc_sql(rounds: int = 8, k: int = 4) -> str:
@@ -2155,32 +2189,79 @@ def trim_coocc_sql(rounds: int = 6) -> str:
     (Edge multiplicity is irrelevant — only the zero-ness of the
     alive-neighbor counts decides, so DISTINCT dir edges match the
     engine's duplicate-summed CSR weights.)"""
-    body = []
-    for r in range(1, rounds + 1):
-        p = f"al{r - 1}"
-        body.append(f""",
-din{r} AS (SELECT e.d AS vid, COUNT(*) AS c FROM dir e JOIN {p} u ON u.vid = e.s
-           GROUP BY e.d),
-dout{r} AS (SELECT e.s AS vid, COUNT(*) AS c FROM dir e JOIN {p} u ON u.vid = e.d
-            GROUP BY e.s),
-die{r} AS MATERIALIZED (
-  SELECT a.vid FROM {p} a
-  LEFT JOIN din{r} i ON i.vid = a.vid
-  LEFT JOIN dout{r} o ON o.vid = a.vid
-  WHERE COALESCE(i.c, 0) = 0 OR COALESCE(o.c, 0) = 0
-),
-al{r} AS MATERIALIZED (
-  SELECT a.vid FROM {p} a LEFT JOIN die{r} x ON x.vid = a.vid WHERE x.vid IS NULL
-)""")
+    body, die_names, _ = _trim_sql_chain("", "dir", rounds)
     dies = "\nUNION ALL\n".join(
-        f"SELECT vid, {r} AS trim_round FROM die{r}" for r in range(1, rounds + 1)
+        f"SELECT vid, {r} AS trim_round FROM {name}"
+        for r, name in enumerate(die_names, start=1)
     )
     return f"""WITH {_coocc_dir_edges()},
-al0 AS (SELECT vid FROM verts){"".join(body)},
+al0 AS (SELECT vid FROM verts){body},
 dead AS ({dies})
 SELECT CAST(v.vid AS BIGINT) AS vid,
        COALESCE(d.trim_round, 0)::BIGINT AS trim_round
 FROM verts v LEFT JOIN dead d ON d.vid = v.vid"""
+
+
+def scc_decompose_coocc_sql(
+    peels: int = 2, trim_rounds: int = 2, k: int = 4, reach_rounds: int = 4
+) -> str:
+    """Replays pipelines/scc.scc_decompose over the hash-oriented
+    directed co-occurrence graph: per peel, trim (die sets → singleton
+    SCCs, kind 0), core-filtered edges, pivot FW-BW over the k
+    smallest surviving endpoint vids (kind 1), then survivor-filtered
+    edges for the next peel."""
+    parts = [f"WITH {_coocc_dir_edges()}"]
+    selects = []
+    prev_edges = "dir"
+    for p in range(peels):
+        pe = f"p{p}"
+        parts.append(f""",
+{pe}v AS MATERIALIZED (SELECT DISTINCT s AS vid FROM
+  (SELECT s FROM {prev_edges} UNION ALL SELECT d AS s FROM {prev_edges})),
+{pe}al0 AS (SELECT vid FROM {pe}v)""")
+        frag, die_names, core = _trim_sql_chain(pe, prev_edges, trim_rounds)
+        parts.append(frag)
+        for r, name in enumerate(die_names, start=1):
+            selects.append(
+                f"SELECT CAST(vid AS BIGINT) AS vid, CAST(vid AS BIGINT) AS scc, 0::BIGINT AS kind FROM {name}"
+            )
+        parts.append(f""",
+{pe}ed AS MATERIALIZED (
+  SELECT e.s, e.d FROM {prev_edges} e
+  JOIN {core} a ON a.vid = e.s JOIN {core} b ON b.vid = e.d
+),
+{pe}ev AS (SELECT DISTINCT s AS vid FROM
+  (SELECT s FROM {pe}ed UNION ALL SELECT d AS s FROM {pe}ed)),
+{pe}piv AS MATERIALIZED (
+  SELECT vid, ROW_NUMBER() OVER (ORDER BY vid) AS j
+  FROM (SELECT vid FROM {pe}ev ORDER BY vid LIMIT {k})
+),
+{pe}f0 AS (SELECT vid, j FROM {pe}piv),
+{pe}b0 AS (SELECT vid, j FROM {pe}piv)""")
+        parts.append(_reach_sql_chain(pe, f"{pe}ed", reach_rounds))
+        parts.append(f""",
+{pe}asg AS MATERIALIZED (
+  SELECT f.vid, MIN(pv.vid) AS scc
+  FROM {pe}f{reach_rounds} f
+  JOIN {pe}b{reach_rounds} b ON b.vid = f.vid AND b.j = f.j
+  JOIN {pe}piv pv ON pv.j = f.j
+  GROUP BY f.vid
+)""")
+        selects.append(
+            f"SELECT CAST(vid AS BIGINT) AS vid, CAST(scc AS BIGINT) AS scc, 1::BIGINT AS kind FROM {pe}asg"
+        )
+        if p < peels - 1:
+            parts.append(f""",
+{pe}sv AS MATERIALIZED (
+  SELECT a.vid FROM {core} a LEFT JOIN {pe}asg x ON x.vid = a.vid
+  WHERE x.vid IS NULL
+),
+{pe}nx AS MATERIALIZED (
+  SELECT e.s, e.d FROM {pe}ed e
+  JOIN {pe}sv a ON a.vid = e.s JOIN {pe}sv b ON b.vid = e.d
+)""")
+            prev_edges = f"{pe}nx"
+    return "".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
 
 
 def bowtie_coocc_sql(rounds: int = 8) -> str:

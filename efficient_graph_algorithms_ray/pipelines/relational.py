@@ -725,6 +725,26 @@ def q_trim_coocc(sf_dir: str):
     return _vid_to_int64(out, {"trim_round": pa.int64()})
 
 
+def q_scc_decompose_coocc(sf_dir: str):
+    """Full SCC peel loop over the hash-oriented directed
+    co-occurrence graph: 2 peels of (trim 2 rounds → exact singleton
+    SCCs, kind 0) + (pivot FW-BW, 4 smallest surviving vids, radius 4,
+    kind 1), edge set shrunk between stages by co-shuffle semi-joins.
+    SQL-oracled (full replay). Returns (vid, scc, kind)."""
+    from .scc import scc_decompose
+
+    out = scc_decompose(
+        directed_coocc_edges(sf_dir),
+        EngineConfig(num_partitions=16),
+        _ckpt("sccdec"),
+        peels=2,
+        trim_rounds=2,
+        pivots_k=4,
+        reach_rounds=4,
+    )
+    return _vid_to_int64(out, {"scc": pa.int64(), "kind": pa.int64()})
+
+
 def q_bowtie_coocc(sf_dir: str):
     """Bowtie decomposition (Broder et al., WWW 2000) of the
     hash-oriented directed co-occurrence graph around the smallest-vid

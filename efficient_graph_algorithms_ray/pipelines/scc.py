@@ -295,6 +295,204 @@ def directed_trim_rounds(graph: ShardedGraph, ckpt_dir: str, *, rounds: int = 6)
     return ds, summary
 
 
+def _semi_join_edges(edges, keep_ds, col: str):
+    """Edges whose ``col`` endpoint appears in keep_ds (vid) — the
+    union-tag co-shuffle semi-join (one groupby; no broadcast, no
+    driver scan — keep sets are O(V) at web scale)."""
+
+    def _tag_edges(b: pa.Table) -> pa.Table:
+        key = b.column(col).to_numpy(zero_copy_only=False).astype(np.uint64)
+        return pa.table(
+            {
+                "key": pa.array(key.view(np.int64), type=pa.int64()),
+                "src": b.column("src"),
+                "dst": b.column("dst"),
+                "keep": pa.array(np.zeros(b.num_rows, dtype=np.int8), type=pa.int8()),
+            }
+        )
+
+    def _tag_keep(b: pa.Table) -> pa.Table:
+        key = b.column("vid").to_numpy(zero_copy_only=False).astype(np.uint64)
+        z = np.zeros(len(key), dtype=np.uint64)
+        return pa.table(
+            {
+                "key": pa.array(key.view(np.int64), type=pa.int64()),
+                "src": pa.array(z, type=_U64),
+                "dst": pa.array(z, type=_U64),
+                "keep": pa.array(np.ones(len(key), dtype=np.int8), type=pa.int8()),
+            }
+        )
+
+    tagged = edges.map_batches(_tag_edges, batch_format="pyarrow").union(
+        keep_ds.map_batches(_tag_keep, batch_format="pyarrow")
+    )
+
+    def _grp(g: pa.Table) -> pa.Table:
+        keep = g.column("keep").to_numpy(zero_copy_only=False)
+        if not (keep == 1).any():
+            mask = np.zeros(len(keep), dtype=bool)
+        else:
+            mask = keep == 0
+        return pa.table(
+            {
+                "src": g.column("src").filter(pa.array(mask)),
+                "dst": g.column("dst").filter(pa.array(mask)),
+            }
+        )
+
+    return tagged.groupby("key").map_groups(_grp, batch_format="pyarrow")
+
+
+def filter_edges_to_vertices(edges, keep_ds):
+    """Edges with BOTH endpoints in keep_ds — two co-shuffle semi-joins."""
+    return _semi_join_edges(_semi_join_edges(edges, keep_ds, "src"), keep_ds, "dst")
+
+
+def scc_decompose(
+    edges,
+    cfg,
+    ckpt_dir: str,
+    *,
+    peels: int = 2,
+    trim_rounds: int = 2,
+    pivots_k: int = 4,
+    reach_rounds: int = 6,
+):
+    """The full distributed SCC peel loop (trim + FW-BW, the
+    Slota-Rajamanickam-Madduri pipeline shape): per peel, (1) trim —
+    vertices peeled as sources/sinks are EXACT singleton SCCs (no
+    cycle passes through a vertex with an empty side), assigned
+    scc = own vid; (2) pivot FW-BW over the surviving core — bounded
+    pivot set (the ``pivots_k`` smallest surviving vids), bounded hop
+    radius; (3) peel — assigned vertices leave, the edge set shrinks
+    by two co-shuffle semi-joins, repeat. Fixed counts everywhere keep
+    it SQL-oracle-able; vertices still unassigned after the last peel
+    are absent from the output.
+
+    Returns Dataset (vid, scc, kind) — kind 0 = trim singleton,
+    1 = pivot SCC member.
+    """
+    from .graph_build import build_graph
+
+    out_parts = []
+    cur = edges.materialize()
+    for peel in range(peels):
+        tg = build_graph(trim_message_edges(cur), cfg, directed=True)
+        trim_ds, _ = directed_trim_rounds(
+            tg, f"{ckpt_dir}_p{peel}_trim", rounds=trim_rounds
+        )
+        trim_ds = trim_ds.materialize()
+
+        def _singles(b: pa.Table) -> pa.Table:
+            tr = b.column("trim_round").to_numpy(zero_copy_only=False)
+            m = pa.array(tr > 0)
+            v = b.column("vid").filter(m)
+            return pa.table(
+                {
+                    "vid": v,
+                    "scc": v,
+                    "kind": pa.array(
+                        np.zeros(len(v), dtype=np.int64), type=pa.int64()
+                    ),
+                }
+            )
+
+        def _core(b: pa.Table) -> pa.Table:
+            m = pa.array(b.column("trim_round").to_numpy(zero_copy_only=False) == 0)
+            return pa.table({"vid": b.column("vid").filter(m)})
+
+        out_parts.append(trim_ds.map_batches(_singles, batch_format="pyarrow"))
+        core = trim_ds.map_batches(_core, batch_format="pyarrow")
+        cur = filter_edges_to_vertices(cur, core).materialize()
+        if cur.count() == 0:
+            break
+
+        fwd = build_graph(cur, cfg, directed=True)
+
+        def _swap(b: pa.Table) -> pa.Table:
+            return pa.table({"src": b.column("dst"), "dst": b.column("src")})
+
+        rev = build_graph(
+            cur.map_batches(_swap, batch_format="pyarrow"), cfg, directed=True
+        )
+        piv = smallest_vids(cur, k=pivots_k)
+        assigned, _, _ = pivot_scc(
+            fwd, rev, f"{ckpt_dir}_p{peel}_fwbw", piv, rounds=reach_rounds
+        )
+        assigned = assigned.materialize()
+
+        def _kind1(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "vid": b.column("vid"),
+                    "scc": b.column("scc"),
+                    "kind": pa.array(
+                        np.ones(b.num_rows, dtype=np.int64), type=pa.int64()
+                    ),
+                }
+            )
+
+        out_parts.append(assigned.map_batches(_kind1, batch_format="pyarrow"))
+        if peel < peels - 1:
+
+            def _keep(b: pa.Table) -> pa.Table:
+                return pa.table({"vid": b.column("vid")})
+
+            # survivors = core minus the pivot-assigned set: the
+            # anti-side of the same co-shuffle (tag assigned as the
+            # "dead" marker and keep unmarked vertices)
+            def _tag_v(b: pa.Table) -> pa.Table:
+                key = b.column("vid").to_numpy(zero_copy_only=False).astype(np.uint64)
+                return pa.table(
+                    {
+                        "key": pa.array(key.view(np.int64), type=pa.int64()),
+                        "vid": b.column("vid"),
+                        "dead": pa.array(
+                            np.zeros(len(key), dtype=np.int8), type=pa.int8()
+                        ),
+                    }
+                )
+
+            def _tag_a(b: pa.Table) -> pa.Table:
+                key = b.column("vid").to_numpy(zero_copy_only=False).astype(np.uint64)
+                return pa.table(
+                    {
+                        "key": pa.array(key.view(np.int64), type=pa.int64()),
+                        "vid": b.column("vid"),
+                        "dead": pa.array(
+                            np.ones(len(key), dtype=np.int8), type=pa.int8()
+                        ),
+                    }
+                )
+
+            def _alive(g: pa.Table) -> pa.Table:
+                dead = g.column("dead").to_numpy(zero_copy_only=False)
+                if (dead == 1).any():
+                    mask = np.zeros(len(dead), dtype=bool)
+                else:
+                    mask = dead == 0
+                return pa.table({"vid": g.column("vid").filter(pa.array(mask))})
+
+            survivors = (
+                core.map_batches(_tag_v, batch_format="pyarrow")
+                .union(
+                    assigned.map_batches(_keep, batch_format="pyarrow").map_batches(
+                        _tag_a, batch_format="pyarrow"
+                    )
+                )
+                .groupby("key")
+                .map_groups(_alive, batch_format="pyarrow")
+            )
+            cur = filter_edges_to_vertices(cur, survivors).materialize()
+            if cur.count() == 0:
+                break
+
+    out = out_parts[0]
+    for ds in out_parts[1:]:
+        out = out.union(ds)
+    return out
+
+
 def smallest_vids(edges, k: int = 4) -> np.ndarray:
     """The k smallest vertex ids of an edge table — per-block partial
     bottom-k over both endpoint columns, then a tiny driver merge."""

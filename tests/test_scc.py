@@ -172,6 +172,102 @@ def test_trim_matches_oracle_random(tmp_path):
     assert got == _trim_oracle(src, dst, rounds=6)
 
 
+def _decompose_oracle(src, dst, peels, trim_rounds, k, reach_rounds):
+    """Pure-python replay of scc_decompose."""
+    edges = {(int(s), int(d)) for s, d in zip(src, dst)}
+    out = {}
+    for peel in range(peels):
+        verts = {s for s, _ in edges} | {d for _, d in edges}
+        if not verts:
+            break
+        alive = set(verts)
+        for _ in range(trim_rounds):
+            din = {v: 0 for v in alive}
+            dout = {v: 0 for v in alive}
+            for s, d in edges:
+                if s in alive and d in alive:
+                    din[d] += 1
+                    dout[s] += 1
+            die = {v for v in alive if din[v] == 0 or dout[v] == 0}
+            for v in die:
+                out[v] = (v, 0)
+            alive -= die
+        edges = {(s, d) for s, d in edges if s in alive and d in alive}
+        everts = {s for s, _ in edges} | {d for _, d in edges}
+        piv = sorted(everts)[:k]
+
+        def reach(es, p, rounds):
+            r = {p}
+            for _ in range(rounds):
+                r = r | {d for s, d in es if s in r}
+            return r
+
+        assigned = {}
+        for p in sorted(piv):
+            fw = reach(edges, p, reach_rounds)
+            bw = reach({(d, s) for s, d in edges}, p, reach_rounds)
+            for v in fw & bw:
+                assigned.setdefault(v, p)
+        for v, p in assigned.items():
+            out[v] = (p, 1)
+        sv = {v for v in alive if v not in assigned}
+        edges = {(s, d) for s, d in edges if s in sv and d in sv}
+    return out
+
+
+def test_scc_decompose_vs_oracle(tmp_path):
+    from efficient_graph_algorithms_ray.pipelines.scc import scc_decompose
+
+    rng = np.random.default_rng(11)
+    n, m = 30, 60
+    src = rng.integers(1, n + 1, size=m)
+    dst = rng.integers(1, n + 1, size=m)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    out = scc_decompose(
+        _edges_ds(src, dst),
+        EngineConfig(num_partitions=4),
+        str(tmp_path / "dec"),
+        peels=2,
+        trim_rounds=2,
+        pivots_k=4,
+        reach_rounds=4,
+    )
+    got = {
+        int(r.vid): (int(r.scc), int(r.kind)) for r in out.to_pandas().itertuples()
+    }
+    assert got == _decompose_oracle(src, dst, 2, 2, 4, 4)
+    assert len(got) > 0
+
+
+def test_scc_decompose_trims_dag_assigns_cycles(tmp_path):
+    from efficient_graph_algorithms_ray.pipelines.scc import scc_decompose
+
+    # DAG chain 1->2->3 (all trimmed as singletons) + cycle {10,11,12}
+    src = [1, 2, 10, 11, 12]
+    dst = [2, 3, 11, 12, 10]
+    out = scc_decompose(
+        _edges_ds(src, dst),
+        EngineConfig(num_partitions=4),
+        str(tmp_path / "dec2"),
+        peels=2,
+        trim_rounds=2,
+        pivots_k=4,
+        reach_rounds=4,
+    )
+    got = {
+        int(r.vid): (int(r.scc), int(r.kind)) for r in out.to_pandas().itertuples()
+    }
+    assert got == {
+        1: (1, 0),
+        3: (3, 0),
+        2: (2, 0),
+        10: (10, 1),
+        11: (10, 1),
+        12: (10, 1),
+    }
+
+
 def test_smallest_vids(tmp_path):
     src = [9, 5, 7, 100]
     dst = [5, 9, 100, 7]
