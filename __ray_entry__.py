@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bowtie_coocc": R.q_bowtie_coocc,
         "trim_coocc": R.q_trim_coocc,
         "scc_decompose_coocc": R.q_scc_decompose_coocc,
+        "khop_sample_coocc": R.q_khop_sample_coocc,
         "salsa_partsupp": R.q_salsa_partsupp,
         "ann_pq_adc": C.q_ann_pq_adc,
         "vocab_growth": C.q_vocab_growth,
@@ -274,6 +275,9 @@ def oracle_sql() -> dict[str, str]:
         "trim_coocc": S.trim_coocc_sql(rounds=6),
         "scc_decompose_coocc": S.scc_decompose_coocc_sql(
             peels=2, trim_rounds=2, k=4, reach_rounds=4
+        ),
+        "khop_sample_coocc": S.khop_sample_coocc_sql(
+            seeds=(1, 2, 3), fanouts=(3, 2), seed=7
         ),
         "salsa_partsupp": S.salsa_partsupp_sql(k=2),
         "ann_pq_adc": S.ann_pq_adc_sql(query_ids=(0, 7, 42), k=5),

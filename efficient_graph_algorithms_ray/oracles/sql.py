@@ -2202,6 +2202,44 @@ SELECT CAST(v.vid AS BIGINT) AS vid,
 FROM verts v LEFT JOIN dead d ON d.vid = v.vid"""
 
 
+def khop_sample_coocc_sql(seeds=(1, 2, 3), fanouts=(3, 2), seed: int = 7) -> str:
+    """Replays pipelines/walk_corpus.khop_neighbor_sample: per hop h,
+    candidate rank = splitmix64(root ⊕ splitmix64(v ⊕ splitmix64(nbr ⊕
+    (seed + h)))), ROW_NUMBER per (root, v) ordered by (rank, nbr),
+    keep fanouts[h-1]; next frontier = DISTINCT (root, dst)."""
+    seed_rows = ", ".join(f"({s})" for s in seeds)
+    parts = [
+        f"""WITH {_COOCC_UND_MAT},
+undc AS MATERIALIZED (SELECT CAST(u AS UBIGINT) AS u, CAST(v AS UBIGINT) AS v FROM und),
+fr0 AS (SELECT CAST(x AS UBIGINT) AS root, CAST(x AS UBIGINT) AS v
+        FROM (VALUES {seed_rows}) t(x))"""
+    ]
+    selects = []
+    for h, fan in enumerate(fanouts, start=1):
+        key = (seed + h) & 0xFFFFFFFFFFFFFFFF
+        f1, c1, _ = sm64_stages(f"cd{h}", "x1", f"kh{h}a", ["root", "s", "d"])
+        f2, c2, _ = sm64_stages(f"x2{h}", "x2", f"kh{h}b", ["root", "s", "d"])
+        f3, c3, _ = sm64_stages(f"x3{h}", "x3", f"kh{h}c", ["root", "s", "d"])
+        parts.append(f""",
+cd{h} AS (SELECT f.root, f.v AS s, e.v AS d, xor(e.v, {key}::UBIGINT) AS x1
+          FROM fr{h - 1} f JOIN undc e ON e.u = f.v){f1},
+x2{h} AS (SELECT root, s, d, xor(s, h) AS x2 FROM {c1}){f2},
+x3{h} AS (SELECT root, s, d, xor(root, h) AS x3 FROM {c2}){f3},
+pk{h} AS MATERIALIZED (
+  SELECT root, s, d FROM (
+    SELECT root, s, d,
+      ROW_NUMBER() OVER (PARTITION BY root, s ORDER BY h, d) AS rn
+    FROM {c3}
+  ) WHERE rn <= {fan}
+),
+fr{h} AS (SELECT DISTINCT root, d AS v FROM pk{h})""")
+        selects.append(
+            f"SELECT CAST(root AS BIGINT) AS root, {h}::BIGINT AS hop, "
+            f"CAST(s AS BIGINT) AS src, CAST(d AS BIGINT) AS dst FROM pk{h}"
+        )
+    return "".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
 def scc_decompose_coocc_sql(
     peels: int = 2, trim_rounds: int = 2, k: int = 4, reach_rounds: int = 4
 ) -> str:

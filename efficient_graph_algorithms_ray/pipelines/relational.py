@@ -725,6 +725,30 @@ def q_trim_coocc(sf_dir: str):
     return _vid_to_int64(out, {"trim_round": pa.int64()})
 
 
+def q_khop_sample_coocc(sf_dir: str):
+    """Deterministic GraphSAGE fanout sampling over the co-occurrence
+    graph: roots {1,2,3}, fanouts (3,2) — per hop each frontier vertex
+    keeps the neighbors of smallest splitmix64 rank. SQL-oracled
+    (identical hash chain + ROW_NUMBER replay). Returns
+    (root, hop, src, dst)."""
+    from .walk_corpus import khop_neighbor_sample
+
+    g = _coocc_graph(sf_dir)
+    out = khop_neighbor_sample(g, [1, 2, 3], fanouts=(3, 2), seed=7)
+
+    def _shape(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "root": b.column("root").cast(pa.int64()),
+                "hop": b.column("hop"),
+                "src": b.column("src").cast(pa.int64()),
+                "dst": b.column("dst").cast(pa.int64()),
+            }
+        )
+
+    return out.map_batches(_shape, batch_format="pyarrow")
+
+
 def q_scc_decompose_coocc(sf_dir: str):
     """Full SCC peel loop over the hash-oriented directed
     co-occurrence graph: 2 peels of (trim 2 rounds → exact singleton

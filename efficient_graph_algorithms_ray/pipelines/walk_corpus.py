@@ -60,6 +60,119 @@ def walk_seeds(graph: ShardedGraph, walks_per_vertex: int = 1):
     return parts_ds.map_batches(_emit, batch_format="pyarrow", batch_size=4)
 
 
+def khop_neighbor_sample(graph: ShardedGraph, seed_vids, fanouts=(3, 2), seed: int = 7):
+    """Deterministic GraphSAGE-style fanout sampling (Hamilton et al.,
+    NeurIPS 2017): per root and hop h, each frontier vertex keeps its
+    ``fanouts[h-1]`` neighbors of smallest rank, rank =
+    splitmix64(root ⊕ splitmix64(v ⊕ splitmix64(nbr ⊕ (seed + hop))))
+    with the neighbor id as tie-break — reproducible at any
+    parallelism, SQL-replayable (the oracle replays the identical
+    chain with ROW_NUMBER). The frontier advances on DISTINCT
+    (root, vertex) pairs; revisits across hops resample (standard
+    GraphSAGE; no visited-set).
+
+    Scale shape: per hop ONE map_batches over the frontier (shard
+    reads follow the frontier — broadcast-once refs, no shuffle) plus
+    one distinct groupby on the tiny next-frontier. Cost per frontier
+    row is O(deg(v)) — the hash scan over the adjacency slice, the
+    same bound every neighbor sampler pays.
+
+    Returns Dataset (root, hop, src, dst) — the sampled fanout forest.
+    """
+    import ray
+    import ray.data as rd
+
+    refs = graph.refs
+    P = graph.num_partitions
+    seeds = np.unique(np.asarray(seed_vids, dtype=np.uint64))
+    frontier = rd.from_arrow(
+        pa.table(
+            {
+                "root": pa.array(seeds, type=pa.uint64()),
+                "v": pa.array(seeds, type=pa.uint64()),
+            }
+        )
+    )
+    out_parts = []
+    for hop, fan in enumerate(fanouts, start=1):
+
+        def _expand(batch: pa.Table, hop=hop, fan=fan) -> pa.Table:
+            root = batch.column("root").to_numpy(zero_copy_only=False).astype(np.uint64)
+            v = batch.column("v").to_numpy(zero_copy_only=False).astype(np.uint64)
+            parts = (v % np.uint64(P)).astype(np.int64)
+            o_root, o_src, o_dst = [], [], []
+            for p in np.unique(parts):
+                csr = ray.get(refs[int(p)])
+                rows = np.flatnonzero(parts == p)
+                pos = np.searchsorted(csr["vids"], v[rows])
+                for i, r in zip(pos, rows):
+                    nbrs = csr["indices"][csr["indptr"][i] : csr["indptr"][i + 1]]
+                    if len(nbrs) == 0:
+                        continue
+                    h = _splitmix64(
+                        root[r]
+                        ^ _splitmix64(
+                            v[r]
+                            ^ _splitmix64(
+                                nbrs ^ np.uint64((seed + hop) & 0xFFFFFFFFFFFFFFFF)
+                            )
+                        )
+                    )
+                    sel = np.lexsort((nbrs, h))[:fan]
+                    o_root.append(np.full(len(sel), root[r], dtype=np.uint64))
+                    o_src.append(np.full(len(sel), v[r], dtype=np.uint64))
+                    o_dst.append(nbrs[sel])
+            root_a = np.concatenate(o_root) if o_root else np.empty(0, np.uint64)
+            src_a = np.concatenate(o_src) if o_src else np.empty(0, np.uint64)
+            dst_a = np.concatenate(o_dst) if o_dst else np.empty(0, np.uint64)
+            return pa.table(
+                {
+                    "root": pa.array(root_a, type=pa.uint64()),
+                    "hop": pa.array(
+                        np.full(len(root_a), hop, dtype=np.int64), type=pa.int64()
+                    ),
+                    "src": pa.array(src_a, type=pa.uint64()),
+                    "dst": pa.array(dst_a, type=pa.uint64()),
+                }
+            )
+
+        edges_h = frontier.map_batches(_expand, batch_format="pyarrow").materialize()
+        out_parts.append(edges_h)
+        if hop < len(fanouts):
+            # distinct (root, dst) → next frontier; group keys as the
+            # int64 reinterpretation (uint64 keys past 2^63 hit Ray's
+            # pickled-object sort fallback — the content_hash note)
+            def _keys(b: pa.Table) -> pa.Table:
+                r = b.column("root").to_numpy(zero_copy_only=False).astype(np.uint64)
+                d = b.column("dst").to_numpy(zero_copy_only=False).astype(np.uint64)
+                return pa.table(
+                    {
+                        "rk": pa.array(r.view(np.int64), type=pa.int64()),
+                        "dk": pa.array(d.view(np.int64), type=pa.int64()),
+                    }
+                )
+
+            def _next(g: pa.Table) -> pa.Table:
+                r = g.column("rk").to_numpy(zero_copy_only=False)[:1].astype(np.int64)
+                d = g.column("dk").to_numpy(zero_copy_only=False)[:1].astype(np.int64)
+                return pa.table(
+                    {
+                        "root": pa.array(r.view(np.uint64), type=pa.uint64()),
+                        "v": pa.array(d.view(np.uint64), type=pa.uint64()),
+                    }
+                )
+
+            frontier = (
+                edges_h.map_batches(_keys, batch_format="pyarrow")
+                .groupby(["rk", "dk"])
+                .map_groups(_next, batch_format="pyarrow")
+            )
+    out = out_parts[0]
+    for ds in out_parts[1:]:
+        out = out.union(ds)
+    return out
+
+
 def random_walk_corpus(
     graph: ShardedGraph,
     walk_len: int = 8,

@@ -69,3 +69,69 @@ def test_walks_deterministic_across_runs(tmp_path):
     assert any(
         [int(i) for i in x] != [int(i) for i in y] for x, y in zip(a["seq"], c["seq"])
     )
+
+
+def _khop_replica(src, dst, seeds, fanouts, seed):
+    """Pure-python replay of khop_neighbor_sample on an undirected
+    edge list (src/dst both directions present in adjacency)."""
+    from efficient_graph_algorithms_ray.sources.edges_synth import _splitmix64
+
+    adj: dict[int, set[int]] = {}
+    for s, d in zip(src, dst):
+        adj.setdefault(int(s), set()).add(int(d))
+        adj.setdefault(int(d), set()).add(int(s))
+    frontier = {(int(s), int(s)) for s in seeds}
+    rows = set()
+    for hop, fan in enumerate(fanouts, start=1):
+        nxt = set()
+        for root, v in sorted(frontier):
+            nbrs = np.array(sorted(adj.get(v, ())), dtype=np.uint64)
+            if not len(nbrs):
+                continue
+            k = np.uint64((seed + hop) & 0xFFFFFFFFFFFFFFFF)
+            h = _splitmix64(
+                np.uint64(root) ^ _splitmix64(np.uint64(v) ^ _splitmix64(nbrs ^ k))
+            )
+            sel = np.lexsort((nbrs, h))[:fan]
+            for d in nbrs[sel]:
+                rows.add((root, hop, v, int(d)))
+                nxt.add((root, int(d)))
+        frontier = nxt
+    return rows
+
+
+def test_khop_sample_matches_replica(tmp_path):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from efficient_graph_algorithms_ray.config import EngineConfig
+    from efficient_graph_algorithms_ray.pipelines.graph_build import build_graph
+    from efficient_graph_algorithms_ray.pipelines.walk_corpus import (
+        khop_neighbor_sample,
+    )
+
+    rng = np.random.default_rng(5)
+    m = 80
+    src = rng.integers(1, 25, size=m).astype(np.uint64)
+    dst = rng.integers(1, 25, size=m).astype(np.uint64)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    edges = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array(src, type=pa.uint64()),
+                "dst": pa.array(dst, type=pa.uint64()),
+            }
+        )
+    )
+    g = build_graph(edges, EngineConfig(num_partitions=4), directed=False)
+    out = khop_neighbor_sample(g, [1, 2, 3], fanouts=(3, 2), seed=7).to_pandas()
+    got = {
+        (int(r.root), int(r.hop), int(r.src), int(r.dst))
+        for r in out.itertuples()
+    }
+    assert got == _khop_replica(src, dst, [1, 2, 3], (3, 2), 7)
+    # fanout bound: at most 3 hop-1 edges per (root, src)
+    h1 = out[out["hop"] == 1].groupby(["root", "src"]).size()
+    assert (h1 <= 3).all()
+    assert len(got) > 0
