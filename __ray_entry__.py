@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "trim_coocc": R.q_trim_coocc,
         "scc_decompose_coocc": R.q_scc_decompose_coocc,
         "khop_sample_coocc": R.q_khop_sample_coocc,
+        "coloring_coocc": R.q_coloring_coocc,
         "salsa_partsupp": R.q_salsa_partsupp,
         "ann_pq_adc": C.q_ann_pq_adc,
         "vocab_growth": C.q_vocab_growth,
@@ -279,6 +280,7 @@ def oracle_sql() -> dict[str, str]:
         "khop_sample_coocc": S.khop_sample_coocc_sql(
             seeds=(1, 2, 3), fanouts=(3, 2), seed=7
         ),
+        "coloring_coocc": S.coloring_coocc_sql(rounds=4, seed=13),
         "salsa_partsupp": S.salsa_partsupp_sql(k=2),
         "ann_pq_adc": S.ann_pq_adc_sql(query_ids=(0, 7, 42), k=5),
         "vocab_growth": S.vocab_growth_sql(step=64),

@@ -2364,6 +2364,48 @@ ed0 AS MATERIALIZED (SELECT u, v FROM und){"".join(body)}
 SELECT CAST(vid AS BIGINT) AS vid, CAST(status AS BIGINT) AS status FROM st{rounds}"""
 
 
+def coloring_coocc_sql(rounds: int = 4, seed: int = 13) -> str:
+    """Unrolled Jones–Plassmann coloring over the co-occurrence graph
+    (mirrors pipelines/mis.greedy_coloring exactly): per round r, an
+    uncolored vertex with pri_r below every uncolored live neighbor
+    (empty min → wins) takes color r; live edges shrink to
+    uncolored–uncolored; uncolored after ``rounds`` → −1."""
+    from ..pipelines.mis import PRI_C, round_constants
+
+    rcs = round_constants(seed, rounds)
+    body = []
+    for r, rc in enumerate(rcs):
+        t = _mulmod64(f"CAST((CAST(vid AS HUGEINT) + {rc}) % {_U64} AS UBIGINT)", PRI_C)
+        body.append(f""",
+cpm{r} AS (SELECT vid, {t} AS t FROM verts),
+cpp{r} AS MATERIALIZED (SELECT vid, xor(t, t >> 29) AS pri FROM cpm{r}),
+cmn{r} AS (SELECT e.u AS vid, MIN(p.pri) AS m
+           FROM ced{r} e JOIN cpp{r} p ON p.vid = e.v GROUP BY e.u),
+cwin{r} AS MATERIALIZED (
+  SELECT s.vid FROM cst{r} s JOIN cpp{r} p ON p.vid = s.vid
+  LEFT JOIN cmn{r} m ON m.vid = s.vid
+  WHERE s.col = 0 AND (m.m IS NULL OR p.pri < m.m)
+),
+cst{r + 1} AS MATERIALIZED (
+  SELECT s.vid, CASE WHEN s.col <> 0 THEN s.col
+                     WHEN w.vid IS NOT NULL THEN {r + 1}
+                     ELSE 0 END AS col
+  FROM cst{r} s LEFT JOIN cwin{r} w ON w.vid = s.vid
+),
+ced{r + 1} AS MATERIALIZED (
+  SELECT e.u, e.v FROM ced{r} e
+  JOIN cst{r + 1} a ON a.vid = e.u AND a.col = 0
+  JOIN cst{r + 1} b ON b.vid = e.v AND b.col = 0
+)""")
+    return f"""WITH {_COOCC_UND_MAT},
+verts AS MATERIALIZED (SELECT DISTINCT u AS vid FROM und),
+cst0 AS MATERIALIZED (SELECT vid, 0 AS col FROM verts),
+ced0 AS MATERIALIZED (SELECT u, v FROM und){"".join(body)}
+SELECT CAST(vid AS BIGINT) AS vid,
+  CAST(CASE WHEN col = 0 THEN -1 ELSE col END AS BIGINT) AS color
+FROM cst{rounds}"""
+
+
 UNIGRAM_FAMILIARITY = """WITH tk AS (
   SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS t FROM documents
 ),

@@ -282,3 +282,195 @@ def maximal_independent_set(
         return pa.table({"vid": sel.column("a"), "status": sel.column("f")})
 
     return cur.map_batches(_out, batch_format="pyarrow")
+
+
+def greedy_coloring(
+    edges, *, rounds: int = 4, num_partitions: int = 16, seed: int = 13
+):
+    """Jones–Plassmann greedy graph coloring (Jones & Plassmann, SIAM
+    J. Sci. Comput. 1993), ``rounds`` fixed rounds: per round every
+    UNCOLORED vertex with priority strictly below all uncolored
+    neighbors takes color = round index (1-based); uncolored vertices
+    with no live neighbors also color (empty-min, as in Luby). Unlike
+    MIS, winners' neighbors stay in play — the live edge set shrinks
+    to uncolored–uncolored pairs only. Proper by construction: two
+    adjacent vertices can never win the same round (bijective
+    priorities), and once colored a vertex never changes.
+
+    Same three hash-partitioned exchanges per round as
+    ``maximal_independent_set`` (win from locally-complete adjacency →
+    status decide + survival claims → both-claims edge filter).
+    Returns Dataset (vid, color): 1..rounds, or −1 if still uncolored
+    after the fixed rounds.
+    """
+    P = num_partitions
+    rcs = [np.uint64(rc) for rc in round_constants(seed, rounds)]
+
+    def _canon(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").to_numpy(zero_copy_only=False).astype(np.uint64)
+        d = batch.column("dst").to_numpy(zero_copy_only=False).astype(np.uint64)
+        u, v = np.minimum(s, d), np.maximum(s, d)
+        keep = u != v
+        u, v = u[keep], v[keep]
+        return _rows(
+            (_mix(u, v) % np.uint64(P)).astype(np.int64), u, v, np.zeros(len(u))
+        )
+
+    def _dedup_orient(group: pa.Table) -> pa.Table:
+        u = group.column("a").to_numpy(zero_copy_only=False).astype(np.uint64)
+        v = group.column("b").to_numpy(zero_copy_only=False).astype(np.uint64)
+        order = np.lexsort((v, u))
+        u, v = u[order], v[order]
+        first = np.concatenate(([True], (u[1:] != u[:-1]) | (v[1:] != v[:-1])))
+        u, v = u[first], v[first]
+        x = np.concatenate([u, v])
+        y = np.concatenate([v, u])
+        return _rows((x % np.uint64(P)).astype(np.int64), x, y, np.zeros(len(x)))
+
+    cur = (
+        edges.map_batches(_canon, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(_dedup_orient, batch_format="pyarrow")
+    )
+
+    def _x1(group: pa.Table, rc: np.uint64) -> pa.Table:
+        a = group.column("a").to_numpy(zero_copy_only=False)
+        b = group.column("b").to_numpy(zero_copy_only=False)
+        f = group.column("f").to_numpy(zero_copy_only=False)
+        is_state = b == _STATE
+        x = a[~is_state].astype(np.uint64)
+        y = b[~is_state].astype(np.uint64)
+        out = []
+        if len(x):
+            order = np.argsort(x, kind="stable")
+            x, y = x[order], y[order]
+            starts = np.flatnonzero(np.concatenate(([True], x[1:] != x[:-1])))
+            gid = np.cumsum(np.concatenate(([True], x[1:] != x[:-1]))) - 1
+            pmin = np.minimum.reduceat(_pri(y, rc), starts)
+            win = (_pri(x[starts], rc) < pmin).astype(np.int64)
+            out.append(_rows((y % np.uint64(P)).astype(np.int64), y, x, win[gid]))
+            xs = x[starts]
+            out.append(
+                _rows(
+                    (xs % np.uint64(P)).astype(np.int64),
+                    xs,
+                    np.full(len(xs), _SELF),
+                    win,
+                )
+            )
+        if is_state.any():
+            sa = a[is_state]
+            out.append(
+                _rows(
+                    (sa.astype(np.uint64) % np.uint64(P)).astype(np.int64),
+                    sa,
+                    np.full(len(sa), _STATE),
+                    f[is_state],
+                )
+            )
+        return pa.concat_tables(out) if out else _rows([], [], [], [])
+
+    def _x2(group: pa.Table, color: int) -> pa.Table:
+        a = group.column("a").to_numpy(zero_copy_only=False).astype(np.uint64)
+        b = group.column("b").to_numpy(zero_copy_only=False)
+        f = group.column("f").to_numpy(zero_copy_only=False)
+        order = np.argsort(a, kind="stable")
+        a, b, f = a[order], b[order], f[order]
+        starts = np.flatnonzero(np.concatenate(([True], a[1:] != a[:-1])))
+        gid = np.cumsum(np.concatenate(([True], a[1:] != a[:-1]))) - 1
+        n_g = len(starts)
+        is_state = b == _STATE
+        is_self = b == _SELF
+        is_ntf = b >= 0
+        col = np.zeros(n_g, dtype=np.int64)
+        np.maximum.at(col, gid[is_state], f[is_state])
+        has_self = np.zeros(n_g, dtype=bool)
+        has_self[gid[is_self]] = True
+        win_v = np.zeros(n_g, dtype=np.int64)
+        np.maximum.at(win_v, gid[is_self], f[is_self])
+        uncolored = col == 0
+        new_col = col.copy()
+        new_col[uncolored & ((win_v == 1) | ~has_self)] = color
+        vids = a[starts]
+        out = [
+            _rows(
+                (vids % np.uint64(P)).astype(np.int64),
+                vids,
+                np.full(n_g, _STATE),
+                new_col,
+            )
+        ]
+        stay = new_col[gid] == 0
+        claim = is_ntf & stay
+        if claim.any():
+            cv, cx = a[claim], b[claim].astype(np.uint64)
+            cu, cw = np.minimum(cv, cx), np.maximum(cv, cx)
+            out.append(
+                _rows(
+                    (_mix(cu, cw) % np.uint64(P)).astype(np.int64),
+                    cu,
+                    cw,
+                    np.full(len(cu), 2),
+                )
+            )
+        return pa.concat_tables(out)
+
+    def _x3(group: pa.Table) -> pa.Table:
+        a = group.column("a").to_numpy(zero_copy_only=False)
+        b = group.column("b").to_numpy(zero_copy_only=False)
+        f = group.column("f").to_numpy(zero_copy_only=False)
+        is_state = b == _STATE
+        out = []
+        if is_state.any():
+            sa = a[is_state]
+            out.append(
+                _rows(
+                    (sa.astype(np.uint64) % np.uint64(P)).astype(np.int64),
+                    sa,
+                    np.full(len(sa), _STATE),
+                    f[is_state],
+                )
+            )
+        u = a[~is_state].astype(np.uint64)
+        v = b[~is_state].astype(np.uint64)
+        if len(u):
+            order = np.lexsort((v, u))
+            u, v = u[order], v[order]
+            first = np.concatenate(([True], (u[1:] != u[:-1]) | (v[1:] != v[:-1])))
+            gidx = np.cumsum(first) - 1
+            cnt = np.bincount(gidx)
+            keep = cnt >= 2
+            ku, kv = u[first][keep], v[first][keep]
+            kx = np.concatenate([ku, kv])
+            ky = np.concatenate([kv, ku])
+            out.append(
+                _rows(
+                    (kx % np.uint64(P)).astype(np.int64), kx, ky, np.zeros(len(kx))
+                )
+            )
+        return pa.concat_tables(out) if out else _rows([], [], [], [])
+
+    for r in range(rounds):
+        rc = rcs[r]
+        cur = (
+            cur.groupby("part")
+            .map_groups(lambda g, rc=rc: _x1(g, rc), batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(lambda g, c=r + 1: _x2(g, c), batch_format="pyarrow")
+            .groupby("part")
+            .map_groups(_x3, batch_format="pyarrow")
+        )
+
+    def _out(batch: pa.Table) -> pa.Table:
+        b = batch.column("b").to_numpy(zero_copy_only=False)
+        sel = batch.filter(pa.array(b == _STATE))
+        col = sel.column("f").to_numpy(zero_copy_only=False)
+        col = np.where(col == 0, -1, col)
+        return pa.table(
+            {
+                "vid": sel.column("a"),
+                "color": pa.array(col.astype(np.int64), type=_I64),
+            }
+        )
+
+    return cur.map_batches(_out, batch_format="pyarrow")

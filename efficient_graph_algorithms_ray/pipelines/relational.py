@@ -725,6 +725,19 @@ def q_trim_coocc(sf_dir: str):
     return _vid_to_int64(out, {"trim_round": pa.int64()})
 
 
+def q_coloring_coocc(sf_dir: str):
+    """Jones–Plassmann greedy coloring over the co-occurrence graph,
+    4 fixed rounds: an uncolored vertex whose bijective priority beats
+    every uncolored neighbor takes color = round; −1 if uncolored
+    after the rounds. Proper by construction, SQL-oracled via
+    unrolled rounds. Returns (vid, color)."""
+    from .mis import greedy_coloring
+
+    return greedy_coloring(
+        part_cooccurrence_edges(sf_dir), rounds=4, num_partitions=16, seed=13
+    )
+
+
 def q_khop_sample_coocc(sf_dir: str):
     """Deterministic GraphSAGE fanout sampling over the co-occurrence
     graph: roots {1,2,3}, fanouts (3,2) — per hop each frontier vertex

@@ -123,3 +123,65 @@ def test_mis_priorities_are_distinct():
 
 if __name__ == "__main__":
     pytest.main([__file__, "-x", "-q"])
+
+
+def _jp_oracle(src, dst, rounds, seed):
+    """Sequential replay of Jones-Plassmann fixed rounds."""
+    from efficient_graph_algorithms_ray.pipelines.mis import _pri, round_constants
+
+    edges = set()
+    for s, d in zip(src, dst):
+        s, d = int(s), int(d)
+        if s != d:
+            edges.add((min(s, d), max(s, d)))
+    verts = sorted({v for e in edges for v in e})
+    color = {v: 0 for v in verts}
+    rcs = [np.uint64(rc) for rc in round_constants(seed, rounds)]
+    live = set(edges)
+    for r in range(rounds):
+        rc = rcs[r]
+        nbr = {v: set() for v in verts}
+        for u, v in live:
+            nbr[u].add(v)
+            nbr[v].add(u)
+        wins = []
+        for v in verts:
+            if color[v]:
+                continue
+            pv = int(_pri(np.array([v], dtype=np.uint64), rc)[0])
+            ns = [int(_pri(np.array([w], dtype=np.uint64), rc)[0]) for w in nbr[v]]
+            if not ns or pv < min(ns):
+                wins.append(v)
+        for v in wins:
+            color[v] = r + 1
+        live = {(u, v) for u, v in live if color[u] == 0 and color[v] == 0}
+    return {v: (c if c else -1) for v, c in color.items()}
+
+
+def test_greedy_coloring_matches_oracle_and_is_proper():
+    from efficient_graph_algorithms_ray.pipelines.mis import greedy_coloring
+
+    rng = np.random.default_rng(23)
+    m = 120
+    src = rng.integers(1, 40, size=m)
+    dst = rng.integers(1, 40, size=m)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    edges = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array(src.astype(np.uint64), type=pa.uint64()),
+                "dst": pa.array(dst.astype(np.uint64), type=pa.uint64()),
+            }
+        )
+    )
+    out = greedy_coloring(edges, rounds=4, num_partitions=4, seed=13).to_pandas()
+    got = {int(r.vid): int(r.color) for r in out.itertuples()}
+    assert got == _jp_oracle(src, dst, 4, 13)
+    # proper: no colored edge endpoints share a color
+    pairs = {(min(int(s), int(d)), max(int(s), int(d))) for s, d in zip(src, dst) if s != d}
+    for u, v in pairs:
+        cu, cv = got[u], got[v]
+        if cu != -1 and cv != -1:
+            assert cu != cv
+    assert any(c > 0 for c in got.values())
