@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_pq_adc": C.q_ann_pq_adc,
         "vocab_growth": C.q_vocab_growth,
         "winnow_docs": C.q_winnow_docs,
+        "dup_ngram_frac": C.q_dup_ngram_frac,
         "tfidf_topk": C.q_tfidf_topk,
         "unigram_familiarity": C.q_unigram_familiarity,
         "contamination_docs": C.q_contamination,
@@ -285,6 +286,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_pq_adc": S.ann_pq_adc_sql(query_ids=(0, 7, 42), k=5),
         "vocab_growth": S.vocab_growth_sql(step=64),
         "winnow_docs": S.winnow_docs_sql(w=3, window=4),
+        "dup_ngram_frac": S.dup_ngram_sql(w=5),
         "tfidf_topk": S.tfidf_topk_sql(k=5),
         "unigram_familiarity": S.UNIGRAM_FAMILIARITY,
         "contamination_docs": S.contamination_sql(eval_mod=20, w=8),

@@ -154,6 +154,119 @@ def winnow_batch(batch: pa.Table, w: int = 3, window: int = 4) -> pa.Table:
     )
 
 
+def positional_shingle_hashes(text: str, w: int = 5) -> np.ndarray:
+    """POSITIONAL w-token shingle hashes (one per occurrence, order
+    kept — not the deduped set ``shingle_hashes`` returns). Docs
+    shorter than ``w`` tokens emit none."""
+    toks = _TOKEN_RE.findall(text)
+    if len(toks) < w:
+        return np.empty(0, dtype=np.uint64)
+    return np.array(
+        [hash_token(" ".join(toks[i : i + w])) for i in range(len(toks) - w + 1)],
+        dtype=np.uint64,
+    )
+
+
+def dup_ngram_stats(docs_ds, *, w: int = 5, num_partitions: int = 32):
+    """Per-document exact-substring duplication profile (the
+    ExactSubstr statistic of Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better", recast per document): for
+    every document with ≥ w tokens, count how many of its positional
+    w-token shingle OCCURRENCES also appear in at least one OTHER
+    document. Returns (doc_id, n_shingles, n_dup, dup_frac) where
+    dup_frac = n_dup / n_shingles as one IEEE division (SQL-parity).
+
+    Plan (the contamination_counts co-shuffle shape): every doc emits
+    one row per DISTINCT shingle hash carrying its occurrence count —
+    pre-aggregated map-side, so the shuffle moves ≤ one row per
+    (doc, distinct shingle) — bucketed by ``hash % P`` so each reduce
+    group sees the full global membership of its hashes; a shingle is
+    duplicated iff ≥ 2 distinct docs carry it in the bucket. Per-group
+    per-doc partial sums feed a final combiner-backed
+    ``groupby(doc_id).sum``. Two shuffles, no broadcast, no driver
+    state; the corpus-wide shingle table never materializes in one
+    place. At larger scale raise ``num_partitions`` with the cluster —
+    buckets split uniformly by hash."""
+    from ray.data.aggregate import Sum
+
+    P = num_partitions
+
+    def _sh(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pandas().fillna("")
+        out_id: list[np.ndarray] = []
+        out_h: list[np.ndarray] = []
+        out_c: list[np.ndarray] = []
+        for i, t in zip(ids, texts):
+            hs = positional_shingle_hashes(t, w=w)
+            if len(hs):
+                uh, cnt = np.unique(hs, return_counts=True)
+                out_h.append(uh)
+                out_c.append(cnt.astype(np.int64))
+                out_id.append(np.full(len(uh), i, dtype=np.int64))
+        h = np.concatenate(out_h) if out_h else np.empty(0, np.uint64)
+        d = np.concatenate(out_id) if out_id else np.empty(0, np.int64)
+        c = np.concatenate(out_c) if out_c else np.empty(0, np.int64)
+        return pa.table(
+            {
+                "part": pa.array((h % np.uint64(P)).astype(np.int64)),
+                "h": pa.array(h, type=pa.uint64()),
+                "doc_id": pa.array(d, type=pa.int64()),
+                "occ": pa.array(c, type=pa.int64()),
+            }
+        )
+
+    def _mark(group: pa.Table) -> pa.Table:
+        h = group.column("h").to_numpy(zero_copy_only=False)
+        d = group.column("doc_id").to_numpy(zero_copy_only=False)
+        occ = group.column("occ").to_numpy(zero_copy_only=False)
+        # rows are unique per (doc, h) ⇒ docs-per-hash = group size of h
+        order = np.argsort(h, kind="stable")
+        hs, ds, os_ = h[order], d[order], occ[order]
+        # run-length over sorted hashes
+        starts = np.flatnonzero(np.r_[True, hs[1:] != hs[:-1]])
+        sizes = np.diff(np.r_[starts, len(hs)])
+        dup_mask = np.repeat(sizes >= 2, sizes)
+        n_dup_rows = np.where(dup_mask, os_, 0)
+        docs, inv = np.unique(ds, return_inverse=True)
+        n_sh = np.bincount(inv, weights=os_).astype(np.int64)
+        n_dup = np.bincount(inv, weights=n_dup_rows).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(docs, type=pa.int64()),
+                "n_sh": pa.array(n_sh, type=pa.int64()),
+                "n_dup": pa.array(n_dup, type=pa.int64()),
+            }
+        )
+
+    def _frac(batch: pa.Table) -> pa.Table:
+        n_sh = batch.column("n_shingles").to_numpy()
+        n_dup = batch.column("n_dup").to_numpy()
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_shingles": batch.column("n_shingles"),
+                "n_dup": batch.column("n_dup"),
+                "dup_frac": pa.array(
+                    n_dup.astype(np.float64) / n_sh.astype(np.float64),
+                    type=pa.float64(),
+                ),
+            }
+        )
+
+    return (
+        docs_ds.map_batches(_sh, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(_mark, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(
+            Sum("n_sh", alias_name="n_shingles"),
+            Sum("n_dup", alias_name="n_dup"),
+        )
+        .map_batches(_frac, batch_format="pyarrow")
+    )
+
+
 def minhash_signature(shingles: np.ndarray) -> np.ndarray:
     """k-perm MinHash signature via universal hashing mod 2^61-1."""
     if len(shingles) == 0:

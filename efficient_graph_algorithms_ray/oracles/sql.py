@@ -2418,6 +2418,41 @@ SELECT f.doc_id::BIGINT AS doc_id,
 FROM tf f JOIN cf c ON f.t = c.t GROUP BY f.doc_id"""
 
 
+def dup_ngram_sql(w: int = 5) -> str:
+    """Replays functions/dedup.dup_ngram_stats: positional w-token
+    shingle FNV-1a hashes, per-doc occurrence counts per distinct
+    hash, a shingle is duplicated iff ≥ 2 docs carry it; dup_frac is
+    the single IEEE division n_dup / n_shingles."""
+    shingle = " || ' ' || ".join(
+        "tk[i]" if j == 0 else f"tk[i+{j}]" for j in range(w)
+    )
+    fnv = (
+        "list_reduce(list_prepend(14695981039346656037::UBIGINT, "
+        f"list_transform(string_split({shingle}, ''), ch -> ascii(ch)::UBIGINT)), "
+        f"(h, b) -> CAST((CAST(xor(h, b) AS HUGEINT) * 1099511628211) % {_U64} AS UBIGINT))"
+    )
+    return f"""WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS tk FROM documents
+),
+shs AS MATERIALIZED (
+  SELECT doc_id,
+    list_transform(generate_series(1, len(tk) - {w - 1}), i -> {fnv}) AS hs
+  FROM toks WHERE len(tk) >= {w}
+),
+occ AS (
+  SELECT doc_id, h, count(*)::BIGINT AS occ
+  FROM (SELECT doc_id, unnest(hs) AS h FROM shs)
+  GROUP BY doc_id, h
+),
+nd AS (SELECT h, count(*)::BIGINT AS ndocs FROM occ GROUP BY h)
+SELECT o.doc_id::BIGINT AS doc_id,
+       sum(o.occ)::BIGINT AS n_shingles,
+       sum(CASE WHEN nd.ndocs >= 2 THEN o.occ ELSE 0 END)::BIGINT AS n_dup,
+       CAST(sum(CASE WHEN nd.ndocs >= 2 THEN o.occ ELSE 0 END) AS DOUBLE)
+         / CAST(sum(o.occ) AS DOUBLE) AS dup_frac
+FROM occ o JOIN nd USING (h) GROUP BY o.doc_id"""
+
+
 def winnow_docs_sql(w: int = 3, window: int = 4) -> str:
     """Replays functions/dedup.winnow_fingerprints: positional w-token
     shingle FNV-1a hashes (over the space-joined shingle string, the

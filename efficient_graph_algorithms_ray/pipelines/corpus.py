@@ -243,6 +243,15 @@ def q_ann_ivf_knn(sf_dir: str):
     return knn.map_batches(_shape, batch_format="pyarrow")
 
 
+def q_dup_ngram_frac(sf_dir: str):
+    """Exact-substring duplication profile (Lee et al. 2022): per doc
+    (≥5 tokens), how many positional 5-token shingle occurrences also
+    appear in another document, and the duplicated fraction. SQL-
+    oracled (FNV shingle hashes + cross-doc membership replayed).
+    Returns (doc_id, n_shingles, n_dup, dup_frac)."""
+    return D.dup_ngram_stats(_docs(sf_dir, ["doc_id", "text"]), w=5)
+
+
 def q_winnow_docs(sf_dir: str):
     """Winnowing document fingerprints (3-token shingles, window 4):
     one row per distinct selected min-hash per document — the

@@ -187,3 +187,63 @@ def test_winnow_batch_rows():
     assert list(got.get(1, [])) == [int(x) for x in exp1]
     assert 2 not in got.index  # <w tokens -> no rows
     assert len(got[3]) >= 1
+
+
+def test_positional_shingle_hashes():
+    from efficient_graph_algorithms_ray.functions.dedup import (
+        positional_shingle_hashes,
+        shingle_hashes,
+    )
+
+    t = "a b c a b c a b"  # 8 tokens, w=3 -> 6 positional, 3 distinct
+    pos = positional_shingle_hashes(t, w=3)
+    assert len(pos) == 6
+    assert set(pos.tolist()) == set(shingle_hashes(t, w=3).tolist())
+    assert len(positional_shingle_hashes("a b", w=3)) == 0
+
+
+def test_dup_ngram_stats_bruteforce():
+    import ray.data as rd
+    from collections import Counter
+
+    from efficient_graph_algorithms_ray.functions.dedup import (
+        dup_ngram_stats,
+        positional_shingle_hashes,
+    )
+
+    shared = "alpha beta gamma delta epsilon"
+    texts = {
+        1: "x1 x2 " + shared + " y1",
+        2: shared + " z1 z2 z3",
+        3: "u1 u2 u3 u4 u5 u6",  # unique 5-grams only
+        4: "a b",  # < w tokens -> no row
+    }
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(sorted(texts), type=pa.int64()),
+            "text": pa.array([texts[k] for k in sorted(texts)], type=pa.string()),
+        }
+    )
+    out = (
+        dup_ngram_stats(rd.from_arrow(tbl), w=5, num_partitions=8)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # brute force
+    owner: Counter = Counter()
+    per_doc = {}
+    for d, t in texts.items():
+        hs = positional_shingle_hashes(t, w=5)
+        per_doc[d] = hs
+        for h in set(hs.tolist()):
+            owner[h] += 1
+    for d, hs in per_doc.items():
+        if len(hs) == 0:
+            assert d not in out.index
+            continue
+        n_dup = sum(1 for h in hs.tolist() if owner[h] >= 2)
+        assert out.loc[d, "n_shingles"] == len(hs)
+        assert out.loc[d, "n_dup"] == n_dup
+        assert out.loc[d, "dup_frac"] == n_dup / len(hs)
+    assert out.loc[1, "n_dup"] >= 1 and out.loc[3, "n_dup"] == 0
