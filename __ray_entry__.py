@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "betweenness_coocc": R.q_betweenness_coocc,
         "maxmatch_coocc": R.q_maxmatch_coocc,
         "diameter_coocc": R.q_diameter_coocc,
+        "landmark_dist_coocc": R.q_landmark_dist_coocc,
         "eigencentrality_coocc": R.q_eigencentrality_coocc,
         "harmonic_coocc": R.q_harmonic_coocc,
         "oddcycle_coocc": R.q_oddcycle_coocc,
@@ -306,6 +307,7 @@ def oracle_sql() -> dict[str, str]:
         "betweenness_coocc": S.betweenness_coocc_sql(rounds=6, seeds=(1, 2, 3, 4)),
         "maxmatch_coocc": S.maxmatch_coocc_sql(rounds=3, seed=11),
         "diameter_coocc": S.diameter_coocc_sql(rounds=8, seed=1),
+        "landmark_dist_coocc": S.landmark_dist_coocc_sql(rounds=8),
         "eigencentrality_coocc": S.EIGENCENTRALITY_COOCC,
         "harmonic_coocc": S.harmonic_coocc_sql(rounds=8, seeds=(1, 2, 3, 4)),
         "oddcycle_coocc": S.oddcycle_coocc_sql(rounds=8, seed=1),

@@ -2050,6 +2050,62 @@ FROM c{s}_d{rounds} WHERE dist < {sent} AND vid <> {s}"""
     )
 
 
+def landmark_dist_coocc_sql(
+    rounds: int = 8,
+    landmarks=(1, 2, 3, 4),
+    pairs=((5, 6), (7, 8), (9, 10), (11, 12), (13, 14), (15, 16), (5, 16), (6, 15)),
+) -> str:
+    """Replays relational.q_landmark_dist_coocc: unrolled BFS per
+    landmark (the closeness chains), then per query pair the
+    triangle-inequality bounds over landmarks reaching both ends —
+    pure integer MIN/MAX/ABS, bit-exact. Pairs no landmark covers emit
+    −1 (COALESCE of an empty group)."""
+    sent = 1 << 40
+    chains = []
+    dl_selects = []
+    for s in landmarks:
+        chains.append(f""",
+c{s}_d0 AS MATERIALIZED (
+  SELECT vid, CASE WHEN vid = {s} THEN 0 ELSE {sent} END AS dist
+  FROM (SELECT DISTINCT u AS vid FROM und)
+)""")
+        for i in range(1, rounds + 1):
+            p = f"c{s}_d{i-1}"
+            chains.append(f""",
+c{s}_rx{i} AS (
+  SELECT und.v AS vid, MIN(dp.dist + 1) AS m
+  FROM und JOIN {p} dp ON und.u = dp.vid WHERE dp.dist < {sent}
+  GROUP BY und.v
+),
+c{s}_d{i} AS MATERIALIZED (
+  SELECT d.vid, LEAST(d.dist, COALESCE(r.m, {sent})) AS dist
+  FROM {p} d LEFT JOIN c{s}_rx{i} r ON d.vid = r.vid
+)""")
+        dl_selects.append(
+            f"SELECT {s} AS lm, vid, dist FROM c{s}_d{rounds} WHERE dist < {sent}"
+        )
+    pair_rows = ", ".join(f"({u}, {v})" for u, v in pairs)
+    return (
+        f"WITH {_COOCC_UND_MAT}"
+        + "".join(chains)
+        + f""",
+dl AS MATERIALIZED ({' UNION ALL '.join(dl_selects)}),
+qp(u, v) AS (VALUES {pair_rows}),
+est AS (
+  SELECT qp.u, qp.v,
+    MAX(ABS(du.dist - dv.dist))::BIGINT AS lb,
+    MIN(du.dist + dv.dist)::BIGINT AS ub
+  FROM qp
+  JOIN dl du ON du.vid = qp.u
+  JOIN dl dv ON dv.vid = qp.v AND dv.lm = du.lm
+  GROUP BY qp.u, qp.v
+)
+SELECT qp.u::BIGINT AS u, qp.v::BIGINT AS v,
+  COALESCE(e.lb, -1)::BIGINT AS d_lb, COALESCE(e.ub, -1)::BIGINT AS d_ub
+FROM qp LEFT JOIN est e ON e.u = qp.u AND e.v = qp.v"""
+    )
+
+
 DEGREE_HISTOGRAM_COOCC = f"""WITH {_COOCC_UND_MAT},
 deg AS (SELECT u AS vid, count(*)::BIGINT AS d FROM und GROUP BY u)
 SELECT (length(printf('%b', d)) - 1)::BIGINT AS bin,

@@ -2194,6 +2194,75 @@ def q_diameter_coocc(sf_dir: str):
     )
 
 
+LANDMARKS_COOCC = (1, 2, 3, 4)
+LANDMARK_PAIRS_COOCC = ((5, 6), (7, 8), (9, 10), (11, 12), (13, 14), (15, 16), (5, 16), (6, 15))
+
+
+def q_landmark_dist_coocc(sf_dir: str):
+    """Landmark-based distance estimation (Potamias et al., CIKM 2009
+    "Fast shortest path distance estimation in large networks"): one
+    BFS shortest-path forest per landmark (pipelines/paths.py
+    min-monoid supersteps, scale=1 → hop counts); for a bounded
+    query-pair set, the triangle-inequality bounds over landmarks that
+    reach both endpoints:
+
+        d_ub(u,v) = min_L d(u,L) + d(L,v)
+        d_lb(u,v) = max_L |d(u,L) − d(L,v)|
+
+    Integer hop arithmetic — bit-exact vs the unrolled-BFS SQL oracle.
+    The per-landmark forests stay distributed; only the ≤|pairs|·2
+    involved vertices' distances are collected (bounded query set, the
+    closeness/DSD contract). Pairs with no covering landmark emit −1.
+    At 100 TB the landmark forests are k full BFS runs (k small), and
+    the estimate for ANY pair is then two O(k) lookups — the point of
+    the technique. Returns (u, v, d_lb, d_ub)."""
+    from .paths import shortest_path_forest
+
+    g = _coocc_graph(sf_dir)
+    involved = np.array(
+        sorted({v for p in LANDMARK_PAIRS_COOCC for v in p}), dtype=np.uint64
+    )
+    dist: dict[tuple[int, int], int] = {}
+    for L in LANDMARKS_COOCC:
+        out, _ = shortest_path_forest(
+            g, np.array([L], dtype=np.uint64), _ckpt(f"lmk{L}"), scale=1
+        )
+
+        def _sel(batch: pa.Table) -> pa.Table:
+            vid = batch.column("vid").to_numpy(zero_copy_only=False)
+            dq = batch.column("dist_q").to_numpy(zero_copy_only=False)
+            m = np.isin(vid, involved) & (dq >= 0)
+            return pa.table(
+                {
+                    "vid": pa.array(vid[m].astype(np.int64), type=pa.int64()),
+                    "d": pa.array(dq[m], type=pa.int64()),
+                }
+            )
+
+        for row in out.map_batches(_sel, batch_format="pyarrow").take_all():
+            dist[(L, int(row["vid"]))] = int(row["d"])
+
+    us, vs, lbs, ubs = [], [], [], []
+    for u, v in LANDMARK_PAIRS_COOCC:
+        cov = [
+            (dist[(L, u)], dist[(L, v)])
+            for L in LANDMARKS_COOCC
+            if (L, u) in dist and (L, v) in dist
+        ]
+        us.append(u)
+        vs.append(v)
+        ubs.append(min(du + dv for du, dv in cov) if cov else -1)
+        lbs.append(max(abs(du - dv) for du, dv in cov) if cov else -1)
+    return pa.table(
+        {
+            "u": pa.array(us, type=pa.int64()),
+            "v": pa.array(vs, type=pa.int64()),
+            "d_lb": pa.array(lbs, type=pa.int64()),
+            "d_ub": pa.array(ubs, type=pa.int64()),
+        }
+    )
+
+
 def q_eigencentrality_coocc(sf_dir: str):
     """Eigenvector-centrality estimate: 4 raw power steps x ← A·x from
     the all-ones vector (4-walk counts — integer-exact floats), one

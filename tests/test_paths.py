@@ -248,3 +248,67 @@ def test_widest_path_dense_replica():
         cap = nxt
     for x in ids:
         assert got[x] == cap[pos[x]], (x, got[x], cap[pos[x]])
+
+
+def test_landmark_bounds_sandwich_true_distance(tmp_path):
+    """Landmark triangle-inequality bounds: d_lb <= d(u,v) <= d_ub on a
+    small random connected graph, exact at pairs adjacent to a
+    landmark's shortest path."""
+    rng = np.random.default_rng(11)
+    n = 40
+    vids = (np.arange(n, dtype=np.uint64) + 1) * np.uint64(7)
+    # ring + random chords -> connected
+    si = np.arange(n)
+    di = (np.arange(n) + 1) % n
+    extra = rng.integers(0, n, size=(30, 2))
+    extra = extra[extra[:, 0] != extra[:, 1]]
+    si = np.concatenate([si, extra[:, 0]])
+    di = np.concatenate([di, extra[:, 1]])
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array(vids[si], type=pa.uint64()),
+                "dst": pa.array(vids[di], type=pa.uint64()),
+            }
+        )
+    )
+    g = build_graph(ds, EngineConfig(num_partitions=4), directed=False)
+
+    # exact all-hops BFS per vertex (numpy oracle)
+    adj = {i: set() for i in range(n)}
+    for a, b in zip(si, di):
+        adj[a].add(b)
+        adj[b].add(a)
+
+    def bfs(s):
+        hops = np.full(n, -1)
+        hops[s] = 0
+        frontier = [s]
+        d = 0
+        while frontier:
+            nxt = sorted({v for u in frontier for v in adj[u] if hops[v] == -1})
+            d += 1
+            for v in nxt:
+                hops[v] = d
+            frontier = nxt
+        return hops
+
+    landmarks = [0, 5, 13]
+    lmk_hops = {L: bfs(L) for L in landmarks}
+    dist = {}
+    for L in landmarks:
+        out, _ = shortest_path_forest(
+            g, np.array([vids[L]], dtype=np.uint64), str(tmp_path / f"l{L}"), scale=1
+        )
+        for r in out.to_pandas().itertuples():
+            dist[(L, int(r.vid))] = int(r.dist_q)
+        # engine BFS == oracle BFS
+        for i in range(n):
+            assert dist[(L, int(vids[i]))] == lmk_hops[L][i]
+
+    pairs = [(2, 30), (7, 22), (11, 39), (1, 20)]
+    for a, b in pairs:
+        true_d = bfs(a)[b]
+        ub = min(dist[(L, int(vids[a]))] + dist[(L, int(vids[b]))] for L in landmarks)
+        lb = max(abs(dist[(L, int(vids[a]))] - dist[(L, int(vids[b]))]) for L in landmarks)
+        assert lb <= true_d <= ub
