@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_growth": C.q_vocab_growth,
         "winnow_docs": C.q_winnow_docs,
         "dup_ngram_frac": C.q_dup_ngram_frac,
+        "semantic_dedup": C.q_semantic_dedup,
         "tfidf_topk": C.q_tfidf_topk,
         "unigram_familiarity": C.q_unigram_familiarity,
         "contamination_docs": C.q_contamination,
@@ -288,6 +289,7 @@ def oracle_sql() -> dict[str, str]:
         "vocab_growth": S.vocab_growth_sql(step=64),
         "winnow_docs": S.winnow_docs_sql(w=3, window=4),
         "dup_ngram_frac": S.dup_ngram_sql(w=5),
+        "semantic_dedup": S.semantic_dedup_sql(n_clusters=16, threshold=0.4),
         "tfidf_topk": S.tfidf_topk_sql(k=5),
         "unigram_familiarity": S.UNIGRAM_FAMILIARITY,
         "contamination_docs": S.contamination_sql(eval_mod=20, w=8),

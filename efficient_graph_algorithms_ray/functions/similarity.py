@@ -393,6 +393,100 @@ def knn_ivf(
     return partials.groupby("query_id").map_groups(_final, batch_format="pandas")
 
 
+def anchor_centroids(
+    embeddings_ds, n_clusters: int = 16, seed: int = HASH_SEED
+) -> np.ndarray:
+    """Deterministic SQL-replayable centroids: the ``n_clusters``
+    corpus vectors with the smallest splitmix64(vec_id ⊕ mix), ordered
+    by hash ascending (the order fixes cluster indices), L2-normalized
+    — the PQ anchor rule applied to whole vectors. Distributed
+    bottom-k with a tree-reduce; the driver only ever sees
+    O(n_clusters) rows."""
+    from ..sources.edges_synth import _splitmix64
+
+    mix = np.uint64(seed * 0x9E3779B97F4A7C15 & 0xFFFFFFFFFFFFFFFF)
+
+    def _local_bottom(b: pa.Table) -> pa.Table:
+        ids = b.column("vec_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        if len(ids) == 0:
+            return b
+        h = _splitmix64(ids ^ mix)
+        keep = np.argsort(h, kind="stable")[:n_clusters]
+        return b.take(pa.array(np.sort(keep)))
+
+    cand = pa.concat_tables(
+        embeddings_ds.map_batches(_local_bottom, batch_format="pyarrow")
+        .repartition(8)
+        .map_batches(_local_bottom, batch_format="pyarrow", batch_size=None)
+        .iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+    ids, mat = _embedding_matrix(cand)
+    if mat.size == 0:
+        raise ValueError("cannot pick anchors from an empty embeddings dataset")
+    h = _splitmix64(ids.astype(np.uint64) ^ mix)
+    order = np.argsort(h, kind="stable")[:n_clusters]
+    return _normalize(mat[order])
+
+
+def semantic_dedup(
+    embeddings_ds,
+    *,
+    n_clusters: int = 16,
+    threshold: float = 0.4,
+    seed: int = HASH_SEED,
+):
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication"): cluster the
+    embedding space, then mark within-cluster semantic duplicates by
+    pairwise cosine — cross-cluster pairs are never compared, which is
+    the whole point: the O(N²) cosine matrix becomes Σ_c O(s_c²) with
+    s_c ≈ N/C, and C scales with the corpus so s_c stays bounded.
+
+    Deterministic keep rule (SQL-replayable): a vector is a duplicate
+    iff an EARLIER (smaller vec_id) member of its cluster has cosine ≥
+    ``threshold``; ``dup_of`` = the smallest such id, −1 for kept
+    vectors. Centroids are the hash-anchor rule (``anchor_centroids``)
+    so the full pipeline — centroid choice, assignment, dup marking —
+    replays exactly in the DuckDB oracle (the PQ iters=0 contract;
+    Lloyd-refined centroids via ``ivf_train_centroids`` drop in for
+    the quality path at the cost of oracle exactness).
+
+    Plan: (C,d) centroid broadcast → one assignment pass → ONE
+    ``groupby(cluster)`` shuffle → per-group normalized Gram matrix +
+    first-earlier-hit scan. Returns (vec_id, cluster, keep, dup_of).
+    """
+    import pandas as pd
+
+    cent = anchor_centroids(embeddings_ds, n_clusters=n_clusters, seed=seed)
+    assigned = ivf_assign(embeddings_ds, cent)
+
+    def _mark(group: pd.DataFrame) -> pd.DataFrame:
+        ids = group["vec_id"].to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        mat = np.array([np.asarray(e, dtype=np.float64) for e in group["embedding"].to_numpy()[order]])
+        x = _normalize(mat)
+        g = x @ x.T
+        n = len(ids)
+        keep = np.ones(n, dtype=bool)
+        dup_of = np.full(n, -1, dtype=np.int64)
+        for i in range(1, n):
+            hits = np.flatnonzero(g[i, :i] >= threshold)
+            if len(hits):
+                keep[i] = False
+                dup_of[i] = ids[hits].min()
+        return pd.DataFrame(
+            {
+                "vec_id": ids.astype(np.int64),
+                "cluster": group["cluster"].to_numpy()[order].astype(np.int64),
+                "keep": keep,
+                "dup_of": dup_of,
+            }
+        )
+
+    return assigned.groupby("cluster").map_groups(_mark, batch_format="pandas")
+
+
 def pq_train_codebooks(
     embeddings_ds,
     m: int = 8,

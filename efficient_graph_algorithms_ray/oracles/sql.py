@@ -525,6 +525,53 @@ LIMIT {k})"""
     return "\nUNION ALL\n".join(blocks)
 
 
+def semantic_dedup_sql(n_clusters: int = 16, threshold: float = 0.4) -> str:
+    """Replays functions/similarity.semantic_dedup with anchor
+    centroids: anchors = the n_clusters corpus vectors with the
+    smallest splitmix64(vec_id ⊕ mix), hash-ordered (cluster index =
+    hash rank − 1); assignment = argmax cosine (ties → smaller
+    cluster); a vector is a duplicate iff a smaller-vec_id member of
+    its cluster has cosine ≥ threshold, dup_of = the smallest such
+    id."""
+    from ..config import HASH_SEED
+
+    mix = HASH_SEED * 0x9E3779B97F4A7C15 % (1 << 64)
+    frag, cte, _ = sm64_stages("sd0", "hx", "sd_h", ["vec_id"])
+    return f"""WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e0 FROM embeddings
+),
+nrm AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(e0, x -> x / sqrt(list_inner_product(e0, e0))) AS e
+  FROM base
+),
+sd0 AS (SELECT vec_id, xor(CAST(vec_id AS UBIGINT), {mix}::UBIGINT) AS hx FROM base){frag},
+anch AS MATERIALIZED (
+  SELECT n.vec_id, n.e, ROW_NUMBER() OVER (ORDER BY s.h) - 1 AS c
+  FROM {cte} s JOIN nrm n ON n.vec_id = s.vec_id
+  QUALIFY c < {n_clusters}
+),
+asg AS MATERIALIZED (
+  SELECT vec_id, c, e FROM (
+    SELECT n.vec_id, a.c, n.e,
+      ROW_NUMBER() OVER (
+        PARTITION BY n.vec_id
+        ORDER BY list_inner_product(n.e, a.e) DESC, a.c
+      ) AS rk
+    FROM nrm n CROSS JOIN anch a
+  ) WHERE rk = 1
+),
+dup AS (
+  SELECT x.vec_id, MIN(y.vec_id) AS dup_of
+  FROM asg x JOIN asg y ON y.c = x.c AND y.vec_id < x.vec_id
+  WHERE list_inner_product(x.e, y.e) >= {threshold}
+  GROUP BY x.vec_id
+)
+SELECT a.vec_id::BIGINT AS vec_id, a.c::BIGINT AS cluster,
+  (d.dup_of IS NULL) AS keep, COALESCE(d.dup_of, -1)::BIGINT AS dup_of
+FROM asg a LEFT JOIN dup d ON d.vec_id = a.vec_id"""
+
+
 def ann_pq_adc_sql(
     query_ids=(0, 7, 42), k: int = 5, m: int = 8, n_codes: int = 16
 ) -> str:

@@ -243,6 +243,15 @@ def q_ann_ivf_knn(sf_dir: str):
     return knn.map_batches(_shape, batch_format="pyarrow")
 
 
+def q_semantic_dedup(sf_dir: str):
+    """SemDeDup over the embeddings table: 16 hash-anchor clusters,
+    within-cluster cosine ≥ 0.4 marks duplicates (keep = smallest
+    vec_id wins). SQL-oracled end to end (anchor choice, assignment,
+    dup marking all replayed). Returns (vec_id, cluster, keep,
+    dup_of)."""
+    return S.semantic_dedup(_emb(sf_dir), n_clusters=16, threshold=0.4)
+
+
 def q_dup_ngram_frac(sf_dir: str):
     """Exact-substring duplication profile (Lee et al. 2022): per doc
     (≥5 tokens), how many positional 5-token shingle occurrences also

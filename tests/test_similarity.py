@@ -232,3 +232,48 @@ def test_pq_lloyd_finds_planted_duplicate():
     )
     # the near-duplicate shares every code with the query -> top ADC
     assert int(out.iloc[0]["vec_id"]) == 9200
+
+
+def test_semantic_dedup_marks_planted_near_dups():
+    from efficient_graph_algorithms_ray.functions.similarity import (
+        _normalize,
+        anchor_centroids,
+        semantic_dedup,
+    )
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(40, 16))
+    # plant: vec 100 is a tiny perturbation of vec 3; vec 101 of vec 7
+    ids = list(range(40)) + [100, 101]
+    vecs = np.vstack([base, base[3] + 1e-3, base[7] - 1e-3])
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(ids, type=pa.int64()),
+            "embedding": pa.array([list(map(float, v)) for v in vecs]),
+        }
+    )
+    ds = rd.from_arrow(tbl)
+    out = (
+        semantic_dedup(ds, n_clusters=4, threshold=0.95)
+        .to_pandas()
+        .set_index("vec_id")
+        .sort_index()
+    )
+    assert len(out) == 42
+    # planted dups share a cluster with their source (cosine ~1 -> same argmax)
+    assert not out.loc[100, "keep"] and out.loc[100, "dup_of"] == 3
+    assert not out.loc[101, "keep"] and out.loc[101, "dup_of"] == 7
+    # brute-force check of the keep rule within each cluster
+    x = _normalize(vecs)
+    cent = anchor_centroids(ds, n_clusters=4)
+    assign = np.argmax(x @ cent.T, axis=1)
+    id_arr = np.array(ids)
+    for i, vid in enumerate(ids):
+        earlier = [
+            j
+            for j in range(len(ids))
+            if id_arr[j] < vid and assign[j] == assign[i] and x[i] @ x[j] >= 0.95
+        ]
+        assert out.loc[vid, "keep"] == (len(earlier) == 0)
+        if earlier:
+            assert out.loc[vid, "dup_of"] == id_arr[earlier].min()
