@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winnow_docs": C.q_winnow_docs,
         "dup_ngram_frac": C.q_dup_ngram_frac,
         "semantic_dedup": C.q_semantic_dedup,
+        "zipf_fit": C.q_zipf_fit,
         "tfidf_topk": C.q_tfidf_topk,
         "unigram_familiarity": C.q_unigram_familiarity,
         "contamination_docs": C.q_contamination,
@@ -290,6 +291,7 @@ def oracle_sql() -> dict[str, str]:
         "winnow_docs": S.winnow_docs_sql(w=3, window=4),
         "dup_ngram_frac": S.dup_ngram_sql(w=5),
         "semantic_dedup": S.semantic_dedup_sql(n_clusters=16, threshold=0.4),
+        "zipf_fit": S.zipf_fit_sql(top_k=256),
         "tfidf_topk": S.tfidf_topk_sql(k=5),
         "unigram_familiarity": S.UNIGRAM_FAMILIARITY,
         "contamination_docs": S.contamination_sql(eval_mod=20, w=8),

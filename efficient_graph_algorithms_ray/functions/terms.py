@@ -143,6 +143,38 @@ def vocab_growth(docs_ds, step: int = 64) -> "rd.Dataset":
     )
 
 
+def zipf_fit(docs_ds, top_k: int = 256) -> pa.Table:
+    """Zipf's-law OLS fit over corpus token frequencies: slope and
+    intercept of ln(cf) ~ ln(rank) for the ``top_k`` most frequent
+    tokens (rank by cf DESC, token ASC — deterministic).
+
+    Distribution: corpus frequencies come from the pre-aggregated
+    ``term_frequencies`` rows + one combiner-backed ``groupby(tok)``
+    sum; the top-k selection is a distributed sort+limit (vocab-sized
+    input, never token occurrences); only the bounded k-row head
+    reaches the driver, where the 5-sum OLS closed form runs. Returns
+    one row (n_tokens, slope_r6, intercept_r6, cf_top1)."""
+    from ray.data.aggregate import Sum
+
+    cf = term_frequencies(docs_ds).groupby("tok").aggregate(Sum("tf", alias_name="cf"))
+    top = cf.sort(["cf", "tok"], descending=[True, False]).limit(top_k).take_all()
+    cfs = np.array([r["cf"] for r in top], dtype=np.float64)
+    x = np.log(np.arange(1, len(cfs) + 1, dtype=np.float64))
+    y = np.log(cfs)
+    n = float(len(x))
+    sx, sy, sxy, sxx = x.sum(), y.sum(), (x * y).sum(), (x * x).sum()
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    return pa.table(
+        {
+            "n_tokens": pa.array([len(cfs)], type=pa.int64()),
+            "slope_r6": pa.array([round(float(slope), 6)], type=pa.float64()),
+            "intercept_r6": pa.array([round(float(intercept), 6)], type=pa.float64()),
+            "cf_top1": pa.array([int(cfs[0])], type=pa.int64()),
+        }
+    )
+
+
 def attach_token_stat(
     tf, stat, stat_col: str, *, hot_vocab: int = 2048, n_salts: int = 16
 ):

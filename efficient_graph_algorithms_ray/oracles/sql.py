@@ -2590,6 +2590,33 @@ SELECT DISTINCT doc_id, {u64_to_i64('f')} AS fp
 FROM (SELECT doc_id, unnest(fpl) AS f FROM wins)"""
 
 
+def zipf_fit_sql(top_k: int = 256) -> str:
+    """Replays functions/terms.zipf_fit: corpus token frequencies,
+    top-k by (cf DESC, tok), OLS of ln(cf) ~ ln(rank) via the same
+    5-sum closed form, ROUND 6 (summation order differs; the residual
+    is ~1e-14, far inside the rounding band)."""
+    return f"""WITH tf AS (
+  SELECT t AS tok, count(*)::BIGINT AS cf
+  FROM (SELECT unnest(regexp_extract_all(text, '\\S+')) AS t FROM documents)
+  GROUP BY t
+),
+top AS (
+  SELECT cf, ROW_NUMBER() OVER (ORDER BY cf DESC, tok) AS rk
+  FROM tf ORDER BY cf DESC, tok LIMIT {top_k}
+),
+pts AS (SELECT ln(CAST(rk AS DOUBLE)) AS x, ln(CAST(cf AS DOUBLE)) AS y FROM top),
+s AS (
+  SELECT count(*)::DOUBLE AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx
+  FROM pts
+)
+SELECT (SELECT count(*) FROM top)::BIGINT AS n_tokens,
+  ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope_r6,
+  ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6) AS intercept_r6,
+  (SELECT cf FROM top WHERE rk = 1)::BIGINT AS cf_top1
+FROM s"""
+
+
 def vocab_growth_sql(step: int = 64) -> str:
     """Replays functions/terms.vocab_growth: bucket = doc_id // step,
     n_tokens = token occurrences per bucket, new_types = tokens whose

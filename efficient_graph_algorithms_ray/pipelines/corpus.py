@@ -243,6 +243,15 @@ def q_ann_ivf_knn(sf_dir: str):
     return knn.map_batches(_shape, batch_format="pyarrow")
 
 
+def q_zipf_fit(sf_dir: str):
+    """Zipf's-law slope/intercept over the top-256 corpus token
+    frequencies (OLS on ln-ln, distributed counts + sort/limit, driver
+    math on the bounded head only). SQL-oracled, ROUND 6."""
+    from ..functions.terms import zipf_fit
+
+    return zipf_fit(_docs(sf_dir, ["doc_id", "text"]), top_k=256)
+
+
 def q_semantic_dedup(sf_dir: str):
     """SemDeDup over the embeddings table: 16 hash-anchor clusters,
     within-cluster cosine ≥ 0.4 marks duplicates (keep = smallest

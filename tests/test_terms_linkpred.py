@@ -243,3 +243,36 @@ def test_vocab_growth_matches_counter_oracle():
         new[d // 64] += 1
     got = {int(r.bucket): (int(r.n_tokens), int(r.new_types)) for r in out.itertuples()}
     assert got == {b: (tot[b], new[b]) for b in tot if tot[b] > 0}
+
+
+def test_zipf_fit_recovers_planted_slope():
+    import ray.data as rd
+
+    from efficient_graph_algorithms_ray.functions.terms import zipf_fit
+
+    # plant cf(r) = round(1000 * r^-0.8): one doc carrying each token
+    # cf times -> OLS on ln-ln must recover ~-0.8
+    toks = []
+    for r in range(1, 65):
+        cf = max(1, round(1000 * r ** -0.8))
+        toks.extend([f"tok{r:03d}"] * cf)
+    text = " ".join(toks)
+    tbl = pa.table(
+        {"doc_id": pa.array([0], type=pa.int64()), "text": pa.array([text])}
+    )
+    out = zipf_fit(rd.from_arrow(tbl), top_k=64).to_pylist()[0]
+    assert out["n_tokens"] == 64
+    assert abs(out["slope_r6"] + 0.8) < 0.02
+    assert out["cf_top1"] == 1000
+
+    # brute-force the closed form
+    import numpy as np
+
+    cfs = sorted(
+        (max(1, round(1000 * r ** -0.8)) for r in range(1, 65)), reverse=True
+    )
+    x = np.log(np.arange(1, 65, dtype=float))
+    y = np.log(np.array(cfs, dtype=float))
+    slope, intercept = np.polyfit(x, y, 1)
+    assert abs(out["slope_r6"] - slope) < 1e-6
+    assert abs(out["intercept_r6"] - intercept) < 1e-6
