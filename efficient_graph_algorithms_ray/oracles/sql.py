@@ -2203,6 +2203,18 @@ dir AS MATERIALIZED (
 verts AS (SELECT DISTINCT s AS vid FROM (SELECT s FROM dir UNION ALL SELECT d AS s FROM dir))"""
 
 
+RECIPROCITY_COOCC = f"""WITH {_coocc_dir_edges()},
+cp AS (
+  SELECT LEAST(s, d) AS lo, GREATEST(s, d) AS hi, count(*)::BIGINT AS n
+  FROM dir GROUP BY 1, 2
+)
+SELECT SUM(n)::BIGINT AS n_edges,
+  SUM(CASE WHEN n = 2 THEN 2 ELSE 0 END)::BIGINT AS n_reciprocal,
+  CAST(SUM(CASE WHEN n = 2 THEN 2 ELSE 0 END) AS DOUBLE)
+    / CAST(SUM(n) AS DOUBLE) AS reciprocity
+FROM cp"""
+
+
 def _reach_sql_chain(prefix: str, edges: str, rounds: int) -> str:
     """``rounds`` unrolled directed-reachability steps: forward
     ``{prefix}f{rounds}`` and backward ``{prefix}b{rounds}`` (vid, j)

@@ -689,6 +689,61 @@ def q_label_prop_coocc(sf_dir: str):
     return labels.map_batches(_shape, batch_format="pyarrow")
 
 
+def q_reciprocity_coocc(sf_dir: str):
+    """Edge reciprocity of the hash-oriented directed co-occurrence
+    graph (Newman): the fraction of directed edges whose reverse edge
+    also exists. One ``groupby(lo, hi)`` count over canonical pairs
+    (edges are distinct, so a pair with count 2 is reciprocal), then
+    per-block partial sums into a single-row total — reciprocity is
+    ONE IEEE division of two exact integers (SQL-parity). Returns
+    (n_edges, n_reciprocal, reciprocity)."""
+    from ray.data.aggregate import Max, Min, Sum
+
+    edges = directed_coocc_edges(sf_dir)
+
+    def _canon(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").to_numpy(zero_copy_only=False)
+        d = batch.column("dst").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "lo": pa.array(np.minimum(s, d), type=pa.uint64()),
+                "hi": pa.array(np.maximum(s, d), type=pa.uint64()),
+                # direction bit; input rows may repeat (the raw edge
+                # stream is pre-dedup), so reciprocity is decided by
+                # DISTINCT directions per pair: min<max ⇔ both occur
+                "b": pa.array((s > d).astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    pairs = edges.map_batches(_canon, batch_format="pyarrow").groupby(
+        ["lo", "hi"]
+    ).aggregate(Min("b", alias_name="bmin"), Max("b", alias_name="bmax"))
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        recip = (
+            batch.column("bmin").to_numpy(zero_copy_only=False)
+            < batch.column("bmax").to_numpy(zero_copy_only=False)
+        )
+        return pa.table(
+            {
+                "e": pa.array([int(len(recip) + recip.sum())], type=pa.int64()),
+                "r": pa.array([int(2 * recip.sum())], type=pa.int64()),
+            }
+        )
+
+    tot = pairs.map_batches(_partial, batch_format="pyarrow").aggregate(
+        Sum("e", alias_name="n_edges"), Sum("r", alias_name="n_reciprocal")
+    )
+    e, r = int(tot["n_edges"]), int(tot["n_reciprocal"])
+    return pa.table(
+        {
+            "n_edges": pa.array([e], type=pa.int64()),
+            "n_reciprocal": pa.array([r], type=pa.int64()),
+            "reciprocity": pa.array([r / e], type=pa.float64()),
+        }
+    )
+
+
 def q_scc_coocc(sf_dir: str):
     """Pivot FW-BW strongly connected components over the
     hash-oriented directed co-occurrence graph: pivots = the 4

@@ -273,3 +273,32 @@ def test_smallest_vids(tmp_path):
     dst = [5, 9, 100, 7]
     piv = smallest_vids(_edges_ds(src, dst), k=3)
     assert piv.tolist() == [5, 7, 9]
+
+
+def test_reciprocity_bruteforce_tiny():
+    """Reciprocity logic on a hand-built directed edge stream with
+    duplicates: distinct-direction counting, not row counting."""
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data.aggregate import Max, Min
+
+    # edges: 1->2 (dup x2), 2->1, 3->4, 5->6, 6->5  => pairs (1,2) recip,
+    # (3,4) one-way, (5,6) recip => n_edges=5, n_recip=4
+    s = np.array([1, 1, 2, 3, 5, 6], dtype=np.uint64)
+    d = np.array([2, 2, 1, 4, 6, 5], dtype=np.uint64)
+    tbl = pa.table(
+        {
+            "lo": pa.array(np.minimum(s, d), type=pa.uint64()),
+            "hi": pa.array(np.maximum(s, d), type=pa.uint64()),
+            "b": pa.array((s > d).astype(np.int64), type=pa.int64()),
+        }
+    )
+    pairs = (
+        rd.from_arrow(tbl)
+        .groupby(["lo", "hi"])
+        .aggregate(Min("b", alias_name="bmin"), Max("b", alias_name="bmax"))
+        .to_pandas()
+    )
+    recip = (pairs["bmin"] < pairs["bmax"]).to_numpy()
+    assert len(pairs) + recip.sum() == 5
+    assert 2 * recip.sum() == 4
