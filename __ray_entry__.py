@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-3 additions (SQL-oracled)
         "scc_coocc": R.q_scc_coocc,
         "reciprocity_coocc": R.q_reciprocity_coocc,
+        "louvain_coocc": R.q_louvain_coocc,
         "bowtie_coocc": R.q_bowtie_coocc,
         "trim_coocc": R.q_trim_coocc,
         "scc_decompose_coocc": R.q_scc_decompose_coocc,
@@ -277,6 +278,7 @@ def oracle_sql() -> dict[str, str]:
         "tree_kernel_forest": S.tree_kernel_forest_sql(a=-0.5),
         "tree_ensemble_coocc": S.tree_ensemble_coocc_sql(a=-0.5),
         "reciprocity_coocc": S.RECIPROCITY_COOCC,
+        "louvain_coocc": S.louvain_coocc_sql(rounds=2),
         "scc_coocc": S.scc_coocc_sql(rounds=8, k=4),
         "bowtie_coocc": S.bowtie_coocc_sql(rounds=8),
         "trim_coocc": S.trim_coocc_sql(rounds=6),

@@ -2203,6 +2203,64 @@ dir AS MATERIALIZED (
 verts AS (SELECT DISTINCT s AS vid FROM (SELECT s FROM dir UNION ALL SELECT d AS s FROM dir))"""
 
 
+def louvain_coocc_sql(rounds: int = 2) -> str:
+    """Replays pipelines/louvain.louvain_moves over the co-occurrence
+    graph: per round, community degree totals, neighbor-community edge
+    counts, exact integer gain scores s = m2·k − deg·tot (candidate)
+    vs s_stay = m2·k_own − deg·(tot_own − deg), move iff max s >
+    s_stay with ties to the smallest community label. Pure integer
+    arithmetic — bit-exact."""
+    parts = [
+        f"""WITH {_COOCC_UND_MAT},
+deg AS MATERIALIZED (SELECT u AS vid, count(*)::BIGINT AS deg FROM und GROUP BY u),
+m2 AS (SELECT count(*)::BIGINT AS m2 FROM und),
+l0 AS MATERIALIZED (SELECT vid, vid AS lab FROM deg)"""
+    ]
+    for r in range(1, rounds + 1):
+        p = f"l{r-1}"
+        parts.append(f""",
+tot{r} AS MATERIALIZED (
+  SELECT l.lab, SUM(d.deg)::BIGINT AS tot
+  FROM {p} l JOIN deg d ON d.vid = l.vid GROUP BY l.lab
+),
+k{r} AS MATERIALIZED (
+  SELECT e.u AS vid, l.lab AS c, count(*)::BIGINT AS k
+  FROM und e JOIN {p} l ON l.vid = e.v GROUP BY e.u, l.lab
+),
+own{r} AS MATERIALIZED (
+  SELECT l.vid, l.lab, d.deg, t.tot, COALESCE(k.k, 0) AS k_own
+  FROM {p} l
+  JOIN deg d ON d.vid = l.vid
+  JOIN tot{r} t ON t.lab = l.lab
+  LEFT JOIN k{r} k ON k.vid = l.vid AND k.c = l.lab
+),
+best{r} AS (
+  SELECT vid, c, s FROM (
+    SELECT k.vid, k.c,
+      (SELECT m2 FROM m2) * k.k - o.deg * t.tot AS s,
+      ROW_NUMBER() OVER (
+        PARTITION BY k.vid
+        ORDER BY (SELECT m2 FROM m2) * k.k - o.deg * t.tot DESC, k.c ASC
+      ) AS rk
+    FROM k{r} k
+    JOIN own{r} o ON o.vid = k.vid
+    JOIN tot{r} t ON t.lab = k.c
+    WHERE k.c <> o.lab
+  ) WHERE rk = 1
+),
+l{r} AS MATERIALIZED (
+  SELECT o.vid,
+    CASE WHEN b.s IS NOT NULL
+          AND b.s > (SELECT m2 FROM m2) * o.k_own - o.deg * (o.tot - o.deg)
+         THEN b.c ELSE o.lab END AS lab
+  FROM own{r} o LEFT JOIN best{r} b ON b.vid = o.vid
+)""")
+    parts.append(
+        f"\nSELECT vid::BIGINT AS vid, lab::BIGINT AS community FROM l{rounds}"
+    )
+    return "".join(parts)
+
+
 RECIPROCITY_COOCC = f"""WITH {_coocc_dir_edges()},
 cp AS (
   SELECT LEAST(s, d) AS lo, GREATEST(s, d) AS hi, count(*)::BIGINT AS n

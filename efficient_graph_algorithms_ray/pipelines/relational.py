@@ -689,6 +689,39 @@ def q_label_prop_coocc(sf_dir: str):
     return labels.map_batches(_shape, batch_format="pyarrow")
 
 
+def q_louvain_coocc(sf_dir: str):
+    """One-level parallel Louvain (2 synchronous greedy modularity
+    rounds, exact integer gain scores) over the distinct co-occurrence
+    pairs. SQL-oracled: the unrolled oracle replays both rounds
+    bit-for-bit (no floats anywhere). Returns (vid, community)."""
+    from ray.data.aggregate import Count
+
+    from .louvain import louvain_moves
+
+    def _uv(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "u": pa.array(
+                    b.column("src").to_numpy(zero_copy_only=False).astype(np.uint64),
+                    type=pa.uint64(),
+                ),
+                "v": pa.array(
+                    b.column("dst").to_numpy(zero_copy_only=False).astype(np.uint64),
+                    type=pa.uint64(),
+                ),
+            }
+        )
+
+    distinct = (
+        part_cooccurrence_edges(sf_dir)
+        .map_batches(_uv, batch_format="pyarrow")
+        .groupby(["u", "v"])
+        .aggregate(Count(alias_name="n"))
+        .select_columns(["u", "v"])
+    )
+    return louvain_moves(distinct, rounds=2)
+
+
 def q_reciprocity_coocc(sf_dir: str):
     """Edge reciprocity of the hash-oriented directed co-occurrence
     graph (Newman): the fraction of directed edges whose reverse edge
