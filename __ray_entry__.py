@@ -162,6 +162,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lowrank_diffusion_norms": C.q_lowrank_diffusion,
         "gw_graph_distance": R.q_gw_graph_distance,
         "gw_barycenter_summary": R.q_gw_barycenter_summary,
+        "pagerank_incremental_coocc": R.q_pagerank_incremental_coocc,
         "top_pages_with_urls": C.q_top_pages_with_urls,
         "image_features": C.q_image_features,
         "audio_features": C.q_audio_features,

@@ -689,6 +689,86 @@ def q_label_prop_coocc(sf_dir: str):
     return labels.map_batches(_shape, batch_format="pyarrow")
 
 
+def q_pagerank_incremental_coocc(sf_dir: str):
+    """Incremental PageRank (crawl-delta pattern, rows-only): converge
+    ranks on a deterministic ~90% edge subset of the co-occurrence
+    graph, then warm-start the FULL graph's run from that checkpoint
+    (pipelines/pagerank.pagerank_warm) and compare against the cold
+    full-graph run. Returns one row (iters_cold, iters_warm,
+    ranks_close) — warm must converge in fewer supersteps to the same
+    fixed point (max |Δ| < 1e-5 at tol=1e-8). The rank comparison is a
+    distributed co-shuffle max-|diff|, not a driver table."""
+    from ray.data.aggregate import Max
+
+    from ..sources.edges_synth import _splitmix64
+    from .pagerank import pagerank, pagerank_warm
+
+    def _subset(batch: pa.Table) -> pa.Table:
+        s = batch.column("src").to_numpy(zero_copy_only=False).astype(np.uint64)
+        d = batch.column("dst").to_numpy(zero_copy_only=False).astype(np.uint64)
+        keep = (_splitmix64(s ^ _splitmix64(d)) % np.uint64(10)) != 0
+        return pa.table(
+            {
+                "src": pa.array(s[keep], type=pa.uint64()),
+                "dst": pa.array(d[keep], type=pa.uint64()),
+            }
+        )
+
+    old_edges = part_cooccurrence_edges(sf_dir).map_batches(
+        _subset, batch_format="pyarrow"
+    )
+    g_old = build_graph(old_edges, EngineConfig(num_partitions=16), directed=False)
+    _, s_old = pagerank(g_old, _ckpt("princ_old"), tol=1e-8, max_iters=200)
+
+    g_new = _coocc_graph(sf_dir)
+    r_cold, s_cold = pagerank(g_new, _ckpt("princ_cold"), tol=1e-8, max_iters=200)
+    r_warm, s_warm = pagerank_warm(
+        g_new,
+        _ckpt("princ_warm"),
+        warm_graph=g_old,
+        warm_final_dir=s_old["final_iter_dir"],
+        tol=1e-8,
+        max_iters=200,
+    )
+
+    def _tag(sign: float):
+        def _fn(b: pa.Table) -> pa.Table:
+            r = b.column("rank").to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "vid": b.column("vid"),
+                    "r": pa.array(sign * r, type=pa.float64()),
+                }
+            )
+
+        return _fn
+
+    from ray.data.aggregate import Sum
+
+    diff = (
+        r_cold.map_batches(_tag(1.0), batch_format="pyarrow")
+        .union(r_warm.map_batches(_tag(-1.0), batch_format="pyarrow"))
+        .groupby("vid")
+        .aggregate(Sum("r", alias_name="d"))
+    )
+
+    def _absmax(b: pa.Table) -> pa.Table:
+        d = b.column("d").to_numpy(zero_copy_only=False)
+        m = float(np.abs(d).max()) if len(d) else 0.0
+        return pa.table({"m": pa.array([m], type=pa.float64())})
+
+    mx = diff.map_batches(_absmax, batch_format="pyarrow").aggregate(
+        Max("m", alias_name="m")
+    )
+    return pa.table(
+        {
+            "iters_cold": pa.array([int(s_cold["iterations"])], type=pa.int64()),
+            "iters_warm": pa.array([int(s_warm["iterations"])], type=pa.int64()),
+            "ranks_close": pa.array([float(mx["m"]) < 1e-5]),
+        }
+    )
+
+
 def q_louvain_coocc(sf_dir: str):
     """One-level parallel Louvain (2 synchronous greedy modularity
     rounds, exact integer gain scores) over the distinct co-occurrence

@@ -122,3 +122,48 @@ def test_multi_returns_exchange_identical(tmp_path):
         outs.append(df)
     assert (outs[0]["vid"].to_numpy() == outs[1]["vid"].to_numpy()).all()
     assert (outs[0]["rank"].to_numpy() == outs[1]["rank"].to_numpy()).all()  # bit-identical
+
+
+def test_warm_start_reaches_same_fixed_point_faster(tmp_path):
+    from efficient_graph_algorithms_ray.pipelines.pagerank import (
+        pagerank,
+        pagerank_warm,
+    )
+
+    rng = np.random.default_rng(17)
+    n = 120
+    vids = (np.arange(n, dtype=np.uint64) + 1) * np.uint64(13)
+    e1 = rng.integers(0, n, size=(500, 2))
+    e1 = e1[e1[:, 0] != e1[:, 1]]
+    e2 = rng.integers(0, n, size=(60, 2))
+    e2 = e2[e2[:, 0] != e2[:, 1]]
+
+    def _g(edges):
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "src": pa.array(vids[edges[:, 0]], type=pa.uint64()),
+                    "dst": pa.array(vids[edges[:, 1]], type=pa.uint64()),
+                }
+            )
+        )
+        return build_graph(ds, EngineConfig(num_partitions=4), directed=True)
+
+    g_old = _g(e1)
+    _, s_old = pagerank(g_old, str(tmp_path / "old"), tol=1e-10, max_iters=200)
+
+    g_new = _g(np.vstack([e1, e2]))
+    r_cold, s_cold = pagerank(g_new, str(tmp_path / "cold"), tol=1e-10, max_iters=200)
+    r_warm, s_warm = pagerank_warm(
+        g_new,
+        str(tmp_path / "warm"),
+        warm_graph=g_old,
+        warm_final_dir=s_old["final_iter_dir"],
+        tol=1e-10,
+        max_iters=200,
+    )
+    dc = r_cold.to_pandas().set_index("vid")["rank"]
+    dw = r_warm.to_pandas().set_index("vid")["rank"]
+    assert np.allclose(dc.sort_index(), dw.sort_index(), atol=1e-8)
+    # warm start must save supersteps on a small delta
+    assert s_warm["iterations"] < s_cold["iterations"]
