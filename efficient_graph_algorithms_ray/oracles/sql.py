@@ -2203,6 +2203,29 @@ dir AS MATERIALIZED (
 verts AS (SELECT DISTINCT s AS vid FROM (SELECT s FROM dir UNION ALL SELECT d AS s FROM dir))"""
 
 
+def backbone_coocc_sql(k: int = 5) -> str:
+    """Replays relational.q_backbone_coocc: per-pair shared-order
+    counts, both directions, per-u rank by (w DESC, v ASC), keep ≤
+    k."""
+    return f"""WITH cw AS MATERIALIZED (
+  SELECT a.l_partkey AS u, b.l_partkey AS v,
+         count(DISTINCT a.l_orderkey)::BIGINT AS w
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+),
+bd AS (
+  SELECT u, v, w FROM cw UNION ALL SELECT v AS u, u AS v, w FROM cw
+),
+rk AS (
+  SELECT u, v, w,
+    ROW_NUMBER() OVER (PARTITION BY u ORDER BY w DESC, v ASC) AS rk
+  FROM bd
+)
+SELECT u::BIGINT AS u, v::BIGINT AS v, w, rk::BIGINT AS rk
+FROM rk WHERE rk <= {k}"""
+
+
 def louvain_coocc_sql(rounds: int = 2) -> str:
     """Replays pipelines/louvain.louvain_moves over the co-occurrence
     graph: per round, community degree totals, neighbor-community edge

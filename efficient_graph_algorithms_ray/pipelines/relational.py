@@ -689,6 +689,78 @@ def q_label_prop_coocc(sf_dir: str):
     return labels.map_batches(_shape, batch_format="pyarrow")
 
 
+def q_backbone_coocc(sf_dir: str, k: int = 5):
+    """Graph backbone sparsification: keep each vertex's top-k
+    strongest neighbors (w = number of shared orders, ties → smaller
+    neighbor vid) — the degree-bounded skeleton that tames hub fan-out
+    before expensive downstream ops (the simplified disparity-filter
+    pattern). One ``groupby(u, v)`` count + one ``groupby(u)``
+    per-group vectorized top-k; group width = vertex degree, the same
+    bound every CSR shard already carries. SQL-oracled (ROW_NUMBER
+    replay). Returns (u, v, w, rk)."""
+    from ray.data.aggregate import Count
+
+    def _canon(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "u": pa.array(
+                    b.column("src").to_numpy(zero_copy_only=False).astype(np.uint64),
+                    type=pa.uint64(),
+                ),
+                "v": pa.array(
+                    b.column("dst").to_numpy(zero_copy_only=False).astype(np.uint64),
+                    type=pa.uint64(),
+                ),
+            }
+        )
+
+    pairs = (
+        part_cooccurrence_edges(sf_dir)
+        .map_batches(_canon, batch_format="pyarrow")
+        .groupby(["u", "v"])
+        .aggregate(Count(alias_name="w"))
+    )
+
+    def _both(b: pa.Table) -> pa.Table:
+        u = b.column("u").to_numpy(zero_copy_only=False)
+        v = b.column("v").to_numpy(zero_copy_only=False)
+        w = b.column("w").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "u": pa.array(np.concatenate([u, v]), type=pa.uint64()),
+                "v": pa.array(np.concatenate([v, u]), type=pa.uint64()),
+                "w": pa.array(np.concatenate([w, w]).astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    def _topk(g: pa.Table) -> pa.Table:
+        u = g.column("u").to_numpy(zero_copy_only=False)
+        v = g.column("v").to_numpy(zero_copy_only=False)
+        w = g.column("w").to_numpy(zero_copy_only=False)
+        # per-u rank by (w DESC, v ASC)
+        o = np.lexsort((v, -w, u))
+        u, v, w = u[o], v[o], w[o]
+        new = np.concatenate(([True], u[1:] != u[:-1]))
+        idx = np.arange(len(u))
+        start = np.maximum.accumulate(np.where(new, idx, 0))
+        rk = idx - start + 1
+        keep = rk <= k
+        return pa.table(
+            {
+                "u": pa.array(u[keep].astype(np.int64), type=pa.int64()),
+                "v": pa.array(v[keep].astype(np.int64), type=pa.int64()),
+                "w": pa.array(w[keep], type=pa.int64()),
+                "rk": pa.array(rk[keep].astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    return (
+        pairs.map_batches(_both, batch_format="pyarrow")
+        .groupby("u")
+        .map_groups(_topk, batch_format="pyarrow")
+    )
+
+
 def q_pagerank_incremental_coocc(sf_dir: str):
     """Incremental PageRank (crawl-delta pattern, rows-only): converge
     ranks on a deterministic ~90% edge subset of the co-occurrence

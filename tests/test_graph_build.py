@@ -87,3 +87,29 @@ def test_vid_hash_process_deterministic():
         for _ in range(2)
     }
     assert len(outs) == 1 and "[" in outs.pop()
+
+
+def test_backbone_topk_rank_logic():
+    """Per-u top-k rank computation (lexsort + running start trick) vs
+    pandas groupby rank on random weighted rows."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(3)
+    n = 500
+    u = rng.integers(0, 20, n).astype(np.uint64)
+    v = rng.permutation(np.arange(n)).astype(np.uint64)  # unique -> no tie ambiguity
+    w = rng.integers(1, 9, n).astype(np.int64)
+    o = np.lexsort((v, -w, u))
+    us, vs, ws = u[o], v[o], w[o]
+    new = np.concatenate(([True], us[1:] != us[:-1]))
+    idx = np.arange(len(us))
+    start = np.maximum.accumulate(np.where(new, idx, 0))
+    rk = idx - start + 1
+    df = pd.DataFrame({"u": us, "v": vs, "w": ws, "rk": rk})
+    for uu, grp in df.groupby("u"):
+        expect = grp.sort_values(["w", "v"], ascending=[False, True])
+        assert list(expect["rk"]) == list(range(1, len(grp) + 1))
+        k5 = set(map(tuple, expect[expect["rk"] <= 5][["v", "w"]].to_numpy()))
+        top5 = grp.sort_values(["w", "v"], ascending=[False, True]).head(5)
+        assert k5 == set(map(tuple, top5[["v", "w"]].to_numpy()))
