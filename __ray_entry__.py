@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_ngram_frac": C.q_dup_ngram_frac,
         "semantic_dedup": C.q_semantic_dedup,
         "zipf_fit": C.q_zipf_fit,
+        "heavy_hitter_tokens": C.q_heavy_hitters,
         "tfidf_topk": C.q_tfidf_topk,
         "unigram_familiarity": C.q_unigram_familiarity,
         "contamination_docs": C.q_contamination,
@@ -299,6 +300,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_ngram_frac": S.dup_ngram_sql(w=5),
         "semantic_dedup": S.semantic_dedup_sql(n_clusters=16, threshold=0.4),
         "zipf_fit": S.zipf_fit_sql(top_k=256),
+        "heavy_hitter_tokens": S.heavy_hitters_sql(top=10),
         "tfidf_topk": S.tfidf_topk_sql(k=5),
         "unigram_familiarity": S.UNIGRAM_FAMILIARITY,
         "contamination_docs": S.contamination_sql(eval_mod=20, w=8),

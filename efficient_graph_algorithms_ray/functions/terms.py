@@ -143,6 +143,98 @@ def vocab_growth(docs_ds, step: int = 64) -> "rd.Dataset":
     )
 
 
+def _mg_truncate(counts: dict, k: int) -> dict:
+    """Misra-Gries truncation: keep ≤ k counters by decrementing all
+    counters by the (k+1)-th largest value. The classic guarantee
+    survives: any token with true frequency > N/(k+1) keeps a positive
+    counter."""
+    if len(counts) <= k:
+        return counts
+    vals = sorted(counts.values(), reverse=True)
+    t = vals[k]
+    return {tok: c - t for tok, c in counts.items() if c > t}
+
+
+def heavy_hitter_tokens(docs_ds, *, k_sketch: int = 256, top: int = 10):
+    """Two-pass distributed heavy hitters (Misra-Gries 1982 summaries
+    + exact recount — the standard exact-top-k-at-scale recipe):
+
+    Pass 1 builds a bounded candidate set: each block reduces its
+    token stream to an MG(k_sketch) summary (≤ k counters), summaries
+    tree-merge (8-way repartition) and the driver folds ≤ 8·k rows —
+    never the vocabulary. Any token with frequency > N/(k_sketch+1) is
+    guaranteed a candidate, so with top ≪ k_sketch the true top-``top``
+    is contained and the OUTPUT is deterministic even though the
+    intermediate summary depends on merge order.
+
+    Pass 2 broadcasts the candidate array once (``ray.put``) and
+    exact-counts ONLY candidates (per-block ≤ k partial rows →
+    combiner-backed ``groupby(tok).sum``), then sort+limit. Returns
+    Dataset (tok, n) — the exact global top-``top`` by (n DESC, tok),
+    SQL-oracled against the plain unnest/count/limit query."""
+    import ray
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    def _block_summary(b: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in b.column("text").to_pylist():
+            c.update(_TOKEN_RE.findall(t or ""))
+        mg = _mg_truncate(dict(c), k_sketch)
+        return pa.table(
+            {
+                "tok": pa.array(list(mg.keys()), type=pa.string()),
+                "c": pa.array(list(mg.values()), type=pa.int64()),
+            }
+        )
+
+    def _merge_summaries(b: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for tok, n in zip(b.column("tok").to_pylist(), b.column("c").to_pylist()):
+            c[tok] += n
+        mg = _mg_truncate(dict(c), k_sketch)
+        return pa.table(
+            {
+                "tok": pa.array(list(mg.keys()), type=pa.string()),
+                "c": pa.array(list(mg.values()), type=pa.int64()),
+            }
+        )
+
+    reduced = (
+        docs_ds.map_batches(_block_summary, batch_format="pyarrow")
+        .repartition(8)
+        .map_batches(_merge_summaries, batch_format="pyarrow", batch_size=None)
+    )
+    folded: Counter = Counter()
+    for b in reduced.iter_batches(batch_size=None, batch_format="pyarrow"):
+        for tok, n in zip(b.column("tok").to_pylist(), b.column("c").to_pylist()):
+            folded[tok] += n
+    cand = sorted(_mg_truncate(dict(folded), k_sketch).keys())
+    cand_ref = ray.put(np.array(cand, dtype=object))
+
+    def _count_cands(b: pa.Table) -> pa.Table:
+        cs = set(ray.get(cand_ref).tolist())
+        c: Counter = Counter()
+        for t in b.column("text").to_pylist():
+            for tok in _TOKEN_RE.findall(t or ""):
+                if tok in cs:
+                    c[tok] += 1
+        return pa.table(
+            {
+                "tok": pa.array(list(c.keys()), type=pa.string()),
+                "n": pa.array(list(c.values()), type=pa.int64()),
+            }
+        )
+
+    counts = (
+        docs_ds.map_batches(_count_cands, batch_format="pyarrow")
+        .groupby("tok")
+        .aggregate(Sum("n", alias_name="n"))
+    )
+    return counts.sort(["n", "tok"], descending=[True, False]).limit(top)
+
+
 def zipf_fit(docs_ds, top_k: int = 256) -> pa.Table:
     """Zipf's-law OLS fit over corpus token frequencies: slope and
     intercept of ln(cf) ~ ln(rank) for the ``top_k`` most frequent

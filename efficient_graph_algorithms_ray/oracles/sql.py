@@ -2683,6 +2683,15 @@ SELECT DISTINCT doc_id, {u64_to_i64('f')} AS fp
 FROM (SELECT doc_id, unnest(fpl) AS f FROM wins)"""
 
 
+def heavy_hitters_sql(top: int = 10) -> str:
+    """Exact global top tokens — the engine's MG-candidate + exact
+    recount pipeline must equal the plain count/limit answer whenever
+    the MG containment guarantee holds (top ≪ k_sketch)."""
+    return f"""SELECT t AS tok, count(*)::BIGINT AS n
+FROM (SELECT unnest(regexp_extract_all(text, '\\S+')) AS t FROM documents)
+GROUP BY t ORDER BY n DESC, tok LIMIT {top}"""
+
+
 def zipf_fit_sql(top_k: int = 256) -> str:
     """Replays functions/terms.zipf_fit: corpus token frequencies,
     top-k by (cf DESC, tok), OLS of ln(cf) ~ ln(rank) via the same

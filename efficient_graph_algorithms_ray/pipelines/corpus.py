@@ -243,6 +243,15 @@ def q_ann_ivf_knn(sf_dir: str):
     return knn.map_batches(_shape, batch_format="pyarrow")
 
 
+def q_heavy_hitters(sf_dir: str):
+    """Exact top-10 corpus tokens via Misra-Gries candidates + exact
+    recount (two passes, bounded sketch state — never a full-vocab
+    shuffle). SQL-oracled. Returns (tok, n)."""
+    from ..functions.terms import heavy_hitter_tokens
+
+    return heavy_hitter_tokens(_docs(sf_dir, ["doc_id", "text"]), k_sketch=256, top=10)
+
+
 def q_zipf_fit(sf_dir: str):
     """Zipf's-law slope/intercept over the top-256 corpus token
     frequencies (OLS on ln-ln, distributed counts + sort/limit, driver

@@ -276,3 +276,46 @@ def test_zipf_fit_recovers_planted_slope():
     slope, intercept = np.polyfit(x, y, 1)
     assert abs(out["slope_r6"] - slope) < 1e-6
     assert abs(out["intercept_r6"] - intercept) < 1e-6
+
+
+def test_mg_truncate_guarantee():
+    """MG(k) keeps every token with freq > N/(k+1), on an adversarial
+    stream, and never keeps more than k counters."""
+    from efficient_graph_algorithms_ray.functions.terms import _mg_truncate
+
+    rng = np.random.default_rng(2)
+    toks = ["hh1"] * 400 + ["hh2"] * 300 + [f"t{i}" for i in rng.integers(0, 500, 800)]
+    N = len(toks)
+    exact = Counter(toks)
+    k = 8
+    mg = _mg_truncate(dict(exact), k)
+    assert len(mg) <= k
+    for tok, c in exact.items():
+        if c > N / (k + 1):
+            assert tok in mg
+    # under-estimation bounded: exact - mg <= N/(k+1)
+    for tok, c in mg.items():
+        assert 0 < c <= exact[tok]
+        assert exact[tok] - c <= N / (k + 1)
+
+
+def test_heavy_hitters_end_to_end_small():
+    import ray.data as rd
+
+    from efficient_graph_algorithms_ray.functions.terms import heavy_hitter_tokens
+
+    rng = np.random.default_rng(4)
+    docs = []
+    for i in range(50):
+        toks = ["alpha"] * 10 + ["beta"] * 5 + [f"noise{rng.integers(0, 2000)}" for _ in range(20)]
+        rng.shuffle(toks)
+        docs.append(" ".join(toks))
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(50), type=pa.int64()),
+            "text": pa.array(docs, type=pa.string()),
+        }
+    )
+    out = heavy_hitter_tokens(rd.from_arrow(tbl), k_sketch=64, top=2).to_pandas()
+    assert list(out["tok"]) == ["alpha", "beta"]
+    assert list(out["n"]) == [500, 250]
