@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reciprocity_coocc": R.q_reciprocity_coocc,
         "louvain_coocc": R.q_louvain_coocc,
         "backbone_coocc": R.q_backbone_coocc,
+        "sweepcut_coocc": R.q_sweepcut_coocc,
         "bowtie_coocc": R.q_bowtie_coocc,
         "trim_coocc": R.q_trim_coocc,
         "scc_decompose_coocc": R.q_scc_decompose_coocc,
@@ -283,6 +284,7 @@ def oracle_sql() -> dict[str, str]:
         "reciprocity_coocc": S.RECIPROCITY_COOCC,
         "louvain_coocc": S.louvain_coocc_sql(rounds=2),
         "backbone_coocc": S.backbone_coocc_sql(k=5),
+        "sweepcut_coocc": S.sweepcut_coocc_sql(k=8, T=16),
         "scc_coocc": S.scc_coocc_sql(rounds=8, k=4),
         "bowtie_coocc": S.bowtie_coocc_sql(rounds=8),
         "trim_coocc": S.trim_coocc_sql(rounds=6),

@@ -2203,6 +2203,71 @@ dir AS MATERIALIZED (
 verts AS (SELECT DISTINCT s AS vid FROM (SELECT s FROM dir UNION ALL SELECT d AS s FROM dir))"""
 
 
+def sweepcut_coocc_sql(
+    k: int = 8, damping: float = 0.85, seed: int = 1, T: int = 16
+) -> str:
+    """Replays relational.q_sweepcut_coocc: k unrolled PPR steps over
+    the undirected co-occurrence graph (identical update to the
+    engine, dangling mass is 0 on an undirected graph but the term is
+    kept), candidates = top-T by ROUND(score/deg, 9) (ties → vid),
+    prefix conductance with exact integer cut/vol and one final
+    division."""
+    parts = [
+        f"WITH {_COOCC_UND_MAT},",
+        "verts AS (SELECT DISTINCT u AS vid FROM und),",
+        "od AS MATERIALIZED (SELECT u AS vid, CAST(count(*) AS DOUBLE) AS d,"
+        " count(*)::BIGINT AS deg FROM und GROUP BY u),",
+        f"tp AS (SELECT vid, CASE WHEN vid = {seed} THEN 1.0 ELSE 0.0 END AS t FROM verts),",
+        "r0 AS (SELECT vid, t AS r FROM tp)",
+    ]
+    for i in range(1, k + 1):
+        p = f"r{i-1}"
+        parts.append(
+            f""",
+m{i} AS (
+  SELECT und.v AS vid, SUM({p}.r / od.d) AS s
+  FROM und JOIN {p} ON und.u = {p}.vid JOIN od ON und.u = od.vid
+  GROUP BY und.v
+),
+r{i} AS MATERIALIZED (
+  SELECT tp.vid,
+         (1 - {damping}) * tp.t + {damping} * COALESCE(m{i}.s, 0) AS r
+  FROM tp LEFT JOIN m{i} ON tp.vid = m{i}.vid
+)"""
+        )
+    parts.append(
+        f""",
+cand AS MATERIALIZED (
+  SELECT vid, deg, i FROM (
+    SELECT r.vid, od.deg,
+      ROW_NUMBER() OVER (ORDER BY ROUND(r.r / od.d, 9) DESC, r.vid ASC) AS i
+    FROM r{k} r JOIN od ON od.vid = r.vid
+  ) WHERE i <= {T}
+),
+mm2 AS (SELECT count(*)::BIGINT AS m2 FROM und),
+cutrows AS (
+  SELECT LEAST(COALESCE(cu.i, 99), COALESCE(cv.i, 99)) AS a,
+         GREATEST(COALESCE(cu.i, 99), COALESCE(cv.i, 99)) AS z
+  FROM pr
+  LEFT JOIN cand cu ON cu.vid = pr.u
+  LEFT JOIN cand cv ON cv.vid = pr.v
+),
+cuts AS (
+  SELECT t.i, COUNT(e.a)::BIGINT AS cut
+  FROM generate_series(1, {T}) t(i)
+  LEFT JOIN cutrows e ON e.a <= t.i AND e.z > t.i
+  GROUP BY t.i
+),
+vols AS (
+  SELECT i, vid, SUM(deg) OVER (ORDER BY i)::BIGINT AS vol FROM cand
+)
+SELECT v.i::BIGINT AS i, v.vid::BIGINT AS vid, c.cut, v.vol,
+  CAST(c.cut AS DOUBLE) / CAST(LEAST(v.vol, (SELECT m2 FROM mm2) - v.vol) AS DOUBLE) AS phi
+FROM vols v JOIN cuts c ON c.i = v.i"""
+    )
+    return "".join(parts)
+
+
 def backbone_coocc_sql(k: int = 5) -> str:
     """Replays relational.q_backbone_coocc: per-pair shared-order
     counts, both directions, per-u rank by (w DESC, v ASC), keep ≤

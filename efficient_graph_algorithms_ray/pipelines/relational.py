@@ -689,6 +689,136 @@ def q_label_prop_coocc(sf_dir: str):
     return labels.map_batches(_shape, batch_format="pyarrow")
 
 
+def q_sweepcut_coocc(sf_dir: str, T: int = 16):
+    """PPR sweep-cut local community detection (the Andersen-Chung-Lang
+    pattern with a fixed-k PPR): seed-1 personalized PageRank (8
+    unrolled supersteps, damping 0.85) over the undirected
+    co-occurrence graph; candidates = top-T vertices by
+    ROUND(score/deg, 9) (ties → smaller vid); for every prefix S_i of
+    that order, conductance φ(S_i) = cut(S_i) / min(vol(S_i),
+    2m − vol(S_i)) — cut and vol are exact integers, φ one IEEE
+    division, so the whole sweep is SQL-replayable. The cut counters
+    come from per-block difference-array partials over the distinct
+    pair list (each edge contributes to prefixes a ≤ i < b where a, b
+    are its endpoints' candidate positions) — no per-prefix pass, one
+    scan regardless of T. Returns (i, vid, cut, vol, phi)."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    from ..state.ckpt import read_state_part
+    from .walks import personalized_pagerank
+
+    g = _coocc_graph(sf_dir)
+    _, summ = personalized_pagerank(g, _ckpt("sweep"), [1], tol=0.0, max_iters=8)
+    final_dir = summ["final_iter_dir"]
+    refs = g.refs
+
+    def _emit(batch: pa.Table) -> pa.Table:
+        parts = batch.column("part").to_numpy(zero_copy_only=False)
+        vid_o, sc_o, dg_o = [], [], []
+        for p in parts:
+            csr = ray.get(refs[int(p)])
+            st = np.asarray(read_state_part(final_dir, int(p)), dtype=np.float64)
+            vid_o.append(csr["vids"])
+            sc_o.append(st)
+            dg_o.append(csr["deg"].astype(np.int64))
+        vid = np.concatenate(vid_o)
+        sc = np.concatenate(sc_o)
+        dg = np.concatenate(dg_o)
+        return pa.table(
+            {
+                "vid": pa.array(vid, type=pa.uint64()),
+                "ratio_r9": pa.array(np.round(sc / dg, 9), type=pa.float64()),
+                "deg": pa.array(dg, type=pa.int64()),
+            }
+        )
+
+    parts_ds = rd.from_arrow(pa.table({"part": pa.array(g.parts, type=pa.int64())}))
+    top = (
+        parts_ds.map_batches(_emit, batch_format="pyarrow", batch_size=4)
+        .sort(["ratio_r9", "vid"], descending=[True, False])
+        .limit(T)
+        .take_all()
+    )
+    cand_vids = np.array([r["vid"] for r in top], dtype=np.uint64)
+    cand_degs = np.array([r["deg"] for r in top], dtype=np.int64)
+    order = np.argsort(cand_vids, kind="stable")
+    sorted_vids = cand_vids[order]
+    sorted_pos = (np.arange(len(cand_vids), dtype=np.int64) + 1)[order]
+
+    def _canon(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "u": pa.array(
+                    b.column("src").to_numpy(zero_copy_only=False).astype(np.uint64),
+                    type=pa.uint64(),
+                ),
+                "v": pa.array(
+                    b.column("dst").to_numpy(zero_copy_only=False).astype(np.uint64),
+                    type=pa.uint64(),
+                ),
+            }
+        )
+
+    pairs = (
+        part_cooccurrence_edges(sf_dir)
+        .map_batches(_canon, batch_format="pyarrow")
+        .groupby(["u", "v"])
+        .aggregate(Count(alias_name="n"))
+    )
+    m2 = 2 * int(pairs.count())
+
+    def _pos(x: np.ndarray) -> np.ndarray:
+        p = np.searchsorted(sorted_vids, x)
+        p = np.clip(p, 0, len(sorted_vids) - 1)
+        out = np.where(sorted_vids[p] == x, sorted_pos[p], 99)
+        return out.astype(np.int64)
+
+    def _cut_partial(b: pa.Table) -> pa.Table:
+        pu = _pos(b.column("u").to_numpy(zero_copy_only=False))
+        pv = _pos(b.column("v").to_numpy(zero_copy_only=False))
+        a = np.minimum(pu, pv)
+        z = np.maximum(pu, pv)
+        diff = np.zeros(T + 2, dtype=np.int64)
+        sel = (a <= T) & (a < z)
+        np.add.at(diff, a[sel], 1)
+        np.add.at(diff, np.minimum(z[sel], T + 1), -1)
+        cut = np.cumsum(diff)[1 : T + 1]
+        return pa.table(
+            {
+                "i": pa.array(np.arange(1, T + 1, dtype=np.int64), type=pa.int64()),
+                "c": pa.array(cut, type=pa.int64()),
+            }
+        )
+
+    cuts = (
+        pairs.map_batches(_cut_partial, batch_format="pyarrow")
+        .groupby("i")
+        .aggregate(Sum("c", alias_name="cut"))
+        .take_all()
+    )
+    cut_by_i = {int(r["i"]): int(r["cut"]) for r in cuts}
+    vol = np.cumsum(cand_degs)
+    rows_i, rows_vid, rows_cut, rows_vol, rows_phi = [], [], [], [], []
+    for i in range(1, len(cand_vids) + 1):
+        c = cut_by_i.get(i, 0)
+        vl = int(vol[i - 1])
+        rows_i.append(i)
+        rows_vid.append(int(cand_vids[i - 1]))
+        rows_cut.append(c)
+        rows_vol.append(vl)
+        rows_phi.append(c / min(vl, m2 - vl))
+    return pa.table(
+        {
+            "i": pa.array(rows_i, type=pa.int64()),
+            "vid": pa.array(rows_vid, type=pa.int64()),
+            "cut": pa.array(rows_cut, type=pa.int64()),
+            "vol": pa.array(rows_vol, type=pa.int64()),
+            "phi": pa.array(rows_phi, type=pa.float64()),
+        }
+    )
+
+
 def q_backbone_coocc(sf_dir: str, k: int = 5):
     """Graph backbone sparsification: keep each vertex's top-k
     strongest neighbors (w = number of shared orders, ties → smaller

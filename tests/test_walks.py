@@ -236,3 +236,36 @@ def test_eigencentrality_power_steps_match_dense():
     x = np.linalg.matrix_power(A, 4) @ np.ones(len(ids))
     for vid_, want in zip(ids, x):
         assert df[vid_] == want  # integer-exact
+
+
+def test_sweepcut_conductance_bruteforce():
+    """Difference-array cut computation vs brute-force prefix cuts on a
+    random candidate ordering."""
+    rng = np.random.default_rng(9)
+    n = 40
+    T = 8
+    # random graph, distinct pairs u<v
+    pairs = set()
+    for _ in range(120):
+        a, b = rng.integers(0, n, 2)
+        if a != b:
+            pairs.add((min(a, b), max(a, b)))
+    pairs = sorted(pairs)
+    cand = list(rng.permutation(n)[:T])  # positions 1..T
+    pos = {v: i + 1 for i, v in enumerate(cand)}
+
+    # difference-array method (the engine's _cut_partial logic)
+    diff = np.zeros(T + 2, dtype=np.int64)
+    for u, v in pairs:
+        a = min(pos.get(u, 99), pos.get(v, 99))
+        z = max(pos.get(u, 99), pos.get(v, 99))
+        if a <= T and a < z:
+            diff[a] += 1
+            diff[min(z, T + 1)] -= 1
+    cut = np.cumsum(diff)[1 : T + 1]
+
+    # brute force per prefix
+    for i in range(1, T + 1):
+        S = set(cand[:i])
+        expect = sum(1 for u, v in pairs if (u in S) != (v in S))
+        assert cut[i - 1] == expect
