@@ -56,6 +56,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "louvain_coocc": R.q_louvain_coocc,
         "backbone_coocc": R.q_backbone_coocc,
         "sweepcut_coocc": R.q_sweepcut_coocc,
+        "powerlaw_coocc": R.q_powerlaw_coocc,
+        "event_transitions": R.q_event_transitions,
         "bowtie_coocc": R.q_bowtie_coocc,
         "trim_coocc": R.q_trim_coocc,
         "scc_decompose_coocc": R.q_scc_decompose_coocc,
@@ -285,6 +287,8 @@ def oracle_sql() -> dict[str, str]:
         "louvain_coocc": S.louvain_coocc_sql(rounds=2),
         "backbone_coocc": S.backbone_coocc_sql(k=5),
         "sweepcut_coocc": S.sweepcut_coocc_sql(k=8, T=16),
+        "powerlaw_coocc": S.powerlaw_coocc_sql(dmin=2),
+        "event_transitions": S.EVENT_TRANSITIONS,
         "scc_coocc": S.scc_coocc_sql(rounds=8, k=4),
         "bowtie_coocc": S.bowtie_coocc_sql(rounds=8),
         "trim_coocc": S.trim_coocc_sql(rounds=6),

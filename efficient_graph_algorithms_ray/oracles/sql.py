@@ -205,6 +205,21 @@ EVENTS_PREV_GAP = """SELECT event_id,
 FROM events"""
 
 
+EVENT_TRANSITIONS = """WITH seq AS (
+  SELECT user_id, event_type,
+    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+tr AS (
+  SELECT prev AS src_type, event_type AS dst_type, count(*)::BIGINT AS n
+  FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2
+),
+tot AS (SELECT src_type, SUM(n)::BIGINT AS t FROM tr GROUP BY 1)
+SELECT tr.src_type, tr.dst_type, tr.n,
+  CAST(tr.n AS DOUBLE) / CAST(tot.t AS DOUBLE) AS prob
+FROM tr JOIN tot USING (src_type)"""
+
+
 EVENTS_SESSIONS = """WITH g AS (
   SELECT user_id, event_id, ts,
     CASE WHEN lag(ts) OVER w IS NULL
@@ -2201,6 +2216,17 @@ dir AS MATERIALIZED (
   SELECT v AS s, u AS d FROM {cte2} WHERE h % 2 = 0
 ),
 verts AS (SELECT DISTINCT s AS vid FROM (SELECT s FROM dir UNION ALL SELECT d AS s FROM dir))"""
+
+
+def powerlaw_coocc_sql(dmin: int = 2) -> str:
+    """Replays relational.q_powerlaw_coocc: α̂ = 1 + n/Σ ln(d/dmin)
+    over co-occurrence degrees ≥ dmin, ROUND 6."""
+    return f"""WITH {_COOCC_UND_MAT},
+deg AS (SELECT u AS vid, count(*)::BIGINT AS d FROM und GROUP BY u),
+tail AS (SELECT d FROM deg WHERE d >= {dmin})
+SELECT count(*)::BIGINT AS n_tail,
+  ROUND(1.0 + count(*) / SUM(ln(CAST(d AS DOUBLE) / {dmin})), 6) AS alpha_r6
+FROM tail"""
 
 
 def sweepcut_coocc_sql(

@@ -689,6 +689,70 @@ def q_label_prop_coocc(sf_dir: str):
     return labels.map_batches(_shape, batch_format="pyarrow")
 
 
+def q_powerlaw_coocc(sf_dir: str, dmin: int = 2):
+    """Power-law degree-distribution MLE (Clauset, Shalizi & Newman
+    2009): α̂ = 1 + n / Σ ln(d/dmin) over vertices with degree ≥ dmin
+    — the standard web-graph heavy-tail diagnostic. Distributed
+    per-block (n, Σln) partials; one tiny aggregate; ROUND 6 (the sum
+    order differs from SQL by ~1e-14). Returns one row (n_tail,
+    alpha_r6)."""
+    from ray.data.aggregate import Count, Sum
+
+    def _canon(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "u": pa.array(
+                    np.concatenate(
+                        [
+                            b.column("src").to_numpy(zero_copy_only=False),
+                            b.column("dst").to_numpy(zero_copy_only=False),
+                        ]
+                    ).astype(np.uint64),
+                    type=pa.uint64(),
+                ),
+                "v": pa.array(
+                    np.concatenate(
+                        [
+                            b.column("dst").to_numpy(zero_copy_only=False),
+                            b.column("src").to_numpy(zero_copy_only=False),
+                        ]
+                    ).astype(np.uint64),
+                    type=pa.uint64(),
+                ),
+            }
+        )
+
+    deg = (
+        part_cooccurrence_edges(sf_dir)
+        .map_batches(_canon, batch_format="pyarrow")
+        .groupby(["u", "v"])
+        .aggregate(Count(alias_name="one"))
+        .groupby("u")
+        .aggregate(Count(alias_name="d"))
+    )
+
+    def _partial(b: pa.Table) -> pa.Table:
+        d = b.column("d").to_numpy(zero_copy_only=False).astype(np.float64)
+        sel = d >= dmin
+        return pa.table(
+            {
+                "n": pa.array([int(sel.sum())], type=pa.int64()),
+                "s": pa.array([float(np.log(d[sel] / dmin).sum())], type=pa.float64()),
+            }
+        )
+
+    tot = deg.map_batches(_partial, batch_format="pyarrow").aggregate(
+        Sum("n", alias_name="n"), Sum("s", alias_name="s")
+    )
+    n, s = int(tot["n"]), float(tot["s"])
+    return pa.table(
+        {
+            "n_tail": pa.array([n], type=pa.int64()),
+            "alpha_r6": pa.array([round(1.0 + n / s, 6)], type=pa.float64()),
+        }
+    )
+
+
 def q_sweepcut_coocc(sf_dir: str, T: int = 16):
     """PPR sweep-cut local community detection (the Andersen-Chung-Lang
     pattern with a fixed-k PPR): seed-1 personalized PageRank (8
@@ -1771,6 +1835,67 @@ def q_events_prev_gap(sf_dir: str):
         .groupby("part")
         .map_groups(_lag, batch_format="pyarrow")
     )
+
+
+def q_event_transitions(sf_dir: str):
+    """First-order Markov transition graph over the event log: per
+    user (ordered by ts, event_id), consecutive event_type pairs →
+    global transition counts + per-source transition probabilities
+    (one IEEE division of exact integer counts). The per-user ordering
+    runs inside EVENT_WINDOW_PARTS vectorized partition tasks (the
+    events-window idiom); per-group pair counts pre-aggregate before
+    the tiny ``groupby(src, dst)``. SQL-oracled (LAG replay). Returns
+    (src_type, dst_type, n, prob)."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    def _trans(group: pa.Table) -> pa.Table:
+        uid = group.column("user_id").to_numpy(zero_copy_only=False)
+        ts = (
+            group.column("ts")
+            .cast(pa.timestamp("us"))
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .view(np.int64)
+        )
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        et = np.asarray(group.column("event_type").to_pylist(), dtype=object)
+        srt = np.lexsort((eid, ts, uid))
+        uid, et = uid[srt], et[srt]
+        same_user = uid[1:] == uid[:-1]
+        c: Counter = Counter(
+            zip(et[:-1][same_user].tolist(), et[1:][same_user].tolist())
+        )
+        return pa.table(
+            {
+                "src_type": pa.array([k[0] for k in c], type=pa.string()),
+                "dst_type": pa.array([k[1] for k in c], type=pa.string()),
+                "n": pa.array(list(c.values()), type=pa.int64()),
+            }
+        )
+
+    counts = (
+        _events_by_part(sf_dir, extra_cols=("event_type",))
+        .groupby("part")
+        .map_groups(_trans, batch_format="pyarrow")
+        .groupby(["src_type", "dst_type"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+    def _prob(group: pa.Table) -> pa.Table:
+        n = group.column("n").to_numpy(zero_copy_only=False)
+        t = int(n.sum())
+        return pa.table(
+            {
+                "src_type": group.column("src_type"),
+                "dst_type": group.column("dst_type"),
+                "n": group.column("n"),
+                "prob": pa.array(n.astype(np.float64) / float(t), type=pa.float64()),
+            }
+        )
+
+    return counts.groupby("src_type").map_groups(_prob, batch_format="pyarrow")
 
 
 SESSION_GAP_US = 3_600_000_000  # 1 hour

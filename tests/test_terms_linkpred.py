@@ -319,3 +319,61 @@ def test_heavy_hitters_end_to_end_small():
     out = heavy_hitter_tokens(rd.from_arrow(tbl), k_sketch=64, top=2).to_pandas()
     assert list(out["tok"]) == ["alpha", "beta"]
     assert list(out["n"]) == [500, 250]
+
+
+def test_event_transitions_bruteforce():
+    """Markov transition counting vs a sequential brute force on a
+    small multi-user event log (ties broken by event_id)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from efficient_graph_algorithms_ray.pipelines.relational import (
+        q_event_transitions,
+    )
+
+    rng = np.random.default_rng(6)
+    n = 400
+    users = rng.integers(0, 12, n)
+    ts = pd.to_datetime(rng.integers(0, 10_000, n), unit="s")
+    types = np.array(["a", "b", "c", "d"])[rng.integers(0, 4, n)]
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "ts": ts,
+            "user_id": users.astype(np.int64),
+            "event_type": types,
+        }
+    )
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="evt_", dir="/tmp")
+    df.to_parquet(os.path.join(d, "events.parquet"))
+    got = (
+        q_event_transitions(d)
+        .to_pandas()
+        .sort_values(["src_type", "dst_type"])
+        .reset_index(drop=True)
+    )
+    # brute force
+    from collections import Counter
+
+    c: Counter = Counter()
+    for _, g in df.sort_values(["user_id", "ts", "event_id"]).groupby("user_id"):
+        et = list(g["event_type"])
+        for a, b in zip(et, et[1:]):
+            c[(a, b)] += 1
+    tot: Counter = Counter()
+    for (a, _), v in c.items():
+        tot[a] += v
+    want = pd.DataFrame(
+        [
+            {"src_type": a, "dst_type": b, "n": v, "prob": v / tot[a]}
+            for (a, b), v in c.items()
+        ]
+    ).sort_values(["src_type", "dst_type"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        got[["src_type", "dst_type", "n", "prob"]],
+        want,
+        check_dtype=False,
+    )
