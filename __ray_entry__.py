@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semantic_dedup": C.q_semantic_dedup,
         "zipf_fit": C.q_zipf_fit,
         "heavy_hitter_tokens": C.q_heavy_hitters,
+        "int8_quantize": C.q_int8_quantize,
         "tfidf_topk": C.q_tfidf_topk,
         "unigram_familiarity": C.q_unigram_familiarity,
         "contamination_docs": C.q_contamination,
@@ -168,6 +169,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gw_graph_distance": R.q_gw_graph_distance,
         "gw_barycenter_summary": R.q_gw_barycenter_summary,
         "pagerank_incremental_coocc": R.q_pagerank_incremental_coocc,
+        "pca_embeddings": C.q_pca_embeddings,
         "top_pages_with_urls": C.q_top_pages_with_urls,
         "image_features": C.q_image_features,
         "audio_features": C.q_audio_features,
@@ -307,6 +309,7 @@ def oracle_sql() -> dict[str, str]:
         "semantic_dedup": S.semantic_dedup_sql(n_clusters=16, threshold=0.4),
         "zipf_fit": S.zipf_fit_sql(top_k=256),
         "heavy_hitter_tokens": S.heavy_hitters_sql(top=10),
+        "int8_quantize": S.INT8_QUANTIZE,
         "tfidf_topk": S.tfidf_topk_sql(k=5),
         "unigram_familiarity": S.UNIGRAM_FAMILIARITY,
         "contamination_docs": S.contamination_sql(eval_mod=20, w=8),

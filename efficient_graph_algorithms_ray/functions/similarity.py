@@ -487,6 +487,140 @@ def semantic_dedup(
     return assigned.groupby("cluster").map_groups(_mark, batch_format="pandas")
 
 
+def pca_project(embeddings_ds, n_components: int = 2):
+    """Distributed PCA: the (d, d) covariance assembles from per-block
+    partials (Σxᵀx, Σx, n — three tiny reductions; the corpus never
+    leaves its blocks), the d×d eigendecomposition runs on the driver
+    (d = embedding dim, constant), and the projection is a broadcast
+    (d, k) matmul per batch. Deterministic sign: each component is
+    flipped so its largest-|coefficient| entry is positive. Returns
+    Dataset (vec_id, pc: list<float64>[k]) — standard embedding
+    whitening/visualization front-end.
+    """
+    from ..util import list_array
+
+    def _partial(b: pa.Table) -> pa.Table:
+        ids, mat = _embedding_matrix(b)
+        if len(ids) == 0:
+            d = 0
+            return pa.table(
+                {
+                    "n": pa.array([0], type=pa.int64()),
+                    "sx": pa.array([[]], type=pa.list_(pa.float64())),
+                    "sxx": pa.array([[]], type=pa.list_(pa.float64())),
+                }
+            )
+        return pa.table(
+            {
+                "n": pa.array([len(ids)], type=pa.int64()),
+                "sx": pa.array([mat.sum(axis=0).tolist()], type=pa.list_(pa.float64())),
+                "sxx": pa.array(
+                    [(mat.T @ mat).ravel().tolist()], type=pa.list_(pa.float64())
+                ),
+            }
+        )
+
+    n_tot = 0
+    sx = None
+    sxx = None
+    for b in (
+        embeddings_ds.map_batches(_partial, batch_format="pyarrow")
+        .iter_batches(batch_size=None, batch_format="pyarrow")
+    ):
+        for i in range(b.num_rows):
+            n_i = b.column("n")[i].as_py()
+            if n_i == 0:
+                continue
+            sx_i = np.asarray(b.column("sx")[i].as_py())
+            sxx_i = np.asarray(b.column("sxx")[i].as_py())
+            n_tot += n_i
+            sx = sx_i if sx is None else sx + sx_i
+            sxx = sxx_i if sxx is None else sxx + sxx_i
+    if n_tot == 0:
+        raise ValueError("cannot run PCA on an empty embeddings dataset")
+    d = len(sx)
+    mean = sx / n_tot
+    cov = sxx.reshape(d, d) / n_tot - np.outer(mean, mean)
+    w, v = np.linalg.eigh(cov)
+    comps = v[:, ::-1][:, :n_components]  # descending eigenvalue order
+    for j in range(comps.shape[1]):
+        i_max = np.argmax(np.abs(comps[:, j]))
+        if comps[i_max, j] < 0:
+            comps[:, j] = -comps[:, j]
+    import ray
+
+    state = ray.put((mean, np.ascontiguousarray(comps)))
+
+    def _project(b: pa.Table) -> pa.Table:
+        mu, c = ray.get(state)
+        ids, mat = _embedding_matrix(b)
+        proj = (mat - mu) @ c
+        n, k = proj.shape
+        offsets = (np.arange(n + 1, dtype=np.int32) * k).astype(np.int32)
+        pc_arr = pa.ListArray.from_arrays(
+            pa.array(offsets, type=pa.int32()),
+            pa.array(proj.ravel(), type=pa.float64()),
+        )
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, type=pa.int64()),
+                "pc": pc_arr,
+            }
+        )
+
+    return embeddings_ds.map_batches(_project, batch_format="pyarrow")
+
+
+def int8_quantize_report(embeddings_ds):
+    """Symmetric per-dimension int8 quantization (the standard
+    embedding-compression baseline): scale_j = max|x_j| over the
+    corpus (per-block partial maxima → one tiny fold → broadcast),
+    q = clamp(round(x/scale·127), −127, 127). Reports per vector the
+    L2 reconstruction error (ROUND 6) and the integer |q|₁ checksum —
+    both SQL-replayable. Returns (vec_id, err_r6, q_norm1)."""
+    import ray
+
+    def _maxabs(b: pa.Table) -> pa.Table:
+        ids, mat = _embedding_matrix(b)
+        if len(ids) == 0:
+            return pa.table({"m": pa.array([[]], type=pa.list_(pa.float64()))})
+        return pa.table(
+            {"m": pa.array([np.abs(mat).max(axis=0).tolist()], type=pa.list_(pa.float64()))}
+        )
+
+    scale = None
+    for b in (
+        embeddings_ds.map_batches(_maxabs, batch_format="pyarrow")
+        .iter_batches(batch_size=None, batch_format="pyarrow")
+    ):
+        for i in range(b.num_rows):
+            m = np.asarray(b.column("m")[i].as_py())
+            if len(m) == 0:
+                continue
+            scale = m if scale is None else np.maximum(scale, m)
+    if scale is None:
+        raise ValueError("cannot quantize an empty embeddings dataset")
+    scale_ref = ray.put(scale)
+
+    def _quant(b: pa.Table) -> pa.Table:
+        s = ray.get(scale_ref)
+        ids, mat = _embedding_matrix(b)
+        q = np.clip(np.round(mat / s * 127.0), -127, 127)
+        recon = q * s / 127.0
+        err = np.sqrt(((mat - recon) ** 2).sum(axis=1))
+        return pa.table(
+            {
+                "vec_id": pa.array(ids, type=pa.int64()),
+                "err_r6": pa.array(np.round(err, 6), type=pa.float64()),
+                "q_norm1": pa.array(
+                    np.abs(q).sum(axis=1).astype(np.int64), type=pa.int64()
+                ),
+            }
+        )
+
+    return embeddings_ds.map_batches(_quant, batch_format="pyarrow")
+
+
 def pq_train_codebooks(
     embeddings_ds,
     m: int = 8,

@@ -540,6 +540,24 @@ LIMIT {k})"""
     return "\nUNION ALL\n".join(blocks)
 
 
+INT8_QUANTIZE = """WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+dim AS (SELECT len(e) AS d FROM base LIMIT 1),
+idx AS (SELECT unnest(generate_series(1, (SELECT d FROM dim))) AS j),
+expd AS (SELECT vec_id, j, e[j] AS x FROM base CROSS JOIN idx),
+scale AS MATERIALIZED (SELECT j, MAX(ABS(x)) AS s FROM expd GROUP BY j),
+q AS (
+  SELECT e.vec_id, e.x, sc.s,
+    LEAST(GREATEST(ROUND(e.x / sc.s * 127), -127), 127) AS q
+  FROM expd e JOIN scale sc ON sc.j = e.j
+)
+SELECT vec_id::BIGINT AS vec_id,
+  ROUND(sqrt(SUM((x - q * s / 127) * (x - q * s / 127))), 6) AS err_r6,
+  SUM(ABS(q))::BIGINT AS q_norm1
+FROM q GROUP BY vec_id"""
+
+
 def semantic_dedup_sql(n_clusters: int = 16, threshold: float = 0.4) -> str:
     """Replays functions/similarity.semantic_dedup with anchor
     centroids: anchors = the n_clusters corpus vectors with the

@@ -243,6 +243,22 @@ def q_ann_ivf_knn(sf_dir: str):
     return knn.map_batches(_shape, batch_format="pyarrow")
 
 
+def q_int8_quantize(sf_dir: str):
+    """Per-dim symmetric int8 quantization report over the embeddings
+    table (reconstruction error + integer code checksum per vector).
+    SQL-oracled. Returns (vec_id, err_r6, q_norm1)."""
+    return S.int8_quantize_report(_emb(sf_dir))
+
+
+def q_pca_embeddings(sf_dir: str):
+    """2-component PCA projection of the embeddings (distributed
+    covariance partials; d×d eig on the driver; broadcast projection).
+    Rows-only at the driver (eigendecomposition is not
+    SQL-expressible); exactness pytest vs the full-matrix numpy PCA.
+    Returns (vec_id, pc list<float64>[2])."""
+    return S.pca_project(_emb(sf_dir), n_components=2)
+
+
 def q_heavy_hitters(sf_dir: str):
     """Exact top-10 corpus tokens via Misra-Gries candidates + exact
     recount (two passes, bounded sketch state — never a full-vocab

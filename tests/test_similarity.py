@@ -277,3 +277,64 @@ def test_semantic_dedup_marks_planted_near_dups():
         assert out.loc[vid, "keep"] == (len(earlier) == 0)
         if earlier:
             assert out.loc[vid, "dup_of"] == id_arr[earlier].min()
+
+
+def test_pca_project_matches_numpy_oracle():
+    from efficient_graph_algorithms_ray.functions.similarity import pca_project
+
+    rng = np.random.default_rng(12)
+    # anisotropic cloud: PCA must find the stretched axes
+    n, d = 200, 8
+    basis = rng.normal(size=(d, d))
+    scales = np.array([10, 5, 1, 0.5, 0.2, 0.1, 0.05, 0.01])
+    m = rng.normal(size=(n, d)) * scales @ basis
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n), type=pa.int64()),
+            "embedding": pa.array([list(map(float, r)) for r in m]),
+        }
+    )
+    out = pca_project(rd.from_arrow(tbl), n_components=3).to_pandas()
+    got = np.array([r for r in out.sort_values("vec_id")["pc"]])
+
+    mu = m.mean(axis=0)
+    cov = (m.T @ m) / n - np.outer(mu, mu)
+    w, v = np.linalg.eigh(cov)
+    comps = v[:, ::-1][:, :3]
+    for j in range(3):
+        i = np.argmax(np.abs(comps[:, j]))
+        if comps[i, j] < 0:
+            comps[:, j] = -comps[:, j]
+    want = (m - mu) @ comps
+    assert np.allclose(got, want, atol=1e-9)
+    # variance ordering: pc1 variance >= pc2 >= pc3
+    var = got.var(axis=0)
+    assert var[0] >= var[1] >= var[2]
+
+
+def test_int8_quantize_bruteforce():
+    from efficient_graph_algorithms_ray.functions.similarity import (
+        int8_quantize_report,
+    )
+
+    rng = np.random.default_rng(13)
+    m = rng.normal(size=(50, 6))
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(50), type=pa.int64()),
+            "embedding": pa.array([list(map(float, r)) for r in m]),
+        }
+    )
+    out = (
+        int8_quantize_report(rd.from_arrow(tbl))
+        .to_pandas()
+        .sort_values("vec_id")
+        .reset_index(drop=True)
+    )
+    s = np.abs(m).max(axis=0)
+    q = np.clip(np.round(m / s * 127.0), -127, 127)
+    err = np.sqrt(((m - q * s / 127.0) ** 2).sum(axis=1))
+    assert np.array_equal(out["q_norm1"].to_numpy(), np.abs(q).sum(axis=1).astype(np.int64))
+    assert np.allclose(out["err_r6"].to_numpy(), np.round(err, 6))
+    # max quantization error per dim bounded by scale/254 per coordinate
+    assert (np.abs(m - q * s / 127.0) <= s / 254 + 1e-12).all()
