@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "backbone_coocc": R.q_backbone_coocc,
         "sweepcut_coocc": R.q_sweepcut_coocc,
         "powerlaw_coocc": R.q_powerlaw_coocc,
+        "percolation_coocc": R.q_percolation_coocc,
         "event_transitions": R.q_event_transitions,
         "bowtie_coocc": R.q_bowtie_coocc,
         "trim_coocc": R.q_trim_coocc,
@@ -290,6 +291,7 @@ def oracle_sql() -> dict[str, str]:
         "backbone_coocc": S.backbone_coocc_sql(k=5),
         "sweepcut_coocc": S.sweepcut_coocc_sql(k=8, T=16),
         "powerlaw_coocc": S.powerlaw_coocc_sql(dmin=2),
+        "percolation_coocc": S.percolation_coocc_sql(thresholds=(1, 2, 3), rounds=16),
         "event_transitions": S.EVENT_TRANSITIONS,
         "scc_coocc": S.scc_coocc_sql(rounds=8, k=4),
         "bowtie_coocc": S.bowtie_coocc_sql(rounds=8),

@@ -2236,6 +2236,48 @@ dir AS MATERIALIZED (
 verts AS (SELECT DISTINCT s AS vid FROM (SELECT s FROM dir UNION ALL SELECT d AS s FROM dir))"""
 
 
+def percolation_coocc_sql(thresholds=(1, 2, 3), rounds: int = 16) -> str:
+    """Replays relational.q_percolation_coocc: per threshold t, the
+    co-occurrence graph restricted to pairs sharing ≥ t orders,
+    min-label propagation unrolled ``rounds`` times, then component
+    stats. Integer-exact."""
+    parts = [
+        """WITH cw AS MATERIALIZED (
+  SELECT a.l_partkey AS u, b.l_partkey AS v,
+         count(DISTINCT a.l_orderkey)::BIGINT AS w
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+)"""
+    ]
+    selects = []
+    for t in thresholds:
+        parts.append(f""",
+u{t} AS MATERIALIZED (
+  SELECT u, v FROM cw WHERE w >= {t}
+  UNION ALL
+  SELECT v AS u, u AS v FROM cw WHERE w >= {t}
+),
+p{t}_l0 AS MATERIALIZED (SELECT DISTINCT u AS vid, u AS lab FROM u{t})""")
+        for i in range(1, rounds + 1):
+            p = f"p{t}_l{i-1}"
+            parts.append(f""",
+p{t}_rx{i} AS (
+  SELECT e.v AS vid, MIN(l.lab) AS m
+  FROM u{t} e JOIN {p} l ON l.vid = e.u GROUP BY e.v
+),
+p{t}_l{i} AS MATERIALIZED (
+  SELECT d.vid, LEAST(d.lab, COALESCE(r.m, d.lab)) AS lab
+  FROM {p} d LEFT JOIN p{t}_rx{i} r ON r.vid = d.vid
+)""")
+        selects.append(f"""SELECT {t}::BIGINT AS threshold,
+  SUM(n)::BIGINT AS n_vertices,
+  count(*)::BIGINT AS n_components,
+  MAX(n)::BIGINT AS largest_size
+FROM (SELECT lab, count(*)::BIGINT AS n FROM p{t}_l{rounds} GROUP BY lab)""")
+    return "".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
 def powerlaw_coocc_sql(dmin: int = 2) -> str:
     """Replays relational.q_powerlaw_coocc: α̂ = 1 + n/Σ ln(d/dmin)
     over co-occurrence degrees ≥ dmin, ROUND 6."""

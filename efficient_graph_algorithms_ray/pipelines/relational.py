@@ -689,6 +689,76 @@ def q_label_prop_coocc(sf_dir: str):
     return labels.map_batches(_shape, batch_format="pyarrow")
 
 
+def q_percolation_coocc(sf_dir: str, thresholds=(1, 2, 3)):
+    """Edge-weight percolation curve: connected-component structure of
+    the co-occurrence graph restricted to pairs sharing ≥ t orders,
+    for each threshold t — the graph-resilience sweep (how the giant
+    component dissolves as weak ties drop). One engine CC superstep
+    run per threshold, capped at 16 rounds on BOTH sides (a converged
+    run makes the extra unrolled-SQL rounds no-ops, an unconverged one
+    stops at the same fixed count — equal either way). Returns
+    (threshold, n_vertices, n_components, largest_size), all exact
+    integers."""
+    from ray.data.aggregate import Count, Max, Sum
+
+    from .components import connected_components
+
+    def _canon(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "u": pa.array(
+                    b.column("src").to_numpy(zero_copy_only=False).astype(np.uint64),
+                    type=pa.uint64(),
+                ),
+                "v": pa.array(
+                    b.column("dst").to_numpy(zero_copy_only=False).astype(np.uint64),
+                    type=pa.uint64(),
+                ),
+            }
+        )
+
+    pairs = (
+        part_cooccurrence_edges(sf_dir)
+        .map_batches(_canon, batch_format="pyarrow")
+        .groupby(["u", "v"])
+        .aggregate(Count(alias_name="w"))
+        .materialize()
+    )
+    out_t, out_nv, out_nc, out_ls = [], [], [], []
+    for t in thresholds:
+
+        def _flt(b: pa.Table, t=t) -> pa.Table:
+            keep = b.column("w").to_numpy(zero_copy_only=False) >= t
+            return pa.table(
+                {
+                    "src": b.column("u").filter(pa.array(keep)),
+                    "dst": b.column("v").filter(pa.array(keep)),
+                }
+            )
+
+        edges_t = pairs.map_batches(_flt, batch_format="pyarrow")
+        g = build_graph(edges_t, EngineConfig(num_partitions=16), directed=False)
+        comp, _ = connected_components(g, _ckpt(f"perc{t}"), max_iters=16)
+        sizes = comp.groupby("component").aggregate(Count(alias_name="n"))
+        stats = sizes.aggregate(
+            Count(alias_name="n_components"),
+            Max("n", alias_name="largest"),
+            Sum("n", alias_name="n_vertices"),
+        )
+        out_t.append(t)
+        out_nv.append(int(stats["n_vertices"]))
+        out_nc.append(int(stats["n_components"]))
+        out_ls.append(int(stats["largest"]))
+    return pa.table(
+        {
+            "threshold": pa.array(out_t, type=pa.int64()),
+            "n_vertices": pa.array(out_nv, type=pa.int64()),
+            "n_components": pa.array(out_nc, type=pa.int64()),
+            "largest_size": pa.array(out_ls, type=pa.int64()),
+        }
+    )
+
+
 def q_powerlaw_coocc(sf_dir: str, dmin: int = 2):
     """Power-law degree-distribution MLE (Clauset, Shalizi & Newman
     2009): α̂ = 1 + n / Σ ln(d/dmin) over vertices with degree ≥ dmin

@@ -78,3 +78,40 @@ def test_label_propagation_seeded(tmp_path, tiny_edges):
     assert np.array_equal(df["label"].to_numpy().astype(np.uint64), olabels)
     # at least the seeded components got labeled
     assert (df["label"].to_numpy().astype(np.uint64) != UNLABELED).any()
+
+
+def test_percolation_semantics_tiny(tmp_path):
+    """Filtered-threshold CC: components split as weak edges drop."""
+    from ray.data.aggregate import Count, Max, Sum
+
+    from efficient_graph_algorithms_ray.pipelines.components import (
+        connected_components,
+    )
+
+    # two triangles joined by a weight-1 bridge; intra edges weight 3
+    vids = np.array([1, 2, 3, 10, 20, 30], dtype=np.uint64)
+    heavy = [(1, 2), (2, 3), (1, 3), (10, 20), (20, 30), (10, 30)]
+    for t, expect_nc in ((1, 1), (2, 2)):
+        rows_u, rows_v = [], []
+        for u, v in heavy:
+            rows_u.append(u)
+            rows_v.append(v)
+        if t <= 1:
+            rows_u.append(3)
+            rows_v.append(10)
+        ds = rd.from_arrow(
+            pa.table(
+                {
+                    "src": pa.array(np.array(rows_u, dtype=np.uint64), type=pa.uint64()),
+                    "dst": pa.array(np.array(rows_v, dtype=np.uint64), type=pa.uint64()),
+                }
+            )
+        )
+        g = build_graph(ds, EngineConfig(num_partitions=2), directed=False)
+        comp, _ = connected_components(g, str(tmp_path / f"p{t}"), max_iters=16)
+        sizes = comp.groupby("component").aggregate(Count(alias_name="n"))
+        stats = sizes.aggregate(
+            Count(alias_name="nc"), Max("n", alias_name="big"), Sum("n", alias_name="nv")
+        )
+        assert int(stats["nc"]) == expect_nc
+        assert int(stats["big"]) == (6 if t == 1 else 3)
