@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zipf_fit": C.q_zipf_fit,
         "heavy_hitter_tokens": C.q_heavy_hitters,
         "int8_quantize": C.q_int8_quantize,
+        "truncated_dim_overlap": C.q_truncated_overlap,
         "tfidf_topk": C.q_tfidf_topk,
         "unigram_familiarity": C.q_unigram_familiarity,
         "contamination_docs": C.q_contamination,
@@ -312,6 +313,7 @@ def oracle_sql() -> dict[str, str]:
         "zipf_fit": S.zipf_fit_sql(top_k=256),
         "heavy_hitter_tokens": S.heavy_hitters_sql(top=10),
         "int8_quantize": S.INT8_QUANTIZE,
+        "truncated_dim_overlap": S.truncated_overlap_sql(query_ids=(0, 7, 42), k=5, dims=16),
         "tfidf_topk": S.tfidf_topk_sql(k=5),
         "unigram_familiarity": S.UNIGRAM_FAMILIARITY,
         "contamination_docs": S.contamination_sql(eval_mod=20, w=8),

@@ -487,6 +487,47 @@ def semantic_dedup(
     return assigned.groupby("cluster").map_groups(_mark, batch_format="pandas")
 
 
+def truncated_dim_overlap(
+    embeddings_ds, query_ids: list[int], k: int = 5, dims: int = 16
+):
+    """Matryoshka-style retrieval fidelity eval: per query, the overlap
+    between the exact cosine top-k under the FULL embedding and under
+    the first ``dims`` dimensions only — the standard check before
+    shipping truncated embeddings to save index memory. Two
+    brute-force top-k passes (the knn partial-top-k pattern), overlap
+    on the bounded (|queries|·k) result. Returns (query_id,
+    overlap_at_k)."""
+
+    def _trunc(b: pa.Table) -> pa.Table:
+        ids, mat = _embedding_matrix(b)
+        m = mat[:, :dims]
+        n = len(ids)
+        offsets = (np.arange(n + 1, dtype=np.int32) * dims).astype(np.int32)
+        emb = pa.ListArray.from_arrays(
+            pa.array(offsets, type=pa.int32()),
+            pa.array(m.ravel(), type=pa.float64()),
+        )
+        return pa.table(
+            {"vec_id": pa.array(ids, type=pa.int64()), "embedding": emb}
+        )
+
+    full = knn_brute_force(embeddings_ds, query_ids, k=k).to_pandas()
+    trunc_ds = embeddings_ds.map_batches(_trunc, batch_format="pyarrow")
+    trunc = knn_brute_force(trunc_ds, query_ids, k=k).to_pandas()
+    out_q, out_o = [], []
+    for q in query_ids:
+        a = set(full.loc[full["query_id"] == q, "vec_id"])
+        b = set(trunc.loc[trunc["query_id"] == q, "vec_id"])
+        out_q.append(q)
+        out_o.append(len(a & b))
+    return pa.table(
+        {
+            "query_id": pa.array(out_q, type=pa.int64()),
+            "overlap_at_k": pa.array(out_o, type=pa.int64()),
+        }
+    )
+
+
 def pca_project(embeddings_ds, n_components: int = 2):
     """Distributed PCA: the (d, d) covariance assembles from per-block
     partials (Σxᵀx, Σx, n — three tiny reductions; the corpus never

@@ -540,6 +540,35 @@ LIMIT {k})"""
     return "\nUNION ALL\n".join(blocks)
 
 
+def truncated_overlap_sql(query_ids=(0, 7, 42), k: int = 5, dims: int = 16) -> str:
+    """Replays functions/similarity.truncated_dim_overlap: exact
+    cosine top-k under the full embedding vs under the first ``dims``
+    dims; overlap of the two vec_id sets per query."""
+    blocks = []
+    for q in query_ids:
+        blocks.append(f"""(
+WITH qq AS (SELECT embedding::DOUBLE[] AS e FROM embeddings WHERE vec_id = {q}),
+f AS (
+  SELECT e.vec_id FROM embeddings e WHERE e.vec_id <> {q}
+  ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], (SELECT e FROM qq)) DESC,
+           e.vec_id ASC
+  LIMIT {k}
+),
+t AS (
+  SELECT e.vec_id FROM embeddings e WHERE e.vec_id <> {q}
+  ORDER BY list_cosine_similarity(
+             list_slice(e.embedding::DOUBLE[], 1, {dims}),
+             list_slice((SELECT e FROM qq), 1, {dims})) DESC,
+           e.vec_id ASC
+  LIMIT {k}
+)
+SELECT {q}::BIGINT AS query_id,
+  (SELECT count(*) FROM (SELECT vec_id FROM f INTERSECT SELECT vec_id FROM t))::BIGINT
+    AS overlap_at_k
+)""")
+    return "\nUNION ALL\n".join(blocks)
+
+
 INT8_QUANTIZE = """WITH base AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
 ),

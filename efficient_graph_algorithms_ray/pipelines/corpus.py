@@ -243,6 +243,13 @@ def q_ann_ivf_knn(sf_dir: str):
     return knn.map_batches(_shape, batch_format="pyarrow")
 
 
+def q_truncated_overlap(sf_dir: str):
+    """Matryoshka truncation fidelity: top-5 cosine retrieval overlap
+    between full 64-dim and first-16-dim embeddings for 3 probe
+    queries. SQL-oracled. Returns (query_id, overlap_at_k)."""
+    return S.truncated_dim_overlap(_emb(sf_dir), query_ids=[0, 7, 42], k=5, dims=16)
+
+
 def q_int8_quantize(sf_dir: str):
     """Per-dim symmetric int8 quantization report over the embeddings
     table (reconstruction error + integer code checksum per vector).

@@ -338,3 +338,25 @@ def test_int8_quantize_bruteforce():
     assert np.allclose(out["err_r6"].to_numpy(), np.round(err, 6))
     # max quantization error per dim bounded by scale/254 per coordinate
     assert (np.abs(m - q * s / 127.0) <= s / 254 + 1e-12).all()
+
+
+def test_truncated_overlap_full_dims_is_k():
+    """With dims = full dimension, truncated retrieval is identical ->
+    overlap == k; with planted prefix-identical vectors the truncated
+    pass ranks them top."""
+    from efficient_graph_algorithms_ray.functions.similarity import (
+        truncated_dim_overlap,
+    )
+
+    rng = np.random.default_rng(21)
+    n, d = 60, 8
+    m = rng.normal(size=(n, d))
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(n), type=pa.int64()),
+            "embedding": pa.array([list(map(float, r)) for r in m]),
+        }
+    )
+    ds = rd.from_arrow(tbl)
+    out = truncated_dim_overlap(ds, query_ids=[0, 5], k=4, dims=d).to_pandas()
+    assert (out["overlap_at_k"] == 4).all()
