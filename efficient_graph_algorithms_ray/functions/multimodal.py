@@ -6,16 +6,20 @@ actor-pool ``map_batches`` stages with small batch sizes (large rows
 → keep batch × concurrency inside worker heaps, per the memory
 guidance in SURVEY §4).
 
-The real codec libraries (PIL/libav/etc.) are NOT in this container,
-so the decode step is split:
+The codec LIBRARIES (PIL/libav/etc.) are NOT in this container; the
+decode step therefore has three tiers:
 
+- ``ImageDecoder(codec="jpeg")`` — REAL compressed-image decoding via
+  the in-repo pure-numpy baseline JPEG codec (``functions/jpeg.py``,
+  implemented from the public ITU-T T.81 spec: marker parse, DHT
+  canonical Huffman, dequant, IDCT, YCbCr→RGB). Baseline 4:4:4 and
+  grayscale streams decode for real; progressive/subsampled raise.
 - ``decode_rgb8`` — a deterministic *fake* codec for a self-describing
-  EGA1 header format (documented below), used by the tests and the
-  deterministic synthetic generator; clearly marked.
-- ``ImageDecoder(codec="real")`` — raises ``NotImplementedError`` with
-  the dependency it would need; the Ray-side plumbing (actor
-  signature, schema, batch sizing, output layout) is identical for
-  both, so swapping in a real codec is a one-function change.
+  EGA1 header format (documented below), kept for cheap fixtures.
+- ``ImageDecoder(codec="real")`` — raises ``NotImplementedError`` for
+  the codecs that genuinely need a native library (PNG/WebP/H.264);
+  the Ray-side plumbing (actor signature, schema, batch sizing,
+  output layout) is identical for every tier.
 
 Payload format EGA1 (fake, deterministic): ``b"EGA1" + uint16 width +
 uint16 height + uint8 channels + payload`` where payload is
@@ -84,9 +88,16 @@ class ImageDecoder:
     def __init__(self, codec: str = "ega1") -> None:
         if codec == "real":
             raise NotImplementedError(
-                "real image codecs (PIL / turbojpeg) are not available in this "
-                "container; swap decode_rgb8 for the library call when present"
+                "native-library codecs (PNG/WebP/H.264) are not available in "
+                "this container; baseline JPEG IS implemented — use "
+                "codec='jpeg' (functions/jpeg.py, pure numpy)"
             )
+        if codec == "jpeg":
+            from .jpeg import decode_jpeg  # compile/bind once per actor
+
+            self._decode = lambda blob: _as_hwc(decode_jpeg(blob))
+        else:
+            self._decode = decode_rgb8
         self.codec = codec
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -95,7 +106,7 @@ class ImageDecoder:
         stds = np.empty((len(blobs), 3))
         phashes = np.empty(len(blobs), dtype=np.uint64)
         for i, blob in enumerate(blobs):
-            arr = decode_rgb8(blob)
+            arr = self._decode(blob)
             f = arr.reshape(-1, arr.shape[2]).astype(np.float64)
             means[i] = f.mean(axis=0)[:3]
             stds[i] = f.std(axis=0)[:3]
@@ -110,6 +121,72 @@ class ImageDecoder:
                 "phash": pa.array(phashes, type=pa.uint64()),
             }
         )
+
+
+def _as_hwc(arr: np.ndarray) -> np.ndarray:
+    """Grayscale H×W → H×W×3 (replicated) so the feature schema is
+    channel-uniform."""
+    if arr.ndim == 2:
+        return np.repeat(arr[:, :, None], 3, axis=2)
+    return arr
+
+
+def synthetic_jpegs(n: int, seed: int = 42, size: int = 24, quality: int = 90) -> pa.Table:
+    """Deterministic synthetic JPEG table (img_id, image, width, height,
+    channels) — REAL baseline-JPEG payloads produced by the in-repo
+    encoder (functions/jpeg.py): per-image seeded smooth gradients +
+    low-frequency texture (compressible, like real photos)."""
+    from .jpeg import encode_jpeg
+
+    blobs = []
+    for i in range(n):
+        rng = np.random.Generator(np.random.Philox(key=[seed, 7000 + i]))
+        yy, xx = np.mgrid[0:size, 0:size].astype(np.float64)
+        fx, fy = rng.uniform(0.5, 3.0, 2)
+        ph = rng.uniform(0, 2 * np.pi, 3)
+        chans = [
+            127.5
+            + 100 * np.sin(2 * np.pi * (fx * xx / size + fy * yy / size) + ph[c])
+            + rng.normal(0, 4, (size, size))
+            for c in range(3)
+        ]
+        arr = np.clip(np.stack(chans, axis=-1).round(), 0, 255).astype(np.uint8)
+        blobs.append(encode_jpeg(arr, quality=quality))
+    return pa.table(
+        {
+            "img_id": pa.array(np.arange(n, dtype=np.int64), type=pa.int64()),
+            "image": pa.array(blobs, type=pa.binary()),
+            "width": pa.array(np.full(n, size, dtype=np.int32), type=pa.int32()),
+            "height": pa.array(np.full(n, size, dtype=np.int32), type=pa.int32()),
+            "channels": pa.array(np.full(n, 3, dtype=np.int32), type=pa.int32()),
+        }
+    )
+
+
+def jpeg_recompress(batch: pa.Table, target: tuple[int, int] = (16, 16), quality: int = 85) -> pa.Table:
+    """REAL decode→resize→re-encode stage for baseline JPEG payloads
+    (the thumbnailing step of a web image pipeline): pure-numpy decode
+    (functions/jpeg.py), nearest-neighbor resample, baseline re-encode.
+    Schema contract identical to ``resize_nearest_ega1``."""
+    from .jpeg import decode_jpeg, encode_jpeg
+
+    th, tw = target
+    out = []
+    for blob in batch.column("image").to_pylist():
+        arr = _as_hwc(decode_jpeg(blob))
+        h, w, _ = arr.shape
+        ys = (np.arange(th) * h) // th
+        xs = (np.arange(tw) * w) // tw
+        out.append(encode_jpeg(np.ascontiguousarray(arr[ys][:, xs]), quality=quality))
+    return pa.table(
+        {
+            "img_id": batch.column("img_id"),
+            "image": pa.array(out, type=pa.binary()),
+            "width": pa.array(np.full(len(out), tw, dtype=np.int32), type=pa.int32()),
+            "height": pa.array(np.full(len(out), th, dtype=np.int32), type=pa.int32()),
+            "channels": batch.column("channels"),
+        }
+    )
 
 
 def _phash64(arr: np.ndarray) -> np.uint64:

@@ -409,6 +409,30 @@ def q_image_features(sf_dir: str):
     )
 
 
+def q_jpeg_features(sf_dir: str):
+    """REAL compressed-image pipeline: deterministic baseline-JPEG
+    payloads (in-repo pure-numpy T.81 encoder) → actor-pool
+    decode→resize→re-encode thumbnail stage → actor-pool JPEG
+    decode/feature stage (functions/jpeg.py decoder: marker parse,
+    stream-defined Huffman tables, dequant, IDCT, YCbCr→RGB). Rows-
+    only at the driver (a JPEG entropy decoder is not
+    SQL-expressible); codec exactness is pytest-verified (DCT
+    orthonormality, roundtrip PSNR, q100 tightness)."""
+    from ..functions.multimodal import ImageDecoder, jpeg_recompress, synthetic_jpegs
+
+    imgs = rd.from_arrow(synthetic_jpegs(128))
+    thumbs = imgs.map_batches(
+        jpeg_recompress, batch_format="pyarrow", batch_size=32
+    )
+    return thumbs.map_batches(
+        ImageDecoder,
+        fn_constructor_kwargs={"codec": "jpeg"},
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=2,
+    )
+
+
 def q_doc_len_stats_by_lang(sf_dir: str):
     """Per-language length stats via distributed Welford partial+merge
     (eval_kernel_statistics parity) — SQL-oracled vs AVG/STDDEV_POP."""
