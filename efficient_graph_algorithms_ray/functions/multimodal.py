@@ -379,6 +379,85 @@ def frame_sample_ega1(batch: pa.Table, every_n: int = 4) -> pa.Table:
     )
 
 
+MJPEG_MAGIC = b"EGVJ"  # magic + uint16 n_frames + uint32 lengths[n] + JPEG streams
+
+
+def encode_mjpeg(frames: np.ndarray, quality: int = 90) -> bytes:
+    """uint8 [n, h, w, 3] frame stack → MJPEG-style container: an index
+    of per-frame byte lengths followed by REAL baseline-JPEG streams
+    (the in-repo T.81 encoder). Motion-JPEG is the classic
+    intra-only video codec — every frame independently seekable."""
+    from .jpeg import encode_jpeg
+
+    blobs = [encode_jpeg(f, quality=quality) for f in frames]
+    out = bytearray(MJPEG_MAGIC)
+    out += struct.pack("<H", len(blobs))
+    for b in blobs:
+        out += struct.pack("<I", len(b))
+    for b in blobs:
+        out += b
+    return bytes(out)
+
+
+def synthetic_mjpeg_videos(
+    n: int, seed: int = 42, n_frames: int = 8, size: int = 24, quality: int = 90
+) -> pa.Table:
+    """Deterministic MJPEG video table (vid_id, video, n_frames):
+    per-video drifting gradient scenes, REAL JPEG frames."""
+    blobs = []
+    for i in range(n):
+        rng = np.random.Generator(np.random.Philox(key=[seed, 9000 + i]))
+        yy, xx = np.mgrid[0:size, 0:size].astype(np.float64)
+        fx, fy = rng.uniform(0.5, 2.5, 2)
+        frames = []
+        for t in range(n_frames):
+            ph = 2 * np.pi * t / n_frames
+            chans = [
+                127.5 + 100 * np.sin(2 * np.pi * (fx * xx + fy * yy) / size + ph + c)
+                for c in range(3)
+            ]
+            frames.append(
+                np.clip(np.stack(chans, axis=-1).round(), 0, 255).astype(np.uint8)
+            )
+        blobs.append(encode_mjpeg(np.stack(frames), quality=quality))
+    return pa.table(
+        {
+            "vid_id": pa.array(np.arange(n, dtype=np.int64), type=pa.int64()),
+            "video": pa.array(blobs, type=pa.binary()),
+            "n_frames": pa.array(np.full(n, n_frames, dtype=np.int32), type=pa.int32()),
+        }
+    )
+
+
+def frame_sample_mjpeg(batch: pa.Table, every_n: int = 4) -> pa.Table:
+    """REAL compressed-video frame sampling: the MJPEG index gives
+    every frame's byte range, so sampling extracts ONLY the chosen
+    frames' JPEG streams — no decode of skipped frames (the seek
+    behavior a real pipeline needs). Output rows carry raw JPEG bytes,
+    composable with ``ImageDecoder(codec='jpeg')`` and
+    ``jpeg_recompress``."""
+    out_vid, out_frame, out_img = [], [], []
+    for vid_id, blob in zip(
+        batch.column("vid_id").to_pylist(), batch.column("video").to_pylist()
+    ):
+        if blob[:4] != MJPEG_MAGIC:
+            raise ValueError("not an EGVJ (MJPEG) payload")
+        (n,) = struct.unpack_from("<H", blob, 4)
+        lengths = struct.unpack_from(f"<{n}I", blob, 6)
+        offs = np.concatenate(([0], np.cumsum(lengths))).astype(np.int64) + 6 + 4 * n
+        for f in range(0, n, every_n):
+            out_vid.append(vid_id)
+            out_frame.append(f)
+            out_img.append(blob[offs[f] : offs[f + 1]])
+    return pa.table(
+        {
+            "vid_id": pa.array(out_vid, type=pa.int64()),
+            "frame": pa.array(out_frame, type=pa.int64()),
+            "image": pa.array(out_img, type=pa.binary()),
+        }
+    )
+
+
 def frame_sample_stub(batch: pa.Table, every_n: int = 30) -> pa.Table:
     """Video frame-sampling for REAL containers — STUB (no libav/ffmpeg
     in this container; ``frame_sample_ega1`` is the functional path)."""

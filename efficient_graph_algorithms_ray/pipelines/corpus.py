@@ -433,6 +433,43 @@ def q_jpeg_features(sf_dir: str):
     )
 
 
+def q_mjpeg_frame_features(sf_dir: str):
+    """REAL compressed-video pipeline: MJPEG containers (per-frame
+    baseline-JPEG streams + a byte-range index) → frame sampling that
+    slices ONLY the chosen frames' byte ranges (true seek, skipped
+    frames never decode) → actor-pool JPEG decode/feature stage.
+    Rows-only (entropy decoding is not SQL-expressible); codec
+    exactness pytest-verified."""
+    from ..functions.multimodal import (
+        ImageDecoder,
+        frame_sample_mjpeg,
+        synthetic_mjpeg_videos,
+    )
+
+    vids = rd.from_arrow(synthetic_mjpeg_videos(48))
+    frames = vids.map_batches(frame_sample_mjpeg, batch_format="pyarrow", batch_size=16)
+
+    def _as_img(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                # composite id: (vid, frame) → one feature row per frame
+                "img_id": pa.array(
+                    np.asarray(b.column("vid_id")) * 1000 + np.asarray(b.column("frame")),
+                    type=pa.int64(),
+                ),
+                "image": b.column("image"),
+            }
+        )
+
+    return frames.map_batches(_as_img, batch_format="pyarrow").map_batches(
+        ImageDecoder,
+        fn_constructor_kwargs={"codec": "jpeg"},
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=2,
+    )
+
+
 def q_doc_len_stats_by_lang(sf_dir: str):
     """Per-language length stats via distributed Welford partial+merge
     (eval_kernel_statistics parity) — SQL-oracled vs AVG/STDDEV_POP."""

@@ -136,3 +136,43 @@ def test_jpeg_multimodal_pipeline_features_match_source():
     for i, blob in enumerate(blobs):
         arr = decode_jpeg(blob).reshape(-1, 3).astype(np.float64)
         assert np.allclose(feats.loc[i, "mean_rgb"], np.round(arr.mean(axis=0), 6))
+
+
+def test_mjpeg_sampling_extracts_exact_frame_streams():
+    from efficient_graph_algorithms_ray.functions.jpeg import encode_jpeg
+    from efficient_graph_algorithms_ray.functions.multimodal import (
+        encode_mjpeg,
+        frame_sample_mjpeg,
+    )
+
+    rng = np.random.default_rng(8)
+    frames = np.clip(
+        rng.normal(128, 30, size=(6, 16, 16, 3)).round(), 0, 255
+    ).astype(np.uint8)
+    blob = encode_mjpeg(frames, quality=90)
+    tbl = pa.table(
+        {
+            "vid_id": pa.array([3], type=pa.int64()),
+            "video": pa.array([blob], type=pa.binary()),
+        }
+    )
+    out = frame_sample_mjpeg(tbl, every_n=2)
+    got_frames = out.column("frame").to_pylist()
+    assert got_frames == [0, 2, 4]
+    # sampled byte ranges are EXACTLY the per-frame JPEG streams
+    for fi, img in zip(got_frames, out.column("image").to_pylist()):
+        assert img == encode_jpeg(frames[fi], quality=90)
+        dec = decode_jpeg(img)
+        assert _psnr(dec, frames[fi]) > 25
+
+
+def test_mjpeg_pipeline_end_to_end():
+    import ray.data as rd
+
+    from efficient_graph_algorithms_ray.pipelines.corpus import (
+        q_mjpeg_frame_features,
+    )
+
+    out = q_mjpeg_frame_features("/root/testdata/sf0.001").to_pandas()
+    assert len(out) == 48 * 2  # 8 frames sampled every 4 -> 2 per video
+    assert {"img_id", "mean_rgb", "std_rgb", "phash"} <= set(out.columns)
