@@ -176,6 +176,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_features": C.q_image_features,
         "jpeg_features": C.q_jpeg_features,
         "mjpeg_frame_features": C.q_mjpeg_frame_features,
+        "png_features": C.q_png_features,
         "audio_features": C.q_audio_features,
         "video_frame_features": C.q_video_frame_features,
     }

@@ -88,14 +88,19 @@ class ImageDecoder:
     def __init__(self, codec: str = "ega1") -> None:
         if codec == "real":
             raise NotImplementedError(
-                "native-library codecs (PNG/WebP/H.264) are not available in "
-                "this container; baseline JPEG IS implemented — use "
-                "codec='jpeg' (functions/jpeg.py, pure numpy)"
+                "native-library codecs (WebP/H.264 inter-frame) are not "
+                "available in this container; baseline JPEG and PNG ARE "
+                "implemented in-repo — use codec='jpeg' (functions/jpeg.py) "
+                "or codec='png' (functions/png.py)"
             )
         if codec == "jpeg":
             from .jpeg import decode_jpeg  # compile/bind once per actor
 
             self._decode = lambda blob: _as_hwc(decode_jpeg(blob))
+        elif codec == "png":
+            from .png import decode_png
+
+            self._decode = lambda blob: _as_hwc(decode_png(blob))[:, :, :3]
         else:
             self._decode = decode_rgb8
         self.codec = codec

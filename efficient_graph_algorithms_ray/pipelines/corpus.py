@@ -433,6 +433,34 @@ def q_jpeg_features(sf_dir: str):
     )
 
 
+def q_png_features(sf_dir: str):
+    """REAL lossless-image pipeline: deterministic PNG payloads
+    (in-repo stdlib-zlib codec, functions/png.py) → actor-pool PNG
+    decode/feature stage. PNG roundtrips are bit-exact, so decoded
+    features equal pre-encode features exactly (pytest-verified);
+    rows-only at the driver (DEFLATE is not SQL-expressible)."""
+    from ..functions.multimodal import ImageDecoder
+    from ..functions.png import encode_png
+
+    rng_imgs = []
+    for i in range(128):
+        rng = np.random.Generator(np.random.Philox(key=[11, 4000 + i]))
+        rng_imgs.append(rng.integers(0, 256, size=(20, 20, 3), dtype=np.uint8))
+    tbl = pa.table(
+        {
+            "img_id": pa.array(np.arange(128, dtype=np.int64), type=pa.int64()),
+            "image": pa.array([encode_png(a) for a in rng_imgs], type=pa.binary()),
+        }
+    )
+    return rd.from_arrow(tbl).map_batches(
+        ImageDecoder,
+        fn_constructor_kwargs={"codec": "png"},
+        batch_format="pyarrow",
+        batch_size=32,
+        concurrency=2,
+    )
+
+
 def q_mjpeg_frame_features(sf_dir: str):
     """REAL compressed-video pipeline: MJPEG containers (per-frame
     baseline-JPEG streams + a byte-range index) → frame sampling that
