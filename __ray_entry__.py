@@ -177,6 +177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jpeg_features": C.q_jpeg_features,
         "mjpeg_frame_features": C.q_mjpeg_frame_features,
         "png_features": C.q_png_features,
+        "audio_compressed_features": C.q_audio_compressed_features,
         "audio_features": C.q_audio_features,
         "video_frame_features": C.q_video_frame_features,
     }

@@ -285,6 +285,38 @@ def synthetic_audio(n: int, seed: int = 42, seconds: float = 0.5, sample_rate: i
     )
 
 
+MULAW_MAGIC = b"EGWU"  # magic + uint32 sample_rate + mu-law bytes
+ADPCM_MAGIC = b"EGWA"  # magic + uint32 sample_rate + IMA ADPCM stream
+
+
+def encode_audio(samples: np.ndarray, sample_rate: int = 16000, codec: str = "pcm16") -> bytes:
+    """int16 samples → container bytes under the chosen REAL codec:
+    'pcm16' (EGW1), 'mulaw' (EGWU, G.711 2:1), 'adpcm' (EGWA, IMA
+    4:1)."""
+    if codec == "pcm16":
+        return encode_pcm16(samples, sample_rate)
+    if codec == "mulaw":
+        return AUDIO_HEADER.pack(MULAW_MAGIC, sample_rate) + mulaw_encode(samples).tobytes()
+    if codec == "adpcm":
+        return AUDIO_HEADER.pack(ADPCM_MAGIC, sample_rate) + adpcm_encode(samples)
+    raise ValueError(f"unknown audio codec {codec}")
+
+
+def decode_audio(blob: bytes) -> tuple[np.ndarray, int]:
+    """Container bytes → (int16 samples, sample_rate); dispatches on
+    the magic: PCM16 passthrough, μ-law table expansion, ADPCM
+    predictor replay — all REAL decodes, no codec library."""
+    magic, sr = AUDIO_HEADER.unpack_from(blob, 0)
+    body = blob[AUDIO_HEADER.size :]
+    if magic == AUDIO_MAGIC:
+        return np.frombuffer(body, dtype="<i2"), int(sr)
+    if magic == MULAW_MAGIC:
+        return mulaw_decode(np.frombuffer(body, dtype=np.uint8)), int(sr)
+    if magic == ADPCM_MAGIC:
+        return adpcm_decode(body), int(sr)
+    raise ValueError("unknown audio container magic")
+
+
 class AudioFeatures:
     """Actor-pool stage: PCM16 audio column → per-clip features
     (duration, RMS, zero-crossing rate, spectral centroid via rfft) —
@@ -302,7 +334,7 @@ class AudioFeatures:
         zcr = np.empty(len(blobs))
         cent = np.empty(len(blobs))
         for i, blob in enumerate(blobs):
-            x, sr = decode_pcm16(blob)
+            x, sr = decode_audio(blob)
             xf = x.astype(np.float64) / 32768.0
             dur[i] = len(xf) / sr
             rms[i] = float(np.sqrt(np.mean(xf * xf))) if len(xf) else 0.0
@@ -325,6 +357,119 @@ class AudioFeatures:
                 "spectral_centroid_hz": pa.array(np.round(cent, 2)),
             }
         )
+
+
+# --- compressed audio: REAL G.711 μ-law + IMA ADPCM codecs (numpy) --------
+
+_MULAW_BIAS = 0x84
+_MULAW_CLIP = 32635
+
+
+def mulaw_encode(samples: np.ndarray) -> np.ndarray:
+    """int16 PCM → uint8 G.711 μ-law (ITU-T G.711, public spec) —
+    vectorized numpy, the classic 2:1 companding codec."""
+    x = samples.astype(np.int32)
+    sign = (x < 0).astype(np.uint8) * 0x80
+    mag = np.minimum(np.abs(x), _MULAW_CLIP) + _MULAW_BIAS
+    exp = (np.floor(np.log2(mag)) - 7).astype(np.int32)
+    exp = np.clip(exp, 0, 7)
+    mant = (mag >> (exp + 3)) & 0x0F
+    return (~(sign | (exp.astype(np.uint8) << 4) | mant.astype(np.uint8))).astype(
+        np.uint8
+    )
+
+
+def mulaw_decode(codes: np.ndarray) -> np.ndarray:
+    """uint8 μ-law → int16 PCM (exact inverse of the companding law)."""
+    c = ~codes.astype(np.uint8)
+    sign = c & 0x80
+    exp = (c >> 4) & 0x07
+    mant = c & 0x0F
+    mag = (((mant.astype(np.int32) << 3) + _MULAW_BIAS) << exp) - _MULAW_BIAS
+    return np.where(sign != 0, -mag, mag).astype(np.int16)
+
+
+_IMA_INDEX_TABLE = np.array([-1, -1, -1, -1, 2, 4, 6, 8] * 2, dtype=np.int32)
+_IMA_STEP_TABLE = np.array(
+    [
+        7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+        41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+        190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+        724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+        2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+        6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+        16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+    ],
+    dtype=np.int32,
+)
+
+
+def adpcm_encode(samples: np.ndarray) -> bytes:
+    """int16 PCM → IMA ADPCM nibble stream (4:1, IMA/DVI spec): a
+    2-byte predictor seed + 1-byte step index + packed 4-bit codes."""
+    x = samples.astype(np.int32)
+    pred = int(x[0]) if len(x) else 0
+    index = 0
+    nibbles = []
+    for s in x:
+        step = int(_IMA_STEP_TABLE[index])
+        diff = int(s) - pred
+        code = 0
+        if diff < 0:
+            code = 8
+            diff = -diff
+        if diff >= step:
+            code |= 4
+            diff -= step
+        if diff >= step >> 1:
+            code |= 2
+            diff -= step >> 1
+        if diff >= step >> 2:
+            code |= 1
+        # reconstruct exactly as the decoder will
+        delta = step >> 3
+        if code & 4:
+            delta += step
+        if code & 2:
+            delta += step >> 1
+        if code & 1:
+            delta += step >> 2
+        pred = pred - delta if code & 8 else pred + delta
+        pred = max(-32768, min(32767, pred))
+        index = max(0, min(88, index + int(_IMA_INDEX_TABLE[code & 0x0F])))
+        nibbles.append(code)
+    packed = bytearray()
+    for i in range(0, len(nibbles) - 1, 2):
+        packed.append(nibbles[i] | (nibbles[i + 1] << 4))
+    if len(nibbles) % 2:
+        packed.append(nibbles[-1])
+    head = struct.pack("<hBBi", int(x[0]) if len(x) else 0, 0, 0, len(x))
+    return head + bytes(packed)
+
+
+def adpcm_decode(blob: bytes) -> np.ndarray:
+    """IMA ADPCM stream (our header framing) → int16 PCM."""
+    seed, index, _, n = struct.unpack_from("<hBBi", blob, 0)
+    data = blob[8:]
+    out = np.empty(n, dtype=np.int16)
+    pred = int(seed)
+    idx = int(index)
+    for i in range(n):
+        b = data[i // 2]
+        code = (b >> 4) if i % 2 else (b & 0x0F)
+        step = int(_IMA_STEP_TABLE[idx])
+        delta = step >> 3
+        if code & 4:
+            delta += step
+        if code & 2:
+            delta += step >> 1
+        if code & 1:
+            delta += step >> 2
+        pred = pred - delta if code & 8 else pred + delta
+        pred = max(-32768, min(32767, pred))
+        out[i] = pred
+        idx = max(0, min(88, idx + int(_IMA_INDEX_TABLE[code])))
+    return out
 
 
 # --- video: fake EGV1 container → REAL frame sampling (byte slicing) ------

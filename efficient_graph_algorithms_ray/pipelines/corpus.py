@@ -433,6 +433,37 @@ def q_jpeg_features(sf_dir: str):
     )
 
 
+def q_audio_compressed_features(sf_dir: str):
+    """REAL compressed-audio pipeline: deterministic tones encoded
+    under G.711 μ-law (2:1) and IMA ADPCM (4:1) — both decoded by the
+    in-repo pure-numpy codecs (functions/multimodal.py) through the
+    same actor-pool AudioFeatures stage as PCM16 (container-magic
+    dispatch). Rows-only; codec exactness pytest-verified (roundtrip
+    SNR, 256-code μ-law idempotence, spectral-peak preservation)."""
+    from ..functions.multimodal import AudioFeatures, encode_audio
+
+    sr = 16000
+    t = np.arange(sr // 2) / sr
+    rows_id, rows_blob = [], []
+    for i in range(96):
+        rng = np.random.Generator(np.random.Philox(key=[13, 5000 + i]))
+        freq = 100.0 + 40.0 * (i % 32)
+        wave = 0.5 * np.sin(2 * np.pi * freq * t) + 0.03 * rng.standard_normal(len(t))
+        x = (np.clip(wave, -1, 1) * 32767).astype(np.int16)
+        codec = ("mulaw", "adpcm")[i % 2]
+        rows_id.append(i)
+        rows_blob.append(encode_audio(x, sr, codec))
+    tbl = pa.table(
+        {
+            "clip_id": pa.array(rows_id, type=pa.int64()),
+            "audio": pa.array(rows_blob, type=pa.binary()),
+        }
+    )
+    return rd.from_arrow(tbl).map_batches(
+        AudioFeatures, batch_format="pyarrow", batch_size=24, concurrency=2
+    )
+
+
 def q_png_features(sf_dir: str):
     """REAL lossless-image pipeline: deterministic PNG payloads
     (in-repo stdlib-zlib codec, functions/png.py) → actor-pool PNG
