@@ -178,6 +178,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mjpeg_frame_features": C.q_mjpeg_frame_features,
         "png_features": C.q_png_features,
         "audio_compressed_features": C.q_audio_compressed_features,
+        "warc_pagerank_top10": C.q_warc_pagerank_top10,
         "audio_features": C.q_audio_features,
         "video_frame_features": C.q_video_frame_features,
     }

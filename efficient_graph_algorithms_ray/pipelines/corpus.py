@@ -433,6 +433,47 @@ def q_jpeg_features(sf_dir: str):
     )
 
 
+def q_warc_pagerank_top10(sf_dir: str):
+    """WARC end-to-end: synthetic pages → .warc.gz (one gzip member
+    per record + CDX offset index, the Common Crawl layout) →
+    block-parallel range reads → html extract → graph → PageRank →
+    top 10. Rows-only (the flagship parsed-pages rationale); WARC
+    byte-identity is pytest-verified."""
+    import glob
+    import os
+    import tempfile
+
+    import pyarrow.parquet as pq_
+
+    from ..config import EngineConfig
+    from ..pipelines.graph_build import graph_from_pages
+    from ..pipelines.pagerank import pagerank, top_k_ranks
+    from ..sources.pages import write_pages
+    from ..sources.warc import read_warc_gz, write_warc_gz
+
+    work = tempfile.mkdtemp(prefix="ega_warc_", dir="/tmp")
+    pdir = write_pages(os.path.join(work, "pages"), n_pages=1500)
+    tbl = pa.concat_tables(
+        [pq_.read_table(f) for f in sorted(glob.glob(os.path.join(pdir, "*.parquet")))]
+    )
+    path = write_warc_gz(tbl, os.path.join(work, "crawl.warc.gz"))
+    pages_ds = read_warc_gz(path, override_num_blocks=8)
+    g = graph_from_pages(pages_ds, EngineConfig(num_partitions=8), directed=True)
+    ranks, _ = pagerank(g, os.path.join(work, "pr"), tol=1e-6, max_iters=50)
+
+    def _shape(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc_
+
+        return pa.table(
+            {
+                "vid": b.column("vid").cast(pa.int64()),
+                "rank_r9": pc_.round(b.column("rank"), ndigits=9),
+            }
+        )
+
+    return top_k_ranks(ranks, 10).map_batches(_shape, batch_format="pyarrow")
+
+
 def q_audio_compressed_features(sf_dir: str):
     """REAL compressed-audio pipeline: deterministic tones encoded
     under G.711 μ-law (2:1) and IMA ADPCM (4:1) — both decoded by the
