@@ -466,7 +466,7 @@ def q_warc_pagerank_top10(sf_dir: str):
 
         return pa.table(
             {
-                "vid": b.column("vid").cast(pa.int64()),
+                "vid": b.column("vid"),  # uint64 page hash (beyond int64)
                 "rank_r9": pc_.round(b.column("rank"), ndigits=9),
             }
         )
