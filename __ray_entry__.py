@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "scc_coocc": R.q_scc_coocc,
         "reciprocity_coocc": R.q_reciprocity_coocc,
         "louvain_coocc": R.q_louvain_coocc,
+        "louvain_modularity": R.q_louvain_modularity,
         "backbone_coocc": R.q_backbone_coocc,
         "sweepcut_coocc": R.q_sweepcut_coocc,
         "powerlaw_coocc": R.q_powerlaw_coocc,
@@ -294,6 +295,7 @@ def oracle_sql() -> dict[str, str]:
         "tree_ensemble_coocc": S.tree_ensemble_coocc_sql(a=-0.5),
         "reciprocity_coocc": S.RECIPROCITY_COOCC,
         "louvain_coocc": S.louvain_coocc_sql(rounds=2),
+        "louvain_modularity": S.louvain_modularity_sql(rounds=2),
         "backbone_coocc": S.backbone_coocc_sql(k=5),
         "sweepcut_coocc": S.sweepcut_coocc_sql(k=8, T=16),
         "powerlaw_coocc": S.powerlaw_coocc_sql(dmin=2),

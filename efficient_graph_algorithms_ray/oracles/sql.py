@@ -2406,13 +2406,9 @@ SELECT u::BIGINT AS u, v::BIGINT AS v, w, rk::BIGINT AS rk
 FROM rk WHERE rk <= {k}"""
 
 
-def louvain_coocc_sql(rounds: int = 2) -> str:
-    """Replays pipelines/louvain.louvain_moves over the co-occurrence
-    graph: per round, community degree totals, neighbor-community edge
-    counts, exact integer gain scores s = m2·k − deg·tot (candidate)
-    vs s_stay = m2·k_own − deg·(tot_own − deg), move iff max s >
-    s_stay with ties to the smallest community label. Pure integer
-    arithmetic — bit-exact."""
+def _louvain_chain(rounds: int) -> list[str]:
+    """Shared CTE chain for the Louvain replays (final labels in
+    ``l{rounds}``)."""
     parts = [
         f"""WITH {_COOCC_UND_MAT},
 deg AS MATERIALIZED (SELECT u AS vid, count(*)::BIGINT AS deg FROM und GROUP BY u),
@@ -2458,9 +2454,46 @@ l{r} AS MATERIALIZED (
          THEN b.c ELSE o.lab END AS lab
   FROM own{r} o LEFT JOIN best{r} b ON b.vid = o.vid
 )""")
+    return parts
+
+
+def louvain_coocc_sql(rounds: int = 2) -> str:
+    """Replays pipelines/louvain.louvain_moves over the co-occurrence
+    graph: per round, community degree totals, neighbor-community edge
+    counts, exact integer gain scores s = m2·k − deg·tot (candidate)
+    vs s_stay = m2·k_own − deg·(tot_own − deg), move iff max s >
+    s_stay with ties to the smallest community label. Pure integer
+    arithmetic — bit-exact."""
+    parts = _louvain_chain(rounds)
     parts.append(
         f"\nSELECT vid::BIGINT AS vid, lab::BIGINT AS community FROM l{rounds}"
     )
+    return "".join(parts)
+
+
+def louvain_modularity_sql(rounds: int = 2) -> str:
+    """Newman modularity of the Louvain communities with exact integer
+    numerators: Q = (2·m2·A − B) / m2² where A = intra-community
+    directed-slot count (Σ over und edges with equal labels), B =
+    Σ_c tot_c², m2 = Σ deg — a single IEEE division at the end."""
+    parts = _louvain_chain(rounds)
+    parts.append(f""",
+fin AS (SELECT vid, lab FROM l{rounds}),
+intra AS (
+  SELECT count(*)::BIGINT AS a
+  FROM und e JOIN fin lu ON lu.vid = e.u JOIN fin lv ON lv.vid = e.v
+  WHERE lu.lab = lv.lab
+),
+tots AS (
+  SELECT SUM(t * t)::BIGINT AS b, count(*)::BIGINT AS nc FROM (
+    SELECT l.lab, SUM(d.deg)::BIGINT AS t
+    FROM fin l JOIN deg d ON d.vid = l.vid GROUP BY l.lab
+  )
+)
+SELECT tots.nc AS n_communities, intra.a AS intra_slots, tots.b AS sq_tot,
+  CAST((SELECT m2 FROM m2) * intra.a - tots.b AS DOUBLE)
+    / CAST((SELECT m2 FROM m2) * (SELECT m2 FROM m2) AS DOUBLE) AS q
+FROM intra, tots""")
     return "".join(parts)
 
 

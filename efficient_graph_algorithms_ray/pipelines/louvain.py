@@ -116,9 +116,124 @@ def _attach_tot(rows_ds, key_col: str, tot_ds, P: int):
 
 def louvain_moves(edges_uv, *, rounds: int = 2, num_partitions: int = 32):
     """edges_uv: Dataset of DISTINCT undirected pairs (u, v), one row
-    per pair (any orientation). Returns Dataset (vid, community,
-    moved_last int64) after ``rounds`` synchronous greedy rounds from
-    singleton init."""
+    per pair (any orientation). Returns Dataset (vid, community) after
+    ``rounds`` synchronous greedy rounds from singleton init."""
+    state, _, _ = louvain_state(edges_uv, rounds=rounds, num_partitions=num_partitions)
+
+    def _shape(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vid": pa.array(
+                    b.column("vid").to_numpy(zero_copy_only=False).astype(np.int64),
+                    type=pa.int64(),
+                ),
+                "community": pa.array(
+                    b.column("lab").to_numpy(zero_copy_only=False).astype(np.int64),
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    return state.map_batches(_shape, batch_format="pyarrow")
+
+
+def louvain_modularity(edges_uv, *, rounds: int = 2, num_partitions: int = 32):
+    """Newman modularity of the ``rounds``-round Louvain communities
+    with exact integer numerators: Q = (m2·A − B)/m2² where A = intra
+    directed-slot count, B = Σ_c tot_c², m2 = Σ deg — one IEEE
+    division. A comes from the same neighbor-community counts the move
+    rounds use (Σ k(v, lab(v))); B from one ``groupby(lab).sum``.
+    Returns a 1-row table (n_communities, intra_slots, sq_tot, q)."""
+    from ray.data.aggregate import Count, Sum
+
+    P = num_partitions
+    state, both, m2 = louvain_state(
+        edges_uv, rounds=rounds, num_partitions=num_partitions
+    )
+    tot = state.groupby("lab").aggregate(Sum("deg", alias_name="tot"))
+
+    def _sq(b: pa.Table) -> pa.Table:
+        t = b.column("tot").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "b": pa.array([int((t.astype(object) ** 2).sum())], type=pa.int64()),
+                "nc": pa.array([len(t)], type=pa.int64()),
+            }
+        )
+
+    agg = tot.map_batches(_sq, batch_format="pyarrow").aggregate(
+        Sum("b", alias_name="b"), Sum("nc", alias_name="nc")
+    )
+    B, nc = int(agg["b"]), int(agg["nc"])
+
+    k = _neighbor_counts(both, state, P)
+
+    # intra slots: Σ k(v, lab(v)) — co-shuffle k rows with the state by
+    # vertex and keep the own-community row per vertex
+    def _tag_state(b: pa.Table) -> pa.Table:
+        vid = b.column("vid").to_numpy(zero_copy_only=False).astype(np.uint64)
+        return pa.table(
+            {
+                "part": pa.array((vid % np.uint64(P)).astype(np.int64)),
+                "tag": pa.array(np.zeros(len(b), dtype=np.int64)),
+                "key": pa.array(vid, type=pa.uint64()),
+                "c": b.column("lab"),
+                "k": pa.array(np.zeros(len(b), dtype=np.int64)),
+            }
+        )
+
+    def _tag_k(b: pa.Table) -> pa.Table:
+        u = b.column("u").to_numpy(zero_copy_only=False).astype(np.uint64)
+        return pa.table(
+            {
+                "part": pa.array((u % np.uint64(P)).astype(np.int64)),
+                "tag": pa.array(np.ones(len(b), dtype=np.int64)),
+                "key": pa.array(u, type=pa.uint64()),
+                "c": b.column("c"),
+                "k": b.column("k"),
+            }
+        )
+
+    def _own_sum(g: pa.Table) -> pa.Table:
+        tag = g.column("tag").to_numpy(zero_copy_only=False)
+        key = g.column("key").to_numpy(zero_copy_only=False).astype(np.uint64)
+        c = g.column("c").to_numpy(zero_copy_only=False).astype(np.uint64)
+        kk = g.column("k").to_numpy(zero_copy_only=False)
+        is_state = tag == 0
+        sv, sl = key[is_state], c[is_state]
+        order = np.argsort(sv, kind="stable")
+        sv, sl = sv[order], sl[order]
+        ku, kc, kn = key[~is_state], c[~is_state], kk[~is_state]
+        if len(ku) == 0 or len(sv) == 0:
+            return pa.table({"a": pa.array([0], type=pa.int64())})
+        pos = np.searchsorted(sv, ku)
+        own = sl[pos] == kc
+        return pa.table({"a": pa.array([int(kn[own].sum())], type=pa.int64())})
+
+    from ray.data.aggregate import Sum as _Sum
+
+    merged = state.map_batches(_tag_state, batch_format="pyarrow").union(
+        k.map_batches(_tag_k, batch_format="pyarrow")
+    )
+    a_agg = (
+        merged.groupby("part")
+        .map_groups(_own_sum, batch_format="pyarrow")
+        .aggregate(_Sum("a", alias_name="a"))
+    )
+    A = int(a_agg["a"])
+    return pa.table(
+        {
+            "n_communities": pa.array([nc], type=pa.int64()),
+            "intra_slots": pa.array([A], type=pa.int64()),
+            "sq_tot": pa.array([B], type=pa.int64()),
+            "q": pa.array([(m2 * A - B) / (m2 * m2)], type=pa.float64()),
+        }
+    )
+
+
+def louvain_state(edges_uv, *, rounds: int = 2, num_partitions: int = 32):
+    """Run the move rounds; returns (state Dataset (vid, lab, deg),
+    both-directions edge Dataset, m2 = Σ deg)."""
     from ray.data.aggregate import Count, Sum
 
     P = num_partitions
@@ -147,21 +262,7 @@ def louvain_moves(edges_uv, *, rounds: int = 2, num_partitions: int = 32):
         k_t = _attach_tot(k, "c", tot, P)
         state = _decide(k_t, state_t, m2, P).materialize()
 
-    def _shape(b: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "vid": pa.array(
-                    b.column("vid").to_numpy(zero_copy_only=False).astype(np.int64),
-                    type=pa.int64(),
-                ),
-                "community": pa.array(
-                    b.column("lab").to_numpy(zero_copy_only=False).astype(np.int64),
-                    type=pa.int64(),
-                ),
-            }
-        )
-
-    return state.map_batches(_shape, batch_format="pyarrow")
+    return state, both, m2
 
 
 def _neighbor_counts(both, state, P: int):

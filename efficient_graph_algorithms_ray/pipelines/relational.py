@@ -1138,6 +1138,39 @@ def q_louvain_coocc(sf_dir: str):
     return louvain_moves(distinct, rounds=2)
 
 
+def q_louvain_modularity(sf_dir: str):
+    """Newman modularity of the 2-round Louvain communities — exact
+    integer numerators (Q = (m2·A − B)/m2², one IEEE division).
+    SQL-oracled by replaying the move rounds plus the intra/total
+    sums. Returns (n_communities, intra_slots, sq_tot, q)."""
+    from ray.data.aggregate import Count
+
+    from .louvain import louvain_modularity
+
+    def _uv(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "u": pa.array(
+                    b.column("src").to_numpy(zero_copy_only=False).astype(np.uint64),
+                    type=pa.uint64(),
+                ),
+                "v": pa.array(
+                    b.column("dst").to_numpy(zero_copy_only=False).astype(np.uint64),
+                    type=pa.uint64(),
+                ),
+            }
+        )
+
+    distinct = (
+        part_cooccurrence_edges(sf_dir)
+        .map_batches(_uv, batch_format="pyarrow")
+        .groupby(["u", "v"])
+        .aggregate(Count(alias_name="n"))
+        .select_columns(["u", "v"])
+    )
+    return louvain_modularity(distinct, rounds=2)
+
+
 def q_reciprocity_coocc(sf_dir: str):
     """Edge reciprocity of the hash-oriented directed co-occurrence
     graph (Newman): the fraction of directed edges whose reverse edge
