@@ -597,12 +597,20 @@ def exact_jaccard(text_a: str, text_b: str, w: int = 3) -> float:
     return len(sa & sb) / len(sa | sb)
 
 
-def neardup_clusters(docs_ds, pairs_ds, num_partitions: int = 8, ckpt_dir: str | None = None):
+def neardup_clusters(
+    docs_ds,
+    pairs_ds,
+    num_partitions: int = 8,
+    ckpt_dir: str | None = None,
+    carry: list[str] | None = None,
+):
     """Near-dup pairs → clusters via the engine's own CC superstep kernel.
 
     Every doc is a vertex (so singletons keep their own cluster);
     candidate pairs are edges. Returns (doc_id, cluster) where
-    cluster = min doc_id of the connected near-dup group.
+    cluster = min doc id of the connected near-dup group; ``carry``
+    names extra doc columns to keep alongside (e.g. ``n_chars`` for a
+    retention policy downstream).
     """
     import tempfile
 
@@ -620,11 +628,16 @@ def neardup_clusters(docs_ds, pairs_ds, num_partitions: int = 8, ckpt_dir: str |
             }
         )
 
+    extra = list(carry or [])
     edges = pairs_ds.map_batches(_pair_edges, batch_format="pyarrow")
     if edges.count() == 0:
         return docs_ds.map_batches(
             lambda b: pa.table(
-                {"doc_id": b.column("doc_id"), "cluster": b.column("doc_id")}
+                {
+                    "doc_id": b.column("doc_id"),
+                    "cluster": b.column("doc_id"),
+                    **{c: b.column(c) for c in extra},
+                }
             ),
             batch_format="pyarrow",
         )
@@ -657,10 +670,62 @@ def neardup_clusters(docs_ds, pairs_ds, num_partitions: int = 8, ckpt_dir: str |
         ok[ok] = cv[pos[ok]] == ids[ok]
         cl[ok] = cc[pos[ok]]
         return pa.table(
-            {"doc_id": batch.column("doc_id"), "cluster": pa.array(cl, type=pa.int64())}
+            {
+                "doc_id": batch.column("doc_id"),
+                "cluster": pa.array(cl, type=pa.int64()),
+                **{c: batch.column(c) for c in extra},
+            }
         )
 
     return docs_ds.map_batches(_fill, batch_format="pyarrow")
+
+
+def neardup_keep_canonical(docs_ds, pairs_ds, num_partitions: int = 8):
+    """Retention policy over near-dup clusters (the step RefinedWeb /
+    Dolma run after clustering): keep ONE canonical document per
+    cluster — the longest (``n_chars``), ties to the smallest doc_id.
+    Returns (doc_id, cluster, n_chars) of the survivors.
+
+    Plan: cluster labels ride the doc rows (``neardup_clusters`` with
+    ``carry``); a per-block vectorized arg-best partial (lexsort +
+    first-of-run) reduces each block to ≤ one row per cluster before
+    the single small ``groupby(cluster).map_groups`` merge — the text
+    never shuffles and no stage holds more than a block.
+    """
+    cl = neardup_clusters(
+        docs_ds, pairs_ds, num_partitions=num_partitions, carry=["n_chars"]
+    )
+
+    def _best(tbl: pa.Table) -> pa.Table:
+        c = tbl.column("cluster").to_numpy(zero_copy_only=False).astype(np.int64)
+        d = tbl.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = tbl.column("n_chars").to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(c) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "cluster": pa.array([], type=pa.int64()),
+                    "n_chars": pa.array([], type=pa.int64()),
+                }
+            )
+        order = np.lexsort((d, -n, c))
+        cs = c[order]
+        first = np.ones(len(cs), dtype=bool)
+        first[1:] = cs[1:] != cs[:-1]
+        idx = order[first]
+        return pa.table(
+            {
+                "doc_id": pa.array(d[idx], type=pa.int64()),
+                "cluster": pa.array(c[idx], type=pa.int64()),
+                "n_chars": pa.array(n[idx], type=pa.int64()),
+            }
+        )
+
+    return (
+        cl.map_batches(_best, batch_format="pyarrow")
+        .groupby("cluster")
+        .map_groups(_best, batch_format="pyarrow")
+    )
 
 
 def contamination_counts(

@@ -1353,6 +1353,28 @@ reach AS (
 SELECT node AS doc_id, MIN(r) AS cluster FROM reach GROUP BY node"""
 
 
+def neardup_keep_canonical_sql(threshold: float = 0.5) -> str:
+    """Retention policy replay: per near-dup cluster keep the longest
+    doc, ties to the smallest doc_id — the cluster labels come from the
+    same reachability closure as ``neardup_clusters_sql``."""
+    return f"""WITH RECURSIVE {_minhash_frag(threshold)},
+pe AS (SELECT da AS x, db AS y FROM hits UNION ALL SELECT db, da FROM hits),
+reach AS (
+  SELECT doc_id AS node, doc_id AS r FROM documents
+  UNION
+  SELECT pe.x AS node, reach.r FROM reach JOIN pe ON reach.node = pe.y
+),
+clus AS (SELECT node AS doc_id, MIN(r) AS cluster FROM reach GROUP BY node),
+rk AS (
+  SELECT c.doc_id, c.cluster, d.n_chars,
+    row_number() OVER (PARTITION BY c.cluster ORDER BY d.n_chars DESC, c.doc_id) AS rn
+  FROM clus c JOIN documents d USING (doc_id)
+)
+SELECT doc_id::BIGINT AS doc_id, cluster::BIGINT AS cluster,
+  n_chars::BIGINT AS n_chars
+FROM rk WHERE rn = 1"""
+
+
 def corpus_prep_sql(threshold: float = 0.5, qmin_ppm: int = 550_000) -> str:
     """The full corpus-prep chain in one statement: quality filter →
     exact dedup (min doc_id per text) → MinHash near-dup clusters over

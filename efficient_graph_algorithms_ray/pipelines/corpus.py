@@ -145,6 +145,13 @@ def q_neardup_clusters(sf_dir: str):
     return D.neardup_clusters(docs, _minhash_pairs_cached(sf_dir))
 
 
+def q_neardup_keep_canonical(sf_dir: str):
+    """Canonical-doc retention per near-dup cluster: keep the longest
+    document (ties → smallest doc_id). SQL-oracled."""
+    docs = _docs(sf_dir, ["doc_id", "text", "n_chars"])
+    return D.neardup_keep_canonical(docs, _minhash_pairs_cached(sf_dir))
+
+
 def q_ann_lsh_pairs(sf_dir: str):
     # threshold sized to the fixture: sf0.01 embeddings top out at
     # cosine ≈ 0.51, so 0.9 exercised nothing (0 rows in round 1);

@@ -89,6 +89,25 @@ def test_neardup_clusters_via_cc_engine():
     assert cl[4] == 4  # singleton keeps own id
 
 
+def test_neardup_keep_canonical_retention():
+    from efficient_graph_algorithms_ray.functions.dedup import neardup_keep_canonical
+
+    tbl = _corpus()
+    n_chars = pa.array(
+        [len(t) for t in tbl.column("text").to_pylist()], type=pa.int64()
+    )
+    docs = rd.from_arrow(tbl.append_column("n_chars", n_chars))
+    pairs = minhash_candidate_pairs(docs, threshold=0.5)
+    kept = neardup_keep_canonical(docs, pairs, num_partitions=4).to_pandas()
+    kept = kept.set_index("cluster")
+    # cluster {0,1,2}: doc 2 is longest ("sleepy" > "lazy"); cluster
+    # {3,5}: doc 5 is longer ("batch" > "bulk"); singleton 4 survives
+    assert set(kept.index) == {0, 3, 4}
+    assert int(kept.loc[0, "doc_id"]) == 2
+    assert int(kept.loc[3, "doc_id"]) == 5
+    assert int(kept.loc[4, "doc_id"]) == 4
+
+
 def test_contamination_counts_bruteforce():
     import ray.data as rd
 
