@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "louvain_coocc": R.q_louvain_coocc,
         "louvain_modularity": R.q_louvain_modularity,
         "neardup_keep_canonical": C.q_neardup_keep_canonical,
+        "spectral_moments_coocc": R.q_spectral_moments_coocc,
         "backbone_coocc": R.q_backbone_coocc,
         "sweepcut_coocc": R.q_sweepcut_coocc,
         "powerlaw_coocc": R.q_powerlaw_coocc,
@@ -298,6 +299,7 @@ def oracle_sql() -> dict[str, str]:
         "louvain_coocc": S.louvain_coocc_sql(rounds=2),
         "louvain_modularity": S.louvain_modularity_sql(rounds=2),
         "neardup_keep_canonical": S.neardup_keep_canonical_sql(threshold=0.5),
+        "spectral_moments_coocc": S.SPECTRAL_MOMENTS_COOCC,
         "backbone_coocc": S.backbone_coocc_sql(k=5),
         "sweepcut_coocc": S.sweepcut_coocc_sql(k=8, T=16),
         "powerlaw_coocc": S.powerlaw_coocc_sql(dmin=2),

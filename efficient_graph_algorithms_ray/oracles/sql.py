@@ -1353,6 +1353,22 @@ reach AS (
 SELECT node AS doc_id, MIN(r) AS cluster FROM reach GROUP BY node"""
 
 
+SPECTRAL_MOMENTS_COOCC = f"""WITH {_COOCC_UND_MAT},
+deg AS MATERIALIZED (SELECT u AS vid, count(*)::BIGINT AS d FROM und GROUP BY u),
+cn AS (
+  SELECT e1.u AS x, e2.u AS y, count(*)::BIGINT AS c
+  FROM und e1 JOIN und e2 ON e1.v = e2.v AND e1.u < e2.u
+  GROUP BY e1.u, e2.u
+),
+cns AS (SELECT COALESCE(SUM(c), 0)::BIGINT AS wedges,
+               COALESCE(SUM(c * c), 0)::BIGINT AS cn_sq FROM cn),
+ds AS (SELECT SUM(d)::BIGINT AS sd, SUM(d * d)::BIGINT AS sdsq FROM deg)
+SELECT (ds.sd // 2)::BIGINT AS m, ds.sdsq AS sum_deg_sq, cns.wedges AS wedges,
+  cns.cn_sq AS sum_cn_sq, (ds.sdsq + 2 * cns.cn_sq)::BIGINT AS closed_4walks,
+  ((ds.sdsq + 2 * cns.cn_sq - 2 * ds.sdsq + ds.sd) // 8)::BIGINT AS c4
+FROM ds, cns"""
+
+
 def neardup_keep_canonical_sql(threshold: float = 0.5) -> str:
     """Retention policy replay: per near-dup cluster keep the longest
     doc, ties to the smallest doc_id — the cluster labels come from the

@@ -168,6 +168,129 @@ def _cn_pairs(
     return partials.groupby(["u", "w"]).map_groups(_merge, batch_format="pyarrow")
 
 
+def spectral_moments(graph: ShardedGraph) -> pa.Table:
+    """Exact low-order closed-walk counts (adjacency spectral moments)
+    and the exact 4-cycle (rectangle) count of an undirected graph:
+
+        m            = #undirected edges            (= tr A² / 2)
+        sum_deg_sq   = Σ_v deg(v)²
+        wedges       = Σ_v C(deg(v), 2)             (paths of length 2)
+        sum_cn_sq    = Σ_{u<w} cn(u, w)²
+        closed_4walks= tr A⁴ = sum_deg_sq + 2·sum_cn_sq
+        c4           = (tr A⁴ − 2·sum_deg_sq + 2m) / 8   (rectangles)
+
+    All-integer arithmetic end to end → the SQL oracle is hash-exact.
+    The reference exposes tr A^k through ``interconnected_kernel``'s
+    repeated A·x products (graph_kernels.py:109-112); the rectangle
+    identity is the standard closed-walk decomposition.
+
+    Plan: one wedge pass (same Σ deg² bound and shard-local (u, w)
+    pre-aggregation as ``_cn_pairs``, but KEEPING adjacent pairs — A²
+    entries are wanted for every pair), a combiner-backed
+    ``groupby(u, w).sum`` merge, then per-block partial Σcn/Σcn² folded
+    by one tiny aggregate. Degree moments come from per-shard remote
+    partials (16 B/shard back to the driver)."""
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    assert not graph.directed
+    refs = graph.refs
+
+    def _wedges(batch: pa.Table) -> pa.Table:
+        parts = batch.column("part").to_numpy(zero_copy_only=False)
+        us, ws = [], []
+        for p in parts:
+            csr = ray.get(refs[int(p)])
+            vids, indptr, nbrs = csr["vids"], csr["indptr"], csr["indices"]
+            deg = csr["deg"]
+            for i in range(len(vids)):
+                d = int(deg[i])
+                if d < 2:
+                    continue
+                row = nbrs[indptr[i] : indptr[i + 1]]
+                iu, iw = np.triu_indices(d, 1)
+                us.append(row[iu])
+                ws.append(row[iw])
+        if not us:
+            return pa.table(
+                {
+                    "u": pa.array([], type=_I64),
+                    "w": pa.array([], type=_I64),
+                    "cn": pa.array([], type=_I64),
+                }
+            )
+        u = np.concatenate(us)
+        w = np.concatenate(ws)
+        order = np.lexsort((w, u))
+        u, w = u[order], w[order]
+        first = np.concatenate(([True], (u[1:] != u[:-1]) | (w[1:] != w[:-1])))
+        gid = np.cumsum(first) - 1
+        cn = np.bincount(gid)
+        return pa.table(
+            {
+                "u": pa.array(u[first].astype(np.int64), type=_I64),
+                "w": pa.array(w[first].astype(np.int64), type=_I64),
+                "cn": pa.array(cn.astype(np.int64), type=_I64),
+            }
+        )
+
+    parts_ds = rd.from_arrow(
+        pa.table({"part": pa.array(graph.parts, type=_I64)})
+    ).repartition(len(graph.parts))
+    merged = (
+        parts_ds.map_batches(_wedges, batch_format="pyarrow", batch_size=1)
+        .groupby(["u", "w"])
+        .aggregate(Sum("cn", alias_name="cn"))
+    )
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        cn = batch.column("cn").to_numpy(zero_copy_only=False).astype(object)
+        return pa.table(
+            {
+                "wedges": pa.array([int(cn.sum())], type=_I64),
+                "cn_sq": pa.array([int((cn * cn).sum())], type=_I64),
+            }
+        )
+
+    sums = merged.map_batches(_partial, batch_format="pyarrow").aggregate(
+        Sum("wedges", alias_name="wedges"), Sum("cn_sq", alias_name="cn_sq")
+    )
+    wedges, cn_sq = int(sums["wedges"]), int(sums["cn_sq"])
+
+    def _deg_partial(batch: pa.Table) -> pa.Table:
+        parts = batch.column("part").to_numpy(zero_copy_only=False)
+        s = sq = 0
+        for p in parts:
+            d = ray.get(refs[int(p)])["deg"].astype(object)
+            s += int(d.sum())
+            sq += int((d * d).sum())
+        return pa.table(
+            {
+                "sd": pa.array([s], type=_I64),
+                "sdsq": pa.array([sq], type=_I64),
+            }
+        )
+
+    dsum = parts_ds.map_batches(
+        _deg_partial, batch_format="pyarrow", batch_size=1
+    ).aggregate(Sum("sd", alias_name="sd"), Sum("sdsq", alias_name="sdsq"))
+    sum_deg, sum_deg_sq = int(dsum["sd"]), int(dsum["sdsq"])
+
+    m = sum_deg // 2
+    closed4 = sum_deg_sq + 2 * cn_sq
+    c4 = (closed4 - 2 * sum_deg_sq + 2 * m) // 8
+    return pa.table(
+        {
+            "m": pa.array([m], type=_I64),
+            "sum_deg_sq": pa.array([sum_deg_sq], type=_I64),
+            "wedges": pa.array([wedges], type=_I64),
+            "sum_cn_sq": pa.array([cn_sq], type=_I64),
+            "closed_4walks": pa.array([closed4], type=_I64),
+            "c4": pa.array([c4], type=_I64),
+        }
+    )
+
+
 def adamic_adar_topk(
     graph: ShardedGraph,
     k: int = 100,

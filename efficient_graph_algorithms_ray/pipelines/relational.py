@@ -2687,6 +2687,16 @@ def q_jaccard_coocc(sf_dir: str):
     return jaccard_topk(_coocc_graph(sf_dir), k=100)
 
 
+def q_spectral_moments_coocc(sf_dir: str):
+    """Exact closed-walk counts and 4-cycle (rectangle) count of the
+    co-occurrence graph (pipelines/linkpred.spectral_moments) — all
+    integer arithmetic, hash-exact vs SQL. Returns one row (m,
+    sum_deg_sq, wedges, sum_cn_sq, closed_4walks, c4)."""
+    from .linkpred import spectral_moments
+
+    return spectral_moments(_coocc_graph(sf_dir))
+
+
 def q_mis_coocc(sf_dir: str):
     """3-round Luby maximal independent set over the co-occurrence
     graph (pipelines/mis.py). Returns (vid, status): 1 = in MIS,
