@@ -61,6 +61,67 @@ r{i} AS (
     return "".join(parts)
 
 
+def spam_mass_partsupp_sql(
+    k: int = 4, damping: float = 0.85, seeds=(1, 2, 3, 4, 5)
+) -> str:
+    """TrustRank relative spam mass: both the global and the seeded
+    PageRank recurrences unrolled k steps over the part→supplier edge
+    table, joined per vertex — sm = (pr − tr)/pr."""
+    seed_list = ", ".join(str(s) for s in seeds)
+    tw = 1.0 / len(seeds)
+    edges_mat = _PARTSUPP_EDGES.replace("e AS (", "e AS MATERIALIZED (", 1)
+    parts = [
+        f"WITH {edges_mat},",
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS c FROM v),",
+        "od AS MATERIALIZED (SELECT src AS vid, CAST(COUNT(*) AS DOUBLE) AS d FROM e GROUP BY 1),",
+        f"tp AS MATERIALIZED (SELECT vid, CASE WHEN vid IN ({seed_list}) THEN {tw!r} ELSE 0.0 END AS t FROM v),",
+        "r0 AS (SELECT vid, 1.0 / (SELECT c FROM nn) AS r FROM v),",
+        "t0 AS (SELECT vid, t AS r FROM tp)",
+    ]
+    for i in range(1, k + 1):
+        p, q = f"r{i-1}", f"t{i-1}"
+        parts.append(
+            f""",
+m{i} AS (
+  SELECT e.dst AS vid, SUM({p}.r / od.d) AS s
+  FROM e JOIN {p} ON e.src = {p}.vid JOIN od ON e.src = od.vid
+  GROUP BY e.dst
+),
+dang{i} AS (
+  SELECT COALESCE(SUM({p}.r), 0) AS dm
+  FROM {p} LEFT JOIN od ON {p}.vid = od.vid WHERE od.vid IS NULL
+),
+r{i} AS MATERIALIZED (
+  SELECT v.vid,
+         (1 - {damping}) / (SELECT c FROM nn)
+         + {damping} * (COALESCE(m{i}.s, 0) + (SELECT dm FROM dang{i}) / (SELECT c FROM nn)) AS r
+  FROM v LEFT JOIN m{i} ON v.vid = m{i}.vid
+),
+tm{i} AS (
+  SELECT e.dst AS vid, SUM({q}.r / od.d) AS s
+  FROM e JOIN {q} ON e.src = {q}.vid JOIN od ON e.src = od.vid
+  GROUP BY e.dst
+),
+tdang{i} AS (
+  SELECT COALESCE(SUM({q}.r), 0) AS dm
+  FROM {q} LEFT JOIN od ON {q}.vid = od.vid WHERE od.vid IS NULL
+),
+t{i} AS MATERIALIZED (
+  SELECT tp.vid,
+         (1 - {damping}) * tp.t
+         + {damping} * (COALESCE(tm{i}.s, 0) + tp.t * (SELECT dm FROM tdang{i})) AS r
+  FROM tp LEFT JOIN tm{i} ON tp.vid = tm{i}.vid
+)"""
+        )
+    parts.append(
+        f"""
+SELECT r.vid, ROUND(r.r, 9) AS rank_r9, ROUND(t.r, 9) AS trust_r9,
+  ROUND((r.r - t.r) / r.r, 6) AS spam_mass_r6
+FROM r{k} r JOIN t{k} t ON r.vid = t.vid"""
+    )
+    return "".join(parts)
+
+
 CC_CUSTOMER_ORDERS = f"""WITH e AS (
     SELECT o_custkey AS src, o_orderkey + {ORDER_OFFSET} AS dst FROM orders
 )

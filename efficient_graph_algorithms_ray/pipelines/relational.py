@@ -2687,6 +2687,66 @@ def q_jaccard_coocc(sf_dir: str):
     return jaccard_topk(_coocc_graph(sf_dir), k=100)
 
 
+def q_spam_mass_partsupp(sf_dir: str):
+    """TrustRank relative spam mass (Gyöngyi et al., VLDB'04): with
+    pr = global PageRank and tr = PageRank personalized on a trusted
+    seed set, sm(v) = (pr(v) − tr(v)) / pr(v) — the rank fraction NOT
+    reachable from trusted pages. Both chains run the identical fixed
+    k=4 updates (tol=0) so the SQL oracle unrolls them exactly.
+    Returns (vid, rank_r9, trust_r9, spam_mass_r6) for every vertex.
+
+    Plan: two superstep runs over the SAME pinned graph, then one
+    vid-hash co-shuffle merging the two vertex tables with a vectorized
+    searchsorted alignment per partition — no driver materialization.
+    """
+    from .pagerank import pagerank as _pr
+    from .walks import personalized_pagerank
+
+    P = 16
+    g = _partsupp_graph(sf_dir)
+    ranks, _ = _pr(g, _ckpt("smpr"), damping=0.85, tol=0.0, max_iters=4)
+    trust, _ = personalized_pagerank(
+        g, _ckpt("smtr"), [1, 2, 3, 4, 5], damping=0.85, tol=0.0, max_iters=4
+    )
+
+    def _tag(col: str, tag: int):
+        def _fn(b: pa.Table) -> pa.Table:
+            vid = b.column("vid").to_numpy(zero_copy_only=False).astype(np.uint64)
+            return pa.table(
+                {
+                    "part": pa.array((vid % np.uint64(P)).astype(np.int64)),
+                    "tag": pa.array(np.full(len(b), tag, dtype=np.int64)),
+                    "vid": pa.array(vid, type=pa.uint64()),
+                    "val": b.column(col).cast(pa.float64()),
+                }
+            )
+
+        return _fn
+
+    def _merge(grp: pa.Table) -> pa.Table:
+        tag = grp.column("tag").to_numpy(zero_copy_only=False)
+        vid = grp.column("vid").to_numpy(zero_copy_only=False).astype(np.uint64)
+        val = grp.column("val").to_numpy(zero_copy_only=False)
+        pv, pr_ = vid[tag == 0], val[tag == 0]
+        tv, tr_ = vid[tag == 1], val[tag == 1]
+        o1, o2 = np.argsort(pv, kind="stable"), np.argsort(tv, kind="stable")
+        pv, pr_, tr_ = pv[o1], pr_[o1], tr_[o2]
+        sm = (pr_ - tr_) / pr_
+        return pa.table(
+            {
+                "vid": pa.array(pv.astype(np.int64), type=pa.int64()),
+                "rank_r9": pa.array(np.round(pr_, 9), type=pa.float64()),
+                "trust_r9": pa.array(np.round(tr_, 9), type=pa.float64()),
+                "spam_mass_r6": pa.array(np.round(sm, 6), type=pa.float64()),
+            }
+        )
+
+    merged = ranks.map_batches(_tag("rank", 0), batch_format="pyarrow").union(
+        trust.map_batches(_tag("score", 1), batch_format="pyarrow")
+    )
+    return merged.groupby("part").map_groups(_merge, batch_format="pyarrow")
+
+
 def q_spectral_moments_coocc(sf_dir: str):
     """Exact closed-walk counts and 4-cycle (rectangle) count of the
     co-occurrence graph (pipelines/linkpred.spectral_moments) — all
