@@ -246,10 +246,22 @@ def _pages_queries() -> dict[str, Callable[[str], Any]]:
         )
         return out
 
+    def flagship_anchor_terms(sf_dir: str):
+        import ray.data as rd
+
+        from efficient_graph_algorithms_ray.pipelines.anchors import anchor_text_index
+        from efficient_graph_algorithms_ray.sources.pages import write_pages
+
+        pages = rd.read_parquet(
+            write_pages("/tmp/ega_pages_q", n_pages=2000), columns=["url", "html"]
+        )
+        return anchor_text_index(pages, k=3)
+
     return {
         "flagship_pages_pagerank_top50": flagship_pagerank,
         "flagship_pages_components": flagship_components,
         "flagship_host_pagerank_top20": flagship_host_pagerank,
+        "flagship_anchor_terms_top3": flagship_anchor_terms,
     }
 
 

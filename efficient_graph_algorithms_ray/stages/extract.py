@@ -85,6 +85,66 @@ class HtmlParser:
         )
 
 
+_ANCHOR_RE = re.compile(r"""<a\s+[^>]*?href=["']([^"']*)["'][^>]*>(.*?)</a>""", re.S)
+
+
+def extract_anchors(html_bytes: bytes) -> list[tuple[str, str]]:
+    """Pure per-page (href, anchor-text) pairs from well-formed links.
+
+    Anchor text is tag-stripped, entity-unescaped, lowercased — the
+    per-row purity makes the distributed index replayable by a
+    sequential oracle regardless of batching."""
+    doc = html_bytes.decode("utf-8", errors="replace")
+    out = []
+    for m in _ANCHOR_RE.finditer(doc):
+        href = _html.unescape(m.group(1))
+        text = _html.unescape(_TAG_RE.sub("", m.group(2))).lower().strip()
+        if text:
+            out.append((href, text))
+    return out
+
+
+class AnchorParser:
+    """Actor-pool stage: pages batch → pre-aggregated (dst_url, term, n)
+    anchor-term counts.
+
+    The map-side combine (lexsort + first-of-run) matters at web scale:
+    popular targets receive anchors from millions of source pages, so
+    the (dst, term) shuffle key is hot — combining per batch bounds the
+    exchange to one row per distinct (dst, term) per batch."""
+
+    def __init__(self) -> None:
+        self._anchor = _ANCHOR_RE
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from .hashing import normalize_urls
+
+        dsts: list[str] = []
+        terms: list[str] = []
+        for blob in batch.column("html").to_pylist():
+            for href, text in extract_anchors(blob):
+                for tok in text.split():
+                    dsts.append(href)
+                    terms.append(tok)
+        if not dsts:
+            return pa.table(
+                {
+                    "url": pa.array([], type=pa.string()),
+                    "term": pa.array([], type=pa.string()),
+                    "n": pa.array([], type=pa.int64()),
+                }
+            )
+        raw = pa.table(
+            {
+                "url": normalize_urls(pa.array(dsts, type=pa.string())),
+                "term": pa.array(terms, type=pa.string()),
+                "one": pa.array(np.ones(len(terms), dtype=np.int64)),
+            }
+        )
+        agg = raw.group_by(["url", "term"]).aggregate([("one", "sum")])
+        return agg.rename_columns(["url", "term", "n"])
+
+
 def parse_pages(pages_ds, batch_size: int = 256, concurrency=None):
     """pages Dataset → parsed Dataset (url, text, links).
 
