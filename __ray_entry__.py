@@ -58,6 +58,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "neardup_keep_canonical": C.q_neardup_keep_canonical,
         "spectral_moments_coocc": R.q_spectral_moments_coocc,
         "spam_mass_partsupp": R.q_spam_mass_partsupp,
+        "events_funnel": R.q_events_funnel,
+        "events_cohort_retention": R.q_events_cohort_retention,
         "backbone_coocc": R.q_backbone_coocc,
         "sweepcut_coocc": R.q_sweepcut_coocc,
         "powerlaw_coocc": R.q_powerlaw_coocc,
@@ -314,6 +316,8 @@ def oracle_sql() -> dict[str, str]:
         "neardup_keep_canonical": S.neardup_keep_canonical_sql(threshold=0.5),
         "spectral_moments_coocc": S.SPECTRAL_MOMENTS_COOCC,
         "spam_mass_partsupp": S.spam_mass_partsupp_sql(k=4, damping=0.85),
+        "events_funnel": S.EVENTS_FUNNEL,
+        "events_cohort_retention": S.EVENTS_COHORT_RETENTION,
         "backbone_coocc": S.backbone_coocc_sql(k=5),
         "sweepcut_coocc": S.sweepcut_coocc_sql(k=8, T=16),
         "powerlaw_coocc": S.powerlaw_coocc_sql(dmin=2),

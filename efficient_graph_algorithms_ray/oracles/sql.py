@@ -164,6 +164,34 @@ ORDER BY n_orders DESC, custkey ASC
 LIMIT 10"""
 
 
+EVENTS_COHORT_RETENTION = """WITH w AS (
+  SELECT user_id, epoch_us(ts) // 604800000000 AS wk FROM events
+),
+f AS (SELECT user_id, MIN(wk) AS cw FROM w GROUP BY user_id)
+SELECT f.cw::BIGINT AS cohort_week, (w.wk - f.cw)::BIGINT AS week_offset,
+  COUNT(DISTINCT w.user_id)::BIGINT AS n_users
+FROM w JOIN f USING (user_id) GROUP BY 1, 2"""
+
+
+EVENTS_FUNNEL = """WITH fs AS (
+  SELECT user_id, MIN(ts) AS sts FROM events
+  WHERE event_type = 'signup' GROUP BY user_id
+),
+cv AS (
+  SELECT fs.user_id, fs.sts,
+    COALESCE(MAX(CASE WHEN e.ts > fs.sts
+                       AND e.ts <= fs.sts + INTERVAL 24 HOUR
+                      THEN 1 ELSE 0 END), 0) AS c
+  FROM fs LEFT JOIN events e
+    ON e.user_id = fs.user_id AND e.event_type = 'purchase'
+  GROUP BY fs.user_id, fs.sts
+)
+SELECT EXTRACT(hour FROM sts)::BIGINT AS hour,
+  COUNT(*)::BIGINT AS n_signups, SUM(c)::BIGINT AS n_converted,
+  ROUND(SUM(c)::DOUBLE / COUNT(*)::DOUBLE, 6) AS conv_rate_r6
+FROM cv GROUP BY 1"""
+
+
 EVENTS_HOURLY = """SELECT event_type, date_trunc('hour', ts) AS hour,
   COUNT(*) AS n,
   CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS cents

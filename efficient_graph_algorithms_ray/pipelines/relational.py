@@ -2053,6 +2053,147 @@ def q_events_sessions(sf_dir: str):
     )
 
 
+WEEK_US = 7 * 24 * 3_600_000_000
+
+
+def q_events_cohort_retention(sf_dir: str):
+    """Weekly cohort retention matrix: cohort = epoch-week of the
+    user's FIRST event; for every (cohort_week, week_offset) count the
+    distinct users of that cohort active in that week. SQL-oracled —
+    pure integer counts.
+
+    Plan: the user-hash partition pass computes each user's first-event
+    week and distinct active weeks in one lexsorted sweep (a user
+    contributes ≤1 per (cohort, offset) by construction, so partition
+    partials ARE distinct-user counts); one tiny groupby merges them."""
+    from ray.data.aggregate import Sum
+
+    def _cohort(group: pa.Table) -> pa.Table:
+        uid, ts, _, new_user = _sorted_user_ts(group)
+        if len(uid) == 0:
+            return pa.table(
+                {
+                    "cohort_week": pa.array([], type=pa.int64()),
+                    "week_offset": pa.array([], type=pa.int64()),
+                    "n_users": pa.array([], type=pa.int64()),
+                }
+            )
+        week = ts // WEEK_US
+        # first-event week per user, aligned to every row of that user
+        uidx = np.cumsum(new_user) - 1
+        first_week = week[new_user][uidx]
+        offset = week - first_week
+        # distinct (user, cohort, offset): consecutive after the sort
+        key_new = new_user | np.concatenate(([True], offset[1:] != offset[:-1]))
+        cw, off = first_week[key_new], offset[key_new]
+        order = np.lexsort((off, cw))
+        cw, off = cw[order], off[order]
+        grp_new = np.concatenate(
+            ([True], (cw[1:] != cw[:-1]) | (off[1:] != off[:-1]))
+        )
+        gid = np.cumsum(grp_new) - 1
+        n = np.bincount(gid)
+        return pa.table(
+            {
+                "cohort_week": pa.array(cw[grp_new].astype(np.int64), type=pa.int64()),
+                "week_offset": pa.array(off[grp_new].astype(np.int64), type=pa.int64()),
+                "n_users": pa.array(n.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    return (
+        _events_by_part(sf_dir)
+        .groupby("part")
+        .map_groups(_cohort, batch_format="pyarrow")
+        .groupby(["cohort_week", "week_offset"])
+        .aggregate(Sum("n_users", alias_name="n_users"))
+    )
+
+
+FUNNEL_WINDOW_US = 24 * 3_600_000_000  # 24 h
+
+
+def q_events_funnel(sf_dir: str):
+    """Signup→purchase conversion funnel: per user take the FIRST
+    signup event; the user converts if any purchase lands in
+    (signup_ts, signup_ts + 24 h]. Output grouped by the signup's hour
+    of day: (hour, n_signups, n_converted, conv_rate_r6). SQL-oracled
+    (exact integer counts; ONE division after the final merge).
+
+    Plan: a user-hash partition pass resolves every user's funnel in
+    one vectorized sweep (lexsort + first-of-run + searchsorted
+    purchase membership — no per-user Python), emitting ≤24 partial
+    rows per partition; a tiny ``groupby(hour).sum`` merges them."""
+    from ray.data.aggregate import Sum
+
+    def _funnel(group: pa.Table) -> pa.Table:
+        uid = group.column("user_id").to_numpy(zero_copy_only=False)
+        ts = (
+            group.column("ts")
+            .cast(pa.timestamp("us"))
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .view(np.int64)
+        )
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        et = np.asarray(group.column("event_type").to_pylist(), dtype=object)
+        srt = np.lexsort((eid, ts, uid))
+        uid, ts, et = uid[srt], ts[srt], et[srt]
+        mask_s = et == "signup"
+        su, sts_ = uid[mask_s], ts[mask_s]
+        if len(su) == 0:
+            return pa.table(
+                {
+                    "hour": pa.array([], type=pa.int64()),
+                    "n_signups": pa.array([], type=pa.int64()),
+                    "n_converted": pa.array([], type=pa.int64()),
+                }
+            )
+        firsts = np.concatenate(([True], su[1:] != su[:-1]))
+        fs_u, fs_ts = su[firsts], sts_[firsts]
+        mask_p = et == "purchase"
+        pu, pts = uid[mask_p], ts[mask_p]
+        conv_flag = np.zeros(len(fs_u), dtype=bool)
+        if len(pu):
+            pos = np.searchsorted(fs_u, pu)
+            ok = pos < len(fs_u)
+            ok[ok] = fs_u[pos[ok]] == pu[ok]
+            w = np.flatnonzero(ok)
+            hit = (pts[w] > fs_ts[pos[w]]) & (pts[w] <= fs_ts[pos[w]] + FUNNEL_WINDOW_US)
+            conv_flag[np.unique(pos[w[hit]])] = True
+        hour = ((fs_ts // 3_600_000_000) % 24).astype(np.int64)
+        n_sign = np.bincount(hour, minlength=24)
+        n_conv = np.bincount(hour[conv_flag], minlength=24)
+        nz = np.flatnonzero(n_sign)
+        return pa.table(
+            {
+                "hour": pa.array(nz.astype(np.int64), type=pa.int64()),
+                "n_signups": pa.array(n_sign[nz].astype(np.int64), type=pa.int64()),
+                "n_converted": pa.array(n_conv[nz].astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    merged = (
+        _events_by_part(sf_dir, extra_cols=("event_type",))
+        .groupby("part")
+        .map_groups(_funnel, batch_format="pyarrow")
+        .groupby("hour")
+        .aggregate(
+            Sum("n_signups", alias_name="n_signups"),
+            Sum("n_converted", alias_name="n_converted"),
+        )
+    )
+
+    def _rate(b: pa.Table) -> pa.Table:
+        s = b.column("n_signups").to_numpy(zero_copy_only=False).astype(np.float64)
+        c = b.column("n_converted").to_numpy(zero_copy_only=False).astype(np.float64)
+        return b.append_column(
+            "conv_rate_r6", pa.array(np.round(c / s, 6), type=pa.float64())
+        )
+
+    return merged.map_batches(_rate, batch_format="pyarrow")
+
+
 def q_events_asof_last_order(sf_dir: str):
     """As-of join as a partitioned sort-merge: each event matched to the
     user's most recent order date ≤ event ts. Both sides are tagged into
