@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spam_mass_partsupp": R.q_spam_mass_partsupp,
         "events_funnel": R.q_events_funnel,
         "events_cohort_retention": R.q_events_cohort_retention,
+        "quality_resample": C.q_quality_resample,
         "backbone_coocc": R.q_backbone_coocc,
         "sweepcut_coocc": R.q_sweepcut_coocc,
         "powerlaw_coocc": R.q_powerlaw_coocc,
@@ -318,6 +319,7 @@ def oracle_sql() -> dict[str, str]:
         "spam_mass_partsupp": S.spam_mass_partsupp_sql(k=4, damping=0.85),
         "events_funnel": S.EVENTS_FUNNEL,
         "events_cohort_retention": S.EVENTS_COHORT_RETENTION,
+        "quality_resample": S.quality_resample_sql(temperature=3),
         "backbone_coocc": S.backbone_coocc_sql(k=5),
         "sweepcut_coocc": S.sweepcut_coocc_sql(k=8, T=16),
         "powerlaw_coocc": S.powerlaw_coocc_sql(dmin=2),

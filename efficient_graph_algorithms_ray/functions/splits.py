@@ -121,3 +121,68 @@ def stratified_sample_summary(
             Sum("id_checksum", alias_name="id_checksum"),
         )
     )
+
+
+# (2^64 // 10^6, 2^64 % 10^6): exact integer split of the Bernoulli
+# threshold (rem_ppm · 2^64) // 10^6 so the uint64 arithmetic never
+# overflows: rem < 10^6 → rem·Q + (rem·R)//10^6 < 2^64.
+_PPM_Q = (1 << 64) // 1_000_000
+_PPM_R = (1 << 64) % 1_000_000
+
+
+def quality_temperature_resample(
+    docs_ds,
+    temperature: int = 3,
+    seed: int = HASH_SEED,
+):
+    """Quality-weighted epoch mixing (the 'repeat good data' step of an
+    LLM data recipe): each document is replicated
+    copies = ⌊q_ppm·T / 10^6⌋ + Bernoulli(remainder) times, where
+    q_ppm = ⌊quality·10^6⌋ from the QualityScorer and the Bernoulli
+    draw is the deterministic splitmix64(doc_id ⊕ seed) threshold test
+    — exact integers end to end, replayable in SQL.
+
+    A pure map (stable at any parallelism); only per-lang audit
+    partials shuffle. Returns (lang, n_docs, n_copies, id_checksum =
+    Σ doc_id·copies) — the checksum pins the exact multiset."""
+    from ray.data.aggregate import Sum
+
+    from .text import QualityScorer
+
+    T = int(temperature)
+
+    class _Resample(QualityScorer):
+        def __call__(self, batch: pa.Table) -> pa.Table:  # type: ignore[override]
+            q = QualityScorer.__call__(self, batch)
+            qp = q.column("quality_ppm").to_numpy(zero_copy_only=False)
+            ids = (
+                batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+            )
+            tot = qp * T
+            base = tot // 1_000_000
+            rem = (tot % 1_000_000).astype(np.uint64)
+            thr = rem * np.uint64(_PPM_Q) + (rem * np.uint64(_PPM_R)) // np.uint64(
+                1_000_000
+            )
+            h = _splitmix64(ids ^ np.uint64(seed))
+            copies = base + (h < thr)
+            return pa.table(
+                {
+                    "lang": batch.column("lang"),
+                    "n_docs": pa.array(np.ones(len(ids), np.int64)),
+                    "n_copies": pa.array(copies.astype(np.int64)),
+                    "id_checksum": pa.array(
+                        ids.astype(np.int64) * copies.astype(np.int64)
+                    ),
+                }
+            )
+
+    return (
+        docs_ds.map_batches(_Resample, batch_format="pyarrow", concurrency=(2, 8))
+        .groupby("lang")
+        .aggregate(
+            Sum("n_docs", alias_name="n_docs"),
+            Sum("n_copies", alias_name="n_copies"),
+            Sum("id_checksum", alias_name="id_checksum"),
+        )
+    )

@@ -2249,6 +2249,35 @@ SELECT lang, count(*)::BIGINT AS n_total, SUM(k)::BIGINT AS n_sampled,
 FROM kept GROUP BY lang"""
 
 
+def quality_resample_sql(temperature: int = 3, seed: int | None = None) -> str:
+    """Replays functions/splits.quality_temperature_resample: copies =
+    tot//10^6 + [h < (tot%10^6 · 2^64)//10^6], tot = ⌊quality·10^6⌋·T,
+    h = splitmix64(doc_id ⊕ seed) — exact integers on both sides."""
+    from ..config import HASH_SEED
+
+    if seed is None:
+        seed = HASH_SEED
+    T = int(temperature)
+    frag, cte, hcol = sm64_stages("rs_in", "x", "rs", ["doc_id"])
+    return f"""WITH {_QUALITY_RATIOS},
+rs_in AS (
+  SELECT doc_id, xor(CAST(doc_id AS UBIGINT), {seed}::UBIGINT) AS x FROM documents
+){frag},
+qp AS (
+  SELECT doc_id, CAST(FLOOR(quality * 1000000.0) AS BIGINT) * {T} AS tot FROM q
+),
+cp AS (
+  SELECT qp.doc_id, d.lang,
+    tot // 1000000 + CASE WHEN CAST(h.{hcol} AS HUGEINT) <
+      (CAST(tot % 1000000 AS HUGEINT) * 18446744073709551616::HUGEINT) // 1000000
+      THEN 1 ELSE 0 END AS copies
+  FROM qp JOIN {cte} h USING (doc_id) JOIN documents d USING (doc_id)
+)
+SELECT lang, COUNT(*)::BIGINT AS n_docs, SUM(copies)::BIGINT AS n_copies,
+  SUM(doc_id * copies)::BIGINT AS id_checksum
+FROM cp GROUP BY lang"""
+
+
 def closeness_coocc_sql(rounds: int = 8, seeds=(1, 2, 3, 4)) -> str:
     """Unrolled BFS per seed over the co-occurrence graph; closeness =
     n_reached / sum_hops as the same single IEEE division the engine

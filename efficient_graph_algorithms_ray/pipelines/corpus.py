@@ -145,6 +145,17 @@ def q_neardup_clusters(sf_dir: str):
     return D.neardup_clusters(docs, _minhash_pairs_cached(sf_dir))
 
 
+def q_quality_resample(sf_dir: str):
+    """Quality-weighted epoch mixing (T=3): per-lang audit of the
+    deterministic replication counts — SQL-oracled exactly (integer
+    thresholds, splitmix64 Bernoulli)."""
+    from ..functions.splits import quality_temperature_resample
+
+    return quality_temperature_resample(
+        _docs(sf_dir, ["doc_id", "text", "lang"]), temperature=3
+    )
+
+
 def q_neardup_keep_canonical(sf_dir: str):
     """Canonical-doc retention per near-dup cluster: keep the longest
     document (ties → smallest doc_id). SQL-oracled."""
