@@ -2249,6 +2249,28 @@ SELECT lang, count(*)::BIGINT AS n_total, SUM(k)::BIGINT AS n_sampled,
 FROM kept GROUP BY lang"""
 
 
+def katz_coocc_sql(k: int = 4) -> str:
+    """Truncated Katz with α = 1/64: the unrolled recurrence
+    x_i = 1 + (Σ_in x_{i-1}) / 64 — dyadic-exact, no rounding."""
+    parts = [
+        f"""WITH {_COOCC_UND_MAT},
+verts AS (SELECT DISTINCT u AS vid FROM und),
+x0 AS (SELECT vid, 1.0 AS x FROM verts)"""
+    ]
+    for i in range(1, k + 1):
+        p = f"x{i-1}"
+        parts.append(
+            f""",
+s{i} AS (SELECT und.v AS vid, SUM({p}.x) AS m FROM und JOIN {p} ON und.u = {p}.vid GROUP BY und.v),
+x{i} AS MATERIALIZED (
+  SELECT v.vid, 1.0 + COALESCE(s{i}.m, 0) / 64 AS x
+  FROM verts v LEFT JOIN s{i} ON v.vid = s{i}.vid
+)"""
+        )
+    parts.append(f"\nSELECT vid::BIGINT AS vid, x AS katz FROM x{k}")
+    return "".join(parts)
+
+
 def quality_resample_sql(temperature: int = 3, seed: int | None = None) -> str:
     """Replays functions/splits.quality_temperature_resample: copies =
     tot//10^6 + [h < (tot%10^6 · 2^64)//10^6], tot = ⌊quality·10^6⌋·T,

@@ -3106,6 +3106,39 @@ def q_eigencentrality_coocc(sf_dir: str):
     return out.map_batches(_shape, batch_format="pyarrow")
 
 
+def q_katz_coocc(sf_dir: str):
+    """Truncated Katz centrality x = Σ_{j≤4} α^j A^j 1 with α = 1/64
+    (an exact power of two, so every per-vertex value is a dyadic
+    rational with denominator 2^24 and an integer numerator ≪ 2^53 —
+    float64 arithmetic is EXACT in any summation order, engine and SQL
+    bit-identical with no rounding). Returns (vid, katz)."""
+    g = _coocc_graph(sf_dir)
+
+    def _ones(csr):
+        return np.ones(len(csr["vids"]), dtype=np.float64)
+
+    def _apply(agg, old, T, dm, csr):
+        return agg / 64.0 + 1.0
+
+    from ..state.superstep import run_supersteps, state_vertex_dataset
+
+    summary = run_supersteps(
+        g, _ckpt("katz"), "sum", _ones,
+        tol=0.0, max_iters=4, normalize=False, apply_fn=_apply,
+    )
+    out = state_vertex_dataset(g, summary["final_iter_dir"], "value")
+
+    def _shape(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vid": batch.column("vid").cast(pa.int64()),
+                "katz": batch.column("value").cast(pa.float64()),
+            }
+        )
+
+    return out.map_batches(_shape, batch_format="pyarrow")
+
+
 def q_harmonic_coocc(sf_dir: str):
     """Harmonic centrality of 4 seed parts: one BFS forest per seed,
     per-block distance HISTOGRAMS (integer), then
