@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_cohort_retention": R.q_events_cohort_retention,
         "quality_resample": C.q_quality_resample,
         "katz_coocc": R.q_katz_coocc,
+        "node2vec_coocc": R.q_node2vec_coocc,
         "backbone_coocc": R.q_backbone_coocc,
         "sweepcut_coocc": R.q_sweepcut_coocc,
         "powerlaw_coocc": R.q_powerlaw_coocc,
@@ -322,6 +323,7 @@ def oracle_sql() -> dict[str, str]:
         "events_cohort_retention": S.EVENTS_COHORT_RETENTION,
         "quality_resample": S.quality_resample_sql(temperature=3),
         "katz_coocc": S.katz_coocc_sql(k=4),
+        "node2vec_coocc": S.node2vec_coocc_sql(walk_len=6, seed=7),
         "backbone_coocc": S.backbone_coocc_sql(k=5),
         "sweepcut_coocc": S.sweepcut_coocc_sql(k=8, T=16),
         "powerlaw_coocc": S.powerlaw_coocc_sql(dmin=2),

@@ -2249,6 +2249,80 @@ SELECT lang, count(*)::BIGINT AS n_total, SUM(k)::BIGINT AS n_sampled,
 FROM kept GROUP BY lang"""
 
 
+def node2vec_coocc_sql(
+    walk_len: int = 6,
+    seed: int = 7,
+    wb: int = 2,
+    wc: int = 4,
+    wf: int = 1,
+) -> str:
+    """node2vec biased walks replayed in SQL: hop 1 is the uniform
+    index hop; hops ≥2 weight each candidate (back {wb} : common {wc} :
+    far {wf}, integer), take r = h mod Σw and pick the first candidate
+    whose cumulative weight (ordered by neighbor id — the CSR order)
+    exceeds r."""
+    sm0 = sm64_py(0)
+    frag0, last0, _ = sm64_stages("vx", "x", "wid", ["start"])
+    parts = [
+        f"WITH {_COOCC_UND_MAT},",
+        "verts AS (SELECT DISTINCT u AS vid FROM und),",
+        "deg AS MATERIALIZED (SELECT u AS vid, COUNT(*) AS d FROM und GROUP BY u),",
+        "adj AS MATERIALIZED (SELECT u, v, ROW_NUMBER() OVER (PARTITION BY u ORDER BY v) - 1 AS idx FROM und),",
+        f"vx AS (SELECT vid AS start, xor(CAST(vid AS UBIGINT), {sm0}::UBIGINT) AS x FROM verts)",
+        frag0,
+        f",\nw0 AS MATERIALIZED (SELECT start, h AS wid, CAST(start AS UBIGINT) AS prev, CAST(start AS UBIGINT) AS cur FROM {last0})",
+    ]
+    hops: list[str] = []
+    for t in range(1, walk_len):
+        smt = sm64_py(t)
+        hc = (", ".join(hops) + ", ") if hops else ""
+        parts.append(
+            f""",
+sx{t} AS (SELECT {hc}start, wid, prev, cur, xor(xor(wid, {smt}::UBIGINT), {seed}::UBIGINT) AS x FROM w{t-1})"""
+        )
+        frag, last, _ = sm64_stages(f"sx{t}", "x", f"st{t}", ["start", "wid", "prev", "cur"] + hops)
+        parts.append(frag)
+        if t == 1:
+            parts.append(
+                f""",
+w{t} AS MATERIALIZED (
+  SELECT t.start, t.wid, t.cur AS prev, CAST(adj.v AS UBIGINT) AS cur, adj.v AS v{t}
+  FROM {last} t
+  JOIN deg ON deg.vid = CAST(t.cur AS BIGINT)
+  JOIN adj ON adj.u = CAST(t.cur AS BIGINT)
+         AND adj.idx = CAST(t.h % CAST(deg.d AS UBIGINT) AS BIGINT)
+)"""
+            )
+        else:
+            parts.append(
+                f""",
+cand{t} AS (
+  SELECT {hc}t.start, t.wid, t.prev, t.cur, t.h, adj.v AS cand,
+    CASE WHEN CAST(adj.v AS UBIGINT) = t.prev THEN {wb}
+         WHEN e2.u IS NOT NULL THEN {wc} ELSE {wf} END AS w
+  FROM {last} t
+  JOIN adj ON adj.u = CAST(t.cur AS BIGINT)
+  LEFT JOIN adj e2 ON e2.u = CAST(t.prev AS BIGINT) AND e2.v = adj.v
+),
+cw{t} AS (
+  SELECT *, SUM(w) OVER (PARTITION BY wid ORDER BY cand
+                          ROWS UNBOUNDED PRECEDING) AS cw,
+         SUM(w) OVER (PARTITION BY wid) AS tot
+  FROM cand{t}
+),
+w{t} AS MATERIALIZED (
+  SELECT {hc}start, wid, cur AS prev, CAST(cand AS UBIGINT) AS cur, cand AS v{t}
+  FROM cw{t}
+  WHERE cw > CAST(h % CAST(tot AS UBIGINT) AS BIGINT)
+    AND cw - w <= CAST(h % CAST(tot AS UBIGINT) AS BIGINT)
+)"""
+            )
+        hops.append(f"v{t}")
+    sel = ", ".join(f"CAST(v{t} AS BIGINT) AS v{t}" for t in range(1, walk_len))
+    parts.append(f"\nSELECT CAST(start AS BIGINT) AS start, {sel} FROM w{walk_len-1}")
+    return "".join(parts)
+
+
 def katz_coocc_sql(k: int = 4) -> str:
     """Truncated Katz with α = 1/64: the unrolled recurrence
     x_i = 1 + (Σ_in x_{i-1}) / 64 — dyadic-exact, no rounding."""

@@ -547,6 +547,35 @@ def q_walk_corpus_coocc(sf_dir: str):
     return walks.map_batches(_shape, batch_format="pyarrow")
 
 
+def q_node2vec_coocc(sf_dir: str):
+    """node2vec biased training walks (p=2, q=4 → integer weights
+    2:4:1) over the part co-occurrence graph, walk_len=6 — the
+    2nd-order extension of `walk_corpus_coocc`; SQL-oracled by
+    replaying the cumulative-weight threshold selection per hop.
+    Returns (start, v1..v5)."""
+    from .walk_corpus import node2vec_walk_corpus
+
+    g = _coocc_graph(sf_dir)
+    walk_len = 6
+    walks = node2vec_walk_corpus(g, walk_len=walk_len, seed=7)
+
+    def _shape(batch: pa.Table) -> pa.Table:
+        from ..util import list_rows
+
+        seqs = list_rows(batch, "seq")
+        mat = (
+            np.vstack(seqs).astype(np.int64)
+            if seqs
+            else np.empty((0, walk_len), dtype=np.int64)
+        )
+        cols = {"start": pa.array(mat[:, 0], type=pa.int64())}
+        for t in range(1, walk_len):
+            cols[f"v{t}"] = pa.array(mat[:, t], type=pa.int64())
+        return pa.table(cols)
+
+    return walks.map_batches(_shape, batch_format="pyarrow")
+
+
 def q_clustering_coeff_coocc(sf_dir: str):
     """Per-vertex local clustering coefficient (2T/deg(deg−1) as
     FLOOR-ppm) over the part co-occurrence graph — SQL-oracled

@@ -60,6 +60,117 @@ def walk_seeds(graph: ShardedGraph, walks_per_vertex: int = 1):
     return parts_ds.map_batches(_emit, batch_format="pyarrow", batch_size=4)
 
 
+def node2vec_walk_corpus(
+    graph: ShardedGraph,
+    walk_len: int = 6,
+    seed: int = 7,
+    w_back: int = 2,
+    w_common: int = 4,
+    w_far: int = 1,
+):
+    """node2vec biased 2nd-order walks (Grover & Leskovec, KDD 2016)
+    with INTEGER transition weights (p=2, q=4 scaled by lcm 4 →
+    back 2 : common 4 : far 1 by default) so the cumulative-weight
+    threshold selection r = splitmix64(walk_id ⊕ mix(t) ⊕ seed) mod
+    Σw is exact and SQL-replayable. Step 1 (no previous vertex) is the
+    uniform DeepWalk hop.
+
+    Same zero-shuffle shape as ``random_walk_corpus``: L map_batches,
+    walks stay in their block, CSR shard reads (current AND previous
+    vertex rows — the 2nd-order state needs both) follow the frontier
+    via broadcast-once refs. Per-step cost is O(Σ deg(cur) +
+    Σ log deg(prev)) — the membership test against N(prev) is a
+    searchsorted per candidate row.
+
+    Returns Dataset (walk_id, seq list<uint64>).
+    """
+    import ray
+
+    refs = graph.refs
+    P = graph.num_partitions
+
+    def _hash_step(wid: np.ndarray, step: int) -> np.ndarray:
+        return _splitmix64(
+            wid ^ _splitmix64(np.full(len(wid), step, dtype=np.uint64)) ^ np.uint64(seed)
+        )
+
+    def _step(step: int):
+        def _fn(batch: pa.Table) -> pa.Table:
+            wid = batch.column("walk_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+            cur = batch.column("cur").to_numpy(zero_copy_only=False).astype(np.uint64)
+            prev = batch.column("prev").to_numpy(zero_copy_only=False).astype(np.uint64)
+            done = batch.column("done").to_numpy(zero_copy_only=False).copy()
+            seqs = list_rows(batch, "seq")
+            nxt = cur.copy()
+            new_prev = prev.copy()
+            parts = (cur % np.uint64(P)).astype(np.int64)
+            r_all = _hash_step(wid, step)
+            for p in np.unique(parts[~done]):
+                csr = ray.get(refs[int(p)])
+                rows = np.flatnonzero((parts == p) & ~done)
+                pos = np.searchsorted(csr["vids"], cur[rows])
+                deg = csr["deg"][pos]
+                starts = csr["indptr"][pos]
+                # previous-vertex adjacency rows, grouped by their shard
+                pparts = (prev[rows] % np.uint64(P)).astype(np.int64)
+                pcsr = {int(q): ray.get(refs[int(q)]) for q in np.unique(pparts)}
+                for j, i in enumerate(rows):
+                    d = int(deg[j])
+                    if d == 0:
+                        done[i] = True
+                        continue
+                    cand = csr["indices"][starts[j] : starts[j] + d]
+                    if step == 1:
+                        choice = int(r_all[i] % np.uint64(d))
+                    else:
+                        pc = pcsr[int(pparts[j])]
+                        ppos = int(np.searchsorted(pc["vids"], prev[i]))
+                        prow = pc["indices"][
+                            pc["indptr"][ppos] : pc["indptr"][ppos + 1]
+                        ]
+                        wts = np.full(d, w_far, dtype=np.int64)
+                        mpos = np.searchsorted(prow, cand)
+                        ok = mpos < len(prow)
+                        member = np.zeros(d, dtype=bool)
+                        member[ok] = prow[mpos[ok]] == cand[ok]
+                        wts[member] = w_common
+                        wts[cand == prev[i]] = w_back
+                        cw = np.cumsum(wts)
+                        r = int(r_all[i] % np.uint64(cw[-1]))
+                        choice = int(np.searchsorted(cw, r, side="right"))
+                    new_prev[i] = cur[i]
+                    nxt[i] = cand[choice]
+            new_seqs = [
+                s if done[i] else np.concatenate([s, [nxt[i]]])
+                for i, s in enumerate(seqs)
+            ]
+            return pa.table(
+                {
+                    "walk_id": batch.column("walk_id"),
+                    "prev": pa.array(new_prev, type=pa.uint64()),
+                    "cur": pa.array(nxt, type=pa.uint64()),
+                    "seq": list_array(new_seqs, np.uint64, pa.uint64()),
+                    "done": pa.array(done),
+                }
+            )
+
+        return _fn
+
+    def _with_prev(batch: pa.Table) -> pa.Table:
+        return batch.append_column("prev", batch.column("cur"))
+
+    ds = walk_seeds(graph, 1).map_batches(_with_prev, batch_format="pyarrow")
+    for step in range(1, walk_len):
+        ds = ds.map_batches(_step(step), batch_format="pyarrow")
+
+    def _final(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"walk_id": batch.column("walk_id"), "seq": batch.column("seq")}
+        )
+
+    return ds.map_batches(_final, batch_format="pyarrow")
+
+
 def khop_neighbor_sample(graph: ShardedGraph, seed_vids, fanouts=(3, 2), seed: int = 7):
     """Deterministic GraphSAGE-style fanout sampling (Hamilton et al.,
     NeurIPS 2017): per root and hop h, each frontier vertex keeps its

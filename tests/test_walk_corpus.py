@@ -135,3 +135,48 @@ def test_khop_sample_matches_replica(tmp_path):
     h1 = out[out["hop"] == 1].groupby(["root", "src"]).size()
     assert (h1 <= 3).all()
     assert len(got) > 0
+
+
+def test_node2vec_equal_weights_degenerates_to_deepwalk():
+    """With back:common:far = 1:1:1 the cumulative-weight selection is
+    r mod deg over the CSR-ordered row — exactly the uniform DeepWalk
+    hop — so the two corpora must be identical sequences."""
+    from efficient_graph_algorithms_ray.pipelines.walk_corpus import (
+        node2vec_walk_corpus,
+    )
+    from efficient_graph_algorithms_ray.util import list_rows
+
+    g, _, _ = _graph(n=40, p=0.15, seed=3, with_dangling=False)
+    L = 6
+
+    def _seqs(ds):
+        out = {}
+        for b in ds.iter_batches(batch_size=None, batch_format="pyarrow"):
+            for wid, s in zip(
+                b.column("walk_id").to_pylist(), list_rows(b, "seq")
+            ):
+                out[int(wid)] = [int(x) for x in s]
+        return out
+
+    uni = _seqs(random_walk_corpus(g, walk_len=L, walks_per_vertex=1, seed=7))
+    n2v = _seqs(node2vec_walk_corpus(g, walk_len=L, seed=7, w_back=1, w_common=1, w_far=1))
+    assert uni == n2v
+
+
+def test_node2vec_bias_changes_walks():
+    from efficient_graph_algorithms_ray.pipelines.walk_corpus import (
+        node2vec_walk_corpus,
+    )
+    from efficient_graph_algorithms_ray.util import list_rows
+
+    g, _, _ = _graph(n=40, p=0.15, seed=3, with_dangling=False)
+
+    def _flat(ds):
+        rows = []
+        for b in ds.iter_batches(batch_size=None, batch_format="pyarrow"):
+            rows.extend(tuple(int(x) for x in s) for s in list_rows(b, "seq"))
+        return sorted(rows)
+
+    a = _flat(node2vec_walk_corpus(g, walk_len=6, seed=7, w_back=1, w_common=1, w_far=1))
+    b = _flat(node2vec_walk_corpus(g, walk_len=6, seed=7, w_back=16, w_common=1, w_far=1))
+    assert a != b  # strong return bias must reroute at least one hop
