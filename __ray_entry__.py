@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_resample": C.q_quality_resample,
         "katz_coocc": R.q_katz_coocc,
         "node2vec_coocc": R.q_node2vec_coocc,
+        "skipgram_coocc": R.q_skipgram_coocc,
         "backbone_coocc": R.q_backbone_coocc,
         "sweepcut_coocc": R.q_sweepcut_coocc,
         "powerlaw_coocc": R.q_powerlaw_coocc,
@@ -324,6 +325,7 @@ def oracle_sql() -> dict[str, str]:
         "quality_resample": S.quality_resample_sql(temperature=3),
         "katz_coocc": S.katz_coocc_sql(k=4),
         "node2vec_coocc": S.node2vec_coocc_sql(walk_len=6, seed=7),
+        "skipgram_coocc": S.skipgram_coocc_sql(walk_len=8, seed=7, window=2),
         "backbone_coocc": S.backbone_coocc_sql(k=5),
         "sweepcut_coocc": S.sweepcut_coocc_sql(k=8, T=16),
         "powerlaw_coocc": S.powerlaw_coocc_sql(dmin=2),

@@ -1105,12 +1105,9 @@ SELECT CAST(k.vid AS BIGINT) AS vid,
 FROM k{rounds} k JOIN ids i ON k.vid = i.vid"""
 
 
-def walk_corpus_coocc_sql(walk_len: int = 8, seed: int = 7) -> str:
-    """Deterministic DeepWalk sequences over the part co-occurrence
-    graph, replayed in SQL: hop t takes neighbor index
-    splitmix64(walk_id ⊕ splitmix64(t) ⊕ seed) mod degree, neighbors
-    ranked ascending (the CSR order). walk_id = splitmix64(vid ⊕
-    splitmix64(0)); all splitmix constants are inlined from Python."""
+def _walk_chain(walk_len: int, seed: int) -> list[str]:
+    """Shared CTE chain for the DeepWalk replays: uniform hops, final
+    table ``w{walk_len-1}`` with columns (start, wid, cur, v1..v{L-1})."""
     sm0 = sm64_py(0)
     # w0: start vertex + walk id
     frag0, last0, _ = sm64_stages("vx", "x", "wid", ["start"])
@@ -1146,8 +1143,45 @@ w{t} AS MATERIALIZED (
 )"""
         )
         hops.append(f"v{t}")
+    return parts
+
+
+def walk_corpus_coocc_sql(walk_len: int = 8, seed: int = 7) -> str:
+    """Deterministic DeepWalk sequences over the part co-occurrence
+    graph, replayed in SQL: hop t takes neighbor index
+    splitmix64(walk_id ⊕ splitmix64(t) ⊕ seed) mod degree, neighbors
+    ranked ascending (the CSR order). walk_id = splitmix64(vid ⊕
+    splitmix64(0)); all splitmix constants are inlined from Python."""
+    parts = _walk_chain(walk_len, seed)
     sel = ", ".join(f"CAST(v{t} AS BIGINT) AS v{t}" for t in range(1, walk_len))
     parts.append(f"\nSELECT CAST(start AS BIGINT) AS start, {sel} FROM w{walk_len-1}")
+    return "".join(parts)
+
+
+def skipgram_coocc_sql(walk_len: int = 8, seed: int = 7, window: int = 2) -> str:
+    """Skip-gram pair counts from the replayed DeepWalk corpus: every
+    ordered (center, context) at walk distance ≤ window, counted over
+    all walks — the UNION ALL enumerates the fixed (i, j) offset
+    pairs of the L-position sequence (position 0 = start)."""
+    parts = _walk_chain(walk_len, seed)
+
+    def col(i: int) -> str:
+        return "start" if i == 0 else f"v{i}"
+
+    selects = []
+    for i in range(walk_len):
+        for j in range(walk_len):
+            if i != j and abs(i - j) <= window:
+                selects.append(
+                    f"SELECT CAST({col(i)} AS BIGINT) AS center, "
+                    f"CAST({col(j)} AS BIGINT) AS context FROM w{walk_len-1}"
+                )
+    union = "\nUNION ALL\n".join(selects)
+    parts.append(
+        f""",
+pairs AS ({union})
+SELECT center, context, COUNT(*)::BIGINT AS n FROM pairs GROUP BY 1, 2"""
+    )
     return "".join(parts)
 
 

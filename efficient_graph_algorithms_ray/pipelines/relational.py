@@ -547,6 +547,18 @@ def q_walk_corpus_coocc(sf_dir: str):
     return walks.map_batches(_shape, batch_format="pyarrow")
 
 
+def q_skipgram_coocc(sf_dir: str):
+    """Skip-gram (center, context, n) training pairs at window 2 from
+    the deterministic DeepWalk corpus — the word2vec data product;
+    SQL-oracled by enumerating the offset pairs of the replayed
+    sequences."""
+    from .walk_corpus import random_walk_corpus, skipgram_pairs
+
+    g = _coocc_graph(sf_dir)
+    walks = random_walk_corpus(g, walk_len=8, walks_per_vertex=1, seed=7)
+    return skipgram_pairs(walks, window=2)
+
+
 def q_node2vec_coocc(sf_dir: str):
     """node2vec biased training walks (p=2, q=4 → integer weights
     2:4:1) over the part co-occurrence graph, walk_len=6 — the

@@ -171,6 +171,57 @@ def node2vec_walk_corpus(
     return ds.map_batches(_final, batch_format="pyarrow")
 
 
+def skipgram_pairs(walks_ds, window: int = 2):
+    """Walk sequences → aggregated skip-gram training pairs
+    (center, context, n): every ordered pair at distance ≤ ``window``
+    inside a walk (the word2vec/DeepWalk training-set construction —
+    Mikolov et al. 2013 §3; Perozzi et al. 2014 §4.2).
+
+    One vectorized pass per batch builds all offset-shifted column
+    pairs at once and pre-aggregates (Arrow group_by) before the single
+    combiner-backed global ``groupby(center, context).sum`` — the
+    shuffle carries one row per distinct pair per batch, which is what
+    bounds the hot-pair skew (hub vertices appear in millions of
+    walks)."""
+    from ray.data.aggregate import Sum
+
+    def _pairs(batch: pa.Table) -> pa.Table:
+        seqs = list_rows(batch, "seq")
+        cs, xs = [], []
+        for s in seqs:
+            L = len(s)
+            for off in range(1, min(window, L - 1) + 1):
+                cs.append(s[:-off])
+                xs.append(s[off:])
+                cs.append(s[off:])
+                xs.append(s[:-off])
+        if not cs:
+            return pa.table(
+                {
+                    "center": pa.array([], type=pa.int64()),
+                    "context": pa.array([], type=pa.int64()),
+                    "n": pa.array([], type=pa.int64()),
+                }
+            )
+        c = np.concatenate(cs).astype(np.int64)
+        x = np.concatenate(xs).astype(np.int64)
+        raw = pa.table(
+            {
+                "center": pa.array(c, type=pa.int64()),
+                "context": pa.array(x, type=pa.int64()),
+                "one": pa.array(np.ones(len(c), dtype=np.int64)),
+            }
+        )
+        agg = raw.group_by(["center", "context"]).aggregate([("one", "sum")])
+        return agg.rename_columns(["center", "context", "n"])
+
+    return (
+        walks_ds.map_batches(_pairs, batch_format="pyarrow")
+        .groupby(["center", "context"])
+        .aggregate(Sum("n", alias_name="n"))
+    )
+
+
 def khop_neighbor_sample(graph: ShardedGraph, seed_vids, fanouts=(3, 2), seed: int = 7):
     """Deterministic GraphSAGE-style fanout sampling (Hamilton et al.,
     NeurIPS 2017): per root and hop h, each frontier vertex keeps its
