@@ -2357,6 +2357,50 @@ w{t} AS MATERIALIZED (
     return "".join(parts)
 
 
+def richclub_coocc_sql(ks=(2, 4, 8, 16)) -> str:
+    """Rich-club φ(k): rich-vertex count, rich-edge count (u < v pairs
+    with both degrees > k) and the single rounded density division."""
+    kvals = ", ".join(f"({k})" for k in ks)
+    return f"""WITH {_COOCC_UND_MAT},
+deg AS MATERIALIZED (SELECT u AS vid, COUNT(*)::BIGINT AS d FROM und GROUP BY u),
+ks(k) AS (VALUES {kvals}),
+nk AS (SELECT ks.k, COUNT(deg.vid)::BIGINT AS n_k
+       FROM ks LEFT JOIN deg ON deg.d > ks.k GROUP BY ks.k),
+ek AS (
+  SELECT ks.k, COUNT(*)::BIGINT AS e_k
+  FROM pr JOIN deg du ON du.vid = pr.u JOIN deg dv ON dv.vid = pr.v, ks
+  WHERE du.d > ks.k AND dv.d > ks.k
+  GROUP BY ks.k
+)
+SELECT nk.k::BIGINT AS k, nk.n_k, COALESCE(ek.e_k, 0)::BIGINT AS e_k,
+  ROUND(CASE WHEN nk.n_k > 1
+    THEN 2.0 * COALESCE(ek.e_k, 0) / (CAST(nk.n_k AS DOUBLE) * (nk.n_k - 1.0))
+    ELSE 0.0 END, 9) AS phi_r9
+FROM nk LEFT JOIN ek ON nk.k = ek.k"""
+
+
+def negative_sample_coocc_sql(m: int = 1024, seed: int = 13, P: int = 16) -> str:
+    """Replays pipelines/walk_corpus.negative_sample_table: draw i →
+    vertex owning position splitmix64(i ⊕ seed) mod Σdeg in the
+    (part = vid mod P, vid) cumulative-degree order."""
+    frag, cte, hcol = sm64_stages("dr_in", "x", "ns", ["i"])
+    return f"""WITH {_COOCC_UND_MAT},
+deg AS MATERIALIZED (SELECT u AS vid, COUNT(*)::BIGINT AS d FROM und GROUP BY u),
+cum AS MATERIALIZED (
+  SELECT vid, d, SUM(d) OVER (ORDER BY CAST(vid AS UBIGINT) % {P}, vid
+                              ROWS UNBOUNDED PRECEDING) AS cw
+  FROM deg
+),
+tot AS (SELECT CAST(SUM(d) AS UBIGINT) AS t FROM deg),
+dr_in AS (
+  SELECT i, xor(CAST(i AS UBIGINT), {seed}::UBIGINT) AS x
+  FROM (SELECT unnest(generate_series(0, {m - 1})) AS i)
+){frag},
+draws AS (SELECT i, CAST({hcol} % (SELECT t FROM tot) AS BIGINT) AS r FROM {cte})
+SELECT d.i::BIGINT AS i, c.vid::BIGINT AS vid
+FROM draws d JOIN cum c ON c.cw > d.r AND c.cw - c.d <= d.r"""
+
+
 def katz_coocc_sql(k: int = 4) -> str:
     """Truncated Katz with α = 1/64: the unrolled recurrence
     x_i = 1 + (Σ_in x_{i-1}) / 64 — dyadic-exact, no rounding."""

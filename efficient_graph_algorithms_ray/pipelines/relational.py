@@ -547,6 +547,86 @@ def q_walk_corpus_coocc(sf_dir: str):
     return walks.map_batches(_shape, batch_format="pyarrow")
 
 
+def q_richclub_coocc(sf_dir: str):
+    """Rich-club coefficient φ(k) = E_k / C(N_k, 2) of the
+    co-occurrence graph at k ∈ {2, 4, 8, 16}: the edge density among
+    vertices of degree > k (Colizza et al., Nat. Phys. 2006). Exact
+    integer counts + one rounded division — SQL-oracled.
+
+    Plan: per-shard map tasks count their own rich vertices and their
+    rich (u < v) edge endpoints using the broadcast degree index for
+    neighbor degrees (16 B/vertex — the same no-funnel orientation
+    lookup the triangle pipeline uses); a tiny groupby(k) merges the
+    P×|ks| partial rows. No edge shuffle."""
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Sum
+
+    from .triangles import _degree_index
+
+    g = _coocc_graph(sf_dir)
+    deg_refs = _degree_index(g)
+    refs = g.refs
+    P = g.num_partitions
+    ks = np.array([2, 4, 8, 16], dtype=np.int64)
+
+    def _partials(batch: pa.Table) -> pa.Table:
+        out_k, out_n, out_e = [], [], []
+        for p in batch.column("part").to_numpy(zero_copy_only=False):
+            csr = ray.get(refs[int(p)])
+            vids, deg = csr["vids"], csr["deg"].astype(np.int64)
+            indptr, nbrs = csr["indptr"], csr["indices"]
+            # neighbor degrees via the broadcast per-partition slices
+            ndeg = np.zeros(len(nbrs), dtype=np.int64)
+            nparts = (nbrs % np.uint64(P)).astype(np.int64)
+            for q in np.unique(nparts):
+                sl = ray.get(deg_refs[int(q)])
+                sel = nparts == q
+                pos = np.searchsorted(sl["vids"], nbrs[sel])
+                ndeg[sel] = sl["deg"][pos]
+            udeg = np.repeat(deg, deg)  # deg(u) aligned to each edge slot
+            uvid = np.repeat(vids, deg)
+            fwd = nbrs > uvid  # count each undirected edge once (u < v)
+            for k in ks:
+                out_k.append(int(k))
+                out_n.append(int((deg > k).sum()))
+                out_e.append(int((fwd & (udeg > k) & (ndeg > k)).sum()))
+        return pa.table(
+            {
+                "k": pa.array(np.array(out_k, dtype=np.int64)),
+                "n_k": pa.array(np.array(out_n, dtype=np.int64)),
+                "e_k": pa.array(np.array(out_e, dtype=np.int64)),
+            }
+        )
+
+    parts_ds = rd.from_arrow(
+        pa.table({"part": pa.array(sorted(g.parts), type=pa.int64())})
+    ).repartition(len(g.parts))
+    merged = (
+        parts_ds.map_batches(_partials, batch_format="pyarrow", batch_size=1)
+        .groupby("k")
+        .aggregate(Sum("n_k", alias_name="n_k"), Sum("e_k", alias_name="e_k"))
+    )
+
+    def _phi(b: pa.Table) -> pa.Table:
+        n = b.column("n_k").to_numpy(zero_copy_only=False).astype(np.float64)
+        e = b.column("e_k").to_numpy(zero_copy_only=False).astype(np.float64)
+        denom = n * (n - 1.0)
+        phi = np.where(denom > 0, 2.0 * e / np.where(denom > 0, denom, 1.0), 0.0)
+        return b.append_column("phi_r9", pa.array(np.round(phi, 9), type=pa.float64()))
+
+    return merged.map_batches(_phi, batch_format="pyarrow")
+
+
+def q_negative_samples_coocc(sf_dir: str):
+    """Degree-proportional negative-sampling table (1024 draws, the
+    word2vec negatives companion to `skipgram_coocc`) — SQL-oracled
+    against the window-cumsum threshold replay. Returns (i, vid)."""
+    from .walk_corpus import negative_sample_table
+
+    return negative_sample_table(_coocc_graph(sf_dir), m=1024, seed=13)
+
+
 def q_skipgram_coocc(sf_dir: str):
     """Skip-gram (center, context, n) training pairs at window 2 from
     the deterministic DeepWalk corpus — the word2vec data product;

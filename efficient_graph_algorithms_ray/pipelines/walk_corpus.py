@@ -222,6 +222,88 @@ def skipgram_pairs(walks_ds, window: int = 2):
     )
 
 
+def negative_sample_table(graph: ShardedGraph, m: int = 1024, seed: int = 13):
+    """Degree-proportional negative-sampling table for skip-gram
+    training (the word2vec negatives step — Mikolov et al. 2013 §2.2,
+    with degree standing in for the f^0.75 unigram power so every
+    threshold is an exact integer). Draw i selects the vertex owning
+    position splitmix64(i ⊕ seed) mod Σdeg in the global
+    cumulative-degree order (shards in part order, vids ascending
+    within a shard) — the exact multinomial-by-degree sample,
+    deterministic at any parallelism.
+
+    Two passes: (1) per-shard degree totals (P tiny rows to the
+    driver) → exclusive shard offsets broadcast back; (2) each shard
+    task regenerates the m draw positions (m is small — the table is
+    a training-time constant), keeps those landing in its range and
+    binary-searches its local cumulative-degree array. No shuffle.
+
+    Returns Dataset (i, vid).
+    """
+    import ray
+    import ray.data as rd
+
+    refs = graph.refs
+    parts = sorted(graph.parts)
+
+    def _totals(batch: pa.Table) -> pa.Table:
+        ps = batch.column("part").to_numpy(zero_copy_only=False)
+        out = []
+        for p in ps:
+            out.append(int(ray.get(refs[int(p)])["deg"].astype(object).sum()))
+        return pa.table(
+            {
+                "part": batch.column("part"),
+                "total": pa.array(np.array(out, dtype=np.int64)),
+            }
+        )
+
+    parts_ds = rd.from_arrow(pa.table({"part": pa.array(parts, type=pa.int64())}))
+    tot_tbl = pa.concat_tables(
+        parts_ds.map_batches(_totals, batch_format="pyarrow").iter_batches(
+            batch_size=None, batch_format="pyarrow"
+        )
+    )
+    tp = tot_tbl.column("part").to_numpy(zero_copy_only=False)
+    tv = tot_tbl.column("total").to_numpy(zero_copy_only=False)
+    order = np.argsort(tp)
+    tp, tv = tp[order], tv[order]
+    offsets = np.concatenate(([0], np.cumsum(tv)[:-1]))
+    grand = int(tv.sum())
+    off_map = {int(p): (int(o), int(t)) for p, o, t in zip(tp, offsets, tv)}
+
+    def _draws(batch: pa.Table) -> pa.Table:
+        ps = batch.column("part").to_numpy(zero_copy_only=False)
+        ii = np.arange(m, dtype=np.uint64)
+        r = (_splitmix64(ii ^ np.uint64(seed)) % np.uint64(grand)).astype(np.int64)
+        out_i, out_v = [], []
+        for p in ps:
+            off, tot = off_map[int(p)]
+            sel = np.flatnonzero((r >= off) & (r < off + tot))
+            if len(sel) == 0:
+                continue
+            csr = ray.get(refs[int(p)])
+            cum = np.cumsum(csr["deg"].astype(np.int64))
+            pos = np.searchsorted(cum, r[sel] - off, side="right")
+            out_i.append(sel.astype(np.int64))
+            out_v.append(csr["vids"][pos].astype(np.int64))
+        if not out_i:
+            return pa.table(
+                {
+                    "i": pa.array([], type=pa.int64()),
+                    "vid": pa.array([], type=pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "i": pa.array(np.concatenate(out_i), type=pa.int64()),
+                "vid": pa.array(np.concatenate(out_v), type=pa.int64()),
+            }
+        )
+
+    return parts_ds.map_batches(_draws, batch_format="pyarrow", batch_size=1)
+
+
 def khop_neighbor_sample(graph: ShardedGraph, seed_vids, fanouts=(3, 2), seed: int = 7):
     """Deterministic GraphSAGE-style fanout sampling (Hamilton et al.,
     NeurIPS 2017): per root and hop h, each frontier vertex keeps its
