@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "skipgram_coocc": R.q_skipgram_coocc,
         "negative_samples_coocc": R.q_negative_samples_coocc,
         "richclub_coocc": R.q_richclub_coocc,
+        "weighted_walk_coocc": R.q_weighted_walk_coocc,
         "backbone_coocc": R.q_backbone_coocc,
         "sweepcut_coocc": R.q_sweepcut_coocc,
         "powerlaw_coocc": R.q_powerlaw_coocc,
@@ -330,6 +331,7 @@ def oracle_sql() -> dict[str, str]:
         "skipgram_coocc": S.skipgram_coocc_sql(walk_len=8, seed=7, window=2),
         "negative_samples_coocc": S.negative_sample_coocc_sql(m=1024, seed=13, P=16),
         "richclub_coocc": S.richclub_coocc_sql(ks=(2, 4, 8, 16)),
+        "weighted_walk_coocc": S.weighted_walk_coocc_sql(walk_len=6, seed=7),
         "backbone_coocc": S.backbone_coocc_sql(k=5),
         "sweepcut_coocc": S.sweepcut_coocc_sql(k=8, T=16),
         "powerlaw_coocc": S.powerlaw_coocc_sql(dmin=2),

@@ -2357,6 +2357,60 @@ w{t} AS MATERIALIZED (
     return "".join(parts)
 
 
+def weighted_walk_coocc_sql(walk_len: int = 6, seed: int = 7) -> str:
+    """Weighted DeepWalk replay: hop t picks the first CSR-ordered
+    neighbor whose cumulative integer edge weight exceeds
+    splitmix64(walk_id ⊕ mix(t) ⊕ seed) mod Σw."""
+    sm0 = sm64_py(0)
+    frag0, last0, _ = sm64_stages("vx", "x", "wid", ["start"])
+    parts = [
+        """WITH pairs AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v, a.l_orderkey AS o
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2, 3
+),
+ew AS (SELECT u, v, COUNT(*)::BIGINT AS wi FROM pairs GROUP BY 1, 2),
+adjw AS MATERIALIZED (
+  SELECT u, v, wi FROM ew UNION ALL SELECT v AS u, u AS v, wi FROM ew
+),
+verts AS (SELECT DISTINCT u AS vid FROM adjw),""",
+        f"vx AS (SELECT vid AS start, xor(CAST(vid AS UBIGINT), {sm0}::UBIGINT) AS x FROM verts)",
+        frag0,
+        f",\nw0 AS MATERIALIZED (SELECT start, h AS wid, CAST(start AS UBIGINT) AS cur FROM {last0})",
+    ]
+    hops: list[str] = []
+    for t in range(1, walk_len):
+        smt = sm64_py(t)
+        hc = (", ".join(hops) + ", ") if hops else ""
+        parts.append(
+            f""",
+sx{t} AS (SELECT {hc}start, wid, cur, xor(xor(wid, {smt}::UBIGINT), {seed}::UBIGINT) AS x FROM w{t-1})"""
+        )
+        frag, last, _ = sm64_stages(f"sx{t}", "x", f"st{t}", ["start", "wid", "cur"] + hops)
+        parts.append(frag)
+        parts.append(
+            f""",
+cw{t} AS (
+  SELECT {hc}t.start, t.wid, t.h, adjw.v AS cand, adjw.wi,
+    SUM(adjw.wi) OVER (PARTITION BY t.wid ORDER BY adjw.v
+                       ROWS UNBOUNDED PRECEDING) AS cw,
+    SUM(adjw.wi) OVER (PARTITION BY t.wid) AS tot
+  FROM {last} t JOIN adjw ON adjw.u = CAST(t.cur AS BIGINT)
+),
+w{t} AS MATERIALIZED (
+  SELECT {hc}start, wid, CAST(cand AS UBIGINT) AS cur, cand AS v{t}
+  FROM cw{t}
+  WHERE cw > CAST(h % CAST(tot AS UBIGINT) AS BIGINT)
+    AND cw - wi <= CAST(h % CAST(tot AS UBIGINT) AS BIGINT)
+)"""
+        )
+        hops.append(f"v{t}")
+    sel = ", ".join(f"CAST(v{t} AS BIGINT) AS v{t}" for t in range(1, walk_len))
+    parts.append(f"\nSELECT CAST(start AS BIGINT) AS start, {sel} FROM w{walk_len-1}")
+    return "".join(parts)
+
+
 def richclub_coocc_sql(ks=(2, 4, 8, 16)) -> str:
     """Rich-club φ(k): rich-vertex count, rich-edge count (u < v pairs
     with both degrees > k) and the single rounded density division."""

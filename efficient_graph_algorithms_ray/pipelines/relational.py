@@ -547,6 +547,34 @@ def q_walk_corpus_coocc(sf_dir: str):
     return walks.map_batches(_shape, batch_format="pyarrow")
 
 
+def q_weighted_walk_coocc(sf_dir: str):
+    """Weighted DeepWalk corpus over the co-occurrence-count graph
+    (hop probability ∝ shared-order multiplicity), walk_len=6 —
+    SQL-oracled via the cumulative-weight threshold replay.
+    Returns (start, v1..v5)."""
+    from .walk_corpus import weighted_walk_corpus
+
+    g = _coocc_w_graph(sf_dir)
+    walk_len = 6
+    walks = weighted_walk_corpus(g, walk_len=walk_len, seed=7)
+
+    def _shape(batch: pa.Table) -> pa.Table:
+        from ..util import list_rows
+
+        seqs = list_rows(batch, "seq")
+        mat = (
+            np.vstack(seqs).astype(np.int64)
+            if seqs
+            else np.empty((0, walk_len), dtype=np.int64)
+        )
+        cols = {"start": pa.array(mat[:, 0], type=pa.int64())}
+        for t in range(1, walk_len):
+            cols[f"v{t}"] = pa.array(mat[:, t], type=pa.int64())
+        return pa.table(cols)
+
+    return walks.map_batches(_shape, batch_format="pyarrow")
+
+
 def q_richclub_coocc(sf_dir: str):
     """Rich-club coefficient φ(k) = E_k / C(N_k, 2) of the
     co-occurrence graph at k ∈ {2, 4, 8, 16}: the edge density among

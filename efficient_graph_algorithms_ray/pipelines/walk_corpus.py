@@ -222,6 +222,76 @@ def skipgram_pairs(walks_ds, window: int = 2):
     )
 
 
+def weighted_walk_corpus(graph: ShardedGraph, walk_len: int = 6, seed: int = 7):
+    """Edge-weight-proportional random walks (weighted DeepWalk): hop
+    t leaves v through edge e with probability w(e)/Σw — selected by
+    the exact integer threshold r = splitmix64(walk_id ⊕ mix(t) ⊕
+    seed) mod Σw against the cumulative weights in CSR (neighbor-id)
+    order. Weights are the integer co-occurrence multiplicities, so
+    the float64 cumsum is exact and the selection SQL-replayable.
+
+    Same zero-shuffle L-step shape as ``random_walk_corpus``.
+    Returns Dataset (walk_id, seq list<uint64>)."""
+    import ray
+
+    refs = graph.refs
+    P = graph.num_partitions
+
+    def _step(step: int):
+        def _fn(batch: pa.Table) -> pa.Table:
+            wid = batch.column("walk_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+            cur = batch.column("cur").to_numpy(zero_copy_only=False).astype(np.uint64)
+            done = batch.column("done").to_numpy(zero_copy_only=False).copy()
+            seqs = list_rows(batch, "seq")
+            nxt = cur.copy()
+            parts = (cur % np.uint64(P)).astype(np.int64)
+            r_all = _splitmix64(
+                wid ^ _splitmix64(np.full(len(wid), step, dtype=np.uint64))
+                ^ np.uint64(seed)
+            )
+            for p in np.unique(parts[~done]):
+                csr = ray.get(refs[int(p)])
+                w = csr["weights"]
+                rows = np.flatnonzero((parts == p) & ~done)
+                pos = np.searchsorted(csr["vids"], cur[rows])
+                deg = csr["deg"][pos]
+                starts = csr["indptr"][pos]
+                for j, i in enumerate(rows):
+                    d = int(deg[j])
+                    if d == 0:
+                        done[i] = True
+                        continue
+                    s0 = starts[j]
+                    cw = np.cumsum(w[s0 : s0 + d])
+                    r = int(r_all[i] % np.uint64(int(cw[-1])))
+                    nxt[i] = csr["indices"][s0 + int(np.searchsorted(cw, r, side="right"))]
+            new_seqs = [
+                s if done[i] else np.concatenate([s, [nxt[i]]])
+                for i, s in enumerate(seqs)
+            ]
+            return pa.table(
+                {
+                    "walk_id": batch.column("walk_id"),
+                    "cur": pa.array(nxt, type=pa.uint64()),
+                    "seq": list_array(new_seqs, np.uint64, pa.uint64()),
+                    "done": pa.array(done),
+                }
+            )
+
+        return _fn
+
+    ds = walk_seeds(graph, 1)
+    for step in range(1, walk_len):
+        ds = ds.map_batches(_step(step), batch_format="pyarrow")
+
+    def _final(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"walk_id": batch.column("walk_id"), "seq": batch.column("seq")}
+        )
+
+    return ds.map_batches(_final, batch_format="pyarrow")
+
+
 def negative_sample_table(graph: ShardedGraph, m: int = 1024, seed: int = 13):
     """Degree-proportional negative-sampling table for skip-gram
     training (the word2vec negatives step — Mikolov et al. 2013 §2.2,
