@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "negative_samples_coocc": R.q_negative_samples_coocc,
         "richclub_coocc": R.q_richclub_coocc,
         "weighted_walk_coocc": R.q_weighted_walk_coocc,
+        "louvain_quotient": R.q_louvain_quotient,
         "backbone_coocc": R.q_backbone_coocc,
         "sweepcut_coocc": R.q_sweepcut_coocc,
         "powerlaw_coocc": R.q_powerlaw_coocc,
@@ -332,6 +333,7 @@ def oracle_sql() -> dict[str, str]:
         "negative_samples_coocc": S.negative_sample_coocc_sql(m=1024, seed=13, P=16),
         "richclub_coocc": S.richclub_coocc_sql(ks=(2, 4, 8, 16)),
         "weighted_walk_coocc": S.weighted_walk_coocc_sql(walk_len=6, seed=7),
+        "louvain_quotient": S.louvain_quotient_sql(rounds=2),
         "backbone_coocc": S.backbone_coocc_sql(k=5),
         "sweepcut_coocc": S.sweepcut_coocc_sql(k=8, T=16),
         "powerlaw_coocc": S.powerlaw_coocc_sql(dmin=2),

@@ -2881,6 +2881,19 @@ FROM intra, tots""")
     return "".join(parts)
 
 
+def louvain_quotient_sql(rounds: int = 2) -> str:
+    """Community quotient graph: und directed slots grouped by the
+    (lab(u), lab(v)) pair from the replayed move rounds."""
+    parts = _louvain_chain(rounds)
+    parts.append(
+        f"""
+SELECT lu.lab::BIGINT AS cu, lv.lab::BIGINT AS cv, COUNT(*)::BIGINT AS w
+FROM und e JOIN l{rounds} lu ON lu.vid = e.u JOIN l{rounds} lv ON lv.vid = e.v
+GROUP BY 1, 2"""
+    )
+    return "".join(parts)
+
+
 RECIPROCITY_COOCC = f"""WITH {_coocc_dir_edges()},
 cp AS (
   SELECT LEAST(s, d) AS lo, GREATEST(s, d) AS hi, count(*)::BIGINT AS n

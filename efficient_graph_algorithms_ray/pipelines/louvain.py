@@ -231,6 +231,91 @@ def louvain_modularity(edges_uv, *, rounds: int = 2, num_partitions: int = 32):
     )
 
 
+def louvain_quotient(edges_uv, *, rounds: int = 2, num_partitions: int = 32):
+    """Community-contraction (quotient) graph after the move rounds —
+    the input to Louvain's next level and the standard graph-summary
+    artifact: one row per ORDERED community pair (cu, cv) with w = the
+    number of directed und slots between them (cu = cv rows carry the
+    doubled intra-community count).
+
+    Plan: reuse the per-vertex neighbor-community counts k(u, c) the
+    move rounds already compute (edges co-shuffled with labels once),
+    then ONE more vid-hash co-shuffle attaches lab(u) and
+    pre-aggregates (lab(u), c) per partition before the tiny global
+    groupby — the edge table is never re-shuffled."""
+    from ray.data.aggregate import Sum
+
+    P = num_partitions
+    state, both, _ = louvain_state(edges_uv, rounds=rounds, num_partitions=P)
+    k = _neighbor_counts(both, state, P)
+
+    def _tag_state(b: pa.Table) -> pa.Table:
+        vid = b.column("vid").to_numpy(zero_copy_only=False).astype(np.uint64)
+        return pa.table(
+            {
+                "part": pa.array((vid % np.uint64(P)).astype(np.int64)),
+                "tag": pa.array(np.zeros(len(b), dtype=np.int64)),
+                "key": pa.array(vid, type=pa.uint64()),
+                "c": b.column("lab"),
+                "k": pa.array(np.zeros(len(b), dtype=np.int64)),
+            }
+        )
+
+    def _tag_k(b: pa.Table) -> pa.Table:
+        u = b.column("u").to_numpy(zero_copy_only=False).astype(np.uint64)
+        return pa.table(
+            {
+                "part": pa.array((u % np.uint64(P)).astype(np.int64)),
+                "tag": pa.array(np.ones(len(b), dtype=np.int64)),
+                "key": pa.array(u, type=pa.uint64()),
+                "c": b.column("c"),
+                "k": b.column("k"),
+            }
+        )
+
+    def _quot(g: pa.Table) -> pa.Table:
+        tag = g.column("tag").to_numpy(zero_copy_only=False)
+        key = g.column("key").to_numpy(zero_copy_only=False).astype(np.uint64)
+        c = g.column("c").to_numpy(zero_copy_only=False).astype(np.uint64)
+        kk = g.column("k").to_numpy(zero_copy_only=False)
+        is_state = tag == 0
+        sv, sl = key[is_state], c[is_state]
+        order = np.argsort(sv, kind="stable")
+        sv, sl = sv[order], sl[order]
+        ku, kc, kn = key[~is_state], c[~is_state], kk[~is_state]
+        if len(ku) == 0 or len(sv) == 0:
+            return pa.table(
+                {
+                    "cu": pa.array([], type=pa.int64()),
+                    "cv": pa.array([], type=pa.int64()),
+                    "w": pa.array([], type=pa.int64()),
+                }
+            )
+        cu = sl[np.searchsorted(sv, ku)]
+        order = np.lexsort((kc, cu))
+        cu, kc, kn = cu[order], kc[order], kn[order]
+        new = np.concatenate(([True], (cu[1:] != cu[:-1]) | (kc[1:] != kc[:-1])))
+        gid = np.cumsum(new) - 1
+        w = np.bincount(gid, weights=kn).astype(np.int64)
+        return pa.table(
+            {
+                "cu": pa.array(cu[new].astype(np.int64), type=pa.int64()),
+                "cv": pa.array(kc[new].astype(np.int64), type=pa.int64()),
+                "w": pa.array(w, type=pa.int64()),
+            }
+        )
+
+    merged = state.map_batches(_tag_state, batch_format="pyarrow").union(
+        k.map_batches(_tag_k, batch_format="pyarrow")
+    )
+    return (
+        merged.groupby("part")
+        .map_groups(_quot, batch_format="pyarrow")
+        .groupby(["cu", "cv"])
+        .aggregate(Sum("w", alias_name="w"))
+    )
+
+
 def louvain_state(edges_uv, *, rounds: int = 2, num_partitions: int = 32):
     """Run the move rounds; returns (state Dataset (vid, lab, deg),
     both-directions edge Dataset, m2 = Σ deg)."""

@@ -1320,6 +1320,38 @@ def q_louvain_modularity(sf_dir: str):
     return louvain_modularity(distinct, rounds=2)
 
 
+def q_louvain_quotient(sf_dir: str):
+    """Community-contraction graph after 2 Louvain rounds: ordered
+    community pairs with inter/intra directed-slot weights — the next
+    Louvain level's input. SQL-oracled. Returns (cu, cv, w)."""
+    from ray.data.aggregate import Count
+
+    from .louvain import louvain_quotient
+
+    def _uv(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "u": pa.array(
+                    b.column("src").to_numpy(zero_copy_only=False).astype(np.uint64),
+                    type=pa.uint64(),
+                ),
+                "v": pa.array(
+                    b.column("dst").to_numpy(zero_copy_only=False).astype(np.uint64),
+                    type=pa.uint64(),
+                ),
+            }
+        )
+
+    distinct = (
+        part_cooccurrence_edges(sf_dir)
+        .map_batches(_uv, batch_format="pyarrow")
+        .groupby(["u", "v"])
+        .aggregate(Count(alias_name="n"))
+        .select_columns(["u", "v"])
+    )
+    return louvain_quotient(distinct, rounds=2)
+
+
 def q_reciprocity_coocc(sf_dir: str):
     """Edge reciprocity of the hash-oriented directed co-occurrence
     graph (Newman): the fraction of directed edges whose reverse edge
