@@ -164,6 +164,16 @@ ORDER BY n_orders DESC, custkey ASC
 LIMIT 10"""
 
 
+EVENTS_PROPS_STATS = """WITH x AS (
+  SELECT event_type,
+    CAST(COALESCE(NULLIF(regexp_extract(props, '"k":\\s*(-?\\d+)', 1), ''), '0') AS BIGINT) AS k
+  FROM events
+)
+SELECT event_type, COUNT(*)::BIGINT AS n, SUM(k)::BIGINT AS sum_k,
+  MIN(k)::BIGINT AS min_k, MAX(k)::BIGINT AS max_k
+FROM x GROUP BY event_type"""
+
+
 EVENTS_COHORT_RETENTION = """WITH w AS (
   SELECT user_id, epoch_us(ts) // 604800000000 AS wk FROM events
 ),

@@ -2234,6 +2234,43 @@ def q_events_sessions(sf_dir: str):
     )
 
 
+def q_events_props_stats(sf_dir: str):
+    """Semi-structured extraction: pull the integer ``k`` out of the
+    events ``props`` JSON column with one compiled vectorized regex
+    (no per-row json.loads) and aggregate per event_type —
+    (event_type, n, sum_k, min_k, max_k). SQL-oracled via the same
+    regexp_extract."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    def _extract(b: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        props = b.column("props").to_pandas()
+        k = (
+            props.str.extract(r'"k":\s*(-?\d+)', expand=False)
+            .fillna("0")
+            .astype(np.int64)
+        )
+        return pa.table(
+            {
+                "event_type": b.column("event_type"),
+                "k": pa.array(k.to_numpy(), type=pa.int64()),
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", ["event_type", "props"])
+        .map_batches(_extract, batch_format="pyarrow")
+        .groupby("event_type")
+        .aggregate(
+            Count(alias_name="n"),
+            Sum("k", alias_name="sum_k"),
+            Min("k", alias_name="min_k"),
+            Max("k", alias_name="max_k"),
+        )
+    )
+
+
 WEEK_US = 7 * 24 * 3_600_000_000
 
 
