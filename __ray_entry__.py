@@ -69,6 +69,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_walk_coocc": R.q_weighted_walk_coocc,
         "louvain_quotient": R.q_louvain_quotient,
         "events_props_stats": R.q_events_props_stats,
+        "local_bridges_coocc": R.q_local_bridges_coocc,
         "backbone_coocc": R.q_backbone_coocc,
         "sweepcut_coocc": R.q_sweepcut_coocc,
         "powerlaw_coocc": R.q_powerlaw_coocc,
@@ -336,6 +337,7 @@ def oracle_sql() -> dict[str, str]:
         "weighted_walk_coocc": S.weighted_walk_coocc_sql(walk_len=6, seed=7),
         "louvain_quotient": S.louvain_quotient_sql(rounds=2),
         "events_props_stats": S.EVENTS_PROPS_STATS,
+        "local_bridges_coocc": S.LOCAL_BRIDGES_COOCC,
         "backbone_coocc": S.backbone_coocc_sql(k=5),
         "sweepcut_coocc": S.sweepcut_coocc_sql(k=8, T=16),
         "powerlaw_coocc": S.powerlaw_coocc_sql(dmin=2),

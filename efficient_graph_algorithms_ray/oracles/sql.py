@@ -2421,6 +2421,15 @@ w{t} AS MATERIALIZED (
     return "".join(parts)
 
 
+LOCAL_BRIDGES_COOCC = f"""WITH {_COOCC_UND_MAT}
+SELECT pr.u::BIGINT AS u, pr.v::BIGINT AS v
+FROM pr
+WHERE NOT EXISTS (
+  SELECT 1 FROM und e1 JOIN und e2 ON e1.v = e2.v
+  WHERE e1.u = pr.u AND e2.u = pr.v
+)"""
+
+
 def richclub_coocc_sql(ks=(2, 4, 8, 16)) -> str:
     """Rich-club φ(k): rich-vertex count, rich-edge count (u < v pairs
     with both degrees > k) and the single rounded density division."""

@@ -2929,6 +2929,33 @@ def q_ktruss_coocc(sf_dir: str):
     return k_truss(part_cooccurrence_edges(sf_dir), k=4, rounds=2)
 
 
+def q_local_bridges_coocc(sf_dir: str):
+    """Local bridges (Easley–Kleinberg §3.2: edges with NO common
+    neighbor, i.e. span ≥ 3 — triangle support 0) of the co-occurrence
+    graph. One support pass of the truss machinery with k=2 (nothing
+    peeled), then a filter. SQL-oracled via NOT EXISTS. Returns (u, v)."""
+    from .truss import k_truss
+
+    sup = k_truss(part_cooccurrence_edges(sf_dir), k=2, rounds=1)
+
+    def _bridges(b: pa.Table) -> pa.Table:
+        keep = pc.equal(b.column("support"), pa.scalar(0, type=pa.int64()))
+        out = b.filter(keep)
+        return pa.table({"u": out.column("u"), "v": out.column("v")})
+
+    ds = sup.map_batches(_bridges, batch_format="pyarrow")
+    # a fully-empty Dataset loses its schema through Ray's sort-groupby
+    # (schema-less empty blocks) — pin it by concatenating into one
+    # typed Arrow table (the bridge set is a sparse edge subset; a
+    # production run would write_parquet the Dataset instead)
+    schema = pa.schema([("u", pa.int64()), ("v", pa.int64())])
+    tbls = [schema.empty_table()]
+    for b in ds.iter_batches(batch_size=None, batch_format="pyarrow"):
+        if b.num_rows:
+            tbls.append(b.select(["u", "v"]).cast(schema))
+    return pa.concat_tables(tbls)
+
+
 def q_butterflies_partsupp(sf_dir: str):
     """Per-part butterfly (K2,2) counts over the bipartite part–supplier
     graph (see pipelines/bipartite.py for the two-exchange plan).
