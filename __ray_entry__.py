@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "louvain_quotient": R.q_louvain_quotient,
         "events_props_stats": R.q_events_props_stats,
         "local_bridges_coocc": R.q_local_bridges_coocc,
+        "basket_lift": R.q_basket_lift,
         "backbone_coocc": R.q_backbone_coocc,
         "sweepcut_coocc": R.q_sweepcut_coocc,
         "powerlaw_coocc": R.q_powerlaw_coocc,
@@ -338,6 +339,7 @@ def oracle_sql() -> dict[str, str]:
         "louvain_quotient": S.louvain_quotient_sql(rounds=2),
         "events_props_stats": S.EVENTS_PROPS_STATS,
         "local_bridges_coocc": S.LOCAL_BRIDGES_COOCC,
+        "basket_lift": S.basket_lift_sql(min_support=3, k=50),
         "backbone_coocc": S.backbone_coocc_sql(k=5),
         "sweepcut_coocc": S.sweepcut_coocc_sql(k=8, T=16),
         "powerlaw_coocc": S.powerlaw_coocc_sql(dmin=2),

@@ -2421,6 +2421,28 @@ w{t} AS MATERIALIZED (
     return "".join(parts)
 
 
+def basket_lift_sql(min_support: int = 3, k: int = 50) -> str:
+    """Market-basket lift replay: n_uv·N / (n_u·n_v) over distinct
+    (order, part) incidences, same float association order as the
+    engine, ROUND r6, ties (u, v)."""
+    return f"""WITH op AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+),
+n AS (SELECT COUNT(DISTINCT o)::BIGINT AS n FROM op),
+iu AS MATERIALIZED (SELECT p, COUNT(*)::BIGINT AS c FROM op GROUP BY p),
+pv AS (
+  SELECT a.p AS u, b.p AS v, COUNT(*)::BIGINT AS n_uv
+  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2
+)
+SELECT pv.u::BIGINT AS u, pv.v::BIGINT AS v, pv.n_uv,
+  ROUND((CAST(pv.n_uv AS DOUBLE) * (SELECT n FROM n))
+        / (CAST(cu.c AS DOUBLE) * CAST(cv.c AS DOUBLE)), 6) AS lift_r6
+FROM pv JOIN iu cu ON cu.p = pv.u JOIN iu cv ON cv.p = pv.v
+WHERE pv.n_uv >= {min_support}
+ORDER BY lift_r6 DESC, u, v LIMIT {k}"""
+
+
 LOCAL_BRIDGES_COOCC = f"""WITH {_COOCC_UND_MAT}
 SELECT pr.u::BIGINT AS u, pr.v::BIGINT AS v
 FROM pr

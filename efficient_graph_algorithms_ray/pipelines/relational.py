@@ -2929,6 +2929,101 @@ def q_ktruss_coocc(sf_dir: str):
     return k_truss(part_cooccurrence_edges(sf_dir), k=4, rounds=2)
 
 
+def q_basket_lift(sf_dir: str, min_support: int = 3, k: int = 50):
+    """Market-basket association lift (Agrawal et al., SIGMOD '93):
+    for part pairs sharing ≥ min_support orders,
+    lift = n_uv·N / (n_u·n_v) with N = #distinct orders — the ratio of
+    observed to independence-expected co-occurrence. Top-k by
+    (lift_r6 desc, u, v). SQL-oracled.
+
+    Plan: the pair counts ride the existing order-partitioned pair
+    generator + one groupby; per-item order counts come from the same
+    order-partitioned pass (orders co-locate, so per-group distinct is
+    global) and broadcast as two sorted arrays (ray.put once) for the
+    map-side lift computation; global sort+limit on the tiny
+    filtered result."""
+    import ray
+    from ray.data.aggregate import Count, Sum
+
+    pairs = (
+        part_cooccurrence_edges(sf_dir)
+        .groupby(["src", "dst"])
+        .aggregate(Count(alias_name="n_uv"))
+    )
+
+    def _with_part(b: pa.Table) -> pa.Table:
+        ok = b.column("l_orderkey").to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "part", pa.array((ok % COOCC_PAIR_PARTS).astype(np.int64))
+        )
+
+    def _item_partials(g: pa.Table) -> pa.Table:
+        ok = g.column("l_orderkey").to_numpy(zero_copy_only=False)
+        pk = g.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        srt = np.lexsort((pk, ok))
+        ok, pk = ok[srt], pk[srt]
+        keep = np.concatenate(([True], (ok[1:] != ok[:-1]) | (pk[1:] != pk[:-1])))
+        ok, pk = ok[keep], pk[keep]
+        order = np.argsort(pk, kind="stable")
+        pk = pk[order]
+        first = np.concatenate(([True], pk[1:] != pk[:-1]))
+        gid = np.cumsum(first) - 1
+        cnt = np.bincount(gid)
+        n_orders = len(np.unique(ok))
+        return pa.table(
+            {
+                "p": pa.array(np.append(pk[first], -1), type=pa.int64()),
+                "c": pa.array(
+                    np.append(cnt.astype(np.int64), n_orders), type=pa.int64()
+                ),
+            }
+        )
+
+    items = (
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+        .map_batches(_with_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(_item_partials, batch_format="pyarrow")
+        .groupby("p")
+        .aggregate(Sum("c", alias_name="c"))
+    )
+    itbl = pa.concat_tables(
+        items.iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+    ip = itbl.column("p").to_numpy(zero_copy_only=False)
+    ic = itbl.column("c").to_numpy(zero_copy_only=False)
+    N = int(ic[ip == -1][0])
+    mask = ip >= 0
+    ip, ic = ip[mask], ic[mask]
+    order = np.argsort(ip)
+    ref = ray.put((ip[order], ic[order]))
+
+    def _lift(b: pa.Table) -> pa.Table:
+        p, c = ray.get(ref)
+        u = b.column("src").to_numpy(zero_copy_only=False).astype(np.int64)
+        v = b.column("dst").to_numpy(zero_copy_only=False).astype(np.int64)
+        n_uv = b.column("n_uv").to_numpy(zero_copy_only=False)
+        keep = n_uv >= min_support
+        u, v, n_uv = u[keep], v[keep], n_uv[keep]
+        nu = c[np.searchsorted(p, u)].astype(np.float64)
+        nv = c[np.searchsorted(p, v)].astype(np.float64)
+        lift = (n_uv.astype(np.float64) * float(N)) / (nu * nv)
+        return pa.table(
+            {
+                "u": pa.array(u, type=pa.int64()),
+                "v": pa.array(v, type=pa.int64()),
+                "n_uv": pa.array(n_uv, type=pa.int64()),
+                "lift_r6": pa.array(np.round(lift, 6), type=pa.float64()),
+            }
+        )
+
+    return (
+        pairs.map_batches(_lift, batch_format="pyarrow")
+        .sort(["lift_r6", "u", "v"], descending=[True, False, False])
+        .limit(k)
+    )
+
+
 def q_local_bridges_coocc(sf_dir: str):
     """Local bridges (Easley–Kleinberg §3.2: edges with NO common
     neighbor, i.e. span ≥ 3 — triangle support 0) of the co-occurrence
