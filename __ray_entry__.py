@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_props_stats": R.q_events_props_stats,
         "local_bridges_coocc": R.q_local_bridges_coocc,
         "basket_lift": R.q_basket_lift,
+        "langid_confusion": C.q_langid_confusion,
         "backbone_coocc": R.q_backbone_coocc,
         "sweepcut_coocc": R.q_sweepcut_coocc,
         "powerlaw_coocc": R.q_powerlaw_coocc,
@@ -340,6 +341,7 @@ def oracle_sql() -> dict[str, str]:
         "events_props_stats": S.EVENTS_PROPS_STATS,
         "local_bridges_coocc": S.LOCAL_BRIDGES_COOCC,
         "basket_lift": S.basket_lift_sql(min_support=3, k=50),
+        "langid_confusion": S.LANGID_CONFUSION,
         "backbone_coocc": S.backbone_coocc_sql(k=5),
         "sweepcut_coocc": S.sweepcut_coocc_sql(k=8, T=16),
         "powerlaw_coocc": S.powerlaw_coocc_sql(dmin=2),

@@ -513,6 +513,11 @@ SELECT doc_id,
        ELSE 'fr' END AS pred_lang
 FROM c"""
 
+LANGID_CONFUSION = f"""SELECT d.lang, p.pred_lang, COUNT(*)::BIGINT AS n
+FROM documents d JOIN ({LANGID}) p ON d.doc_id = p.doc_id
+GROUP BY 1, 2"""
+
+
 # FNV-1a per token folded over UTF-8 bytes (ASCII fixture: ascii(ch) ==
 # byte), then the polynomial rolling hash over the token-hash stream —
 # both folds exactly mirror functions/text.py (mod-2^64 wraparound via

@@ -112,6 +112,34 @@ def q_langid(sf_dir: str):
     )
 
 
+def q_langid_confusion(sf_dir: str):
+    """Language-ID evaluation: confusion counts between the labeled
+    ``lang`` column and the marker-word LangId prediction —
+    (lang, pred_lang, n). SQL-oracled (the prediction fragment is the
+    identical marker-word CASE)."""
+    import ray
+
+    class _Conf(T.LangId):
+        def __call__(self, batch: pa.Table) -> pa.Table:  # type: ignore[override]
+            out = T.LangId.__call__(self, batch)
+            return pa.table(
+                {
+                    "lang": batch.column("lang"),
+                    "pred_lang": out.column("pred_lang"),
+                }
+            )
+
+    total = int(ray.cluster_resources().get("CPU", 4))
+    return (
+        _docs(sf_dir, ["doc_id", "text", "lang"])
+        .map_batches(
+            _Conf, batch_format="pyarrow", batch_size=1024, concurrency=max(2, total - 2)
+        )
+        .groupby(["lang", "pred_lang"])
+        .aggregate(Count(alias_name="n"))
+    )
+
+
 def q_fingerprints(sf_dir: str):
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(
         T.fingerprint_batch, batch_format="pyarrow"
