@@ -2448,6 +2448,19 @@ WHERE pv.n_uv >= {min_support}
 ORDER BY lift_r6 DESC, u, v LIMIT {k}"""
 
 
+def frequent_triples_sql(k: int = 30) -> str:
+    """Top-k 3-itemsets by shared-order support, ties (a, b, c)."""
+    return f"""WITH op AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+)
+SELECT a.p::BIGINT AS a, b.p::BIGINT AS b, c.p::BIGINT AS c,
+  COUNT(*)::BIGINT AS support
+FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+          JOIN op c ON b.o = c.o AND b.p < c.p
+GROUP BY 1, 2, 3
+ORDER BY support DESC, a, b, c LIMIT {k}"""
+
+
 LOCAL_BRIDGES_COOCC = f"""WITH {_COOCC_UND_MAT}
 SELECT pr.u::BIGINT AS u, pr.v::BIGINT AS v
 FROM pr

@@ -3024,6 +3024,83 @@ def q_basket_lift(sf_dir: str, min_support: int = 3, k: int = 50):
     )
 
 
+def q_frequent_triples(sf_dir: str, k: int = 30):
+    """Frequent 3-itemsets (the Apriori level after `basket_lift`):
+    part triples a < b < c sharing an order, top-k by
+    (support desc, a, b, c). SQL-oracled.
+
+    Plan: the same order-partitioned vectorized generator as the pair
+    explode, but emitting 3-combinations per distinct per-order
+    part-count (orders are small — ≤ ~7 parts — so C(k,3) stays tiny);
+    per-batch pre-aggregation, one groupby, global sort+limit."""
+    from itertools import combinations
+
+    from ray.data.aggregate import Sum
+
+    def _with_part(b: pa.Table) -> pa.Table:
+        ok = b.column("l_orderkey").to_numpy(zero_copy_only=False)
+        return b.append_column(
+            "part", pa.array((ok % COOCC_PAIR_PARTS).astype(np.int64))
+        )
+
+    def _triples(group: pa.Table) -> pa.Table:
+        ok = group.column("l_orderkey").to_numpy(zero_copy_only=False)
+        pk = group.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.uint64)
+        srt = np.lexsort((pk, ok))
+        ok, pk = ok[srt], pk[srt]
+        keep = np.concatenate(([True], (ok[1:] != ok[:-1]) | (pk[1:] != pk[:-1])))
+        ok, pk = ok[keep], pk[keep]
+        starts = np.flatnonzero(np.concatenate(([True], ok[1:] != ok[:-1])))
+        counts = np.diff(np.append(starts, len(ok)))
+        aa, bb, cc = [], [], []
+        for kk in np.unique(counts):
+            if kk < 3:
+                continue
+            mat = pk[starts[counts == kk][:, None] + np.arange(kk)[None, :]]
+            idx = np.array(list(combinations(range(int(kk)), 3)), dtype=np.int64)
+            aa.append(mat[:, idx[:, 0]].ravel())
+            bb.append(mat[:, idx[:, 1]].ravel())
+            cc.append(mat[:, idx[:, 2]].ravel())
+        if not aa:
+            return pa.table(
+                {
+                    "a": pa.array([], type=pa.int64()),
+                    "b": pa.array([], type=pa.int64()),
+                    "c": pa.array([], type=pa.int64()),
+                    "support": pa.array([], type=pa.int64()),
+                }
+            )
+        a = np.concatenate(aa).astype(np.int64)
+        b = np.concatenate(bb).astype(np.int64)
+        c = np.concatenate(cc).astype(np.int64)
+        order = np.lexsort((c, b, a))
+        a, b, c = a[order], b[order], c[order]
+        new = np.concatenate(
+            ([True], (a[1:] != a[:-1]) | (b[1:] != b[:-1]) | (c[1:] != c[:-1]))
+        )
+        gid = np.cumsum(new) - 1
+        n = np.bincount(gid)
+        return pa.table(
+            {
+                "a": pa.array(a[new], type=pa.int64()),
+                "b": pa.array(b[new], type=pa.int64()),
+                "c": pa.array(c[new], type=pa.int64()),
+                "support": pa.array(n.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    return (
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+        .map_batches(_with_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(_triples, batch_format="pyarrow")
+        .groupby(["a", "b", "c"])
+        .aggregate(Sum("support", alias_name="support"))
+        .sort(["support", "a", "b", "c"], descending=[True, False, False, False])
+        .limit(k)
+    )
+
+
 def q_local_bridges_coocc(sf_dir: str):
     """Local bridges (Easley–Kleinberg §3.2: edges with NO common
     neighbor, i.e. span ≥ 3 — triangle support 0) of the co-occurrence
