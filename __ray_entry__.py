@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "basket_lift": R.q_basket_lift,
         "langid_confusion": C.q_langid_confusion,
         "frequent_triples": R.q_frequent_triples,
+        "ship_latency_percentiles": R.q_ship_latency_percentiles,
         "backbone_coocc": R.q_backbone_coocc,
         "sweepcut_coocc": R.q_sweepcut_coocc,
         "powerlaw_coocc": R.q_powerlaw_coocc,
@@ -344,6 +345,7 @@ def oracle_sql() -> dict[str, str]:
         "basket_lift": S.basket_lift_sql(min_support=3, k=50),
         "langid_confusion": S.LANGID_CONFUSION,
         "frequent_triples": S.frequent_triples_sql(k=30),
+        "ship_latency_percentiles": S.SHIP_LATENCY_PERCENTILES,
         "backbone_coocc": S.backbone_coocc_sql(k=5),
         "sweepcut_coocc": S.sweepcut_coocc_sql(k=8, T=16),
         "powerlaw_coocc": S.powerlaw_coocc_sql(dmin=2),

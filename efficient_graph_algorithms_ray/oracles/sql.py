@@ -2448,6 +2448,21 @@ WHERE pv.n_uv >= {min_support}
 ORDER BY lift_r6 DESC, u, v LIMIT {k}"""
 
 
+SHIP_LATENCY_PERCENTILES = """WITH j AS MATERIALIZED (
+  SELECT o.o_orderpriority,
+    (epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate)) // 86400000000 AS d
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)
+SELECT o_orderpriority, CAST(0.5 AS DOUBLE) AS q,
+  CAST(quantile_disc(d, 0.5) AS BIGINT) AS value FROM j GROUP BY o_orderpriority
+UNION ALL
+SELECT o_orderpriority, CAST(0.9 AS DOUBLE) AS q,
+  CAST(quantile_disc(d, 0.9) AS BIGINT) AS value FROM j GROUP BY o_orderpriority
+UNION ALL
+SELECT o_orderpriority, CAST(0.99 AS DOUBLE) AS q,
+  CAST(quantile_disc(d, 0.99) AS BIGINT) AS value FROM j GROUP BY o_orderpriority"""
+
+
 def frequent_triples_sql(k: int = 30) -> str:
     """Top-k 3-itemsets by shared-order support, ties (a, b, c)."""
     return f"""WITH op AS MATERIALIZED (

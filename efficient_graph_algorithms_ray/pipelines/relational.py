@@ -3024,6 +3024,86 @@ def q_basket_lift(sf_dir: str, min_support: int = 3, k: int = 50):
     )
 
 
+def q_ship_latency_percentiles(sf_dir: str):
+    """Order-to-ship latency distribution: exact p50/p90/p99 of
+    (l_shipdate − o_orderdate) in whole days, per order priority.
+    The lineitem⋈orders equi-join is the canonical LARGE-LARGE hash
+    join: both sides tagged into one superset schema, ONE
+    ``groupby(o_orderkey % P)`` co-shuffle, and each partition task
+    resolves all of its orders with a vectorized searchsorted — no
+    broadcast (at 10^12 rows neither side fits a worker). Percentiles
+    via the grouped bounded-domain histogram. SQL-oracled."""
+    from ..functions.stats import exact_percentiles_by
+
+    P = 32
+
+    def _ts_us(col):
+        return (
+            col.cast(pa.timestamp("us"))
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .view(np.int64)
+        )
+
+    def _tag_orders(b: pa.Table) -> pa.Table:
+        o = b.column("o_orderkey").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "part": pa.array((o % P).astype(np.int64)),
+                "tag": pa.array(np.zeros(len(o), dtype=np.int64)),
+                "o": pa.array(o, type=pa.int64()),
+                "ts": pa.array(_ts_us(b.column("o_orderdate"))),
+                "prio": b.column("o_orderpriority"),
+            }
+        )
+
+    def _tag_items(b: pa.Table) -> pa.Table:
+        o = b.column("l_orderkey").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "part": pa.array((o % P).astype(np.int64)),
+                "tag": pa.array(np.ones(len(o), dtype=np.int64)),
+                "o": pa.array(o, type=pa.int64()),
+                "ts": pa.array(_ts_us(b.column("l_shipdate"))),
+                "prio": pa.array([""] * len(o), type=pa.string()),
+            }
+        )
+
+    def _join(g: pa.Table) -> pa.Table:
+        tag = g.column("tag").to_numpy(zero_copy_only=False)
+        o = g.column("o").to_numpy(zero_copy_only=False)
+        ts = g.column("ts").to_numpy(zero_copy_only=False)
+        prio = np.asarray(g.column("prio").to_pylist(), dtype=object)
+        is_o = tag == 0
+        oo, ot, op_ = o[is_o], ts[is_o], prio[is_o]
+        order = np.argsort(oo, kind="stable")
+        oo, ot, op_ = oo[order], ot[order], op_[order]
+        lo, lt = o[~is_o], ts[~is_o]
+        pos = np.searchsorted(oo, lo)
+        days = (lt - ot[pos]) // 86_400_000_000
+        return pa.table(
+            {
+                "o_orderpriority": pa.array(op_[pos].tolist(), type=pa.string()),
+                "latency_days": pa.array(days.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    joined = (
+        _read(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"])
+        .map_batches(_tag_orders, batch_format="pyarrow")
+        .union(
+            _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"]).map_batches(
+                _tag_items, batch_format="pyarrow"
+            )
+        )
+        .groupby("part")
+        .map_groups(_join, batch_format="pyarrow")
+    )
+    return exact_percentiles_by(
+        joined, "o_orderpriority", "latency_days", [0.5, 0.9, 0.99]
+    )
+
+
 def q_frequent_triples(sf_dir: str, k: int = 30):
     """Frequent 3-itemsets (the Apriori level after `basket_lift`):
     part triples a < b < c sharing an order, top-k by
