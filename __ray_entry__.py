@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_confusion": C.q_langid_confusion,
         "frequent_triples": R.q_frequent_triples,
         "ship_latency_percentiles": R.q_ship_latency_percentiles,
+        "bottomk_sample_docs": C.q_bottomk_sample_docs,
         "backbone_coocc": R.q_backbone_coocc,
         "sweepcut_coocc": R.q_sweepcut_coocc,
         "powerlaw_coocc": R.q_powerlaw_coocc,
@@ -346,6 +347,7 @@ def oracle_sql() -> dict[str, str]:
         "langid_confusion": S.LANGID_CONFUSION,
         "frequent_triples": S.frequent_triples_sql(k=30),
         "ship_latency_percentiles": S.SHIP_LATENCY_PERCENTILES,
+        "bottomk_sample_docs": S.bottomk_sample_sql(k=64),
         "backbone_coocc": S.backbone_coocc_sql(k=5),
         "sweepcut_coocc": S.sweepcut_coocc_sql(k=8, T=16),
         "powerlaw_coocc": S.powerlaw_coocc_sql(dmin=2),

@@ -513,6 +513,22 @@ SELECT doc_id,
        ELSE 'fr' END AS pred_lang
 FROM c"""
 
+def bottomk_sample_sql(k: int = 64, seed: int | None = None) -> str:
+    """Bottom-k uniform sample replay: the k smallest
+    splitmix64(doc_id ⊕ seed) hashes, emitted as (rk, doc_id)."""
+    from ..config import HASH_SEED
+
+    if seed is None:
+        seed = HASH_SEED
+    frag, cte, hcol = sm64_stages("bk_in", "x", "bk", ["doc_id"])
+    return f"""WITH bk_in AS (
+  SELECT doc_id, xor(CAST(doc_id AS UBIGINT), {seed}::UBIGINT) AS x FROM documents
+){frag}
+SELECT ROW_NUMBER() OVER (ORDER BY {hcol}, doc_id)::BIGINT AS rk,
+  doc_id::BIGINT AS doc_id
+FROM {cte} ORDER BY {hcol}, doc_id LIMIT {k}"""
+
+
 LANGID_CONFUSION = f"""SELECT d.lang, p.pred_lang, COUNT(*)::BIGINT AS n
 FROM documents d JOIN ({LANGID}) p ON d.doc_id = p.doc_id
 GROUP BY 1, 2"""

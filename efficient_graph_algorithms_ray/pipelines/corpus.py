@@ -112,6 +112,43 @@ def q_langid(sf_dir: str):
     )
 
 
+def q_bottomk_sample_docs(sf_dir: str, k: int = 64):
+    """Deterministic bottom-k uniform sample of documents: the k
+    smallest splitmix64(doc_id ⊕ seed) hashes — the coordinated-sample
+    primitive (a bottom-k sketch IS a uniform sample, mergeable across
+    shards, stable at any parallelism and across runs). Per-block
+    partial bottom-k (sort + head) before the tiny global sort+limit,
+    so at 10^12 rows only blocks×k candidate rows move. SQL-oracled.
+    Returns (rk, doc_id), rk = 1..k in hash order."""
+    from ..config import HASH_SEED
+    from ..sources.edges_synth import _splitmix64
+
+    def _hash(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        h = _splitmix64(ids ^ np.uint64(HASH_SEED))
+        order = np.argsort(h)[:k]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[order].astype(np.int64), type=pa.int64()),
+                "h": pa.array(h[order], type=pa.uint64()),
+            }
+        )
+
+    top = (
+        _docs(sf_dir, ["doc_id"])
+        .map_batches(_hash, batch_format="pyarrow")
+        .sort("h")
+        .limit(k)
+    )
+    tbl = pa.concat_tables(top.iter_batches(batch_size=None, batch_format="pyarrow"))
+    return pa.table(
+        {
+            "rk": pa.array(np.arange(1, tbl.num_rows + 1, dtype=np.int64)),
+            "doc_id": tbl.column("doc_id"),
+        }
+    )
+
+
 def q_langid_confusion(sf_dir: str):
     """Language-ID evaluation: confusion counts between the labeled
     ``lang`` column and the marker-word LangId prediction —
