@@ -51,6 +51,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_knn": C.q_ann_ivf_knn,
         "ngram_jaccard_pairs": C.q_ngram_jaccard_pairs,
         # round-3 additions (SQL-oracled)
+        "bigram_ce_docs": C.q_bigram_ce_docs,
         "scc_coocc": R.q_scc_coocc,
         "reciprocity_coocc": R.q_reciprocity_coocc,
         "louvain_coocc": R.q_louvain_coocc,
@@ -375,6 +376,7 @@ def oracle_sql() -> dict[str, str]:
         "truncated_dim_overlap": S.truncated_overlap_sql(query_ids=(0, 7, 42), k=5, dims=16),
         "tfidf_topk": S.tfidf_topk_sql(k=5),
         "unigram_familiarity": S.UNIGRAM_FAMILIARITY,
+        "bigram_ce_docs": S.BIGRAM_CE_DOCS,
         "contamination_docs": S.contamination_sql(eval_mod=20, w=8),
         "bigram_pmi": S.bigram_pmi_sql(min_count=3, top_n=50),
         "assortativity_coocc": S.ASSORTATIVITY_COOCC,

@@ -42,6 +42,7 @@ __all__ = [
     "bigram_pmi",
     "attach_token_stat",
     "unigram_familiarity",
+    "bigram_cross_entropy",
     "vocab_growth",
 ]
 
@@ -555,3 +556,157 @@ def bigram_pmi(docs_ds, min_count: int = 3, top_n: int = 50) -> "rd.Dataset":
 
     scored = with_cb.drop_columns(["doc_tag"]).map_batches(_score, batch_format="pyarrow")
     return scored.sort(["pmi_r6", "a", "b"], descending=[True, False, False]).limit(top_n)
+
+
+def bigram_cross_entropy(docs_ds, *, hot_vocab: int = 2048, n_salts: int = 16):
+    """Per-document cross-entropy under the corpus's own (leave-in)
+    bigram language model — the CCNet/Gopher-style LM-perplexity
+    quality filter for training corpora. For each document,
+
+        ce = -(1/n) Σ_i ln p(w_i | w_{i-1}),
+        p(w | v) = c2(v,w) / c1(v·)
+
+    with c2 the corpus bigram count and c1 the first-position marginal
+    (no smoothing needed: leave-in counts make every observed bigram's
+    probability positive). Low ce = stereotypical fluent text; high
+    ce = rare transitions (noise, boilerplate soup, wrong language).
+
+    Exact-parity construction: each log is quantized ONCE per distinct
+    count — q(c) = floor(ln(c)·1e6) as int64 — so every downstream
+    aggregation is integer arithmetic that commutes in any partition
+    order, and ce_num = Σ tf·q(c1) − Σ tf·q(c2) hash-matches the SQL
+    replay exactly; the reported ``ce`` is one IEEE division from the
+    integers. Returns (doc_id, n_bigrams, ce_num, ce).
+
+    Shuffle plan (skew-safe at corpus scale): ONE tokenization pass
+    emits per-doc pre-aggregated bigram and head rows (kind-tagged);
+    corpus counts are combiner-backed ``groupby(tok).sum``; both
+    attachments reuse the salted hot-vocabulary co-shuffle
+    (``attach_token_stat``) so stopword-headed groups never
+    concentrate; the per-doc readout is two integer groupby-sums
+    merged by a final ``groupby(doc_id)``.
+    """
+
+    def _rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        out_id: list[int] = []
+        out_tok: list[str] = []
+        out_tf: list[int] = []
+        out_kind: list[int] = []
+        for doc_id, text in zip(ids, texts):
+            toks = _TOKEN_RE.findall(text or "")
+            if len(toks) < 2:
+                continue
+            bg = Counter(
+                a + " " + b for a, b in zip(toks, toks[1:])
+            )  # tokens are \S+ — the space separator is unambiguous
+            hd = Counter(toks[:-1])
+            for counts, kind in ((bg, 0), (hd, 1)):
+                out_id.extend([doc_id] * len(counts))
+                out_tok.extend(counts.keys())
+                out_tf.extend(counts.values())
+                out_kind.extend([kind] * len(counts))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, type=pa.int64()),
+                "tok": pa.array(out_tok, type=pa.string()),
+                "tf": pa.array(out_tf, type=pa.int64()),
+                "kind": pa.array(out_kind, type=pa.int64()),
+            }
+        )
+
+    rows = docs_ds.map_batches(_rows, batch_format="pyarrow").materialize()
+    bf = rows.filter(expr="kind == 0").drop_columns(["kind"])
+    hf = rows.filter(expr="kind == 1").drop_columns(["kind"])
+
+    def _qlog(stat: pa.Table) -> pa.Table:
+        c = stat.column("c").to_numpy(zero_copy_only=False).astype(np.float64)
+        q = np.floor(np.log(c) * 1_000_000.0).astype(np.int64)
+        return stat.append_column("q", pa.array(q, type=pa.int64()))
+
+    def _doc_sums(tf_rows, *, with_n: bool):
+        qstat = (
+            tf_rows.groupby("tok")
+            .aggregate(Sum("tf", alias_name="c"))
+            .map_batches(_qlog, batch_format="pyarrow")
+            .drop_columns(["c"])
+            .materialize()
+        )
+        attached = attach_token_stat(
+            tf_rows, qstat, "q", hot_vocab=hot_vocab, n_salts=n_salts
+        )
+
+        def _prod(batch: pa.Table) -> pa.Table:
+            tfv = batch.column("tf").to_numpy(zero_copy_only=False).astype(np.int64)
+            qv = batch.column("q").to_numpy(zero_copy_only=False).astype(np.int64)
+            cols = {
+                "doc_id": batch.column("doc_id"),
+                "s": pa.array(tfv * qv, type=pa.int64()),
+            }
+            if with_n:
+                cols["n"] = pa.array(tfv, type=pa.int64())
+            return pa.table(cols)
+
+        aggs = [Sum("s", alias_name="s")]
+        if with_n:
+            aggs.append(Sum("n", alias_name="n"))
+        return (
+            attached.map_batches(_prod, batch_format="pyarrow")
+            .groupby("doc_id")
+            .aggregate(*aggs)
+        )
+
+    # attach_token_stat picks its hot vocabulary by the attached stat,
+    # here q = floor(ln(count)·1e6) — monotone in the count, so the
+    # highest-count (hottest) keys are exactly the ones salted.
+    s2 = _doc_sums(bf, with_n=True)   # Σ tf·q(c2) + n_bigrams
+    s1 = _doc_sums(hf, with_n=False)  # Σ tf·q(c1)
+
+    def _tag(src, cols):
+        def _fn(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
+            data = {"doc_id": batch.column("doc_id")}
+            for c in cols:
+                data[c] = (
+                    batch.column(c)
+                    if c in batch.column_names
+                    else pa.array(np.zeros(n, dtype=np.int64))
+                )
+            return pa.table(data)
+
+        return src.map_batches(_fn, batch_format="pyarrow")
+
+    merged = (
+        _tag(s2.map_batches(
+            lambda b: b.rename_columns(["doc_id", "s2", "n"]), batch_format="pyarrow"
+        ), ["n", "s1", "s2"])
+        .union(_tag(s1.map_batches(
+            lambda b: b.rename_columns(["doc_id", "s1"]), batch_format="pyarrow"
+        ), ["n", "s1", "s2"]))
+        .groupby("doc_id")
+        .aggregate(
+            Sum("n", alias_name="n_bigrams"),
+            Sum("s1", alias_name="s1"),
+            Sum("s2", alias_name="s2"),
+        )
+    )
+
+    def _score(batch: pa.Table) -> pa.Table:
+        n = batch.column("n_bigrams").to_numpy(zero_copy_only=False).astype(np.int64)
+        s1v = batch.column("s1").to_numpy(zero_copy_only=False).astype(np.int64)
+        s2v = batch.column("s2").to_numpy(zero_copy_only=False).astype(np.int64)
+        ce_num = s1v - s2v
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "n_bigrams": pa.array(n, type=pa.int64()),
+                "ce_num": pa.array(ce_num, type=pa.int64()),
+                "ce": pa.array(
+                    ce_num.astype(np.float64) / (1_000_000.0 * n.astype(np.float64)),
+                    type=pa.float64(),
+                ),
+            }
+        )
+
+    return merged.map_batches(_score, batch_format="pyarrow")

@@ -3775,3 +3775,35 @@ JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 GROUP BY r_name"""
+
+
+BIGRAM_CE_DOCS = """WITH tk AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS tk FROM documents
+),
+bg AS MATERIALIZED (
+  SELECT doc_id,
+    unnest(list_transform(generate_series(1, len(tk) - 1),
+                          i -> tk[i] || ' ' || tk[i+1])) AS bg
+  FROM tk WHERE len(tk) >= 2
+),
+cf2 AS (
+  SELECT bg, CAST(floor(ln(CAST(count(*) AS DOUBLE)) * 1000000) AS BIGINT) AS q2
+  FROM bg GROUP BY bg
+),
+cf1 AS (
+  SELECT split_part(bg, ' ', 1) AS head,
+    CAST(floor(ln(CAST(count(*) AS DOUBLE)) * 1000000) AS BIGINT) AS q1
+  FROM bg GROUP BY head
+),
+s2 AS (
+  SELECT doc_id, count(*)::BIGINT AS n, SUM(q2)::BIGINT AS s2
+  FROM bg JOIN cf2 USING (bg) GROUP BY doc_id
+),
+s1 AS (
+  SELECT doc_id, SUM(q1)::BIGINT AS s1
+  FROM bg JOIN cf1 ON split_part(bg.bg, ' ', 1) = cf1.head GROUP BY doc_id
+)
+SELECT s2.doc_id::BIGINT AS doc_id, n AS n_bigrams,
+  (s1.s1 - s2.s2)::BIGINT AS ce_num,
+  CAST(s1.s1 - s2.s2 AS DOUBLE) / (1000000.0 * n) AS ce
+FROM s2 JOIN s1 ON s2.doc_id = s1.doc_id"""

@@ -962,6 +962,17 @@ def q_stratified_sample(sf_dir: str):
     return stratified_sample_summary(ds)
 
 
+def q_bigram_ce_docs(sf_dir: str):
+    """Per-doc cross-entropy under the corpus's leave-in bigram LM —
+    the CCNet/Gopher-style LM-perplexity quality filter
+    (functions/terms.py:bigram_cross_entropy). Logs are quantized to
+    int64 micro-nats once per distinct count, so all sums are exact
+    integers and the SQL replay hash-matches."""
+    from ..functions.terms import bigram_cross_entropy
+
+    return bigram_cross_entropy(_docs(sf_dir, ["doc_id", "text"]))
+
+
 def q_unigram_familiarity(sf_dir: str):
     """Mean corpus frequency of each document's tokens (the log-free
     unigram-LM quality signal; functions/terms.py:unigram_familiarity).
