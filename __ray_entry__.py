@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": C.q_ngram_jaccard_pairs,
         # round-3 additions (SQL-oracled)
         "bigram_ce_docs": C.q_bigram_ce_docs,
+        "dsir_select": C.q_dsir_select,
         "scc_coocc": R.q_scc_coocc,
         "reciprocity_coocc": R.q_reciprocity_coocc,
         "louvain_coocc": R.q_louvain_coocc,
@@ -377,6 +378,7 @@ def oracle_sql() -> dict[str, str]:
         "tfidf_topk": S.tfidf_topk_sql(k=5),
         "unigram_familiarity": S.UNIGRAM_FAMILIARITY,
         "bigram_ce_docs": S.BIGRAM_CE_DOCS,
+        "dsir_select": S.dsir_select_sql(),
         "contamination_docs": S.contamination_sql(eval_mod=20, w=8),
         "bigram_pmi": S.bigram_pmi_sql(min_count=3, top_n=50),
         "assortativity_coocc": S.ASSORTATIVITY_COOCC,

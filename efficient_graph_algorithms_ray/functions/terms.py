@@ -564,19 +564,23 @@ def bigram_cross_entropy(docs_ds, *, hot_vocab: int = 2048, n_salts: int = 16):
     quality filter for training corpora. For each document,
 
         ce = -(1/n) Σ_i ln p(w_i | w_{i-1}),
-        p(w | v) = c2(v,w) / c1(v·)
+        p(w | v) = (c2(v,w) + 1) / (c1(v·) + V)
 
-    with c2 the corpus bigram count and c1 the first-position marginal
-    (no smoothing needed: leave-in counts make every observed bigram's
-    probability positive). Low ce = stereotypical fluent text; high
-    ce = rare transitions (noise, boilerplate soup, wrong language).
+    with c2 the corpus bigram count, c1 the first-position marginal
+    and V the bigram-tail vocabulary size (add-one smoothing — without
+    it, leave-in ML estimation gives every SINGLETON transition
+    p = 1/1 and rewards unique gibberish with ce = 0, the classic
+    unsmoothed-LM pathology). Low ce = stereotypical fluent text;
+    high ce = rare transitions (noise, boilerplate soup, wrong
+    language).
 
     Exact-parity construction: each log is quantized ONCE per distinct
-    count — q(c) = floor(ln(c)·1e6) as int64 — so every downstream
-    aggregation is integer arithmetic that commutes in any partition
-    order, and ce_num = Σ tf·q(c1) − Σ tf·q(c2) hash-matches the SQL
-    replay exactly; the reported ``ce`` is one IEEE division from the
-    integers. Returns (doc_id, n_bigrams, ce_num, ce).
+    count — q2 = floor(ln(c2+1)·1e6), q1 = floor(ln(c1+V)·1e6) as
+    int64 — so every downstream aggregation is integer arithmetic that
+    commutes in any partition order, and ce_num = Σ tf·q1 − Σ tf·q2
+    hash-matches the SQL replay exactly; the reported ``ce`` is one
+    IEEE division from the integers. Returns
+    (doc_id, n_bigrams, ce_num, ce); ce > 0 always.
 
     Shuffle plan (skew-safe at corpus scale): ONE tokenization pass
     emits per-doc pre-aggregated bigram and head rows (kind-tagged);
@@ -620,16 +624,30 @@ def bigram_cross_entropy(docs_ds, *, hot_vocab: int = 2048, n_salts: int = 16):
     bf = rows.filter(expr="kind == 0").drop_columns(["kind"])
     hf = rows.filter(expr="kind == 1").drop_columns(["kind"])
 
-    def _qlog(stat: pa.Table) -> pa.Table:
-        c = stat.column("c").to_numpy(zero_copy_only=False).astype(np.float64)
-        q = np.floor(np.log(c) * 1_000_000.0).astype(np.int64)
-        return stat.append_column("q", pa.array(q, type=pa.int64()))
+    cf2 = bf.groupby("tok").aggregate(Sum("tf", alias_name="c")).materialize()
 
-    def _doc_sums(tf_rows, *, with_n: bool):
+    # V = bigram-tail vocabulary size (distributed distinct count over
+    # the bounded cf2 key table — the driver sees only the scalar)
+    def _tails(stat: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "tail": pa.array(
+                    [k.split(" ", 1)[1] for k in stat.column("tok").to_pylist()],
+                    type=pa.string(),
+                )
+            }
+        )
+
+    V = cf2.map_batches(_tails, batch_format="pyarrow").groupby("tail").count().count()
+
+    def _doc_sums(tf_rows, counts, offset: int, *, with_n: bool):
+        def _qlog(stat: pa.Table) -> pa.Table:
+            c = stat.column("c").to_numpy(zero_copy_only=False).astype(np.float64)
+            q = np.floor(np.log(c + float(offset)) * 1_000_000.0).astype(np.int64)
+            return stat.append_column("q", pa.array(q, type=pa.int64()))
+
         qstat = (
-            tf_rows.groupby("tok")
-            .aggregate(Sum("tf", alias_name="c"))
-            .map_batches(_qlog, batch_format="pyarrow")
+            counts.map_batches(_qlog, batch_format="pyarrow")
             .drop_columns(["c"])
             .materialize()
         )
@@ -657,11 +675,13 @@ def bigram_cross_entropy(docs_ds, *, hot_vocab: int = 2048, n_salts: int = 16):
             .aggregate(*aggs)
         )
 
+    cf1 = hf.groupby("tok").aggregate(Sum("tf", alias_name="c")).materialize()
+
     # attach_token_stat picks its hot vocabulary by the attached stat,
-    # here q = floor(ln(count)·1e6) — monotone in the count, so the
-    # highest-count (hottest) keys are exactly the ones salted.
-    s2 = _doc_sums(bf, with_n=True)   # Σ tf·q(c2) + n_bigrams
-    s1 = _doc_sums(hf, with_n=False)  # Σ tf·q(c1)
+    # here q = floor(ln(count+offset)·1e6) — monotone in the count, so
+    # the highest-count (hottest) keys are exactly the ones salted.
+    s2 = _doc_sums(bf, cf2, 1, with_n=True)   # Σ tf·q2 + n_bigrams
+    s1 = _doc_sums(hf, cf1, V, with_n=False)  # Σ tf·q1
 
     def _tag(src, cols):
         def _fn(batch: pa.Table) -> pa.Table:

@@ -3786,13 +3786,16 @@ bg AS MATERIALIZED (
                           i -> tk[i] || ' ' || tk[i+1])) AS bg
   FROM tk WHERE len(tk) >= 2
 ),
+vocab AS (
+  SELECT count(DISTINCT split_part(bg, ' ', 2))::BIGINT AS V FROM bg
+),
 cf2 AS (
-  SELECT bg, CAST(floor(ln(CAST(count(*) AS DOUBLE)) * 1000000) AS BIGINT) AS q2
+  SELECT bg, CAST(floor(ln(CAST(count(*) + 1 AS DOUBLE)) * 1000000) AS BIGINT) AS q2
   FROM bg GROUP BY bg
 ),
 cf1 AS (
   SELECT split_part(bg, ' ', 1) AS head,
-    CAST(floor(ln(CAST(count(*) AS DOUBLE)) * 1000000) AS BIGINT) AS q1
+    CAST(floor(ln(CAST(count(*) + (SELECT V FROM vocab) AS DOUBLE)) * 1000000) AS BIGINT) AS q1
   FROM bg GROUP BY head
 ),
 s2 AS (
@@ -3807,3 +3810,51 @@ SELECT s2.doc_id::BIGINT AS doc_id, n AS n_bigrams,
   (s1.s1 - s2.s2)::BIGINT AS ce_num,
   CAST(s1.s1 - s2.s2 AS DOUBLE) / (1000000.0 * n) AS ce
 FROM s2 JOIN s1 ON s2.doc_id = s1.doc_id"""
+
+
+def dsir_select_sql(
+    target_lang: str = "en", n_buckets: int = 4096, top_k: int = 256
+) -> str:
+    """Replays functions/dsir.dsir_importance_topk: FNV-1a unigram
+    hash buckets, Laplace-smoothed target-vs-raw log ratio quantized
+    to int64 micro-nats per bucket, exact per-doc integer sums, one
+    IEEE division, top-k by (logratio DESC, doc_id)."""
+    B = n_buckets
+    fnv = (
+        "list_reduce("
+        "list_prepend(14695981039346656037::UBIGINT,"
+        " list_transform(string_split(t, ''), ch -> ascii(ch)::UBIGINT)),"
+        " (h, b) -> CAST((CAST(xor(h, b) AS HUGEINT) * 1099511628211)"
+        f" % {_U64} AS UBIGINT))"
+    )
+    return f"""WITH tk AS (
+  SELECT doc_id, lang, unnest(regexp_extract_all(text, '\\S+')) AS t
+  FROM documents
+),
+ht AS MATERIALIZED (
+  SELECT doc_id, lang, CAST({fnv} % {B} AS BIGINT) AS b FROM tk
+),
+rc AS (SELECT b, count(*)::BIGINT AS rc FROM ht GROUP BY b),
+tc AS (
+  SELECT b, count(*)::BIGINT AS tc FROM ht
+  WHERE lang = '{target_lang}' GROUP BY b
+),
+tot AS (
+  SELECT (SELECT count(*) FROM ht) AS R,
+         (SELECT count(*) FROM ht WHERE lang = '{target_lang}') AS T
+),
+lam AS (
+  SELECT rc.b,
+    CAST(floor((ln(CAST(COALESCE(tc.tc, 0) + 1 AS DOUBLE)
+                   / CAST(tot.T + {B} AS DOUBLE))
+              - ln(CAST(rc.rc + 1 AS DOUBLE)
+                   / CAST(tot.R + {B} AS DOUBLE))) * 1000000) AS BIGINT) AS lam
+  FROM rc LEFT JOIN tc USING (b), tot
+),
+doc AS (
+  SELECT ht.doc_id, count(*)::BIGINT AS n_tokens, SUM(lam.lam)::BIGINT AS w_num
+  FROM ht JOIN lam ON ht.b = lam.b GROUP BY ht.doc_id
+)
+SELECT doc_id::BIGINT AS doc_id, n_tokens, w_num,
+  CAST(w_num AS DOUBLE) / (1000000.0 * n_tokens) AS logratio
+FROM doc ORDER BY logratio DESC, doc_id LIMIT {top_k}"""

@@ -962,6 +962,16 @@ def q_stratified_sample(sf_dir: str):
     return stratified_sample_summary(ds)
 
 
+def q_dsir_select(sf_dir: str):
+    """DSIR data selection (Xie et al. 2023): top-256 docs by hashed-
+    unigram importance log-ratio of the 'en' target slice vs the raw
+    corpus (functions/dsir.py). Bucket log-ratios are int64 micro-nat
+    quantized → exact integer sums → SQL hash parity."""
+    from ..functions.dsir import dsir_importance_topk
+
+    return dsir_importance_topk(_docs(sf_dir, ["doc_id", "text", "lang"]))
+
+
 def q_bigram_ce_docs(sf_dir: str):
     """Per-doc cross-entropy under the corpus's leave-in bigram LM —
     the CCNet/Gopher-style LM-perplexity quality filter

@@ -1,0 +1,113 @@
+"""Bigram-LM cross-entropy + DSIR importance selection vs sequential
+brute-force replicas on tiny fixtures."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from efficient_graph_algorithms_ray.functions.dsir import dsir_importance_topk
+from efficient_graph_algorithms_ray.functions.terms import bigram_cross_entropy
+from efficient_graph_algorithms_ray.functions.text import _TOKEN_RE, hash_token
+
+DOCS = [
+    "the cat sat on the mat",
+    "the cat sat on the log",
+    "the dog sat on the mat",
+    "zxq qvw jjk pft wma nnb",  # rare transitions → high CE
+    "the cat sat on the mat the cat sat on the mat",
+    "solo",  # < 2 tokens → no bigrams, excluded
+]
+
+
+def _ds(langs=None):
+    n = len(DOCS)
+    cols = {
+        "doc_id": pa.array(list(range(n)), type=pa.int64()),
+        "text": pa.array(DOCS, type=pa.string()),
+    }
+    if langs is not None:
+        cols["lang"] = pa.array(langs, type=pa.string())
+    return rd.from_arrow(pa.table(cols))
+
+
+def _q(c: int, offset: int) -> int:
+    return math.floor(math.log(c + offset) * 1_000_000)
+
+
+def test_bigram_ce_matches_sequential_replica():
+    out = bigram_cross_entropy(_ds(), hot_vocab=2, n_salts=2).to_pandas()
+    out = out.sort_values("doc_id").reset_index(drop=True)
+
+    # sequential replica with the same micro-nat quantization
+    cf2: Counter = Counter()
+    cf1: Counter = Counter()
+    per_doc = {}
+    for i, text in enumerate(DOCS):
+        toks = _TOKEN_RE.findall(text)
+        if len(toks) < 2:
+            continue
+        bgs = list(zip(toks, toks[1:]))
+        per_doc[i] = bgs
+        cf2.update(bgs)
+        cf1.update(t for t, _ in bgs)
+    V = len({b for _, b in cf2})  # bigram-tail vocabulary (add-one denom)
+    expect = {}
+    for i, bgs in per_doc.items():
+        s2 = sum(_q(cf2[b], 1) for b in bgs)
+        s1 = sum(_q(cf1[b[0]], V) for b in bgs)
+        expect[i] = (len(bgs), s1 - s2)
+
+    assert list(out["doc_id"]) == sorted(per_doc)
+    for _, row in out.iterrows():
+        n, ce_num = expect[row["doc_id"]]
+        assert row["n_bigrams"] == n
+        assert row["ce_num"] == ce_num
+        assert row["ce"] == ce_num / (1_000_000.0 * n)
+
+    by_id = {int(r["doc_id"]): float(r["ce"]) for _, r in out.iterrows()}
+    # smoothing restores the intended ordering: the rare-transition doc
+    # scores strictly worse than the formulaic ones, and ce > 0 always
+    assert by_id[3] > max(by_id[0], by_id[1], by_id[2], by_id[4])
+    assert all(v > 0 for v in by_id.values())
+
+
+def test_dsir_prefers_target_like_docs():
+    langs = ["en", "en", "en", "xx", "en", "xx"]
+    out = dsir_importance_topk(
+        _ds(langs), target_lang="en", n_buckets=64, top_k=6
+    ).to_pandas()
+
+    # sequential replica
+    B = 64
+    t_cnt = np.zeros(B, np.int64)
+    r_cnt = np.zeros(B, np.int64)
+    for text, lang in zip(DOCS, langs):
+        for tok in _TOKEN_RE.findall(text):
+            b = hash_token(tok) % B
+            r_cnt[b] += 1
+            if lang == "en":
+                t_cnt[b] += 1
+    T, R = int(t_cnt.sum()), int(r_cnt.sum())
+    lam = np.floor(
+        (np.log((t_cnt + 1.0) / float(T + B)) - np.log((r_cnt + 1.0) / float(R + B)))
+        * 1e6
+    ).astype(np.int64)
+    rows = []
+    for i, text in enumerate(DOCS):
+        toks = _TOKEN_RE.findall(text)
+        if not toks:
+            continue
+        w = int(sum(lam[hash_token(t) % B] for t in toks))
+        rows.append((i, len(toks), w, w / (1e6 * len(toks))))
+    rows.sort(key=lambda r: (-r[3], r[0]))
+
+    got = [tuple(r) for r in out[["doc_id", "n_tokens", "w_num"]].to_numpy()]
+    assert got == [r[:3] for r in rows]
+    # every non-target ('xx') doc ranks below every target-like doc
+    order = list(out["doc_id"])
+    assert set(order[-2:]) == {3, 5}
