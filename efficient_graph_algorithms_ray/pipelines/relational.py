@@ -1882,6 +1882,38 @@ def q_distance_buckets_partsupp(sf_dir: str):
     return out
 
 
+def q_sgns_embeddings_coocc(sf_dir: str):
+    """Trained SGNS vertex embeddings over the co-occurrence graph's
+    walk corpus (pipelines/embedding_train.py): walks → skip-gram
+    pairs → synchronous full-batch SGNS GD with broadcast parameters
+    and combiner-backed gradient reduction. Returns one row per vertex
+    (vid, l2norm rounded to 1e-6). Rows-only: gradient sums are
+    float-order-dependent at round-off, so value invariants (loss
+    decrease, community cosine separation, determinism of the corpus
+    and negatives) are pytest-verified (tests/test_sgns.py)."""
+    import pyarrow as pa
+
+    from .embedding_train import sgns_train_embeddings
+
+    emb_ds, _ = sgns_train_embeddings(
+        _coocc_graph(sf_dir), dim=8, epochs=3, walk_len=6, n_neg=2, seed=7
+    )
+
+    def _norms(batch: pa.Table) -> pa.Table:
+        from ..util import list_rows
+
+        vecs = list_rows(batch, "emb")
+        n = np.array([float(np.linalg.norm(v)) for v in vecs])
+        return pa.table(
+            {
+                "vid": batch.column("vid").cast(pa.int64()),
+                "l2norm_r6": pa.array(np.round(n, 6), type=pa.float64()),
+            }
+        )
+
+    return emb_ds.map_batches(_norms, batch_format="pyarrow")
+
+
 def q_gw_graph_distance(sf_dir: str):
     """Gromov–Wasserstein discrepancy between engine-coarsened graphs
     (gromov_wasserstein_discrepancy parity): k=32 hash-sampled vertices
