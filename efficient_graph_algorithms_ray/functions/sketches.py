@@ -105,3 +105,93 @@ def approx_distinct_by_key(ds, key: str, col: str):
         .groupby(key)
         .map_groups(_merge, batch_format="pyarrow")
     )
+
+
+# ---- Count-Min sketch -----------------------------------------------------
+
+def count_min_token_probe(docs_ds, *, width: int = 1024, depth: int = 4, top: int = 10):
+    """Count-Min sketch (Cormode & Muthukrishnan 2005) over the corpus
+    token stream, probed at the exact top-``top`` tokens.
+
+    The counting twin of the HLL pattern: each block reduces its token
+    stream to a local (depth × width) counter array — the sketch is a
+    commutative monoid, so partials merge by addition — and emits only
+    its NONZERO cells; one combiner-backed ``groupby(row, bucket).sum``
+    produces the global sketch (≤ depth·width rows, independent of
+    vocabulary size). The probe set comes from the existing exact
+    Misra-Gries heavy-hitter pass, so nothing here shuffles the
+    vocabulary either.
+
+    Hashing: bucket_r(tok) = splitmix64(fnv1a(tok) XOR splitmix64(r+1))
+    mod width — deterministic at any parallelism, replayed exactly in
+    the SQL oracle. Returns (tok, exact_n, cms_n, overestimate) ordered
+    by (exact_n DESC, tok); all integers → exact hash parity. The CMS
+    guarantee cms_n ≥ exact_n holds by construction; overestimate
+    quantifies collision noise at this width.
+    """
+    import ray.data as rd
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    from .terms import heavy_hitter_tokens
+    from .text import _TOKEN_RE, hash_token
+
+    salts = _splitmix64(np.arange(1, depth + 1, dtype=np.uint64))
+
+    def _bucket(hs: np.ndarray, r: int) -> np.ndarray:
+        return (_splitmix64(hs ^ salts[r]) % np.uint64(width)).astype(np.int64)
+
+    def _partials(batch: pa.Table) -> pa.Table:
+        c: Counter = Counter()
+        for t in batch.column("text").to_pylist():
+            c.update(_TOKEN_RE.findall(t or ""))
+        cms = np.zeros((depth, width), dtype=np.int64)
+        if c:
+            hs = np.fromiter(
+                (hash_token(t) for t in c), dtype=np.uint64, count=len(c)
+            )
+            cs = np.fromiter(c.values(), dtype=np.int64, count=len(c))
+            for r in range(depth):
+                np.add.at(cms[r], _bucket(hs, r), cs)
+        rr, bb = np.nonzero(cms)
+        return pa.table(
+            {
+                "r": pa.array(rr.astype(np.int64), type=pa.int64()),
+                "b": pa.array(bb.astype(np.int64), type=pa.int64()),
+                "c": pa.array(cms[rr, bb], type=pa.int64()),
+            }
+        )
+
+    sketch_rows = (
+        docs_ds.map_batches(_partials, batch_format="pyarrow")
+        .groupby(["r", "b"])
+        .aggregate(Sum("c", alias_name="c"))
+    )
+    cms = np.zeros((depth, width), dtype=np.int64)
+    for blk in sketch_rows.iter_batches(batch_size=None, batch_format="pyarrow"):
+        rr = blk.column("r").to_numpy(zero_copy_only=False)
+        bb = blk.column("b").to_numpy(zero_copy_only=False)
+        cms[rr, bb] = blk.column("c").to_numpy(zero_copy_only=False)
+
+    probes = []
+    for blk in heavy_hitter_tokens(docs_ds, top=top).iter_batches(
+        batch_size=None, batch_format="pyarrow"
+    ):
+        probes.extend(zip(blk.column("tok").to_pylist(), blk.column("n").to_pylist()))
+
+    toks = [t for t, _ in probes]
+    exact = np.array([n for _, n in probes], dtype=np.int64)
+    hs = np.fromiter((hash_token(t) for t in toks), dtype=np.uint64, count=len(toks))
+    est = np.min(
+        np.stack([cms[r, _bucket(hs, r)] for r in range(depth)]), axis=0
+    ).astype(np.int64)
+    out = pa.table(
+        {
+            "tok": pa.array(toks, type=pa.string()),
+            "exact_n": pa.array(exact, type=pa.int64()),
+            "cms_n": pa.array(est, type=pa.int64()),
+            "overestimate": pa.array(est - exact, type=pa.int64()),
+        }
+    )
+    return rd.from_arrow(out)

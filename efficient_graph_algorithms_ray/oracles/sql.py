@@ -3858,3 +3858,48 @@ doc AS (
 SELECT doc_id::BIGINT AS doc_id, n_tokens, w_num,
   CAST(w_num AS DOUBLE) / (1000000.0 * n_tokens) AS logratio
 FROM doc ORDER BY logratio DESC, doc_id LIMIT {top_k}"""
+
+
+def cms_probe_sql(width: int = 1024, depth: int = 4, top: int = 10) -> str:
+    """Replays functions/sketches.count_min_token_probe: FNV-1a token
+    hashes, per-row bucket = splitmix64(h XOR splitmix64(r+1)) mod
+    width, bucket count sums, probe at the exact top tokens, estimate
+    = min over rows. All-integer output → exact hash parity."""
+    parts = [
+        f"""WITH tf AS MATERIALIZED (
+  SELECT t AS tok, count(*)::BIGINT AS cnt,
+    list_reduce(
+      list_prepend(14695981039346656037::UBIGINT,
+        list_transform(string_split(t, ''), ch -> ascii(ch)::UBIGINT)),
+      (h, b) -> CAST((CAST(xor(h, b) AS HUGEINT) * 1099511628211)
+                     % {_U64} AS UBIGINT)) AS h0
+  FROM (SELECT unnest(regexp_extract_all(text, '\\S+')) AS t FROM documents)
+  GROUP BY t
+)"""
+    ]
+    est_cols = []
+    for r in range(depth):
+        salt = sm64_py(r + 1)
+        seed_cte = f"x{r}_in"
+        parts.append(
+            f""",
+{seed_cte} AS (SELECT tok, cnt, xor(h0, {salt}::UBIGINT) AS hx FROM tf)"""
+        )
+        frag, last, hcol = sm64_stages(seed_cte, "hx", f"x{r}", ["tok", "cnt"])
+        parts.append(frag)
+        parts.append(
+            f""",
+bk{r} AS MATERIALIZED (SELECT tok, cnt, CAST({hcol} % {width} AS BIGINT) AS b FROM {last}),
+cms{r} AS (SELECT b, SUM(cnt)::BIGINT AS c FROM bk{r} GROUP BY b)"""
+        )
+        est_cols.append(f"(SELECT c FROM cms{r} JOIN bk{r} USING (b) WHERE bk{r}.tok = pr.tok)")
+    least = "LEAST(" + ", ".join(est_cols) + ")"
+    parts.append(
+        f""",
+pr AS (SELECT tok, cnt FROM tf ORDER BY cnt DESC, tok LIMIT {top})
+SELECT pr.tok, pr.cnt AS exact_n,
+  {least}::BIGINT AS cms_n,
+  ({least} - pr.cnt)::BIGINT AS overestimate
+FROM pr"""
+    )
+    return "".join(parts)

@@ -962,6 +962,16 @@ def q_stratified_sample(sf_dir: str):
     return stratified_sample_summary(ds)
 
 
+def q_cms_token_probe(sf_dir: str):
+    """Count-Min sketch over the corpus token stream, probed at the
+    exact top-10 tokens (functions/sketches.py:count_min_token_probe).
+    Mergeable-monoid partials → one bounded groupby; all-integer
+    output, exact SQL parity including the collision overestimates."""
+    from ..functions.sketches import count_min_token_probe
+
+    return count_min_token_probe(_docs(sf_dir, ["text"]))
+
+
 def q_dsir_select(sf_dir: str):
     """DSIR data selection (Xie et al. 2023): top-256 docs by hashed-
     unigram importance log-ratio of the 'en' target slice vs the raw

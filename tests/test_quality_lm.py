@@ -111,3 +111,25 @@ def test_dsir_prefers_target_like_docs():
     # every non-target ('xx') doc ranks below every target-like doc
     order = list(out["doc_id"])
     assert set(order[-2:]) == {3, 5}
+
+
+def test_count_min_probe_guarantee_and_exactness_at_large_width():
+    import ray.data as rd
+    from efficient_graph_algorithms_ray.functions.sketches import (
+        count_min_token_probe,
+    )
+
+    ds = rd.from_arrow(pa.table({"text": pa.array(DOCS, type=pa.string())}))
+    out = count_min_token_probe(ds, width=1024, depth=4, top=5).to_pandas()
+    assert len(out) == 5
+    # CMS never underestimates
+    assert (out["cms_n"] >= out["exact_n"]).all()
+    assert (out["overestimate"] == out["cms_n"] - out["exact_n"]).all()
+    # at a width far beyond the vocabulary, collisions vanish → exact
+    wide = count_min_token_probe(ds, width=1 << 16, depth=4, top=5).to_pandas()
+    assert (wide["cms_n"] == wide["exact_n"]).all()
+    # exact top-5 matches a sequential count
+    cnt = Counter(t for d in DOCS for t in _TOKEN_RE.findall(d))
+    top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+    assert list(out["tok"]) == [t for t, _ in top]
+    assert list(out["exact_n"]) == [n for _, n in top]
