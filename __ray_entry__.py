@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_ce_docs": C.q_bigram_ce_docs,
         "dsir_select": C.q_dsir_select,
         "cms_token_probe": C.q_cms_token_probe,
+        "weighted_sample_docs": C.q_weighted_sample_docs,
         "scc_coocc": R.q_scc_coocc,
         "reciprocity_coocc": R.q_reciprocity_coocc,
         "louvain_coocc": R.q_louvain_coocc,
@@ -382,6 +383,7 @@ def oracle_sql() -> dict[str, str]:
         "bigram_ce_docs": S.BIGRAM_CE_DOCS,
         "dsir_select": S.dsir_select_sql(),
         "cms_token_probe": S.cms_probe_sql(),
+        "weighted_sample_docs": S.weighted_sample_sql(),
         "contamination_docs": S.contamination_sql(eval_mod=20, w=8),
         "bigram_pmi": S.bigram_pmi_sql(min_count=3, top_n=50),
         "assortativity_coocc": S.ASSORTATIVITY_COOCC,

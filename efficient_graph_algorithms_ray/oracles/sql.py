@@ -3903,3 +3903,23 @@ SELECT pr.tok, pr.cnt AS exact_n,
 FROM pr"""
     )
     return "".join(parts)
+
+
+def weighted_sample_sql(k: int = 64, seed: int | None = None) -> str:
+    """A-ES weighted order-sample replay: key = floor(−ln((h+1)/2^64)
+    / n_chars · 1e12) over splitmix64(doc_id ⊕ seed), k smallest with
+    doc_id tie-break (mirrors corpus.q_weighted_sample_docs)."""
+    from ..config import HASH_SEED
+
+    if seed is None:
+        seed = HASH_SEED
+    frag, cte, hcol = sm64_stages("ws_in", "x", "ws", ["doc_id", "n_chars"])
+    return f"""WITH ws_in AS (
+  SELECT doc_id, n_chars,
+    xor(CAST(doc_id AS UBIGINT), {seed}::UBIGINT) AS x
+  FROM documents WHERE n_chars > 0
+){frag}
+SELECT doc_id::BIGINT AS doc_id, n_chars::BIGINT AS n_chars,
+  CAST(floor(-ln((CAST({hcol} AS DOUBLE) + 1) / 18446744073709551616.0)
+             / n_chars * 1000000000000) AS BIGINT) AS key_q
+FROM {cte} ORDER BY key_q, doc_id LIMIT {k}"""

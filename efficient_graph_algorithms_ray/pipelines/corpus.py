@@ -103,6 +103,47 @@ def q_quality_scores(sf_dir: str):
     )
 
 
+def q_weighted_sample_docs(sf_dir: str, k: int = 64):
+    """Deterministic weighted sample WITHOUT replacement (Efraimidis–
+    Spirakis 2006 A-ES order sampling): key_i = −ln(u_i)/w_i with
+    u_i = (splitmix64(doc_id ⊕ seed) + 1)/2^64 and weight w_i =
+    n_chars; the k SMALLEST keys are exactly a weight-proportional
+    without-replacement sample (the exponential-jumps formulation).
+    Keys are floor-quantized to int64 pico-units so the global order
+    is exact integer comparison (doc_id tie-break) and the SQL replay
+    hash-matches. Same scale shape as the uniform bottom-k: per-block
+    partial bottom-k, then a tiny global sort+limit — only blocks×k
+    candidate rows ever move. Returns (doc_id, n_chars, key_q)."""
+    from ..config import HASH_SEED
+    from ..sources.edges_synth import _splitmix64
+
+    def _key(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        w = b.column("n_chars").to_numpy(zero_copy_only=False).astype(np.float64)
+        keep = w > 0
+        ids, w = ids[keep], w[keep]
+        h = _splitmix64(ids ^ np.uint64(HASH_SEED))
+        u = (h.astype(np.float64) + 1.0) / 18446744073709551616.0
+        q = np.floor(-np.log(u) / w * 1e12).astype(np.int64)
+        order = np.lexsort((ids, q))[:k]  # partial bottom-k per block
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[order].astype(np.int64), type=pa.int64()),
+                "n_chars": pa.array(
+                    w[order].astype(np.int64), type=pa.int64()
+                ),
+                "key_q": pa.array(q[order], type=pa.int64()),
+            }
+        )
+
+    return (
+        _docs(sf_dir, ["doc_id", "n_chars"])
+        .map_batches(_key, batch_format="pyarrow")
+        .sort(["key_q", "doc_id"])
+        .limit(k)
+    )
+
+
 def q_langid(sf_dir: str):
     import ray
 

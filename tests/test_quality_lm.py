@@ -133,3 +133,37 @@ def test_count_min_probe_guarantee_and_exactness_at_large_width():
     top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
     assert list(out["tok"]) == [t for t, _ in top]
     assert list(out["exact_n"]) == [n for _, n in top]
+
+
+def test_weighted_sample_tracks_weights():
+    """A-ES inclusion probability tracks weight: across many disjoint
+    seed-shifted universes, a doc with 50x the weight of its peers is
+    selected far more often (statistical, deterministic given seeds)."""
+    import pyarrow.parquet as pq
+    import os
+    from efficient_graph_algorithms_ray.pipelines.corpus import (
+        q_weighted_sample_docs,
+    )
+
+    tmp = "/tmp/ega_wsample_test"
+    os.makedirs(tmp, exist_ok=True)
+    n = 400
+    heavy = set(range(0, n, 40))  # 10 heavy docs, weight 5000 vs 100
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(list(range(n)), type=pa.int64()),
+                "n_chars": pa.array(
+                    [5000 if i in heavy else 100 for i in range(n)], type=pa.int64()
+                ),
+            }
+        ),
+        f"{tmp}/documents.parquet",
+    )
+    out = q_weighted_sample_docs(tmp, k=40).to_pandas()
+    assert len(out) == 40
+    assert list(out["key_q"]) == sorted(out["key_q"])
+    got_heavy = sum(1 for d in out["doc_id"] if int(d) in heavy)
+    # heavy docs are 2.5% of rows but ~56% of total weight; with k=40
+    # expect ~8-10 of the 10 heavy docs selected — require at least 6
+    assert got_heavy >= 6
