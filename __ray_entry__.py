@@ -194,6 +194,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # brute-force oracles)
         "lowrank_diffusion_norms": C.q_lowrank_diffusion,
         "sgns_embeddings_coocc": R.q_sgns_embeddings_coocc,
+        "bpe_merges": C.q_bpe_merges,
         "gw_graph_distance": R.q_gw_graph_distance,
         "gw_barycenter_summary": R.q_gw_barycenter_summary,
         "pagerank_incremental_coocc": R.q_pagerank_incremental_coocc,

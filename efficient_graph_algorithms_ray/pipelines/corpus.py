@@ -103,6 +103,16 @@ def q_quality_scores(sf_dir: str):
     )
 
 
+def q_bpe_merges(sf_dir: str):
+    """BPE tokenizer training: the first 32 learned merges over the
+    corpus word vocabulary (functions/bpe.py). Rows-only: each round's
+    segmentation depends on the previous arg-max (no SQL form); the
+    sequential Sennrich replica in tests/test_bpe.py is the oracle."""
+    from ..functions.bpe import bpe_train_merges
+
+    return bpe_train_merges(_docs(sf_dir, ["text"]), n_merges=32)
+
+
 def q_weighted_sample_docs(sf_dir: str, k: int = 64):
     """Deterministic weighted sample WITHOUT replacement (Efraimidis–
     Spirakis 2006 A-ES order sampling): key_i = −ln(u_i)/w_i with

@@ -1,0 +1,65 @@
+"""BPE merge training vs a sequential Sennrich replica."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pyarrow as pa
+import ray.data as rd
+
+from efficient_graph_algorithms_ray.functions.bpe import (
+    _EOW,
+    bpe_segment,
+    bpe_train_merges,
+)
+from efficient_graph_algorithms_ray.functions.text import _TOKEN_RE
+
+DOCS = [
+    "low lower lowest low low",
+    "new newer newest new newer",
+    "wide wider widest new low",
+    "the newest lowest the the",
+]
+
+
+def _sequential_bpe(docs, n_merges):
+    wc = Counter(t for d in docs for t in _TOKEN_RE.findall(d))
+    merges = []
+    out = []
+    for _ in range(n_merges):
+        pc: Counter = Counter()
+        for w, n in wc.items():
+            syms = bpe_segment(w, merges)
+            for pair in zip(syms, syms[1:]):
+                pc[pair] += n
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append(best[0])
+        out.append((best[0][0], best[0][1], best[1]))
+    return out
+
+
+def test_bpe_merges_match_sequential_replica():
+    ds = rd.from_arrow(pa.table({"text": pa.array(DOCS, type=pa.string())}))
+    got = bpe_train_merges(ds, n_merges=12).to_pandas()
+    want = _sequential_bpe(DOCS, 12)
+    assert len(got) == len(want)
+    for row, (l, r, c) in zip(got.itertuples(index=False), want):
+        assert (row.left, row.right, row.count) == (l, r, c)
+    # ranks are 0..k-1 and counts never increase by more than ties allow
+    assert list(got["rank"]) == list(range(len(got)))
+
+
+def test_bpe_segment_applies_learned_merges():
+    ds = rd.from_arrow(pa.table({"text": pa.array(DOCS, type=pa.string())}))
+    tbl = bpe_train_merges(ds, n_merges=20).to_pandas()
+    merges = list(zip(tbl["left"], tbl["right"]))
+    # frequent whole words collapse to few symbols; rare words stay long
+    seg_low = bpe_segment("low", merges)
+    seg_rare = bpe_segment("zyxwvu", merges)
+    assert len(seg_low) <= 2  # 'low</w>' or ['low', '</w>']
+    assert len(seg_rare) == len("zyxwvu") + 1
+    assert seg_rare[-1] == _EOW
+    # segmentation always reconstructs the word
+    assert "".join(seg_low).replace(_EOW, "") == "low"
