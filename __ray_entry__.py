@@ -195,6 +195,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lowrank_diffusion_norms": C.q_lowrank_diffusion,
         "sgns_embeddings_coocc": R.q_sgns_embeddings_coocc,
         "bpe_merges": C.q_bpe_merges,
+        "bpe_packed_sequences": C.q_bpe_packed_sequences,
         "gw_graph_distance": R.q_gw_graph_distance,
         "gw_barycenter_summary": R.q_gw_barycenter_summary,
         "pagerank_incremental_coocc": R.q_pagerank_incremental_coocc,

@@ -113,6 +113,38 @@ def q_bpe_merges(sf_dir: str):
     return bpe_train_merges(_docs(sf_dir, ["text"]), n_merges=32)
 
 
+def q_bpe_packed_sequences(sf_dir: str):
+    """Tokenize-and-pack: train 8 BPE merges, encode the corpus, pack
+    into deterministic 128-token training sequences (functions/bpe.py:
+    bpe_pack_sequences — distributed ordered prefix scan for offsets).
+    Rows-only (BPE-dependent); the exact stream replica is
+    pytest-verified (tests/test_bpe.py). Returns per-sequence
+    (seq_id, n_ids, ids_sum)."""
+    from ..functions.bpe import bpe_pack_sequences
+    from ..util import list_rows
+
+    seqs, _, _ = bpe_pack_sequences(
+        _docs(sf_dir, ["doc_id", "text"]), n_merges=8, seq_len=128
+    )
+
+    def _summary(batch: pa.Table) -> pa.Table:
+        rows = list_rows(batch, "ids")
+        return pa.table(
+            {
+                "seq_id": batch.column("seq_id").cast(pa.int64()),
+                "n_ids": pa.array(
+                    np.array([len(r) for r in rows], dtype=np.int64), type=pa.int64()
+                ),
+                "ids_sum": pa.array(
+                    np.array([int(np.sum(r, dtype=np.int64)) for r in rows]),
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    return seqs.map_batches(_summary, batch_format="pyarrow")
+
+
 def q_weighted_sample_docs(sf_dir: str, k: int = 64):
     """Deterministic weighted sample WITHOUT replacement (Efraimidis–
     Spirakis 2006 A-ES order sampling): key_i = −ln(u_i)/w_i with

@@ -63,3 +63,41 @@ def test_bpe_segment_applies_learned_merges():
     assert seg_rare[-1] == _EOW
     # segmentation always reconstructs the word
     assert "".join(seg_low).replace(_EOW, "") == "low"
+
+
+def test_bpe_pack_sequences_matches_sequential_stream():
+    from efficient_graph_algorithms_ray.functions.bpe import (
+        bpe_pack_sequences,
+        bpe_vocab,
+    )
+    from efficient_graph_algorithms_ray.functions.bpe import word_counts
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array(list(range(len(DOCS))), type=pa.int64()),
+            "text": pa.array(DOCS, type=pa.string()),
+        }
+    )
+    ds = rd.from_arrow(docs)
+    L = 16
+    seqs, merges_tbl, vocab = bpe_pack_sequences(ds, n_merges=10, seq_len=L)
+    out = seqs.to_pandas().sort_values("seq_id").reset_index(drop=True)
+
+    # sequential replay of the whole packed stream
+    merges = list(zip(merges_tbl["left"].to_pylist(), merges_tbl["right"].to_pylist()))
+    stream = []
+    for text in DOCS:  # doc_id order
+        for w in _TOKEN_RE.findall(text):
+            stream.extend(vocab[s] for s in bpe_segment(w, merges))
+        stream.append(0)
+    want = [stream[i : i + L] for i in range(0, len(stream), L)]
+
+    assert list(out["seq_id"]) == list(range(len(want)))
+    for row, w in zip(out["ids"], want):
+        assert [int(x) for x in row] == w
+    # every sequence except possibly the last is exactly L long
+    lens = [len(r) for r in out["ids"]]
+    assert all(l == L for l in lens[:-1]) and 0 < lens[-1] <= L
+    # vocab ids are dense, 0 reserved for EOD
+    assert min(vocab.values()) == 1
+    assert max(vocab.values()) == len(vocab)
