@@ -3923,3 +3923,32 @@ SELECT doc_id::BIGINT AS doc_id, n_chars::BIGINT AS n_chars,
   CAST(floor(-ln((CAST({hcol} AS DOUBLE) + 1) / 18446744073709551616.0)
              / n_chars * 1000000000000) AS BIGINT) AS key_q
 FROM {cte} ORDER BY key_q, doc_id LIMIT {k}"""
+
+
+def chunk_docs_sql(size: int = 64, stride: int = 48) -> str:
+    """Replays corpus.q_chunk_docs: token windows of ``size`` every
+    ``stride`` tokens, FNV-1a fingerprint of the space-joined chunk."""
+    fnv = (
+        "list_reduce("
+        "list_prepend(14695981039346656037::UBIGINT,"
+        " list_transform(string_split(s, ''), ch -> ascii(ch)::UBIGINT)),"
+        " (h, b) -> CAST((CAST(xor(h, b) AS HUGEINT) * 1099511628211)"
+        f" % {_U64} AS UBIGINT))"
+    )
+    return f"""WITH tk AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS tk FROM documents
+),
+ck AS (
+  SELECT doc_id, unnest(generate_series(0, (len(tk) - 1) // {stride})) AS i, tk
+  FROM tk WHERE len(tk) > 0
+),
+ch AS (
+  SELECT doc_id, i AS chunk_id, i * {stride} AS start,
+    LEAST(i * {stride} + {size}, len(tk)) - i * {stride} AS n_tokens,
+    array_to_string(list_slice(tk, i * {stride} + 1, i * {stride} + {size}), ' ') AS s
+  FROM ck
+)
+SELECT doc_id::BIGINT AS doc_id, chunk_id::BIGINT AS chunk_id,
+  start::BIGINT AS start, n_tokens::BIGINT AS n_tokens,
+  {u64_to_i64(fnv)} AS chunk_fp
+FROM ch"""

@@ -103,6 +103,53 @@ def q_quality_scores(sf_dir: str):
     )
 
 
+def q_chunk_docs(sf_dir: str, size: int = 64, stride: int = 48):
+    """Sliding-window document chunking (the RAG/context-window
+    chunker): token windows of ``size`` every ``stride`` tokens
+    (overlap = size − stride), one row per chunk with its token count
+    and the FNV-1a fingerprint of the reconstructed chunk text — the
+    dedup key for chunk-level pipelines. Pure map (no shuffle);
+    SQL-oracled exactly. Returns (doc_id, chunk_id, start, n_tokens,
+    chunk_fp)."""
+    from ..functions.text import _TOKEN_RE, hash_token
+
+    def _chunks(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        o_id, o_ck, o_st, o_n, o_fp = [], [], [], [], []
+        for doc_id, text in zip(ids, texts):
+            toks = _TOKEN_RE.findall(text or "")
+            n = len(toks)
+            ck = 0
+            for start in range(0, max(n, 1), stride):
+                if start >= n and n > 0:
+                    break
+                chunk = toks[start : start + size]
+                if not chunk:
+                    break
+                o_id.append(doc_id)
+                o_ck.append(ck)
+                o_st.append(start)
+                o_n.append(len(chunk))
+                o_fp.append(
+                    np.uint64(hash_token(" ".join(chunk))).astype(np.int64)
+                )
+                ck += 1
+        return pa.table(
+            {
+                "doc_id": pa.array(o_id, type=pa.int64()),
+                "chunk_id": pa.array(o_ck, type=pa.int64()),
+                "start": pa.array(o_st, type=pa.int64()),
+                "n_tokens": pa.array(o_n, type=pa.int64()),
+                "chunk_fp": pa.array(np.asarray(o_fp, dtype=np.int64), type=pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        _chunks, batch_format="pyarrow"
+    )
+
+
 def q_bpe_merges(sf_dir: str):
     """BPE tokenizer training: the first 32 learned merges over the
     corpus word vocabulary (functions/bpe.py). Rows-only: each round's
