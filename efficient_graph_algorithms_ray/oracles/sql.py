@@ -3952,3 +3952,40 @@ SELECT doc_id::BIGINT AS doc_id, chunk_id::BIGINT AS chunk_id,
   start::BIGINT AS start, n_tokens::BIGINT AS n_tokens,
   {u64_to_i64(fnv)} AS chunk_fp
 FROM ch"""
+
+
+def hrw_shards_sql(n_shards: int = 16) -> str:
+    """Replays corpus.q_hrw_shards: S chained splitmix64 hashes per
+    doc (salt_s = splitmix64(s+1)), shard = first argmax (numpy
+    argmax tie semantics — first max wins)."""
+    parts = ["WITH h_in AS (SELECT doc_id FROM documents)"]
+    prev = "h_in"
+    carry = ["doc_id"]
+    hcols = []
+    for s in range(n_shards):
+        salt = sm64_py(s + 1)
+        seed = f"hr{s}_in"
+        parts.append(
+            f""",
+{seed} AS (SELECT {', '.join(carry)}, xor(CAST(doc_id AS UBIGINT), {salt}::UBIGINT) AS hx FROM {prev})"""
+        )
+        frag, last, hcol = sm64_stages(seed, "hx", f"hr{s}", carry)
+        parts.append(frag)
+        named = f"h{s}"
+        parts.append(
+            f""",
+hr{s}_out AS (SELECT {', '.join(carry)}, {hcol} AS {named} FROM {last})"""
+        )
+        carry = carry + [named]
+        hcols.append(named)
+        prev = f"hr{s}_out"
+    greatest = "GREATEST(" + ", ".join(hcols) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN {c} = g THEN {i}" for i, c in enumerate(hcols)
+    ) + " END"
+    parts.append(
+        f"""
+SELECT doc_id::BIGINT AS doc_id, CAST({case} AS BIGINT) AS shard
+FROM (SELECT *, {greatest} AS g FROM {prev})"""
+    )
+    return "".join(parts)

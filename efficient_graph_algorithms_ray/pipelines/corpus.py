@@ -103,6 +103,30 @@ def q_quality_scores(sf_dir: str):
     )
 
 
+def q_hrw_shards(sf_dir: str, n_shards: int = 16):
+    """Rendezvous (highest-random-weight) shard assignment per doc —
+    the consistent-placement primitive for shard routing at cluster
+    scale (Thaler & Ravishankar 1998): shard(d) = argmax_s
+    splitmix64(doc_id ⊕ salt_s); adding/removing a shard moves only
+    1/S of the keys. Pure map, SQL-oracled exactly.
+    Returns (doc_id, shard)."""
+    from ..sources.edges_synth import _splitmix64
+
+    salts = _splitmix64(np.arange(1, n_shards + 1, dtype=np.uint64))
+
+    def _assign(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        hs = np.stack([_splitmix64(ids ^ s) for s in salts])
+        return pa.table(
+            {
+                "doc_id": pa.array(ids.astype(np.int64), type=pa.int64()),
+                "shard": pa.array(np.argmax(hs, axis=0).astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id"]).map_batches(_assign, batch_format="pyarrow")
+
+
 def q_chunk_docs(sf_dir: str, size: int = 64, stride: int = 48):
     """Sliding-window document chunking (the RAG/context-window
     chunker): token windows of ``size`` every ``stride`` tokens
