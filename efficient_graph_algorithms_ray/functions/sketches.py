@@ -195,3 +195,112 @@ def count_min_token_probe(docs_ds, *, width: int = 1024, depth: int = 4, top: in
         }
     )
     return rd.from_arrow(out)
+
+
+# ---- Bloom filter ----------------------------------------------------------
+
+def bloom_membership_probe(
+    docs_ds, *, m_bits: int = 65536, k_hashes: int = 4, eval_mod: int = 5,
+    num_partitions: int = 32,
+):
+    """Bloom-filter membership (Bloom 1970) — the sketch behind
+    incremental / cross-shard dedup: build a filter over the TRAIN
+    slice's content fingerprints (doc_id % eval_mod ≠ 0), probe every
+    EVAL doc, and report the Bloom verdict NEXT TO exact membership so
+    the false-positive rate is observable.
+
+    Scale shape: the filter is the broadcast (m_bits/8 bytes — the
+    point of a Bloom filter); bit positions are computed map-side and
+    deduplicated by one bounded ``groupby(pos)``; exact membership
+    never broadcasts the train fingerprint set — it is the repo's
+    bucketed co-shuffle (``fp % P`` groups see the full global
+    membership of their hashes). Fingerprints and positions are
+    FNV-1a/splitmix64 — deterministic, replayed exactly in SQL.
+
+    Returns (doc_id, bloom_hit, exact_hit) over eval docs, both 0/1
+    BIGINT; bloom_hit ≥ exact_hit always (no false negatives).
+    """
+    import ray
+    import ray.data as rd
+    from ray.data.aggregate import Max, Sum
+
+    from .text import hash_token
+
+    salts = _splitmix64(np.arange(1, k_hashes + 1, dtype=np.uint64))
+    P = num_partitions
+
+    def _fp(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = batch.column("text").to_pylist()
+        h = np.fromiter(
+            (hash_token(t or "") for t in texts), dtype=np.uint64, count=len(texts)
+        )
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "h": pa.array(h, type=pa.uint64()),
+                "is_eval": pa.array(ids % eval_mod == 0),
+            }
+        )
+
+    fp = docs_ds.map_batches(_fp, batch_format="pyarrow").materialize()
+
+    # filter build: train-position rows → bounded distinct → broadcast bitmap
+    def _positions(batch: pa.Table) -> pa.Table:
+        h = batch.column("h").to_numpy(zero_copy_only=False)
+        ev = batch.column("is_eval").to_numpy(zero_copy_only=False)
+        th = h[~ev]
+        pos = np.unique(
+            np.concatenate(
+                [(_splitmix64(th ^ s) % np.uint64(m_bits)) for s in salts]
+            )
+            if len(th)
+            else np.empty(0, np.uint64)
+        )
+        return pa.table({"pos": pa.array(pos.astype(np.int64), type=pa.int64())})
+
+    bitmap = np.zeros(m_bits, dtype=bool)
+    for b in (
+        fp.map_batches(_positions, batch_format="pyarrow")
+        .groupby("pos")
+        .count()
+        .iter_batches(batch_size=None, batch_format="pyarrow")
+    ):
+        bitmap[b.column("pos").to_numpy(zero_copy_only=False)] = True
+    bitmap_ref = ray.put(bitmap)
+
+    # exact membership: bucketed co-shuffle, never a broadcast set
+    def _bucket(batch: pa.Table) -> pa.Table:
+        h = batch.column("h").to_numpy(zero_copy_only=False)
+        return batch.append_column(
+            "part", pa.array((h % np.uint64(P)).astype(np.int64), type=pa.int64())
+        )
+
+    def _mark(g: pa.Table) -> pa.Table:
+        h = g.column("h").to_numpy(zero_copy_only=False)
+        ev = g.column("is_eval").to_numpy(zero_copy_only=False)
+        ids = g.column("doc_id").to_numpy(zero_copy_only=False)
+        train_set = np.unique(h[~ev])
+        keep = ev
+        he = h[keep]
+        pos = np.searchsorted(train_set, he)
+        ok = pos < len(train_set)
+        exact = np.zeros(len(he), dtype=bool)
+        exact[ok] = train_set[pos[ok]] == he[ok]
+        bm = ray.get(bitmap_ref)
+        bloom = np.ones(len(he), dtype=bool)
+        for s in salts:
+            bloom &= bm[(_splitmix64(he ^ s) % np.uint64(m_bits)).astype(np.int64)]
+        return pa.table(
+            {
+                "doc_id": pa.array(ids[keep], type=pa.int64()),
+                "bloom_hit": pa.array(bloom.astype(np.int64), type=pa.int64()),
+                "exact_hit": pa.array(exact.astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    return (
+        fp.map_batches(_bucket, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(_mark, batch_format="pyarrow")
+    )

@@ -3989,3 +3989,61 @@ SELECT doc_id::BIGINT AS doc_id, CAST({case} AS BIGINT) AS shard
 FROM (SELECT *, {greatest} AS g FROM {prev})"""
     )
     return "".join(parts)
+
+
+def bloom_probe_sql(
+    m_bits: int = 65536, k_hashes: int = 4, eval_mod: int = 5
+) -> str:
+    """Replays functions/sketches.bloom_membership_probe: FNV-1a text
+    fingerprints, k splitmix64 bit positions, filter built on the
+    train slice (doc_id % eval_mod != 0), probe on the eval slice,
+    exact membership alongside."""
+    fnv = (
+        "list_reduce("
+        "list_prepend(14695981039346656037::UBIGINT,"
+        " list_transform(string_split(COALESCE(text, ''), ''), ch -> ascii(ch)::UBIGINT)),"
+        " (h, b) -> CAST((CAST(xor(h, b) AS HUGEINT) * 1099511628211)"
+        f" % {_U64} AS UBIGINT))"
+    )
+    parts = [
+        f"""WITH fp AS MATERIALIZED (
+  SELECT doc_id, doc_id % {eval_mod} = 0 AS is_eval, {fnv} AS fph FROM documents
+)"""
+    ]
+    prev = "fp"
+    # NOTE: the carried fingerprint column must NOT be named "h" —
+    # sm64_stages uses "h" internally and the duplicate name silently
+    # shadows the carried value.
+    carry = ["doc_id", "is_eval", "fph"]
+    pcols = []
+    for j in range(k_hashes):
+        salt = sm64_py(j + 1)
+        seed = f"bl{j}_in"
+        parts.append(
+            f""",
+{seed} AS (SELECT {', '.join(carry)}, xor(fph, {salt}::UBIGINT) AS hx FROM {prev})"""
+        )
+        frag, last, hcol = sm64_stages(seed, "hx", f"bl{j}", carry)
+        parts.append(frag)
+        named = f"p{j}"
+        parts.append(
+            f""",
+bl{j}_out AS (SELECT {', '.join(carry)}, CAST({hcol} % {m_bits} AS BIGINT) AS {named} FROM {last})"""
+        )
+        carry = carry + [named]
+        pcols.append(named)
+        prev = f"bl{j}_out"
+    union_pos = " UNION ALL ".join(
+        f"SELECT {c} AS p FROM {prev} WHERE NOT is_eval" for c in pcols
+    )
+    bloom_and = " AND ".join(f"{c} IN (SELECT p FROM bits)" for c in pcols)
+    parts.append(
+        f""",
+bits AS MATERIALIZED (SELECT DISTINCT p FROM ({union_pos})),
+train_h AS MATERIALIZED (SELECT DISTINCT fph FROM fp WHERE NOT is_eval)
+SELECT doc_id::BIGINT AS doc_id,
+  CAST(CASE WHEN {bloom_and} THEN 1 ELSE 0 END AS BIGINT) AS bloom_hit,
+  CAST(CASE WHEN fph IN (SELECT fph FROM train_h) THEN 1 ELSE 0 END AS BIGINT) AS exact_hit
+FROM {prev} WHERE is_eval"""
+    )
+    return "".join(parts)

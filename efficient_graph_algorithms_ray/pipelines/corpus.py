@@ -103,6 +103,17 @@ def q_quality_scores(sf_dir: str):
     )
 
 
+def q_bloom_probe(sf_dir: str):
+    """Bloom-filter membership probe for incremental dedup
+    (functions/sketches.py:bloom_membership_probe): filter built over
+    the train slice's content fingerprints, eval slice probed, Bloom
+    verdict reported next to exact membership (false-positive rate
+    observable). SQL-oracled exactly."""
+    from ..functions.sketches import bloom_membership_probe
+
+    return bloom_membership_probe(_docs(sf_dir, ["doc_id", "text"]))
+
+
 def q_hrw_shards(sf_dir: str, n_shards: int = 16):
     """Rendezvous (highest-random-weight) shard assignment per doc —
     the consistent-placement primitive for shard routing at cluster

@@ -167,3 +167,41 @@ def test_weighted_sample_tracks_weights():
     # heavy docs are 2.5% of rows but ~56% of total weight; with k=40
     # expect ~8-10 of the 10 heavy docs selected — require at least 6
     assert got_heavy >= 6
+
+
+def test_bloom_probe_no_false_negatives_and_dup_detection():
+    import ray.data as rd
+    from efficient_graph_algorithms_ray.functions.sketches import (
+        bloom_membership_probe,
+    )
+
+    # eval docs are doc_id % 5 == 0; doc 0 duplicates doc 1's text,
+    # doc 5 is unique, doc 10 duplicates doc 3
+    texts = {
+        0: "alpha beta gamma", 1: "alpha beta gamma",
+        2: "delta epsilon", 3: "zeta eta theta",
+        4: "iota kappa", 5: "unique eval only text",
+        6: "lambda mu", 7: "nu xi", 8: "omicron pi",
+        9: "rho sigma", 10: "zeta eta theta",
+    }
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(sorted(texts), type=pa.int64()),
+                "text": pa.array([texts[k] for k in sorted(texts)], type=pa.string()),
+            }
+        )
+    )
+    out = (
+        bloom_membership_probe(ds, m_bits=4096, k_hashes=3, eval_mod=5)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert list(out["doc_id"]) == [0, 5, 10]
+    # no false negatives: bloom_hit >= exact_hit everywhere
+    assert (out["bloom_hit"] >= out["exact_hit"]).all()
+    by = out.set_index("doc_id")
+    assert by.loc[0, "exact_hit"] == 1 and by.loc[0, "bloom_hit"] == 1
+    assert by.loc[10, "exact_hit"] == 1 and by.loc[10, "bloom_hit"] == 1
+    assert by.loc[5, "exact_hit"] == 0
