@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_docs": C.q_chunk_docs,
         "hrw_shards": C.q_hrw_shards,
         "bloom_probe": C.q_bloom_probe,
+        "epoch_shuffle": C.q_epoch_shuffle,
         "scc_coocc": R.q_scc_coocc,
         "reciprocity_coocc": R.q_reciprocity_coocc,
         "louvain_coocc": R.q_louvain_coocc,
@@ -392,6 +393,7 @@ def oracle_sql() -> dict[str, str]:
         "chunk_docs": S.chunk_docs_sql(),
         "hrw_shards": S.hrw_shards_sql(),
         "bloom_probe": S.bloom_probe_sql(),
+        "epoch_shuffle": S.epoch_shuffle_sql(),
         "contamination_docs": S.contamination_sql(eval_mod=20, w=8),
         "bigram_pmi": S.bigram_pmi_sql(min_count=3, top_n=50),
         "assortativity_coocc": S.ASSORTATIVITY_COOCC,

@@ -4047,3 +4047,24 @@ SELECT doc_id::BIGINT AS doc_id,
 FROM {prev} WHERE is_eval"""
     )
     return "".join(parts)
+
+
+def epoch_shuffle_sql(n_epochs: int = 2) -> str:
+    """Replays corpus.q_epoch_shuffle: per-epoch hash-sort keys
+    splitmix64(doc_id ⊕ splitmix64(epoch+1)), int64-reinterpreted."""
+    selects = []
+    parts = ["WITH d AS (SELECT doc_id FROM documents)"]
+    for e in range(n_epochs):
+        salt = sm64_py(e + 1)
+        seed = f"ep{e}_in"
+        parts.append(
+            f""",
+{seed} AS (SELECT doc_id, xor(CAST(doc_id AS UBIGINT), {salt}::UBIGINT) AS hx FROM d)"""
+        )
+        frag, last, hcol = sm64_stages(seed, "hx", f"ep{e}", ["doc_id"])
+        parts.append(frag)
+        selects.append(
+            f"SELECT {e}::BIGINT AS epoch, doc_id::BIGINT AS doc_id, "
+            f"{u64_to_i64(hcol)} AS sort_key FROM {last}"
+        )
+    return "".join(parts) + "\n" + "\nUNION ALL\n".join(selects)

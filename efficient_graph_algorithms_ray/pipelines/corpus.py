@@ -103,6 +103,35 @@ def q_quality_scores(sf_dir: str):
     )
 
 
+def q_epoch_shuffle(sf_dir: str, n_epochs: int = 2):
+    """Deterministic per-epoch dataloader shuffle: each epoch orders
+    the corpus by sort_key = splitmix64(doc_id ⊕ splitmix64(epoch+1))
+    — the standard seeded hash-sort permutation for training loaders,
+    reproducible at any parallelism and resumable mid-epoch (the key
+    is recomputable per row; a restart seeks past consumed keys).
+    Pure map; returns (epoch, doc_id, sort_key) with sort_key the
+    int64 reinterpretation; SQL-oracled exactly."""
+    from ..sources.edges_synth import _splitmix64
+
+    def _keys(b: pa.Table) -> pa.Table:
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        eps, dids, hs = [], [], []
+        for e in range(n_epochs):
+            salt = _splitmix64(np.full(len(ids), e + 1, dtype=np.uint64))
+            eps.append(np.full(len(ids), e, dtype=np.int64))
+            dids.append(ids.astype(np.int64))
+            hs.append(_splitmix64(ids ^ salt).view(np.int64))
+        return pa.table(
+            {
+                "epoch": pa.array(np.concatenate(eps), type=pa.int64()),
+                "doc_id": pa.array(np.concatenate(dids), type=pa.int64()),
+                "sort_key": pa.array(np.concatenate(hs), type=pa.int64()),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id"]).map_batches(_keys, batch_format="pyarrow")
+
+
 def q_bloom_probe(sf_dir: str):
     """Bloom-filter membership probe for incremental dedup
     (functions/sketches.py:bloom_membership_probe): filter built over
