@@ -87,3 +87,56 @@ def label_propagation(
     )
     labels = state_vertex_dataset(graph, summary["final_iter_dir"], "label")
     return labels, summary
+
+
+def connected_components_warm(
+    graph: ShardedGraph,
+    ckpt_dir: str,
+    *,
+    warm_graph: ShardedGraph,
+    warm_final_dir: str,
+    max_iters: int = 200,
+) -> tuple:
+    """Incremental connected components — warm-start from a previous
+    run's final labels (the crawl-delta pattern, CC edition; see
+    pagerank.pagerank_warm for the mechanics). Valid for EDGE-ADDITION
+    deltas only: min-label propagation only ever decreases labels, and
+    the old labels (per-old-component min vids) are upper bounds of
+    the new fixed point, so the warm run converges to EXACTLY the
+    cold answer on the new graph — usually in rounds proportional to
+    how far merges propagate, not the full diameter. Edge deletions
+    can orphan a too-small label and need a cold run (documented
+    contract). New vertices start at label = vid.
+
+    ``init_fn`` reads only its own shard's old state file inside the
+    worker — no driver funnel, no broadcast. Returns
+    (Dataset (vid, component), summary).
+    """
+    from ..state.ckpt import read_state_part
+
+    assert not graph.directed, "connected components requires an undirected graph"
+    if len(graph.parts) != len(warm_graph.parts):
+        raise ValueError("warm start requires the same partition count")
+    old_refs = warm_graph.refs
+
+    def init_fn(csr):
+        import ray
+
+        p = int(csr["part"])
+        vids = csr["vids"]
+        out = vids.copy()
+        if p in old_refs:
+            old_vids = ray.get(old_refs[p])["vids"]
+            old_state = np.asarray(read_state_part(warm_final_dir, p))
+            pos = np.searchsorted(old_vids, vids)
+            ok = pos < len(old_vids)
+            match = np.zeros(len(vids), dtype=bool)
+            match[ok] = old_vids[pos[ok]] == vids[ok]
+            out[match] = old_state[pos[match]].astype(out.dtype)
+        return out
+
+    summary = run_supersteps(
+        graph, ckpt_dir, "min", init_fn, tol=0.0, max_iters=max_iters
+    )
+    comp = state_vertex_dataset(graph, summary["final_iter_dir"], "component")
+    return comp, summary

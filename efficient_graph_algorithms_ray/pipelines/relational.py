@@ -333,6 +333,50 @@ def q_cc_customer_orders(sf_dir: str):
     return _vid_to_int64(comp, {"component": pa.int64()})
 
 
+def q_cc_incremental(sf_dir: str):
+    """Incremental connected components (crawl-delta, CC edition):
+    cold CC on the 90%-orders subgraph (o_orderkey % 10 != 0) seeds a
+    warm run over the FULL customer–order graph
+    (pipelines/components.py:connected_components_warm). The warm run
+    converges to exactly the cold full-graph answer, so the existing
+    CC SQL oracle checks it end-to-end."""
+    from .components import connected_components, connected_components_warm
+
+    def _subset_edges():
+        def _fn(batch: pa.Table) -> pa.Table:
+            ok = batch.column("o_orderkey").to_numpy(zero_copy_only=False) % 10 != 0
+            keep = batch.filter(pa.array(ok))
+            src = keep.column("o_custkey").to_numpy(zero_copy_only=False).astype(np.uint64)
+            dst = (
+                keep.column("o_orderkey").to_numpy(zero_copy_only=False) + ORDER_OFFSET
+            ).astype(np.uint64)
+            return pa.table(
+                {
+                    "src": pa.array(src, type=pa.uint64()),
+                    "dst": pa.array(dst, type=pa.uint64()),
+                }
+            )
+
+        return _read(sf_dir, "orders", ["o_custkey", "o_orderkey"]).map_batches(
+            _fn, batch_format="pyarrow"
+        )
+
+    g_old = build_graph(_subset_edges(), EngineConfig(num_partitions=16), directed=False)
+    old_dir = _ckpt("ccw_old")
+    _, old_summary = connected_components(g_old, old_dir)
+
+    g_new = build_graph(
+        customer_order_edges(sf_dir), EngineConfig(num_partitions=16), directed=False
+    )
+    comp, _ = connected_components_warm(
+        g_new,
+        _ckpt("ccw_new"),
+        warm_graph=g_old,
+        warm_final_dir=old_summary["final_iter_dir"],
+    )
+    return _vid_to_int64(comp, {"component": pa.int64()})
+
+
 def q_triangles_coocc(sf_dir: str):
     g = _coocc_graph(sf_dir)
     return _vid_to_int64(triangle_count(g), {"triangles": pa.int64()})

@@ -115,3 +115,50 @@ def test_percolation_semantics_tiny(tmp_path):
         )
         assert int(stats["nc"]) == expect_nc
         assert int(stats["big"]) == (6 if t == 1 else 3)
+
+
+def test_warm_cc_matches_cold_after_edge_additions(tmp_path):
+    """Warm-start CC on graph+bridge converges to the cold answer and
+    needs no more rounds than cold."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from efficient_graph_algorithms_ray.config import EngineConfig
+    from efficient_graph_algorithms_ray.pipelines.components import (
+        connected_components,
+        connected_components_warm,
+    )
+    from efficient_graph_algorithms_ray.pipelines.graph_build import build_graph
+
+    def _edges(pairs):
+        s, d = zip(*pairs)
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "src": pa.array(np.array(s, dtype=np.uint64), type=pa.uint64()),
+                    "dst": pa.array(np.array(d, dtype=np.uint64), type=pa.uint64()),
+                }
+            )
+        )
+
+    # two paths (1-2-3-4) and (10-11-12-13); delta adds the bridge 4-10
+    old_pairs = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (12, 13)]
+    new_pairs = old_pairs + [(4, 10)]
+    g_old = build_graph(_edges(old_pairs), EngineConfig(num_partitions=4), directed=False)
+    _, s_old = connected_components(g_old, str(tmp_path / "old"))
+
+    g_new = build_graph(_edges(new_pairs), EngineConfig(num_partitions=4), directed=False)
+    comp_cold, s_cold = connected_components(g_new, str(tmp_path / "cold"))
+    comp_warm, s_warm = connected_components_warm(
+        g_new,
+        str(tmp_path / "warm"),
+        warm_graph=g_old,
+        warm_final_dir=s_old["final_iter_dir"],
+    )
+    cold = comp_cold.to_pandas().sort_values("vid").reset_index(drop=True)
+    warm = comp_warm.to_pandas().sort_values("vid").reset_index(drop=True)
+    assert (cold["vid"] == warm["vid"]).all()
+    assert (cold["component"] == warm["component"]).all()
+    assert (warm["component"].astype(np.uint64) == 1).all()  # one merged comp, min vid 1
+    assert s_warm["iterations"] <= s_cold["iterations"]
