@@ -60,6 +60,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_probe": C.q_bloom_probe,
         "epoch_shuffle": C.q_epoch_shuffle,
         "cc_incremental": R.q_cc_incremental,
+        "cocitation_partsupp": R.q_cocitation_partsupp,
         "scc_coocc": R.q_scc_coocc,
         "reciprocity_coocc": R.q_reciprocity_coocc,
         "louvain_coocc": R.q_louvain_coocc,
@@ -396,6 +397,7 @@ def oracle_sql() -> dict[str, str]:
         "bloom_probe": S.bloom_probe_sql(),
         "epoch_shuffle": S.epoch_shuffle_sql(),
         "cc_incremental": S.CC_CUSTOMER_ORDERS,
+        "cocitation_partsupp": S.cocitation_partsupp_sql(),
         "contamination_docs": S.contamination_sql(eval_mod=20, w=8),
         "bigram_pmi": S.bigram_pmi_sql(min_count=3, top_n=50),
         "assortativity_coocc": S.ASSORTATIVITY_COOCC,

@@ -4068,3 +4068,14 @@ def epoch_shuffle_sql(n_epochs: int = 2) -> str:
             f"{u64_to_i64(hcol)} AS sort_key FROM {last}"
         )
     return "".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+def cocitation_partsupp_sql(k: int = 100) -> str:
+    """Replays relational.q_cocitation_partsupp: supplier pairs by
+    shared citing parts, top-k by (n_shared DESC, u, v)."""
+    return f"""WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+SELECT a.l_suppkey::BIGINT AS u, b.l_suppkey::BIGINT AS v,
+  count(*)::BIGINT AS n_shared
+FROM ps a JOIN ps b
+  ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
+GROUP BY u, v ORDER BY n_shared DESC, u, v LIMIT {k}"""

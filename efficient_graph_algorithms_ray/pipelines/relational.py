@@ -333,6 +333,75 @@ def q_cc_customer_orders(sf_dir: str):
     return _vid_to_int64(comp, {"component": pa.int64()})
 
 
+def q_cocitation_partsupp(sf_dir: str, k: int = 100):
+    """Co-citation (Small 1973) over the directed part→supplier graph:
+    supplier pairs ranked by how many parts cite both — THE classic
+    link-graph similarity measure (its transpose, bibliographic
+    coupling, is the same pipeline on the reversed edge). One bucketed
+    co-shuffle (part % P) co-locates each citing part's supplier list
+    (bounded per part), pairs emit with map-side combining, then a
+    combiner-backed groupby + top-k. Returns (u, v, n_shared)."""
+    from collections import Counter
+
+    P = 32
+
+    def _bucket(batch: pa.Table) -> pa.Table:
+        part = batch.column("l_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(part % P, type=pa.int64()),
+                "part": pa.array(part, type=pa.int64()),
+                "supp": batch.column("l_suppkey").cast(pa.int64()),
+            }
+        )
+
+    def _pairs(g: pa.Table) -> pa.Table:
+        part = g.column("part").to_numpy(zero_copy_only=False)
+        supp = g.column("supp").to_numpy(zero_copy_only=False)
+        order = np.lexsort((supp, part))
+        part, supp = part[order], supp[order]
+        c: Counter = Counter()
+        i = 0
+        while i < len(part):
+            j = i
+            while j < len(part) and part[j] == part[i]:
+                j += 1
+            ss = np.unique(supp[i:j])  # distinct (part, supplier) citations
+            for a in range(len(ss)):
+                for b in range(a + 1, len(ss)):
+                    c[(ss[a], ss[b])] += 1
+            i = j
+        if not c:
+            return pa.table(
+                {
+                    "u": pa.array([], type=pa.int64()),
+                    "v": pa.array([], type=pa.int64()),
+                    "n": pa.array([], type=pa.int64()),
+                }
+            )
+        us, vs = zip(*c.keys())
+        return pa.table(
+            {
+                "u": pa.array(list(us), type=pa.int64()),
+                "v": pa.array(list(vs), type=pa.int64()),
+                "n": pa.array(list(c.values()), type=pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum
+
+    return (
+        _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+        .map_batches(_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_pairs, batch_format="pyarrow")
+        .groupby(["u", "v"])
+        .aggregate(Sum("n", alias_name="n_shared"))
+        .sort(["n_shared", "u", "v"], descending=[True, False, False])
+        .limit(k)
+    )
+
+
 def q_cc_incremental(sf_dir: str):
     """Incremental connected components (crawl-delta, CC edition):
     cold CC on the 90%-orders subgraph (o_orderkey % 10 != 0) seeds a
