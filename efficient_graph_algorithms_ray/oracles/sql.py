@@ -4079,3 +4079,44 @@ SELECT a.l_suppkey::BIGINT AS u, b.l_suppkey::BIGINT AS v,
 FROM ps a JOIN ps b
   ON a.l_partkey = b.l_partkey AND a.l_suppkey < b.l_suppkey
 GROUP BY u, v ORDER BY n_shared DESC, u, v LIMIT {k}"""
+
+
+def wl_colors_sql(rounds: int = 2) -> str:
+    """1-WL color refinement over the distinct co-occurrence pairs,
+    replayed exactly: init color = degree; per round
+
+        S(v)  = Σ_u splitmix64(c(u))                    (mod 2^64)
+        c'(v) = splitmix64((3·splitmix64(c(v)) + S(v))  (mod 2^64))
+
+    — mirrors pipelines/wl.wl_colors bit-for-bit (numpy uint64
+    wraparound ≡ HUGEINT % 2^64)."""
+    sql = """WITH pr AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+),
+e AS (SELECT u, v FROM pr UNION ALL SELECT v AS u, u AS v FROM pr),
+c0 AS (SELECT u AS vid, CAST(COUNT(*) AS UBIGINT) AS h FROM e GROUP BY u)"""
+    cur = "c0"
+    for i in range(rounds):
+        frag, hcte, _ = sm64_stages(cur, "h", f"wh{i}", ["vid"])
+        sql += frag
+        sql += f""",
+ws{i} AS (
+  SELECT e.v AS vid,
+         CAST(SUM(CAST(t.h AS HUGEINT)) % {_U64} AS UBIGINT) AS s
+  FROM e JOIN {hcte} t ON e.u = t.vid
+  GROUP BY e.v
+),
+wm{i} AS (
+  SELECT t.vid,
+         CAST(((CAST(t.h AS HUGEINT) * 3) % {_U64}
+               + CAST(COALESCE(ws{i}.s, 0::UBIGINT) AS HUGEINT)) % {_U64} AS UBIGINT) AS h
+  FROM {hcte} t LEFT JOIN ws{i} ON t.vid = ws{i}.vid
+)"""
+        frag2, ccte, _ = sm64_stages(f"wm{i}", "h", f"wc{i + 1}", ["vid"])
+        sql += frag2
+        cur = ccte
+    sql += f"\nSELECT vid::BIGINT AS vid, h AS color FROM {cur}"
+    return sql

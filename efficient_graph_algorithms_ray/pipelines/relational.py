@@ -4075,3 +4075,37 @@ def q_orders_by_region(sf_dir: str):
         .groupby("r_name")
         .aggregate(Sum("n", alias_name="n_orders"), Sum("cents", alias_name="cents_sum"))
     )
+
+
+def q_wl_colors_coocc(sf_dir: str):
+    """2-round Weisfeiler-Leman color refinement over the distinct
+    co-occurrence pairs (init = degree, commutative splitmix64 multiset
+    hashing — `pipelines/wl.py`). SQL-oracled: the unrolled oracle
+    replays both rounds with exact HUGEINT mod-2^64 arithmetic.
+    Returns (vid, color)."""
+    from ray.data.aggregate import Count
+
+    from .wl import wl_colors
+
+    def _uv(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "u": pa.array(
+                    b.column("src").to_numpy(zero_copy_only=False).astype(np.uint64),
+                    type=pa.uint64(),
+                ),
+                "v": pa.array(
+                    b.column("dst").to_numpy(zero_copy_only=False).astype(np.uint64),
+                    type=pa.uint64(),
+                ),
+            }
+        )
+
+    distinct = (
+        part_cooccurrence_edges(sf_dir)
+        .map_batches(_uv, batch_format="pyarrow")
+        .groupby(["u", "v"])
+        .aggregate(Count(alias_name="n"))
+        .select_columns(["u", "v"])
+    )
+    return wl_colors(distinct, rounds=2)
