@@ -862,3 +862,156 @@ def embedding_norms(embeddings_ds):
         )
 
     return embeddings_ds.map_batches(_fn, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# exact-integer distributed k-means (Lloyd) over quantized embeddings
+# --------------------------------------------------------------------------
+
+KMEANS_QUANT = 1 << 20  # power-of-two scale: float32 → int64 is EXACT
+
+
+def _quantize_embeddings(mat: np.ndarray) -> np.ndarray:
+    """floor(x · 2^20) per coordinate. The scale is a power of two, so
+    the multiply only shifts the float exponent — bit-exact on both the
+    numpy and DuckDB sides; floor is then deterministic."""
+    return np.floor(mat * KMEANS_QUANT).astype(np.int64)
+
+
+def _floor_div_exact(s: np.ndarray, n: np.ndarray) -> np.ndarray:
+    """Floor division written as (s − mod) / n with mod = ((s % n) + n)
+    % n — the form the SQL oracle replays exactly (DuckDB % is C-style
+    truncating, numpy % floors; the +n normalization makes them agree)."""
+    mod = ((s % n) + n) % n
+    return (s - mod) // n
+
+
+def kmeans_quantized(
+    embeddings_ds,
+    *,
+    n_clusters: int = 8,
+    iters: int = 2,
+    seed: int = HASH_SEED,
+):
+    """Distributed Lloyd k-means with EXACT integer arithmetic — every
+    step is SQL-replayable bit-for-bit (`oracles/sql.kmeans_embeddings_sql`):
+
+    - coordinates quantized to int64 by floor(x·2^20) (exact, see above);
+    - init = the ``n_clusters`` quantized corpus vectors with the
+      smallest splitmix64(vec_id ⊕ mix), hash-ordered (the PQ/IVF
+      anchor rule — cluster index is deterministic);
+    - assignment = integer argmin of Σ(q−c)² (tie → smallest cluster);
+    - update = per-coordinate floor(Σq / n) (empty cluster keeps its
+      previous centroid). Integer means lose <1 quantum of precision
+      per round — irrelevant for cluster geometry, decisive for the
+      driver's value-hash gate (no float summation order anywhere).
+
+    Scale shape: centroids are a (C, d) int64 broadcast (``ray.put``
+    once per round); each round is ONE corpus pass emitting C partial
+    (sum, count) rows per block; the driver merges O(C·blocks) ints —
+    never a shuffle, never a corpus materialization. Returns a Dataset
+    (vec_id, cluster, d2) of the final assignment.
+    """
+    from ..sources.edges_synth import _splitmix64
+
+    mix = np.uint64(seed * 0x9E3779B97F4A7C15 & 0xFFFFFFFFFFFFFFFF)
+    C = n_clusters
+
+    # ---- anchor init (quantized, hash-ordered) ----
+    def _local_bottom(b: pa.Table) -> pa.Table:
+        ids = b.column("vec_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+        if len(ids) == 0:
+            return b
+        h = _splitmix64(ids ^ mix)
+        keep = np.lexsort((ids, h))[:C]
+        return b.take(pa.array(np.sort(keep)))
+
+    cand = pa.concat_tables(
+        embeddings_ds.map_batches(_local_bottom, batch_format="pyarrow")
+        .repartition(8)
+        .map_batches(_local_bottom, batch_format="pyarrow", batch_size=None)
+        .iter_batches(batch_size=None, batch_format="pyarrow")
+    )
+    ids, mat = _embedding_matrix(cand)
+    if mat.size == 0:
+        raise ValueError("cannot run k-means on an empty embeddings dataset")
+    h = _splitmix64(ids.astype(np.uint64) ^ mix)
+    order = np.lexsort((ids, h))[:C]
+    cent = _quantize_embeddings(mat[order])  # (C, d) int64, hash-ordered
+
+    # ---- Lloyd rounds: broadcast centroids, reduce integer partials ----
+    def _make_partial(cent_ref):
+        def _partial(b: pa.Table) -> pa.Table:
+            cen = ray.get(cent_ref)
+            _, m = _embedding_matrix(b)
+            if m.size == 0:
+                return pa.table(
+                    {
+                        "cluster": pa.array([], type=pa.int64()),
+                        "s": pa.array([], type=pa.list_(pa.int64())),
+                        "n": pa.array([], type=pa.int64()),
+                    }
+                )
+            q = _quantize_embeddings(m)
+            d2 = ((q[:, None, :] - cen[None, :, :]) ** 2).sum(axis=2)
+            a = np.argmin(d2, axis=1)  # first occurrence = smallest cluster
+            sums = np.zeros((len(cen), q.shape[1]), dtype=np.int64)
+            np.add.at(sums, a, q)
+            counts = np.bincount(a, minlength=len(cen)).astype(np.int64)
+            nz = np.flatnonzero(counts)
+            return pa.table(
+                {
+                    "cluster": pa.array(nz.astype(np.int64)),
+                    "s": pa.array(list(sums[nz]), type=pa.list_(pa.int64())),
+                    "n": pa.array(counts[nz]),
+                }
+            )
+
+        return _partial
+
+    for _ in range(iters):
+        cent_ref = ray.put(np.ascontiguousarray(cent))
+        sums = np.zeros_like(cent)
+        counts = np.zeros(C, dtype=np.int64)
+        for b in (
+            embeddings_ds.map_batches(_make_partial(cent_ref), batch_format="pyarrow")
+            .iter_batches(batch_size=None, batch_format="pyarrow")
+        ):
+            cl = b.column("cluster").to_numpy(zero_copy_only=False)
+            from ..util import list_rows
+
+            srows = list_rows(b, "s")
+            if len(cl):
+                np.add.at(sums, cl, np.vstack(srows).astype(np.int64))
+                np.add.at(counts, cl, b.column("n").to_numpy(zero_copy_only=False))
+        nz = counts > 0
+        new = cent.copy()
+        new[nz] = _floor_div_exact(sums[nz], counts[nz, None])
+        cent = new
+
+    # ---- final assignment pass ----
+    cent_ref = ray.put(np.ascontiguousarray(cent))
+
+    def _assign(b: pa.Table) -> pa.Table:
+        cen = ray.get(cent_ref)
+        vids, m = _embedding_matrix(b)
+        if m.size == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], type=pa.int64()),
+                    "cluster": pa.array([], type=pa.int64()),
+                    "d2": pa.array([], type=pa.int64()),
+                }
+            )
+        q = _quantize_embeddings(m)
+        d2 = ((q[:, None, :] - cen[None, :, :]) ** 2).sum(axis=2)
+        a = np.argmin(d2, axis=1)
+        return pa.table(
+            {
+                "vec_id": pa.array(vids.astype(np.int64)),
+                "cluster": pa.array(a.astype(np.int64)),
+                "d2": pa.array(d2[np.arange(len(a)), a].astype(np.int64)),
+            }
+        )
+
+    return embeddings_ds.map_batches(_assign, batch_format="pyarrow")

@@ -4120,3 +4120,64 @@ wm{i} AS (
         cur = ccte
     sql += f"\nSELECT vid::BIGINT AS vid, h AS color FROM {cur}"
     return sql
+
+
+def kmeans_embeddings_sql(n_clusters: int = 8, iters: int = 2, d: int = 64) -> str:
+    """Replays functions/similarity.kmeans_quantized bit-for-bit:
+    coordinates quantized by floor(x·2^20) (power-of-two scale → the
+    multiply is exact), anchors = the n_clusters vectors with the
+    smallest splitmix64(vec_id ⊕ mix) hash-ordered, then ``iters``
+    exact-integer Lloyd rounds (argmin Σ(q−c)², tie → smaller cluster;
+    centroid update = per-coordinate floor(Σq / n), floor-division
+    written as (s − ((s%n)+n)%n)/n so DuckDB's truncating % matches
+    numpy's flooring //)."""
+    from ..config import HASH_SEED
+
+    mix = HASH_SEED * 0x9E3779B97F4A7C15 % (1 << 64)
+    frag, cte, _ = sm64_stages("km0", "hx", "km_h", ["vec_id"])
+    dist = (
+        f"list_sum(list_transform(generate_series(1, {d}), "
+        "j -> (qq.qv[j] - ct.qv[j]) * (qq.qv[j] - ct.qv[j])))"
+    )
+    sql = f"""WITH q AS MATERIALIZED (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(floor(x * 1048576.0) AS BIGINT)) AS qv
+  FROM embeddings
+),
+km0 AS (SELECT vec_id, xor(CAST(vec_id AS UBIGINT), {mix}::UBIGINT) AS hx FROM q){frag},
+cent0 AS MATERIALIZED (
+  SELECT ROW_NUMBER() OVER (ORDER BY s.h) - 1 AS c, qq.qv
+  FROM {cte} s JOIN q qq ON qq.vec_id = s.vec_id
+  QUALIFY c < {n_clusters}
+)"""
+    cur = "cent0"
+    for i in range(iters):
+        sql += f""",
+asg{i} AS MATERIALIZED (
+  SELECT vec_id, c FROM (
+    SELECT qq.vec_id, ct.c,
+      ROW_NUMBER() OVER (PARTITION BY qq.vec_id ORDER BY {dist}, ct.c) AS rk
+    FROM q qq CROSS JOIN {cur} ct
+  ) WHERE rk = 1
+),
+upd{i} AS MATERIALIZED (
+  SELECT a.c, t.j, SUM(qq.qv[t.j]) AS s, COUNT(*) AS n
+  FROM asg{i} a JOIN q qq USING (vec_id)
+       CROSS JOIN generate_series(1, {d}) t(j)
+  GROUP BY a.c, t.j
+),
+cent{i + 1} AS MATERIALIZED (
+  SELECT c, list(CAST((s - ((s % n) + n) % n) / n AS BIGINT) ORDER BY j) AS qv
+  FROM upd{i} GROUP BY c
+  UNION ALL
+  SELECT c, qv FROM {cur} WHERE c NOT IN (SELECT c FROM upd{i})
+)"""
+        cur = f"cent{i + 1}"
+    sql += f"""
+SELECT vec_id::BIGINT AS vec_id, c::BIGINT AS cluster, CAST(d2 AS BIGINT) AS d2 FROM (
+  SELECT qq.vec_id, ct.c, {dist} AS d2,
+    ROW_NUMBER() OVER (PARTITION BY qq.vec_id ORDER BY {dist}, ct.c) AS rk
+  FROM q qq CROSS JOIN {cur} ct
+) WHERE rk = 1"""
+    return sql

@@ -1213,3 +1213,11 @@ def q_doclen_percentiles_by_lang(sf_dir: str):
     return exact_percentiles_by(
         _docs(sf_dir, ["lang", "n_chars"]), "lang", "n_chars", [0.25, 0.5, 0.9]
     )
+
+
+def q_kmeans_embeddings(sf_dir: str):
+    """Exact-integer distributed Lloyd k-means over the embeddings
+    table (8 clusters, 2 rounds, hash-anchor init) — every step
+    integer-exact and replayed by the SQL oracle. Returns
+    (vec_id, cluster, d2)."""
+    return S.kmeans_quantized(_emb(sf_dir), n_clusters=8, iters=2)
