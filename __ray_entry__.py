@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-3 additions (SQL-oracled)
         "wl_colors_coocc": R.q_wl_colors_coocc,
         "kmeans_embeddings": C.q_kmeans_embeddings,
+        "coarsen_coocc": R.q_coarsen_coocc,
         "bigram_ce_docs": C.q_bigram_ce_docs,
         "dsir_select": C.q_dsir_select,
         "cms_token_probe": C.q_cms_token_probe,
@@ -402,6 +403,7 @@ def oracle_sql() -> dict[str, str]:
         "cocitation_partsupp": S.cocitation_partsupp_sql(),
         "wl_colors_coocc": S.wl_colors_sql(rounds=2),
         "kmeans_embeddings": S.kmeans_embeddings_sql(n_clusters=8, iters=2),
+        "coarsen_coocc": S.coarsen_coocc_sql(rounds=3, seed=11),
         "contamination_docs": S.contamination_sql(eval_mod=20, w=8),
         "bigram_pmi": S.bigram_pmi_sql(min_count=3, top_n=50),
         "assortativity_coocc": S.ASSORTATIVITY_COOCC,

@@ -4181,3 +4181,32 @@ SELECT vec_id::BIGINT AS vec_id, c::BIGINT AS cluster, CAST(d2 AS BIGINT) AS d2 
   FROM q qq CROSS JOIN {cur} ct
 ) WHERE rk = 1"""
     return sql
+
+
+def coarsen_coocc_sql(rounds: int = 3, seed: int = 11) -> str:
+    """Multilevel coarsening step replayed exactly: contract the
+    ``rounds``-round greedy maximal matching (``maxmatch_coocc_sql``)
+    over the weighted co-occurrence graph (w = shared-order count),
+    supervertex id = min endpoint, self-loops dropped, parallel-edge
+    weights summed — mirrors pipelines/coarsen.coarsen_by_matching."""
+    base = maxmatch_coocc_sql(rounds=rounds, seed=seed)
+    return f"""WITH match AS MATERIALIZED (
+{base}
+),
+cpairs AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v, a.l_orderkey AS o
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2, 3
+),
+cew AS (SELECT u, v, COUNT(*)::BIGINT AS w FROM cpairs GROUP BY 1, 2),
+smap AS (SELECT u AS x, u AS s FROM match UNION ALL SELECT v AS x, u AS s FROM match),
+re AS (
+  SELECT COALESCE(su.s, e.u) AS cu, COALESCE(sv.s, e.v) AS cv, e.w
+  FROM cew e
+  LEFT JOIN smap su ON e.u = su.x
+  LEFT JOIN smap sv ON e.v = sv.x
+)
+SELECT LEAST(cu, cv)::BIGINT AS u, GREATEST(cu, cv)::BIGINT AS v,
+       SUM(w)::BIGINT AS w
+FROM re WHERE cu != cv GROUP BY 1, 2"""

@@ -4109,3 +4109,38 @@ def q_wl_colors_coocc(sf_dir: str):
         .select_columns(["u", "v"])
     )
     return wl_colors(distinct, rounds=2)
+
+
+def q_coarsen_coocc(sf_dir: str):
+    """Multilevel coarsening step (`pipelines/coarsen.py`): contract
+    the 3-round greedy maximal matching over the WEIGHTED co-occurrence
+    graph (w = shared-order count) into its quotient edge table.
+    SQL-oracled end to end (matching rounds + contraction). Returns
+    (u, v, w)."""
+    from ray.data.aggregate import Count
+
+    from .coarsen import coarsen_by_matching
+    from .maxmatch import maximal_matching
+
+    def _uv(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "u": pa.array(
+                    b.column("src").to_numpy(zero_copy_only=False).astype(np.uint64),
+                    type=pa.uint64(),
+                ),
+                "v": pa.array(
+                    b.column("dst").to_numpy(zero_copy_only=False).astype(np.uint64),
+                    type=pa.uint64(),
+                ),
+            }
+        )
+
+    ew = (
+        part_cooccurrence_edges(sf_dir)
+        .map_batches(_uv, batch_format="pyarrow")
+        .groupby(["u", "v"])
+        .aggregate(Count(alias_name="w"))
+    )
+    matching = maximal_matching(part_cooccurrence_edges(sf_dir), rounds=3)
+    return coarsen_by_matching(ew, matching)
