@@ -4210,3 +4210,17 @@ re AS (
 SELECT LEAST(cu, cv)::BIGINT AS u, GREATEST(cu, cv)::BIGINT AS v,
        SUM(w)::BIGINT AS w
 FROM re WHERE cu != cv GROUP BY 1, 2"""
+
+
+def degree_gini_coocc_sql() -> str:
+    """Replays relational.q_degree_gini_coocc: ascending window rank
+    over co-occurrence degrees (tie order irrelevant — tied rows share
+    d), exact integer rank/degree sums, one final DOUBLE division."""
+    return f"""WITH {_COOCC_UND_MAT},
+deg AS (SELECT u AS vid, count(*)::BIGINT AS d FROM und GROUP BY u),
+r AS (SELECT d, ROW_NUMBER() OVER (ORDER BY d, vid) AS rk FROM deg)
+SELECT count(*)::BIGINT AS n_vertices,
+  CAST(SUM(d) AS BIGINT) AS sum_deg,
+  CAST(2 * SUM(rk * d) - (count(*) + 1) * SUM(d) AS DOUBLE)
+    / CAST(count(*) * SUM(d) AS DOUBLE) AS gini
+FROM r"""

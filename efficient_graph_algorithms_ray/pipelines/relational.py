@@ -4144,3 +4144,75 @@ def q_coarsen_coocc(sf_dir: str):
     )
     matching = maximal_matching(part_cooccurrence_edges(sf_dir), rounds=3)
     return coarsen_by_matching(ew, matching)
+
+
+def q_degree_gini_coocc(sf_dir: str):
+    """Gini coefficient of the co-occurrence degree distribution — the
+    inequality summary behind every "1% of hosts hold 90% of links"
+    crawl report. Computed by DISTRIBUTED ORDER STATISTICS: instead of
+    a global sort plus a per-row rank (an all-to-all shuffle and a
+    prefix-sum pass over every vertex), degrees collapse to a
+    per-degree histogram (``groupby(d)`` — distinct degrees ≪
+    vertices on a power-law graph), and the rank sum is recovered in
+    closed form per equal-degree run: the c_d vertices tied at degree
+    d after b_d lower-degree predecessors contribute
+    d·(c_d·b_d + c_d(c_d+1)/2) to S = Σ rank_i·d_i (tie order is
+    irrelevant because tied rows share d). The driver touches only
+    the tiny histogram; all arithmetic is Python-int exact and the
+    single final IEEE division matches DuckDB's window-rank oracle
+    bit-for-bit:  G = (2S − (n+1)T) / (nT),  T = Σ d.
+    Returns one row (n_vertices, sum_deg, gini)."""
+    from ray.data.aggregate import Count
+
+    def _canon(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "u": pa.array(
+                    np.concatenate(
+                        [
+                            b.column("src").to_numpy(zero_copy_only=False),
+                            b.column("dst").to_numpy(zero_copy_only=False),
+                        ]
+                    ).astype(np.uint64),
+                    type=pa.uint64(),
+                ),
+                "v": pa.array(
+                    np.concatenate(
+                        [
+                            b.column("dst").to_numpy(zero_copy_only=False),
+                            b.column("src").to_numpy(zero_copy_only=False),
+                        ]
+                    ).astype(np.uint64),
+                    type=pa.uint64(),
+                ),
+            }
+        )
+
+    hist = (
+        part_cooccurrence_edges(sf_dir)
+        .map_batches(_canon, batch_format="pyarrow")
+        .groupby(["u", "v"])
+        .aggregate(Count(alias_name="one"))
+        .groupby("u")
+        .aggregate(Count(alias_name="d"))
+        .groupby("d")
+        .aggregate(Count(alias_name="c"))
+        .to_pandas()  # ≤ distinct-degree rows: tiny at any graph scale
+    )
+    hist = hist.sort_values("d").reset_index(drop=True)
+    n = int(hist["c"].sum())
+    T = 0
+    S = 0
+    base = 0
+    for d, c in zip(hist["d"].astype(int), hist["c"].astype(int)):
+        S += d * (c * base + c * (c + 1) // 2)
+        T += d * c
+        base += c
+    gini = float(2 * S - (n + 1) * T) / float(n * T)
+    return pa.table(
+        {
+            "n_vertices": pa.array([n], type=pa.int64()),
+            "sum_deg": pa.array([T], type=pa.int64()),
+            "gini": pa.array([gini], type=pa.float64()),
+        }
+    )
