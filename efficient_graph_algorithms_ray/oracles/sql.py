@@ -4224,3 +4224,19 @@ SELECT count(*)::BIGINT AS n_vertices,
   CAST(2 * SUM(rk * d) - (count(*) + 1) * SUM(d) AS DOUBLE)
     / CAST(count(*) * SUM(d) AS DOUBLE) AS gini
 FROM r"""
+
+
+ROLLUP_SALES = """WITH j AS (
+  SELECT r.r_name AS r_name, n.n_name AS n_name,
+         CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+)
+SELECT (GROUPING(r_name) + GROUPING(n_name))::BIGINT AS lvl,
+       COALESCE(r_name, 'ALL') AS r_name,
+       COALESCE(n_name, 'ALL') AS n_name,
+       CAST(SUM(cents) AS BIGINT) AS revenue_cents,
+       count(*)::BIGINT AS n_orders
+FROM j GROUP BY ROLLUP (r_name, n_name)"""

@@ -4216,3 +4216,128 @@ def q_degree_gini_coocc(sf_dir: str):
             "gini": pa.array([gini], type=pa.float64()),
         }
     )
+
+
+def q_rollup_sales(sf_dir: str, P: int = 32):
+    """Revenue ROLLUP (nation → region → grand total) — the classic
+    hierarchical report, Ray-Data-shaped: orders are pre-aggregated to
+    per-customer (cents, n) partials BEFORE any join (the combiner cuts
+    the shuffle from |orders| to |customer| rows), the customer⋈orders
+    equi-join is the tagged one-co-shuffle large-large hash join
+    (``groupby(custkey % P)`` + vectorized searchsorted — no broadcast:
+    at 10^12 rows neither side fits a worker), and the nation-level
+    aggregate (≤ 25 rows) rolls up to region and grand-total levels on
+    the driver with Python-int-exact cent arithmetic. Money stays
+    integer cents end-to-end (ROUND(price·100) — the same IEEE multiply
+    both sides), so the DuckDB GROUP BY ROLLUP oracle hash-matches.
+    Returns (lvl, r_name, n_name, revenue_cents, n_orders)."""
+    import pyarrow.parquet as pq_
+    from ray.data.aggregate import Count, Sum
+
+    def _cust_partials(b: pa.Table) -> pa.Table:
+        cents = np.round(
+            b.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "key": b.column("o_custkey").cast(pa.int64()),
+                "cents": pa.array(cents),
+            }
+        )
+
+    orders_agg = (
+        _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        .map_batches(_cust_partials, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(Sum("cents", alias_name="cents"), Count(alias_name="n"))
+    )
+
+    def _tag_orders(b: pa.Table) -> pa.Table:
+        k = b.column("key").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "part": pa.array((k % P).astype(np.int64)),
+                "tag": pa.array(np.ones(len(k), dtype=np.int64)),
+                "key": pa.array(k, type=pa.int64()),
+                "nk": pa.array(np.zeros(len(k), dtype=np.int64)),
+                "cents": b.column("cents").cast(pa.int64()),
+                "n": b.column("n").cast(pa.int64()),
+            }
+        )
+
+    def _tag_cust(b: pa.Table) -> pa.Table:
+        k = b.column("c_custkey").to_numpy(zero_copy_only=False)
+        z = np.zeros(len(k), dtype=np.int64)
+        return pa.table(
+            {
+                "part": pa.array((k % P).astype(np.int64)),
+                "tag": pa.array(z),
+                "key": pa.array(k, type=pa.int64()),
+                "nk": b.column("c_nationkey").cast(pa.int64()),
+                "cents": pa.array(z),
+                "n": pa.array(z),
+            }
+        )
+
+    def _join(g: pa.Table) -> pa.Table:
+        tag = g.column("tag").to_numpy(zero_copy_only=False)
+        key = g.column("key").to_numpy(zero_copy_only=False)
+        is_c = tag == 0
+        ck, cnk = key[is_c], g.column("nk").to_numpy(zero_copy_only=False)[is_c]
+        order = np.argsort(ck, kind="stable")
+        ck, cnk = ck[order], cnk[order]
+        ok = key[~is_c]
+        pos = np.searchsorted(ck, ok)
+        return pa.table(
+            {
+                "nk": pa.array(cnk[pos], type=pa.int64()),
+                "cents": g.column("cents").filter(pa.array(~is_c)),
+                "n": g.column("n").filter(pa.array(~is_c)),
+            }
+        )
+
+    by_nation = (
+        orders_agg.map_batches(_tag_orders, batch_format="pyarrow")
+        .union(
+            _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).map_batches(
+                _tag_cust, batch_format="pyarrow"
+            )
+        )
+        .groupby("part")
+        .map_groups(_join, batch_format="pyarrow")
+        .groupby("nk")
+        .aggregate(Sum("cents", alias_name="cents"), Sum("n", alias_name="n"))
+        .to_pandas()  # ≤ |nation| rows at any scale
+    )
+    nat = pq_.read_table(os.path.join(sf_dir, "nation.parquet")).to_pandas()
+    reg = pq_.read_table(os.path.join(sf_dir, "region.parquet")).to_pandas()
+    n2name = dict(zip(nat["n_nationkey"], nat["n_name"]))
+    n2r = dict(zip(nat["n_nationkey"], nat["n_regionkey"]))
+    r2name = dict(zip(reg["r_regionkey"], reg["r_name"]))
+    rows = []
+    reg_acc: dict = {}
+    tot_c = tot_n = 0
+    for nk, cents, n in zip(
+        by_nation["nk"].astype(int),
+        by_nation["cents"].astype(int),
+        by_nation["n"].astype(int),
+    ):
+        rk = n2r[nk]
+        rows.append((0, r2name[rk], n2name[nk], cents, n))
+        c0, n0 = reg_acc.get(rk, (0, 0))
+        reg_acc[rk] = (c0 + cents, n0 + n)
+        tot_c += cents
+        tot_n += n
+    for rk, (c, n) in reg_acc.items():
+        rows.append((1, r2name[rk], "ALL", c, n))
+    rows.append((2, "ALL", "ALL", tot_c, tot_n))
+    lvl, rname, nname, cents, n = zip(*rows)
+    return pa.table(
+        {
+            "lvl": pa.array(lvl, type=pa.int64()),
+            "r_name": pa.array(rname, type=pa.string()),
+            "n_name": pa.array(nname, type=pa.string()),
+            "revenue_cents": pa.array(cents, type=pa.int64()),
+            "n_orders": pa.array(n, type=pa.int64()),
+        }
+    )
