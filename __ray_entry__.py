@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-3 additions (SQL-oracled)
         "degree_gini_coocc": R.q_degree_gini_coocc,
         "rollup_sales": R.q_rollup_sales,
+        "regression_qty_discount": R.q_regression_qty_discount,
         "wl_colors_coocc": R.q_wl_colors_coocc,
         "kmeans_embeddings": C.q_kmeans_embeddings,
         "coarsen_coocc": R.q_coarsen_coocc,
@@ -405,6 +406,7 @@ def oracle_sql() -> dict[str, str]:
         "cocitation_partsupp": S.cocitation_partsupp_sql(),
         "degree_gini_coocc": S.degree_gini_coocc_sql(),
         "rollup_sales": S.ROLLUP_SALES,
+        "regression_qty_discount": S.REGRESSION_QTY_DISCOUNT,
         "wl_colors_coocc": S.wl_colors_sql(rounds=2),
         "kmeans_embeddings": S.kmeans_embeddings_sql(n_clusters=8, iters=2),
         "coarsen_coocc": S.coarsen_coocc_sql(rounds=3, seed=11),

@@ -4240,3 +4240,24 @@ SELECT (GROUPING(r_name) + GROUPING(n_name))::BIGINT AS lvl,
        CAST(SUM(cents) AS BIGINT) AS revenue_cents,
        count(*)::BIGINT AS n_orders
 FROM j GROUP BY ROLLUP (r_name, n_name)"""
+
+
+REGRESSION_QTY_DISCOUNT = """WITH b AS (
+  SELECT l_returnflag AS flag,
+         CAST(ROUND(l_discount * 100) AS BIGINT) AS x,
+         CAST(l_quantity AS BIGINT) AS y
+  FROM lineitem
+),
+s AS (
+  SELECT flag, count(*)::HUGEINT AS n,
+         SUM(x)::HUGEINT AS sx, SUM(y)::HUGEINT AS sy,
+         SUM(x*x)::HUGEINT AS sxx, SUM(y*y)::HUGEINT AS syy,
+         SUM(x*y)::HUGEINT AS sxy
+  FROM b GROUP BY flag
+)
+SELECT flag, n::BIGINT AS n,
+  CAST(n*sxy - sx*sy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE) AS slope,
+  CAST(sy*sxx - sx*sxy AS DOUBLE) / CAST(n*sxx - sx*sx AS DOUBLE) AS intercept,
+  CAST(n*sxy - sx*sy AS DOUBLE)
+    / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) AS corr
+FROM s"""

@@ -4341,3 +4341,71 @@ def q_rollup_sales(sf_dir: str, P: int = 32):
             "n_orders": pa.array(n, type=pa.int64()),
         }
     )
+
+
+def q_regression_qty_discount(sf_dir: str):
+    """Per-returnflag OLS regression + Pearson correlation of quantity
+    (y) on discount-percent (x) — the mergeable-sufficient-statistics
+    pattern: each block emits exact int64 partials (n, Σx, Σy, Σx²,
+    Σy², Σxy) per group (a map-side combiner — six numbers per group
+    per block, no row survives the map), one tiny ``groupby(flag)``
+    merge, and the driver forms slope/intercept/corr from Python-int
+    exact moments with single IEEE divisions, matching DuckDB
+    bit-for-bit (corr uses √B·√C with B, C < 2^53 so every
+    intermediate is an exact double). Returns
+    (flag, n, slope, intercept, corr)."""
+    from ray.data.aggregate import Sum
+
+    def _partials(b: pa.Table) -> pa.Table:
+        x = np.round(
+            b.column("l_discount").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        y = b.column("l_quantity").to_numpy(zero_copy_only=False).astype(np.int64)
+        flags = np.asarray(b.column("l_returnflag").to_pylist(), dtype=object)
+        uf, inv = np.unique(flags, return_inverse=True)
+        out = {
+            "flag": pa.array(uf.tolist(), type=pa.string()),
+            "n": pa.array(np.bincount(inv).astype(np.int64)),
+            "sx": pa.array(np.bincount(inv, weights=x).astype(np.int64)),
+            "sy": pa.array(np.bincount(inv, weights=y).astype(np.int64)),
+            "sxx": pa.array(np.bincount(inv, weights=x * x).astype(np.int64)),
+            "syy": pa.array(np.bincount(inv, weights=y * y).astype(np.int64)),
+            "sxy": pa.array(np.bincount(inv, weights=x * y).astype(np.int64)),
+        }
+        return pa.table(out)
+
+    agg = (
+        _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity", "l_discount"])
+        .map_batches(_partials, batch_format="pyarrow")
+        .groupby("flag")
+        .aggregate(
+            Sum("n", alias_name="n"),
+            Sum("sx", alias_name="sx"),
+            Sum("sy", alias_name="sy"),
+            Sum("sxx", alias_name="sxx"),
+            Sum("syy", alias_name="syy"),
+            Sum("sxy", alias_name="sxy"),
+        )
+        .to_pandas()  # one row per returnflag
+    )
+    rows = []
+    for r in agg.itertuples(index=False):
+        n, sx, sy = int(r.n), int(r.sx), int(r.sy)
+        sxx, syy, sxy = int(r.sxx), int(r.syy), int(r.sxy)
+        A = n * sxy - sx * sy
+        B = n * sxx - sx * sx
+        Cm = n * syy - sy * sy
+        slope = float(A) / float(B)
+        intercept = float(sy * sxx - sx * sxy) / float(B)
+        corr = float(A) / (np.sqrt(float(B)) * np.sqrt(float(Cm)))
+        rows.append((r.flag, n, slope, intercept, corr))
+    flag, n, slope, intercept, corr = zip(*rows)
+    return pa.table(
+        {
+            "flag": pa.array(flag, type=pa.string()),
+            "n": pa.array(n, type=pa.int64()),
+            "slope": pa.array(slope, type=pa.float64()),
+            "intercept": pa.array(intercept, type=pa.float64()),
+            "corr": pa.array(corr, type=pa.float64()),
+        }
+    )
