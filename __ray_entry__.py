@@ -54,6 +54,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "degree_gini_coocc": R.q_degree_gini_coocc,
         "rollup_sales": R.q_rollup_sales,
         "regression_qty_discount": R.q_regression_qty_discount,
+        "mode_event_type": R.q_mode_event_type,
+        "stopword_normalized_dedup": C.q_stopword_normalized_dedup,
+        "doc_entropy": C.q_doc_entropy,
+        "approx_quantiles_sample": R.q_approx_quantiles_sample,
         "wl_colors_coocc": R.q_wl_colors_coocc,
         "kmeans_embeddings": C.q_kmeans_embeddings,
         "coarsen_coocc": R.q_coarsen_coocc,
@@ -407,6 +411,10 @@ def oracle_sql() -> dict[str, str]:
         "degree_gini_coocc": S.degree_gini_coocc_sql(),
         "rollup_sales": S.ROLLUP_SALES,
         "regression_qty_discount": S.REGRESSION_QTY_DISCOUNT,
+        "mode_event_type": S.MODE_EVENT_TYPE,
+        "stopword_normalized_dedup": S.STOPWORD_NORMALIZED_DEDUP,
+        "doc_entropy": S.DOC_ENTROPY,
+        "approx_quantiles_sample": S.approx_quantiles_sample_sql(k=256),
         "wl_colors_coocc": S.wl_colors_sql(rounds=2),
         "kmeans_embeddings": S.kmeans_embeddings_sql(n_clusters=8, iters=2),
         "coarsen_coocc": S.coarsen_coocc_sql(rounds=3, seed=11),

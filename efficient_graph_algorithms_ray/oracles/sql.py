@@ -4261,3 +4261,59 @@ SELECT flag, n::BIGINT AS n,
   CAST(n*sxy - sx*sy AS DOUBLE)
     / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(n*syy - sy*sy AS DOUBLE))) AS corr
 FROM s"""
+
+
+MODE_EVENT_TYPE = """WITH c AS (
+  SELECT user_id, event_type, count(*)::BIGINT AS n
+  FROM events GROUP BY user_id, event_type
+),
+r AS (
+  SELECT user_id, event_type, n,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY n DESC, event_type) AS rk
+  FROM c
+)
+SELECT user_id::BIGINT AS user_id, event_type AS top_type, n AS n_events
+FROM r WHERE rk = 1"""
+
+
+STOPWORD_NORMALIZED_DEDUP = """WITH canon AS (
+  SELECT doc_id,
+         array_to_string(
+           list_filter(string_split(text, ' '), x -> x NOT IN ('the', 'a')),
+           ' ') AS ctext
+  FROM documents
+)
+SELECT MIN(doc_id) AS rep_doc_id, COUNT(*) AS n_copies
+FROM canon GROUP BY ctext"""
+
+
+DOC_ENTROPY = """WITH t AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+c AS (SELECT doc_id, tok, count(*)::BIGINT AS c FROM t GROUP BY doc_id, tok),
+s AS (
+  SELECT doc_id, SUM(c)::BIGINT AS n, SUM(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS slc
+  FROM c GROUP BY doc_id
+)
+SELECT doc_id::BIGINT AS doc_id, n AS n_tokens,
+  ROUND(ln(CAST(n AS DOUBLE)) - slc / CAST(n AS DOUBLE), 9) AS entropy_r9
+FROM s"""
+
+
+def approx_quantiles_sample_sql(k: int = 256) -> str:
+    """Replays relational.q_approx_quantiles_sample: splitmix64 bottom-k
+    row sample, then exact order statistics of the sample."""
+    frag, last, hcol = sm64_stages("keyed", "hx", "aq", ["cents"])
+    return f"""WITH keyed AS (
+  SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents,
+         xor(xor(CAST(l_orderkey AS UBIGINT) * 16, CAST(l_linenumber AS UBIGINT)),
+             42::UBIGINT) AS hx
+  FROM lineitem
+){frag},
+samp AS (SELECT cents FROM {last} ORDER BY {hcol}, cents LIMIT {k}),
+r AS (SELECT cents, ROW_NUMBER() OVER (ORDER BY cents) AS rk,
+             count(*) OVER () AS m
+      FROM samp)
+SELECT q.bp::BIGINT AS q_bp, r.cents AS cents
+FROM (VALUES (5000), (9000), (9900)) AS q(bp)
+JOIN r ON r.rk = CAST(ceil(q.bp * r.m / 10000.0) AS BIGINT)"""

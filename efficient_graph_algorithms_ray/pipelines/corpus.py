@@ -1221,3 +1221,74 @@ def q_kmeans_embeddings(sf_dir: str):
     integer-exact and replayed by the SQL oracle. Returns
     (vec_id, cluster, d2)."""
     return S.kmeans_quantized(_emb(sf_dir), n_clusters=8, iters=2)
+
+
+def q_stopword_normalized_dedup(sf_dir: str):
+    """Exact dedup AFTER stopword-stripping normalization — the
+    canonicalize-then-dedup pattern every crawl pipeline runs (case
+    folding / whitespace collapse / boilerplate strip all reduce to
+    "dedup a derived canonical form"). Normalization is vectorized
+    per block, the groupby key is the 8-byte hash of the canonical
+    text (text itself never shuffles — functions/dedup.py:75
+    convention), and the representative is the min doc_id, matching
+    the SQL GROUP-BY-canonical-text oracle. Docs whose canonical form
+    is empty (all stopwords) still group together. Returns
+    (rep_doc_id, n_copies)."""
+    import polars as pl
+    from ray.data.aggregate import Count, Min
+
+    from ..functions.dedup import HASH_SEED
+
+    def _canon_hash(batch: pa.Table) -> pa.Table:
+        s = pl.Series(pl.from_arrow(batch.column("text")))
+        canon = (
+            s.str.split(" ")
+            .list.eval(pl.element().filter(~pl.element().is_in(["the", "a"])))
+            .list.join(" ")
+        )
+        h = canon.hash(seed=HASH_SEED)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "canon_hash": pa.array(
+                    h.to_numpy().view(np.int64), type=pa.int64()
+                ),
+            }
+        )
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(_canon_hash, batch_format="pyarrow")
+        .groupby("canon_hash")
+        .aggregate(Min("doc_id", alias_name="rep_doc_id"), Count(alias_name="n_copies"))
+        .select_columns(["rep_doc_id", "n_copies"])
+    )
+
+
+def q_doc_entropy(sf_dir: str):
+    """Per-document unigram (token) Shannon entropy in nats — the
+    repetitiveness signal LLM corpus filters threshold on (low entropy
+    = boilerplate / stutter). Each doc is scored inside its own block
+    (token counts via one np.unique), H = ln N − (Σ c·ln c)/N, ROUND 9
+    because the Σ c·ln c accumulation order differs from SQL's by
+    ~1e-15. Returns (doc_id, n_tokens, entropy_r9)."""
+
+    def _score(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        ent = np.empty(len(ids), dtype=np.float64)
+        ntok = np.empty(len(ids), dtype=np.int64)
+        for i, txt in enumerate(batch.column("text").to_pylist()):
+            toks = txt.split(" ")
+            _, cnt = np.unique(toks, return_counts=True)
+            n = cnt.sum()
+            ntok[i] = n
+            ent[i] = np.log(float(n)) - float((cnt * np.log(cnt)).sum()) / float(n)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "n_tokens": pa.array(ntok),
+                "entropy_r9": pa.array(np.round(ent, 9)),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(_score, batch_format="pyarrow")

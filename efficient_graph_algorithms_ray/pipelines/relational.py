@@ -4409,3 +4409,88 @@ def q_regression_qty_discount(sf_dir: str):
             "corr": pa.array(corr, type=pa.float64()),
         }
     )
+
+
+def q_mode_event_type(sf_dir: str):
+    """Per-user modal event type — grouped argmax with a deterministic
+    tie-break (higher count wins, ties → lexicographically smaller
+    type). Counts come from one ``groupby(user, type)`` (the shuffle
+    carries ≤ |users|·|types| pre-combined rows, not events); the
+    argmax is a second ``groupby(user)`` whose groups are bounded by
+    the distinct-type cardinality, so no task ever sees more than a
+    handful of rows per user. Returns (user_id, top_type, n_events)."""
+    from ray.data.aggregate import Count
+
+    def _argmax(g: pa.Table) -> pa.Table:
+        cnt = g.column("n").to_numpy(zero_copy_only=False)
+        types = np.asarray(g.column("event_type").to_pylist(), dtype=object)
+        order = np.lexsort((types, -cnt))  # count desc, type asc
+        i = order[0]
+        return pa.table(
+            {
+                "user_id": g.column("user_id").slice(i, 1),
+                "top_type": pa.array([types[i]], type=pa.string()),
+                "n_events": pa.array([int(cnt[i])], type=pa.int64()),
+            }
+        )
+
+    return (
+        _read(sf_dir, "events", ["user_id", "event_type"])
+        .groupby(["user_id", "event_type"])
+        .aggregate(Count(alias_name="n"))
+        .groupby("user_id")
+        .map_groups(_argmax, batch_format="pyarrow")
+    )
+
+
+def q_approx_quantiles_sample(sf_dir: str, k: int = 256):
+    """Approximate price quantiles from a DETERMINISTIC bottom-k
+    uniform row sample — the mergeable alternative to a quantile
+    sketch whose merge would be order-dependent: the k smallest
+    splitmix64(16·orderkey ⊕ linenumber ⊕ seed) hashes form a uniform
+    coordinated sample (stable at any parallelism), each block emits
+    only its partial bottom-k (blocks×k candidate rows move, never the
+    table), and p50/p90/p99 are the exact order statistics of the
+    256-row sample — integer cents, so the replayed SQL hash-matches
+    bit-for-bit while the estimate lands within the usual
+    O(1/√k) band of the true quantile (pinned by the exact-percentile
+    query at test scale). Returns (q_bp, cents)."""
+    from ..config import HASH_SEED
+    from ..sources.edges_synth import _splitmix64
+
+    def _hash(b: pa.Table) -> pa.Table:
+        ok = b.column("l_orderkey").to_numpy(zero_copy_only=False).astype(np.uint64)
+        ln = b.column("l_linenumber").to_numpy(zero_copy_only=False).astype(np.uint64)
+        cents = np.round(
+            b.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        with np.errstate(over="ignore"):
+            h = _splitmix64((ok * np.uint64(16)) ^ ln ^ np.uint64(HASH_SEED))
+        order = np.argsort(h)[:k]
+        return pa.table(
+            {
+                "h": pa.array(h[order], type=pa.uint64()),
+                "cents": pa.array(cents[order]),
+            }
+        )
+
+    top = (
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_extendedprice"])
+        .map_batches(_hash, batch_format="pyarrow")
+        .sort("h")
+        .limit(k)
+        .to_pandas()
+    )
+    cents = np.sort(top["cents"].to_numpy())
+    m = len(cents)
+    out_q, out_c = [], []
+    for bp in (5000, 9000, 9900):
+        rank = -(-bp * m // 10000)  # ceil(q·m), 1-indexed
+        out_q.append(bp)
+        out_c.append(int(cents[rank - 1]))
+    return pa.table(
+        {
+            "q_bp": pa.array(out_q, type=pa.int64()),
+            "cents": pa.array(out_c, type=pa.int64()),
+        }
+    )
