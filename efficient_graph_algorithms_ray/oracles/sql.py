@@ -4317,3 +4317,37 @@ r AS (SELECT cents, ROW_NUMBER() OVER (ORDER BY cents) AS rk,
 SELECT q.bp::BIGINT AS q_bp, r.cents AS cents
 FROM (VALUES (5000), (9000), (9900)) AS q(bp)
 JOIN r ON r.rk = CAST(ceil(q.bp * r.m / 10000.0) AS BIGINT)"""
+
+
+MEDIAN_PRICE_BISECT = """WITH c AS (
+  SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents FROM lineitem
+),
+r AS (
+  SELECT cents, ROW_NUMBER() OVER (ORDER BY cents) AS rk,
+         count(*) OVER () AS n
+  FROM c
+)
+SELECT n::BIGINT AS n, cents AS median_cents
+FROM r WHERE rk = (n + 1) // 2"""
+
+
+def triangles_doulion_sql() -> str:
+    """Replays relational.q_triangles_doulion: deterministic p=1/4
+    splitmix64 edge thinning of the distinct co-occurrence pairs,
+    exact triangle count on the sample, integer 1/p³ scale-up."""
+    frag, last, hcol = sm64_stages("k2", "hx", "dl", ["u", "v"])
+    return f"""WITH {_COOCC_UND_MAT},
+k2 AS (
+  SELECT u, v,
+         xor(CAST((CAST(u AS HUGEINT) * 4294967296) % {_U64} AS UBIGINT),
+             CAST(v AS UBIGINT)) AS hx
+  FROM pr
+){frag},
+sp AS (SELECT u, v FROM {last} WHERE {hcol} < 4611686018427387904::UBIGINT),
+tri AS (
+  SELECT count(*)::BIGINT AS t
+  FROM sp e1
+  JOIN sp e2 ON e2.u = e1.u AND e2.v > e1.v
+  JOIN sp e3 ON e3.u = e1.v AND e3.v = e2.v
+)
+SELECT t AS sampled_triangles, (t * 64)::BIGINT AS estimate_x64 FROM tri"""

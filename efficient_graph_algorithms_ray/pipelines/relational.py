@@ -4494,3 +4494,121 @@ def q_approx_quantiles_sample(sf_dir: str, k: int = 256):
             "cents": pa.array(out_c, type=pa.int64()),
         }
     )
+
+
+def q_median_price_bisect(sf_dir: str):
+    """EXACT global median by distributed bisection — the selection
+    algorithm that works when the value domain is too wide for a
+    histogram and the table too big for a sort: O(log range) passes,
+    each a count-below-pivot scan reduced to one scalar per block.
+    The scanned column (price cents, int64) is materialized ONCE as a
+    single-column dataset and re-consumed per pass (at 10^12 rows the
+    re-reads stream from the object store, never the driver). Lower
+    median (k = ⌈n/2⌉-th order statistic) so the result is an exact
+    integer matching the SQL window-rank oracle. Returns
+    (n, median_cents)."""
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    def _cents(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cents": pa.array(
+                    np.round(
+                        b.column("l_extendedprice").to_numpy(zero_copy_only=False)
+                        * 100.0
+                    ).astype(np.int64)
+                )
+            }
+        )
+
+    ds = (
+        _read(sf_dir, "lineitem", ["l_extendedprice"])
+        .map_batches(_cents, batch_format="pyarrow")
+        .materialize()
+    )
+    stats = ds.aggregate(
+        Count(alias_name="n"), Min("cents", alias_name="lo"), Max("cents", alias_name="hi")
+    )
+    n, lo, hi = int(stats["n"]), int(stats["lo"]), int(stats["hi"])
+    k = (n + 1) // 2
+    while lo < hi:
+        mid = (lo + hi) // 2
+
+        def _below(b: pa.Table, _mid=mid) -> pa.Table:
+            c = b.column("cents").to_numpy(zero_copy_only=False)
+            return pa.table({"c": pa.array([int((c <= _mid).sum())], type=pa.int64())})
+
+        cnt = ds.map_batches(_below, batch_format="pyarrow").aggregate(
+            Sum("c", alias_name="c")
+        )
+        if int(cnt["c"]) >= k:
+            hi = mid
+        else:
+            lo = mid + 1
+    return pa.table(
+        {
+            "n": pa.array([n], type=pa.int64()),
+            "median_cents": pa.array([lo], type=pa.int64()),
+        }
+    )
+
+
+def q_triangles_doulion(sf_dir: str):
+    """DOULION (Tsourakakis et al., KDD 2009) sampled triangle count:
+    keep each distinct co-occurrence edge iff its splitmix64 hash
+    falls below 2^62 (a DETERMINISTIC p = 1/4 coin — stable at any
+    parallelism, replayable in SQL), count triangles exactly on the
+    thinned graph with the engine's degree-oriented closure, and
+    scale by 1/p³ = 64 — all integers, so the estimate is exact
+    arithmetic over an exactly-reproducible sample while the expected
+    work drops by p² per wedge. Returns
+    (sampled_triangles, estimate_x64)."""
+    from ray.data.aggregate import Count, Sum
+
+    from ..sources.edges_synth import _splitmix64
+    from .triangles import triangle_count
+
+    def _canon(b: pa.Table) -> pa.Table:
+        s = b.column("src").to_numpy(zero_copy_only=False).astype(np.uint64)
+        d = b.column("dst").to_numpy(zero_copy_only=False).astype(np.uint64)
+        u = np.minimum(s, d)
+        v = np.maximum(s, d)
+        return pa.table(
+            {
+                "u": pa.array(u, type=pa.uint64()),
+                "v": pa.array(v, type=pa.uint64()),
+            }
+        )
+
+    def _sample(b: pa.Table) -> pa.Table:
+        # groupby may hand the keys back as int64 — force uint64 BEFORE
+        # hashing (int64 ⊕ uint64 promotes to float64 and corrupts bits)
+        u = b.column("u").to_numpy(zero_copy_only=False).astype(np.uint64)
+        v = b.column("v").to_numpy(zero_copy_only=False).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            h = _splitmix64((u << np.uint64(32)) ^ v)
+        keep = h < np.uint64(1 << 62)
+        return pa.table(
+            {
+                "src": pa.array(u[keep], type=pa.uint64()),
+                "dst": pa.array(v[keep], type=pa.uint64()),
+            }
+        )
+
+    edges = (
+        part_cooccurrence_edges(sf_dir)
+        .map_batches(_canon, batch_format="pyarrow")
+        .groupby(["u", "v"])
+        .aggregate(Count(alias_name="one"))
+        .map_batches(_sample, batch_format="pyarrow")
+    )
+    g = build_graph(edges, EngineConfig(num_partitions=16), directed=False)
+    tot = triangle_count(g).aggregate(Sum("triangles", alias_name="s"))
+    s = int(tot["s"]) if tot["s"] is not None else 0
+    t = s // 3  # each triangle counted at its 3 corners
+    return pa.table(
+        {
+            "sampled_triangles": pa.array([t], type=pa.int64()),
+            "estimate_x64": pa.array([t * 64], type=pa.int64()),
+        }
+    )
