@@ -4351,3 +4351,33 @@ tri AS (
   JOIN sp e3 ON e3.u = e1.v AND e3.v = e2.v
 )
 SELECT t AS sampled_triangles, (t * 64)::BIGINT AS estimate_x64 FROM tri"""
+
+
+def dag_levels_coocc_sql(rounds: int = 32) -> str:
+    """Replays relational.q_dag_levels_coocc: splitmix64 total-order
+    orientation of the distinct co-occurrence pairs, then ``rounds``
+    unrolled max-plus rounds — level = min(longest-path, rounds)."""
+    f1, c1, _ = sm64_stages("base", "ux", "dhu", ["u", "v"])
+    f2, c2, _ = sm64_stages("hu1", "vx", "dhv", ["u", "v", "hu"])
+    sql = f"""WITH {_COOCC_UND_MAT},
+base AS (SELECT u, v, CAST(u AS UBIGINT) AS ux FROM pr){f1},
+hu1 AS (SELECT u, v, h AS hu, CAST(v AS UBIGINT) AS vx FROM {c1}){f2},
+hh AS (SELECT u, v, hu, h AS hv FROM {c2}),
+de AS MATERIALIZED (
+  SELECT CASE WHEN (hu < hv) OR (hu = hv AND u < v) THEN u ELSE v END AS u,
+         CASE WHEN (hu < hv) OR (hu = hv AND u < v) THEN v ELSE u END AS v
+  FROM hh
+),
+l0 AS (SELECT u AS vid, 0::BIGINT AS l FROM de UNION SELECT v AS vid, 0::BIGINT AS l FROM de)"""
+    cur = "l0"
+    for r in range(1, rounds + 1):
+        sql += f""",
+m{r} AS (SELECT de.v AS vid, MAX({cur}.l) + 1 AS ml
+         FROM {cur} JOIN de ON de.u = {cur}.vid GROUP BY de.v),
+l{r} AS MATERIALIZED (SELECT {cur}.vid,
+                CASE WHEN m{r}.ml IS NULL OR m{r}.ml < {cur}.l
+                     THEN {cur}.l ELSE m{r}.ml END AS l
+         FROM {cur} LEFT JOIN m{r} ON {cur}.vid = m{r}.vid)"""
+        cur = f"l{r}"
+    sql += f"\nSELECT vid::BIGINT AS vid, l::BIGINT AS level FROM {cur}"
+    return sql

@@ -4612,3 +4612,81 @@ def q_triangles_doulion(sf_dir: str):
             "estimate_x64": pa.array([t * 64], type=pa.int64()),
         }
     )
+
+
+def q_dag_levels_coocc(sf_dir: str, rounds: int = 32):
+    """Truncated longest-path layering of a DAG — the topological
+    level a dependency scheduler / dataflow compiler assigns, on the
+    superstep engine's MAX-PLUS semiring (the exact dual of SSSP's
+    min-plus): orient each distinct co-occurrence pair from lower to
+    higher (splitmix64(vid), vid) — a total order, so the result is
+    acyclic by construction — then ``rounds`` rounds of l(v) ←
+    max(l(v), 1 + max_{u→v} l(u)), i.e. level = min(longest-path,
+    rounds). Selection arithmetic only → bit-exact vs the unrolled
+    SQL oracle; early zero-change stop equals the truncated value by
+    monotonicity. Returns (vid, level)."""
+    from ray.data.aggregate import Count
+
+    from ..sources.edges_synth import _splitmix64
+    from ..state.superstep import run_supersteps, state_vertex_dataset
+
+    def _canon(b: pa.Table) -> pa.Table:
+        s = b.column("src").to_numpy(zero_copy_only=False).astype(np.uint64)
+        d = b.column("dst").to_numpy(zero_copy_only=False).astype(np.uint64)
+        return pa.table(
+            {
+                "u": pa.array(np.minimum(s, d), type=pa.uint64()),
+                "v": pa.array(np.maximum(s, d), type=pa.uint64()),
+            }
+        )
+
+    def _orient(b: pa.Table) -> pa.Table:
+        u = b.column("u").to_numpy(zero_copy_only=False).astype(np.uint64)
+        v = b.column("v").to_numpy(zero_copy_only=False).astype(np.uint64)
+        hu, hv = _splitmix64(u), _splitmix64(v)
+        fwd = (hu < hv) | ((hu == hv) & (u < v))
+        return pa.table(
+            {
+                "src": pa.array(np.where(fwd, u, v), type=pa.uint64()),
+                "dst": pa.array(np.where(fwd, v, u), type=pa.uint64()),
+            }
+        )
+
+    edges = (
+        part_cooccurrence_edges(sf_dir)
+        .map_batches(_canon, batch_format="pyarrow")
+        .groupby(["u", "v"])
+        .aggregate(Count(alias_name="one"))
+        .map_batches(_orient, batch_format="pyarrow")
+    )
+    g = build_graph(edges, EngineConfig(num_partitions=16), directed=True)
+
+    def init_fn(csr):
+        return np.zeros(len(csr["vids"]), dtype=np.float64)
+
+    def edge_shift_fn(w_perm, csr):
+        return np.ones(len(csr["indices"]), dtype=np.uint64)
+
+    summary = run_supersteps(
+        g,
+        _ckpt("daglev"),
+        "max",
+        init_fn,
+        tol=0.0,
+        max_iters=rounds,
+        edge_shift_fn=edge_shift_fn,
+        ckpt_every=16,  # many cheap rounds — write 1-in-16 + final
+    )
+    lev = state_vertex_dataset(g, summary["final_iter_dir"], "level")
+
+    def _cast(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vid": b.column("vid").cast(pa.int64()),
+                "level": pa.array(
+                    b.column("level").to_numpy(zero_copy_only=False).astype(np.int64)
+                ),
+            }
+        )
+
+    return lev.map_batches(_cast, batch_format="pyarrow")

@@ -245,6 +245,13 @@ class BSPWorker:
                     vals = np.minimum(
                         vals, sc["w_perm"][:, None] if vals.ndim == 2 else sc["w_perm"]
                     )
+                if sc["edge_shift"] is not None:
+                    # max-PLUS semiring (longest path / DAG layering):
+                    # candidate = msg(u) + shift(u,v); float state, no
+                    # saturation (identity 0 is a valid reached level)
+                    vals = vals + (
+                        sc["edge_shift"][:, None] if vals.ndim == 2 else sc["edge_shift"]
+                    )
                 sums = (
                     np.maximum.reduceat(vals, sc["seg_starts"], axis=0)
                     if len(sc["seg_starts"])
@@ -381,6 +388,15 @@ class BSPWorker:
                     "msg_bytes": msg_bytes if not metrics else 0,
                 }
             self.values[p] = new
-            write_state_part(iter_dir, p, new, self.mode)
+            if iter_dir is not None:  # None = skipped checkpoint (ckpt_every > 1)
+                write_state_part(iter_dir, p, new, self.mode)
             metrics.append(m)
         return metrics
+
+    def flush_state(self, iter_dir: str):
+        """Write the CURRENT in-memory state of every owned part — the
+        final-iteration flush for ``ckpt_every > 1`` runs."""
+        from .ckpt import write_state_part
+
+        for p in self.parts:
+            write_state_part(iter_dir, p, self.values[p], self.mode)

@@ -110,12 +110,21 @@ def run_supersteps(
     multi_returns: bool | None = None,
     msg_edge_weights: bool = False,
     msg_edge_min: bool = False,
+    ckpt_every: int = 1,
 ) -> dict:
     """Drive supersteps to convergence; returns the run summary dict.
 
     Convergence: mode='sum' → L∞ delta < tol; mode='min' → zero label
     changes. ``tol=0`` with mode='sum' runs exactly max_iters
     iterations (used for SQL-oracle-matching fixed-k runs).
+
+    ``ckpt_every``: checkpoint cadence. 1 (default) writes state +
+    manifest every superstep (finest-grained resume — the north-rule
+    contract for the flagship runs). N>1 writes every N-th iteration
+    plus ALWAYS the final one (flushed after the convergence break),
+    trading resume granularity for wall time on long fixpoint loops
+    (hundreds of cheap rounds, e.g. DAG layering) where the parquet
+    write dominates the superstep.
     """
     import shutil
 
@@ -193,10 +202,12 @@ def run_supersteps(
         phase_secs["init"] = time.perf_counter() - t_init0
         history: list[dict] = []
         k = start_iter
+        last_written = start_iter
         while k < max_iters:
             k += 1
             t0 = time.perf_counter()
-            iter_dir = _iter_dir(ckpt, k)
+            do_ckpt = ckpt_every <= 1 or k % ckpt_every == 0 or k >= max_iters
+            iter_dir = _iter_dir(ckpt, k) if do_ckpt else None
             if multi_returns:
                 per_worker = [
                     a.scatter_multi.options(num_returns=W).remote() for a in actors
@@ -230,20 +241,38 @@ def run_supersteps(
                 "msg_bytes": int(sum(r.get("msg_bytes", 0) for r in rows)),
             }
             history.append(metrics)
-            _write_manifest(
-                ckpt,
-                k,
-                {
-                    "iter": k,
-                    "mode": mode,
-                    "dangling": dangling,
-                    "parts": sorted(int(r["part"]) for r in rows),
-                    "metrics": metrics,
-                },
-            )
-            if mode == "sum" and tol > 0 and delta_inf < tol:
-                break
-            if mode in ("min", "max") and changed == 0:
+            if do_ckpt:
+                _write_manifest(
+                    ckpt,
+                    k,
+                    {
+                        "iter": k,
+                        "mode": mode,
+                        "dangling": dangling,
+                        "parts": sorted(int(r["part"]) for r in rows),
+                        "metrics": metrics,
+                    },
+                )
+                last_written = k
+            if (mode == "sum" and tol > 0 and delta_inf < tol) or (
+                mode in ("min", "max") and changed == 0
+            ):
+                if not do_ckpt:
+                    # flush the final (converged) state so
+                    # final_iter_dir always exists
+                    ray.get([a.flush_state.remote(_iter_dir(ckpt, k)) for a in actors])
+                    _write_manifest(
+                        ckpt,
+                        k,
+                        {
+                            "iter": k,
+                            "mode": mode,
+                            "dangling": dangling,
+                            "parts": sorted(int(r["part"]) for r in rows),
+                            "metrics": metrics,
+                        },
+                    )
+                    last_written = k
                 break
     finally:
         for a in actors:
@@ -257,7 +286,7 @@ def run_supersteps(
             if history
             else True
         ),
-        "final_iter_dir": _iter_dir(ckpt, k),
+        "final_iter_dir": _iter_dir(ckpt, last_written if ckpt_every > 1 else k),
         "history": history,
         "n_vertices": N,
         "n_edges": E,
