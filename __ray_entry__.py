@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "median_price_bisect": R.q_median_price_bisect,
         "triangles_doulion": R.q_triangles_doulion,
         "dag_levels_coocc": R.q_dag_levels_coocc,
+        "doclen_rank_in_lang": C.q_doclen_rank_in_lang,
         "wl_colors_coocc": R.q_wl_colors_coocc,
         "kmeans_embeddings": C.q_kmeans_embeddings,
         "coarsen_coocc": R.q_coarsen_coocc,
@@ -421,6 +422,7 @@ def oracle_sql() -> dict[str, str]:
         "median_price_bisect": S.MEDIAN_PRICE_BISECT,
         "triangles_doulion": S.triangles_doulion_sql(),
         "dag_levels_coocc": S.dag_levels_coocc_sql(rounds=32),
+        "doclen_rank_in_lang": S.DOCLEN_RANK_IN_LANG,
         "wl_colors_coocc": S.wl_colors_sql(rounds=2),
         "kmeans_embeddings": S.kmeans_embeddings_sql(n_clusters=8, iters=2),
         "coarsen_coocc": S.coarsen_coocc_sql(rounds=3, seed=11),

@@ -4381,3 +4381,10 @@ l{r} AS MATERIALIZED (SELECT {cur}.vid,
         cur = f"l{r}"
     sql += f"\nSELECT vid::BIGINT AS vid, l::BIGINT AS level FROM {cur}"
     return sql
+
+
+DOCLEN_RANK_IN_LANG = """SELECT doc_id,
+  lang,
+  RANK() OVER (PARTITION BY lang ORDER BY n_chars)::BIGINT AS rk,
+  COUNT(*) OVER (PARTITION BY lang)::BIGINT AS n_lang
+FROM documents"""

@@ -1292,3 +1292,57 @@ def q_doc_entropy(sf_dir: str):
         )
 
     return _docs(sf_dir, ["doc_id", "text"]).map_batches(_score, batch_format="pyarrow")
+
+
+def q_doclen_rank_in_lang(sf_dir: str):
+    """SQL ``RANK() OVER (PARTITION BY lang ORDER BY n_chars)`` without
+    a window: a global sort + per-row window at 10^12 rows is an
+    all-to-all shuffle, but RANK (ties share a rank) depends only on
+    the per-(lang, length) HISTOGRAM — tiny next to the table. One
+    ``groupby(lang, n_chars).count()``, a driver-side cumulative over
+    the sorted histogram, then the (lang, len) → rank map broadcasts
+    back through a stateless ``map_batches`` lookup (two searchsorted
+    calls per block, no second shuffle). Returns
+    (doc_id, lang, rk, n_lang)."""
+    from ray.data.aggregate import Count
+
+    hist = (
+        _docs(sf_dir, ["lang", "n_chars"])
+        .groupby(["lang", "n_chars"])
+        .aggregate(Count(alias_name="c"))
+        .to_pandas()  # ≤ |langs| × |distinct lengths| rows
+        .sort_values(["lang", "n_chars"])
+        .reset_index(drop=True)
+    )
+    rank_map: dict = {}
+    n_lang: dict = {}
+    for lang, grp in hist.groupby("lang", sort=False):
+        c = grp["c"].to_numpy()
+        cum = np.concatenate(([0], np.cumsum(c)[:-1]))
+        for ln, base in zip(grp["n_chars"].to_numpy(), cum):
+            rank_map[(lang, int(ln))] = int(base) + 1
+        n_lang[lang] = int(c.sum())
+
+    def _attach(b: pa.Table) -> pa.Table:
+        langs = b.column("lang").to_pylist()
+        lens = b.column("n_chars").to_numpy(zero_copy_only=False)
+        rk = np.fromiter(
+            (rank_map[(lg, int(ln))] for lg, ln in zip(langs, lens)),
+            dtype=np.int64,
+            count=len(langs),
+        )
+        nl = np.fromiter(
+            (n_lang[lg] for lg in langs), dtype=np.int64, count=len(langs)
+        )
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "lang": b.column("lang"),
+                "rk": pa.array(rk),
+                "n_lang": pa.array(nl),
+            }
+        )
+
+    return _docs(sf_dir, ["doc_id", "lang", "n_chars"]).map_batches(
+        _attach, batch_format="pyarrow"
+    )
