@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangles_doulion": R.q_triangles_doulion,
         "dag_levels_coocc": R.q_dag_levels_coocc,
         "doclen_rank_in_lang": C.q_doclen_rank_in_lang,
+        "triangles_incremental": R.q_triangles_incremental,
         "wl_colors_coocc": R.q_wl_colors_coocc,
         "kmeans_embeddings": C.q_kmeans_embeddings,
         "coarsen_coocc": R.q_coarsen_coocc,
@@ -423,6 +424,7 @@ def oracle_sql() -> dict[str, str]:
         "triangles_doulion": S.triangles_doulion_sql(),
         "dag_levels_coocc": S.dag_levels_coocc_sql(rounds=32),
         "doclen_rank_in_lang": S.DOCLEN_RANK_IN_LANG,
+        "triangles_incremental": S.TRIANGLES_INCREMENTAL,
         "wl_colors_coocc": S.wl_colors_sql(rounds=2),
         "kmeans_embeddings": S.kmeans_embeddings_sql(n_clusters=8, iters=2),
         "coarsen_coocc": S.coarsen_coocc_sql(rounds=3, seed=11),

@@ -4388,3 +4388,30 @@ DOCLEN_RANK_IN_LANG = """SELECT doc_id,
   RANK() OVER (PARTITION BY lang ORDER BY n_chars)::BIGINT AS rk,
   COUNT(*) OVER (PARTITION BY lang)::BIGINT AS n_lang
 FROM documents"""
+
+
+TRIANGLES_INCREMENTAL = """WITH lb AS (
+  SELECT l_orderkey, l_partkey FROM lineitem WHERE l_orderkey % 10 <> 0
+),
+bp AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lb a JOIN lb b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+fp AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+bt AS (
+  SELECT count(*)::BIGINT AS t
+  FROM bp e1 JOIN bp e2 ON e2.u = e1.u AND e2.v > e1.v
+  JOIN bp e3 ON e3.u = e1.v AND e3.v = e2.v
+),
+ft AS (
+  SELECT count(*)::BIGINT AS t
+  FROM fp e1 JOIN fp e2 ON e2.u = e1.u AND e2.v > e1.v
+  JOIN fp e3 ON e3.u = e1.v AND e3.v = e2.v
+)
+SELECT bt.t AS base_triangles, (ft.t - bt.t)::BIGINT AS delta_added,
+       ft.t AS full_triangles
+FROM bt, ft"""

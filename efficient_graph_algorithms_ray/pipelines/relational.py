@@ -202,7 +202,7 @@ def directed_coocc_edges(sf_dir: str):
 COOCC_PAIR_PARTS = 64  # order-hash partitions for pair generation
 
 
-def part_cooccurrence_edges(sf_dir: str):
+def part_cooccurrence_edges(sf_dir: str, keep_orders=None):
     """Undirected part–part edges: parts sharing an order (dense, has
     triangles). Pairs generated per order, a < b (distinct parts of the
     order in ascending order, upper-triangle enumeration).
@@ -218,6 +218,9 @@ def part_cooccurrence_edges(sf_dir: str):
     ``COOCC_PAIR_PARTS`` with data size."""
 
     def _with_part(b: pa.Table) -> pa.Table:
+        if keep_orders is not None:  # order-subset variant (crawl-delta)
+            ok0 = b.column("l_orderkey").to_numpy(zero_copy_only=False)
+            b = b.filter(pa.array(keep_orders(ok0)))
         ok = b.column("l_orderkey").to_numpy(zero_copy_only=False)
         return b.append_column(
             "part", pa.array((ok % COOCC_PAIR_PARTS).astype(np.int64))
@@ -4690,3 +4693,283 @@ def q_dag_levels_coocc(sf_dir: str, rounds: int = 32):
         )
 
     return lev.map_batches(_cast, batch_format="pyarrow")
+
+
+def part_cooccurrence_edges_filtered(sf_dir: str, which: str):
+    """'base' = co-occurrence pairs from orders with key % 10 != 0 (the
+    90% cold graph of the crawl-delta scenario); 'full' = all orders."""
+    if which == "full":
+        return part_cooccurrence_edges(sf_dir)
+    return part_cooccurrence_edges(sf_dir, keep_orders=lambda ok: ok % 10 != 0)
+
+
+def q_triangles_incremental(sf_dir: str, P: int = 32):
+    """Incremental-view maintenance of the triangle count — the
+    crawl-delta problem: a 90% base graph (orders with key % 10 ≠ 0)
+    has its triangles counted once; when the remaining edges arrive,
+    only work proportional to |Δ|·deg is done, never a full recount.
+    Each new triangle is counted exactly once at its HIGHEST-RANK
+    delta edge (rank = packed (u,v); base edges rank 0), the classic
+    ordering trick that makes the delta exact: ΔT = Σ_{e=(u,v)∈Δ}
+    |{w : (u,w), (v,w) present with rank < rank(e)}|. Two bounded
+    co-shuffles (wedge generation keyed on u, closure keyed on the
+    candidate pair), all partials integer. The SQL oracle computes
+    the FULL count directly from the full graph — so the hash match
+    proves base + Δ ≡ full. Returns
+    (base_triangles, delta_added, full_triangles)."""
+    from ray.data.aggregate import Count, Sum
+
+    from .triangles import triangle_count
+
+    def _pairs_of(pred):
+        def _canon(b: pa.Table) -> pa.Table:
+            s = b.column("src").to_numpy(zero_copy_only=False).astype(np.uint64)
+            d = b.column("dst").to_numpy(zero_copy_only=False).astype(np.uint64)
+            return pa.table(
+                {
+                    "u": pa.array(np.minimum(s, d), type=pa.uint64()),
+                    "v": pa.array(np.maximum(s, d), type=pa.uint64()),
+                }
+            )
+
+        src = part_cooccurrence_edges_filtered(sf_dir, pred)
+        return (
+            src.map_batches(_canon, batch_format="pyarrow")
+            .groupby(["u", "v"])
+            .aggregate(Count(alias_name="one"))
+        )
+
+    base_pairs = _pairs_of("base")
+    full_pairs = _pairs_of("full")
+
+    # ---- base count: the engine's standard degree-oriented closure
+    def _as_edges(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": b.column("u").cast(pa.uint64()),
+                "dst": b.column("v").cast(pa.uint64()),
+            }
+        )
+
+    g_base = build_graph(
+        base_pairs.map_batches(_as_edges, batch_format="pyarrow"),
+        EngineConfig(num_partitions=16),
+        directed=False,
+    )
+    base_t = int(
+        triangle_count(g_base).aggregate(Sum("triangles", alias_name="s"))["s"]
+    ) // 3
+
+    # ---- delta = full \ base via one co-shuffle anti-join on the pair key
+    def _tag(tag: int):
+        def _f(b: pa.Table) -> pa.Table:
+            u = b.column("u").to_numpy(zero_copy_only=False).astype(np.uint64)
+            v = b.column("v").to_numpy(zero_copy_only=False).astype(np.uint64)
+            key = (u << np.uint64(32)) | v
+            return pa.table(
+                {
+                    "part": pa.array((key % np.uint64(P)).astype(np.int64)),
+                    "key": pa.array(key, type=pa.uint64()),
+                    "tag": pa.array(np.full(len(u), tag, dtype=np.int64)),
+                }
+            )
+
+        return _f
+
+    def _anti(g: pa.Table) -> pa.Table:
+        key = g.column("key").to_numpy(zero_copy_only=False).astype(np.uint64)
+        tag = g.column("tag").to_numpy(zero_copy_only=False)
+        base_keys = np.sort(key[tag == 0])
+        fk = key[tag == 1]
+        pos = np.searchsorted(base_keys, fk)
+        pos_c = np.minimum(pos, max(len(base_keys) - 1, 0))
+        in_base = (
+            (base_keys[pos_c] == fk) & (pos < len(base_keys))
+            if len(base_keys)
+            else np.zeros(len(fk), dtype=bool)
+        )
+        return pa.table({"key": pa.array(fk[~in_base], type=pa.uint64())})
+
+    delta_keys = (
+        base_pairs.map_batches(_tag(0), batch_format="pyarrow")
+        .union(full_pairs.map_batches(_tag(1), batch_format="pyarrow"))
+        .groupby("part")
+        .map_groups(_anti, batch_format="pyarrow")
+    )
+
+    # ---- adjacency of the FULL graph with ranks (base 0, delta = key)
+    def _rank_edges(g: pa.Table) -> pa.Table:
+        key = g.column("key").to_numpy(zero_copy_only=False).astype(np.uint64)
+        tag = g.column("tag").to_numpy(zero_copy_only=False)
+        base_keys = np.sort(key[tag == 0])
+        fk = key[tag == 1]
+        pos = np.searchsorted(base_keys, fk)
+        pos_c = np.minimum(pos, max(len(base_keys) - 1, 0))
+        in_base = (
+            (base_keys[pos_c] == fk) & (pos < len(base_keys))
+            if len(base_keys)
+            else np.zeros(len(fk), dtype=bool)
+        )
+        rk = np.where(in_base, np.uint64(0), fk)
+        u = fk >> np.uint64(32)
+        v = fk & np.uint64(0xFFFFFFFF)
+        return pa.table(
+            {
+                "x": pa.array(np.concatenate([u, v]), type=pa.uint64()),
+                "y": pa.array(np.concatenate([v, u]), type=pa.uint64()),
+                "rk": pa.array(np.concatenate([rk, rk]), type=pa.uint64()),
+            }
+        )
+
+    adj = (
+        base_pairs.map_batches(_tag(0), batch_format="pyarrow")
+        .union(full_pairs.map_batches(_tag(1), batch_format="pyarrow"))
+        .groupby("part")
+        .map_groups(_rank_edges, batch_format="pyarrow")
+    )
+
+    # ---- wedge generation: delta edge (u,v) × neighbors w of u with
+    #      edge-rank(u,w) < rank(u,v); one co-shuffle keyed on x = u
+    def _adj_side(b: pa.Table) -> pa.Table:
+        x = b.column("x").to_numpy(zero_copy_only=False).astype(np.uint64)
+        return pa.table(
+            {
+                "part": pa.array((x % np.uint64(P)).astype(np.int64)),
+                "tag": pa.array(np.zeros(len(x), dtype=np.int64)),
+                "x": b.column("x").cast(pa.uint64()),
+                "y": b.column("y").cast(pa.uint64()),
+                "rk": b.column("rk").cast(pa.uint64()),
+            }
+        )
+
+    def _delta_side(b: pa.Table) -> pa.Table:
+        key = b.column("key").to_numpy(zero_copy_only=False).astype(np.uint64)
+        u = key >> np.uint64(32)
+        return pa.table(
+            {
+                "part": pa.array((u % np.uint64(P)).astype(np.int64)),
+                "tag": pa.array(np.ones(len(key), dtype=np.int64)),
+                "x": pa.array(u, type=pa.uint64()),
+                "y": pa.array(key & np.uint64(0xFFFFFFFF), type=pa.uint64()),
+                "rk": pa.array(key, type=pa.uint64()),  # delta rank = its key
+            }
+        )
+
+    def _wedges(g: pa.Table) -> pa.Table:
+        tag = g.column("tag").to_numpy(zero_copy_only=False)
+        x = g.column("x").to_numpy(zero_copy_only=False).astype(np.uint64)
+        y = g.column("y").to_numpy(zero_copy_only=False).astype(np.uint64)
+        rk = g.column("rk").to_numpy(zero_copy_only=False).astype(np.uint64)
+        a = tag == 0
+        ax, ay, ark = x[a], y[a], rk[a]
+        order = np.argsort(ax, kind="stable")
+        ax, ay, ark = ax[order], ay[order], ark[order]
+        du, dv, drk = x[~a], y[~a], rk[~a]
+        lo = np.searchsorted(ax, du, side="left")
+        hi = np.searchsorted(ax, du, side="right")
+        cnt = hi - lo
+        if cnt.sum() == 0:
+            return pa.table(
+                {
+                    "part": pa.array([], type=pa.int64()),
+                    "ckey": pa.array([], type=pa.uint64()),
+                    "erank": pa.array([], type=pa.uint64()),
+                }
+            )
+        idx = np.concatenate([np.arange(l, h) for l, h in zip(lo, hi)])
+        rep = np.repeat(np.arange(len(du)), cnt)
+        w = ay[idx]
+        wrk = ark[idx]
+        ev, erk = dv[rep], drk[rep]
+        keep = (wrk < erk) & (w != ev)
+        w, ev, erk = w[keep], ev[keep], erk[keep]
+        c1 = np.minimum(ev, w)
+        c2 = np.maximum(ev, w)
+        ckey = (c1 << np.uint64(32)) | c2
+        return pa.table(
+            {
+                "part": pa.array((ckey % np.uint64(P)).astype(np.int64)),
+                "ckey": pa.array(ckey, type=pa.uint64()),
+                "erank": pa.array(erk, type=pa.uint64()),
+            }
+        )
+
+    wedges = (
+        adj.map_batches(_adj_side, batch_format="pyarrow")
+        .union(delta_keys.map_batches(_delta_side, batch_format="pyarrow"))
+        .groupby("part")
+        .map_groups(_wedges, batch_format="pyarrow")
+    )
+
+    # ---- closure: candidate (v,w) must exist with rank < erank
+    def _edge_keys(b: pa.Table) -> pa.Table:
+        key = b.column("key").to_numpy(zero_copy_only=False).astype(np.uint64)
+        tag = b.column("tag").to_numpy(zero_copy_only=False)
+        base_keys = np.sort(key[tag == 0])
+        fk = key[tag == 1]
+        pos = np.searchsorted(base_keys, fk)
+        pos_c = np.minimum(pos, max(len(base_keys) - 1, 0))
+        in_base = (
+            (base_keys[pos_c] == fk) & (pos < len(base_keys))
+            if len(base_keys)
+            else np.zeros(len(fk), dtype=bool)
+        )
+        rk = np.where(in_base, np.uint64(0), fk)
+        return pa.table(
+            {
+                "part": pa.array((fk % np.uint64(P)).astype(np.int64)),
+                "tag": pa.array(np.zeros(len(fk), dtype=np.int64)),
+                "ckey": pa.array(fk, type=pa.uint64()),
+                "erank": pa.array(rk, type=pa.uint64()),  # edge rank rides erank col
+            }
+        )
+
+    def _close(g: pa.Table) -> pa.Table:
+        tag = g.column("tag").to_numpy(zero_copy_only=False)
+        ck = g.column("ckey").to_numpy(zero_copy_only=False).astype(np.uint64)
+        er = g.column("erank").to_numpy(zero_copy_only=False).astype(np.uint64)
+        is_e = tag == 0
+        ek, erk = ck[is_e], er[is_e]
+        order = np.argsort(ek, kind="stable")
+        ek, erk = ek[order], erk[order]
+        qk, qr = ck[~is_e], er[~is_e]
+        pos = np.searchsorted(ek, qk)
+        pos_c = np.minimum(pos, max(len(ek) - 1, 0))
+        hit = (
+            (ek[pos_c] == qk) & (pos < len(ek)) & (erk[pos_c] < qr)
+            if len(ek)
+            else np.zeros(len(qk), dtype=bool)
+        )
+        return pa.table({"c": pa.array([int(hit.sum())], type=pa.int64())})
+
+    edge_keys = (
+        base_pairs.map_batches(_tag(0), batch_format="pyarrow")
+        .union(full_pairs.map_batches(_tag(1), batch_format="pyarrow"))
+        .groupby("part")
+        .map_groups(_edge_keys, batch_format="pyarrow")
+    )
+
+    def _as_query(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "part": b.column("part"),
+                "tag": pa.array(np.ones(len(b), dtype=np.int64)),
+                "ckey": b.column("ckey"),
+                "erank": b.column("erank"),
+            }
+        )
+
+    delta_t = int(
+        edge_keys.union(wedges.map_batches(_as_query, batch_format="pyarrow"))
+        .groupby("part")
+        .map_groups(_close, batch_format="pyarrow")
+        .aggregate(Sum("c", alias_name="s"))["s"]
+        or 0
+    )
+    return pa.table(
+        {
+            "base_triangles": pa.array([base_t], type=pa.int64()),
+            "delta_added": pa.array([delta_t], type=pa.int64()),
+            "full_triangles": pa.array([base_t + delta_t], type=pa.int64()),
+        }
+    )
