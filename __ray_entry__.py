@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dag_levels_coocc": R.q_dag_levels_coocc,
         "doclen_rank_in_lang": C.q_doclen_rank_in_lang,
         "triangles_incremental": R.q_triangles_incremental,
+        "hitting_time_coocc": R.q_hitting_time_coocc,
         "wl_colors_coocc": R.q_wl_colors_coocc,
         "kmeans_embeddings": C.q_kmeans_embeddings,
         "coarsen_coocc": R.q_coarsen_coocc,
@@ -425,6 +426,7 @@ def oracle_sql() -> dict[str, str]:
         "dag_levels_coocc": S.dag_levels_coocc_sql(rounds=32),
         "doclen_rank_in_lang": S.DOCLEN_RANK_IN_LANG,
         "triangles_incremental": S.TRIANGLES_INCREMENTAL,
+        "hitting_time_coocc": S.hitting_time_coocc_sql(k=8),
         "wl_colors_coocc": S.wl_colors_sql(rounds=2),
         "kmeans_embeddings": S.kmeans_embeddings_sql(n_clusters=8, iters=2),
         "coarsen_coocc": S.coarsen_coocc_sql(rounds=3, seed=11),

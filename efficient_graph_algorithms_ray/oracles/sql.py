@@ -4415,3 +4415,30 @@ ft AS (
 SELECT bt.t AS base_triangles, (ft.t - bt.t)::BIGINT AS delta_added,
        ft.t AS full_triangles
 FROM bt, ft"""
+
+
+def hitting_time_coocc_sql(k: int = 8) -> str:
+    """Replays relational.q_hitting_time_coocc: k unrolled Jacobi
+    sweeps of h ← 1 + D⁻¹A·h with h(1) = 0, ROUND 9."""
+    parts = [
+        f"WITH {_COOCC_UND_MAT},",
+        "deg AS MATERIALIZED (SELECT u AS vid, CAST(count(*) AS DOUBLE) AS d FROM und GROUP BY u),",
+        "h0 AS (SELECT vid, 0.0 AS h FROM deg)",
+    ]
+    for i in range(1, k + 1):
+        p = f"h{i-1}"
+        parts.append(
+            f""",
+m{i} AS (
+  SELECT und.v AS vid, SUM({p}.h) AS s
+  FROM und JOIN {p} ON und.u = {p}.vid GROUP BY und.v
+),
+h{i} AS MATERIALIZED (
+  SELECT deg.vid,
+         CASE WHEN deg.vid = 1 THEN 0.0
+              ELSE 1.0 + COALESCE(m{i}.s, 0) / deg.d END AS h
+  FROM deg LEFT JOIN m{i} ON deg.vid = m{i}.vid
+)"""
+        )
+    parts.append(f"\nSELECT vid::BIGINT AS vid, ROUND(h, 9) AS hit_r9 FROM h{k}")
+    return "".join(parts)

@@ -4973,3 +4973,49 @@ def q_triangles_incremental(sf_dir: str, P: int = 32):
             "full_triangles": pa.array([base_t + delta_t], type=pa.int64()),
         }
     )
+
+
+def q_hitting_time_coocc(sf_dir: str, k: int = 8):
+    """Truncated expected hitting time to vertex 1 — the absorbing-walk
+    LINEAR-SYSTEM solve (h = 1 + D⁻¹A·h off the target, h(T) = 0) by k
+    Jacobi sweeps on the superstep engine: ``normalize=False`` gives
+    the raw A·h gather, a custom ``apply_fn`` divides by own degree,
+    adds the unit step cost and clamps the absorbing set — the same
+    fixed-point control flow as PageRank with a different update rule
+    (reference: the integrator-as-callback pattern,
+    convolutional_barycenter.py:23-27). ROUND 9 (sum order differs
+    from SQL by ~1e-15). Returns (vid, hit_r9)."""
+    from ..state.superstep import run_supersteps, state_vertex_dataset
+
+    g = _coocc_graph(sf_dir)
+
+    def init_fn(csr):
+        return np.zeros(len(csr["vids"]), dtype=np.float64)
+
+    def apply_fn(acc, old, T, dm, csr):
+        deg = csr["deg"].astype(np.float64)
+        h = 1.0 + np.divide(acc, deg, out=np.zeros_like(acc), where=deg > 0)
+        h[csr["vids"] == np.uint64(1)] = 0.0
+        return h
+
+    s = run_supersteps(
+        g,
+        _ckpt("hittime"),
+        "sum",
+        init_fn,
+        tol=0.0,
+        max_iters=k,
+        normalize=False,
+        apply_fn=apply_fn,
+    )
+    out = state_vertex_dataset(g, s["final_iter_dir"], "h")
+
+    def _round(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vid": b.column("vid").cast(pa.int64()),
+                "hit_r9": pc.round(b.column("h"), ndigits=9),
+            }
+        )
+
+    return out.map_batches(_round, batch_format="pyarrow")
