@@ -31,6 +31,7 @@ def pagerank(
     tol: float = 1e-6,
     max_iters: int = 100,
     resume: bool = False,
+    ckpt_every: int = 1,
 ) -> tuple:
     """Run PageRank; returns (vertex Dataset (vid, rank), run summary)."""
     N = graph.n_vertices
@@ -47,6 +48,7 @@ def pagerank(
         tol=tol,
         max_iters=max_iters,
         resume=resume,
+        ckpt_every=ckpt_every,
     )
     ranks = state_vertex_dataset(graph, summary["final_iter_dir"], "rank")
     return ranks, summary
