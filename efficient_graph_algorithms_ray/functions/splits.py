@@ -186,3 +186,16 @@ def quality_temperature_resample(
             Sum("id_checksum", alias_name="id_checksum"),
         )
     )
+
+
+def split_labels(
+    ids: np.ndarray, fractions=DEFAULT_FRACTIONS, seed: int = HASH_SEED
+) -> np.ndarray:
+    """Vectorized split name per id — the pure-function core of
+    assign_splits, usable wherever an id column needs its split
+    WITHOUT a join (the split is derivable, never stored)."""
+    thresholds = split_thresholds(fractions)
+    names = np.array([n for n, _ in thresholds], dtype=object)
+    bounds = np.array([t for _, t in thresholds[:-1]], dtype=np.uint64)
+    h = _splitmix64(ids.astype(np.uint64) ^ np.uint64(seed))
+    return names[np.searchsorted(bounds, h, side="right")]

@@ -4442,3 +4442,33 @@ h{i} AS MATERIALIZED (
         )
     parts.append(f"\nSELECT vid::BIGINT AS vid, ROUND(h, 9) AS hit_r9 FROM h{k}")
     return "".join(parts)
+
+
+def split_leakage_sql(threshold: float = 0.5, seed: int = 42) -> str:
+    """Replays corpus.q_split_leakage: the MinHash near-dup pair set
+    joined (as a pure hash re-derivation, mirroring the engine) with
+    each endpoint's split label, counted per (split_a, split_b,
+    crosses) cell."""
+    from ..functions.splits import DEFAULT_FRACTIONS, split_thresholds
+
+    thresholds = split_thresholds(DEFAULT_FRACTIONS)
+    cases = " ".join(
+        f"WHEN h < {t}::UBIGINT THEN '{name}'" for name, t in thresholds[:-1]
+    )
+    frag, cte, hcol = sm64_stages("lk_in", "x", "lk", ["doc_id"])
+    return f"""WITH {_minhash_frag(threshold)},
+pairs AS MATERIALIZED (SELECT da AS doc_a, db AS doc_b FROM hits),
+lk_in AS (
+  SELECT doc_id, xor(CAST(doc_id AS UBIGINT), {seed}::UBIGINT) AS x FROM documents
+){frag},
+sp AS MATERIALIZED (
+  SELECT doc_id,
+         CASE {cases.replace('h <', hcol + ' <')} ELSE '{thresholds[-1][0]}' END AS split
+  FROM {cte}
+)
+SELECT sa.split AS split_a, sb.split AS split_b,
+       (sa.split <> sb.split) AS crosses, count(*)::BIGINT AS n_pairs
+FROM pairs p
+JOIN sp sa ON sa.doc_id = p.doc_a
+JOIN sp sb ON sb.doc_id = p.doc_b
+GROUP BY 1, 2, 3"""

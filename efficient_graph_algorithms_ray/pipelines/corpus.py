@@ -1346,3 +1346,37 @@ def q_doclen_rank_in_lang(sf_dir: str):
     return _docs(sf_dir, ["doc_id", "lang", "n_chars"]).map_batches(
         _attach, batch_format="pyarrow"
     )
+
+
+def q_split_leakage(sf_dir: str):
+    """Train/val/test LEAKAGE detection — the eval-hygiene check every
+    corpus release runs: count MinHash near-dup pairs (threshold 0.5,
+    the engine's standard candidate set) whose endpoints land in
+    DIFFERENT splits. Splits are a pure hash of the doc id
+    (functions/splits.py), so no join is needed — each pair row labels
+    both endpoints in one vectorized map and a tiny groupby counts per
+    (split_a, split_b, crosses) cell. Returns
+    (split_a, split_b, crosses, n_pairs)."""
+    from ray.data.aggregate import Count
+
+    from ..functions.splits import split_labels
+
+    pairs = _minhash_pairs_cached(sf_dir)
+
+    def _label(b: pa.Table) -> pa.Table:
+        a = b.column("doc_a").to_numpy(zero_copy_only=False)
+        d = b.column("doc_b").to_numpy(zero_copy_only=False)
+        sa, sb = split_labels(a), split_labels(d)
+        return pa.table(
+            {
+                "split_a": pa.array(sa.tolist(), type=pa.string()),
+                "split_b": pa.array(sb.tolist(), type=pa.string()),
+                "crosses": pa.array(sa != sb),
+            }
+        )
+
+    return (
+        pairs.map_batches(_label, batch_format="pyarrow")
+        .groupby(["split_a", "split_b", "crosses"])
+        .aggregate(Count(alias_name="n_pairs"))
+    )
