@@ -4472,3 +4472,11 @@ FROM pairs p
 JOIN sp sa ON sa.doc_id = p.doc_a
 JOIN sp sb ON sb.doc_id = p.doc_b
 GROUP BY 1, 2, 3"""
+
+
+DECAYED_ACTIVITY = """WITH mx AS (SELECT max(ts) AS T FROM events)
+SELECT user_id::BIGINT AS user_id,
+  ROUND(SUM(exp(CAST(epoch_us(ts) - epoch_us((SELECT T FROM mx)) AS DOUBLE)
+                / 86400000000.0)), 6) AS score_r6,
+  count(*)::BIGINT AS n_events
+FROM events GROUP BY user_id"""

@@ -5019,3 +5019,67 @@ def q_hitting_time_coocc(sf_dir: str, k: int = 8):
         )
 
     return out.map_batches(_round, batch_format="pyarrow")
+
+
+def q_decayed_activity(sf_dir: str, tau_us: int = 86_400_000_000):
+    """Exponentially time-decayed per-user activity score — the
+    feature-store counter (recency-weighted engagement): score(u) =
+    Σ_events exp((t − T)/τ), T = corpus max timestamp, τ = 1 day. One
+    tiny Max aggregate fixes the horizon, then a single vectorized
+    map computes per-event decays with map-side per-user partial sums
+    before the groupby — the shuffle carries one float per (user,
+    block). Timestamp diffs are exact int64 µs; ROUND 6 absorbs
+    summation-order ulps. Returns (user_id, score_r6, n_events)."""
+    from ray.data.aggregate import Max, Sum
+
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def _ts_us(col):
+        return (
+            col.cast(pa.timestamp("us"))
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .view(np.int64)
+        )
+
+    def _tsmax(b: pa.Table) -> pa.Table:
+        return pa.table({"t": pa.array([int(_ts_us(b.column("ts")).max())])})
+
+    T = int(
+        ev.map_batches(_tsmax, batch_format="pyarrow").aggregate(
+            Max("t", alias_name="t")
+        )["t"]
+    )
+
+    def _partial(b: pa.Table) -> pa.Table:
+        from ..util import group_reduce
+
+        u = b.column("user_id").to_numpy(zero_copy_only=False)
+        t = _ts_us(b.column("ts"))
+        d = np.exp((t - T) / float(tau_us))
+        uk, su = group_reduce(u.astype(np.uint64), d, "sum")
+        _, cn = group_reduce(u.astype(np.uint64), np.ones(len(u), dtype=np.int64), "sum")
+        return pa.table(
+            {
+                "user_id": pa.array(uk.astype(np.int64)),
+                "s": pa.array(su),
+                "n": pa.array(cn),
+            }
+        )
+
+    agg = (
+        ev.map_batches(_partial, batch_format="pyarrow")
+        .groupby("user_id")
+        .aggregate(Sum("s", alias_name="s"), Sum("n", alias_name="n_events"))
+    )
+
+    def _round(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": b.column("user_id").cast(pa.int64()),
+                "score_r6": pc.round(b.column("s"), ndigits=6),
+                "n_events": b.column("n_events").cast(pa.int64()),
+            }
+        )
+
+    return agg.map_batches(_round, batch_format="pyarrow")
