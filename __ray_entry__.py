@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hitting_time_coocc": R.q_hitting_time_coocc,
         "split_leakage": C.q_split_leakage,
         "decayed_activity": R.q_decayed_activity,
+        "weekly_active_users": R.q_weekly_active_users,
         "wl_colors_coocc": R.q_wl_colors_coocc,
         "kmeans_embeddings": C.q_kmeans_embeddings,
         "coarsen_coocc": R.q_coarsen_coocc,
@@ -431,6 +432,7 @@ def oracle_sql() -> dict[str, str]:
         "hitting_time_coocc": S.hitting_time_coocc_sql(k=8),
         "split_leakage": S.split_leakage_sql(threshold=0.5),
         "decayed_activity": S.DECAYED_ACTIVITY,
+        "weekly_active_users": S.WEEKLY_ACTIVE_USERS,
         "wl_colors_coocc": S.wl_colors_sql(rounds=2),
         "kmeans_embeddings": S.kmeans_embeddings_sql(n_clusters=8, iters=2),
         "coarsen_coocc": S.coarsen_coocc_sql(rounds=3, seed=11),

@@ -4480,3 +4480,14 @@ SELECT user_id::BIGINT AS user_id,
                 / 86400000000.0)), 6) AS score_r6,
   count(*)::BIGINT AS n_events
 FROM events GROUP BY user_id"""
+
+
+WEEKLY_ACTIVE_USERS = """WITH du AS (
+  SELECT DISTINCT epoch_us(ts) // 86400000000 AS day, user_id FROM events
+),
+fan AS (
+  SELECT du.day + o.off AS day, du.user_id
+  FROM du CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS off) o
+)
+SELECT day::BIGINT AS day, COUNT(DISTINCT user_id)::BIGINT AS wau
+FROM fan GROUP BY day"""

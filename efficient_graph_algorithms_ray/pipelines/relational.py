@@ -5083,3 +5083,58 @@ def q_decayed_activity(sf_dir: str, tau_us: int = 86_400_000_000):
         )
 
     return agg.map_batches(_round, batch_format="pyarrow")
+
+
+def q_weekly_active_users(sf_dir: str):
+    """Rolling 7-day distinct-user count (WAU per day) — the windowed
+    COUNT(DISTINCT) every engagement dashboard needs, without a
+    window function: dedup to (day, user) pairs first (the big
+    shuffle shrinks to the distinct set), then each pair fans out to
+    the ≤7 window-end days it supports — bounded ×7 amplification
+    over a TINY domain — and a second distinct+count per day closes
+    the window. Day arithmetic is exact integer µs. Returns
+    (day, wau) for every day with ≥1 active user in window."""
+    from ray.data.aggregate import Count
+
+    DAY = 86_400_000_000
+
+    def _daypairs(b: pa.Table) -> pa.Table:
+        t = (
+            b.column("ts")
+            .cast(pa.timestamp("us"))
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .view(np.int64)
+        )
+        return pa.table(
+            {
+                "day": pa.array(t // DAY),
+                "user_id": b.column("user_id").cast(pa.int64()),
+            }
+        )
+
+    pairs = (
+        _read(sf_dir, "events", ["user_id", "ts"])
+        .map_batches(_daypairs, batch_format="pyarrow")
+        .groupby(["day", "user_id"])
+        .aggregate(Count(alias_name="one"))
+    )
+
+    def _fan(b: pa.Table) -> pa.Table:
+        d = b.column("day").to_numpy(zero_copy_only=False)
+        u = b.column("user_id").to_numpy(zero_copy_only=False)
+        off = np.arange(7, dtype=np.int64)
+        return pa.table(
+            {
+                "day": pa.array((d[:, None] + off[None, :]).ravel()),
+                "user_id": pa.array(np.repeat(u, 7)),
+            }
+        )
+
+    return (
+        pairs.map_batches(_fan, batch_format="pyarrow")
+        .groupby(["day", "user_id"])
+        .aggregate(Count(alias_name="one"))
+        .groupby("day")
+        .aggregate(Count(alias_name="wau"))
+    )
