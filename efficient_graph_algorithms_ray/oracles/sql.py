@@ -4491,3 +4491,24 @@ fan AS (
 )
 SELECT day::BIGINT AS day, COUNT(DISTINCT user_id)::BIGINT AS wau
 FROM fan GROUP BY day"""
+
+
+def rbo_pagerank_vs_degree_sql(k: int = 100, p: float = 0.9) -> str:
+    """Replays relational.q_rbo_pagerank_vs_degree: top-k lists by
+    (rank_r9 DESC, vid) and (in-degree DESC, vid), truncated RBO."""
+    pr_sql = pagerank_partsupp_sql(4)
+    return f"""WITH pr AS MATERIALIZED (
+{pr_sql}
+),
+{_PARTSUPP_EDGES},
+dg AS (SELECT dst AS vid, count(*)::BIGINT AS d FROM e GROUP BY dst),
+A AS (SELECT vid, ROW_NUMBER() OVER (ORDER BY rank_r9 DESC, vid) AS pa
+      FROM pr QUALIFY pa <= {k}),
+B AS (SELECT v.vid, ROW_NUMBER() OVER (ORDER BY COALESCE(dg.d, 0) DESC, v.vid) AS pb
+      FROM v LEFT JOIN dg ON v.vid = dg.vid QUALIFY pb <= {k}),
+J AS MATERIALIZED (SELECT GREATEST(pa, pb) AS m FROM A JOIN B USING (vid)),
+D AS (SELECT unnest(generate_series(1, {k})) AS d),
+X AS (SELECT d.d, (SELECT count(*) FROM J WHERE m <= d.d) AS x FROM D d)
+SELECT (SELECT count(*) FROM J)::BIGINT AS overlap_at_k,
+  ROUND(SUM({1.0 - p} * power({p}, d - 1) * x / d), 9) AS rbo_r9
+FROM X"""

@@ -5138,3 +5138,64 @@ def q_weekly_active_users(sf_dir: str):
         .groupby("day")
         .aggregate(Count(alias_name="wau"))
     )
+
+
+def q_rbo_pagerank_vs_degree(sf_dir: str, k: int = 100, p: float = 0.9):
+    """Rank-biased overlap (Webber, Moffat & Zobel, TOIS 2010) between
+    the 4-step-PageRank and in-degree top-k rankings of the
+    part→supplier graph — the IR-standard top-weighted ranking
+    comparison (does link analysis agree with raw popularity?).
+    Both top-k lists come off the engine distributed (sort on the
+    rounded-r9 score with the vid tie-break — the SAME key the SQL
+    orders by), the truncated RBO sum Σ (1−p)p^{d−1}·X_d/d runs on
+    the driver over 2k rows. Returns (overlap_at_k, rbo_r9)."""
+    g = _partsupp_graph(sf_dir)
+    ranks, _ = pagerank(g, _ckpt("prk4rbo"), damping=0.85, tol=0.0, max_iters=4)
+
+    def _round(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vid": batch.column("vid").cast(pa.int64()),
+                "rank_r9": pc.round(batch.column("rank"), ndigits=9),
+            }
+        )
+
+    top_a = (
+        ranks.map_batches(_round, batch_format="pyarrow")
+        .sort(["rank_r9", "vid"], descending=[True, False])
+        .limit(k)
+        .to_pandas()
+    )
+    top_b = (
+        degree_table(g)
+        .map_batches(
+            lambda b: pa.table(
+                {
+                    "vid": b.column("vid").cast(pa.int64()),
+                    "d": b.column("in_deg").cast(pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        .sort(["d", "vid"], descending=[True, False])
+        .limit(k)
+        .to_pandas()
+    )
+    pa_pos = {v: i + 1 for i, v in enumerate(top_a["vid"])}
+    m = np.array(
+        sorted(
+            max(pa_pos[v], i + 1)
+            for i, v in enumerate(top_b["vid"])
+            if v in pa_pos
+        ),
+        dtype=np.int64,
+    )
+    d = np.arange(1, k + 1, dtype=np.int64)
+    x = np.searchsorted(m, d, side="right").astype(np.float64)
+    rbo = float(((1.0 - p) * np.power(p, (d - 1).astype(np.float64)) * x / d).sum())
+    return pa.table(
+        {
+            "overlap_at_k": pa.array([int(len(m))], type=pa.int64()),
+            "rbo_r9": pa.array([round(rbo, 9)], type=pa.float64()),
+        }
+    )
