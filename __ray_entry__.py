@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decayed_activity": R.q_decayed_activity,
         "weekly_active_users": R.q_weekly_active_users,
         "rbo_pagerank_vs_degree": R.q_rbo_pagerank_vs_degree,
+        "transitivity_coocc": R.q_transitivity_coocc,
         "wl_colors_coocc": R.q_wl_colors_coocc,
         "kmeans_embeddings": C.q_kmeans_embeddings,
         "coarsen_coocc": R.q_coarsen_coocc,
@@ -435,6 +436,7 @@ def oracle_sql() -> dict[str, str]:
         "decayed_activity": S.DECAYED_ACTIVITY,
         "weekly_active_users": S.WEEKLY_ACTIVE_USERS,
         "rbo_pagerank_vs_degree": S.rbo_pagerank_vs_degree_sql(k=100, p=0.9),
+        "transitivity_coocc": S.TRANSITIVITY_COOCC,
         "wl_colors_coocc": S.wl_colors_sql(rounds=2),
         "kmeans_embeddings": S.kmeans_embeddings_sql(n_clusters=8, iters=2),
         "coarsen_coocc": S.coarsen_coocc_sql(rounds=3, seed=11),

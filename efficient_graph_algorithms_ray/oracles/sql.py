@@ -4512,3 +4512,16 @@ X AS (SELECT d.d, (SELECT count(*) FROM J WHERE m <= d.d) AS x FROM D d)
 SELECT (SELECT count(*) FROM J)::BIGINT AS overlap_at_k,
   ROUND(SUM({1.0 - p} * power({p}, d - 1) * x / d), 9) AS rbo_r9
 FROM X"""
+
+
+TRANSITIVITY_COOCC = f"""WITH {_COOCC_UND_MAT},
+tri AS (
+  SELECT count(*)::BIGINT AS t
+  FROM pr e1 JOIN pr e2 ON e2.u = e1.u AND e2.v > e1.v
+  JOIN pr e3 ON e3.u = e1.v AND e3.v = e2.v
+),
+deg AS (SELECT u AS vid, count(*)::BIGINT AS d FROM und GROUP BY u),
+wdg AS (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS w FROM deg)
+SELECT tri.t AS triangles, wdg.w AS wedges,
+  CAST(3 * tri.t AS DOUBLE) / CAST(wdg.w AS DOUBLE) AS transitivity
+FROM tri, wdg"""

@@ -5199,3 +5199,35 @@ def q_rbo_pagerank_vs_degree(sf_dir: str, k: int = 100, p: float = 0.9):
             "rbo_r9": pa.array([round(rbo, 9)], type=pa.float64()),
         }
     )
+
+
+def q_transitivity_coocc(sf_dir: str):
+    """Global transitivity C = 3·triangles / wedges — the one-number
+    clustering summary of a graph: triangle total from the engine's
+    degree-oriented closure, wedge total Σ d(d−1)/2 from per-block
+    degree partials (both exact integers; one final IEEE division
+    matches SQL bit-for-bit). Returns
+    (triangles, wedges, transitivity)."""
+    from ray.data.aggregate import Sum
+
+    from .triangles import triangle_count
+
+    g = _coocc_graph(sf_dir)
+    t = int(triangle_count(g).aggregate(Sum("triangles", alias_name="s"))["s"]) // 3
+
+    def _wedges(b: pa.Table) -> pa.Table:
+        d = b.column("out_deg").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"w": pa.array([int((d * (d - 1) // 2).sum())])})
+
+    w = int(
+        degree_table(g)
+        .map_batches(_wedges, batch_format="pyarrow")
+        .aggregate(Sum("w", alias_name="w"))["w"]
+    )
+    return pa.table(
+        {
+            "triangles": pa.array([t], type=pa.int64()),
+            "wedges": pa.array([w], type=pa.int64()),
+            "transitivity": pa.array([float(3 * t) / float(w)], type=pa.float64()),
+        }
+    )
