@@ -4525,3 +4525,21 @@ wdg AS (SELECT CAST(SUM(d * (d - 1) // 2) AS BIGINT) AS w FROM deg)
 SELECT tri.t AS triangles, wdg.w AS wedges,
   CAST(3 * tri.t AS DOUBLE) / CAST(wdg.w AS DOUBLE) AS transitivity
 FROM tri, wdg"""
+
+
+LAPLACIAN_QUADFORM_COOCC = f"""WITH {_COOCC_UND_MAT},
+px AS (SELECT p_partkey AS k,
+              CAST(ROUND(p_retailprice * 100) AS BIGINT) AS x FROM part)
+SELECT count(*)::BIGINT AS n_edges,
+  CAST(SUM((a.x - b.x) * (a.x - b.x)) AS BIGINT) AS quad_form,
+  (SELECT CAST(SUM(x * x) AS BIGINT) FROM px) AS sum_x2
+FROM pr JOIN px a ON pr.u = a.k JOIN px b ON pr.v = b.k"""
+
+
+def partition_cut_fraction_sql(P: int = 16) -> str:
+    return f"""WITH {_COOCC_UND_MAT}
+SELECT count(*)::BIGINT AS n_edges,
+  CAST(SUM(CASE WHEN u % {P} <> v % {P} THEN 1 ELSE 0 END) AS BIGINT) AS cut_edges,
+  CAST(SUM(CASE WHEN u % {P} <> v % {P} THEN 1 ELSE 0 END) AS DOUBLE)
+    / CAST(count(*) AS DOUBLE) AS cut_fraction
+FROM pr"""

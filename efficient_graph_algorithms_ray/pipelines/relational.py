@@ -5231,3 +5231,198 @@ def q_transitivity_coocc(sf_dir: str):
             "transitivity": pa.array([float(3 * t) / float(w)], type=pa.float64()),
         }
     )
+
+
+def q_laplacian_quadform_coocc(sf_dir: str, P: int = 32):
+    """Graph-signal smoothness xᵀLx = Σ_{(u,v)∈E} (x_u − x_v)² of the
+    part retail price (integer cents) over the co-occurrence graph —
+    the Laplacian quadratic form behind the reference's heat-kernel /
+    diffusion family (a smooth signal diffuses little). The vertex
+    signal joins onto the distinct edge list by TWO tagged co-shuffles
+    (gather x_u keyed on u, then x_v keyed on v) — no broadcast of the
+    part table — and every difference-square is exact int64, so the
+    single final division (normalized form xᵀLx / Σx²) matches SQL
+    bit-for-bit. Returns (n_edges, quad_form, sum_x2)."""
+    from ray.data.aggregate import Count, Sum
+
+    def _canon(b: pa.Table) -> pa.Table:
+        s = b.column("src").to_numpy(zero_copy_only=False).astype(np.uint64)
+        d = b.column("dst").to_numpy(zero_copy_only=False).astype(np.uint64)
+        return pa.table(
+            {
+                "u": pa.array(np.minimum(s, d), type=pa.uint64()),
+                "v": pa.array(np.maximum(s, d), type=pa.uint64()),
+            }
+        )
+
+    pairs = (
+        part_cooccurrence_edges(sf_dir)
+        .map_batches(_canon, batch_format="pyarrow")
+        .groupby(["u", "v"])
+        .aggregate(Count(alias_name="one"))
+    )
+
+    def _price_side(b: pa.Table) -> pa.Table:
+        k = b.column("p_partkey").to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.round(
+            b.column("p_retailprice").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "part": pa.array(k % P),
+                "tag": pa.array(np.zeros(len(k), dtype=np.int64)),
+                "key": pa.array(k),
+                "other": pa.array(np.zeros(len(k), dtype=np.int64)),
+                "x": pa.array(cents),
+            }
+        )
+
+    prices = _read(sf_dir, "part", ["p_partkey", "p_retailprice"]).map_batches(
+        _price_side, batch_format="pyarrow"
+    )
+
+    def _edge_side(key_col: str, other_col: str):
+        def _f(b: pa.Table) -> pa.Table:
+            k = b.column(key_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            o = b.column(other_col).to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table(
+                {
+                    "part": pa.array(k % P),
+                    "tag": pa.array(np.ones(len(k), dtype=np.int64)),
+                    "key": pa.array(k),
+                    "other": pa.array(o),
+                    "x": pa.array(o * 0),
+                }
+            )
+
+        return _f
+
+    def _gather(g: pa.Table) -> pa.Table:
+        tag = g.column("tag").to_numpy(zero_copy_only=False)
+        key = g.column("key").to_numpy(zero_copy_only=False)
+        is_p = tag == 0
+        pk, px = key[is_p], g.column("x").to_numpy(zero_copy_only=False)[is_p]
+        order = np.argsort(pk, kind="stable")
+        pk, px = pk[order], px[order]
+        ek = key[~is_p]
+        eo = g.column("other").to_numpy(zero_copy_only=False)[~is_p]
+        pos = np.searchsorted(pk, ek)
+        return pa.table(
+            {
+                "u": pa.array(eo),  # re-key on the other endpoint
+                "x_got": pa.array(px[pos]),
+            }
+        )
+
+    # pass 1: x_u for every edge, output keyed on v
+    with_xu = (
+        pairs.map_batches(_edge_side("u", "v"), batch_format="pyarrow")
+        .union(prices)
+        .groupby("part")
+        .map_groups(_gather, batch_format="pyarrow")
+    )
+
+    def _edge2(b: pa.Table) -> pa.Table:
+        k = b.column("u").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "part": pa.array(k % P),
+                "tag": pa.array(np.ones(len(k), dtype=np.int64)),
+                "key": pa.array(k),
+                "other": b.column("x_got"),  # carries x_u through
+                "x": pa.array(k * 0),
+            }
+        )
+
+    def _gather2(g: pa.Table) -> pa.Table:
+        tag = g.column("tag").to_numpy(zero_copy_only=False)
+        key = g.column("key").to_numpy(zero_copy_only=False)
+        is_p = tag == 0
+        pk, px = key[is_p], g.column("x").to_numpy(zero_copy_only=False)[is_p]
+        order = np.argsort(pk, kind="stable")
+        pk, px = pk[order], px[order]
+        ek = key[~is_p]
+        xu = g.column("other").to_numpy(zero_copy_only=False)[~is_p]
+        pos = np.searchsorted(pk, ek)
+        d = xu - px[pos]
+        return pa.table(
+            {
+                "q": pa.array([int((d * d).sum())]),
+                "n": pa.array([int(len(d))]),
+            }
+        )
+
+    tot = (
+        with_xu.map_batches(_edge2, batch_format="pyarrow")
+        .union(prices)
+        .groupby("part")
+        .map_groups(_gather2, batch_format="pyarrow")
+        .aggregate(Sum("q", alias_name="q"), Sum("n", alias_name="n"))
+    )
+
+    def _x2(b: pa.Table) -> pa.Table:
+        cents = np.round(
+            b.column("p_retailprice").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table({"s": pa.array([int((cents * cents).sum())])})
+
+    sx2 = int(
+        _read(sf_dir, "part", ["p_retailprice"])
+        .map_batches(_x2, batch_format="pyarrow")
+        .aggregate(Sum("s", alias_name="s"))["s"]
+    )
+    return pa.table(
+        {
+            "n_edges": pa.array([int(tot["n"])], type=pa.int64()),
+            "quad_form": pa.array([int(tot["q"])], type=pa.int64()),
+            "sum_x2": pa.array([sx2], type=pa.int64()),
+        }
+    )
+
+
+def q_partition_cut_fraction(sf_dir: str, P: int = 16):
+    """Partitioner telemetry: the fraction of distinct co-occurrence
+    edges whose endpoints hash to DIFFERENT CSR shards (vid % P — the
+    engine's actual placement rule). This is the number that prices
+    every superstep's exchange: cut·|E| messages cross workers per
+    round. Exact integer counts; one final division. Returns
+    (n_edges, cut_edges, cut_fraction)."""
+    from ray.data.aggregate import Count, Sum
+
+    def _canon(b: pa.Table) -> pa.Table:
+        s = b.column("src").to_numpy(zero_copy_only=False).astype(np.uint64)
+        d = b.column("dst").to_numpy(zero_copy_only=False).astype(np.uint64)
+        return pa.table(
+            {
+                "u": pa.array(np.minimum(s, d), type=pa.uint64()),
+                "v": pa.array(np.maximum(s, d), type=pa.uint64()),
+            }
+        )
+
+    def _cut(b: pa.Table) -> pa.Table:
+        u = b.column("u").to_numpy(zero_copy_only=False).astype(np.uint64)
+        v = b.column("v").to_numpy(zero_copy_only=False).astype(np.uint64)
+        c = (u % np.uint64(P)) != (v % np.uint64(P))
+        return pa.table(
+            {
+                "n": pa.array([len(u)], type=pa.int64()),
+                "c": pa.array([int(c.sum())], type=pa.int64()),
+            }
+        )
+
+    tot = (
+        part_cooccurrence_edges(sf_dir)
+        .map_batches(_canon, batch_format="pyarrow")
+        .groupby(["u", "v"])
+        .aggregate(Count(alias_name="one"))
+        .map_batches(_cut, batch_format="pyarrow")
+        .aggregate(Sum("n", alias_name="n"), Sum("c", alias_name="c"))
+    )
+    n, c = int(tot["n"]), int(tot["c"])
+    return pa.table(
+        {
+            "n_edges": pa.array([n], type=pa.int64()),
+            "cut_edges": pa.array([c], type=pa.int64()),
+            "cut_fraction": pa.array([float(c) / float(n)], type=pa.float64()),
+        }
+    )
