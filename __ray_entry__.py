@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "regression_qty_discount": R.q_regression_qty_discount,
         "mode_event_type": R.q_mode_event_type,
         "stopword_normalized_dedup": C.q_stopword_normalized_dedup,
+        "dedup_survivor_mass": C.q_dedup_survivor_mass,
         "doc_entropy": C.q_doc_entropy,
         "approx_quantiles_sample": R.q_approx_quantiles_sample,
         "median_price_bisect": R.q_median_price_bisect,
@@ -426,6 +427,7 @@ def oracle_sql() -> dict[str, str]:
         "regression_qty_discount": S.REGRESSION_QTY_DISCOUNT,
         "mode_event_type": S.MODE_EVENT_TYPE,
         "stopword_normalized_dedup": S.STOPWORD_NORMALIZED_DEDUP,
+        "dedup_survivor_mass": S.DEDUP_SURVIVOR_MASS,
         "doc_entropy": S.DOC_ENTROPY,
         "approx_quantiles_sample": S.approx_quantiles_sample_sql(k=256),
         "median_price_bisect": S.MEDIAN_PRICE_BISECT,

@@ -4543,3 +4543,14 @@ SELECT count(*)::BIGINT AS n_edges,
   CAST(SUM(CASE WHEN u % {P} <> v % {P} THEN 1 ELSE 0 END) AS DOUBLE)
     / CAST(count(*) AS DOUBLE) AS cut_fraction
 FROM pr"""
+
+
+DEDUP_SURVIVOR_MASS = """WITH g AS (
+  SELECT count(*)::BIGINT AS n, MIN(n_chars)::BIGINT AS chars
+  FROM documents GROUP BY text
+)
+SELECT CAST(SUM(n) AS BIGINT) AS n_docs,
+       count(*)::BIGINT AS n_distinct,
+       CAST(SUM(n * chars) AS BIGINT) AS chars_total,
+       CAST(SUM(chars) AS BIGINT) AS chars_distinct
+FROM g"""

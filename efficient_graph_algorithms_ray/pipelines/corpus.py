@@ -1380,3 +1380,50 @@ def q_split_leakage(sf_dir: str):
         .groupby(["split_a", "split_b", "crosses"])
         .aggregate(Count(alias_name="n_pairs"))
     )
+
+
+def q_dedup_survivor_mass(sf_dir: str):
+    """Dedup attrition accounting — the number every corpus report
+    leads with: how many documents AND how many characters survive
+    exact dedup. Texts group by 8-byte content hash (never shuffling
+    the text); n_chars is constant within a group (it is a function of
+    the text), so the survivor mass is the Min over each group — four
+    exact integers in one pass + one tiny aggregate. Returns one row
+    (n_docs, n_distinct, chars_total, chars_distinct)."""
+    from ray.data.aggregate import Count, Min, Sum
+
+    from ..functions.dedup import content_hash_batch
+
+    hashed = _docs(sf_dir, ["doc_id", "text", "n_chars"]).map_batches(
+        content_hash_batch, batch_format="pyarrow"
+    )
+    groups = hashed.groupby("content_hash").aggregate(
+        Count(alias_name="n"), Min("n_chars", alias_name="chars")
+    )
+
+    def _partial(b: pa.Table) -> pa.Table:
+        n = b.column("n").to_numpy(zero_copy_only=False)
+        ch = b.column("chars").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "n_docs": pa.array([int(n.sum())]),
+                "n_distinct": pa.array([len(n)]),
+                "chars_total": pa.array([int((n * ch).sum())]),
+                "chars_distinct": pa.array([int(ch.sum())]),
+            }
+        )
+
+    tot = groups.map_batches(_partial, batch_format="pyarrow").aggregate(
+        Sum("n_docs", alias_name="n_docs"),
+        Sum("n_distinct", alias_name="n_distinct"),
+        Sum("chars_total", alias_name="chars_total"),
+        Sum("chars_distinct", alias_name="chars_distinct"),
+    )
+    return pa.table(
+        {
+            "n_docs": pa.array([int(tot["n_docs"])], type=pa.int64()),
+            "n_distinct": pa.array([int(tot["n_distinct"])], type=pa.int64()),
+            "chars_total": pa.array([int(tot["chars_total"])], type=pa.int64()),
+            "chars_distinct": pa.array([int(tot["chars_distinct"])], type=pa.int64()),
+        }
+    )
