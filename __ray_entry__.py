@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mode_event_type": R.q_mode_event_type,
         "stopword_normalized_dedup": C.q_stopword_normalized_dedup,
         "dedup_survivor_mass": C.q_dedup_survivor_mass,
+        "ams_f2_tokens": C.q_ams_f2_tokens,
         "doc_entropy": C.q_doc_entropy,
         "approx_quantiles_sample": R.q_approx_quantiles_sample,
         "median_price_bisect": R.q_median_price_bisect,
@@ -428,6 +429,7 @@ def oracle_sql() -> dict[str, str]:
         "mode_event_type": S.MODE_EVENT_TYPE,
         "stopword_normalized_dedup": S.STOPWORD_NORMALIZED_DEDUP,
         "dedup_survivor_mass": S.DEDUP_SURVIVOR_MASS,
+        "ams_f2_tokens": S.ams_f2_tokens_sql(m=16),
         "doc_entropy": S.DOC_ENTROPY,
         "approx_quantiles_sample": S.approx_quantiles_sample_sql(k=256),
         "median_price_bisect": S.MEDIAN_PRICE_BISECT,

@@ -4554,3 +4554,38 @@ SELECT CAST(SUM(n) AS BIGINT) AS n_docs,
        CAST(SUM(n * chars) AS BIGINT) AS chars_total,
        CAST(SUM(chars) AS BIGINT) AS chars_distinct
 FROM g"""
+
+
+def ams_f2_tokens_sql(m: int = 16) -> str:
+    """Replays corpus.q_ams_f2_tokens: FNV token hashes, m splitmix64
+    sign chains, exact integer estimator sums."""
+    fnv_expr = _FNV_TOKEN.split("tok -> ", 1)[1]
+    parts = [
+        """WITH toks AS (SELECT unnest(regexp_extract_all(text, '\\S+')) AS tok FROM documents),
+th AS (SELECT """
+        + fnv_expr
+        + """ AS h FROM toks),
+cnt AS MATERIALIZED (SELECT h, count(*)::BIGINT AS c FROM th GROUP BY h)"""
+    ]
+    sels = []
+    for k in range(m):
+        parts.append(
+            f""",
+kx{k} AS (SELECT c, xor(h, {k}::UBIGINT) AS x FROM cnt)"""
+        )
+        frag, cte, hcol = sm64_stages(f"kx{k}", "x", f"ks{k}", ["c"])
+        parts.append(frag)
+        sels.append(
+            f"SELECT {k} AS k, CAST(SUM((1 - 2 * CAST({hcol} % 2::UBIGINT AS BIGINT)) * c) AS BIGINT) AS s FROM {cte}"
+        )
+    parts.append(
+        ",\nsk AS MATERIALIZED (" + "\nUNION ALL\n".join(sels) + ")"
+    )
+    parts.append(
+        f"""
+SELECT CAST(SUM(s * s) AS BIGINT) AS sum_sk2,
+  (SELECT CAST(SUM(c * c) AS BIGINT) FROM cnt) AS exact_f2,
+  CAST(SUM(s * s) AS DOUBLE) / {float(m)} AS est_f2
+FROM sk"""
+    )
+    return "".join(parts)

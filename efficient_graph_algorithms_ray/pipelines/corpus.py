@@ -1427,3 +1427,71 @@ def q_dedup_survivor_mass(sf_dir: str):
             "chars_distinct": pa.array([int(tot["chars_distinct"])], type=pa.int64()),
         }
     )
+
+
+def q_ams_f2_tokens(sf_dir: str, m: int = 16):
+    """AMS second-moment (F2) sketch of the token-frequency vector
+    (Alon-Matias-Szegedy, STOC 1996) — completes the sketch family
+    (HLL distinct / CMS point / Bloom membership / AMS moment): m=16
+    estimators S_k = Σ_t s_k(t)·f_t with DETERMINISTIC ±1 signs
+    s_k(t) = 1 − 2·(splitmix64(fnv(t) ⊕ k) & 1), so every partial is
+    an exact int64 mergeable in any order and the SQL replay is
+    bit-for-bit. E[S_k²] = F2; the exact F2 = Σ f_t² rides along for
+    the error check. Returns one row (sum_sk2, exact_f2, est_f2)."""
+    from ray.data.aggregate import Sum
+
+    from ..functions.text import _TOKEN_RE, hash_token
+    from ..sources.edges_synth import _splitmix64
+
+    def _tok_counts(b: pa.Table) -> pa.Table:
+        hs = []
+        for txt in b.column("text").to_pylist():
+            hs.extend(hash_token(t) for t in _TOKEN_RE.findall(txt))
+        h, c = np.unique(np.array(hs, dtype=np.uint64), return_counts=True)
+        return pa.table(
+            {
+                "h": pa.array(h.view(np.int64)),
+                "c": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    counts = (
+        _docs(sf_dir, ["text"])
+        .map_batches(_tok_counts, batch_format="pyarrow")
+        .groupby("h")
+        .aggregate(Sum("c", alias_name="c"))
+    )
+
+    def _partials(b: pa.Table) -> pa.Table:
+        h = b.column("h").to_numpy(zero_copy_only=False).view(np.uint64)
+        c = b.column("c").to_numpy(zero_copy_only=False)
+        ks = np.arange(m, dtype=np.uint64)
+        sign = 1 - 2 * (_splitmix64(h[:, None] ^ ks[None, :]) & np.uint64(1)).astype(
+            np.int64
+        )
+        return pa.table(
+            {
+                "k": pa.array(np.tile(np.arange(m, dtype=np.int64), 1)),
+                "s": pa.array((sign * c[:, None]).sum(axis=0)),
+                "f2": pa.array(
+                    np.concatenate(([int((c * c).sum())], np.zeros(m - 1, dtype=np.int64)))
+                ),
+            }
+        )
+
+    agg = (
+        counts.map_batches(_partials, batch_format="pyarrow")
+        .groupby("k")
+        .aggregate(Sum("s", alias_name="s"), Sum("f2", alias_name="f2"))
+        .to_pandas()  # m rows
+    )
+    sks = agg["s"].to_numpy().astype(object)
+    sum_sk2 = int(sum(int(x) * int(x) for x in sks))
+    exact_f2 = int(agg["f2"].sum())
+    return pa.table(
+        {
+            "sum_sk2": pa.array([sum_sk2], type=pa.int64()),
+            "exact_f2": pa.array([exact_f2], type=pa.int64()),
+            "est_f2": pa.array([float(sum_sk2) / float(m)], type=pa.float64()),
+        }
+    )
