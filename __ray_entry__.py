@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weekly_active_users": R.q_weekly_active_users,
         "rbo_pagerank_vs_degree": R.q_rbo_pagerank_vs_degree,
         "transitivity_coocc": R.q_transitivity_coocc,
+        "config_model_triangles": R.q_config_model_triangles,
         "laplacian_quadform_coocc": R.q_laplacian_quadform_coocc,
         "partition_cut_fraction": R.q_partition_cut_fraction,
         "wl_colors_coocc": R.q_wl_colors_coocc,
@@ -443,6 +444,7 @@ def oracle_sql() -> dict[str, str]:
         "weekly_active_users": S.WEEKLY_ACTIVE_USERS,
         "rbo_pagerank_vs_degree": S.rbo_pagerank_vs_degree_sql(k=100, p=0.9),
         "transitivity_coocc": S.TRANSITIVITY_COOCC,
+        "config_model_triangles": S.CONFIG_MODEL_TRIANGLES,
         "laplacian_quadform_coocc": S.LAPLACIAN_QUADFORM_COOCC,
         "partition_cut_fraction": S.partition_cut_fraction_sql(P=16),
         "wl_colors_coocc": S.wl_colors_sql(rounds=2),

@@ -4589,3 +4589,18 @@ SELECT CAST(SUM(s * s) AS BIGINT) AS sum_sk2,
 FROM sk"""
     )
     return "".join(parts)
+
+
+CONFIG_MODEL_TRIANGLES = f"""WITH {_COOCC_UND_MAT},
+tri AS (
+  SELECT count(*)::BIGINT AS t
+  FROM pr e1 JOIN pr e2 ON e2.u = e1.u AND e2.v > e1.v
+  JOIN pr e3 ON e3.u = e1.v AND e3.v = e2.v
+),
+deg AS (SELECT u AS vid, count(*)::BIGINT AS d FROM und GROUP BY u),
+mo AS (SELECT CAST(SUM(d) AS BIGINT) AS sd,
+              CAST(SUM(d * (d - 1)) AS BIGINT) AS sd2 FROM deg)
+SELECT tri.t AS triangles, mo.sd AS sum_d, mo.sd2 AS sum_d2m,
+  ROUND(pow(CAST(mo.sd2 AS DOUBLE) / CAST(mo.sd AS DOUBLE), 3) / 6.0, 6) AS expected_r6,
+  ROUND(CAST(tri.t AS DOUBLE) / (pow(CAST(mo.sd2 AS DOUBLE) / CAST(mo.sd AS DOUBLE), 3) / 6.0), 6) AS ratio_r6
+FROM tri, mo"""

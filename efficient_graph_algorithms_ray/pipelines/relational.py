@@ -5426,3 +5426,46 @@ def q_partition_cut_fraction(sf_dir: str, P: int = 16):
             "cut_fraction": pa.array([float(c) / float(n)], type=pa.float64()),
         }
     )
+
+
+def q_config_model_triangles(sf_dir: str):
+    """Triangle count vs its configuration-model (degree-preserving
+    null) expectation E[T] ≈ (Σd(d−1))³ / (6·(Σd)³) — the analytic
+    null behind the reference's CONFIGURATION_MODEL significance
+    correction (graph_kernels.py get_projection), WITHOUT simulation:
+    both moments are exact int64 degree sums off the CSR shards, the
+    expectation one float expression, so the DuckDB replay matches
+    bit-for-bit. Returns (triangles, sum_d, sum_d2m, expected_r6,
+    ratio_r6)."""
+    from ray.data.aggregate import Sum
+
+    from .triangles import triangle_count
+
+    g = _coocc_graph(sf_dir)
+    t = int(triangle_count(g).aggregate(Sum("triangles", alias_name="s"))["s"]) // 3
+
+    def _moments(b: pa.Table) -> pa.Table:
+        d = b.column("out_deg").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "sd": pa.array([int(d.sum())]),
+                "sd2": pa.array([int((d * (d - 1)).sum())]),
+            }
+        )
+
+    mo = (
+        degree_table(g)
+        .map_batches(_moments, batch_format="pyarrow")
+        .aggregate(Sum("sd", alias_name="sd"), Sum("sd2", alias_name="sd2"))
+    )
+    sd, sd2 = int(mo["sd"]), int(mo["sd2"])
+    exp_t = (float(sd2) / float(sd)) ** 3 / 6.0
+    return pa.table(
+        {
+            "triangles": pa.array([t], type=pa.int64()),
+            "sum_d": pa.array([sd], type=pa.int64()),
+            "sum_d2m": pa.array([sd2], type=pa.int64()),
+            "expected_r6": pa.array([round(exp_t, 6)], type=pa.float64()),
+            "ratio_r6": pa.array([round(t / exp_t, 6)], type=pa.float64()),
+        }
+    )
