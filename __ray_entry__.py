@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_sales": R.q_rollup_sales,
         "regression_qty_discount": R.q_regression_qty_discount,
         "mode_event_type": R.q_mode_event_type,
+        "revenue_mom": R.q_revenue_mom,
         "stopword_normalized_dedup": C.q_stopword_normalized_dedup,
         "dedup_survivor_mass": C.q_dedup_survivor_mass,
         "ams_f2_tokens": C.q_ams_f2_tokens,
@@ -428,6 +429,7 @@ def oracle_sql() -> dict[str, str]:
         "rollup_sales": S.ROLLUP_SALES,
         "regression_qty_discount": S.REGRESSION_QTY_DISCOUNT,
         "mode_event_type": S.MODE_EVENT_TYPE,
+        "revenue_mom": S.REVENUE_MOM,
         "stopword_normalized_dedup": S.STOPWORD_NORMALIZED_DEDUP,
         "dedup_survivor_mass": S.DEDUP_SURVIVOR_MASS,
         "ams_f2_tokens": S.ams_f2_tokens_sql(m=16),

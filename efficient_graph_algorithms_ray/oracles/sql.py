@@ -4604,3 +4604,15 @@ SELECT tri.t AS triangles, mo.sd AS sum_d, mo.sd2 AS sum_d2m,
   ROUND(pow(CAST(mo.sd2 AS DOUBLE) / CAST(mo.sd AS DOUBLE), 3) / 6.0, 6) AS expected_r6,
   ROUND(CAST(tri.t AS DOUBLE) / (pow(CAST(mo.sd2 AS DOUBLE) / CAST(mo.sd AS DOUBLE), 3) / 6.0), 6) AS ratio_r6
 FROM tri, mo"""
+
+
+REVENUE_MOM = """WITH m AS (
+  SELECT (date_part('year', o_orderdate) - 1970) * 12
+         + date_part('month', o_orderdate) - 1 AS month,
+         CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+  FROM orders GROUP BY 1
+)
+SELECT a.month::BIGINT AS month, a.revenue_cents,
+  COALESCE(b.revenue_cents, 0)::BIGINT AS prev_cents,
+  (a.revenue_cents - COALESCE(b.revenue_cents, 0))::BIGINT AS delta_cents
+FROM m a LEFT JOIN m b ON b.month = a.month - 1"""

@@ -5469,3 +5469,52 @@ def q_config_model_triangles(sf_dir: str):
             "ratio_r6": pa.array([round(t / exp_t, 6)], type=pa.float64()),
         }
     )
+
+
+def q_revenue_mom(sf_dir: str):
+    """Month-over-month revenue with deltas — LAG() without a window:
+    the monthly aggregate is a bounded domain (one row per month), so
+    after one exact-cents groupby the lag/delta pass is a driver-side
+    array shift over ≤ a few hundred rows. Returns
+    (month, revenue_cents, prev_cents, delta_cents) — all exact
+    integers (months with no predecessor carry prev = 0 and delta =
+    revenue, the SQL COALESCE convention)."""
+    from ray.data.aggregate import Sum
+
+    def _monthly(b: pa.Table) -> pa.Table:
+        t = (
+            b.column("o_orderdate")
+            .cast(pa.timestamp("us"))
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[M]")
+            .astype(np.int64)
+        )  # months since 1970-01
+        cents = np.round(
+            b.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table({"month": pa.array(t), "cents": pa.array(cents)})
+
+    monthly = (
+        _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+        .map_batches(_monthly, batch_format="pyarrow")
+        .groupby("month")
+        .aggregate(Sum("cents", alias_name="revenue_cents"))
+        .to_pandas()
+        .sort_values("month")
+        .reset_index(drop=True)
+    )
+    rev = monthly["revenue_cents"].to_numpy()
+    mon = monthly["month"].to_numpy()
+    prev = np.zeros_like(rev)
+    # previous CALENDAR month (gap months break the chain, like LAG
+    # over a dense generate_series would see a zero)
+    prev_map = dict(zip(mon, rev))
+    prev = np.array([prev_map.get(m - 1, 0) for m in mon], dtype=np.int64)
+    return pa.table(
+        {
+            "month": pa.array(mon, type=pa.int64()),
+            "revenue_cents": pa.array(rev, type=pa.int64()),
+            "prev_cents": pa.array(prev, type=pa.int64()),
+            "delta_cents": pa.array(rev - prev, type=pa.int64()),
+        }
+    )
