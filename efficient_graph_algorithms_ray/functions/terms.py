@@ -730,3 +730,96 @@ def bigram_cross_entropy(docs_ds, *, hot_vocab: int = 2048, n_salts: int = 16):
         )
 
     return merged.map_batches(_score, batch_format="pyarrow")
+
+
+def bm25_topk(
+    docs_ds,
+    query_terms: tuple[str, ...] = ("hash", "merge", "dup"),
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> "rd.Dataset":
+    """Top-k documents by BM25 score for a fixed term query.
+
+    ``score(d) = Σ_t idf_t · tf_td·(k1+1) / (tf_td + k1·(1−b+b·|d|/avgdl))``
+    with ``idf_t = ln((N − df_t + 0.5)/(df_t + 0.5) + 1)`` (the
+    Robertson/Sparck-Jones "plus-one" idf). Returns
+    (doc_id, dl, bm25_r6) ordered by (bm25_r6 desc, doc_id asc),
+    LIMIT k; selection/order on the ROUNDED score so the engine's
+    sort+limit matches the SQL oracle bit-for-bit.
+
+    Scale plan: two map-only passes over documents — pass 1 reduces
+    each doc to (dl, tf per query term, presence indicators); one
+    combiner-backed global aggregate yields N, Σdl and df_t (a handful
+    of int64s on the driver — exact); pass 2 scores from broadcast
+    Python-float idf/avgdl constants. No shuffle touches text; the
+    only exchange is the final distributed sort+limit over
+    (doc_id, dl, score) rows. Exactness: all sufficient statistics
+    are exact int64; avgdl/idf come from single IEEE divisions/ln on
+    those ints; the per-doc score mirrors the oracle's expression
+    tree term-by-term (left-associated adds), so doubles are
+    bit-equal before ROUND r6.
+
+    Reference analogue: seeded scoring + ranking readout in the style
+    of ``get_projection``/``get_ranking`` (/root/reference/src/ega/
+    algorithms/graph_kernels.py:454-585), applied to the engine's
+    corpus surface (the reference has no IR operators).
+    """
+    import math
+
+    terms = tuple(query_terms)
+    T = len(terms)
+
+    def _stats(batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        n = len(texts)
+        dl = np.zeros(n, dtype=np.int64)
+        tfs = np.zeros((T, n), dtype=np.int64)
+        for i, text in enumerate(texts):
+            toks = _TOKEN_RE.findall(text or "")
+            dl[i] = len(toks)
+            if toks:
+                c = Counter(toks)
+                for j, t in enumerate(terms):
+                    tfs[j, i] = c.get(t, 0)
+        cols = {
+            "doc_id": batch.column("doc_id").cast(pa.int64()),
+            "dl": pa.array(dl, type=pa.int64()),
+        }
+        for j in range(T):
+            cols[f"tf{j}"] = pa.array(tfs[j], type=pa.int64())
+            cols[f"m{j}"] = pa.array((tfs[j] > 0).astype(np.int64), type=pa.int64())
+        return pa.table(cols)
+
+    stats = docs_ds.map_batches(_stats, batch_format="pyarrow").materialize()
+
+    aggs = [Count(alias_name="n_docs"), Sum("dl", alias_name="sum_dl")]
+    for j in range(T):
+        aggs.append(Sum(f"m{j}", alias_name=f"df{j}"))
+    tot = stats.aggregate(*aggs)
+    n_docs = int(tot["n_docs"])
+    avgdl = float(tot["sum_dl"]) / float(n_docs)
+    idf = [
+        math.log((n_docs - int(tot[f"df{j}"]) + 0.5) / (int(tot[f"df{j}"]) + 0.5) + 1.0)
+        for j in range(T)
+    ]
+
+    one_minus_b, k1p1 = 1.0 - b, k1 + 1.0
+
+    def _score(batch: pa.Table) -> pa.Table:
+        dl = batch.column("dl").to_numpy(zero_copy_only=False).astype(np.float64)
+        norm = one_minus_b + b * (dl / avgdl)
+        score = np.zeros(len(dl), dtype=np.float64)
+        for j in range(T):
+            tf = batch.column(f"tf{j}").to_numpy(zero_copy_only=False).astype(np.float64)
+            score = score + idf[j] * (tf * k1p1 / (tf + k1 * norm))
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id").cast(pa.int64()),
+                "dl": batch.column("dl").cast(pa.int64()),
+                "bm25_r6": pa.array(np.round(score, 6), type=pa.float64()),
+            }
+        )
+
+    scored = stats.map_batches(_score, batch_format="pyarrow")
+    return scored.sort(["bm25_r6", "doc_id"], descending=[True, False]).limit(k)

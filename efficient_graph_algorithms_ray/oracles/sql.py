@@ -4616,3 +4616,55 @@ SELECT a.month::BIGINT AS month, a.revenue_cents,
   COALESCE(b.revenue_cents, 0)::BIGINT AS prev_cents,
   (a.revenue_cents - COALESCE(b.revenue_cents, 0))::BIGINT AS delta_cents
 FROM m a LEFT JOIN m b ON b.month = a.month - 1"""
+
+
+def bm25_topk_sql(
+    terms: tuple = ("hash", "merge", "dup"),
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> str:
+    """BM25 top-k over documents with the shared \\S+ tokenizer.
+
+    Same exactness discipline as the tfidf oracle: all sufficient
+    statistics (dl, tf, df, Σdl, N) are exact BIGINTs; avgdl and each
+    idf come from single IEEE divisions / ln on those ints; the score
+    mirrors the engine's expression tree term-by-term (left-assoc
+    adds), so the doubles are bit-equal before ROUND r6. Selection and
+    ordering on the rounded score."""
+    T = len(terms)
+    tf_cols = ",\n    ".join(
+        f"len(list_filter(toks, x -> x = '{t}'))::BIGINT AS tf{j}"
+        for j, t in enumerate(terms)
+    )
+    df_cols = ",\n    ".join(
+        f"SUM(CASE WHEN tf{j} > 0 THEN 1 ELSE 0 END)::BIGINT AS df{j}" for j in range(T)
+    )
+    idf_cols = ",\n    ".join(
+        f"ln((n - df{j} + 0.5) / (df{j} + 0.5) + 1.0) AS idf{j}" for j in range(T)
+    )
+    one_minus_b, k1p1 = repr(1.0 - b), repr(k1 + 1.0)
+    score_terms = "\n      + ".join(
+        f"c.idf{j} * (CAST(st.tf{j} AS DOUBLE) * {k1p1} / (CAST(st.tf{j} AS DOUBLE)"
+        f" + {repr(k1)} * ({one_minus_b} + {repr(b)} * (CAST(st.dl AS DOUBLE) / c.avgdl))))"
+        for j in range(T)
+    )
+    return f"""WITH tok AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS toks FROM documents
+), st AS (
+  SELECT doc_id, len(toks)::BIGINT AS dl,
+    {tf_cols}
+  FROM tok
+), g AS (
+  SELECT count(*)::BIGINT AS n, SUM(dl)::BIGINT AS sum_dl,
+    {df_cols}
+  FROM st
+), c AS (
+  SELECT CAST(sum_dl AS DOUBLE) / CAST(n AS DOUBLE) AS avgdl,
+    {idf_cols}
+  FROM g
+)
+SELECT st.doc_id, st.dl,
+  ROUND({score_terms}, 6) AS bm25_r6
+FROM st, c
+ORDER BY bm25_r6 DESC, st.doc_id ASC LIMIT {k}"""

@@ -1495,3 +1495,13 @@ def q_ams_f2_tokens(sf_dir: str, m: int = 16):
             "est_f2": pa.array([float(sum_sk2) / float(m)], type=pa.float64()),
         }
     )
+
+
+def q_bm25_topk(sf_dir: str):
+    """Top-10 documents by BM25 for the fixed query (hash, merge, dup)
+    — SQL-oracled: exact int64 sufficient statistics, single IEEE
+    divisions/ln, term-by-term score parity, ROUND r6; selection and
+    order on the rounded score (see functions/terms.py:bm25_topk)."""
+    from ..functions.terms import bm25_topk
+
+    return bm25_topk(_docs(sf_dir, ["doc_id", "text"]), k=10)
