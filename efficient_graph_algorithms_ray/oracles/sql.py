@@ -4668,3 +4668,27 @@ SELECT st.doc_id, st.dl,
   ROUND({score_terms}, 6) AS bm25_r6
 FROM st, c
 ORDER BY bm25_r6 DESC, st.doc_id ASC LIMIT {k}"""
+
+
+CLIQUES4_COOCC = """WITH pr AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+t4 AS (
+  SELECT e1.u AS a, e1.v AS b, e2.v AS c, e3.v AS d
+  FROM pr e1
+  JOIN pr e2 ON e2.u = e1.u AND e2.v > e1.v
+  JOIN pr e3 ON e3.u = e1.u AND e3.v > e2.v
+  JOIN pr e4 ON e4.u = e1.v AND e4.v = e2.v
+  JOIN pr e5 ON e5.u = e1.v AND e5.v = e3.v
+  JOIN pr e6 ON e6.u = e2.v AND e6.v = e3.v
+),
+corners AS (
+  SELECT a AS vid FROM t4 UNION ALL SELECT b FROM t4
+  UNION ALL SELECT c FROM t4 UNION ALL SELECT d FROM t4
+),
+verts AS (SELECT DISTINCT vid FROM (SELECT u AS vid FROM pr UNION ALL SELECT v FROM pr)),
+cnt AS (SELECT vid, count(*)::BIGINT AS cliques4 FROM corners GROUP BY vid)
+SELECT verts.vid AS vid, COALESCE(cnt.cliques4, 0)::BIGINT AS cliques4
+FROM verts LEFT JOIN cnt ON verts.vid = cnt.vid"""

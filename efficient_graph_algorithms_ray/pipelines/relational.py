@@ -5518,3 +5518,12 @@ def q_revenue_mom(sf_dir: str):
             "delta_cents": pa.array(rev - prev, type=pa.int64()),
         }
     )
+
+
+def q_cliques4_coocc(sf_dir: str):
+    """Per-vertex 4-clique participation counts on the co-occurrence
+    graph (two-level oriented closure, pipelines/cliques.py) —
+    SQL-oracled against a 6-way self-join clique enumeration."""
+    from .cliques import cliques4_count
+
+    return _vid_to_int64(cliques4_count(_coocc_graph(sf_dir)), {"cliques4": pa.int64()})
