@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-3 additions (SQL-oracled)
         "bm25_topk": C.q_bm25_topk,
         "cliques4_coocc": R.q_cliques4_coocc,
+        "avg_nbr_deg_coocc": R.q_avg_neighbor_degree_coocc,
         "degree_gini_coocc": R.q_degree_gini_coocc,
         "rollup_sales": R.q_rollup_sales,
         "regression_qty_discount": R.q_regression_qty_discount,
@@ -429,6 +430,7 @@ def oracle_sql() -> dict[str, str]:
         "cocitation_partsupp": S.cocitation_partsupp_sql(),
         "bm25_topk": S.bm25_topk_sql(terms=("hash", "merge", "dup"), k=10),
         "cliques4_coocc": S.CLIQUES4_COOCC,
+        "avg_nbr_deg_coocc": S.AVG_NBR_DEG_COOCC,
         "degree_gini_coocc": S.degree_gini_coocc_sql(),
         "rollup_sales": S.ROLLUP_SALES,
         "regression_qty_discount": S.REGRESSION_QTY_DISCOUNT,

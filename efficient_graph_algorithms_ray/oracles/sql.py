@@ -4692,3 +4692,12 @@ verts AS (SELECT DISTINCT vid FROM (SELECT u AS vid FROM pr UNION ALL SELECT v F
 cnt AS (SELECT vid, count(*)::BIGINT AS cliques4 FROM corners GROUP BY vid)
 SELECT verts.vid AS vid, COALESCE(cnt.cliques4, 0)::BIGINT AS cliques4
 FROM verts LEFT JOIN cnt ON verts.vid = cnt.vid"""
+
+
+AVG_NBR_DEG_COOCC = f"""WITH {_COOCC_UND_MAT},
+deg AS (SELECT u AS vid, count(*)::BIGINT AS d FROM und GROUP BY u),
+s AS (SELECT und.u AS vid, SUM(dv.d)::BIGINT AS nbr_deg_sum
+      FROM und JOIN deg dv ON und.v = dv.vid GROUP BY und.u)
+SELECT s.vid AS vid, du.d AS deg, s.nbr_deg_sum,
+  CAST(FLOOR(1000000.0 * CAST(s.nbr_deg_sum AS DOUBLE) / CAST(du.d AS DOUBLE)) AS BIGINT) AS and_ppm
+FROM s JOIN deg du ON s.vid = du.vid"""

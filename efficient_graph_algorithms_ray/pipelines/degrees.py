@@ -51,3 +51,59 @@ def degree_table(graph: ShardedGraph):
     return partials.groupby("vid").aggregate(
         Sum("out_deg", alias_name="out_deg"), Sum("in_deg", alias_name="in_deg")
     )
+
+
+def avg_neighbor_degree(graph: ShardedGraph):
+    """(vid, deg, nbr_deg_sum, and_r6): average degree of each vertex's
+    neighbors — the classic degree-correlation profile (Pastor-Satorras
+    et al.'s knn(v), public measure).
+
+    Zero-shuffle: each shard already holds its vertices' neighbor lists;
+    neighbor degrees are served from the broadcast per-partition degree
+    index (16 B/vertex — the triangles orientation pattern), summed with
+    one ``np.add.reduceat`` per shard. Exactness: nbr_deg_sum is exact
+    int64; and_ppm = FLOOR(1e6·sum/deg) of the same IEEE expression on
+    both sides (floor is bit-identical numpy↔DuckDB where ROUND's
+    half-tie behavior is not — the clustering-coefficient precedent).
+    """
+    from .triangles import _degree_index
+
+    refs = graph.refs
+    P = graph.num_partitions
+    deg_refs = _degree_index(graph)
+
+    def _emit(batch: pa.Table) -> pa.Table:
+        out = []
+        for p in batch.column("part").to_numpy(zero_copy_only=False):
+            csr = ray.get(refs[int(p)])
+            vids, deg, v = csr["vids"], csr["deg"].astype(np.int64), csr["indices"]
+            dv = np.empty(len(v), dtype=np.int64)
+            vpart = (v % np.uint64(P)).astype(np.int64)
+            for q in np.unique(vpart):
+                sel = vpart == q
+                dq = ray.get(deg_refs[int(q)])
+                dv[sel] = dq["deg"][np.searchsorted(dq["vids"], v[sel])]
+            indptr = np.zeros(len(vids) + 1, dtype=np.int64)
+            np.cumsum(deg, out=indptr[1:])
+            sums = np.zeros(len(vids), dtype=np.int64)
+            nz = deg > 0
+            if nz.any():
+                sums[nz] = np.add.reduceat(dv, indptr[:-1][nz])
+            and_ppm = np.zeros(len(vids), dtype=np.int64)
+            and_ppm[nz] = np.floor(
+                1000000.0 * sums[nz].astype(np.float64) / deg[nz].astype(np.float64)
+            ).astype(np.int64)
+            out.append(
+                pa.table(
+                    {
+                        "vid": pa.array(vids, type=pa.uint64()),
+                        "deg": pa.array(deg, type=pa.int64()),
+                        "nbr_deg_sum": pa.array(sums, type=pa.int64()),
+                        "and_ppm": pa.array(and_ppm, type=pa.int64()),
+                    }
+                )
+            )
+        return pa.concat_tables(out)
+
+    parts_ds = rd.from_arrow(pa.table({"part": pa.array(graph.parts, type=pa.int64())}))
+    return parts_ds.map_batches(_emit, batch_format="pyarrow", batch_size=1)

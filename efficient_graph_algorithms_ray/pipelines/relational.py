@@ -5527,3 +5527,15 @@ def q_cliques4_coocc(sf_dir: str):
     from .cliques import cliques4_count
 
     return _vid_to_int64(cliques4_count(_coocc_graph(sf_dir)), {"cliques4": pa.int64()})
+
+
+def q_avg_neighbor_degree_coocc(sf_dir: str):
+    """Average neighbor degree per vertex on the co-occurrence graph
+    (zero-shuffle shard map over the broadcast degree index) —
+    SQL-oracled; and_ppm = FLOOR(1e6·sum/deg), bit-identical both sides."""
+    from .degrees import avg_neighbor_degree
+
+    return _vid_to_int64(
+        avg_neighbor_degree(_coocc_graph(sf_dir)),
+        {"deg": pa.int64(), "nbr_deg_sum": pa.int64(), "and_ppm": pa.int64()},
+    )
