@@ -54,6 +54,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": C.q_bm25_topk,
         "cliques4_coocc": R.q_cliques4_coocc,
         "avg_nbr_deg_coocc": R.q_avg_neighbor_degree_coocc,
+        "lang_js_divergence": C.q_lang_js_divergence,
         "degree_gini_coocc": R.q_degree_gini_coocc,
         "rollup_sales": R.q_rollup_sales,
         "regression_qty_discount": R.q_regression_qty_discount,
@@ -431,6 +432,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk": S.bm25_topk_sql(terms=("hash", "merge", "dup"), k=10),
         "cliques4_coocc": S.CLIQUES4_COOCC,
         "avg_nbr_deg_coocc": S.AVG_NBR_DEG_COOCC,
+        "lang_js_divergence": S.LANG_JS_DIVERGENCE,
         "degree_gini_coocc": S.degree_gini_coocc_sql(),
         "rollup_sales": S.ROLLUP_SALES,
         "regression_qty_discount": S.REGRESSION_QTY_DISCOUNT,

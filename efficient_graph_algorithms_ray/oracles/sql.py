@@ -4701,3 +4701,37 @@ s AS (SELECT und.u AS vid, SUM(dv.d)::BIGINT AS nbr_deg_sum
 SELECT s.vid AS vid, du.d AS deg, s.nbr_deg_sum,
   CAST(FLOOR(1000000.0 * CAST(s.nbr_deg_sum AS DOUBLE) / CAST(du.d AS DOUBLE)) AS BIGINT) AS and_ppm
 FROM s JOIN deg du ON s.vid = du.vid"""
+
+
+LANG_JS_DIVERGENCE = """WITH t AS (
+  SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents
+),
+c AS (SELECT lang, tok, count(*)::BIGINT AS c FROM t GROUP BY lang, tok),
+tot AS (SELECT lang, SUM(c)::BIGINT AS n FROM c GROUP BY lang),
+pairs AS (
+  SELECT a.lang AS lang_a, b.lang AS lang_b, a.n AS n_a, b.n AS n_b
+  FROM tot a JOIN tot b ON a.lang < b.lang
+),
+v AS (SELECT DISTINCT tok FROM c),
+joined AS (
+  SELECT p.lang_a, p.lang_b, p.n_a, p.n_b,
+         COALESCE(ca.c, 0)::BIGINT AS ca, COALESCE(cb.c, 0)::BIGINT AS cb
+  FROM pairs p
+  CROSS JOIN v
+  LEFT JOIN c ca ON ca.lang = p.lang_a AND ca.tok = v.tok
+  LEFT JOIN c cb ON cb.lang = p.lang_b AND cb.tok = v.tok
+),
+terms AS (
+  SELECT lang_a, lang_b, n_a, n_b,
+    CASE WHEN ca > 0 THEN (CAST(ca AS DOUBLE) / CAST(n_a AS DOUBLE))
+      * ln(2.0 * (CAST(ca AS DOUBLE) / CAST(n_a AS DOUBLE))
+           / ((CAST(ca AS DOUBLE) / CAST(n_a AS DOUBLE)) + (CAST(cb AS DOUBLE) / CAST(n_b AS DOUBLE))))
+      ELSE 0.0 END AS ta,
+    CASE WHEN cb > 0 THEN (CAST(cb AS DOUBLE) / CAST(n_b AS DOUBLE))
+      * ln(2.0 * (CAST(cb AS DOUBLE) / CAST(n_b AS DOUBLE))
+           / ((CAST(ca AS DOUBLE) / CAST(n_a AS DOUBLE)) + (CAST(cb AS DOUBLE) / CAST(n_b AS DOUBLE))))
+      ELSE 0.0 END AS tb
+  FROM joined
+)
+SELECT lang_a, lang_b, n_a, n_b, ROUND(0.5 * SUM(ta) + 0.5 * SUM(tb), 9) AS js_r9
+FROM terms GROUP BY lang_a, lang_b, n_a, n_b"""

@@ -1505,3 +1505,84 @@ def q_bm25_topk(sf_dir: str):
     from ..functions.terms import bm25_topk
 
     return bm25_topk(_docs(sf_dir, ["doc_id", "text"]), k=10)
+
+
+def q_lang_js_divergence(sf_dir: str):
+    """Pairwise Jensen-Shannon divergence (nats) between per-language
+    unigram token distributions — the domain-shift / corpus-mixture
+    measurement a training-data pipeline thresholds when deciding
+    whether two slices can share a sampling weight.
+
+    Scale plan: one map pass reduces each block to (lang, tok, cnt)
+    partials (per-block Counter — the token never leaves as raw text);
+    a combiner-backed groupby(lang, tok) sums them. The reduced table
+    is O(|langs| · |vocab|) — tiny — so the pairwise JS assembly runs
+    on the driver over sorted (lang, tok) order. SQL-oracled: exact
+    int64 counts; both sides evaluate the identical per-token term
+    p·ln(2p/(p+q)) on IEEE doubles and ROUND 9 absorbs the summation-
+    order ~1e-15 drift (the doc_entropy precedent). Returns
+    (lang_a, lang_b, n_a, n_b, js_r9), lang_a < lang_b."""
+    from collections import Counter as _Counter
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        langs = batch.column("lang").to_pylist()
+        texts = batch.column("text").to_pylist()
+        acc: dict = {}
+        for lg, txt in zip(langs, texts):
+            c = acc.setdefault(lg, _Counter())
+            c.update((txt or "").split(" "))
+        rows_l, rows_t, rows_c = [], [], []
+        for lg, c in acc.items():
+            for t, n in c.items():
+                rows_l.append(lg)
+                rows_t.append(t)
+                rows_c.append(n)
+        return pa.table(
+            {
+                "lang": pa.array(rows_l, type=pa.string()),
+                "tok": pa.array(rows_t, type=pa.string()),
+                "cnt": pa.array(rows_c, type=pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum as _Sum
+
+    counts = (
+        _docs(sf_dir, ["lang", "text"])
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby(["lang", "tok"])
+        .aggregate(_Sum("cnt", alias_name="c"))
+        .to_pandas()
+    )
+    langs = sorted(counts["lang"].unique())
+    vocab = sorted(counts["tok"].unique())
+    vidx = {t: i for i, t in enumerate(vocab)}
+    mats = {}
+    tots = {}
+    for lg in langs:
+        v = np.zeros(len(vocab), dtype=np.int64)
+        sub = counts[counts["lang"] == lg]
+        v[[vidx[t] for t in sub["tok"]]] = sub["c"].to_numpy()
+        mats[lg] = v
+        tots[lg] = int(v.sum())
+    rows = []
+    for i, la in enumerate(langs):
+        for lb in langs[i + 1 :]:
+            a, b = mats[la].astype(np.float64), mats[lb].astype(np.float64)
+            na, nb = float(tots[la]), float(tots[lb])
+            p, q = a / na, b / nb
+            m = p + q
+            with np.errstate(divide="ignore", invalid="ignore"):
+                ta = np.where(a > 0, p * np.log(2.0 * p / m), 0.0)
+                tb = np.where(b > 0, q * np.log(2.0 * q / m), 0.0)
+            js = 0.5 * float(ta.sum()) + 0.5 * float(tb.sum())
+            rows.append((la, lb, tots[la], tots[lb], round(js, 9)))
+    return pa.table(
+        {
+            "lang_a": pa.array([r[0] for r in rows], type=pa.string()),
+            "lang_b": pa.array([r[1] for r in rows], type=pa.string()),
+            "n_a": pa.array([r[2] for r in rows], type=pa.int64()),
+            "n_b": pa.array([r[3] for r in rows], type=pa.int64()),
+            "js_r9": pa.array([r[4] for r in rows], type=pa.float64()),
+        }
+    )
