@@ -823,3 +823,66 @@ def bm25_topk(
 
     scored = stats.map_batches(_score, batch_format="pyarrow")
     return scored.sort(["bm25_r6", "doc_id"], descending=[True, False]).limit(k)
+
+
+def posting_samples(docs_ds, k: int = 8) -> "rd.Dataset":
+    """Inverted-index posting samples: for every token, its document
+    frequency and the first ``k`` postings (lowest doc_ids).
+
+    The canonical web-index build step, shaped so no task ever holds a
+    stopword's full posting list: each block emits AT MOST ``k``
+    (tok, doc_id) rows (block-local bottom-k) plus one (tok, df_partial)
+    row, so the per-token merge group is ≤ (k+1)·n_blocks rows no
+    matter how common the token — bottom-k and count are both monoids.
+    Returns (tok, df, rk, doc_id) with rk = 1..k in ascending doc_id
+    order; exact ints end-to-end (SQL-oracled against a window-function
+    row_number build)."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = batch.column("text").to_pylist()
+        seen: dict[str, list] = {}
+        for i, text in enumerate(texts):
+            for t in set(_TOKEN_RE.findall(text or "")):
+                seen.setdefault(t, []).append(ids[i])
+        toks, docs, dfp = [], [], []
+        for t, lst in seen.items():
+            lst.sort()
+            for d in lst[:k]:
+                toks.append(t)
+                docs.append(d)
+            dfp.append((t, len(lst)))
+        post = pa.table(
+            {
+                "tok": pa.array(toks, type=pa.string()),
+                "doc_id": pa.array(docs, type=pa.int64()),
+                "dfp": pa.array(np.full(len(toks), -1, dtype=np.int64), type=pa.int64()),
+            }
+        )
+        dft = pa.table(
+            {
+                "tok": pa.array([t for t, _ in dfp], type=pa.string()),
+                "doc_id": pa.array(np.full(len(dfp), -1, dtype=np.int64), type=pa.int64()),
+                "dfp": pa.array([n for _, n in dfp], type=pa.int64()),
+            }
+        )
+        return pa.concat_tables([post, dft])
+
+    def _merge(group: pd.DataFrame) -> pd.DataFrame:
+        tok = group["tok"].iloc[0]
+        df = int(group.loc[group["dfp"] >= 0, "dfp"].sum())
+        docs = np.sort(group.loc[group["dfp"] < 0, "doc_id"].to_numpy())[:k]
+        return pd.DataFrame(
+            {
+                "tok": [tok] * len(docs),
+                "df": np.full(len(docs), df, dtype=np.int64),
+                "rk": np.arange(1, len(docs) + 1, dtype=np.int64),
+                "doc_id": docs.astype(np.int64),
+            }
+        )
+
+    return (
+        docs_ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby("tok")
+        .map_groups(_merge, batch_format="pandas")
+    )

@@ -4735,3 +4735,20 @@ terms AS (
 )
 SELECT lang_a, lang_b, n_a, n_b, ROUND(0.5 * SUM(ta) + 0.5 * SUM(tb), 9) AS js_r9
 FROM terms GROUP BY lang_a, lang_b, n_a, n_b"""
+
+
+def posting_samples_sql(k: int = 8) -> str:
+    """Inverted-index posting sample: df per token plus the k lowest
+    doc_ids, exact ints; same \\S+ tokenizer as the engine."""
+    return f"""WITH tok AS (
+  SELECT DISTINCT doc_id::BIGINT AS doc_id, unnest(regexp_extract_all(text, '\\S+')) AS tok
+  FROM documents
+),
+df AS (SELECT tok, count(*)::BIGINT AS df FROM tok GROUP BY tok),
+rk AS (
+  SELECT tok, doc_id,
+         row_number() OVER (PARTITION BY tok ORDER BY doc_id) AS rk
+  FROM tok
+)
+SELECT r.tok, d.df, r.rk::BIGINT AS rk, r.doc_id
+FROM rk r JOIN df d USING (tok) WHERE r.rk <= {k}"""

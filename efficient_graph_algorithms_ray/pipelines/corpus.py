@@ -1586,3 +1586,12 @@ def q_lang_js_divergence(sf_dir: str):
             "js_r9": pa.array([r[4] for r in rows], type=pa.float64()),
         }
     )
+
+
+def q_posting_samples(sf_dir: str):
+    """Inverted-index posting samples (tok, df, rk, doc_id ≤ 8 lowest)
+    — SQL-oracled; block-local bottom-k partials keep stopword merge
+    groups bounded (see functions/terms.py:posting_samples)."""
+    from ..functions.terms import posting_samples
+
+    return posting_samples(_docs(sf_dir, ["doc_id", "text"]), k=8)
