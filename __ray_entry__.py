@@ -56,6 +56,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "avg_nbr_deg_coocc": R.q_avg_neighbor_degree_coocc,
         "lang_js_divergence": C.q_lang_js_divergence,
         "posting_samples": C.q_posting_samples,
+        "triad_census_coocc": R.q_triad_census_coocc,
         "degree_gini_coocc": R.q_degree_gini_coocc,
         "rollup_sales": R.q_rollup_sales,
         "regression_qty_discount": R.q_regression_qty_discount,
@@ -435,6 +436,7 @@ def oracle_sql() -> dict[str, str]:
         "avg_nbr_deg_coocc": S.AVG_NBR_DEG_COOCC,
         "lang_js_divergence": S.LANG_JS_DIVERGENCE,
         "posting_samples": S.posting_samples_sql(k=8),
+        "triad_census_coocc": S.triad_census_sql(),
         "degree_gini_coocc": S.degree_gini_coocc_sql(),
         "rollup_sales": S.ROLLUP_SALES,
         "regression_qty_discount": S.REGRESSION_QTY_DISCOUNT,

@@ -4752,3 +4752,66 @@ rk AS (
 )
 SELECT r.tok, d.df, r.rk::BIGINT AS rk, r.doc_id
 FROM rk r JOIN df d USING (tok) WHERE r.rk <= {k}"""
+
+
+def triad_census_sql() -> str:
+    """Triangle triad census over the hash-oriented directed
+    co-occurrence graph (mirrors pipelines/triangles.triad_census):
+    triangles a<b<c from the undirected pair set, each dyad's state
+    from the identical splitmix chain (2 = mutual, 1 = low→high,
+    0 = high→low), Holland–Leinhardt classification on exact ints."""
+    frag1, cte1, _ = sm64_stages("tc_prc", "v", "tc_hb", ["u", "v"])
+    frag2, cte2, _ = sm64_stages("tc_x", "x", "tc_hf", ["u", "v"])
+    return f"""WITH pr AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+tc_prc AS (SELECT CAST(u AS UBIGINT) AS u, CAST(v AS UBIGINT) AS v FROM pr){frag1},
+tc_x AS (SELECT u, v, xor(u, h) AS x FROM {cte1}){frag2},
+dy AS MATERIALIZED (
+  SELECT CAST(u AS BIGINT) AS u, CAST(v AS BIGINT) AS v,
+         CASE WHEN h % 4 = 0 THEN 2 WHEN h % 2 = 1 THEN 1 ELSE 0 END AS st
+  FROM {cte2}
+),
+tri AS (
+  SELECT CAST(e1.u AS BIGINT) AS a, CAST(e1.v AS BIGINT) AS b, CAST(e2.v AS BIGINT) AS c
+  FROM pr e1
+  JOIN pr e2 ON e2.u = e1.u AND e2.v > e1.v
+  JOIN pr e3 ON e3.u = e1.v AND e3.v = e2.v
+),
+st3 AS (
+  SELECT dab.st AS sab, dac.st AS sac, dbc.st AS sbc
+  FROM tri
+  JOIN dy dab ON dab.u = tri.a AND dab.v = tri.b
+  JOIN dy dac ON dac.u = tri.a AND dac.v = tri.c
+  JOIN dy dbc ON dbc.u = tri.b AND dbc.v = tri.c
+),
+feat AS (
+  SELECT
+    (CASE WHEN sab = 2 THEN 1 ELSE 0 END + CASE WHEN sac = 2 THEN 1 ELSE 0 END
+     + CASE WHEN sbc = 2 THEN 1 ELSE 0 END) AS m,
+    CASE WHEN sab = 2 THEN (CASE WHEN sac = 0 THEN 1 ELSE 0 END + CASE WHEN sbc = 0 THEN 1 ELSE 0 END)
+         WHEN sac = 2 THEN (CASE WHEN sab = 0 THEN 1 ELSE 0 END + CASE WHEN sbc = 1 THEN 1 ELSE 0 END)
+         ELSE (CASE WHEN sab = 1 THEN 1 ELSE 0 END + CASE WHEN sac = 1 THEN 1 ELSE 0 END) END AS zout,
+    GREATEST(
+      CASE WHEN sab = 1 THEN 1 ELSE 0 END + CASE WHEN sac = 1 THEN 1 ELSE 0 END,
+      CASE WHEN sab = 0 THEN 1 ELSE 0 END + CASE WHEN sbc = 1 THEN 1 ELSE 0 END,
+      CASE WHEN sac = 0 THEN 1 ELSE 0 END + CASE WHEN sbc = 0 THEN 1 ELSE 0 END) AS mx
+  FROM st3
+),
+cls AS (
+  SELECT CASE
+    WHEN m = 3 THEN '300'
+    WHEN m = 2 THEN '210'
+    WHEN m = 1 THEN CASE WHEN zout = 2 THEN '120D'
+                         WHEN zout = 0 THEN '120U' ELSE '120C' END
+    ELSE CASE WHEN mx = 2 THEN '030T' ELSE '030C' END END AS triad
+  FROM feat
+),
+classes(triad) AS (
+  VALUES ('030C'), ('030T'), ('120C'), ('120D'), ('120U'), ('210'), ('300')
+),
+cnt AS (SELECT triad, count(*)::BIGINT AS n FROM cls GROUP BY triad)
+SELECT classes.triad, COALESCE(cnt.n, 0)::BIGINT AS n
+FROM classes LEFT JOIN cnt USING (triad)"""

@@ -5539,3 +5539,14 @@ def q_avg_neighbor_degree_coocc(sf_dir: str):
         avg_neighbor_degree(_coocc_graph(sf_dir)),
         {"deg": pa.int64(), "nbr_deg_sum": pa.int64(), "and_ppm": pa.int64()},
     )
+
+
+def q_triad_census_coocc(sf_dir: str):
+    """Triangle triad census (7 Holland-Leinhardt all-connected
+    classes) of the hash-oriented directed co-occurrence graph —
+    SQL-oracled; dyad states are closed-form splitmix math inside the
+    triangle-closure task, so the census is one 7-int partial per
+    task over plain triangle counting."""
+    from .triangles import triad_census
+
+    return triad_census(_coocc_graph(sf_dir))

@@ -384,3 +384,137 @@ def clustering_coefficient(graph: ShardedGraph):
         )
 
     return tri.map_batches(_cc, batch_format="pyarrow")
+
+
+# ---- directed triangle triad census --------------------------------------
+
+_TRIAD_CLASSES = ("030C", "030T", "120C", "120D", "120U", "210", "300")
+
+
+def _dyad_states(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+    """Dyad state of vid pairs x < y under the hash orientation of
+    relational.directed_coocc_edges: 2 = mutual (h%4==0), 1 = x→y
+    (h odd), 0 = y→x (h even). Pure closed-form math — classifying a
+    triangle needs no directed-edge probe."""
+    from ..sources.edges_synth import _splitmix64
+
+    h = _splitmix64(x ^ _splitmix64(y))
+    st = np.where(h % np.uint64(2) == 1, 1, 0).astype(np.int8)
+    st[h % np.uint64(4) == 0] = 2
+    return st
+
+
+def classify_triads(v1: np.ndarray, v2: np.ndarray, v3: np.ndarray) -> np.ndarray:
+    """Holland–Leinhardt class (7 all-connected triad types) for each
+    vid triple under the hash orientation. Returns an int8 index into
+    _TRIAD_CLASSES."""
+    tri = np.sort(np.stack([v1, v2, v3], axis=1).astype(np.uint64), axis=1)
+    a, b, c = tri[:, 0], tri[:, 1], tri[:, 2]
+    sab, sac, sbc = _dyad_states(a, b), _dyad_states(a, c), _dyad_states(b, c)
+    m = (sab == 2).astype(np.int8) + (sac == 2) + (sbc == 2)
+    cls = np.empty(len(a), dtype=np.int8)
+    cls[m == 3] = _TRIAD_CLASSES.index("300")
+    cls[m == 2] = _TRIAD_CLASSES.index("210")
+    one = m == 1
+    zout = np.zeros(len(a), dtype=np.int8)
+    w = one & (sab == 2)
+    zout[w] = (sac[w] == 0).astype(np.int8) + (sbc[w] == 0)
+    w = one & (sac == 2)
+    zout[w] = (sab[w] == 0).astype(np.int8) + (sbc[w] == 1)
+    w = one & (sbc == 2)
+    zout[w] = (sab[w] == 1).astype(np.int8) + (sac[w] == 1)
+    cls[one & (zout == 2)] = _TRIAD_CLASSES.index("120D")
+    cls[one & (zout == 0)] = _TRIAD_CLASSES.index("120U")
+    cls[one & (zout == 1)] = _TRIAD_CLASSES.index("120C")
+    zero = m == 0
+    out_a = (sab == 1).astype(np.int8) + (sac == 1)
+    out_b = (sab == 0).astype(np.int8) + (sbc == 1)
+    out_c = (sac == 0).astype(np.int8) + (sbc == 0)
+    mx = np.maximum(np.maximum(out_a, out_b), out_c)
+    cls[zero & (mx == 2)] = _TRIAD_CLASSES.index("030T")
+    cls[zero & (mx < 2)] = _TRIAD_CLASSES.index("030C")
+    return cls
+
+
+def _census_group(P: int):
+    """Closure group → 7-row per-class triangle-count partial. Same
+    wedge/closure mechanics as _closure_group; each hit triangle
+    (u, a, b) is classified map-side from the hash rule, so the only
+    output per task is a 7-int partial."""
+
+    def _fn(group: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        zero = pa.table(
+            {
+                "triad": pa.array(list(_TRIAD_CLASSES), type=pa.string()),
+                "n": pa.array(np.zeros(len(_TRIAD_CLASSES), dtype=np.int64), type=pa.int64()),
+            }
+        )
+        is_oriented = pc.is_valid(group.column("indptr")).to_numpy(zero_copy_only=False)
+        o_rows = np.flatnonzero(is_oriented)
+        w_rows = np.flatnonzero(~is_oriented)
+        if len(o_rows) == 0 or len(w_rows) == 0:
+            return zero
+        from ..util import list_rows as _lr
+
+        orow = group.slice(int(o_rows[0]), 1)
+        vids_o = _lr(orow, "vids")[0]
+        indptr_o = _lr(orow, "indptr")[0]
+        indices_o = _lr(orow, "indices")[0]
+        pairs = np.sort(pair_struct(np.repeat(vids_o, np.diff(indptr_o)), indices_o))
+        wed = group.take(pa.array(w_rows))
+        a_row = wed.column("a").to_numpy(zero_copy_only=False).astype(np.uint64, copy=False)
+        u_row = wed.column("u").to_numpy(zero_copy_only=False).astype(np.uint64, copy=False)
+        bs_rows = _lr(wed, "bs")
+        lens = np.fromiter((len(r) for r in bs_rows), dtype=np.int64, count=len(bs_rows))
+        a = np.repeat(a_row, lens)
+        u = np.repeat(u_row, lens)
+        b = (
+            np.concatenate(bs_rows).astype(np.uint64, copy=False)
+            if bs_rows
+            else np.empty(0, np.uint64)
+        )
+        hit = pairs_in_sorted(a, b, pairs)
+        if not hit.any():
+            return zero
+        cls = classify_triads(u[hit], a[hit], b[hit])
+        cnt = np.bincount(cls, minlength=len(_TRIAD_CLASSES)).astype(np.int64)
+        return pa.table(
+            {
+                "triad": pa.array(list(_TRIAD_CLASSES), type=pa.string()),
+                "n": pa.array(cnt, type=pa.int64()),
+            }
+        )
+
+    return _fn
+
+
+def triad_census(graph: ShardedGraph) -> pa.Table:
+    """Triangle triad census of the hash-oriented directed view of an
+    undirected ShardedGraph: counts of the 7 all-connected triad
+    classes (030C 030T 120C 120D 120U 210 300). Dyad orientation is
+    the deterministic splitmix rule of ``directed_coocc_edges``, so the
+    classification is closed-form inside the triangle-closure task —
+    the census costs ONE extra 7-int column over plain triangle
+    counting (same two shuffles, no directed-edge probes). Returns a
+    7-row (triad, n) table; Σn = total triangles."""
+    P = graph.num_partitions
+    parts_ds = rd.from_arrow(pa.table({"part": pa.array(graph.parts, type=pa.int64())}))
+    deg_refs = _degree_index(graph)
+    oriented_ds = parts_ds.map_batches(
+        _orient_local(graph, deg_refs), batch_format="pyarrow", batch_size=1
+    ).materialize()
+    wedges = oriented_ds.map_batches(_wedges_from_rows(P), batch_format="pyarrow", batch_size=1)
+    co = wedges.union(oriented_ds.map_batches(_pad_oriented, batch_format="pyarrow"))
+    partials = co.groupby("part").map_groups(_census_group(P), batch_format="pyarrow")
+    agg = partials.groupby("triad").sum("n").to_pandas()
+    got = dict(zip(agg["triad"], agg["sum(n)"]))
+    return pa.table(
+        {
+            "triad": pa.array(list(_TRIAD_CLASSES), type=pa.string()),
+            "n": pa.array(
+                [int(got.get(t, 0)) for t in _TRIAD_CLASSES], type=pa.int64()
+            ),
+        }
+    )
