@@ -57,6 +57,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_js_divergence": C.q_lang_js_divergence,
         "posting_samples": C.q_posting_samples,
         "triad_census_coocc": R.q_triad_census_coocc,
+        "revenue_gini": R.q_revenue_gini,
         "degree_gini_coocc": R.q_degree_gini_coocc,
         "rollup_sales": R.q_rollup_sales,
         "regression_qty_discount": R.q_regression_qty_discount,
@@ -437,6 +438,7 @@ def oracle_sql() -> dict[str, str]:
         "lang_js_divergence": S.LANG_JS_DIVERGENCE,
         "posting_samples": S.posting_samples_sql(k=8),
         "triad_census_coocc": S.triad_census_sql(),
+        "revenue_gini": S.REVENUE_GINI,
         "degree_gini_coocc": S.degree_gini_coocc_sql(),
         "rollup_sales": S.ROLLUP_SALES,
         "regression_qty_discount": S.REGRESSION_QTY_DISCOUNT,

@@ -4815,3 +4815,14 @@ classes(triad) AS (
 cnt AS (SELECT triad, count(*)::BIGINT AS n FROM cls GROUP BY triad)
 SELECT classes.triad, COALESCE(cnt.n, 0)::BIGINT AS n
 FROM classes LEFT JOIN cnt USING (triad)"""
+
+
+REVENUE_GINI = """WITH o AS (
+  SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+),
+r AS (SELECT cents, ROW_NUMBER() OVER (ORDER BY cents) AS rk FROM o)
+SELECT count(*)::BIGINT AS n_orders,
+  CAST(SUM(cents) AS BIGINT) AS sum_cents,
+  CAST(2 * SUM(rk * cents) - (count(*) + 1) * SUM(cents) AS DOUBLE)
+    / CAST(count(*) * SUM(cents) AS DOUBLE) AS gini
+FROM r"""

@@ -5550,3 +5550,64 @@ def q_triad_census_coocc(sf_dir: str):
     from .triangles import triad_census
 
     return triad_census(_coocc_graph(sf_dir))
+
+
+def q_revenue_gini(sf_dir: str):
+    """Gini coefficient of order revenue — the "whales dominate GMV"
+    inequality summary. Unlike q_degree_gini_coocc (whose degree
+    histogram is tiny), distinct cent values are O(n_orders), so the
+    closed-form rank sum runs DISTRIBUTED: groupby(cents) histogram →
+    the 2-pass ordered prefix scan (functions/packing.py) attaches
+    b_d = Σ count over smaller values → each block contributes
+    S_d = d·(c_d·b_d + c_d(c_d+1)/2) with Python-int arithmetic
+    (tie order irrelevant: tied rows share d). Partials are exact
+    int64 (bound ~n²·max_cents — safe through ~10^8 orders; the
+    documented upgrade is 128-bit partial pairs); the driver does one
+    IEEE division on exact ints, matching DuckDB's HUGEINT→DOUBLE
+    path bit-for-bit. Returns one row (n_orders, sum_cents, gini)."""
+    from ray.data.aggregate import Sum as _Sum
+
+    from ..functions.packing import ordered_prefix_sum
+
+    def _cents(b: pa.Table) -> pa.Table:
+        cents = np.round(
+            b.column("o_totalprice").to_numpy(zero_copy_only=False) * 100.0
+        ).astype(np.int64)
+        return pa.table(
+            {"cents": pa.array(cents), "c": pa.array(np.ones(len(cents), np.int64))}
+        )
+
+    hist = (
+        _read(sf_dir, "orders", ["o_totalprice"])
+        .map_batches(_cents, batch_format="pyarrow")
+        .groupby("cents")
+        .aggregate(_Sum("c", alias_name="c"))
+    )
+    pre = ordered_prefix_sum(hist, "cents", "c")
+
+    def _partial(b: pa.Table) -> pa.Table:
+        d = b.column("cents").to_numpy(zero_copy_only=False).astype(np.int64)
+        c = b.column("c").to_numpy(zero_copy_only=False).astype(np.int64)
+        bd = b.column("prefix_excl").to_numpy(zero_copy_only=False).astype(np.int64)
+        s = int(sum(int(dv) * (int(cv) * int(bv) + int(cv) * (int(cv) + 1) // 2)
+                    for dv, cv, bv in zip(d, c, bd)))
+        return pa.table(
+            {
+                "s": pa.array([s], type=pa.int64()),
+                "t": pa.array([int((d * c).sum())], type=pa.int64()),
+                "n": pa.array([int(c.sum())], type=pa.int64()),
+            }
+        )
+
+    tot = pre.map_batches(_partial, batch_format="pyarrow").aggregate(
+        _Sum("s", alias_name="s"), _Sum("t", alias_name="t"), _Sum("n", alias_name="n")
+    )
+    S, T, n = int(tot["s"]), int(tot["t"]), int(tot["n"])
+    gini = float(2 * S - (n + 1) * T) / float(n * T)
+    return pa.table(
+        {
+            "n_orders": pa.array([n], type=pa.int64()),
+            "sum_cents": pa.array([T], type=pa.int64()),
+            "gini": pa.array([gini], type=pa.float64()),
+        }
+    )
