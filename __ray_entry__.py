@@ -58,6 +58,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "posting_samples": C.q_posting_samples,
         "triad_census_coocc": R.q_triad_census_coocc,
         "revenue_gini": R.q_revenue_gini,
+        "cc_by_degree_coocc": R.q_cc_by_degree_coocc,
         "degree_gini_coocc": R.q_degree_gini_coocc,
         "rollup_sales": R.q_rollup_sales,
         "regression_qty_discount": R.q_regression_qty_discount,
@@ -439,6 +440,7 @@ def oracle_sql() -> dict[str, str]:
         "posting_samples": S.posting_samples_sql(k=8),
         "triad_census_coocc": S.triad_census_sql(),
         "revenue_gini": S.REVENUE_GINI,
+        "cc_by_degree_coocc": S.CC_BY_DEGREE_COOCC,
         "degree_gini_coocc": S.degree_gini_coocc_sql(),
         "rollup_sales": S.ROLLUP_SALES,
         "regression_qty_discount": S.REGRESSION_QTY_DISCOUNT,

@@ -4826,3 +4826,33 @@ SELECT count(*)::BIGINT AS n_orders,
   CAST(2 * SUM(rk * cents) - (count(*) + 1) * SUM(cents) AS DOUBLE)
     / CAST(count(*) * SUM(cents) AS DOUBLE) AS gini
 FROM r"""
+
+
+CC_BY_DEGREE_COOCC = """WITH pr AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+und AS (SELECT u, v FROM pr UNION ALL SELECT v AS u, u AS v FROM pr),
+verts AS (SELECT DISTINCT u AS vid FROM und),
+t AS (
+  SELECT e1.u AS vid, COUNT(*) AS c2
+  FROM und e1
+  JOIN und e2 ON e1.v = e2.u
+  JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v
+  GROUP BY e1.u
+),
+d AS (SELECT u AS vid, COUNT(*) AS deg FROM und GROUP BY u),
+pv AS (
+  SELECT verts.vid,
+    CAST(COALESCE(t.c2, 0) // 2 AS BIGINT) AS triangles,
+    CAST(d.deg AS BIGINT) AS deg,
+    CAST(CASE WHEN d.deg >= 2
+         THEN FLOOR(2000000.0 * CAST(COALESCE(t.c2, 0) // 2 AS DOUBLE) / (CAST(d.deg AS DOUBLE) * (CAST(d.deg AS DOUBLE) - 1.0)))
+         ELSE 0 END AS BIGINT) AS cc_ppm
+  FROM verts LEFT JOIN t ON verts.vid = t.vid JOIN d ON verts.vid = d.vid
+)
+SELECT deg, count(*)::BIGINT AS n_vertices,
+  SUM(triangles)::BIGINT AS sum_triangles,
+  SUM(cc_ppm)::BIGINT AS sum_cc_ppm
+FROM pv GROUP BY deg"""

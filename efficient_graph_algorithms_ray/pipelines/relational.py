@@ -5611,3 +5611,36 @@ def q_revenue_gini(sf_dir: str):
             "gini": pa.array([gini], type=pa.float64()),
         }
     )
+
+
+def q_cc_by_degree_coocc(sf_dir: str):
+    """C(k) profile: per degree class, vertex count, total triangles
+    and summed local-clustering ppm — the hierarchical-structure
+    signature curve (Ravasz-Barabasi, public measure). One
+    combiner-backed groupby over the clustering-coefficient table;
+    integer-exact end-to-end (no floats at all), SQL-oracled."""
+    from ray.data.aggregate import Count as _Count, Sum as _Sum
+
+    from .triangles import clustering_coefficient
+
+    cc = clustering_coefficient(_coocc_graph(sf_dir))
+
+    def _shape(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "deg": b.column("deg").cast(pa.int64()),
+                "n_vertices": b.column("n_vertices").cast(pa.int64()),
+                "sum_triangles": b.column("sum_triangles").cast(pa.int64()),
+                "sum_cc_ppm": b.column("sum_cc_ppm").cast(pa.int64()),
+            }
+        )
+
+    return (
+        cc.groupby("deg")
+        .aggregate(
+            _Count(alias_name="n_vertices"),
+            _Sum("triangles", alias_name="sum_triangles"),
+            _Sum("cc_ppm", alias_name="sum_cc_ppm"),
+        )
+        .map_batches(_shape, batch_format="pyarrow")
+    )
