@@ -59,6 +59,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triad_census_coocc": R.q_triad_census_coocc,
         "revenue_gini": R.q_revenue_gini,
         "cc_by_degree_coocc": R.q_cc_by_degree_coocc,
+        "cross_source_neardups": C.q_cross_source_neardups,
         "degree_gini_coocc": R.q_degree_gini_coocc,
         "rollup_sales": R.q_rollup_sales,
         "regression_qty_discount": R.q_regression_qty_discount,
@@ -441,6 +442,7 @@ def oracle_sql() -> dict[str, str]:
         "triad_census_coocc": S.triad_census_sql(),
         "revenue_gini": S.REVENUE_GINI,
         "cc_by_degree_coocc": S.CC_BY_DEGREE_COOCC,
+        "cross_source_neardups": S.cross_source_neardups_sql(threshold=0.5),
         "degree_gini_coocc": S.degree_gini_coocc_sql(),
         "rollup_sales": S.ROLLUP_SALES,
         "regression_qty_discount": S.REGRESSION_QTY_DISCOUNT,

@@ -799,3 +799,4 @@ def contamination_counts(
         .aggregate(Sum("n", alias_name="n_hits"))
     )
     return out
+

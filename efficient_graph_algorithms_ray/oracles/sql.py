@@ -4856,3 +4856,25 @@ SELECT deg, count(*)::BIGINT AS n_vertices,
   SUM(triangles)::BIGINT AS sum_triangles,
   SUM(cc_ppm)::BIGINT AS sum_cc_ppm
 FROM pv GROUP BY deg"""
+
+
+
+def cross_source_neardups_sql(threshold: float = 0.5) -> str:
+    """Near-dup provenance matrix: MinHash candidate pairs (identical
+    CTE chain as minhash_pairs_sql) classified by their documents'
+    source pair, with deterministic zero fill over all source pairs."""
+    return f"""WITH {_minhash_frag(threshold)},
+ds AS (SELECT doc_id, source FROM documents),
+pairsrc AS (
+  SELECT LEAST(sa.source, sb.source) AS src_a,
+         GREATEST(sa.source, sb.source) AS src_b
+  FROM hits JOIN ds sa ON sa.doc_id = hits.da JOIN ds sb ON sb.doc_id = hits.db
+),
+srcs AS (SELECT DISTINCT source FROM documents),
+allp AS (
+  SELECT a.source AS src_a, b.source AS src_b
+  FROM srcs a JOIN srcs b ON a.source <= b.source
+),
+cnt AS (SELECT src_a, src_b, count(*)::BIGINT AS n FROM pairsrc GROUP BY src_a, src_b)
+SELECT allp.src_a, allp.src_b, COALESCE(cnt.n, 0)::BIGINT AS neardup_pairs
+FROM allp LEFT JOIN cnt ON cnt.src_a = allp.src_a AND cnt.src_b = allp.src_b"""

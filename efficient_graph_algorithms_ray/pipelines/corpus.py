@@ -1595,3 +1595,70 @@ def q_posting_samples(sf_dir: str):
     from ..functions.terms import posting_samples
 
     return posting_samples(_docs(sf_dir, ["doc_id", "text"]), k=8)
+
+
+
+def q_cross_source_neardups(sf_dir: str):
+    """Near-duplicate pair counts within and across sources — the
+    dedup-provenance matrix a corpus audit reads to decide whether
+    near-dedup must run globally or can stay per-source. Reuses the
+    cached MinHash candidate pairs (threshold 0.5); each doc's source
+    is attached from a broadcast (doc_id → source) array (8 B + a
+    dictionary code per doc — ``ray.put`` once, searchsorted per
+    batch), the matrix groupby is over ≤ |sources|² keys, and every
+    observed source pair gets a deterministic zero fill. SQL-oracled
+    by composing the identical minhash CTE chain."""
+    import ray as _ray
+
+    pairs = _minhash_pairs_cached(sf_dir)
+    src_df = (
+        _docs(sf_dir, ["doc_id", "source"])
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    ids = src_df["doc_id"].to_numpy().astype(np.int64)
+    srcs_arr = src_df["source"].to_numpy()
+    uniq_srcs = sorted(set(srcs_arr.tolist()))
+    code = {s: i for i, s in enumerate(uniq_srcs)}
+    codes = np.array([code[s] for s in srcs_arr], dtype=np.int64)
+    ref = _ray.put((ids, codes))
+
+    def _classify(b: pa.Table) -> pa.Table:
+        ids_, codes_ = _ray.get(ref)
+        da = b.column("doc_a").to_numpy(zero_copy_only=False).astype(np.int64)
+        db = b.column("doc_b").to_numpy(zero_copy_only=False).astype(np.int64)
+        ca = codes_[np.searchsorted(ids_, da)]
+        cb = codes_[np.searchsorted(ids_, db)]
+        lo, hi = np.minimum(ca, cb), np.maximum(ca, cb)
+        return pa.table(
+            {
+                "src_a": pa.array(lo, type=pa.int64()),
+                "src_b": pa.array(hi, type=pa.int64()),
+                "n": pa.array(np.ones(len(lo), dtype=np.int64), type=pa.int64()),
+            }
+        )
+
+    from ray.data.aggregate import Sum as _Sum
+
+    mat = (
+        pairs.map_batches(_classify, batch_format="pyarrow")
+        .groupby(["src_a", "src_b"])
+        .aggregate(_Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    got = {
+        (int(a), int(b)): int(n)
+        for a, b, n in zip(mat["src_a"], mat["src_b"], mat["n"])
+    }
+    rows = []
+    for i, a in enumerate(uniq_srcs):
+        for j in range(i, len(uniq_srcs)):
+            rows.append((a, uniq_srcs[j], got.get((i, j), 0)))
+    return pa.table(
+        {
+            "src_a": pa.array([r[0] for r in rows], type=pa.string()),
+            "src_b": pa.array([r[1] for r in rows], type=pa.string()),
+            "neardup_pairs": pa.array([r[2] for r in rows], type=pa.int64()),
+        }
+    )
