@@ -235,6 +235,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only tail (non-SQL-expressible; pytest-verified against
         # brute-force oracles)
         "lowrank_diffusion_norms": C.q_lowrank_diffusion,
+        "kll_quantiles_cents": R.q_kll_quantiles,
         "sgns_embeddings_coocc": R.q_sgns_embeddings_coocc,
         "bpe_merges": C.q_bpe_merges,
         "bpe_packed_sequences": C.q_bpe_packed_sequences,

@@ -304,3 +304,179 @@ def bloom_membership_probe(
         .groupby("part")
         .map_groups(_mark, batch_format="pyarrow")
     )
+
+
+# ---- KLL quantile sketch --------------------------------------------------
+
+
+class KLL:
+    """Deterministic KLL-style quantile sketch (Karnin–Lang–Liberty,
+    FOCS 2016, public algorithm) with parity-alternating compaction
+    instead of coin flips: each level tracks its compaction count and
+    keeps the odd/even positions by count parity. Same O(k·log(n/k))
+    space and mergeability; determinism is what lets the engine promise
+    bit-stable results at any parallelism (the randomized variant's
+    guarantees are probabilistic either way — the alternating rule is
+    the classic derandomization used by streaming libraries' test
+    modes).
+
+    Levels hold SORTED int64 arrays; items at level i carry weight 2^i.
+    """
+
+    def __init__(self, k: int = 128):
+        self.k = k
+        self.levels: list[np.ndarray] = [np.empty(0, dtype=np.int64)]
+        self.parity: list[int] = [0]
+
+    def add(self, values: np.ndarray) -> "KLL":
+        v = np.sort(np.asarray(values, dtype=np.int64))
+        self.levels[0] = np.concatenate([self.levels[0], v])
+        self._compress()
+        return self
+
+    def merge(self, other: "KLL") -> "KLL":
+        while len(self.levels) < len(other.levels):
+            self.levels.append(np.empty(0, dtype=np.int64))
+            self.parity.append(0)
+        for i, lv in enumerate(other.levels):
+            self.levels[i] = np.concatenate([self.levels[i], lv])
+            # parity counters also merge — keeps the result independent
+            # of which operand absorbed which
+            self.parity[i] = (self.parity[i] + other.parity[i]) % 2
+        self._compress()
+        return self
+
+    def _compress(self) -> None:
+        i = 0
+        while i < len(self.levels):
+            lv = np.sort(self.levels[i])
+            if len(lv) <= self.k:
+                self.levels[i] = lv
+                i += 1
+                continue
+            # compact the whole level: an even-length body is halved —
+            # every other item (parity-chosen) moves up at DOUBLE
+            # weight, its neighbor is discarded (weight conserved:
+            # m items · 2^i  →  m/2 items · 2^(i+1)); an odd leftover
+            # item stays at this level
+            m = len(lv) - (len(lv) % 2)
+            body, leftover = lv[:m], lv[m:]
+            promoted = body[self.parity[i] % 2 :: 2]
+            self.levels[i] = leftover
+            self.parity[i] += 1
+            if i + 1 == len(self.levels):
+                self.levels.append(np.empty(0, dtype=np.int64))
+                self.parity.append(0)
+            self.levels[i + 1] = np.concatenate([self.levels[i + 1], promoted])
+            i += 1
+
+    def items(self) -> tuple[np.ndarray, np.ndarray]:
+        vals = np.concatenate(self.levels)
+        wts = np.concatenate(
+            [np.full(len(lv), 1 << i, dtype=np.int64) for i, lv in enumerate(self.levels)]
+        )
+        order = np.argsort(vals, kind="stable")
+        return vals[order], wts[order]
+
+    def n(self) -> int:
+        return int(sum((1 << i) * len(lv) for i, lv in enumerate(self.levels)))
+
+    def quantile(self, q: float) -> int:
+        vals, wts = self.items()
+        if not len(vals):
+            return 0
+        cum = np.cumsum(wts)
+        target = q * cum[-1]
+        return int(vals[min(int(np.searchsorted(cum, target)), len(vals) - 1)])
+
+    def to_rows(self) -> pa.Table:
+        rows_lvl, rows_val = [], []
+        for i, lv in enumerate(self.levels):
+            rows_lvl.extend([i] * len(lv))
+            rows_val.extend(lv.tolist())
+        return pa.table(
+            {
+                "lvl": pa.array(rows_lvl, type=pa.int64()),
+                "val": pa.array(rows_val, type=pa.int64()),
+                "par": pa.array(
+                    [self.parity[min(i, len(self.parity) - 1)] for i in rows_lvl],
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    @classmethod
+    def from_rows(cls, lvl: np.ndarray, val: np.ndarray, par: np.ndarray, k: int) -> "KLL":
+        sk = cls(k)
+        top = int(lvl.max()) if len(lvl) else 0
+        sk.levels = [np.sort(val[lvl == i]).astype(np.int64) for i in range(top + 1)]
+        sk.parity = [
+            int(par[lvl == i][0]) % 2 if (lvl == i).any() else 0 for i in range(top + 1)
+        ]
+        return sk
+
+
+def kll_quantiles(
+    ds,
+    value_fn,
+    bucket_col: str,
+    *,
+    bucket_step: int = 64,
+    k: int = 128,
+    quantiles: tuple = (0.01, 0.25, 0.5, 0.75, 0.99),
+) -> pa.Table:
+    """Distributed deterministic KLL quantiles.
+
+    Parallelism-invariance by construction: rows are assigned to FIXED
+    logical buckets (``bucket_col // bucket_step`` — not Ray blocks, so
+    block boundaries can't leak into the result), one sketch is built
+    per bucket inside a ``groupby(bucket)`` task, and bucket sketches
+    merge on the driver in ascending bucket order (each sketch is
+    O(k·log n) ints — the driver never sees raw values). Returns
+    (q_pct, est, n) — rows-only in the driver contract (no SQL can
+    replay compactions); pytest pins determinism across repartitions
+    and the rank-error bound vs exact order statistics.
+    """
+    import pandas as pd
+
+    def _bucket_sketch(group: pd.DataFrame) -> pd.DataFrame:
+        vals = value_fn(group)
+        sk = KLL(k).add(np.asarray(vals, dtype=np.int64))
+        t = sk.to_rows()
+        return pd.DataFrame(
+            {
+                "bucket": np.full(t.num_rows, int(group["__bucket"].iloc[0]), dtype=np.int64),
+                "lvl": t.column("lvl").to_numpy(),
+                "val": t.column("val").to_numpy(),
+                "par": t.column("par").to_numpy(),
+            }
+        )
+
+    def _with_bucket(b: pa.Table) -> pa.Table:
+        key = b.column(bucket_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        return b.append_column(
+            "__bucket", pa.array(key // bucket_step, type=pa.int64())
+        )
+
+    rows = (
+        ds.map_batches(_with_bucket, batch_format="pyarrow")
+        .groupby("__bucket")
+        .map_groups(_bucket_sketch, batch_format="pandas")
+        .to_pandas()
+    )
+    merged = KLL(k)
+    for b in sorted(rows["bucket"].unique()):
+        sub = rows[rows["bucket"] == b]
+        merged.merge(
+            KLL.from_rows(
+                sub["lvl"].to_numpy(), sub["val"].to_numpy(), sub["par"].to_numpy(), k
+            )
+        )
+    n = merged.n()
+    return pa.table(
+        {
+            "q_pct": pa.array([int(q * 100) for q in quantiles], type=pa.int64()),
+            "est": pa.array([merged.quantile(q) for q in quantiles], type=pa.int64()),
+            "n": pa.array([n] * len(quantiles), type=pa.int64()),
+        }
+    )

@@ -5644,3 +5644,23 @@ def q_cc_by_degree_coocc(sf_dir: str):
         )
         .map_batches(_shape, batch_format="pyarrow")
     )
+
+
+def q_kll_quantiles(sf_dir: str):
+    """Deterministic KLL sketch quantiles of lineitem price cents
+    (rows-only: compaction is not SQL-replayable; pytest pins the
+    rank-error bound vs exact order statistics, weight conservation,
+    merge symmetry and parallelism invariance — functions/sketches.py:
+    kll_quantiles)."""
+    from ..functions.sketches import kll_quantiles
+
+    def _vals(group):
+        return np.round(group["l_extendedprice"].to_numpy() * 100.0).astype(np.int64)
+
+    return kll_quantiles(
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice"]),
+        _vals,
+        "l_orderkey",
+        bucket_step=512,
+        k=128,
+    )
