@@ -236,6 +236,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # brute-force oracles)
         "lowrank_diffusion_norms": C.q_lowrank_diffusion,
         "kll_quantiles_cents": R.q_kll_quantiles,
+        "densest_coocc": R.q_densest_coocc,
         "sgns_embeddings_coocc": R.q_sgns_embeddings_coocc,
         "bpe_merges": C.q_bpe_merges,
         "bpe_packed_sequences": C.q_bpe_packed_sequences,

@@ -5664,3 +5664,15 @@ def q_kll_quantiles(sf_dir: str):
         bucket_step=512,
         k=128,
     )
+
+
+def q_densest_coocc(sf_dir: str):
+    """Densest-subgraph peeling rounds on the co-occurrence graph
+    (Bahmani 2(1+eps)-approx; rows-only — the per-round global
+    threshold loop is not SQL-expressible; pytest pins the
+    approximation guarantee against exhaustive search and exact
+    integer round determinism). Returns (round, n_alive, edges2)."""
+    from .densest import densest_subgraph
+
+    table, _ = densest_subgraph(_coocc_graph(sf_dir))
+    return table
