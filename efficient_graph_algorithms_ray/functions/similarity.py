@@ -1015,3 +1015,92 @@ def kmeans_quantized(
         )
 
     return embeddings_ds.map_batches(_assign, batch_format="pyarrow")
+
+
+def mmr_topk(
+    embeddings_ds,
+    query_id: int = 0,
+    m: int = 20,
+    k: int = 5,
+    lam: float = 0.75,
+):
+    """Maximal-marginal-relevance diverse retrieval (Carbonell &
+    Goldstein, SIGIR 1998): greedily pick k of the top-m candidates,
+    each step maximizing  λ·sim(q,i) − (1−λ)·max_{j∈S} sim(i,j).
+
+    Distribution: candidate generation is the brute-kNN pattern (one
+    broadcast query vector, per-block cosine + partial top-m, tiny
+    driver merge); candidate vectors come back through the distributed
+    filter; the greedy itself runs on the driver over an m×m matrix —
+    m is a constant, never data-sized. Exactness: every similarity is
+    ROUND r5 of the same explicit inner/(√·√) expression both sides,
+    every greedy score FLOOR(1e6·(λ-combination)) — floor of identical
+    doubles is bit-identical where ROUND's decimal half-ties are not —
+    and all selections order by (floored score desc, vec_id asc), so
+    the SQL oracle's unrolled greedy picks identical ids. Returns
+    (rank, vec_id, score_u6)."""
+    _, q_mat = _fetch_query_vectors(embeddings_ds, [query_id])
+    q = q_mat[0]
+    sqrt_qq = np.sqrt(float(np.dot(q, q)))
+    q_ref = ray.put(q)
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        ids, mat = _embedding_matrix(batch)
+        if not len(ids):
+            return pa.table(
+                {"vec_id": pa.array([], type=pa.int64()),
+                 "cq": pa.array([], type=pa.float64())}
+            )
+        qv = ray.get(q_ref)
+        dots = mat @ qv
+        ee = np.sqrt((mat * mat).sum(axis=1))
+        cos = np.round(dots / (ee * sqrt_qq), 5)
+        keep = ids != query_id
+        ids, cos = ids[keep], cos[keep]
+        order = np.lexsort((ids, -cos))[:m]
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[order].astype(np.int64), type=pa.int64()),
+                "cq": pa.array(cos[order], type=pa.float64()),
+            }
+        )
+
+    parts = (
+        embeddings_ds.map_batches(_partial, batch_format="pyarrow")
+        .to_pandas()
+        .sort_values(["cq", "vec_id"], ascending=[False, True])
+        .head(m)
+        .reset_index(drop=True)
+    )
+    cand_ids = parts["vec_id"].to_numpy().astype(np.int64)
+    cq5 = parts["cq"].to_numpy()
+    ids_sorted, vecs = _fetch_query_vectors(embeddings_ds, cand_ids.tolist())
+    pos = {int(v): i for i, v in enumerate(ids_sorted)}
+    mat = np.vstack([vecs[pos[int(v)]] for v in cand_ids])
+    ee = np.sqrt((mat * mat).sum(axis=1))
+    sim = np.round((mat @ mat.T) / np.outer(ee, ee), 5)
+
+    selected: list[int] = []
+    out_rank, out_id, out_score = [], [], []
+    remaining = np.ones(len(cand_ids), dtype=bool)
+    one_minus = 1.0 - lam
+    for step in range(min(k, len(cand_ids))):
+        if selected:
+            pen = sim[:, selected].max(axis=1)
+            score = np.floor(1000000.0 * (lam * cq5 - one_minus * pen))
+        else:
+            score = np.floor(1000000.0 * (lam * cq5))
+        score_m = np.where(remaining, score, -np.inf)
+        best = np.lexsort((cand_ids, -score_m))[0]
+        out_rank.append(step + 1)
+        out_id.append(int(cand_ids[best]))
+        out_score.append(int(score[best]))
+        selected.append(best)
+        remaining[best] = False
+    return pa.table(
+        {
+            "rank": pa.array(out_rank, type=pa.int64()),
+            "vec_id": pa.array(out_id, type=pa.int64()),
+            "score_u6": pa.array(out_score, type=pa.int64()),
+        }
+    )

@@ -4878,3 +4878,51 @@ allp AS (
 cnt AS (SELECT src_a, src_b, count(*)::BIGINT AS n FROM pairsrc GROUP BY src_a, src_b)
 SELECT allp.src_a, allp.src_b, COALESCE(cnt.n, 0)::BIGINT AS neardup_pairs
 FROM allp LEFT JOIN cnt ON cnt.src_a = allp.src_a AND cnt.src_b = allp.src_b"""
+
+
+def mmr_topk_sql(query_id: int = 0, m: int = 20, k: int = 5, lam: float = 0.75) -> str:
+    """Unrolled maximal-marginal-relevance greedy (k selection steps as
+    CTEs). Every similarity is ROUND r5 of the same explicit
+    inner/(sqrt*sqrt) expression the engine evaluates, every step score
+    FLOOR(1e6 * (lambda-combination)) — floor of identical doubles is
+    bit-identical where ROUND's decimal half-ties are not — ordered by
+    (score desc, vec_id asc), so the greedy picks identical ids."""
+    lam_s, om_s = repr(lam), repr(1.0 - lam)
+    parts = [f"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT v FROM e WHERE vec_id = {query_id}),
+cosq AS (
+  SELECT vec_id,
+    ROUND(list_inner_product(v, (SELECT v FROM q))
+      / (sqrt(list_inner_product(v, v)) * sqrt(list_inner_product((SELECT v FROM q), (SELECT v FROM q)))), 5) AS cq
+  FROM e WHERE vec_id <> {query_id}
+),
+cand AS MATERIALIZED (
+  SELECT c.vec_id, c.cq, e.v FROM cosq c JOIN e USING (vec_id)
+  ORDER BY c.cq DESC, c.vec_id ASC LIMIT {m}
+),
+sim AS MATERIALIZED (
+  SELECT a.vec_id AS ia, b.vec_id AS ib,
+    ROUND(list_inner_product(a.v, b.v)
+      / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))), 5) AS s
+  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+),
+p1 AS (
+  SELECT vec_id, CAST(FLOOR(1000000.0 * ({lam_s} * cq)) AS BIGINT) AS score FROM cand
+  ORDER BY score DESC, vec_id ASC LIMIT 1
+)"""]
+    for i in range(2, k + 1):
+        prev = " UNION ALL ".join(f"SELECT vec_id FROM p{j}" for j in range(1, i))
+        parts.append(f""",
+sel{i - 1} AS (SELECT vec_id FROM ({prev})),
+r{i} AS (
+  SELECT c.vec_id, CAST(FLOOR(1000000.0 * ({lam_s} * c.cq - {om_s} * MAX(s.s))) AS BIGINT) AS score
+  FROM cand c JOIN sim s ON s.ia = c.vec_id AND s.ib IN (SELECT vec_id FROM sel{i - 1})
+  WHERE c.vec_id NOT IN (SELECT vec_id FROM sel{i - 1})
+  GROUP BY c.vec_id, c.cq
+),
+p{i} AS (SELECT vec_id, score FROM r{i} ORDER BY score DESC, vec_id ASC LIMIT 1)""")
+    union = "\nUNION ALL\n".join(
+        f"SELECT {i} AS rank, vec_id, score AS score_u6 FROM p{i}" for i in range(1, k + 1)
+    )
+    parts.append(f"\n{union}\nORDER BY rank")
+    return "".join(parts)

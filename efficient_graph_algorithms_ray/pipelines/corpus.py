@@ -1662,3 +1662,12 @@ def q_cross_source_neardups(sf_dir: str):
             "neardup_pairs": pa.array([r[2] for r in rows], type=pa.int64()),
         }
     )
+
+
+def q_mmr_vec0(sf_dir: str):
+    """MMR diverse top-5 retrieval for query vector 0 over the top-20
+    cosine candidates (functions/similarity.py:mmr_topk) — SQL-oracled
+    against an unrolled 5-step greedy."""
+    from ..functions.similarity import mmr_topk
+
+    return mmr_topk(_emb(sf_dir), query_id=0, m=20, k=5, lam=0.75)
