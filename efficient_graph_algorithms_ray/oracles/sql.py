@@ -4926,3 +4926,13 @@ p{i} AS (SELECT vec_id, score FROM r{i} ORDER BY score DESC, vec_id ASC LIMIT 1)
     )
     parts.append(f"\n{union}\nORDER BY rank")
     return "".join(parts)
+
+
+SOURCE_MIXING_WEIGHTS = """WITH t AS (
+  SELECT source, len(string_split(text, ' '))::BIGINT AS n FROM documents
+),
+g AS (SELECT source, SUM(n)::BIGINT AS n_tokens FROM t GROUP BY source),
+s AS (SELECT SUM(sqrt(CAST(n_tokens AS DOUBLE))) AS tot FROM g)
+SELECT source, n_tokens,
+  ROUND(sqrt(CAST(n_tokens AS DOUBLE)) / (SELECT tot FROM s), 9) AS weight_r9
+FROM g"""

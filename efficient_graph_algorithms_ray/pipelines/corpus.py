@@ -1671,3 +1671,49 @@ def q_mmr_vec0(sf_dir: str):
     from ..functions.similarity import mmr_topk
 
     return mmr_topk(_emb(sf_dir), query_id=0, m=20, k=5, lam=0.75)
+
+
+def q_source_mixing_weights(sf_dir: str, alpha: float = 0.5):
+    """Temperature-scaled source sampling weights — the corpus-mixture
+    knob every multi-source training run sets: w_s ∝ (tokens_s)^α
+    (α = 0.5, the classic sqrt-temperature rebalancing). One map pass
+    reduces blocks to (source, n_tokens) partials; the combiner-backed
+    groupby leaves |sources| rows; weights come from the identical
+    sqrt/Σ expression on both sides (ROUND 9 absorbs the ~1e-16
+    summation-order drift over ≤ |sources| terms). Returns
+    (source, n_tokens, weight_r9)."""
+    from ray.data.aggregate import Sum as _Sum
+
+    def _partial(b: pa.Table) -> pa.Table:
+        srcs = b.column("source").to_pylist()
+        texts = b.column("text").to_pylist()
+        acc: dict = {}
+        for s, t in zip(srcs, texts):
+            acc[s] = acc.get(s, 0) + len((t or "").split(" "))
+        return pa.table(
+            {
+                "source": pa.array(list(acc.keys()), type=pa.string()),
+                "n_tokens": pa.array(list(acc.values()), type=pa.int64()),
+            }
+        )
+
+    agg = (
+        _docs(sf_dir, ["source", "text"])
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(_Sum("n_tokens", alias_name="n_tokens"))
+        .to_pandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    toks = agg["n_tokens"].to_numpy().astype(np.float64)
+    pw = np.sqrt(toks) if alpha == 0.5 else toks**alpha
+    tot = float(pw.sum())
+    w = np.round(pw / tot, 9)
+    return pa.table(
+        {
+            "source": pa.array(agg["source"].tolist(), type=pa.string()),
+            "n_tokens": pa.array(agg["n_tokens"].to_numpy().astype(np.int64)),
+            "weight_r9": pa.array(w, type=pa.float64()),
+        }
+    )
