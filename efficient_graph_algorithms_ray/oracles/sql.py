@@ -4936,3 +4936,21 @@ s AS (SELECT SUM(sqrt(CAST(n_tokens AS DOUBLE))) AS tot FROM g)
 SELECT source, n_tokens,
   ROUND(sqrt(CAST(n_tokens AS DOUBLE)) / (SELECT tot FROM s), 9) AS weight_r9
 FROM g"""
+
+
+def quality_ce_calibration_sql() -> str:
+    """Quality-band vs pooled bigram-CE calibration: fixed integer
+    decile bands of quality_ppm, exact integer CE sums, one IEEE
+    division per band (composes the quality-ratio and bigram-CE
+    oracles verbatim)."""
+    return f"""WITH {_QUALITY_RATIOS},
+qb AS (
+  SELECT doc_id, CAST(FLOOR(quality * 1000000.0) AS BIGINT) // 100000 AS band FROM q
+),
+ce AS (SELECT * FROM ({BIGRAM_CE_DOCS}) t),
+j AS (SELECT qb.band, ce.ce_num, ce.n_bigrams FROM qb JOIN ce USING (doc_id))
+SELECT band, count(*)::BIGINT AS n_docs,
+  SUM(ce_num)::BIGINT AS ce_num_sum,
+  SUM(n_bigrams)::BIGINT AS n_bigrams_sum,
+  CAST(SUM(ce_num) AS DOUBLE) / (1000000.0 * CAST(SUM(n_bigrams) AS DOUBLE)) AS pooled_ce
+FROM j GROUP BY band"""

@@ -1717,3 +1717,101 @@ def q_source_mixing_weights(sf_dir: str, alpha: float = 0.5):
             "weight_r9": pa.array(w, type=pa.float64()),
         }
     )
+
+
+def q_quality_ce_calibration(sf_dir: str):
+    """Calibration of the cheap heuristic quality score against the
+    bigram-LM cross-entropy — the "does my fast filter predict LM
+    loss" check run before spending a training epoch on filtered data.
+    Quality bands are FIXED integer deciles of the [0,1] score
+    (quality_ppm // 100000 — no rank computation, so no tie
+    sensitivity); per band the pooled CE is one IEEE division of
+    exact integer sums (Σ ce_num micro-nats / 1e6·Σ n_bigrams).
+    Join plan: the two per-doc tables union-tag co-shuffle on doc_id
+    (no broadcast — both sides are corpus-sized), then a tiny
+    groupby(band). Returns (band, n_docs, ce_num_sum, n_bigrams_sum,
+    pooled_ce)."""
+    from ray.data.aggregate import Count as _Count, Sum as _Sum
+
+    from ..functions import text as T
+    from ..functions.terms import bigram_cross_entropy
+
+    import ray as _ray
+
+    total = int(_ray.cluster_resources().get("CPU", 4))
+    scored = _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        T.QualityScorer,
+        batch_format="pyarrow",
+        batch_size=1024,
+        concurrency=max(2, total - 2),
+    )
+
+    def _qband(b: pa.Table) -> pa.Table:
+        q = b.column("quality_ppm").to_numpy(zero_copy_only=False).astype(np.int64)
+        n = b.num_rows
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id").cast(pa.int64()),
+                "band": pa.array(q // 100000, type=pa.int64()),
+                "ce_num": pa.array(np.zeros(n, dtype=np.int64)),
+                "n_bigrams": pa.array(np.zeros(n, dtype=np.int64)),
+            }
+        )
+
+    def _cetag(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id").cast(pa.int64()),
+                "band": pa.array(np.full(b.num_rows, -1, dtype=np.int64)),
+                "ce_num": b.column("ce_num").cast(pa.int64()),
+                "n_bigrams": b.column("n_bigrams").cast(pa.int64()),
+            }
+        )
+
+    ce = bigram_cross_entropy(_docs(sf_dir, ["doc_id", "text"]))
+    merged = (
+        scored.map_batches(_qband, batch_format="pyarrow")
+        .union(ce.map_batches(_cetag, batch_format="pyarrow"))
+        .groupby("doc_id")
+        .aggregate(
+            _Sum("band", alias_name="band"),  # band + (-1) from the ce row
+            _Sum("ce_num", alias_name="ce_num"),
+            _Sum("n_bigrams", alias_name="n_bigrams"),
+        )
+    )
+
+    def _fix(b: pa.Table) -> pa.Table:
+        band = b.column("band").to_numpy(zero_copy_only=False).astype(np.int64) + 1
+        nb = b.column("n_bigrams").to_numpy(zero_copy_only=False).astype(np.int64)
+        keep = nb > 0  # docs with no bigram row never join in SQL either
+        return pa.table(
+            {
+                "band": pa.array(band[keep], type=pa.int64()),
+                "ce_num": b.column("ce_num").filter(pa.array(keep)).cast(pa.int64()),
+                "n_bigrams": pa.array(nb[keep], type=pa.int64()),
+                "one": pa.array(np.ones(int(keep.sum()), dtype=np.int64)),
+            }
+        )
+
+    agg = (
+        merged.map_batches(_fix, batch_format="pyarrow")
+        .groupby("band")
+        .aggregate(
+            _Sum("one", alias_name="n_docs"),
+            _Sum("ce_num", alias_name="ce_num_sum"),
+            _Sum("n_bigrams", alias_name="n_bigrams_sum"),
+        )
+        .to_pandas()
+    )
+    pooled = agg["ce_num_sum"].to_numpy().astype(np.float64) / (
+        1000000.0 * agg["n_bigrams_sum"].to_numpy().astype(np.float64)
+    )
+    return pa.table(
+        {
+            "band": pa.array(agg["band"].to_numpy().astype(np.int64)),
+            "n_docs": pa.array(agg["n_docs"].to_numpy().astype(np.int64)),
+            "ce_num_sum": pa.array(agg["ce_num_sum"].to_numpy().astype(np.int64)),
+            "n_bigrams_sum": pa.array(agg["n_bigrams_sum"].to_numpy().astype(np.int64)),
+            "pooled_ce": pa.array(pooled, type=pa.float64()),
+        }
+    )
