@@ -63,6 +63,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mmr_vec0": C.q_mmr_vec0,
         "source_mixing_weights": C.q_source_mixing_weights,
         "quality_ce_calibration": C.q_quality_ce_calibration,
+        "event_stationary": R.q_event_stationary,
         "degree_gini_coocc": R.q_degree_gini_coocc,
         "rollup_sales": R.q_rollup_sales,
         "regression_qty_discount": R.q_regression_qty_discount,
@@ -451,6 +452,7 @@ def oracle_sql() -> dict[str, str]:
         "mmr_vec0": S.mmr_topk_sql(query_id=0, m=20, k=5, lam=0.75),
         "source_mixing_weights": S.SOURCE_MIXING_WEIGHTS,
         "quality_ce_calibration": S.quality_ce_calibration_sql(),
+        "event_stationary": S.event_stationary_sql(iters=32),
         "degree_gini_coocc": S.degree_gini_coocc_sql(),
         "rollup_sales": S.ROLLUP_SALES,
         "regression_qty_discount": S.REGRESSION_QTY_DISCOUNT,

@@ -4954,3 +4954,39 @@ SELECT band, count(*)::BIGINT AS n_docs,
   SUM(n_bigrams)::BIGINT AS n_bigrams_sum,
   CAST(SUM(ce_num) AS DOUBLE) / (1000000.0 * CAST(SUM(n_bigrams) AS DOUBLE)) AS pooled_ce
 FROM j GROUP BY band"""
+
+
+def event_stationary_sql(iters: int = 32) -> str:
+    """Unrolled power iteration of the event-type transition chain
+    (identical transition probabilities as EVENT_TRANSITIONS; uniform
+    start; types with no incoming mass COALESCE to 0)."""
+    parts = [
+        """WITH seq AS (
+  SELECT user_id, event_type,
+    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+tr AS (
+  SELECT prev AS src_type, event_type AS dst_type, count(*)::BIGINT AS n
+  FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2
+),
+tot AS (SELECT src_type, SUM(n)::BIGINT AS t FROM tr GROUP BY 1),
+p AS MATERIALIZED (
+  SELECT tr.src_type AS s, tr.dst_type AS d,
+         CAST(tr.n AS DOUBLE) / CAST(tot.t AS DOUBLE) AS w
+  FROM tr JOIN tot USING (src_type)
+),
+types AS MATERIALIZED (SELECT DISTINCT event_type AS t FROM events),
+x0 AS (SELECT t, 1.0 / (SELECT CAST(count(*) AS DOUBLE) FROM types) AS x FROM types)"""
+    ]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+x{i} AS MATERIALIZED (
+  SELECT p.d AS t, SUM(x{i - 1}.x * p.w) AS x
+  FROM x{i - 1} JOIN p ON p.s = x{i - 1}.t
+  GROUP BY p.d
+)""")
+    parts.append(f"""
+SELECT types.t AS event_type, ROUND(COALESCE(x{iters}.x, 0.0), 9) AS stat_r9
+FROM types LEFT JOIN x{iters} ON x{iters}.t = types.t""")
+    return "".join(parts)

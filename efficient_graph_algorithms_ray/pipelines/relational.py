@@ -5676,3 +5676,31 @@ def q_densest_coocc(sf_dir: str):
 
     table, _ = densest_subgraph(_coocc_graph(sf_dir))
     return table
+
+
+def q_event_stationary(sf_dir: str, iters: int = 32):
+    """Stationary distribution of the first-order event-type Markov
+    chain — the steady-state behavior mix behind "what fraction of
+    traffic ends up in checkout". The transition matrix comes from the
+    distributed q_event_transitions pipeline (exact integer counts →
+    single-division probabilities); the chain itself is |event_types|²
+    ≤ dozens of cells, so the power iteration runs on the driver and
+    the SQL oracle unrolls the same ``iters`` sparse vector-matrix
+    products (ROUND 9 absorbs the ~1e-15 summation-order drift).
+    Returns (event_type, stat_r9)."""
+    tr = q_event_transitions(sf_dir).to_pandas()
+    types = sorted(_read(sf_dir, "events", ["event_type"]).unique("event_type"))
+    idx = {t: i for i, t in enumerate(types)}
+    K = len(types)
+    P = np.zeros((K, K), dtype=np.float64)
+    for s, d, w in zip(tr["src_type"], tr["dst_type"], tr["prob"]):
+        P[idx[s], idx[d]] = float(w)
+    x = np.full(K, 1.0 / float(K), dtype=np.float64)
+    for _ in range(iters):
+        x = x @ P
+    return pa.table(
+        {
+            "event_type": pa.array(types, type=pa.string()),
+            "stat_r9": pa.array(np.round(x, 9), type=pa.float64()),
+        }
+    )
