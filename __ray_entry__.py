@@ -64,6 +64,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_mixing_weights": C.q_source_mixing_weights,
         "quality_ce_calibration": C.q_quality_ce_calibration,
         "event_stationary": R.q_event_stationary,
+        "ra_linkpred_coocc": R.q_ra_linkpred_coocc,
+        "order_count_distribution": R.q_order_count_distribution,
+        "large_orders": R.q_large_orders,
+        "small_qty_revenue": R.q_small_qty_revenue,
+        "priority_late_orders": R.q_priority_late_orders,
         "degree_gini_coocc": R.q_degree_gini_coocc,
         "rollup_sales": R.q_rollup_sales,
         "regression_qty_discount": R.q_regression_qty_discount,
@@ -453,6 +458,11 @@ def oracle_sql() -> dict[str, str]:
         "source_mixing_weights": S.SOURCE_MIXING_WEIGHTS,
         "quality_ce_calibration": S.quality_ce_calibration_sql(),
         "event_stationary": S.event_stationary_sql(iters=32),
+        "ra_linkpred_coocc": S.ra_linkpred_coocc_sql(k=100),
+        "order_count_distribution": S.ORDER_COUNT_DISTRIBUTION,
+        "large_orders": S.large_orders_sql(min_qty=250),
+        "small_qty_revenue": S.SMALL_QTY_REVENUE,
+        "priority_late_orders": S.priority_late_orders_sql(late_days=60),
         "degree_gini_coocc": S.degree_gini_coocc_sql(),
         "rollup_sales": S.ROLLUP_SALES,
         "regression_qty_discount": S.REGRESSION_QTY_DISCOUNT,

@@ -4990,3 +4990,84 @@ x{i} AS MATERIALIZED (
 SELECT types.t AS event_type, ROUND(COALESCE(x{iters}.x, 0.0), 9) AS stat_r9
 FROM types LEFT JOIN x{iters} ON x{iters}.t = types.t""")
     return "".join(parts)
+
+
+def ra_linkpred_coocc_sql(k: int = 100) -> str:
+    """Top-k non-adjacent pairs by resource-allocation index (Σ 1/deg
+    over common neighbors) + preferential-attachment product; same
+    wedge self-join as the Adamic-Adar oracle."""
+    return f"""WITH {_COOCC_UND_MAT},
+deg AS (SELECT u AS vid, count(*)::BIGINT AS d FROM und GROUP BY u),
+wedge AS (
+  SELECT e1.v AS u, e2.v AS w, e1.u AS a
+  FROM und e1 JOIN und e2 ON e1.u = e2.u AND e1.v < e2.v
+),
+ra AS (
+  SELECT u, w, count(*)::BIGINT AS cn, SUM(1.0 / CAST(d.d AS DOUBLE)) AS s
+  FROM wedge JOIN deg d ON wedge.a = d.vid
+  GROUP BY u, w
+),
+cand AS (
+  SELECT ra.u, ra.w, ra.cn, ROUND(ra.s, 6) AS ra_r6,
+         (du.d * dw.d)::BIGINT AS pa
+  FROM ra JOIN deg du ON ra.u = du.vid JOIN deg dw ON ra.w = dw.vid
+  WHERE NOT EXISTS (SELECT 1 FROM pr WHERE pr.u = ra.u AND pr.v = ra.w)
+)
+SELECT CAST(u AS BIGINT) AS u, CAST(w AS BIGINT) AS v, cn, ra_r6, pa
+FROM cand ORDER BY ra_r6 DESC, u, v LIMIT {k}"""
+
+
+ORDER_COUNT_DISTRIBUTION = """WITH per AS (
+  SELECT o_custkey, COUNT(*)::BIGINT AS n_orders FROM orders GROUP BY o_custkey
+),
+hist AS (
+  SELECT n_orders, COUNT(*)::BIGINT AS n_customers FROM per GROUP BY n_orders
+),
+zero AS (
+  SELECT CAST(0 AS BIGINT) AS n_orders,
+         (SELECT COUNT(*) FROM customer) - (SELECT COUNT(*) FROM per) AS n_customers
+)
+SELECT n_orders, n_customers FROM hist
+UNION ALL
+SELECT n_orders, n_customers FROM zero WHERE n_customers > 0"""
+
+
+def large_orders_sql(min_qty: int = 250) -> str:
+    """TPC-H Q18 shape: orders with Σ l_quantity ≥ min_qty, exact
+    integer qty sums and floor-cents total price."""
+    return f"""WITH big AS (
+  SELECT l_orderkey, SUM(CAST(l_quantity AS BIGINT)) AS qty_sum
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS BIGINT)) >= {int(min_qty)}
+)
+SELECT o.o_orderkey, o.o_custkey, big.qty_sum,
+       CAST(FLOOR(o.o_totalprice * 100) AS BIGINT) AS total_cents
+FROM orders o JOIN big ON o.o_orderkey = big.l_orderkey"""
+
+
+SMALL_QTY_REVENUE = """WITH per AS (
+  SELECT l_partkey,
+         SUM(CAST(l_quantity AS BIGINT)) AS sq,
+         COUNT(*)::BIGINT AS n
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT COUNT(*)::BIGINT AS n_items,
+       COALESCE(SUM(CAST(FLOOR(l.l_extendedprice * 100) AS BIGINT)), 0)::BIGINT
+         AS revenue_cents
+FROM lineitem l JOIN per ON l.l_partkey = per.l_partkey
+WHERE l.l_quantity <
+      CAST(0.2 AS DOUBLE) * (CAST(per.sq AS DOUBLE) / CAST(per.n AS DOUBLE))"""
+
+
+def priority_late_orders_sql(late_days: int = 60) -> str:
+    """TPC-H Q4 shape: per priority, order count + count of orders whose
+    max lineitem shipdate exceeds o_orderdate + late_days."""
+    return f"""WITH m AS (
+  SELECT l_orderkey, MAX(l_shipdate) AS max_ship FROM lineitem GROUP BY l_orderkey
+)
+SELECT o.o_orderpriority,
+       COUNT(*)::BIGINT AS n_orders,
+       COALESCE(SUM(CASE WHEN m.max_ship > o.o_orderdate + INTERVAL {int(late_days)} DAY
+                         THEN 1 ELSE 0 END), 0)::BIGINT AS n_late
+FROM orders o LEFT JOIN m ON o.o_orderkey = m.l_orderkey
+GROUP BY o.o_orderpriority"""

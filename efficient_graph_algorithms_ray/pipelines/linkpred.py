@@ -67,10 +67,12 @@ def _empty() -> pa.Table:
 def _cn_pairs(
     graph: ShardedGraph,
     max_center_degree: int | None,
-    aa_weights: bool,
+    weight_mode: str,
 ):
     """Merged non-adjacent common-neighbor pairs: Dataset (u, w, cn, s)
-    with u < w; s = Σ 1/ln(deg(center)) when ``aa_weights`` else 0."""
+    with u < w; s = Σ 1/ln(deg(center)) for ``weight_mode='aa'``
+    (Adamic-Adar), Σ 1/deg(center) for ``'ra'`` (resource allocation),
+    0 for ``'none'``."""
     import ray.data as rd
 
     assert not graph.directed
@@ -97,15 +99,17 @@ def _cn_pairs(
                 iu, iw = np.triu_indices(d, 1)
                 us.append(row[iu])  # row is sorted → u < w already
                 ws.append(row[iw])
-                if aa_weights:
+                if weight_mode == "aa":
                     wts.append(np.full(len(iu), 1.0 / np.log(d)))
+                elif weight_mode == "ra":
+                    wts.append(np.full(len(iu), 1.0 / d))
         if not us and not e_us:
             return _empty()
         out = []
         if us:
             u = np.concatenate(us)
             w = np.concatenate(ws)
-            wt = np.concatenate(wts) if aa_weights else np.zeros(len(u))
+            wt = np.concatenate(wts) if weight_mode != "none" else np.zeros(len(u))
             # shard-local pre-aggregation: one row per distinct (u, w)
             order = np.lexsort((w, u))
             u, w, wt = u[order], w[order], wt[order]
@@ -301,7 +305,7 @@ def adamic_adar_topk(
     Returns (u, v, cn, aa_r6) ordered by (aa_r6 desc, u, v); u < w.
     ``graph`` must be undirected (both directions present).
     """
-    merged = _cn_pairs(graph, max_center_degree, aa_weights=True)
+    merged = _cn_pairs(graph, max_center_degree, weight_mode="aa")
 
     def _score(batch: pa.Table) -> pa.Table:
         s = batch.column("s").to_numpy(zero_copy_only=False)
@@ -338,7 +342,7 @@ def jaccard_topk(
     """
     from .triangles import _degree_index
 
-    merged = _cn_pairs(graph, max_center_degree, aa_weights=False)
+    merged = _cn_pairs(graph, max_center_degree, weight_mode="none")
     deg_refs = _degree_index(graph)
     P = graph.num_partitions
 
@@ -377,5 +381,55 @@ def jaccard_topk(
 
     def _rename(batch: pa.Table) -> pa.Table:
         return batch.rename_columns(["u", "v", "cn", "jaccard"])
+
+    return top.map_batches(_rename, batch_format="pyarrow")
+
+
+def ra_pa_topk(
+    graph: ShardedGraph,
+    k: int = 100,
+    max_center_degree: int | None = None,
+) -> "ray.data.Dataset":
+    """Top-k non-adjacent pairs by resource-allocation index (Zhou,
+    Lü & Zhang 2009: Σ_a 1/deg(a) over common neighbors — the RA
+    link-prediction feature), with the preferential-attachment product
+    deg(u)·deg(v) attached map-side from the broadcast degree index.
+    Returns (u, v, cn, ra_r6, pa) ordered by (ra_r6 desc, u, v)."""
+    from .triangles import _degree_index
+
+    merged = _cn_pairs(graph, max_center_degree, weight_mode="ra")
+    deg_refs = _degree_index(graph)
+    P = graph.num_partitions
+
+    def _score(batch: pa.Table) -> pa.Table:
+        s = batch.column("s").to_numpy(zero_copy_only=False)
+        u = batch.column("u").to_numpy(zero_copy_only=False).astype(np.uint64)
+        w = batch.column("w").to_numpy(zero_copy_only=False).astype(np.uint64)
+        du = np.zeros(len(u), dtype=np.int64)
+        dw = np.zeros(len(w), dtype=np.int64)
+        for arr, out in ((u, du), (w, dw)):
+            parts = (arr % np.uint64(P)).astype(np.int64)
+            for q in np.unique(parts):
+                dq = ray.get(deg_refs[int(q)])
+                rows = np.flatnonzero(parts == q)
+                out[rows] = dq["deg"][np.searchsorted(dq["vids"], arr[rows])]
+        return pa.table(
+            {
+                "u": batch.column("u"),
+                "w": batch.column("w"),
+                "cn": batch.column("cn"),
+                "ra_r6": pa.array(np.round(s, 6), type=_F64),
+                "pa": pa.array(du * dw, type=_I64),
+            }
+        )
+
+    top = (
+        merged.map_batches(_score, batch_format="pyarrow")
+        .sort(["ra_r6", "u", "w"], descending=[True, False, False])
+        .limit(k)
+    )
+
+    def _rename(batch: pa.Table) -> pa.Table:
+        return batch.rename_columns(["u", "v", "cn", "ra_r6", "pa"])
 
     return top.map_batches(_rename, batch_format="pyarrow")

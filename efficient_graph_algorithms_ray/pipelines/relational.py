@@ -5704,3 +5704,493 @@ def q_event_stationary(sf_dir: str, iters: int = 32):
             "stat_r9": pa.array(np.round(x, 9), type=pa.float64()),
         }
     )
+
+
+def q_ra_linkpred_coocc(sf_dir: str):
+    """Top-100 non-adjacent pairs by resource-allocation index with
+    preferential-attachment products (pipelines/linkpred.py:ra_pa_topk)
+    — SQL-oracled via the wedge self-join."""
+    from .linkpred import ra_pa_topk
+
+    return ra_pa_topk(_coocc_graph(sf_dir), k=100)
+
+
+def q_order_count_distribution(sf_dir: str):
+    """TPC-H Q13 shape ("custdist"): distribution of customers by
+    order count INCLUDING the zero-order bucket — the classic
+    left-outer-join histogram. Distributed shape: per-block
+    (custkey, n) Arrow partials → one ``groupby(custkey)`` sum → the
+    per-custkey counts collapse to a tiny ``groupby(n_orders)``
+    histogram. The zero bucket needs no outer join at any scale: it is
+    |customer| − |distinct ordering custkeys|, and the second term is
+    Σ n_customers of the histogram itself — two scalar counts, no
+    customer row ever shuffles. Returns (n_orders, n_customers)."""
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({"custkey": batch.column("o_custkey")})
+        out = t.group_by("custkey").aggregate([("custkey", "count")])
+        return pa.table(
+            {
+                "custkey": out.column("custkey"),
+                "n": out.column("custkey_count").cast(pa.int64()),
+            }
+        )
+
+    per = (
+        _read(sf_dir, "orders", ["o_custkey"])
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby("custkey")
+        .aggregate(Sum("n", alias_name="n_orders"))
+    )
+    hist_t = (
+        per.groupby("n_orders")
+        .aggregate(Count(alias_name="n_customers"))
+        .to_pandas()
+    )
+    n_cust = _read(sf_dir, "customer", ["c_custkey"]).count()
+    zero = int(n_cust) - int(hist_t["n_customers"].sum())
+    n_orders = hist_t["n_orders"].to_numpy(dtype=np.int64)
+    n_customers = hist_t["n_customers"].to_numpy(dtype=np.int64)
+    if zero > 0:
+        n_orders = np.concatenate((n_orders, [0]))
+        n_customers = np.concatenate((n_customers, [zero]))
+    return pa.table(
+        {
+            "n_orders": pa.array(n_orders, type=pa.int64()),
+            "n_customers": pa.array(n_customers, type=pa.int64()),
+        }
+    )
+
+
+def q_large_orders(sf_dir: str, min_qty: int = 250):
+    """TPC-H Q18 shape ("large volume customer"): orders whose total
+    lineitem quantity is ≥ ``min_qty``, with the order's customer and
+    exact-cents total price. Distributed shape: per-block Arrow
+    (orderkey, qty) partials → one ``groupby(orderkey)`` sum → the
+    HAVING filter leaves a tiny survivor set (≈0.2% of orders) that is
+    broadcast as a sorted key array, and orders stream past it with a
+    ``searchsorted`` semi-join — the big-big lineitem⋈orders join never
+    happens. l_quantity is integral in the fixture, so qty sums are
+    exact int64s. Returns (o_orderkey, o_custkey, qty_sum,
+    total_cents)."""
+    import ray
+
+    def _qty_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "okey": batch.column("l_orderkey"),
+                "qty": pa.array(
+                    batch.column("l_quantity")
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                ),
+            }
+        )
+        out = t.group_by("okey").aggregate([("qty", "sum")])
+        return out.rename_columns(["okey", "qty"])
+
+    def _having(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.greater_equal(batch.column("qty_sum"), pa.scalar(int(min_qty)))
+        )
+
+    big = (
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+        .map_batches(_qty_partial, batch_format="pyarrow")
+        .groupby("okey")
+        .aggregate(Sum("qty", alias_name="qty_sum"))
+        .map_batches(_having, batch_format="pyarrow")
+        .to_pandas()
+    )
+    order = np.argsort(big["okey"].to_numpy())
+    keys = big["okey"].to_numpy(dtype=np.int64)[order]
+    qtys = big["qty_sum"].to_numpy(dtype=np.int64)[order]
+    ref = ray.put((keys, qtys))
+
+    def _semi(batch: pa.Table) -> pa.Table:
+        k, q = ray.get(ref)
+        ok = batch.column("o_orderkey").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(k, ok)
+        inb = pos < len(k)
+        hit = np.zeros(len(ok), dtype=bool)
+        hit[inb] = k[pos[inb]] == ok[inb]
+        cents = np.floor(
+            batch.column("o_totalprice").to_numpy(zero_copy_only=False)[hit] * 100
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "o_orderkey": pa.array(ok[hit], type=pa.int64()),
+                "o_custkey": pa.array(
+                    batch.column("o_custkey").to_numpy(zero_copy_only=False)[hit],
+                    type=pa.int64(),
+                ),
+                "qty_sum": pa.array(q[pos[hit]], type=pa.int64()),
+                "total_cents": pa.array(cents, type=pa.int64()),
+            }
+        )
+
+    return _read(
+        sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"]
+    ).map_batches(_semi, batch_format="pyarrow")
+
+
+def q_small_qty_revenue(sf_dir: str):
+    """TPC-H Q17 shape ("small-quantity-order revenue"): Σ revenue of
+    lineitems whose quantity is below 20% of their part's average
+    quantity. The correlated per-part AVG subquery becomes a two-pass
+    plan: pass 1 is a ``groupby(partkey)`` of exact int64 (Σqty, n)
+    partials; the per-part table (≤ |part| rows) is broadcast as three
+    sorted numpy arrays, and pass 2 streams lineitem past it with a
+    ``searchsorted`` probe — no join shuffle. The threshold
+    ``0.2·(Σqty/n)`` is a single IEEE divide+multiply on exact ints,
+    reproduced verbatim in the oracle, so the float comparison is
+    bit-identical. Returns one row (n_items, revenue_cents)."""
+    import ray
+
+    def _qty_partial(batch: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "pk": batch.column("l_partkey"),
+                "qty": pa.array(
+                    batch.column("l_quantity")
+                    .to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                ),
+                "one": pa.array(np.ones(batch.num_rows, dtype=np.int64)),
+            }
+        )
+        out = t.group_by("pk").aggregate([("qty", "sum"), ("one", "sum")])
+        return out.rename_columns(["pk", "sq", "n"])
+
+    per = (
+        _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
+        .map_batches(_qty_partial, batch_format="pyarrow")
+        .groupby("pk")
+        .aggregate(Sum("sq", alias_name="sq"), Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    order = np.argsort(per["pk"].to_numpy())
+    pk = per["pk"].to_numpy(dtype=np.int64)[order]
+    thr = 0.2 * (
+        per["sq"].to_numpy(dtype=np.float64)[order]
+        / per["n"].to_numpy(dtype=np.float64)[order]
+    )
+    ref = ray.put((pk, thr))
+
+    def _probe(batch: pa.Table) -> pa.Table:
+        k, t = ray.get(ref)
+        lpk = batch.column("l_partkey").to_numpy(zero_copy_only=False)
+        qty = batch.column("l_quantity").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(k, lpk)  # every l_partkey exists in k
+        sel = qty < t[pos]
+        cents = np.floor(
+            batch.column("l_extendedprice").to_numpy(zero_copy_only=False)[sel] * 100
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "n_items": pa.array([int(sel.sum())], type=pa.int64()),
+                "revenue_cents": pa.array([int(cents.sum())], type=pa.int64()),
+            }
+        )
+
+    parts = (
+        _read(sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice"])
+        .map_batches(_probe, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return pa.table(
+        {
+            "n_items": pa.array([int(parts["n_items"].sum())], type=pa.int64()),
+            "revenue_cents": pa.array(
+                [int(parts["revenue_cents"].sum())], type=pa.int64()
+            ),
+        }
+    )
+
+
+def q_priority_late_orders(sf_dir: str, late_days: int = 60, P: int = 32):
+    """TPC-H Q4 shape ("order priority checking"): per order priority,
+    the number of orders and the number whose latest lineitem shipped
+    more than ``late_days`` after the order date (the EXISTS semi-join,
+    folded to ``max(l_shipdate) > o_orderdate + Δ``). Distributed
+    shape: per-block (okey, max_ts) Arrow partials → both sides tagged
+    into one superset schema and co-located by ONE
+    ``groupby(okey % P)`` — the big-big join is a per-partition
+    vectorized ``searchsorted`` merge, and only (priority, n, n_late)
+    partials leave each partition for a 5-row final sum. Returns
+    (o_orderpriority, n_orders, n_late)."""
+    late_us = np.int64(late_days) * np.int64(86_400) * np.int64(1_000_000)
+
+    def _ship_partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "okey": b.column("l_orderkey"),
+                "ts": pa.array(
+                    b.column("l_shipdate")
+                    .cast(pa.timestamp("us"))
+                    .to_numpy(zero_copy_only=False)
+                    .astype("datetime64[us]")
+                    .view(np.int64)
+                ),
+            }
+        )
+        out = t.group_by("okey").aggregate([("ts", "max")])
+        return out.rename_columns(["okey", "max_ts"])
+
+    from ray.data.aggregate import Max
+
+    maxes = (
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+        .map_batches(_ship_partial, batch_format="pyarrow")
+        .groupby("okey")
+        .aggregate(Max("max_ts", alias_name="max_ts"))
+    )
+
+    def _tag_max(b: pa.Table) -> pa.Table:
+        ok = b.column("okey").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "part": pa.array(ok % P, type=pa.int64()),
+                "okey": pa.array(ok, type=pa.int64()),
+                "max_ts": b.column("max_ts").cast(pa.int64()),
+                "o_ts": pa.nulls(b.num_rows, type=pa.int64()),
+                "prio": pa.nulls(b.num_rows, type=pa.string()),
+            }
+        )
+
+    def _tag_orders(b: pa.Table) -> pa.Table:
+        ok = b.column("o_orderkey").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "part": pa.array(ok % P, type=pa.int64()),
+                "okey": pa.array(ok, type=pa.int64()),
+                "max_ts": pa.nulls(b.num_rows, type=pa.int64()),
+                "o_ts": pa.array(
+                    b.column("o_orderdate")
+                    .cast(pa.timestamp("us"))
+                    .to_numpy(zero_copy_only=False)
+                    .astype("datetime64[us]")
+                    .view(np.int64)
+                ),
+                "prio": b.column("o_orderpriority"),
+            }
+        )
+
+    both = maxes.map_batches(_tag_max, batch_format="pyarrow").union(
+        _read(
+            sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"]
+        ).map_batches(_tag_orders, batch_format="pyarrow")
+    )
+
+    def _merge(g: pa.Table) -> pa.Table:
+        is_order = g.column("prio").is_valid().to_numpy(zero_copy_only=False)
+        okey = g.column("okey").to_numpy(zero_copy_only=False)
+        m_ok = okey[~is_order]
+        m_ts = g.column("max_ts").to_numpy(zero_copy_only=False)[~is_order]
+        ms = np.argsort(m_ok)
+        m_ok, m_ts = m_ok[ms], m_ts[ms]
+        o_ok = okey[is_order]
+        o_ts = g.column("o_ts").to_numpy(zero_copy_only=False)[is_order]
+        prio = g.column("prio").filter(pa.array(is_order))
+        pos = np.searchsorted(m_ok, o_ok)
+        inb = pos < len(m_ok)
+        hit = np.zeros(len(o_ok), dtype=bool)
+        hit[inb] = m_ok[pos[inb]] == o_ok[inb]
+        late = np.zeros(len(o_ok), dtype=np.int64)
+        late[hit] = (m_ts[pos[hit]] > o_ts[hit] + late_us).astype(np.int64)
+        t = pa.table(
+            {
+                "o_orderpriority": prio,
+                "one": pa.array(np.ones(len(o_ok), dtype=np.int64)),
+                "late": pa.array(late),
+            }
+        )
+        out = t.group_by("o_orderpriority").aggregate(
+            [("one", "sum"), ("late", "sum")]
+        )
+        return out.rename_columns(["o_orderpriority", "n_orders", "n_late"])
+
+    return (
+        both.groupby("part")
+        .map_groups(_merge, batch_format="pyarrow")
+        .groupby("o_orderpriority")
+        .aggregate(
+            Sum("n_orders", alias_name="n_orders"), Sum("n_late", alias_name="n_late")
+        )
+    )
+
+
+def q_global_sales_opportunity(sf_dir: str):
+    """TPC-H Q22 shape ("global sales opportunity"): per nation, the
+    count and exact-cents balance sum of customers whose account
+    balance beats the global average POSITIVE balance and who have
+    never ordered. Three scalable pieces, no join shuffle: (a) the
+    scalar subquery is a per-block (Σcents, n) int64 partial pair
+    merged to one IEEE division; (b) the anti-join key set is a
+    distributed distinct of o_custkey broadcast as one sorted array
+    (the proven q_customers_without_orders pattern); (c) customers
+    stream past both. Returns (nationkey, n_custs, bal_cents)."""
+    import ray
+
+    def _bal_partial(b: pa.Table) -> pa.Table:
+        bal = b.column("c_acctbal").to_numpy(zero_copy_only=False)
+        pos = bal > 0
+        cents = np.floor(bal[pos] * 100).astype(np.int64)
+        return pa.table(
+            {
+                "s": pa.array([int(cents.sum())], type=pa.int64()),
+                "n": pa.array([int(pos.sum())], type=pa.int64()),
+            }
+        )
+
+    parts = (
+        _read(sf_dir, "customer", ["c_acctbal"])
+        .map_batches(_bal_partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    avg_cents = float(parts["s"].sum()) / float(parts["n"].sum())
+
+    def _block_unique(b: pa.Table) -> pa.Table:
+        ck = np.unique(b.column("o_custkey").to_numpy(zero_copy_only=False))
+        return pa.table({"o_custkey": pa.array(ck, type=pa.int64())})
+
+    have = (
+        _read(sf_dir, "orders", ["o_custkey"])
+        .map_batches(_block_unique, batch_format="pyarrow")
+        .unique("o_custkey")
+    )
+    ref = ray.put(np.sort(np.asarray(have, dtype=np.int64)))
+
+    def _probe(b: pa.Table) -> pa.Table:
+        keys = ray.get(ref)
+        ck = b.column("c_custkey").to_numpy(zero_copy_only=False)
+        bal_cents = np.floor(
+            b.column("c_acctbal").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        pos = np.searchsorted(keys, ck)
+        inb = pos < len(keys)
+        ordered = np.zeros(len(ck), dtype=bool)
+        ordered[inb] = keys[pos[inb]] == ck[inb]
+        sel = (~ordered) & (bal_cents > avg_cents)
+        t = pa.table(
+            {
+                "nationkey": pa.array(
+                    b.column("c_nationkey")
+                    .to_numpy(zero_copy_only=False)[sel]
+                    .astype(np.int64)
+                ),
+                "one": pa.array(np.ones(int(sel.sum()), dtype=np.int64)),
+                "cents": pa.array(bal_cents[sel], type=pa.int64()),
+            }
+        )
+        out = t.group_by("nationkey").aggregate([("one", "sum"), ("cents", "sum")])
+        return out.rename_columns(["nationkey", "n_custs", "bal_cents"])
+
+    return (
+        _read(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+        .map_batches(_probe, batch_format="pyarrow")
+        .groupby("nationkey")
+        .aggregate(
+            Sum("n_custs", alias_name="n_custs"),
+            Sum("bal_cents", alias_name="bal_cents"),
+        )
+    )
+
+
+def q_returned_items_topk(sf_dir: str, k: int = 20, P: int = 32):
+    """TPC-H Q10 shape ("returned item reporting"): top-k customers by
+    exact-cents revenue on returned lineitems (l_returnflag='R').
+    Distributed shape: the R-filtered lineitem collapses to per-block
+    (okey, cents) partials; orders and those partials are co-located
+    by ONE ``groupby(okey % P)`` and each partition emits
+    (custkey, cents) partial sums, so the big-big lineitem⋈orders join
+    is a per-partition searchsorted merge; a final ``groupby(custkey)``
+    sum + partial top-k sort yields k rows. Returns
+    (c_custkey, revenue_cents), revenue desc, custkey asc ties."""
+
+    def _ret_partial(b: pa.Table) -> pa.Table:
+        rf = b.column("l_returnflag").to_numpy(zero_copy_only=False)
+        sel = rf == "R"
+        t = pa.table(
+            {
+                "okey": pa.array(
+                    b.column("l_orderkey").to_numpy(zero_copy_only=False)[sel],
+                    type=pa.int64(),
+                ),
+                "cents": pa.array(
+                    np.floor(
+                        b.column("l_extendedprice").to_numpy(zero_copy_only=False)[sel]
+                        * 100
+                    ).astype(np.int64),
+                    type=pa.int64(),
+                ),
+            }
+        )
+        out = t.group_by("okey").aggregate([("cents", "sum")])
+        return out.rename_columns(["okey", "cents"])
+
+    def _tag_li(b: pa.Table) -> pa.Table:
+        ok = b.column("okey").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "part": pa.array(ok % P, type=pa.int64()),
+                "okey": pa.array(ok, type=pa.int64()),
+                "cents": b.column("cents"),
+                "custkey": pa.nulls(b.num_rows, type=pa.int64()),
+            }
+        )
+
+    def _tag_orders(b: pa.Table) -> pa.Table:
+        ok = b.column("o_orderkey").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "part": pa.array(ok % P, type=pa.int64()),
+                "okey": pa.array(ok, type=pa.int64()),
+                "cents": pa.nulls(b.num_rows, type=pa.int64()),
+                "custkey": b.column("o_custkey").cast(pa.int64()),
+            }
+        )
+
+    both = (
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag", "l_extendedprice"])
+        .map_batches(_ret_partial, batch_format="pyarrow")
+        .map_batches(_tag_li, batch_format="pyarrow")
+        .union(
+            _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+                _tag_orders, batch_format="pyarrow"
+            )
+        )
+    )
+
+    def _merge(g: pa.Table) -> pa.Table:
+        is_order = g.column("custkey").is_valid().to_numpy(zero_copy_only=False)
+        okey = g.column("okey").to_numpy(zero_copy_only=False)
+        li_ok = okey[~is_order]
+        li_c = g.column("cents").to_numpy(zero_copy_only=False)[~is_order]
+        o_ok = okey[is_order]
+        o_ck = g.column("custkey").to_numpy(zero_copy_only=False)[is_order]
+        os_ = np.argsort(o_ok)
+        o_ok, o_ck = o_ok[os_], o_ck[os_]
+        pos = np.searchsorted(o_ok, li_ok)  # every lineitem has its order
+        ck = o_ck[pos]
+        t = pa.table(
+            {
+                "custkey": pa.array(ck, type=pa.int64()),
+                "cents": pa.array(li_c, type=pa.int64()),
+            }
+        )
+        out = t.group_by("custkey").aggregate([("cents", "sum")])
+        return out.rename_columns(["custkey", "cents"])
+
+    agg = (
+        both.groupby("part")
+        .map_groups(_merge, batch_format="pyarrow")
+        .groupby("custkey")
+        .aggregate(Sum("cents", alias_name="revenue_cents"))
+    )
+    top = agg.sort(["revenue_cents", "custkey"], descending=[True, False]).limit(k)
+
+    def _rename(b: pa.Table) -> pa.Table:
+        return b.rename_columns(["c_custkey", "revenue_cents"])
+
+    return top.map_batches(_rename, batch_format="pyarrow")
