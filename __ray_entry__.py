@@ -69,6 +69,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "large_orders": R.q_large_orders,
         "small_qty_revenue": R.q_small_qty_revenue,
         "priority_late_orders": R.q_priority_late_orders,
+        "global_sales_opportunity": R.q_global_sales_opportunity,
+        "returned_items_topk": R.q_returned_items_topk,
         "degree_gini_coocc": R.q_degree_gini_coocc,
         "rollup_sales": R.q_rollup_sales,
         "regression_qty_discount": R.q_regression_qty_discount,
@@ -463,6 +465,8 @@ def oracle_sql() -> dict[str, str]:
         "large_orders": S.large_orders_sql(min_qty=250),
         "small_qty_revenue": S.SMALL_QTY_REVENUE,
         "priority_late_orders": S.priority_late_orders_sql(late_days=60),
+        "global_sales_opportunity": S.GLOBAL_SALES_OPPORTUNITY,
+        "returned_items_topk": S.returned_items_topk_sql(k=20),
         "degree_gini_coocc": S.degree_gini_coocc_sql(),
         "rollup_sales": S.ROLLUP_SALES,
         "regression_qty_discount": S.REGRESSION_QTY_DISCOUNT,

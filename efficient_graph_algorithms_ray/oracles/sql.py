@@ -5071,3 +5071,36 @@ SELECT o.o_orderpriority,
                          THEN 1 ELSE 0 END), 0)::BIGINT AS n_late
 FROM orders o LEFT JOIN m ON o.o_orderkey = m.l_orderkey
 GROUP BY o.o_orderpriority"""
+
+
+GLOBAL_SALES_OPPORTUNITY = """WITH avg_bal AS (
+  SELECT CAST(SUM(CASE WHEN c_acctbal > 0
+                       THEN CAST(FLOOR(c_acctbal * 100) AS BIGINT) END) AS DOUBLE)
+         / COUNT(*) FILTER (c_acctbal > 0) AS a
+  FROM customer
+),
+have AS (SELECT DISTINCT o_custkey FROM orders
+         WHERE o_orderdate >= TIMESTAMP '2000-01-01')
+SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+       COUNT(*)::BIGINT AS n_custs,
+       SUM(CAST(FLOOR(c_acctbal * 100) AS BIGINT))::BIGINT AS bal_cents
+FROM customer c, avg_bal
+WHERE CAST(FLOOR(c_acctbal * 100) AS BIGINT) > avg_bal.a
+  AND NOT EXISTS (SELECT 1 FROM have WHERE have.o_custkey = c.c_custkey)
+GROUP BY c_nationkey"""
+
+
+def returned_items_topk_sql(k: int = 20) -> str:
+    """TPC-H Q10 shape: top-k customers by exact-cents revenue on
+    returned ('R') lineitems; ties broken by custkey ascending."""
+    return f"""WITH r AS (
+  SELECT l_orderkey, SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS cents
+  FROM lineitem WHERE l_returnflag = 'R' GROUP BY l_orderkey
+),
+per AS (
+  SELECT o.o_custkey AS c_custkey, SUM(r.cents)::BIGINT AS revenue_cents
+  FROM r JOIN orders o ON r.l_orderkey = o.o_orderkey
+  GROUP BY o.o_custkey
+)
+SELECT c_custkey, revenue_cents FROM per
+ORDER BY revenue_cents DESC, c_custkey LIMIT {int(k)}"""

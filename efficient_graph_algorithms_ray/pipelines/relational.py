@@ -6020,17 +6020,22 @@ def q_priority_late_orders(sf_dir: str, late_days: int = 60, P: int = 32):
     )
 
 
-def q_global_sales_opportunity(sf_dir: str):
+def q_global_sales_opportunity(sf_dir: str, cutoff: str = "2000-01-01"):
     """TPC-H Q22 shape ("global sales opportunity"): per nation, the
     count and exact-cents balance sum of customers whose account
-    balance beats the global average POSITIVE balance and who have
-    never ordered. Three scalable pieces, no join shuffle: (a) the
-    scalar subquery is a per-block (Σcents, n) int64 partial pair
-    merged to one IEEE division; (b) the anti-join key set is a
-    distributed distinct of o_custkey broadcast as one sorted array
-    (the proven q_customers_without_orders pattern); (c) customers
-    stream past both. Returns (nationkey, n_custs, bal_cents)."""
+    balance beats the global average POSITIVE balance and who have no
+    order since ``cutoff`` (lapsed high-balance customers — the
+    fixture has no never-ordered customers, so the recency cutoff
+    keeps the anti-join non-trivial). Three scalable pieces, no join
+    shuffle: (a) the scalar subquery is a per-block (Σcents, n) int64
+    partial pair merged to one IEEE division; (b) the anti-join key
+    set is a distributed distinct of recent o_custkey broadcast as one
+    sorted array (the proven q_customers_without_orders pattern); (c)
+    customers stream past both. Returns (nationkey, n_custs,
+    bal_cents)."""
     import ray
+
+    cutoff_np = np.datetime64(cutoff, "us")
 
     def _bal_partial(b: pa.Table) -> pa.Table:
         bal = b.column("c_acctbal").to_numpy(zero_copy_only=False)
@@ -6051,11 +6056,18 @@ def q_global_sales_opportunity(sf_dir: str):
     avg_cents = float(parts["s"].sum()) / float(parts["n"].sum())
 
     def _block_unique(b: pa.Table) -> pa.Table:
-        ck = np.unique(b.column("o_custkey").to_numpy(zero_copy_only=False))
+        ts = (
+            b.column("o_orderdate")
+            .cast(pa.timestamp("us"))
+            .to_numpy(zero_copy_only=False)
+        )
+        ck = np.unique(
+            b.column("o_custkey").to_numpy(zero_copy_only=False)[ts >= cutoff_np]
+        )
         return pa.table({"o_custkey": pa.array(ck, type=pa.int64())})
 
     have = (
-        _read(sf_dir, "orders", ["o_custkey"])
+        _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
         .map_batches(_block_unique, batch_format="pyarrow")
         .unique("o_custkey")
     )
@@ -6086,7 +6098,7 @@ def q_global_sales_opportunity(sf_dir: str):
         out = t.group_by("nationkey").aggregate([("one", "sum"), ("cents", "sum")])
         return out.rename_columns(["nationkey", "n_custs", "bal_cents"])
 
-    return (
+    out = (
         _read(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
         .map_batches(_probe, batch_format="pyarrow")
         .groupby("nationkey")
@@ -6094,6 +6106,16 @@ def q_global_sales_opportunity(sf_dir: str):
             Sum("n_custs", alias_name="n_custs"),
             Sum("bal_cents", alias_name="bal_cents"),
         )
+    )
+    # explicit schema so an all-filtered (empty) result keeps its columns
+    schema = pa.schema(
+        [("nationkey", pa.int64()), ("n_custs", pa.int64()), ("bal_cents", pa.int64())]
+    )
+    batches = list(out.iter_batches(batch_size=None, batch_format="pyarrow"))
+    return (
+        pa.concat_tables([pa.table(b).cast(schema) for b in batches])
+        if batches
+        else schema.empty_table()
     )
 
 
