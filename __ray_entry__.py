@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "priority_late_orders": R.q_priority_late_orders,
         "global_sales_opportunity": R.q_global_sales_opportunity,
         "returned_items_topk": R.q_returned_items_topk,
+        "market_share_by_year": R.q_market_share_by_year,
         "degree_gini_coocc": R.q_degree_gini_coocc,
         "rollup_sales": R.q_rollup_sales,
         "regression_qty_discount": R.q_regression_qty_discount,
@@ -467,6 +468,7 @@ def oracle_sql() -> dict[str, str]:
         "priority_late_orders": S.priority_late_orders_sql(late_days=60),
         "global_sales_opportunity": S.GLOBAL_SALES_OPPORTUNITY,
         "returned_items_topk": S.returned_items_topk_sql(k=20),
+        "market_share_by_year": S.market_share_by_year_sql(target_region="ASIA"),
         "degree_gini_coocc": S.degree_gini_coocc_sql(),
         "rollup_sales": S.ROLLUP_SALES,
         "regression_qty_discount": S.REGRESSION_QTY_DISCOUNT,

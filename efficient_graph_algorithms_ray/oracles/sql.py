@@ -5104,3 +5104,21 @@ per AS (
 )
 SELECT c_custkey, revenue_cents FROM per
 ORDER BY revenue_cents DESC, c_custkey LIMIT {int(k)}"""
+
+
+def market_share_by_year_sql(target_region: str = "ASIA") -> str:
+    """TPC-H Q8 shape: per ship year, exact-cents revenue from
+    target-region suppliers and total revenue."""
+    return f"""WITH sr AS (
+  SELECT s.s_suppkey, r.r_name
+  FROM supplier s
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+  JOIN region r ON n.n_regionkey = r.r_regionkey
+)
+SELECT CAST(year(l.l_shipdate) AS BIGINT) AS year,
+       SUM(CASE WHEN sr.r_name = '{target_region}'
+                THEN CAST(FLOOR(l.l_extendedprice * 100) AS BIGINT)
+                ELSE 0 END)::BIGINT AS region_cents,
+       SUM(CAST(FLOOR(l.l_extendedprice * 100) AS BIGINT))::BIGINT AS total_cents
+FROM lineitem l JOIN sr ON l.l_suppkey = sr.s_suppkey
+GROUP BY year(l.l_shipdate)"""

@@ -6216,3 +6216,64 @@ def q_returned_items_topk(sf_dir: str, k: int = 20, P: int = 32):
         return b.rename_columns(["c_custkey", "revenue_cents"])
 
     return top.map_batches(_rename, batch_format="pyarrow")
+
+
+def q_market_share_by_year(sf_dir: str, target_region: str = "ASIA"):
+    """TPC-H Q8 shape ("national market share"): per ship year, the
+    exact-cents revenue supplied by ``target_region`` suppliers and the
+    total — the share is num/den, published as the two exact integers
+    so the hash comparison needs no float rounding. The star-schema
+    side (supplier→nation→region, ≤ a few thousand rows at any scale)
+    folds to ONE broadcast boolean array indexed by s_suppkey position;
+    lineitem streams past it with per-block (year, cents) Arrow
+    partials — no shuffle except the ≤|years| final groupby. Returns
+    (year, region_cents, total_cents)."""
+    import ray
+
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"]).to_pandas()
+    reg = _read(sf_dir, "region", ["r_regionkey", "r_name"]).to_pandas()
+    n2r = dict(zip(nat["n_nationkey"].astype(int), nat["n_regionkey"].astype(int)))
+    r2n = dict(zip(reg["r_regionkey"].astype(int), reg["r_name"]))
+    skeys = np.sort(sup["s_suppkey"].to_numpy(dtype=np.int64))
+    s2n = dict(zip(sup["s_suppkey"].astype(int), sup["s_nationkey"].astype(int)))
+    in_region = np.array(
+        [r2n[n2r[s2n[int(k)]]] == target_region for k in skeys], dtype=bool
+    )
+    ref = ray.put((skeys, in_region))
+
+    def _partial(b: pa.Table) -> pa.Table:
+        k, hit = ray.get(ref)
+        sk = b.column("l_suppkey").to_numpy(zero_copy_only=False)
+        ts = (
+            b.column("l_shipdate")
+            .cast(pa.timestamp("us"))
+            .to_numpy(zero_copy_only=False)
+        )
+        year = ts.astype("datetime64[Y]").astype(np.int64) + 1970
+        cents = np.floor(
+            b.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        pos = np.searchsorted(k, sk)  # referential integrity: every suppkey exists
+        is_r = hit[pos]
+        t = pa.table(
+            {
+                "year": pa.array(year, type=pa.int64()),
+                "region_cents": pa.array(np.where(is_r, cents, 0), type=pa.int64()),
+                "total_cents": pa.array(cents, type=pa.int64()),
+            }
+        )
+        out = t.group_by("year").aggregate(
+            [("region_cents", "sum"), ("total_cents", "sum")]
+        )
+        return out.rename_columns(["year", "region_cents", "total_cents"])
+
+    return (
+        _read(sf_dir, "lineitem", ["l_suppkey", "l_shipdate", "l_extendedprice"])
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby("year")
+        .aggregate(
+            Sum("region_cents", alias_name="region_cents"),
+            Sum("total_cents", alias_name="total_cents"),
+        )
+    )
