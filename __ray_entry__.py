@@ -51,6 +51,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_knn": C.q_ann_ivf_knn,
         "ngram_jaccard_pairs": C.q_ngram_jaccard_pairs,
         # round-3 additions (SQL-oracled)
+        "shipping_priority_topk": R.q_shipping_priority_topk,
+        "forecast_revenue": R.q_forecast_revenue,
+        "linestatus_priority": R.q_linestatus_priority,
+        "promo_revenue": R.q_promo_revenue,
         "bm25_topk": C.q_bm25_topk,
         "cliques4_coocc": R.q_cliques4_coocc,
         "avg_nbr_deg_coocc": R.q_avg_neighbor_degree_coocc,
@@ -448,6 +452,10 @@ def oracle_sql() -> dict[str, str]:
         "epoch_shuffle": S.epoch_shuffle_sql(),
         "cc_incremental": S.CC_CUSTOMER_ORDERS,
         "cocitation_partsupp": S.cocitation_partsupp_sql(),
+        "shipping_priority_topk": S.shipping_priority_sql(),
+        "forecast_revenue": S.forecast_revenue_sql(),
+        "linestatus_priority": S.linestatus_priority_sql(),
+        "promo_revenue": S.promo_revenue_sql(),
         "bm25_topk": S.bm25_topk_sql(terms=("hash", "merge", "dup"), k=10),
         "cliques4_coocc": S.CLIQUES4_COOCC,
         "avg_nbr_deg_coocc": S.AVG_NBR_DEG_COOCC,

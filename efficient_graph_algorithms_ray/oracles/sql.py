@@ -5122,3 +5122,75 @@ SELECT CAST(year(l.l_shipdate) AS BIGINT) AS year,
        SUM(CAST(FLOOR(l.l_extendedprice * 100) AS BIGINT))::BIGINT AS total_cents
 FROM lineitem l JOIN sr ON l.l_suppkey = sr.s_suppkey
 GROUP BY year(l.l_shipdate)"""
+
+
+def shipping_priority_sql(
+    segment: str = "BUILDING", cutoff: str = "1998-06-01", k: int = 10
+) -> str:
+    """TPC-H Q3 shape: top-k unshipped orders of one segment by exact
+    integer net revenue (cents x (100 - disc_pct))."""
+    return f"""WITH bc AS (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = '{segment}'
+), o AS (
+  SELECT o_orderkey,
+         CAST(DATEDIFF('day', DATE '1970-01-01', o_orderdate) AS BIGINT) AS odate_days
+  FROM orders JOIN bc ON o_custkey = bc.c_custkey
+  WHERE o_orderdate < DATE '{cutoff}'
+), l AS (
+  SELECT l_orderkey,
+         CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT)
+           AS net_micents
+  FROM lineitem WHERE l_shipdate > DATE '{cutoff}' GROUP BY l_orderkey
+)
+SELECT o.o_orderkey, o.odate_days, l.net_micents
+FROM o JOIN l ON o.o_orderkey = l.l_orderkey
+ORDER BY l.net_micents DESC, o.o_orderkey LIMIT {int(k)}"""
+
+
+def forecast_revenue_sql(year: int = 1997) -> str:
+    """TPC-H Q6 shape: one-row filtered scan aggregate on exact
+    integer cents x pct."""
+    return f"""SELECT COUNT(*)::BIGINT AS n_items,
+       COALESCE(SUM(cents * pct), 0)::BIGINT AS disc_revenue_micents
+FROM (SELECT CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS cents,
+             CAST(ROUND(l_discount * 100) AS BIGINT) AS pct
+      FROM lineitem
+      WHERE l_shipdate >= DATE '{year}-01-01' AND l_shipdate < DATE '{year + 1}-01-01'
+        AND l_quantity < 24)
+WHERE pct BETWEEN 5 AND 7"""
+
+
+def linestatus_priority_sql(year: int = 1997) -> str:
+    """TPC-H Q12 shape (l_linestatus as the mode column): per status,
+    year-shipped lineitems split by order priority class."""
+    return f"""WITH li AS (
+  SELECT l_orderkey, l_linestatus FROM lineitem
+  WHERE l_shipdate >= DATE '{year}-01-01' AND l_shipdate < DATE '{year + 1}-01-01'
+)
+SELECT li.l_linestatus,
+       SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END)::BIGINT AS high_items,
+       SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END)::BIGINT AS low_items
+FROM li JOIN orders o ON li.l_orderkey = o.o_orderkey
+GROUP BY li.l_linestatus"""
+
+
+def promo_revenue_sql(year: int = 1997) -> str:
+    """TPC-H Q14 shape: per ship month, PROMO-part and total exact
+    integer net revenue."""
+    return f"""SELECT CAST(YEAR(l.l_shipdate) * 100 + MONTH(l.l_shipdate) AS BIGINT)
+         AS month_id,
+       COALESCE(SUM(CASE WHEN p.p_type = 'PROMO'
+                         THEN l.cents * (100 - l.pct) END), 0)::BIGINT
+         AS promo_micents,
+       CAST(SUM(l.cents * (100 - l.pct)) AS BIGINT) AS total_micents
+FROM (SELECT l_partkey, l_shipdate,
+             CAST(FLOOR(l_extendedprice * 100) AS BIGINT) AS cents,
+             CAST(ROUND(l_discount * 100) AS BIGINT) AS pct
+      FROM lineitem
+      WHERE l_shipdate >= DATE '{year}-01-01'
+        AND l_shipdate < DATE '{year + 1}-01-01') l
+JOIN part p ON l.l_partkey = p.p_partkey
+GROUP BY month_id"""

@@ -6277,3 +6277,366 @@ def q_market_share_by_year(sf_dir: str, target_region: str = "ASIA"):
             Sum("total_cents", alias_name="total_cents"),
         )
     )
+
+
+def q_shipping_priority_topk(
+    sf_dir: str, segment: str = "BUILDING", cutoff: str = "1998-06-01", k: int = 10
+):
+    """TPC-H Q3 shape ("shipping priority"): top-k still-unshipped
+    orders of one market segment by outstanding exact-integer net
+    revenue Σ cents·(100−disc_pct). Distributed shape: the segment's
+    custkeys fold to ONE broadcast sorted array (customer is the star
+    dimension side); orders stream past it with a vectorized
+    membership probe; revenue collapses to per-block (okey, net)
+    partials; the big-big orders⋈lineitem join is ONE
+    ``groupby(okey % P)`` co-shuffle resolved per partition by
+    ``searchsorted``; each partition owns its okeys so only final
+    (okey, odate, net) rows feed the global top-k sort. Returns
+    (o_orderkey, odate_days, net_micents)."""
+    import ray
+
+    P = 32
+    cut = np.datetime64(cutoff, "us").astype(np.int64)
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"]).to_pandas()
+    ck = np.sort(
+        cust.loc[cust["c_mktsegment"] == segment, "c_custkey"].to_numpy(dtype=np.int64)
+    )
+    ref = ray.put(ck)
+
+    def _us(col):
+        return (
+            col.cast(pa.timestamp("us")).to_numpy(zero_copy_only=False).view(np.int64)
+        )
+
+    def _tag_orders(b: pa.Table) -> pa.Table:
+        keys = ray.get(ref)
+        okey = b.column("o_orderkey").to_numpy(zero_copy_only=False)
+        ckey = b.column("o_custkey").to_numpy(zero_copy_only=False)
+        ots = _us(b.column("o_orderdate"))
+        pos = np.searchsorted(keys, ckey)
+        pos[pos >= len(keys)] = 0
+        sel = (ots < cut) & (len(keys) > 0) & (keys[pos] == ckey)
+        okey, ots = okey[sel], ots[sel]
+        return pa.table(
+            {
+                "part": pa.array((okey % P).astype(np.int64)),
+                "okey": pa.array(okey, type=pa.int64()),
+                "odate_days": pa.array(ots // 86_400_000_000, type=pa.int64()),
+                "net": pa.nulls(len(okey), type=pa.int64()),
+            }
+        )
+
+    def _li_partial(b: pa.Table) -> pa.Table:
+        sel = _us(b.column("l_shipdate")) > cut
+        okey = b.column("l_orderkey").to_numpy(zero_copy_only=False)[sel]
+        cents = np.floor(
+            b.column("l_extendedprice").to_numpy(zero_copy_only=False)[sel] * 100
+        ).astype(np.int64)
+        pct = np.round(
+            b.column("l_discount").to_numpy(zero_copy_only=False)[sel] * 100
+        ).astype(np.int64)
+        t = pa.table(
+            {"okey": pa.array(okey, type=pa.int64()), "net": cents * (100 - pct)}
+        )
+        out = t.group_by("okey").aggregate([("net", "sum")]).rename_columns(
+            ["okey", "net"]
+        )
+        return pa.table(
+            {
+                "part": pc.cast(
+                    pc.bit_wise_and(out.column("okey"), P - 1), pa.int64()
+                ),
+                "okey": out.column("okey"),
+                "odate_days": pa.nulls(out.num_rows, type=pa.int64()),
+                "net": out.column("net"),
+            }
+        )
+
+    def _join(g: pa.Table) -> pa.Table:
+        is_o = g.column("odate_days").is_valid().to_numpy(zero_copy_only=False)
+        okey = g.column("okey").to_numpy(zero_copy_only=False)
+        oo = okey[is_o]
+        od = g.column("odate_days").to_numpy(zero_copy_only=False)[is_o]
+        order = np.argsort(oo)
+        oo, od = oo[order], od[order]
+        lo = okey[~is_o]
+        ln = g.column("net").to_numpy(zero_copy_only=False)[~is_o]
+        if len(oo) == 0 or len(lo) == 0:
+            return pa.table(
+                {
+                    "o_orderkey": pa.array([], type=pa.int64()),
+                    "odate_days": pa.array([], type=pa.int64()),
+                    "net_micents": pa.array([], type=pa.int64()),
+                }
+            )
+        pos = np.searchsorted(oo, lo)
+        pos[pos >= len(oo)] = 0
+        hit = oo[pos] == lo
+        t = pa.table(
+            {
+                "okey": pa.array(lo[hit], type=pa.int64()),
+                "net": pa.array(ln[hit], type=pa.int64()),
+            }
+        )
+        agg = t.group_by("okey").aggregate([("net", "sum")]).rename_columns(
+            ["okey", "net"]
+        )
+        ak = agg.column("okey").to_numpy(zero_copy_only=False)
+        pos2 = np.searchsorted(oo, ak)
+        return pa.table(
+            {
+                "o_orderkey": agg.column("okey"),
+                "odate_days": pa.array(od[pos2], type=pa.int64()),
+                "net_micents": agg.column("net"),
+            }
+        )
+
+    both = (
+        _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+        .map_batches(_tag_orders, batch_format="pyarrow")
+        .union(
+            _read(
+                sf_dir,
+                "lineitem",
+                ["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"],
+            ).map_batches(_li_partial, batch_format="pyarrow")
+        )
+    )
+    return (
+        both.groupby("part")
+        .map_groups(_join, batch_format="pyarrow")
+        .sort(["net_micents", "o_orderkey"], descending=[True, False])
+        .limit(k)
+    )
+
+
+def q_forecast_revenue(sf_dir: str, year: str = "1997"):
+    """TPC-H Q6 shape ("forecasting revenue change"): one-row scan
+    aggregate — count and Σ cents·disc_pct over lineitems shipped in
+    ``year`` with small quantity and mid-band discount. Pure streaming
+    map_batches partials (no shuffle at all); discount is compared on
+    its exact integer percent form so the float predicate is
+    bit-identical to the oracle. Returns (n_items,
+    disc_revenue_micents)."""
+    lo = np.datetime64(f"{year}-01-01", "us").astype(np.int64)
+    hi = np.datetime64(f"{int(year) + 1}-01-01", "us").astype(np.int64)
+
+    def _partial(b: pa.Table) -> pa.Table:
+        ts = (
+            b.column("l_shipdate")
+            .cast(pa.timestamp("us"))
+            .to_numpy(zero_copy_only=False)
+            .view(np.int64)
+        )
+        qty = b.column("l_quantity").to_numpy(zero_copy_only=False)
+        pct = np.round(
+            b.column("l_discount").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        sel = (ts >= lo) & (ts < hi) & (qty < 24) & (pct >= 5) & (pct <= 7)
+        cents = np.floor(
+            b.column("l_extendedprice").to_numpy(zero_copy_only=False)[sel] * 100
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "n_items": pa.array([int(sel.sum())], type=pa.int64()),
+                "disc_revenue_micents": pa.array(
+                    [int((cents * pct[sel]).sum())], type=pa.int64()
+                ),
+            }
+        )
+
+    parts = (
+        _read(
+            sf_dir,
+            "lineitem",
+            ["l_shipdate", "l_quantity", "l_discount", "l_extendedprice"],
+        )
+        .map_batches(_partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return pa.table(
+        {
+            "n_items": pa.array([int(parts["n_items"].sum())], type=pa.int64()),
+            "disc_revenue_micents": pa.array(
+                [int(parts["disc_revenue_micents"].sum())], type=pa.int64()
+            ),
+        }
+    )
+
+
+def q_linestatus_priority(sf_dir: str, year: str = "1997", P: int = 32):
+    """TPC-H Q12 shape ("shipping modes and order priority", adapted to
+    this schema's l_linestatus as the mode column): per linestatus,
+    how many ``year``-shipped lineitems belong to high- vs low-priority
+    orders. Distributed shape: lineitems collapse to per-block
+    (okey, status, cnt) partials; orders ship only (okey, is_high);
+    ONE ``groupby(okey % P)`` co-shuffle, per-partition searchsorted
+    resolve, and only (status, high, low) partials leave each
+    partition for a 2-row final sum. Returns
+    (l_linestatus, high_items, low_items)."""
+    lo = np.datetime64(f"{year}-01-01", "us").astype(np.int64)
+    hi = np.datetime64(f"{int(year) + 1}-01-01", "us").astype(np.int64)
+
+    def _li_partial(b: pa.Table) -> pa.Table:
+        ts = (
+            b.column("l_shipdate")
+            .cast(pa.timestamp("us"))
+            .to_numpy(zero_copy_only=False)
+            .view(np.int64)
+        )
+        sel = (ts >= lo) & (ts < hi)
+        t = pa.table(
+            {
+                "okey": pc.filter(b.column("l_orderkey"), pa.array(sel)),
+                "status": pc.filter(b.column("l_linestatus"), pa.array(sel)),
+                "cnt": pa.array(np.ones(int(sel.sum()), dtype=np.int64)),
+            }
+        )
+        out = t.group_by(["okey", "status"]).aggregate([("cnt", "sum")])
+        out = out.rename_columns(["okey", "status", "cnt"])
+        ok = out.column("okey").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "part": pa.array((ok % P).astype(np.int64)),
+                "okey": out.column("okey"),
+                "status": out.column("status"),
+                "cnt": out.column("cnt"),
+                "is_high": pa.nulls(out.num_rows, type=pa.int64()),
+            }
+        )
+
+    def _tag_orders(b: pa.Table) -> pa.Table:
+        ok = b.column("o_orderkey").to_numpy(zero_copy_only=False)
+        prio = b.column("o_orderpriority").to_numpy(zero_copy_only=False)
+        high = np.isin(prio, ("1-URGENT", "2-HIGH")).astype(np.int64)
+        return pa.table(
+            {
+                "part": pa.array((ok % P).astype(np.int64)),
+                "okey": pa.array(ok, type=pa.int64()),
+                "status": pa.nulls(len(ok), type=pa.string()),
+                "cnt": pa.nulls(len(ok), type=pa.int64()),
+                "is_high": pa.array(high, type=pa.int64()),
+            }
+        )
+
+    def _join(g: pa.Table) -> pa.Table:
+        is_o = g.column("is_high").is_valid().to_numpy(zero_copy_only=False)
+        okey = g.column("okey").to_numpy(zero_copy_only=False)
+        oo = okey[is_o]
+        oh = g.column("is_high").to_numpy(zero_copy_only=False)[is_o]
+        order = np.argsort(oo)
+        oo, oh = oo[order], oh[order]
+        lo_ = okey[~is_o]
+        cnt = g.column("cnt").to_numpy(zero_copy_only=False)[~is_o]
+        status = pc.filter(g.column("status"), pa.array(~is_o))
+        if len(lo_) == 0:
+            return pa.table(
+                {
+                    "l_linestatus": pa.array([], type=pa.string()),
+                    "high_items": pa.array([], type=pa.int64()),
+                    "low_items": pa.array([], type=pa.int64()),
+                }
+            )
+        pos = np.searchsorted(oo, lo_)  # referential integrity
+        high = oh[pos]
+        t = pa.table(
+            {
+                "l_linestatus": status,
+                "high_items": pa.array(cnt * high, type=pa.int64()),
+                "low_items": pa.array(cnt * (1 - high), type=pa.int64()),
+            }
+        )
+        out = t.group_by("l_linestatus").aggregate(
+            [("high_items", "sum"), ("low_items", "sum")]
+        )
+        return out.rename_columns(["l_linestatus", "high_items", "low_items"])
+
+    both = (
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_linestatus", "l_shipdate"])
+        .map_batches(_li_partial, batch_format="pyarrow")
+        .union(
+            _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"]).map_batches(
+                _tag_orders, batch_format="pyarrow"
+            )
+        )
+    )
+    return (
+        both.groupby("part")
+        .map_groups(_join, batch_format="pyarrow")
+        .groupby("l_linestatus")
+        .aggregate(
+            Sum("high_items", alias_name="high_items"),
+            Sum("low_items", alias_name="low_items"),
+        )
+    )
+
+
+def q_promo_revenue(sf_dir: str, year: str = "1997"):
+    """TPC-H Q14 shape ("promotion effect"): per ship month of
+    ``year``, the exact-integer net revenue Σ cents·(100−pct) from
+    PROMO-type parts and in total — the share is the ratio of the two
+    published integers, so no float leaves the pipeline. The part
+    dimension folds to ONE broadcast (sorted partkeys, is_promo bool)
+    pair; lineitem streams past it with per-block (month, promo, total)
+    Arrow partials; only the ≤12-row final groupby shuffles. Returns
+    (month_id, promo_micents, total_micents)."""
+    import ray
+
+    lo = np.datetime64(f"{year}-01-01", "us").astype(np.int64)
+    hi = np.datetime64(f"{int(year) + 1}-01-01", "us").astype(np.int64)
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"]).to_pandas()
+    order = np.argsort(part["p_partkey"].to_numpy())
+    pk = part["p_partkey"].to_numpy(dtype=np.int64)[order]
+    promo = (part["p_type"].to_numpy() == "PROMO")[order]
+    ref = ray.put((pk, promo))
+
+    def _partial(b: pa.Table) -> pa.Table:
+        k, isp = ray.get(ref)
+        ts = (
+            b.column("l_shipdate")
+            .cast(pa.timestamp("us"))
+            .to_numpy(zero_copy_only=False)
+            .view(np.int64)
+        )
+        sel = (ts >= lo) & (ts < hi)
+        lpk = b.column("l_partkey").to_numpy(zero_copy_only=False)[sel]
+        cents = np.floor(
+            b.column("l_extendedprice").to_numpy(zero_copy_only=False)[sel] * 100
+        ).astype(np.int64)
+        pct = np.round(
+            b.column("l_discount").to_numpy(zero_copy_only=False)[sel] * 100
+        ).astype(np.int64)
+        net = cents * (100 - pct)
+        m = ts[sel].astype("datetime64[us]").astype("datetime64[M]")
+        month_id = (m.astype(np.int64) % 12 + 1) + (
+            m.astype("datetime64[Y]").astype(np.int64) + 1970
+        ) * 100
+        pos = np.searchsorted(k, lpk)  # referential integrity
+        is_promo = isp[pos]
+        t = pa.table(
+            {
+                "month_id": pa.array(month_id, type=pa.int64()),
+                "promo_micents": pa.array(np.where(is_promo, net, 0), type=pa.int64()),
+                "total_micents": pa.array(net, type=pa.int64()),
+            }
+        )
+        out = t.group_by("month_id").aggregate(
+            [("promo_micents", "sum"), ("total_micents", "sum")]
+        )
+        return out.rename_columns(["month_id", "promo_micents", "total_micents"])
+
+    return (
+        _read(
+            sf_dir,
+            "lineitem",
+            ["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"],
+        )
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby("month_id")
+        .aggregate(
+            Sum("promo_micents", alias_name="promo_micents"),
+            Sum("total_micents", alias_name="total_micents"),
+        )
+    )
