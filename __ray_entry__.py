@@ -52,6 +52,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": C.q_ngram_jaccard_pairs,
         # round-3 additions (SQL-oracled)
         "shipping_priority_topk": R.q_shipping_priority_topk,
+        "local_supplier_volume": R.q_local_supplier_volume,
+        "nation_volume_shipping": R.q_nation_volume_shipping,
+        "profit_by_nation_year": R.q_profit_by_nation_year,
         "forecast_revenue": R.q_forecast_revenue,
         "linestatus_priority": R.q_linestatus_priority,
         "promo_revenue": R.q_promo_revenue,
@@ -453,6 +456,9 @@ def oracle_sql() -> dict[str, str]:
         "cc_incremental": S.CC_CUSTOMER_ORDERS,
         "cocitation_partsupp": S.cocitation_partsupp_sql(),
         "shipping_priority_topk": S.shipping_priority_sql(),
+        "local_supplier_volume": S.local_supplier_volume_sql(),
+        "nation_volume_shipping": S.nation_volume_shipping_sql(),
+        "profit_by_nation_year": S.profit_by_nation_year_sql(),
         "forecast_revenue": S.forecast_revenue_sql(),
         "linestatus_priority": S.linestatus_priority_sql(),
         "promo_revenue": S.promo_revenue_sql(),

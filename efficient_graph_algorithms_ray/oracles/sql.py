@@ -5194,3 +5194,58 @@ FROM (SELECT l_partkey, l_shipdate,
         AND l_shipdate < DATE '{year + 1}-01-01') l
 JOIN part p ON l.l_partkey = p.p_partkey
 GROUP BY month_id"""
+
+
+def local_supplier_volume_sql(year: int = 1997) -> str:
+    """TPC-H Q5 shape: per-nation revenue where customer and supplier
+    share the nation, orders placed in ``year``."""
+    return f"""WITH l AS (
+  SELECT l_orderkey, l_suppkey,
+         CAST(FLOOR(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) AS net
+  FROM lineitem)
+SELECT n.n_name, CAST(SUM(l.net) AS BIGINT) AS revenue_micents
+FROM l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE c.c_nationkey = s.s_nationkey
+  AND o.o_orderdate >= DATE '{year}-01-01'
+  AND o.o_orderdate < DATE '{year + 1}-01-01'
+GROUP BY n.n_name"""
+
+
+def nation_volume_shipping_sql(y0: int = 1997, y1: int = 1998) -> str:
+    """TPC-H Q7 shape: cross-nation ordered-pair revenue per ship year."""
+    return f"""WITH l AS (
+  SELECT l_orderkey, l_suppkey, CAST(YEAR(l_shipdate) AS BIGINT) AS l_year,
+         CAST(FLOOR(l_extendedprice * 100) AS BIGINT)
+           * (100 - CAST(ROUND(l_discount * 100) AS BIGINT)) AS net
+  FROM lineitem
+  WHERE l_shipdate >= DATE '{y0}-01-01' AND l_shipdate < DATE '{y1 + 1}-01-01')
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation, l.l_year,
+       CAST(SUM(l.net) AS BIGINT) AS revenue_micents
+FROM l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation ns ON s.s_nationkey = ns.n_nationkey
+JOIN nation nc ON c.c_nationkey = nc.n_nationkey
+WHERE nc.n_name <> ns.n_name
+GROUP BY supp_nation, cust_nation, l.l_year"""
+
+
+def profit_by_nation_year_sql(p_type: str = "STANDARD") -> str:
+    """TPC-H Q9 shape (adapted: net revenue as profit): per supplier
+    nation and ship year over ``p_type`` parts."""
+    return f"""SELECT n.n_name, CAST(YEAR(l.l_shipdate) AS BIGINT) AS l_year,
+       CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))) AS BIGINT)
+         AS profit_micents
+FROM lineitem l
+JOIN part p ON l.l_partkey = p.p_partkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE p.p_type = '{p_type}'
+GROUP BY n.n_name, l_year"""

@@ -6640,3 +6640,360 @@ def q_promo_revenue(sf_dir: str, year: str = "1997"):
             Sum("total_micents", alias_name="total_micents"),
         )
     )
+
+
+def _nation_maps(sf_dir: str):
+    """Broadcast-ready star-dimension lookups: sorted custkey→natkey,
+    sorted suppkey→natkey, and natkey→n_name (dense, natkeys are
+    0..N-1). A few thousand rows at any TPC-H scale factor — the
+    canonical ``ray.put`` small side."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"]).to_pandas()
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).to_pandas()
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"]).to_pandas()
+    co = np.argsort(cust["c_custkey"].to_numpy())
+    ck = cust["c_custkey"].to_numpy(dtype=np.int64)[co]
+    cn = cust["c_nationkey"].to_numpy(dtype=np.int64)[co]
+    so = np.argsort(sup["s_suppkey"].to_numpy())
+    sk = sup["s_suppkey"].to_numpy(dtype=np.int64)[so]
+    sn = sup["s_nationkey"].to_numpy(dtype=np.int64)[so]
+    names = np.empty(int(nat["n_nationkey"].max()) + 1, dtype=object)
+    names[nat["n_nationkey"].to_numpy(dtype=np.int64)] = nat["n_name"].to_numpy()
+    return ck, cn, sk, sn, names
+
+
+def q_local_supplier_volume(sf_dir: str, year: str = "1997", P: int = 32):
+    """TPC-H Q5 shape ("local supplier volume"): per nation, exact
+    integer net revenue on lineitems whose supplier and ordering
+    customer share that nation, for orders placed in ``year``.
+    Distributed shape: supplier→nation resolves MAP-SIDE off a
+    broadcast sorted array, so lineitem collapses to per-block
+    (okey, s_nat, net) partials; the big-big join to orders (for the
+    customer key) is ONE ``groupby(okey % P)`` co-shuffle with a
+    per-partition searchsorted resolve; customer→nation also resolves
+    from a broadcast array inside the partition; only ≤|nation| rows
+    leave each partition. Returns (n_name, revenue_micents)."""
+    import ray
+
+    lo = np.datetime64(f"{year}-01-01", "us").astype(np.int64)
+    hi = np.datetime64(f"{int(year) + 1}-01-01", "us").astype(np.int64)
+    ck, cn, sk, sn, names = _nation_maps(sf_dir)
+    ref = ray.put((ck, cn, sk, sn))
+
+    def _li_partial(b: pa.Table) -> pa.Table:
+        _, _, k, n, = ray.get(ref)
+        okey = b.column("l_orderkey").to_numpy(zero_copy_only=False)
+        skey = b.column("l_suppkey").to_numpy(zero_copy_only=False)
+        cents = np.floor(
+            b.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        pct = np.round(
+            b.column("l_discount").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        s_nat = n[np.searchsorted(k, skey)]  # referential integrity
+        t = pa.table(
+            {
+                "okey": pa.array(okey, type=pa.int64()),
+                "s_nat": pa.array(s_nat, type=pa.int64()),
+                "net": pa.array(cents * (100 - pct), type=pa.int64()),
+            }
+        )
+        out = t.group_by(["okey", "s_nat"]).aggregate([("net", "sum")])
+        out = out.rename_columns(["okey", "s_nat", "net"])
+        ok = out.column("okey").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "part": pa.array((ok % P).astype(np.int64)),
+                "okey": out.column("okey"),
+                "s_nat": out.column("s_nat"),
+                "net": out.column("net"),
+                "custkey": pa.nulls(out.num_rows, type=pa.int64()),
+            }
+        )
+
+    def _tag_orders(b: pa.Table) -> pa.Table:
+        ts = (
+            b.column("o_orderdate")
+            .cast(pa.timestamp("us"))
+            .to_numpy(zero_copy_only=False)
+            .view(np.int64)
+        )
+        sel = (ts >= lo) & (ts < hi)
+        ok = b.column("o_orderkey").to_numpy(zero_copy_only=False)[sel]
+        cu = b.column("o_custkey").to_numpy(zero_copy_only=False)[sel]
+        return pa.table(
+            {
+                "part": pa.array((ok % P).astype(np.int64)),
+                "okey": pa.array(ok, type=pa.int64()),
+                "s_nat": pa.nulls(len(ok), type=pa.int64()),
+                "net": pa.nulls(len(ok), type=pa.int64()),
+                "custkey": pa.array(cu, type=pa.int64()),
+            }
+        )
+
+    def _join(g: pa.Table) -> pa.Table:
+        k, n, _, _ = ray.get(ref)
+        is_o = g.column("custkey").is_valid().to_numpy(zero_copy_only=False)
+        okey = g.column("okey").to_numpy(zero_copy_only=False)
+        oo = okey[is_o]
+        ocu = g.column("custkey").to_numpy(zero_copy_only=False)[is_o]
+        order = np.argsort(oo)
+        oo, ocu = oo[order], ocu[order]
+        li_ok = okey[~is_o]
+        s_nat = g.column("s_nat").to_numpy(zero_copy_only=False)[~is_o]
+        net = g.column("net").to_numpy(zero_copy_only=False)[~is_o]
+        if len(oo) == 0 or len(li_ok) == 0:
+            return pa.table(
+                {
+                    "natkey": pa.array([], type=pa.int64()),
+                    "revenue_micents": pa.array([], type=pa.int64()),
+                }
+            )
+        pos = np.searchsorted(oo, li_ok)
+        pos[pos >= len(oo)] = 0
+        hit = oo[pos] == li_ok  # orders are year-filtered: semi-join
+        c_nat = n[np.searchsorted(k, ocu[pos])]
+        keep = hit & (c_nat == s_nat)
+        t = pa.table(
+            {
+                "natkey": pa.array(s_nat[keep], type=pa.int64()),
+                "revenue_micents": pa.array(net[keep], type=pa.int64()),
+            }
+        )
+        out = t.group_by("natkey").aggregate([("revenue_micents", "sum")])
+        return out.rename_columns(["natkey", "revenue_micents"])
+
+    agg = (
+        _read(
+            sf_dir,
+            "lineitem",
+            ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+        )
+        .map_batches(_li_partial, batch_format="pyarrow")
+        .union(
+            _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+            .map_batches(_tag_orders, batch_format="pyarrow")
+        )
+        .groupby("part")
+        .map_groups(_join, batch_format="pyarrow")
+        .groupby("natkey")
+        .aggregate(Sum("revenue_micents", alias_name="revenue_micents"))
+        .to_pandas()
+    )
+    return pa.table(
+        {
+            "n_name": pa.array(
+                names[agg["natkey"].to_numpy(dtype=np.int64)].tolist(),
+                type=pa.string(),
+            ),
+            "revenue_micents": pa.array(
+                agg["revenue_micents"].to_numpy(dtype=np.int64), type=pa.int64()
+            ),
+        }
+    )
+
+
+def q_nation_volume_shipping(sf_dir: str, y0: str = "1997", y1: str = "1998", P: int = 32):
+    """TPC-H Q7 shape ("volume shipping"): exact integer net revenue
+    between every ordered (supplier nation, customer nation) pair with
+    distinct nations, per ship year in [y0, y1]. Same distributed
+    shape as Q5 — map-side supplier→nation, per-block
+    (okey, s_nat, year, net) partials, ONE okey-co-shuffle to pick up
+    the customer nation, cross-nation filter inside the partition —
+    plus a packed (s_nat, c_nat, year) key for the tiny final groupby.
+    Returns (supp_nation, cust_nation, l_year, revenue_micents)."""
+    import ray
+
+    lo = np.datetime64(f"{y0}-01-01", "us").astype(np.int64)
+    hi = np.datetime64(f"{int(y1) + 1}-01-01", "us").astype(np.int64)
+    ck, cn, sk, sn, names = _nation_maps(sf_dir)
+    ref = ray.put((ck, cn, sk, sn))
+
+    def _li_partial(b: pa.Table) -> pa.Table:
+        _, _, k, n = ray.get(ref)
+        ts = (
+            b.column("l_shipdate")
+            .cast(pa.timestamp("us"))
+            .to_numpy(zero_copy_only=False)
+            .view(np.int64)
+        )
+        sel = (ts >= lo) & (ts < hi)
+        okey = b.column("l_orderkey").to_numpy(zero_copy_only=False)[sel]
+        skey = b.column("l_suppkey").to_numpy(zero_copy_only=False)[sel]
+        year = ts[sel].astype("datetime64[us]").astype("datetime64[Y]").astype(
+            np.int64
+        ) + 1970
+        cents = np.floor(
+            b.column("l_extendedprice").to_numpy(zero_copy_only=False)[sel] * 100
+        ).astype(np.int64)
+        pct = np.round(
+            b.column("l_discount").to_numpy(zero_copy_only=False)[sel] * 100
+        ).astype(np.int64)
+        s_nat = n[np.searchsorted(k, skey)]
+        t = pa.table(
+            {
+                "okey": pa.array(okey, type=pa.int64()),
+                "sy": pa.array(s_nat * 10_000 + year, type=pa.int64()),
+                "net": pa.array(cents * (100 - pct), type=pa.int64()),
+            }
+        )
+        out = t.group_by(["okey", "sy"]).aggregate([("net", "sum")])
+        out = out.rename_columns(["okey", "sy", "net"])
+        ok = out.column("okey").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "part": pa.array((ok % P).astype(np.int64)),
+                "okey": out.column("okey"),
+                "sy": out.column("sy"),
+                "net": out.column("net"),
+                "custkey": pa.nulls(out.num_rows, type=pa.int64()),
+            }
+        )
+
+    def _tag_orders(b: pa.Table) -> pa.Table:
+        ok = b.column("o_orderkey").to_numpy(zero_copy_only=False)
+        cu = b.column("o_custkey").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "part": pa.array((ok % P).astype(np.int64)),
+                "okey": pa.array(ok, type=pa.int64()),
+                "sy": pa.nulls(len(ok), type=pa.int64()),
+                "net": pa.nulls(len(ok), type=pa.int64()),
+                "custkey": pa.array(cu, type=pa.int64()),
+            }
+        )
+
+    def _join(g: pa.Table) -> pa.Table:
+        k, n, _, _ = ray.get(ref)
+        is_o = g.column("custkey").is_valid().to_numpy(zero_copy_only=False)
+        okey = g.column("okey").to_numpy(zero_copy_only=False)
+        oo = okey[is_o]
+        ocu = g.column("custkey").to_numpy(zero_copy_only=False)[is_o]
+        order = np.argsort(oo)
+        oo, ocu = oo[order], ocu[order]
+        li_ok = okey[~is_o]
+        sy = g.column("sy").to_numpy(zero_copy_only=False)[~is_o]
+        net = g.column("net").to_numpy(zero_copy_only=False)[~is_o]
+        if len(li_ok) == 0:
+            return pa.table(
+                {
+                    "key": pa.array([], type=pa.int64()),
+                    "revenue_micents": pa.array([], type=pa.int64()),
+                }
+            )
+        pos = np.searchsorted(oo, li_ok)  # referential integrity
+        c_nat = n[np.searchsorted(k, ocu[pos])]
+        s_nat = sy // 10_000
+        keep = c_nat != s_nat
+        key = sy[keep] * 100 + c_nat[keep]  # (s_nat, year, c_nat) packed
+        t = pa.table(
+            {
+                "key": pa.array(key, type=pa.int64()),
+                "revenue_micents": pa.array(net[keep], type=pa.int64()),
+            }
+        )
+        out = t.group_by("key").aggregate([("revenue_micents", "sum")])
+        return out.rename_columns(["key", "revenue_micents"])
+
+    agg = (
+        _read(
+            sf_dir,
+            "lineitem",
+            ["l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+        )
+        .map_batches(_li_partial, batch_format="pyarrow")
+        .union(
+            _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+                _tag_orders, batch_format="pyarrow"
+            )
+        )
+        .groupby("part")
+        .map_groups(_join, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(Sum("revenue_micents", alias_name="revenue_micents"))
+        .to_pandas()
+    )
+    key = agg["key"].to_numpy(dtype=np.int64)
+    c_nat = key % 100
+    year = (key // 100) % 10_000
+    s_nat = key // 1_000_000
+    return pa.table(
+        {
+            "supp_nation": pa.array(names[s_nat].tolist(), type=pa.string()),
+            "cust_nation": pa.array(names[c_nat].tolist(), type=pa.string()),
+            "l_year": pa.array(year, type=pa.int64()),
+            "revenue_micents": pa.array(
+                agg["revenue_micents"].to_numpy(dtype=np.int64), type=pa.int64()
+            ),
+        }
+    )
+
+
+def q_profit_by_nation_year(sf_dir: str, p_type: str = "STANDARD"):
+    """TPC-H Q9 shape ("product type profit", adapted: the schema has
+    no ps_supplycost, so profit is the exact integer net revenue on
+    ``p_type`` parts): per supplier nation and ship year. Pure
+    map-side star join — both the part-type filter and
+    supplier→nation resolve from broadcast sorted arrays inside
+    map_batches, so the only shuffle is the ≤|nation|·|years| final
+    groupby of per-block partials. Returns
+    (n_name, l_year, profit_micents)."""
+    import ray
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"]).to_pandas()
+    po = np.argsort(part["p_partkey"].to_numpy())
+    pk = part["p_partkey"].to_numpy(dtype=np.int64)[po]
+    is_type = (part["p_type"].to_numpy() == p_type)[po]
+    ck, cn, sk, sn, names = _nation_maps(sf_dir)
+    ref = ray.put((pk, is_type, sk, sn))
+
+    def _partial(b: pa.Table) -> pa.Table:
+        k, hit, sk_, sn_ = ray.get(ref)
+        lpk = b.column("l_partkey").to_numpy(zero_copy_only=False)
+        sel = hit[np.searchsorted(k, lpk)]
+        skey = b.column("l_suppkey").to_numpy(zero_copy_only=False)[sel]
+        ts = (
+            b.column("l_shipdate")
+            .cast(pa.timestamp("us"))
+            .to_numpy(zero_copy_only=False)
+            .view(np.int64)[sel]
+        )
+        year = ts.astype("datetime64[us]").astype("datetime64[Y]").astype(
+            np.int64
+        ) + 1970
+        cents = np.floor(
+            b.column("l_extendedprice").to_numpy(zero_copy_only=False)[sel] * 100
+        ).astype(np.int64)
+        pct = np.round(
+            b.column("l_discount").to_numpy(zero_copy_only=False)[sel] * 100
+        ).astype(np.int64)
+        s_nat = sn_[np.searchsorted(sk_, skey)]
+        t = pa.table(
+            {
+                "key": pa.array(s_nat * 10_000 + year, type=pa.int64()),
+                "profit_micents": pa.array(cents * (100 - pct), type=pa.int64()),
+            }
+        )
+        out = t.group_by("key").aggregate([("profit_micents", "sum")])
+        return out.rename_columns(["key", "profit_micents"])
+
+    agg = (
+        _read(
+            sf_dir,
+            "lineitem",
+            ["l_partkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+        )
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(Sum("profit_micents", alias_name="profit_micents"))
+        .to_pandas()
+    )
+    key = agg["key"].to_numpy(dtype=np.int64)
+    return pa.table(
+        {
+            "n_name": pa.array(names[key // 10_000].tolist(), type=pa.string()),
+            "l_year": pa.array(key % 10_000, type=pa.int64()),
+            "profit_micents": pa.array(
+                agg["profit_micents"].to_numpy(dtype=np.int64), type=pa.int64()
+            ),
+        }
+    )
