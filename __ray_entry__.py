@@ -53,6 +53,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-3 additions (SQL-oracled)
         "shipping_priority_topk": R.q_shipping_priority_topk,
         "local_supplier_volume": R.q_local_supplier_volume,
+        "top_supplier": R.q_top_supplier,
+        "important_parts": R.q_important_parts,
+        "parts_supplier_count": R.q_parts_supplier_count,
+        "discounted_revenue": R.q_discounted_revenue,
+        "min_cost_supplier": R.q_min_cost_supplier,
+        "promo_part_suppliers": R.q_promo_part_suppliers,
         "nation_volume_shipping": R.q_nation_volume_shipping,
         "profit_by_nation_year": R.q_profit_by_nation_year,
         "forecast_revenue": R.q_forecast_revenue,
@@ -457,6 +463,12 @@ def oracle_sql() -> dict[str, str]:
         "cocitation_partsupp": S.cocitation_partsupp_sql(),
         "shipping_priority_topk": S.shipping_priority_sql(),
         "local_supplier_volume": S.local_supplier_volume_sql(),
+        "top_supplier": S.top_supplier_sql(),
+        "important_parts": S.IMPORTANT_PARTS,
+        "parts_supplier_count": S.PARTS_SUPPLIER_COUNT,
+        "discounted_revenue": S.DISCOUNTED_REVENUE,
+        "min_cost_supplier": S.MIN_COST_SUPPLIER,
+        "promo_part_suppliers": S.promo_part_suppliers_sql(),
         "nation_volume_shipping": S.nation_volume_shipping_sql(),
         "profit_by_nation_year": S.profit_by_nation_year_sql(),
         "forecast_revenue": S.forecast_revenue_sql(),

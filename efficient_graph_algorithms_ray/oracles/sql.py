@@ -5249,3 +5249,78 @@ JOIN supplier s ON l.l_suppkey = s.s_suppkey
 JOIN nation n ON s.s_nationkey = n.n_nationkey
 WHERE p.p_type = '{p_type}'
 GROUP BY n.n_name, l_year"""
+
+
+def top_supplier_sql(q_start: str = "1997-01-01", q_end: str = "1997-04-01") -> str:
+    """TPC-H Q15 shape: max-revenue supplier(s) over one quarter."""
+    return f"""WITH rev AS (
+  SELECT l_suppkey,
+         CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)
+                  * (100 - CAST(ROUND(l_discount * 100) AS BIGINT))) AS BIGINT)
+           AS total_micents
+  FROM lineitem
+  WHERE l_shipdate >= DATE '{q_start}' AND l_shipdate < DATE '{q_end}'
+  GROUP BY l_suppkey)
+SELECT l_suppkey AS s_suppkey, total_micents FROM rev
+WHERE total_micents = (SELECT MAX(total_micents) FROM rev)"""
+
+
+IMPORTANT_PARTS = """WITH v AS (
+  SELECT l_partkey,
+         CAST(SUM(CAST(FLOOR(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+           AS value_cents
+  FROM lineitem GROUP BY l_partkey
+), tot AS (
+  SELECT CAST(SUM(value_cents) AS BIGINT) AS t, COUNT(*)::BIGINT AS n FROM v
+)
+SELECT v.l_partkey, v.value_cents FROM v, tot
+WHERE v.value_cents * tot.n > 2 * tot.t"""
+
+
+PARTS_SUPPLIER_COUNT = """WITH pairs AS (
+  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+), ok AS (SELECT s_suppkey FROM supplier WHERE s_acctbal >= 0)
+SELECT p.p_brand, p.p_type, COUNT(DISTINCT pr.l_suppkey)::BIGINT AS supplier_cnt
+FROM pairs pr
+JOIN part p ON pr.l_partkey = p.p_partkey
+JOIN ok ON pr.l_suppkey = ok.s_suppkey
+GROUP BY p.p_brand, p.p_type"""
+
+
+DISCOUNTED_REVENUE = """SELECT COUNT(*)::BIGINT AS n_items,
+  COALESCE(CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100) AS BIGINT)
+                    * (100 - CAST(ROUND(l.l_discount * 100) AS BIGINT))) AS BIGINT), 0)
+    AS revenue_micents
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 5
+       AND l.l_quantity BETWEEN 1 AND 11)
+   OR (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 1 AND 10
+       AND l.l_quantity BETWEEN 10 AND 20)
+   OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 15
+       AND l.l_quantity BETWEEN 20 AND 30)"""
+
+
+MIN_COST_SUPPLIER = """WITH u AS (
+  SELECT l_partkey, l_suppkey,
+         MIN((CAST(FLOOR(l_extendedprice * 100) AS BIGINT) * 1000)
+             // CAST(l_quantity AS BIGINT)) AS unit_millicents
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+), best AS (
+  SELECT l_partkey, l_suppkey, unit_millicents,
+         ROW_NUMBER() OVER (PARTITION BY l_partkey
+                            ORDER BY unit_millicents, l_suppkey) AS rn
+  FROM u)
+SELECT l_partkey AS p_partkey, l_suppkey AS s_suppkey,
+       CAST(unit_millicents AS BIGINT) AS unit_millicents
+FROM best WHERE rn = 1"""
+
+
+def promo_part_suppliers_sql(year: int = 1997, min_qty: int = 50) -> str:
+    """TPC-H Q20 shape: suppliers shipping > min_qty PROMO units in
+    ``year``."""
+    return f"""WITH promo AS (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+SELECT l_suppkey AS s_suppkey,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS total_qty
+FROM lineitem JOIN promo ON l_partkey = p_partkey
+WHERE l_shipdate >= DATE '{year}-01-01' AND l_shipdate < DATE '{year + 1}-01-01'
+GROUP BY l_suppkey HAVING SUM(CAST(l_quantity AS BIGINT)) > {int(min_qty)}"""

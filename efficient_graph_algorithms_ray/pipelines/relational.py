@@ -6997,3 +6997,354 @@ def q_profit_by_nation_year(sf_dir: str, p_type: str = "STANDARD"):
             ),
         }
     )
+
+
+def q_top_supplier(sf_dir: str, q_start: str = "1997-01-01", q_end: str = "1997-04-01"):
+    """TPC-H Q15 shape ("top supplier"): the supplier(s) with maximum
+    exact integer net revenue over one quarter — ties all returned, as
+    in the reference query's view+max formulation. Per-block
+    (suppkey, net) Arrow partials → ONE ≤|supplier|-row groupby; the
+    max+filter runs on that dimension-sized table. Returns
+    (s_suppkey, total_micents)."""
+    lo = np.datetime64(q_start, "us").astype(np.int64)
+    hi = np.datetime64(q_end, "us").astype(np.int64)
+
+    def _partial(b: pa.Table) -> pa.Table:
+        ts = (
+            b.column("l_shipdate")
+            .cast(pa.timestamp("us"))
+            .to_numpy(zero_copy_only=False)
+            .view(np.int64)
+        )
+        sel = (ts >= lo) & (ts < hi)
+        sk = b.column("l_suppkey").to_numpy(zero_copy_only=False)[sel]
+        cents = np.floor(
+            b.column("l_extendedprice").to_numpy(zero_copy_only=False)[sel] * 100
+        ).astype(np.int64)
+        pct = np.round(
+            b.column("l_discount").to_numpy(zero_copy_only=False)[sel] * 100
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "s_suppkey": pa.array(sk, type=pa.int64()),
+                "total_micents": pa.array(cents * (100 - pct), type=pa.int64()),
+            }
+        )
+        out = t.group_by("s_suppkey").aggregate([("total_micents", "sum")])
+        return out.rename_columns(["s_suppkey", "total_micents"])
+
+    rev = (
+        _read(
+            sf_dir, "lineitem", ["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"]
+        )
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby("s_suppkey")
+        .aggregate(Sum("total_micents", alias_name="total_micents"))
+        .to_pandas()
+    )
+    best = rev["total_micents"].max()
+    out = rev[rev["total_micents"] == best]
+    return pa.table(
+        {
+            "s_suppkey": pa.array(out["s_suppkey"].to_numpy(dtype=np.int64)),
+            "total_micents": pa.array(out["total_micents"].to_numpy(dtype=np.int64)),
+        }
+    )
+
+
+def q_important_parts(sf_dir: str):
+    """TPC-H Q11 shape ("important stock identification", adapted to
+    lineitem value): parts whose exact-cents extended-price mass
+    exceeds 2× the mean part share — the scale-free integer predicate
+    ``value·n_parts > 2·total`` needs no float threshold. Per-block
+    (partkey, cents) partials → ONE ≤|part|-row groupby; the global
+    total and the filter run on that dimension-sized table. Returns
+    (l_partkey, value_cents)."""
+
+    def _partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "l_partkey": b.column("l_partkey"),
+                "value_cents": pa.array(
+                    np.floor(
+                        b.column("l_extendedprice").to_numpy(zero_copy_only=False)
+                        * 100
+                    ).astype(np.int64)
+                ),
+            }
+        )
+        out = t.group_by("l_partkey").aggregate([("value_cents", "sum")])
+        return out.rename_columns(["l_partkey", "value_cents"])
+
+    v = (
+        _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice"])
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby("l_partkey")
+        .aggregate(Sum("value_cents", alias_name="value_cents"))
+        .to_pandas()
+    )
+    tot = int(v["value_cents"].sum())
+    n = len(v)
+    out = v[v["value_cents"].to_numpy(dtype=np.int64) * n > 2 * tot]
+    return pa.table(
+        {
+            "l_partkey": pa.array(out["l_partkey"].to_numpy(dtype=np.int64)),
+            "value_cents": pa.array(out["value_cents"].to_numpy(dtype=np.int64)),
+        }
+    )
+
+
+def q_parts_supplier_count(sf_dir: str):
+    """TPC-H Q16 shape ("parts/supplier relationship"): distinct
+    supplier count per (p_brand, p_type), excluding negative-balance
+    suppliers. Distributed shape: per-block DISTINCT (partkey,
+    suppkey) Arrow partials with the supplier blacklist applied
+    map-side off a broadcast sorted array; part attributes fold to
+    broadcast (brand_idx, type_idx) arrays so the pair rows map to a
+    packed (brand, type, suppkey) key; ONE groupby dedups the triples
+    and per-block (brand, type) count partials feed a tiny final sum.
+    Returns (p_brand, p_type, supplier_cnt)."""
+    import ray
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_type"]).to_pandas()
+    po = np.argsort(part["p_partkey"].to_numpy())
+    pk = part["p_partkey"].to_numpy(dtype=np.int64)[po]
+    brands = sorted(part["p_brand"].unique().tolist())
+    types = sorted(part["p_type"].unique().tolist())
+    b2i = {b: i for i, b in enumerate(brands)}
+    t2i = {t: i for i, t in enumerate(types)}
+    bidx = part["p_brand"].map(b2i).to_numpy(dtype=np.int64)[po]
+    tidx = part["p_type"].map(t2i).to_numpy(dtype=np.int64)[po]
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_acctbal"]).to_pandas()
+    bad = np.sort(
+        sup.loc[sup["s_acctbal"] < 0, "s_suppkey"].to_numpy(dtype=np.int64)
+    )
+    NT = len(types)
+    SUPP_MULT = 1_000_000
+    ref = ray.put((pk, bidx, tidx, bad))
+
+    def _pairs(b: pa.Table) -> pa.Table:
+        k, bi, ti, bad_ = ray.get(ref)
+        lpk = b.column("l_partkey").to_numpy(zero_copy_only=False)
+        lsk = b.column("l_suppkey").to_numpy(zero_copy_only=False)
+        if len(bad_):
+            pos = np.searchsorted(bad_, lsk)
+            pos[pos >= len(bad_)] = 0
+            keep = bad_[pos] != lsk
+            lpk, lsk = lpk[keep], lsk[keep]
+        p = np.searchsorted(k, lpk)  # referential integrity
+        bt = bi[p] * NT + ti[p]
+        key = bt * SUPP_MULT + lsk
+        t = pa.table({"key": pa.array(key, type=pa.int64())})
+        out = t.group_by("key").aggregate([])
+        return out
+
+    def _count_partial(b: pa.Table) -> pa.Table:
+        key = b.column("key").to_numpy(zero_copy_only=False)
+        bt = key // SUPP_MULT
+        t = pa.table(
+            {
+                "bt": pa.array(bt, type=pa.int64()),
+                "supplier_cnt": pa.array(np.ones(len(bt), dtype=np.int64)),
+            }
+        )
+        out = t.group_by("bt").aggregate([("supplier_cnt", "sum")])
+        return out.rename_columns(["bt", "supplier_cnt"])
+
+    agg = (
+        _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+        .map_batches(_pairs, batch_format="pyarrow")
+        .groupby("key")
+        .aggregate(Count(alias_name="n"))
+        .map_batches(_count_partial, batch_format="pyarrow")
+        .groupby("bt")
+        .aggregate(Sum("supplier_cnt", alias_name="supplier_cnt"))
+        .to_pandas()
+    )
+    bt = agg["bt"].to_numpy(dtype=np.int64)
+    return pa.table(
+        {
+            "p_brand": pa.array(
+                [brands[i] for i in (bt // NT).tolist()], type=pa.string()
+            ),
+            "p_type": pa.array(
+                [types[i] for i in (bt % NT).tolist()], type=pa.string()
+            ),
+            "supplier_cnt": pa.array(
+                agg["supplier_cnt"].to_numpy(dtype=np.int64), type=pa.int64()
+            ),
+        }
+    )
+
+
+def q_discounted_revenue(sf_dir: str):
+    """TPC-H Q19 shape ("discounted revenue"): one-row exact integer
+    sum over an OR-of-ANDs predicate spanning part attributes (brand,
+    size — resolved MAP-SIDE off broadcast arrays) and lineitem
+    attributes (quantity bands). No shuffle at all: per-block one-row
+    partials are summed on the driver. Returns
+    (n_items, revenue_micents)."""
+    import ray
+
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand", "p_size"]).to_pandas()
+    po = np.argsort(part["p_partkey"].to_numpy())
+    pk = part["p_partkey"].to_numpy(dtype=np.int64)[po]
+    brand = part["p_brand"].to_numpy()[po]
+    size = part["p_size"].to_numpy(dtype=np.int64)[po]
+    cases = (("Brand#3", 1, 5, 1, 11), ("Brand#13", 1, 10, 10, 20), ("Brand#23", 1, 15, 20, 30))
+    ref = ray.put((pk, brand, size))
+
+    def _partial(b: pa.Table) -> pa.Table:
+        k, br, sz = ray.get(ref)
+        lpk = b.column("l_partkey").to_numpy(zero_copy_only=False)
+        qty = b.column("l_quantity").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(k, lpk)  # referential integrity
+        pbr, psz = br[pos], sz[pos]
+        sel = np.zeros(len(lpk), dtype=bool)
+        for cb, s0, s1, q0, q1 in cases:
+            sel |= (pbr == cb) & (psz >= s0) & (psz <= s1) & (qty >= q0) & (qty <= q1)
+        cents = np.floor(
+            b.column("l_extendedprice").to_numpy(zero_copy_only=False)[sel] * 100
+        ).astype(np.int64)
+        pct = np.round(
+            b.column("l_discount").to_numpy(zero_copy_only=False)[sel] * 100
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "n_items": pa.array([int(sel.sum())], type=pa.int64()),
+                "revenue_micents": pa.array(
+                    [int((cents * (100 - pct)).sum())], type=pa.int64()
+                ),
+            }
+        )
+
+    parts = (
+        _read(
+            sf_dir,
+            "lineitem",
+            ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+        )
+        .map_batches(_partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    return pa.table(
+        {
+            "n_items": pa.array([int(parts["n_items"].sum())], type=pa.int64()),
+            "revenue_micents": pa.array(
+                [int(parts["revenue_micents"].sum())], type=pa.int64()
+            ),
+        }
+    )
+
+
+def q_min_cost_supplier(sf_dir: str):
+    """TPC-H Q2 shape ("minimum cost supplier", adapted: unit cost is
+    the exact integer floor((cents·1000)/qty) over lineitems of each
+    (part, supplier) pair — the schema has no ps_supplycost): per
+    part, the cheapest supplier with min-suppkey tie-break. Per-block
+    (pair, min unit) Arrow partials (min is associative, so map-side
+    pre-reduction is exact) → ONE packed-pair groupby min → per-part
+    argmin inside a second small groupby. Returns
+    (p_partkey, s_suppkey, unit_millicents)."""
+    SUPP_MULT = 1_000_000
+
+    def _partial(b: pa.Table) -> pa.Table:
+        pk = b.column("l_partkey").to_numpy(zero_copy_only=False)
+        sk = b.column("l_suppkey").to_numpy(zero_copy_only=False)
+        qty = b.column("l_quantity").to_numpy(zero_copy_only=False).astype(np.int64)
+        cents = np.floor(
+            b.column("l_extendedprice").to_numpy(zero_copy_only=False) * 100
+        ).astype(np.int64)
+        unit = (cents * 1000) // qty
+        t = pa.table(
+            {
+                "pair": pa.array(pk * SUPP_MULT + sk, type=pa.int64()),
+                "unit_millicents": pa.array(unit, type=pa.int64()),
+            }
+        )
+        out = t.group_by("pair").aggregate([("unit_millicents", "min")])
+        return out.rename_columns(["pair", "unit_millicents"])
+
+    def _split(b: pa.Table) -> pa.Table:
+        pair = b.column("pair").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "p_partkey": pa.array(pair // SUPP_MULT, type=pa.int64()),
+                "s_suppkey": pa.array(pair % SUPP_MULT, type=pa.int64()),
+                "unit_millicents": b.column("unit_millicents"),
+            }
+        )
+
+    def _argmin(g: pa.Table) -> pa.Table:
+        u = g.column("unit_millicents").to_numpy(zero_copy_only=False)
+        sk = g.column("s_suppkey").to_numpy(zero_copy_only=False)
+        i = np.lexsort((sk, u))[0]
+        return g.take([int(i)])
+
+    from ray.data.aggregate import Min
+
+    return (
+        _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"])
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby("pair")
+        .aggregate(Min("unit_millicents", alias_name="unit_millicents"))
+        .map_batches(_split, batch_format="pyarrow")
+        .groupby("p_partkey")
+        .map_groups(_argmin, batch_format="pyarrow")
+    )
+
+
+def q_promo_part_suppliers(sf_dir: str, year: str = "1997", min_qty: int = 50):
+    """TPC-H Q20 shape ("potential part promotion"): suppliers that
+    shipped more than ``min_qty`` units of PROMO-type parts in
+    ``year``. The part filter resolves MAP-SIDE off a broadcast
+    sorted-key boolean array; per-block (suppkey, qty) partials feed
+    ONE ≤|supplier|-row groupby; the HAVING filter runs on that
+    dimension-sized table. Returns (s_suppkey, total_qty)."""
+    import ray
+
+    lo = np.datetime64(f"{year}-01-01", "us").astype(np.int64)
+    hi = np.datetime64(f"{int(year) + 1}-01-01", "us").astype(np.int64)
+    part = _read(sf_dir, "part", ["p_partkey", "p_type"]).to_pandas()
+    po = np.argsort(part["p_partkey"].to_numpy())
+    pk = part["p_partkey"].to_numpy(dtype=np.int64)[po]
+    promo = (part["p_type"].to_numpy() == "PROMO")[po]
+    ref = ray.put((pk, promo))
+
+    def _partial(b: pa.Table) -> pa.Table:
+        k, isp = ray.get(ref)
+        ts = (
+            b.column("l_shipdate")
+            .cast(pa.timestamp("us"))
+            .to_numpy(zero_copy_only=False)
+            .view(np.int64)
+        )
+        lpk = b.column("l_partkey").to_numpy(zero_copy_only=False)
+        sel = (ts >= lo) & (ts < hi) & isp[np.searchsorted(k, lpk)]
+        sk = b.column("l_suppkey").to_numpy(zero_copy_only=False)[sel]
+        qty = b.column("l_quantity").to_numpy(zero_copy_only=False)[sel].astype(
+            np.int64
+        )
+        t = pa.table(
+            {
+                "s_suppkey": pa.array(sk, type=pa.int64()),
+                "total_qty": pa.array(qty, type=pa.int64()),
+            }
+        )
+        out = t.group_by("s_suppkey").aggregate([("total_qty", "sum")])
+        return out.rename_columns(["s_suppkey", "total_qty"])
+
+    agg = (
+        _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"])
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby("s_suppkey")
+        .aggregate(Sum("total_qty", alias_name="total_qty"))
+        .to_pandas()
+    )
+    out = agg[agg["total_qty"] > min_qty]
+    return pa.table(
+        {
+            "s_suppkey": pa.array(out["s_suppkey"].to_numpy(dtype=np.int64)),
+            "total_qty": pa.array(out["total_qty"].to_numpy(dtype=np.int64)),
+        }
+    )
