@@ -59,6 +59,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "discounted_revenue": R.q_discounted_revenue,
         "min_cost_supplier": R.q_min_cost_supplier,
         "promo_part_suppliers": R.q_promo_part_suppliers,
+        "hashed_classifier": C.q_hashed_classifier,
+        "ce_buckets_by_lang": C.q_ce_buckets_by_lang,
         "nation_volume_shipping": R.q_nation_volume_shipping,
         "profit_by_nation_year": R.q_profit_by_nation_year,
         "forecast_revenue": R.q_forecast_revenue,
@@ -469,6 +471,8 @@ def oracle_sql() -> dict[str, str]:
         "discounted_revenue": S.DISCOUNTED_REVENUE,
         "min_cost_supplier": S.MIN_COST_SUPPLIER,
         "promo_part_suppliers": S.promo_part_suppliers_sql(),
+        "hashed_classifier": S.hashed_classifier_sql(),
+        "ce_buckets_by_lang": S.ce_buckets_by_lang_sql(),
         "nation_volume_shipping": S.nation_volume_shipping_sql(),
         "profit_by_nation_year": S.profit_by_nation_year_sql(),
         "forecast_revenue": S.forecast_revenue_sql(),

@@ -255,3 +255,48 @@ def repetition_batch(batch: pa.Table) -> pa.Table:
             "top_bigram_frac": pa.array(top_bg, type=pa.float64()),
         }
     )
+
+
+def hashed_classifier_batch(batch: pa.Table, *, seed: int = 0x5EED_FA57) -> pa.Table:
+    """fastText-style hashed linear quality classifier (the
+    DCLM/fastText-filter shape with deterministic hashed weights):
+    each token's weight is splitmix64(fnv1a(tok) XOR seed) mapped to
+    the centered integer band [-1000, 1000]; a document's score is the
+    mean token weight (one IEEE division over exact int64 sums) and
+    its label the sign. The real fastText classifier would load a
+    trained weight table in an actor's ``__init__``; the hash-derived
+    table keeps the whole path deterministic and SQL-replayable while
+    exercising the identical batch plumbing. Token-less documents are
+    dropped (they have no rows in the SQL unnest either). Returns
+    (doc_id, n_tokens, score_num, score, label)."""
+    from ..sources.edges_synth import _splitmix64
+
+    ids = batch.column("doc_id").to_pylist()
+    texts = batch.column("text").to_pylist()
+    out_id: list[int] = []
+    n_tok = []
+    nums = []
+    sd = np.uint64(seed)
+    for doc_id, text in zip(ids, texts):
+        toks = _TOKEN_RE.findall(text or "")
+        if not toks:
+            continue
+        hs = np.array([hash_token(t) for t in toks], dtype=np.uint64)
+        w = (_splitmix64(hs ^ sd) % np.uint64(2001)).astype(np.int64) - 1000
+        out_id.append(doc_id)
+        n_tok.append(len(toks))
+        nums.append(int(w.sum()))
+    n = np.asarray(n_tok, dtype=np.int64)
+    num = np.asarray(nums, dtype=np.int64)
+    return pa.table(
+        {
+            "doc_id": pa.array(out_id, type=pa.int64()),
+            "n_tokens": pa.array(n, type=pa.int64()),
+            "score_num": pa.array(num, type=pa.int64()),
+            "score": pa.array(
+                num.astype(np.float64) / np.maximum(n, 1).astype(np.float64),
+                type=pa.float64(),
+            ),
+            "label": pa.array((num > 0).astype(np.int64), type=pa.int64()),
+        }
+    )

@@ -5324,3 +5324,49 @@ SELECT l_suppkey AS s_suppkey,
 FROM lineitem JOIN promo ON l_partkey = p_partkey
 WHERE l_shipdate >= DATE '{year}-01-01' AND l_shipdate < DATE '{year + 1}-01-01'
 GROUP BY l_suppkey HAVING SUM(CAST(l_quantity AS BIGINT)) > {int(min_qty)}"""
+
+
+def hashed_classifier_sql(seed: int = 0x5EED_FA57) -> str:
+    """Replays functions/text.py:hashed_classifier_batch: FNV-1a token
+    hash XOR seed → splitmix64 → centered weight in [-1000, 1000],
+    exact int64 per-doc sum, one IEEE division, sign label."""
+    fnv = (
+        "list_reduce("
+        "list_prepend(14695981039346656037::UBIGINT,"
+        " list_transform(string_split(t, ''), ch -> ascii(ch)::UBIGINT)),"
+        " (h, b) -> CAST((CAST(xor(h, b) AS HUGEINT) * 1099511628211)"
+        f" % {_U64} AS UBIGINT))"
+    )
+    frag, last, hcol = sm64_stages("ht", "h0", "clf", ["doc_id"])
+    return f"""WITH tk AS (
+  SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS t FROM documents
+),
+ht AS MATERIALIZED (
+  SELECT doc_id, xor({fnv}, {seed}::UBIGINT) AS h0 FROM tk
+){frag},
+wt AS (SELECT doc_id, CAST({hcol} % 2001 AS BIGINT) - 1000 AS w FROM {last})
+SELECT doc_id::BIGINT AS doc_id, COUNT(*)::BIGINT AS n_tokens,
+  CAST(SUM(w) AS BIGINT) AS score_num,
+  CAST(SUM(w) AS DOUBLE) / COUNT(*) AS score,
+  (CASE WHEN SUM(w) > 0 THEN 1 ELSE 0 END)::BIGINT AS label
+FROM wt GROUP BY doc_id"""
+
+
+def ce_buckets_by_lang_sql() -> str:
+    """Replays q_ce_buckets_by_lang: integer micro-nats-per-bigram
+    quotient, per-lang quantile_disc terciles, head/middle/tail."""
+    return f"""WITH ce AS MATERIALIZED (SELECT * FROM ({BIGRAM_CE_DOCS}) t),
+j AS MATERIALIZED (
+  SELECT ce.doc_id::BIGINT AS doc_id, d.lang,
+         CAST(ce.ce_num // ce.n_bigrams AS BIGINT) AS ceq
+  FROM ce JOIN documents d ON ce.doc_id = d.doc_id
+),
+t AS (
+  SELECT lang, CAST(quantile_disc(ceq, 0.33) AS BIGINT) AS t33,
+         CAST(quantile_disc(ceq, 0.66) AS BIGINT) AS t66
+  FROM j GROUP BY lang
+)
+SELECT j.doc_id, j.lang, j.ceq,
+  (CASE WHEN j.ceq <= t.t33 THEN 0
+        WHEN j.ceq <= t.t66 THEN 1 ELSE 2 END)::BIGINT AS bucket
+FROM j JOIN t USING (lang)"""

@@ -1815,3 +1815,122 @@ def q_quality_ce_calibration(sf_dir: str):
             "pooled_ce": pa.array(pooled, type=pa.float64()),
         }
     )
+
+
+def q_hashed_classifier(sf_dir: str):
+    """fastText-style hashed linear quality classifier over documents
+    (functions/text.py:hashed_classifier_batch): mean hashed token
+    weight + sign label per doc. Pure map-side — zero shuffle."""
+    from ..functions.text import hashed_classifier_batch
+
+    return _docs(sf_dir, ["doc_id", "text"]).map_batches(
+        hashed_classifier_batch, batch_format="pyarrow"
+    )
+
+
+def q_ce_buckets_by_lang(sf_dir: str, P: int = 32):
+    """CCNet-style perplexity buckets: per language, split documents
+    into head/middle/tail (0/1/2) by their bigram-LM cross-entropy —
+    the exact CCNet recipe for quality-stratifying a crawl corpus.
+    Distributed shape: the CE table (one exact integer per doc,
+    functions/terms.py:bigram_cross_entropy) and the thin
+    (doc_id, lang) projection are co-located by ONE
+    ``groupby(doc_id % P)`` tagged co-shuffle; per-language exact
+    tercile thresholds come from the bounded-domain histogram
+    percentile machinery (quantile_disc semantics) and are broadcast
+    back over the joined rows — no per-doc rank shuffle. ceq is the
+    exact integer micro-nats-per-bigram quotient. Returns
+    (doc_id, lang, ceq, bucket)."""
+    import ray
+
+    from ..functions.stats import exact_percentiles_by
+    from ..functions.terms import bigram_cross_entropy
+
+    ce = bigram_cross_entropy(_docs(sf_dir, ["doc_id", "text"]))
+
+    def _tag_ce(b: pa.Table) -> pa.Table:
+        did = b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        ceq = (
+            b.column("ce_num").to_numpy(zero_copy_only=False)
+            // b.column("n_bigrams").to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        return pa.table(
+            {
+                "part": pa.array(did % P, type=pa.int64()),
+                "doc_id": pa.array(did, type=pa.int64()),
+                "ceq": pa.array(ceq, type=pa.int64()),
+                "lang": pa.nulls(len(did), type=pa.string()),
+            }
+        )
+
+    def _tag_docs(b: pa.Table) -> pa.Table:
+        did = b.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "part": pa.array(did % P, type=pa.int64()),
+                "doc_id": pa.array(did, type=pa.int64()),
+                "ceq": pa.nulls(len(did), type=pa.int64()),
+                "lang": b.column("lang"),
+            }
+        )
+
+    def _join(g: pa.Table) -> pa.Table:
+        has_lang = g.column("lang").is_valid().to_numpy(zero_copy_only=False)
+        did = g.column("doc_id").to_numpy(zero_copy_only=False)
+        dd = did[has_lang]
+        dl = np.asarray(g.column("lang").to_pylist(), dtype=object)[has_lang]
+        order = np.argsort(dd)
+        dd, dl = dd[order], dl[order]
+        cd = did[~has_lang]
+        cq = g.column("ceq").to_numpy(zero_copy_only=False)[~has_lang]
+        if len(cd) == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "lang": pa.array([], type=pa.string()),
+                    "ceq": pa.array([], type=pa.int64()),
+                }
+            )
+        pos = np.searchsorted(dd, cd)  # every CE row has its doc
+        return pa.table(
+            {
+                "doc_id": pa.array(cd, type=pa.int64()),
+                "lang": pa.array(dl[pos].tolist(), type=pa.string()),
+                "ceq": pa.array(cq, type=pa.int64()),
+            }
+        )
+
+    joined = (
+        ce.map_batches(_tag_ce, batch_format="pyarrow")
+        .union(
+            _docs(sf_dir, ["doc_id", "lang"]).map_batches(
+                _tag_docs, batch_format="pyarrow"
+            )
+        )
+        .groupby("part")
+        .map_groups(_join, batch_format="pyarrow")
+        .materialize()
+    )
+    thr = exact_percentiles_by(joined, "lang", "ceq", [0.33, 0.66]).to_pandas()
+    tmap: dict = {}
+    for lang, q, v in zip(thr["lang"], thr["q"], thr["value"]):
+        tmap.setdefault(lang, {})[round(float(q), 2)] = int(v)
+    ref = ray.put(tmap)
+
+    def _bucket(b: pa.Table) -> pa.Table:
+        tm = ray.get(ref)
+        langs = b.column("lang").to_pylist()
+        ceq = b.column("ceq").to_numpy(zero_copy_only=False)
+        t33 = np.array([tm[la][0.33] for la in langs], dtype=np.int64)
+        t66 = np.array([tm[la][0.66] for la in langs], dtype=np.int64)
+        bucket = np.where(ceq <= t33, 0, np.where(ceq <= t66, 1, 2)).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "lang": b.column("lang"),
+                "ceq": b.column("ceq"),
+                "bucket": pa.array(bucket, type=pa.int64()),
+            }
+        )
+
+    return joined.map_batches(_bucket, batch_format="pyarrow")
