@@ -61,6 +61,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "promo_part_suppliers": R.q_promo_part_suppliers,
         "hashed_classifier": C.q_hashed_classifier,
         "ce_buckets_by_lang": C.q_ce_buckets_by_lang,
+        "knn_label_accuracy": C.q_knn_label_accuracy,
         "nation_volume_shipping": R.q_nation_volume_shipping,
         "profit_by_nation_year": R.q_profit_by_nation_year,
         "forecast_revenue": R.q_forecast_revenue,
@@ -473,6 +474,7 @@ def oracle_sql() -> dict[str, str]:
         "promo_part_suppliers": S.promo_part_suppliers_sql(),
         "hashed_classifier": S.hashed_classifier_sql(),
         "ce_buckets_by_lang": S.ce_buckets_by_lang_sql(),
+        "knn_label_accuracy": S.KNN_LABEL_ACCURACY,
         "nation_volume_shipping": S.nation_volume_shipping_sql(),
         "profit_by_nation_year": S.profit_by_nation_year_sql(),
         "forecast_revenue": S.forecast_revenue_sql(),

@@ -1104,3 +1104,54 @@ def mmr_topk(
             "score_u6": pa.array(out_score, type=pa.int64()),
         }
     )
+
+
+def knn_label_accuracy(embeddings_ds):
+    """Leave-one-out 1-NN label accuracy — the standard intrinsic
+    eval for an embedding table (does nearest-neighbor structure
+    respect labels?). Per label: row count and how many rows' nearest
+    OTHER vector (cosine, min-vec_id tie-break) shares the label.
+
+    Distributed shape: the corpus matrix is broadcast ONCE via
+    ``ray.put`` (vec_id-sorted, L2-normalized — at 100 TB this is the
+    same query-side broadcast as brute-force kNN, with IVF as the
+    scale path); each batch does one (b, N) matmul, masks self, and
+    argmax picks the first (= smallest vec_id) maximum. Only
+    (label, n, correct) partials leave each block. Returns
+    (label, n, correct)."""
+    import ray
+
+    emb = embeddings_ds.to_pandas()
+    order = np.argsort(emb["vec_id"].to_numpy())
+    vids = emb["vec_id"].to_numpy(dtype=np.int64)[order]
+    labels = emb["label"].to_numpy(dtype=np.int64)[order]
+    nmat = _normalize(np.stack(emb["embedding"].to_numpy()[order]).astype(np.float64))
+    ref = ray.put((vids, labels, nmat))
+
+    def _partial(b: pa.Table) -> pa.Table:
+        v, lab, m = ray.get(ref)
+        bv = b.column("vec_id").to_numpy(zero_copy_only=False)
+        bl = b.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        bm = _normalize(np.stack(b.column("embedding").to_numpy(zero_copy_only=False)).astype(np.float64))
+        sims = bm @ m.T  # (batch, N)
+        self_pos = np.searchsorted(v, bv)
+        sims[np.arange(len(bv)), self_pos] = -np.inf
+        nb = np.argmax(sims, axis=1)  # first max = smallest vec_id
+        correct = (lab[nb] == bl).astype(np.int64)
+        t = pa.table(
+            {
+                "label": pa.array(bl, type=pa.int64()),
+                "n": pa.array(np.ones(len(bl), dtype=np.int64)),
+                "correct": pa.array(correct, type=pa.int64()),
+            }
+        )
+        out = t.group_by("label").aggregate([("n", "sum"), ("correct", "sum")])
+        return out.rename_columns(["label", "n", "correct"])
+
+    from ray.data.aggregate import Sum
+
+    return (
+        embeddings_ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby("label")
+        .aggregate(Sum("n", alias_name="n"), Sum("correct", alias_name="correct"))
+    )

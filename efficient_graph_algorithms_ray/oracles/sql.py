@@ -5370,3 +5370,17 @@ SELECT j.doc_id, j.lang, j.ceq,
   (CASE WHEN j.ceq <= t.t33 THEN 0
         WHEN j.ceq <= t.t66 THEN 1 ELSE 2 END)::BIGINT AS bucket
 FROM j JOIN t USING (lang)"""
+
+
+KNN_LABEL_ACCURACY = """WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings
+), j AS (
+  SELECT a.vec_id, a.label AS label, b.label AS nb_label,
+         ROW_NUMBER() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY list_cosine_similarity(b.v, a.v) DESC, b.vec_id) AS rn
+  FROM e a JOIN e b ON b.vec_id <> a.vec_id
+)
+SELECT label::BIGINT AS label, COUNT(*)::BIGINT AS n,
+       SUM(CASE WHEN nb_label = label THEN 1 ELSE 0 END)::BIGINT AS correct
+FROM j WHERE rn = 1 GROUP BY label"""

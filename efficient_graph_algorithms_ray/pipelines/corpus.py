@@ -1934,3 +1934,11 @@ def q_ce_buckets_by_lang(sf_dir: str, P: int = 32):
         )
 
     return joined.map_batches(_bucket, batch_format="pyarrow")
+
+
+def q_knn_label_accuracy(sf_dir: str):
+    """Leave-one-out 1-NN label accuracy over the embeddings table
+    (functions/similarity.py:knn_label_accuracy)."""
+    from ..functions.similarity import knn_label_accuracy
+
+    return knn_label_accuracy(_emb(sf_dir))
