@@ -5384,3 +5384,45 @@ KNN_LABEL_ACCURACY = """WITH e AS (
 SELECT label::BIGINT AS label, COUNT(*)::BIGINT AS n,
        SUM(CASE WHEN nb_label = label THEN 1 ELSE 0 END)::BIGINT AS correct
 FROM j WHERE rn = 1 GROUP BY label"""
+
+
+def attack_curve_coocc_sql(ks=(0, 16, 64), rounds: int = 24) -> str:
+    """Replays relational.q_attack_curve_coocc: per k, remove the
+    top-k degree hubs (degree DESC, vid ASC), min-label propagation
+    unrolled ``rounds`` times, component stats. Integer-exact."""
+    parts = [
+        """WITH pr AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+und AS MATERIALIZED (SELECT u, v FROM pr UNION ALL SELECT v AS u, u AS v FROM pr),
+deg AS MATERIALIZED (SELECT u AS vid, count(*)::BIGINT AS d FROM und GROUP BY u)"""
+    ]
+    selects = []
+    for k in ks:
+        parts.append(f""",
+hub{k} AS MATERIALIZED (SELECT vid FROM deg ORDER BY d DESC, vid LIMIT {int(k)}),
+e{k} AS MATERIALIZED (
+  SELECT u, v FROM und
+  WHERE u NOT IN (SELECT vid FROM hub{k})
+    AND v NOT IN (SELECT vid FROM hub{k})
+),
+a{k}_l0 AS MATERIALIZED (SELECT DISTINCT u AS vid, u AS lab FROM e{k})""")
+        for i in range(1, rounds + 1):
+            p = f"a{k}_l{i-1}"
+            parts.append(f""",
+a{k}_rx{i} AS (
+  SELECT e.v AS vid, MIN(l.lab) AS m
+  FROM e{k} e JOIN {p} l ON l.vid = e.u GROUP BY e.v
+),
+a{k}_l{i} AS MATERIALIZED (
+  SELECT d.vid, LEAST(d.lab, COALESCE(r.m, d.lab)) AS lab
+  FROM {p} d LEFT JOIN a{k}_rx{i} r ON r.vid = d.vid
+)""")
+        selects.append(f"""SELECT {int(k)}::BIGINT AS k,
+  SUM(n)::BIGINT AS n_vertices,
+  count(*)::BIGINT AS n_components,
+  MAX(n)::BIGINT AS largest_size
+FROM (SELECT lab, count(*)::BIGINT AS n FROM a{k}_l{rounds} GROUP BY lab)""")
+    return "".join(parts) + "\n" + "\nUNION ALL\n".join(selects)

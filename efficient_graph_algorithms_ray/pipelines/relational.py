@@ -7348,3 +7348,116 @@ def q_promo_part_suppliers(sf_dir: str, year: str = "1997", min_qty: int = 50):
             "total_qty": pa.array(out["total_qty"].to_numpy(dtype=np.int64)),
         }
     )
+
+
+def q_attack_curve_coocc(sf_dir: str, ks=(0, 16, 64), rounds: int = 24):
+    """Hub-attack robustness curve: component structure of the part
+    co-occurrence graph after removing the top-k highest-degree
+    vertices (degree desc, vid asc ties), for each k — the classic
+    scale-free-network targeted-attack diagnostic (how fast the giant
+    component shatters when hubs are taken out). Distributed shape:
+    distinct pairs via ONE combiner-backed groupby; the degree table
+    comes from per-block (vid, 1) partials; only the ≤max(k) hub list
+    is collected and re-broadcast as a filter; one engine CC superstep
+    run per k, capped at ``rounds`` on BOTH sides (a converged run
+    makes the extra unrolled-SQL rounds no-ops). Returns
+    (k, n_vertices, n_components, largest_size), all exact ints."""
+    from ray.data.aggregate import Count, Max, Sum
+
+    from .components import connected_components
+
+    def _canon(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "u": pa.array(
+                    b.column("src").to_numpy(zero_copy_only=False).astype(np.uint64),
+                    type=pa.uint64(),
+                ),
+                "v": pa.array(
+                    b.column("dst").to_numpy(zero_copy_only=False).astype(np.uint64),
+                    type=pa.uint64(),
+                ),
+            }
+        )
+
+    pairs = (
+        part_cooccurrence_edges(sf_dir)
+        .map_batches(_canon, batch_format="pyarrow")
+        .groupby(["u", "v"])
+        .aggregate(Count(alias_name="w"))
+        .materialize()
+    )
+
+    def _deg_partial(b: pa.Table) -> pa.Table:
+        vid = np.concatenate(
+            [
+                b.column("u").to_numpy(zero_copy_only=False),
+                b.column("v").to_numpy(zero_copy_only=False),
+            ]
+        ).astype(np.int64)
+        t = pa.table(
+            {
+                "vid": pa.array(vid, type=pa.int64()),
+                "d": pa.array(np.ones(len(vid), dtype=np.int64)),
+            }
+        )
+        return (
+            t.group_by("vid").aggregate([("d", "sum")]).rename_columns(["vid", "d"])
+        )
+
+    kmax = max(ks)
+    hubs_all = np.array([], dtype=np.uint64)
+    if kmax > 0:
+        top = (
+            pairs.map_batches(_deg_partial, batch_format="pyarrow")
+            .groupby("vid")
+            .aggregate(Sum("d", alias_name="d"))
+            .sort(["d", "vid"], descending=[True, False])
+            .limit(kmax)
+            .to_pandas()
+        )
+        hubs_all = top["vid"].to_numpy(dtype=np.int64).astype(np.uint64)
+
+    out_k, out_nv, out_nc, out_ls = [], [], [], []
+    for k in ks:
+        hub = np.sort(hubs_all[:k])
+
+        def _flt(b: pa.Table, hub=hub) -> pa.Table:
+            u = b.column("u").to_numpy(zero_copy_only=False)
+            v = b.column("v").to_numpy(zero_copy_only=False)
+            if len(hub):
+                pu = np.searchsorted(hub, u)
+                pu[pu >= len(hub)] = 0
+                pv = np.searchsorted(hub, v)
+                pv[pv >= len(hub)] = 0
+                keep = (hub[pu] != u) & (hub[pv] != v)
+            else:
+                keep = np.ones(len(u), dtype=bool)
+            return pa.table(
+                {
+                    "src": pa.array(u[keep], type=pa.uint64()),
+                    "dst": pa.array(v[keep], type=pa.uint64()),
+                }
+            )
+
+        edges_t = pairs.map_batches(_flt, batch_format="pyarrow")
+        g = build_graph(edges_t, EngineConfig(num_partitions=16), directed=False)
+        comp, _ = connected_components(g, _ckpt(f"atk{k}"), max_iters=rounds)
+        sizes = comp.groupby("component").aggregate(Count(alias_name="n"))
+        stats = sizes.aggregate(
+            Count(alias_name="n_components"),
+            Max("n", alias_name="largest"),
+            Sum("n", alias_name="n_vertices"),
+        )
+        out_k.append(int(k))
+        out_nv.append(int(stats["n_vertices"]))
+        out_nc.append(int(stats["n_components"]))
+        out_ls.append(int(stats["largest"]))
+    return pa.table(
+        {
+            "k": pa.array(out_k, type=pa.int64()),
+            "n_vertices": pa.array(out_nv, type=pa.int64()),
+            "n_components": pa.array(out_nc, type=pa.int64()),
+            "largest_size": pa.array(out_ls, type=pa.int64()),
+        }
+    )
