@@ -63,6 +63,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ce_buckets_by_lang": C.q_ce_buckets_by_lang,
         "knn_label_accuracy": C.q_knn_label_accuracy,
         "attack_curve_coocc": R.q_attack_curve_coocc,
+        "markov_prediction_accuracy": R.q_markov_prediction_accuracy,
+        "rfm_segments": R.q_rfm_segments,
         "nation_volume_shipping": R.q_nation_volume_shipping,
         "profit_by_nation_year": R.q_profit_by_nation_year,
         "forecast_revenue": R.q_forecast_revenue,
@@ -477,6 +479,8 @@ def oracle_sql() -> dict[str, str]:
         "ce_buckets_by_lang": S.ce_buckets_by_lang_sql(),
         "knn_label_accuracy": S.KNN_LABEL_ACCURACY,
         "attack_curve_coocc": S.attack_curve_coocc_sql(),
+        "markov_prediction_accuracy": S.MARKOV_PREDICTION_ACCURACY,
+        "rfm_segments": S.RFM_SEGMENTS,
         "nation_volume_shipping": S.nation_volume_shipping_sql(),
         "profit_by_nation_year": S.profit_by_nation_year_sql(),
         "forecast_revenue": S.forecast_revenue_sql(),

@@ -5426,3 +5426,59 @@ a{k}_l{i} AS MATERIALIZED (
   MAX(n)::BIGINT AS largest_size
 FROM (SELECT lab, count(*)::BIGINT AS n FROM a{k}_l{rounds} GROUP BY lab)""")
     return "".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+MARKOV_PREDICTION_ACCURACY = """WITH seq AS (
+  SELECT user_id, event_type,
+    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+  FROM events
+),
+tr AS (
+  SELECT prev AS src_type, event_type AS dst_type, count(*)::BIGINT AS n
+  FROM seq WHERE prev IS NOT NULL GROUP BY 1, 2
+),
+pred AS (
+  SELECT src_type, dst_type FROM (
+    SELECT src_type, dst_type,
+           ROW_NUMBER() OVER (PARTITION BY src_type
+                              ORDER BY n DESC, dst_type) AS rn
+    FROM tr) WHERE rn = 1
+)
+SELECT CAST(SUM(tr.n) AS BIGINT) AS n_transitions,
+       CAST(SUM(CASE WHEN tr.dst_type = pred.dst_type
+                     THEN tr.n ELSE 0 END) AS BIGINT) AS correct,
+       CAST(SUM(CASE WHEN tr.dst_type = pred.dst_type
+                     THEN tr.n ELSE 0 END) AS DOUBLE)
+         / CAST(SUM(tr.n) AS DOUBLE) AS accuracy
+FROM tr JOIN pred USING (src_type)"""
+
+
+RFM_SEGMENTS = """WITH per AS MATERIALIZED (
+  SELECT o_custkey AS c_custkey,
+         CAST(MAX(DATEDIFF('day', DATE '1970-01-01', o_orderdate)) AS BIGINT)
+           AS last_odate_days,
+         COUNT(*)::BIGINT AS n_orders,
+         CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+           AS total_cents
+  FROM orders GROUP BY o_custkey
+),
+t AS (
+  SELECT quantile_disc(last_odate_days, 0.25) AS r1,
+         quantile_disc(last_odate_days, 0.5) AS r2,
+         quantile_disc(last_odate_days, 0.75) AS r3,
+         quantile_disc(n_orders, 0.25) AS f1,
+         quantile_disc(n_orders, 0.5) AS f2,
+         quantile_disc(n_orders, 0.75) AS f3,
+         quantile_disc(total_cents, 0.25) AS m1,
+         quantile_disc(total_cents, 0.5) AS m2,
+         quantile_disc(total_cents, 0.75) AS m3
+  FROM per
+)
+SELECT per.c_custkey, per.last_odate_days, per.n_orders, per.total_cents,
+  CAST(((per.last_odate_days > t.r1)::INT + (per.last_odate_days > t.r2)::INT
+        + (per.last_odate_days > t.r3)::INT) * 100
+     + ((per.n_orders > t.f1)::INT + (per.n_orders > t.f2)::INT
+        + (per.n_orders > t.f3)::INT) * 10
+     + ((per.total_cents > t.m1)::INT + (per.total_cents > t.m2)::INT
+        + (per.total_cents > t.m3)::INT) AS BIGINT) AS rfm_code
+FROM per, t"""

@@ -7461,3 +7461,155 @@ def q_attack_curve_coocc(sf_dir: str, ks=(0, 16, 64), rounds: int = 24):
             "largest_size": pa.array(out_ls, type=pa.int64()),
         }
     )
+
+
+def q_markov_prediction_accuracy(sf_dir: str):
+    """Next-event prediction eval: train the first-order Markov
+    transition matrix over per-user event sequences, predict each
+    source type's modal successor (count desc, type asc ties), and
+    score the prediction over the SAME transition instances — the
+    standard majority-baseline sequence-model eval. The whole readout
+    derives from the tiny (≤|types|²) transition-count table, so the
+    only distributed work is the per-user pair extraction already
+    used by q_event_transitions. Returns one row
+    (n_transitions, correct, accuracy)."""
+    from collections import Counter
+
+    from ray.data.aggregate import Sum
+
+    def _trans(group: pa.Table) -> pa.Table:
+        uid = group.column("user_id").to_numpy(zero_copy_only=False)
+        ts = (
+            group.column("ts")
+            .cast(pa.timestamp("us"))
+            .to_numpy(zero_copy_only=False)
+            .astype("datetime64[us]")
+            .view(np.int64)
+        )
+        eid = group.column("event_id").to_numpy(zero_copy_only=False)
+        et = np.asarray(group.column("event_type").to_pylist(), dtype=object)
+        srt = np.lexsort((eid, ts, uid))
+        uid, et = uid[srt], et[srt]
+        same_user = uid[1:] == uid[:-1]
+        c: Counter = Counter(
+            zip(et[:-1][same_user].tolist(), et[1:][same_user].tolist())
+        )
+        return pa.table(
+            {
+                "src_type": pa.array([k[0] for k in c], type=pa.string()),
+                "dst_type": pa.array([k[1] for k in c], type=pa.string()),
+                "n": pa.array(list(c.values()), type=pa.int64()),
+            }
+        )
+
+    tr = (
+        _events_by_part(sf_dir, extra_cols=("event_type",))
+        .groupby("part")
+        .map_groups(_trans, batch_format="pyarrow")
+        .groupby(["src_type", "dst_type"])
+        .aggregate(Sum("n", alias_name="n"))
+        .to_pandas()
+    )
+    pred: dict = {}
+    for src, grp in tr.groupby("src_type"):
+        g = grp.sort_values(["n", "dst_type"], ascending=[False, True])
+        pred[src] = g.iloc[0]["dst_type"]
+    n_total = int(tr["n"].sum())
+    correct = int(
+        tr[tr.apply(lambda r: pred[r["src_type"]] == r["dst_type"], axis=1)]["n"].sum()
+    )
+    return pa.table(
+        {
+            "n_transitions": pa.array([n_total], type=pa.int64()),
+            "correct": pa.array([correct], type=pa.int64()),
+            "accuracy": pa.array(
+                [float(correct) / float(n_total)], type=pa.float64()
+            ),
+        }
+    )
+
+
+def q_rfm_segments(sf_dir: str):
+    """Customer RFM segmentation: per customer, last order date
+    (recency), order count (frequency) and exact-cents total spend
+    (monetary), each quartile-bucketed (quantile_disc thresholds,
+    bucket 0–3 ascending) into the classic 3-digit RFM code. One
+    ≤|customer|-row groupby builds the per-customer table; the three
+    quartile threshold sets come from the bounded-domain exact
+    percentile machinery and are broadcast; bucketing is a vectorized
+    map. Returns (c_custkey, last_odate_days, n_orders, total_cents,
+    rfm_code)."""
+    from ray.data.aggregate import Count, Max, Sum
+
+    from ..functions.stats import exact_percentiles
+
+    def _partial(b: pa.Table) -> pa.Table:
+        ts = (
+            b.column("o_orderdate")
+            .cast(pa.timestamp("us"))
+            .to_numpy(zero_copy_only=False)
+            .view(np.int64)
+        )
+        return pa.table(
+            {
+                "c_custkey": b.column("o_custkey").cast(pa.int64()),
+                "odate_days": pa.array(ts // 86_400_000_000, type=pa.int64()),
+                "cents": pa.array(
+                    np.floor(
+                        b.column("o_totalprice").to_numpy(zero_copy_only=False) * 100
+                    ).astype(np.int64),
+                    type=pa.int64(),
+                ),
+                "one": pa.array(np.ones(b.num_rows, dtype=np.int64)),
+            }
+        )
+
+    per = (
+        _read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"])
+        .map_batches(_partial, batch_format="pyarrow")
+        .groupby("c_custkey")
+        .aggregate(
+            Max("odate_days", alias_name="last_odate_days"),
+            Sum("one", alias_name="n_orders"),
+            Sum("cents", alias_name="total_cents"),
+        )
+        .materialize()
+    )
+    qs = [0.25, 0.5, 0.75]
+    thr = {
+        col: exact_percentiles(per, col, qs).to_pandas()["value"].to_numpy(
+            dtype=np.int64
+        )
+        for col in ("last_odate_days", "n_orders", "total_cents")
+    }
+
+    def _bucket(x: np.ndarray, t: np.ndarray) -> np.ndarray:
+        return (
+            (x > t[0]).astype(np.int64)
+            + (x > t[1]).astype(np.int64)
+            + (x > t[2]).astype(np.int64)
+        )
+
+    def _code(b: pa.Table) -> pa.Table:
+        r = _bucket(
+            b.column("last_odate_days").to_numpy(zero_copy_only=False),
+            thr["last_odate_days"],
+        )
+        f = _bucket(
+            b.column("n_orders").to_numpy(zero_copy_only=False), thr["n_orders"]
+        )
+        m = _bucket(
+            b.column("total_cents").to_numpy(zero_copy_only=False),
+            thr["total_cents"],
+        )
+        return pa.table(
+            {
+                "c_custkey": b.column("c_custkey"),
+                "last_odate_days": b.column("last_odate_days"),
+                "n_orders": b.column("n_orders"),
+                "total_cents": b.column("total_cents"),
+                "rfm_code": pa.array(r * 100 + f * 10 + m, type=pa.int64()),
+            }
+        )
+
+    return per.map_batches(_code, batch_format="pyarrow")
