@@ -5482,3 +5482,33 @@ SELECT per.c_custkey, per.last_odate_days, per.n_orders, per.total_cents,
      + ((per.total_cents > t.m1)::INT + (per.total_cents > t.m2)::INT
         + (per.total_cents > t.m3)::INT) AS BIGINT) AS rfm_code
 FROM per, t"""
+
+
+def neardup_threshold_sweep_sql(thresholds=(0.3, 0.5, 0.7)) -> str:
+    """Replays q_neardup_threshold_sweep: per threshold, the MinHash
+    pair count and the size-≥2 cluster stats from the reachability
+    closure (each point is an independent WITH RECURSIVE subquery)."""
+    subs = []
+    for t in thresholds:
+        pct = int(round(t * 100))
+        subs.append(f"""SELECT * FROM (
+WITH RECURSIVE {_minhash_frag(t)},
+pe AS (SELECT da AS x, db AS y FROM hits UNION ALL SELECT db, da FROM hits),
+reach AS (
+  SELECT doc_id AS node, doc_id AS r FROM documents
+  UNION
+  SELECT pe.x AS node, reach.r FROM reach JOIN pe ON reach.node = pe.y
+),
+clus AS (SELECT node AS doc_id, MIN(r) AS cluster FROM reach GROUP BY node),
+sz AS (SELECT cluster, count(*)::BIGINT AS n FROM clus GROUP BY cluster),
+nz AS (
+  SELECT count(*)::BIGINT AS n_clusters,
+         COALESCE(MAX(n), 0)::BIGINT AS largest_cluster,
+         COALESCE(SUM(n), 0)::BIGINT AS n_dup_docs
+  FROM sz WHERE n >= 2
+),
+np AS (SELECT count(*)::BIGINT AS n_pairs FROM hits)
+SELECT {pct}::BIGINT AS threshold_pct, np.n_pairs, nz.n_clusters,
+       nz.largest_cluster, nz.n_dup_docs
+FROM np, nz) s{pct}""")
+    return "\nUNION ALL\n".join(subs)

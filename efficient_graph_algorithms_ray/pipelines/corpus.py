@@ -1942,3 +1942,47 @@ def q_knn_label_accuracy(sf_dir: str):
     from ..functions.similarity import knn_label_accuracy
 
     return knn_label_accuracy(_emb(sf_dir))
+
+
+def q_neardup_threshold_sweep(sf_dir: str, thresholds=(0.3, 0.5, 0.7)):
+    """Dedup-threshold operating curve: for each MinHash similarity
+    threshold, the candidate-pair count and the near-dup cluster
+    structure (clusters of size ≥ 2, largest cluster, docs covered) —
+    the sweep a pipeline owner runs before picking the production
+    dedup threshold. ONE banded-LSH pass at the loosest threshold is
+    reused for every point (est_jaccard is a pure function of the
+    pair, an exact binary fraction, so filtering ≥ t replays the
+    per-threshold run bit-exactly); each point reuses the engine's CC
+    superstep kernel over its pair edges. Returns
+    (threshold_pct, n_pairs, n_clusters, largest_cluster, n_dup_docs)."""
+    from ray.data.aggregate import Count, Max, Sum
+
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    base = D.minhash_candidate_pairs(docs, threshold=min(thresholds)).materialize()
+
+    out = {k: [] for k in ("threshold_pct", "n_pairs", "n_clusters", "largest_cluster", "n_dup_docs")}
+    for t in thresholds:
+
+        def _flt(b: pa.Table, t=t) -> pa.Table:
+            keep = b.column("est_jaccard").to_numpy(zero_copy_only=False) >= t
+            return b.filter(pa.array(keep))
+
+        pairs_t = base.map_batches(_flt, batch_format="pyarrow").materialize()
+        clusters = D.neardup_clusters(docs, pairs_t)
+        sizes = clusters.groupby("cluster").aggregate(Count(alias_name="n"))
+
+        def _nontrivial(b: pa.Table) -> pa.Table:
+            keep = b.column("n").to_numpy(zero_copy_only=False) >= 2
+            return b.filter(pa.array(keep))
+
+        nz = sizes.map_batches(_nontrivial, batch_format="pyarrow").aggregate(
+            Count(alias_name="n_clusters"),
+            Max("n", alias_name="largest_cluster"),
+            Sum("n", alias_name="n_dup_docs"),
+        )
+        out["threshold_pct"].append(int(round(t * 100)))
+        out["n_pairs"].append(int(pairs_t.count()))
+        out["n_clusters"].append(int(nz["n_clusters"] or 0))
+        out["largest_cluster"].append(int(nz["largest_cluster"] or 0))
+        out["n_dup_docs"].append(int(nz["n_dup_docs"] or 0))
+    return pa.table({k: pa.array(v, type=pa.int64()) for k, v in out.items()})
