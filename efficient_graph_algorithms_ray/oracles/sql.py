@@ -5512,3 +5512,32 @@ SELECT {pct}::BIGINT AS threshold_pct, np.n_pairs, nz.n_clusters,
        nz.largest_cluster, nz.n_dup_docs
 FROM np, nz) s{pct}""")
     return "\nUNION ALL\n".join(subs)
+
+
+def sole_late_supplier_sql(late_days: int = 90) -> str:
+    """Replays q_sole_late_supplier (TPC-H Q21 shape): per supplier,
+    finished multi-supplier orders where it was the sole supplier to
+    ship > late_days after the order date."""
+    late_us = late_days * 86_400 * 1_000_000
+    return f"""WITH li AS (
+  SELECT l_orderkey AS okey, l_suppkey AS skey,
+         MAX(epoch_us(l_shipdate)) AS max_ts
+  FROM lineitem GROUP BY 1, 2
+),
+j AS (
+  SELECT li.okey, li.skey,
+         (li.max_ts > epoch_us(o.o_orderdate) + {late_us})::INT AS late
+  FROM li JOIN orders o ON li.okey = o.o_orderkey
+  WHERE o.o_orderstatus = 'F'
+),
+per AS (
+  SELECT okey, count(*) AS n_supp, SUM(late) AS n_late,
+         SUM(skey * late) AS late_skey
+  FROM j GROUP BY okey
+),
+w AS (
+  SELECT late_skey AS s_suppkey, count(*)::BIGINT AS numwait
+  FROM per WHERE n_supp >= 2 AND n_late = 1 GROUP BY 1
+)
+SELECT s.s_suppkey, s.s_name, w.numwait
+FROM w JOIN supplier s ON w.s_suppkey = s.s_suppkey"""

@@ -7613,3 +7613,164 @@ def q_rfm_segments(sf_dir: str):
         )
 
     return per.map_batches(_code, batch_format="pyarrow")
+
+
+def q_sole_late_supplier(sf_dir: str, late_days: int = 90, P: int = 32):
+    """TPC-H Q21 shape ("suppliers who kept orders waiting"): among
+    finished ('F') multi-supplier orders, count per supplier the
+    orders where that supplier was the ONLY one to ship later than
+    ``late_days`` after the order date (the reference query's
+    EXISTS + NOT-EXISTS pair, folded to per-order distinct/late
+    supplier counts). Distributed shape: per-block
+    (okey, suppkey, max_ts) Arrow partials and the filtered orders
+    side are tagged into one superset schema and co-located by ONE
+    ``groupby(okey % P)``; inside each partition the join, the
+    (okey, suppkey) combine and the sole-late-supplier selection are
+    all vectorized reduceat group passes, and only (s_suppkey, 1)
+    partials leave for a ≤|supplier|-row final sum. Supplier names
+    attach from a broadcast sorted-array lookup (small side never
+    shuffles the fact table). Returns (s_suppkey, s_name, numwait)."""
+    import ray
+
+    late_us = np.int64(late_days) * np.int64(86_400) * np.int64(1_000_000)
+
+    def _li_partial(b: pa.Table) -> pa.Table:
+        t = pa.table(
+            {
+                "okey": b.column("l_orderkey"),
+                "skey": b.column("l_suppkey"),
+                "ts": pa.array(
+                    b.column("l_shipdate")
+                    .cast(pa.timestamp("us"))
+                    .to_numpy(zero_copy_only=False)
+                    .view(np.int64)
+                ),
+            }
+        )
+        out = t.group_by(["okey", "skey"]).aggregate([("ts", "max")])
+        out = out.rename_columns(["okey", "skey", "max_ts"])
+        ok = out.column("okey").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "part": pa.array(ok % P, type=pa.int64()),
+                "okey": out.column("okey").cast(pa.int64()),
+                "skey": out.column("skey").cast(pa.int64()),
+                "max_ts": out.column("max_ts").cast(pa.int64()),
+                "o_ts": pa.nulls(out.num_rows, type=pa.int64()),
+            }
+        )
+
+    def _orders_f(b: pa.Table) -> pa.Table:
+        st = b.column("o_orderstatus").to_numpy(zero_copy_only=False)
+        keep = st == "F"
+        b = b.filter(pa.array(keep))
+        ok = b.column("o_orderkey").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "part": pa.array(ok % P, type=pa.int64()),
+                "okey": pa.array(ok, type=pa.int64()),
+                "skey": pa.nulls(b.num_rows, type=pa.int64()),
+                "max_ts": pa.nulls(b.num_rows, type=pa.int64()),
+                "o_ts": pa.array(
+                    b.column("o_orderdate")
+                    .cast(pa.timestamp("us"))
+                    .to_numpy(zero_copy_only=False)
+                    .view(np.int64)
+                ),
+            }
+        )
+
+    both = (
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_shipdate"])
+        .map_batches(_li_partial, batch_format="pyarrow")
+        .union(
+            _read(
+                sf_dir, "orders", ["o_orderkey", "o_orderstatus", "o_orderdate"]
+            ).map_batches(_orders_f, batch_format="pyarrow")
+        )
+    )
+
+    def _merge(g: pa.Table) -> pa.Table:
+        is_order = g.column("skey").is_null().to_numpy(zero_copy_only=False)
+        empty = pa.table(
+            {"s_suppkey": pa.array([], type=pa.int64()), "n": pa.array([], type=pa.int64())}
+        )
+        o_ok = g.column("okey").to_numpy(zero_copy_only=False)[is_order]
+        if len(o_ok) == 0:
+            return empty
+        o_ts = g.column("o_ts").to_numpy(zero_copy_only=False)[is_order]
+        os_ = np.argsort(o_ok, kind="stable")
+        o_ok, o_ts = o_ok[os_], o_ts[os_]
+        l_ok = g.column("okey").to_numpy(zero_copy_only=False)[~is_order]
+        if len(l_ok) == 0:
+            return empty
+        l_sk = g.column("skey").to_numpy(zero_copy_only=False)[~is_order]
+        l_ts = g.column("max_ts").to_numpy(zero_copy_only=False)[~is_order]
+        # inner join lineitem partials → their 'F' order's date
+        pos = np.searchsorted(o_ok, l_ok)
+        inb = pos < len(o_ok)
+        hit = np.zeros(len(l_ok), dtype=bool)
+        hit[inb] = o_ok[pos[inb]] == l_ok[inb]
+        l_ok, l_sk, l_ts, pos = l_ok[hit], l_sk[hit], l_ts[hit], pos[hit]
+        if len(l_ok) == 0:
+            return empty
+        late_row = l_ts > o_ts[pos] + late_us
+        # combine block partials: per (okey, skey) any-late
+        srt = np.lexsort((l_sk, l_ok))
+        ok_s, sk_s, late_s = l_ok[srt], l_sk[srt], late_row[srt]
+        new_pair = np.concatenate(
+            ([True], (ok_s[1:] != ok_s[:-1]) | (sk_s[1:] != sk_s[:-1]))
+        )
+        starts = np.flatnonzero(new_pair)
+        p_ok, p_sk = ok_s[starts], sk_s[starts]
+        p_late = np.maximum.reduceat(late_s.astype(np.int64), starts)
+        # per okey over the reduced (okey, suppkey) rows
+        o_new = np.concatenate(([True], p_ok[1:] != p_ok[:-1]))
+        o_starts = np.flatnonzero(o_new)
+        n_supp = np.diff(np.append(o_starts, len(p_ok)))
+        n_late = np.add.reduceat(p_late, o_starts)
+        sk_late_sum = np.add.reduceat(p_sk * p_late, o_starts)
+        sole = (n_supp >= 2) & (n_late == 1)
+        waits = sk_late_sum[sole]  # == the single late suppkey
+        if len(waits) == 0:
+            return empty
+        t = pa.table(
+            {
+                "s_suppkey": pa.array(waits, type=pa.int64()),
+                "n": pa.array(np.ones(len(waits), dtype=np.int64)),
+            }
+        )
+        return t.group_by("s_suppkey").aggregate([("n", "sum")]).rename_columns(
+            ["s_suppkey", "n"]
+        )
+
+    counts = (
+        both.groupby("part")
+        .map_groups(_merge, batch_format="pyarrow")
+        .groupby("s_suppkey")
+        .aggregate(Sum("n", alias_name="numwait"))
+    )
+
+    # broadcast the supplier-name dimension (sorted-array lookup)
+    sup = _read(sf_dir, "supplier", ["s_suppkey", "s_name"])
+    sk_parts, nm_parts = [], []
+    for b in sup.iter_batches(batch_size=None, batch_format="pyarrow"):
+        sk_parts.append(b.column("s_suppkey").to_numpy(zero_copy_only=False))
+        nm_parts.append(b.column("s_name").to_numpy(zero_copy_only=False))
+    sk = np.concatenate(sk_parts)
+    nm = np.concatenate(nm_parts).astype(str)
+    srt = np.argsort(sk, kind="stable")
+    ref = ray.put((sk[srt], nm[srt]))
+
+    def _attach(b: pa.Table) -> pa.Table:
+        sk_sorted, nm_sorted = ray.get(ref)
+        k = b.column("s_suppkey").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "s_suppkey": pa.array(k, type=pa.int64()),
+                "s_name": pa.array(nm_sorted[np.searchsorted(sk_sorted, k)]),
+                "numwait": b.column("numwait").cast(pa.int64()),
+            }
+        )
+
+    return counts.map_batches(_attach, batch_format="pyarrow")
