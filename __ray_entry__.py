@@ -66,6 +66,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "markov_prediction_accuracy": R.q_markov_prediction_accuracy,
         "rfm_segments": R.q_rfm_segments,
         "sole_late_supplier": R.q_sole_late_supplier,
+        "contamination_13gram": C.q_contamination_13gram,
         "neardup_threshold_sweep": C.q_neardup_threshold_sweep,
         "nation_volume_shipping": R.q_nation_volume_shipping,
         "profit_by_nation_year": R.q_profit_by_nation_year,
@@ -484,6 +485,7 @@ def oracle_sql() -> dict[str, str]:
         "markov_prediction_accuracy": S.MARKOV_PREDICTION_ACCURACY,
         "rfm_segments": S.RFM_SEGMENTS,
         "sole_late_supplier": S.sole_late_supplier_sql(),
+        "contamination_13gram": S.contamination_13gram_sql(),
         "neardup_threshold_sweep": S.neardup_threshold_sweep_sql(),
         "nation_volume_shipping": S.nation_volume_shipping_sql(),
         "profit_by_nation_year": S.profit_by_nation_year_sql(),

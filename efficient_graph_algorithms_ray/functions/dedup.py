@@ -800,3 +800,73 @@ def contamination_counts(
     )
     return out
 
+
+
+def benchmark_contamination(docs_ds, *, bench_source: str = "src0", w: int = 13):
+    """Exact w-gram benchmark-contamination check (the GPT-3 appendix-C
+    decontamination shape: a training doc is contaminated iff it shares
+    any 13-gram with the held-out benchmark).
+
+    Scale shape: the benchmark side is the SMALL side by construction
+    (a benchmark is ~10⁵ grams even at 100 TB of training data), so its
+    distinct shingle hashes are reduced per-block, unioned once on the
+    driver, and broadcast via ``ray.put``; the corpus side is ONE
+    zero-shuffle ``map_batches`` pass doing a sorted-array
+    ``searchsorted`` membership test per doc. Returns one row per
+    contaminated corpus doc: (doc_id, n_grams, n_hit), exact int64.
+    """
+    import ray
+
+    def _bench_block(b: pa.Table) -> pa.Table:
+        src = b.column("source").to_numpy(zero_copy_only=False)
+        txts = b.column("text").to_pandas().fillna("")
+        hs = [
+            shingle_hashes(t, w)
+            for t, s in zip(txts, src)
+            if s == bench_source
+        ]
+        u = (
+            np.unique(np.concatenate(hs))
+            if hs
+            else np.empty(0, dtype=np.uint64)
+        )
+        return pa.table({"h": pa.array(u, type=pa.uint64())})
+
+    parts = [
+        b.column("h").to_numpy(zero_copy_only=False)
+        for b in docs_ds.map_batches(_bench_block, batch_format="pyarrow")
+        .iter_batches(batch_size=None, batch_format="pyarrow")
+    ]
+    bench = (
+        np.unique(np.concatenate(parts)) if parts else np.empty(0, dtype=np.uint64)
+    )
+    ref = ray.put(bench)
+
+    def _scan(b: pa.Table) -> pa.Table:
+        bh = ray.get(ref)
+        src = b.column("source").to_numpy(zero_copy_only=False)
+        txts = b.column("text").to_pandas().fillna("")
+        ids = b.column("doc_id").to_numpy(zero_copy_only=False)
+        out_id, out_n, out_hit = [], [], []
+        for did, t, s in zip(ids, txts, src):
+            if s == bench_source:
+                continue
+            hs = shingle_hashes(t, w)
+            if len(hs) == 0:
+                continue
+            pos = np.searchsorted(bh, hs)
+            inb = pos < len(bh)
+            n_hit = int(np.count_nonzero(bh[pos[inb]] == hs[inb]))
+            if n_hit:
+                out_id.append(int(did))
+                out_n.append(len(hs))
+                out_hit.append(n_hit)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, type=pa.int64()),
+                "n_grams": pa.array(out_n, type=pa.int64()),
+                "n_hit": pa.array(out_hit, type=pa.int64()),
+            }
+        )
+
+    return docs_ds.map_batches(_scan, batch_format="pyarrow")

@@ -5541,3 +5541,37 @@ w AS (
 )
 SELECT s.s_suppkey, s.s_name, w.numwait
 FROM w JOIN supplier s ON w.s_suppkey = s.s_suppkey"""
+
+
+def contamination_13gram_sql(w: int = 13, bench_source: str = "src0") -> str:
+    """Replays q_contamination_13gram: FNV-1a hashes of w-token
+    shingles; a non-benchmark doc is contaminated iff any of its
+    distinct shingle hashes appears among the benchmark source's
+    distinct shingle hashes (exact distinct counts both sides)."""
+    shingle = " || ' ' || ".join(
+        "tk[i]" if j == 0 else f"tk[i+{j}]" for j in range(w)
+    )
+    fnv = (
+        "list_reduce(list_prepend(14695981039346656037::UBIGINT, "
+        f"list_transform(string_split({shingle}, ''), ch -> ascii(ch)::UBIGINT)), "
+        f"(h, b) -> CAST((CAST(xor(h, b) AS HUGEINT) * 1099511628211) % {_U64} AS UBIGINT))"
+    )
+    return f"""WITH toks AS (
+  SELECT doc_id, source, regexp_extract_all(text, '\\S+') AS tk FROM documents
+),
+shs AS MATERIALIZED (
+  SELECT doc_id, source, h FROM (
+    SELECT doc_id, source,
+      unnest(list_transform(generate_series(1, len(tk) - {w - 1}), i -> {fnv})) AS h
+    FROM toks WHERE len(tk) >= {w}
+  ) GROUP BY doc_id, source, h
+),
+bench AS (SELECT DISTINCT h FROM shs WHERE source = '{bench_source}'),
+corpus AS (SELECT doc_id, h FROM shs WHERE source <> '{bench_source}'),
+per AS (
+  SELECT c.doc_id, count(*)::BIGINT AS n_grams,
+         SUM((b.h IS NOT NULL)::INT)::BIGINT AS n_hit
+  FROM corpus c LEFT JOIN bench b ON c.h = b.h
+  GROUP BY c.doc_id
+)
+SELECT doc_id, n_grams, n_hit FROM per WHERE n_hit >= 1"""

@@ -1986,3 +1986,13 @@ def q_neardup_threshold_sweep(sf_dir: str, thresholds=(0.3, 0.5, 0.7)):
         out["largest_cluster"].append(int(nz["largest_cluster"] or 0))
         out["n_dup_docs"].append(int(nz["n_dup_docs"] or 0))
     return pa.table({k: pa.array(v, type=pa.int64()) for k, v in out.items()})
+
+
+def q_contamination_13gram(sf_dir: str):
+    """Exact 13-gram benchmark decontamination (GPT-3 appendix C /
+    PaLM style): docs outside the 'src0' benchmark source that share
+    any 13-token shingle with it, with exact distinct-gram and hit
+    counts. Broadcast small-side membership — see
+    functions/dedup.benchmark_contamination."""
+    docs = _docs(sf_dir, ["doc_id", "text", "source"])
+    return D.benchmark_contamination(docs, bench_source="src0", w=13)
