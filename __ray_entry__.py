@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rfm_segments": R.q_rfm_segments,
         "sole_late_supplier": R.q_sole_late_supplier,
         "contamination_13gram": C.q_contamination_13gram,
+        "katz_coocc": R.q_katz_coocc,
         "neardup_threshold_sweep": C.q_neardup_threshold_sweep,
         "nation_volume_shipping": R.q_nation_volume_shipping,
         "profit_by_nation_year": R.q_profit_by_nation_year,
@@ -486,6 +487,7 @@ def oracle_sql() -> dict[str, str]:
         "rfm_segments": S.RFM_SEGMENTS,
         "sole_late_supplier": S.sole_late_supplier_sql(),
         "contamination_13gram": S.contamination_13gram_sql(),
+        "katz_coocc": S.katz_coocc_sql(),
         "neardup_threshold_sweep": S.neardup_threshold_sweep_sql(),
         "nation_volume_shipping": S.nation_volume_shipping_sql(),
         "profit_by_nation_year": S.profit_by_nation_year_sql(),

@@ -5575,3 +5575,28 @@ per AS (
   GROUP BY c.doc_id
 )
 SELECT doc_id, n_grams, n_hit FROM per WHERE n_hit >= 1"""
+
+
+def katz_coocc_sql(alpha: float = 0.005, k: int = 6) -> str:
+    """Replays q_katz_coocc bit-exactly: integer path counts
+    p_j = A^j·1 (SUM over BIGINT — exact), Horner accumulation
+    acc += (α^j)·p_j with the SAME precomputed double constants in the
+    SAME left-to-right order as the engine, so every FP op matches."""
+    parts = [
+        f"WITH {_COOCC_UND},",
+        "verts AS (SELECT DISTINCT u AS vid FROM und),",
+        "x0 AS MATERIALIZED (SELECT vid, 1::BIGINT AS p, 1.0::DOUBLE AS acc FROM verts)",
+    ]
+    for i in range(1, k + 1):
+        prev = f"x{i-1}"
+        parts.append(
+            f""",
+nb{i} AS (SELECT und.v AS vid, CAST(SUM({prev}.p) AS BIGINT) AS s
+          FROM und JOIN {prev} ON und.u = {prev}.vid GROUP BY und.v),
+x{i} AS MATERIALIZED (
+  SELECT v.vid, COALESCE(nb{i}.s, 0) AS p,
+         v.acc + {alpha**i!r} * COALESCE(nb{i}.s, 0) AS acc
+  FROM {prev} v LEFT JOIN nb{i} ON nb{i}.vid = v.vid)"""
+        )
+    parts.append(f"\nSELECT vid, ROUND(acc, 9) AS katz_r9 FROM x{k}")
+    return "".join(parts)

@@ -503,3 +503,36 @@ def _sum_vec_over_parts(graph: ShardedGraph, fn, d: int) -> np.ndarray:
     return tot
 
 
+
+
+def katz_centrality(
+    graph: ShardedGraph, ckpt_dir: str, *, alpha: float = 0.005, k: int = 6
+):
+    """Truncated Katz centrality x_k = 1 + Σ_{j=1..k} α^j·(A^j·1), the
+    damped path-count centrality (reference analogue:
+    `random_walk_kernel`'s undamped A^k powers, src/ega at
+    algorithms/random_walks — here with geometric damping).
+
+    Exactness contract: state is a 2-column field [p, acc] where
+    p_j = A^j·1 stays an EXACT integer in float64 (path counts; k
+    bounded so max p < 2^53 — 5e12 at k=6 on the co-occ graph) and
+    acc accumulates left-to-right as acc += (α^j)·p_j with α^j a
+    precomputed Python double. Every FP op is then a correctly-rounded
+    function of exact integers applied in a fixed order, so the SQL
+    oracle (same unrolled recurrence over SUM(BIGINT)) is
+    bit-identical — no float-sum-ordering drift, per the repo's
+    sufficient-statistics recipe. No extra shuffle beyond the
+    superstep exchange; the acc column rides the same scatter."""
+    pows = [alpha**j for j in range(k + 1)]
+
+    def apply_fn(agg, old, T, dm, csr, it):
+        p_new = agg[:, 0]  # A·p_{it-1}: exact integer counts
+        acc_new = old[:, 1] + pows[it] * p_new
+        return np.column_stack([p_new, acc_new])
+
+    summary = run_supersteps(
+        graph, ckpt_dir, "sum",
+        lambda csr: np.ones((len(csr["vids"]), 2), dtype=np.float64),
+        tol=0.0, max_iters=k, normalize=False, apply_fn=apply_fn,
+    )
+    return state_vertex_dataset(graph, summary["final_iter_dir"], "value"), summary

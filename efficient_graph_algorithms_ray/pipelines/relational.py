@@ -7774,3 +7774,26 @@ def q_sole_late_supplier(sf_dir: str, late_days: int = 90, P: int = 32):
         )
 
     return counts.map_batches(_attach, batch_format="pyarrow")
+
+
+def q_katz_coocc(sf_dir: str, alpha: float = 0.005, k: int = 6):
+    """Truncated Katz centrality over the part co-occurrence graph
+    (x ← 1 + α·A·x, k fixed supersteps — the damped path-count
+    analogue of ``random_walk_kernel``'s undamped powers), SQL-oracled
+    via the unrolled recurrence. Returns (vid, katz_r9)."""
+    from .diffusion import katz_centrality
+
+    g = _coocc_graph(sf_dir)
+    out, _ = katz_centrality(g, _ckpt("katz"), alpha=alpha, k=k)
+
+    def _shape(batch: pa.Table) -> pa.Table:
+        # state is [p, acc]; the Katz value is the acc column (index 1)
+        acc = pc.list_element(batch.column("value"), 1)
+        return pa.table(
+            {
+                "vid": batch.column("vid").cast(pa.int64()),
+                "katz_r9": pc.round(acc, ndigits=9),
+            }
+        )
+
+    return out.map_batches(_shape, batch_format="pyarrow")

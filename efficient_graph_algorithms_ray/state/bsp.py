@@ -85,6 +85,14 @@ class BSPWorker:
         # user-extension surface, mirroring the reference's abstract
         # GFIntegrator contract). None → damped-walk update.
         self.apply_fn = apply_fn
+        # apply_fn may opt in to the 1-based superstep index by
+        # declaring an ``it`` keyword (e.g. Katz's per-iteration α^j
+        # Horner constant); detected once here, not per superstep.
+        import inspect
+
+        self._apply_takes_it = bool(apply_fn) and "it" in inspect.signature(
+            apply_fn
+        ).parameters
         # msg_fn(value, csr) -> per-vertex message values: transforms
         # state before the gather. min mode: e.g. the +1-hop encoded
         # distance increment of the random-shift decomposition (None →
@@ -352,7 +360,10 @@ class BSPWorker:
                 dm = np.asarray(dangling_mass)
                 if self.apply_fn is not None:
                     # pluggable update rule (heat kernel, Sinkhorn steps, …)
-                    new = self.apply_fn(acc, old, self.teleport.get(p), dm, csr)
+                    if self._apply_takes_it:
+                        new = self.apply_fn(acc, old, self.teleport.get(p), dm, csr, it=k)
+                    else:
+                        new = self.apply_fn(acc, old, self.teleport.get(p), dm, csr)
                 else:
                     # generalized damped-walk update with a teleport
                     # distribution T (uniform → classic PageRank; seeded →
