@@ -68,6 +68,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sole_late_supplier": R.q_sole_late_supplier,
         "contamination_13gram": C.q_contamination_13gram,
         "katz_coocc": R.q_katz_coocc,
+        "suffix_array_docs": C.q_suffix_array_docs,
         "neardup_threshold_sweep": C.q_neardup_threshold_sweep,
         "nation_volume_shipping": R.q_nation_volume_shipping,
         "profit_by_nation_year": R.q_profit_by_nation_year,
@@ -142,7 +143,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_funnel": R.q_events_funnel,
         "events_cohort_retention": R.q_events_cohort_retention,
         "quality_resample": C.q_quality_resample,
-        "katz_coocc": R.q_katz_coocc,
         "node2vec_coocc": R.q_node2vec_coocc,
         "skipgram_coocc": R.q_skipgram_coocc,
         "negative_samples_coocc": R.q_negative_samples_coocc,
@@ -420,7 +420,6 @@ def oracle_sql() -> dict[str, str]:
         "events_funnel": S.EVENTS_FUNNEL,
         "events_cohort_retention": S.EVENTS_COHORT_RETENTION,
         "quality_resample": S.quality_resample_sql(temperature=3),
-        "katz_coocc": S.katz_coocc_sql(k=4),
         "node2vec_coocc": S.node2vec_coocc_sql(walk_len=6, seed=7),
         "skipgram_coocc": S.skipgram_coocc_sql(walk_len=8, seed=7, window=2),
         "negative_samples_coocc": S.negative_sample_coocc_sql(m=1024, seed=13, P=16),
@@ -488,6 +487,7 @@ def oracle_sql() -> dict[str, str]:
         "sole_late_supplier": S.sole_late_supplier_sql(),
         "contamination_13gram": S.contamination_13gram_sql(),
         "katz_coocc": S.katz_coocc_sql(),
+        "suffix_array_docs": S.suffix_array_sql(),
         "neardup_threshold_sweep": S.neardup_threshold_sweep_sql(),
         "nation_volume_shipping": S.nation_volume_shipping_sql(),
         "profit_by_nation_year": S.profit_by_nation_year_sql(),

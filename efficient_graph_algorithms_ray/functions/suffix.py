@@ -1,0 +1,235 @@
+"""Distributed suffix arrays over the token corpus — prefix doubling.
+
+The scalable primitive behind exact-substring deduplication (Lee et
+al. 2022, "Deduplicating Training Data Makes Language Models Better",
+which builds corpus suffix arrays to find 50-token duplicate spans).
+The sequential build is a libdivsufsort call; at 100 TB the standard
+distributed formulation is Manber–Myers prefix doubling, where EVERY
+round is a sort — exactly the all-to-all primitive a Ray Data cluster
+is good at:
+
+    rank_1[p]  = dense-rank of token[p]
+    rank_2s[p] = dense-rank of (rank_s[p], rank_s[p + s])   (0 past end)
+
+After ⌈log₂ L⌉ rounds each position's rank orders its full suffix
+(suffixes never cross document boundaries — the per-doc sentinel is
+the implicit end-of-doc rank 0). Equal suffixes (exact duplicate
+tails) share a rank: the output is the dense suffix RANK table, the
+canonical deterministic form (a total-order suffix array would need
+an arbitrary tie-break among byte-identical suffixes).
+
+Scale plan, per round:
+- the (rank[p], rank[p+s]) pair assembly is a bucketed co-shuffle on
+  doc_id (docs are bounded — ≤ max_prefix tokens — so buckets are
+  balanced by construction and the shift lookup is partition-local
+  index arithmetic, never a corpus-wide join);
+- the dense rank is ONE distributed sort by (k1, k2, uid) plus the
+  repo's two-pass ordered-scan pattern (functions/packing.py): tiny
+  per-block partials (first/last key, distinct-group count), an
+  O(#blocks) driver merge that chains group numbering across block
+  boundaries, and a map pass that adds the per-block base. The driver
+  never sees a row table.
+- early exit: prefix doubling is a refinement — when a round leaves
+  the number of distinct ranks unchanged the partition is stable and
+  all later rounds are identity, so the engine stops while the
+  fixed-round SQL oracle still replays bit-identically.
+
+All arithmetic is integer (ranks), so the DuckDB oracle (the same
+recurrence via DENSE_RANK + self-joins) hash-matches exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from .text import _TOKEN_RE
+
+
+def _tokens_table(docs_ds):
+    """documents → one row per token position: (doc_id, pos, tok)."""
+
+    def _rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        o_id: list[int] = []
+        o_pos: list[int] = []
+        o_tok: list[str] = []
+        for doc_id, text in zip(ids, texts):
+            toks = _TOKEN_RE.findall(text or "")
+            o_id.extend([doc_id] * len(toks))
+            o_pos.extend(range(len(toks)))
+            o_tok.extend(toks)
+        return pa.table(
+            {
+                "doc_id": pa.array(o_id, type=pa.int64()),
+                "pos": pa.array(o_pos, type=pa.int64()),
+                "tok": pa.array(o_tok, type=pa.string()),
+            }
+        )
+
+    return docs_ds.map_batches(_rows, batch_format="pyarrow")
+
+
+def _dense_rank(ds, keys: list[str]):
+    """Dense rank (1-based) over ``keys`` → ((doc_id, pos, r) Dataset,
+    n_groups). Two-pass ordered scan: the sort key is made UNIQUE by
+    appending uid = doc_id·2²⁰ + pos, so block order and boundary
+    group-merges are exact even when key ties straddle blocks."""
+
+    def _uid(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        p = batch.column("pos").to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column("uid", pa.array(d * (1 << 20) + p, type=pa.int64()))
+
+    sorted_ds = ds.map_batches(_uid, batch_format="pyarrow").sort(
+        keys + ["uid"]
+    ).materialize()
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"payload": pa.array([], type=pa.string())})
+        import json
+
+        cols = [batch.column(k).to_pylist() for k in keys]
+        arrs = [batch.column(k).to_numpy(zero_copy_only=False) for k in keys]
+        new = np.zeros(batch.num_rows, dtype=bool)
+        new[0] = True
+        for c in arrs:
+            new[1:] |= c[1:] != c[:-1]
+        payload = json.dumps(
+            {
+                "uid0": int(batch.column("uid")[0].as_py()),
+                "g": int(new.sum()),
+                "first": [c[0] for c in cols],
+                "last": [c[-1] for c in cols],
+            }
+        )
+        return pa.table({"payload": pa.array([payload], type=pa.string())})
+
+    import json
+
+    blocks = []
+    for b in sorted_ds.map_batches(
+        _partial, batch_format="pyarrow", batch_size=None
+    ).iter_batches(batch_size=None, batch_format="pyarrow"):
+        blocks.extend(json.loads(s) for s in b.column("payload").to_pylist())
+
+    # Recover the global block order: rows are sorted by (keys, uid)
+    # with uid unique, so the (first-key tuple, uid0) pairs across
+    # blocks are strictly increasing in true order — sorting by them
+    # (typed values, numeric ints / raw strings) is exact even when
+    # key ties straddle block boundaries.
+    blocks.sort(key=lambda blk: (blk["first"], blk["uid0"]))
+    base_by_uid0: dict[int, int] = {}
+    R = 1
+    prev_last = None
+    for blk in blocks:
+        adj = 1 if (prev_last is not None and blk["first"] == prev_last) else 0
+        base_by_uid0[blk["uid0"]] = R - adj
+        R = (R - adj) + blk["g"]
+        prev_last = blk["last"]
+    n_groups = R - 1
+    ref = ray.put(base_by_uid0)
+
+    def _apply(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "pos": pa.array([], type=pa.int64()),
+                    "r": pa.array([], type=pa.int64()),
+                }
+            )
+        lookup = ray.get(ref)
+        base = lookup[int(batch.column("uid")[0].as_py())]
+        cols = [batch.column(k).to_numpy(zero_copy_only=False) for k in keys]
+        new = np.zeros(batch.num_rows, dtype=bool)
+        for c in cols:
+            new[1:] |= c[1:] != c[:-1]
+        # base is the rank of this block's FIRST group; its first row
+        # contributes no increment
+        r = base + np.cumsum(new.astype(np.int64))
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "pos": batch.column("pos"),
+                "r": pa.array(r, type=pa.int64()),
+            }
+        )
+
+    return (
+        sorted_ds.map_batches(_apply, batch_format="pyarrow", batch_size=None),
+        n_groups,
+    )
+
+
+def _shift_pairs(ranks_ds, step: int, n_buckets: int):
+    """(doc_id, pos, r) → (doc_id, pos, k1=r[pos], k2=r[pos+step] or 0)
+    via a bucketed co-shuffle on doc_id — the shift lookup is dense
+    index arithmetic inside each bucket (positions are 0..len-1 per
+    doc), never a corpus-wide join."""
+
+    def _bucket(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column(
+            "bucket", pa.array(d % n_buckets, type=pa.int64())
+        )
+
+    def _pairs(group: pa.Table) -> pa.Table:
+        d = group.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        p = group.column("pos").to_numpy(zero_copy_only=False).astype(np.int64)
+        r = group.column("r").to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.lexsort((p, d))
+        d, p, r = d[o], p[o], r[o]
+        n = len(d)
+        idx = np.arange(n) + step
+        valid = idx < n
+        idx = np.minimum(idx, n - 1)
+        # per-doc positions are dense (0..len-1), so same-doc at the
+        # shifted index ⟺ pos+step is inside this document
+        k2 = np.where(valid & (d[idx] == d), r[idx], 0)
+        return pa.table(
+            {
+                "doc_id": pa.array(d, type=pa.int64()),
+                "pos": pa.array(p, type=pa.int64()),
+                "k1": pa.array(r, type=pa.int64()),
+                "k2": pa.array(k2, type=pa.int64()),
+            }
+        )
+
+    return (
+        ranks_ds.map_batches(_bucket, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_pairs, batch_format="pyarrow")
+    )
+
+
+def suffix_array_docs(docs_ds, *, max_prefix: int = 128, n_buckets: int = 64):
+    """Corpus suffix-rank table by prefix doubling. Returns a Dataset
+    (doc_id, pos, srank) where srank is the 1-based dense rank of the
+    suffix starting at (doc_id, pos) among ALL corpus suffixes,
+    resolved to ``max_prefix`` tokens (full resolution for docs no
+    longer than that; byte-identical suffixes share a rank).
+    """
+    ranks, n_groups = _dense_rank(_tokens_table(docs_ds), ["tok"])
+    step = 1
+    while step < max_prefix:
+        pairs = _shift_pairs(ranks.materialize(), step, n_buckets)
+        ranks, ng = _dense_rank(pairs, ["k1", "k2"])
+        if ng == n_groups:
+            break  # refinement fixed point: all later rounds are identity
+        n_groups = ng
+        step *= 2
+
+    def _shape(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "pos": batch.column("pos"),
+                "srank": batch.column("r"),
+            }
+        )
+
+    return ranks.map_batches(_shape, batch_format="pyarrow")

@@ -3925,6 +3925,45 @@ SELECT doc_id::BIGINT AS doc_id, n_chars::BIGINT AS n_chars,
 FROM {cte} ORDER BY key_q, doc_id LIMIT {k}"""
 
 
+def suffix_array_sql(max_prefix: int = 128) -> str:
+    """Replays corpus.q_suffix_array_docs: Manber–Myers prefix
+    doubling as fixed unrolled rounds — rank_1 = DENSE_RANK(token),
+    rank_2s = DENSE_RANK(rank_s[p], COALESCE(rank_s[p+s], 0)). The
+    engine may stop at the refinement fixed point; extra SQL rounds
+    are then identities, so the fixed-round replay matches exactly.
+    All-integer ranks → exact hash parity."""
+    parts = [
+        r"""WITH tkl AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS tk FROM documents
+),
+toks AS (
+  SELECT doc_id, unnest(generate_series(0, len(tk) - 1)) AS pos, tk
+  FROM tkl WHERE len(tk) > 0
+),
+t2 AS (SELECT doc_id, pos, tk[pos + 1] AS tok FROM toks),
+r1 AS MATERIALIZED (
+  SELECT doc_id, pos, DENSE_RANK() OVER (ORDER BY tok) AS r FROM t2)"""
+    ]
+    step = 1
+    while step < max_prefix:
+        prev, nxt = f"r{step}", f"r{step * 2}"
+        parts.append(
+            f""",
+{nxt} AS MATERIALIZED (
+  SELECT a.doc_id, a.pos,
+         DENSE_RANK() OVER (ORDER BY a.r, COALESCE(b.r, 0)) AS r
+  FROM {prev} a LEFT JOIN {prev} b
+    ON b.doc_id = a.doc_id AND b.pos = a.pos + {step})"""
+        )
+        step *= 2
+    parts.append(
+        f"""
+SELECT doc_id::BIGINT AS doc_id, pos::BIGINT AS pos, r::BIGINT AS srank
+FROM r{step}"""
+    )
+    return "".join(parts)
+
+
 def chunk_docs_sql(size: int = 64, stride: int = 48) -> str:
     """Replays corpus.q_chunk_docs: token windows of ``size`` every
     ``stride`` tokens, FNV-1a fingerprint of the space-joined chunk."""

@@ -214,6 +214,19 @@ def q_chunk_docs(sf_dir: str, size: int = 64, stride: int = 48):
     )
 
 
+def q_suffix_array_docs(sf_dir: str):
+    """Corpus suffix-rank table by distributed prefix doubling
+    (functions/suffix.py) — the ExactSubstr-dedup primitive (Lee et
+    al. 2022). One row per token position with the dense rank of its
+    suffix among all corpus suffixes; every round is one distributed
+    sort + one bucketed co-shuffle. All-integer → exact SQL parity
+    (same DENSE_RANK doubling recurrence). Returns
+    (doc_id, pos, srank)."""
+    from ..functions.suffix import suffix_array_docs
+
+    return suffix_array_docs(_docs(sf_dir, ["doc_id", "text"]))
+
+
 def q_bpe_merges(sf_dir: str):
     """BPE tokenizer training: the first 32 learned merges over the
     corpus word vocabulary (functions/bpe.py). Rows-only: each round's
