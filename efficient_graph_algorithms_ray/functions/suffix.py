@@ -56,27 +56,36 @@ def _tokens_table(docs_ds):
         o_id: list[int] = []
         o_pos: list[int] = []
         o_tok: list[str] = []
+        o_len: list[int] = []
         for doc_id, text in zip(ids, texts):
             toks = _TOKEN_RE.findall(text or "")
             o_id.extend([doc_id] * len(toks))
             o_pos.extend(range(len(toks)))
             o_tok.extend(toks)
+            o_len.extend([len(toks)] * len(toks))
         return pa.table(
             {
                 "doc_id": pa.array(o_id, type=pa.int64()),
                 "pos": pa.array(o_pos, type=pa.int64()),
                 "tok": pa.array(o_tok, type=pa.string()),
+                "dlen": pa.array(o_len, type=pa.int64()),
             }
         )
 
     return docs_ds.map_batches(_rows, batch_format="pyarrow")
 
 
-def _dense_rank(ds, keys: list[str]):
-    """Dense rank (1-based) over ``keys`` → ((doc_id, pos, r) Dataset,
-    n_groups). Two-pass ordered scan: the sort key is made UNIQUE by
-    appending uid = doc_id·2²⁰ + pos, so block order and boundary
-    group-merges are exact even when key ties straddle blocks."""
+def _dense_rank(ds, keys: list[str], extras: tuple[str, ...] = ()):
+    """Dense rank (1-based) over ``keys`` → ((doc_id, pos, r, dup,
+    *extras) Dataset, n_groups). Two-pass ordered scan: the sort key
+    is made UNIQUE by appending uid = doc_id·2²⁰ + pos (positions are
+    bounded by the per-doc token cap), so block order and boundary
+    group-merges are exact even when key ties straddle blocks.
+
+    ``dup`` (0/1 int64) marks rows whose rank group has ≥ 2 members —
+    computed from in-block run lengths plus the two boundary-merge
+    bits the driver already derives, so it costs no extra shuffle.
+    ``extras`` are int64 columns carried through unchanged."""
 
     def _uid(batch: pa.Table) -> pa.Table:
         d = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -122,42 +131,58 @@ def _dense_rank(ds, keys: list[str]):
     # (typed values, numeric ints / raw strings) is exact even when
     # key ties straddle block boundaries.
     blocks.sort(key=lambda blk: (blk["first"], blk["uid0"]))
-    base_by_uid0: dict[int, int] = {}
-    R = 1
+    adjs = []
     prev_last = None
     for blk in blocks:
-        adj = 1 if (prev_last is not None and blk["first"] == prev_last) else 0
-        base_by_uid0[blk["uid0"]] = R - adj
-        R = (R - adj) + blk["g"]
+        adjs.append(
+            1 if (prev_last is not None and blk["first"] == prev_last) else 0
+        )
         prev_last = blk["last"]
+    base_by_uid0: dict[int, tuple[int, int, int]] = {}
+    R = 1
+    for i, blk in enumerate(blocks):
+        adj, nxt = adjs[i], adjs[i + 1] if i + 1 < len(blocks) else 0
+        base_by_uid0[blk["uid0"]] = (R - adj, adj, nxt)
+        R = (R - adj) + blk["g"]
     n_groups = R - 1
     ref = ray.put(base_by_uid0)
 
     def _apply(batch: pa.Table) -> pa.Table:
         if batch.num_rows == 0:
-            return pa.table(
-                {
-                    "doc_id": pa.array([], type=pa.int64()),
-                    "pos": pa.array([], type=pa.int64()),
-                    "r": pa.array([], type=pa.int64()),
-                }
-            )
+            cols_out = {
+                "doc_id": pa.array([], type=pa.int64()),
+                "pos": pa.array([], type=pa.int64()),
+                "r": pa.array([], type=pa.int64()),
+                "dup": pa.array([], type=pa.int64()),
+            }
+            for e in extras:
+                cols_out[e] = pa.array([], type=pa.int64())
+            return pa.table(cols_out)
         lookup = ray.get(ref)
-        base = lookup[int(batch.column("uid")[0].as_py())]
+        base, prev_merge, next_merge = lookup[int(batch.column("uid")[0].as_py())]
         cols = [batch.column(k).to_numpy(zero_copy_only=False) for k in keys]
         new = np.zeros(batch.num_rows, dtype=bool)
         for c in cols:
             new[1:] |= c[1:] != c[:-1]
         # base is the rank of this block's FIRST group; its first row
         # contributes no increment
-        r = base + np.cumsum(new.astype(np.int64))
-        return pa.table(
-            {
-                "doc_id": batch.column("doc_id"),
-                "pos": batch.column("pos"),
-                "r": pa.array(r, type=pa.int64()),
-            }
-        )
+        g_local = np.cumsum(new.astype(np.int64))  # 0-based in-block group
+        r = base + g_local
+        run_len = np.bincount(g_local)[g_local]
+        dup = run_len >= 2
+        if prev_merge:
+            dup |= g_local == 0  # first group continues the prev block's tail
+        if next_merge:
+            dup |= g_local == g_local[-1]  # last group continues into next
+        cols_out = {
+            "doc_id": batch.column("doc_id"),
+            "pos": batch.column("pos"),
+            "r": pa.array(r, type=pa.int64()),
+            "dup": pa.array(dup.astype(np.int64), type=pa.int64()),
+        }
+        for e in extras:
+            cols_out[e] = batch.column(e)
+        return pa.table(cols_out)
 
     return (
         sorted_ds.map_batches(_apply, batch_format="pyarrow", batch_size=None),
@@ -165,11 +190,12 @@ def _dense_rank(ds, keys: list[str]):
     )
 
 
-def _shift_pairs(ranks_ds, step: int, n_buckets: int):
+def _shift_pairs(ranks_ds, step: int, n_buckets: int, extras: tuple[str, ...] = ()):
     """(doc_id, pos, r) → (doc_id, pos, k1=r[pos], k2=r[pos+step] or 0)
     via a bucketed co-shuffle on doc_id — the shift lookup is dense
     index arithmetic inside each bucket (positions are 0..len-1 per
-    doc), never a corpus-wide join."""
+    doc), never a corpus-wide join. ``extras`` int64 columns are
+    carried through unchanged."""
 
     def _bucket(batch: pa.Table) -> pa.Table:
         d = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -190,14 +216,16 @@ def _shift_pairs(ranks_ds, step: int, n_buckets: int):
         # per-doc positions are dense (0..len-1), so same-doc at the
         # shifted index ⟺ pos+step is inside this document
         k2 = np.where(valid & (d[idx] == d), r[idx], 0)
-        return pa.table(
-            {
-                "doc_id": pa.array(d, type=pa.int64()),
-                "pos": pa.array(p, type=pa.int64()),
-                "k1": pa.array(r, type=pa.int64()),
-                "k2": pa.array(k2, type=pa.int64()),
-            }
-        )
+        cols_out = {
+            "doc_id": pa.array(d, type=pa.int64()),
+            "pos": pa.array(p, type=pa.int64()),
+            "k1": pa.array(r, type=pa.int64()),
+            "k2": pa.array(k2, type=pa.int64()),
+        }
+        for e in extras:
+            v = group.column(e).to_numpy(zero_copy_only=False).astype(np.int64)
+            cols_out[e] = pa.array(v[o], type=pa.int64())
+        return pa.table(cols_out)
 
     return (
         ranks_ds.map_batches(_bucket, batch_format="pyarrow")
@@ -233,3 +261,110 @@ def suffix_array_docs(docs_ds, *, max_prefix: int = 128, n_buckets: int = 64):
         )
 
     return ranks.map_batches(_shape, batch_format="pyarrow")
+
+
+def dup_window_profile(
+    docs_ds, *, max_prefix: int = 128, dup_thresh: int = 8, n_buckets: int = 64
+):
+    """Per-document exact duplicate-window profile — the suffix-array
+    half of ExactSubstr dedup (Lee et al. 2022 flag 50-token spans
+    that recur anywhere in the corpus; this reports, at power-of-two
+    resolution, the longest window at each position that recurs).
+
+    For every token position, dup_pow2 = the largest level
+    w ∈ {1, 2, 4, …, max_prefix} such that the FULL w-token window
+    starting there (pos + w ≤ doc length) recurs somewhere else in
+    the corpus (0 if even the single token is corpus-unique). Shared
+    at 2w implies shared at w, so dup_pow2 is exactly the power-of-
+    two floor of the true longest duplicated window. The full-window
+    gate matters: without it, two docs sharing only a short TAIL
+    (sentinel-truncated suffix equality, k2=0 past end) would count
+    as sharing every larger window and saturate at max_prefix. The
+    gate is sound both ways — with the end-of-doc sentinel, equal
+    level-w ranks where one member has < w tokens remaining force
+    ALL members to end at the same offset, so a gated-in position's
+    group members genuinely share w real tokens; and a gated-out
+    tail-share of true length L was already flagged (ungated) at
+    level pow2floor(L) ≤ L in an earlier round.
+
+    The flags fall out of the SAME dense-rank passes that build the
+    suffix array (run lengths + boundary-merge bits) — no shuffles
+    beyond the doubling rounds themselves; the running maximum and
+    the doc length ride the co-shuffles as int64 columns.
+
+    Early exit: when a round leaves the number of rank groups
+    unchanged the partition (hence every later level's dup flag) is
+    frozen, so a surviving flag is promoted to the largest level its
+    position is long enough for — pow2floor(min(max_prefix,
+    remaining)) — identical to the fixed-round SQL replay.
+
+    Returns per-doc (doc_id, max_dup, n_dup_thresh, n_pos): the
+    longest duplicated window level in the doc, how many of its
+    positions start a duplicated window ≥ dup_thresh, and its token
+    count. All-integer → exact SQL parity.
+    """
+    from ray.data.aggregate import Count, Max, Sum
+
+    ranks, n_groups = _dense_rank(
+        _tokens_table(docs_ds), ["tok"], extras=("dlen",)
+    )
+
+    def _init_dmax(batch: pa.Table) -> pa.Table:
+        dup = batch.column("dup").to_numpy(zero_copy_only=False)
+        return batch.append_column("dmax", pa.array(dup, type=pa.int64()))
+
+    ranks = ranks.map_batches(_init_dmax, batch_format="pyarrow")
+
+    def _fold_dmax(window: int, promote: bool):
+        def _fold(batch: pa.Table) -> pa.Table:
+            dup = batch.column("dup").to_numpy(zero_copy_only=False)
+            dmax = batch.column("dmax").to_numpy(zero_copy_only=False)
+            pos = batch.column("pos").to_numpy(zero_copy_only=False)
+            dlen = batch.column("dlen").to_numpy(zero_copy_only=False)
+            remaining = dlen - pos  # ≥ 1 for every emitted position
+            if promote:
+                # frozen partition: flag holds at every later level →
+                # largest power-of-two window this position can fill
+                r = np.minimum(remaining, max_prefix).astype(np.int64)
+                eff = (2 ** np.floor(np.log2(r))).astype(np.int64)
+            else:
+                eff = np.where(remaining >= window, window, 0)
+            out = np.maximum(dmax, dup * eff)
+            return batch.drop_columns(["dmax"]).append_column(
+                "dmax", pa.array(out, type=pa.int64())
+            )
+
+        return _fold
+
+    step = 1
+    while step < max_prefix:
+        pairs = _shift_pairs(
+            ranks.materialize(), step, n_buckets, extras=("dmax", "dlen")
+        )
+        ranks, ng = _dense_rank(pairs, ["k1", "k2"], extras=("dmax", "dlen"))
+        ranks = ranks.map_batches(
+            _fold_dmax(step * 2, promote=ng == n_groups), batch_format="pyarrow"
+        )
+        if ng == n_groups:
+            break
+        n_groups = ng
+        step *= 2
+
+    def _per_pos(batch: pa.Table) -> pa.Table:
+        dmax = batch.column("dmax").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "dmax": batch.column("dmax"),
+                "hit": pa.array(
+                    (dmax >= dup_thresh).astype(np.int64), type=pa.int64()
+                ),
+            }
+        )
+
+    per_pos = ranks.map_batches(_per_pos, batch_format="pyarrow")
+    return per_pos.groupby("doc_id").aggregate(
+        Max("dmax", alias_name="max_dup"),
+        Sum("hit", alias_name="n_dup_thresh"),
+        Count(alias_name="n_pos"),
+    )

@@ -3964,6 +3964,59 @@ FROM r{step}"""
     return "".join(parts)
 
 
+def dup_window_profile_sql(max_prefix: int = 128, dup_thresh: int = 8) -> str:
+    """Replays functions/suffix.dup_window_profile: the same prefix-
+    doubling levels as suffix_array_sql, each level flagging rank
+    groups of size ≥ 2 (COUNT OVER PARTITION) gated to FULL windows
+    (dlen - pos >= level), the running max level carried through the
+    chain; per-doc integer aggregate at the end."""
+    parts = [
+        r"""WITH tkl AS (
+  SELECT doc_id, regexp_extract_all(text, '\S+') AS tk FROM documents
+),
+toks AS (
+  SELECT doc_id, unnest(generate_series(0, len(tk) - 1)) AS pos,
+         tk, len(tk) AS dlen
+  FROM tkl WHERE len(tk) > 0
+),
+t2 AS (SELECT doc_id, pos, tk[pos + 1] AS tok, dlen FROM toks),
+r1 AS MATERIALIZED (
+  SELECT doc_id, pos, dlen, DENSE_RANK() OVER (ORDER BY tok) AS r FROM t2),
+f1 AS MATERIALIZED (
+  SELECT doc_id, pos, dlen, r,
+         CASE WHEN COUNT(*) OVER (PARTITION BY r) >= 2 THEN 1 ELSE 0 END AS dmax
+  FROM r1)"""
+    ]
+    step = 1
+    while step < max_prefix:
+        prev, w = f"f{step}", step * 2
+        parts.append(
+            f""",
+r{w} AS MATERIALIZED (
+  SELECT a.doc_id, a.pos, a.dlen,
+         DENSE_RANK() OVER (ORDER BY a.r, COALESCE(b.r, 0)) AS r, a.dmax
+  FROM {prev} a LEFT JOIN {prev} b
+    ON b.doc_id = a.doc_id AND b.pos = a.pos + {step}),
+f{w} AS MATERIALIZED (
+  SELECT doc_id, pos, dlen, r,
+         GREATEST(dmax, CASE WHEN COUNT(*) OVER (PARTITION BY r) >= 2
+                              AND dlen - pos >= {w}
+                             THEN {w} ELSE 0 END) AS dmax
+  FROM r{w})"""
+        )
+        step *= 2
+    parts.append(
+        f"""
+SELECT doc_id::BIGINT AS doc_id,
+  CAST(MAX(dmax) AS BIGINT) AS max_dup,
+  CAST(SUM(CASE WHEN dmax >= {dup_thresh} THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_dup_thresh,
+  COUNT(*)::BIGINT AS n_pos
+FROM f{step} GROUP BY doc_id"""
+    )
+    return "".join(parts)
+
+
 def chunk_docs_sql(size: int = 64, stride: int = 48) -> str:
     """Replays corpus.q_chunk_docs: token windows of ``size`` every
     ``stride`` tokens, FNV-1a fingerprint of the space-joined chunk."""

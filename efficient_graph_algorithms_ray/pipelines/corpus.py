@@ -227,6 +227,18 @@ def q_suffix_array_docs(sf_dir: str):
     return suffix_array_docs(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def q_dup_window_profile(sf_dir: str):
+    """Per-doc exact duplicate-window profile at power-of-two
+    resolution (functions/suffix.dup_window_profile) — the
+    suffix-array half of ExactSubstr dedup: longest corpus-recurring
+    window per doc + positions starting a ≥8-token duplicated window.
+    All-integer → exact SQL parity. Returns
+    (doc_id, max_dup, n_dup_thresh, n_pos)."""
+    from ..functions.suffix import dup_window_profile
+
+    return dup_window_profile(_docs(sf_dir, ["doc_id", "text"]))
+
+
 def q_bpe_merges(sf_dir: str):
     """BPE tokenizer training: the first 32 learned merges over the
     corpus word vocabulary (functions/bpe.py). Rows-only: each round's

@@ -75,3 +75,72 @@ def test_empty_and_single_token_docs():
     want = _brute_ranks(docs)
     assert got == want
     assert (1, 0) not in got
+
+
+def _profile(docs: dict[int, str], **kw):
+    from efficient_graph_algorithms_ray.functions.suffix import dup_window_profile
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(list(docs), type=pa.int64()),
+                "text": pa.array(list(docs.values()), type=pa.string()),
+            }
+        )
+    )
+    out = dup_window_profile(ds, **kw).to_pandas().set_index("doc_id")
+    return out.sort_index()
+
+
+def test_dup_window_planted_span():
+    # an 8-token span planted in two docs; everything else unique
+    span = " ".join(f"s{i}" for i in range(8))
+    docs = {
+        1: f"u1 u2 {span} u3",
+        2: f"v1 {span} v2 v3",
+        3: "w1 w2 w3 w4",  # fully unique tokens → max_dup 0
+    }
+    out = _profile(docs, dup_thresh=8)
+    # the span start positions share an 8-token window → level 8
+    assert out.loc[1, "max_dup"] == 8
+    assert out.loc[2, "max_dup"] == 8
+    assert out.loc[3, "max_dup"] == 0
+    # exactly one position per doc starts a full >=8 duplicated window
+    assert out.loc[1, "n_dup_thresh"] == 1
+    assert out.loc[2, "n_dup_thresh"] == 1
+    assert out.loc[3, "n_dup_thresh"] == 0
+    assert out.loc[1, "n_pos"] == 11 and out.loc[3, "n_pos"] == 4
+
+
+def test_dup_window_exact_duplicate_docs():
+    txt = " ".join(f"t{i}" for i in range(20))
+    docs = {1: txt, 2: txt, 3: "only once here"}
+    out = _profile(docs)
+    # identical docs: every full window recurs, but the full-window
+    # gate caps each position at pow2floor(remaining) — the doc max
+    # is pow2floor(20) = 16, NOT a sentinel-truncated 128
+    assert out.loc[1, "max_dup"] == 16
+    assert out.loc[2, "max_dup"] == 16
+    assert out.loc[3, "max_dup"] == 0
+    # positions with >= 8 tokens remaining: pos 0..12
+    assert out.loc[1, "n_dup_thresh"] == 13
+    assert out.loc[1, "n_pos"] == 20
+
+
+def test_dup_window_shared_tail_not_inflated():
+    # two docs sharing only their last 3 tokens: the sentinel makes
+    # their tail suffixes rank-equal at EVERY level; the full-window
+    # gate must cap the dup at pow2floor(3) = 2
+    docs = {
+        1: "a1 a2 a3 end1 end2 end3",
+        2: "b1 b2 end1 end2 end3",
+        3: "c1 c2 c3",
+    }
+    out = _profile(docs, dup_thresh=2)
+    assert out.loc[1, "max_dup"] == 2
+    assert out.loc[2, "max_dup"] == 2
+    assert out.loc[3, "max_dup"] == 0
+    # exactly the positions starting a full 2-token shared window:
+    # (end1 end2) and (end2 end3) in each of docs 1 and 2
+    assert out.loc[1, "n_dup_thresh"] == 2
+    assert out.loc[2, "n_dup_thresh"] == 2
