@@ -305,6 +305,33 @@ def dup_window_profile(
     """
     from ray.data.aggregate import Count, Max, Sum
 
+    ranks = _dup_levels(docs_ds, max_prefix=max_prefix, n_buckets=n_buckets)
+
+    def _per_pos(batch: pa.Table) -> pa.Table:
+        dmax = batch.column("dmax").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "dmax": batch.column("dmax"),
+                "hit": pa.array(
+                    (dmax >= dup_thresh).astype(np.int64), type=pa.int64()
+                ),
+            }
+        )
+
+    per_pos = ranks.map_batches(_per_pos, batch_format="pyarrow")
+    return per_pos.groupby("doc_id").aggregate(
+        Max("dmax", alias_name="max_dup"),
+        Sum("hit", alias_name="n_dup_thresh"),
+        Count(alias_name="n_pos"),
+    )
+
+
+def _dup_levels(docs_ds, *, max_prefix: int = 128, n_buckets: int = 64):
+    """Per-position duplicate-window levels: Dataset (doc_id, pos, r,
+    dup, dmax, dlen) where dmax is the largest power-of-two window
+    starting at pos that recurs in the corpus at FULL length (see
+    dup_window_profile for the gating argument)."""
     ranks, n_groups = _dense_rank(
         _tokens_table(docs_ds), ["tok"], extras=("dlen",)
     )
@@ -349,22 +376,125 @@ def dup_window_profile(
             break
         n_groups = ng
         step *= 2
+    return ranks
 
-    def _per_pos(batch: pa.Table) -> pa.Table:
-        dmax = batch.column("dmax").to_numpy(zero_copy_only=False)
+
+def exactsubstr_prune(
+    docs_ds, *, dup_thresh: int = 8, max_prefix: int = 128, n_buckets: int = 64
+):
+    """ExactSubstr span removal at power-of-two resolution — the
+    dedup TRANSFORM on top of the suffix-array machinery (Lee et al.
+    2022 remove every token covered by a ≥ 50-token span that recurs
+    in the corpus; here the spans are the gated power-of-two windows
+    from ``_dup_levels`` with level ≥ ``dup_thresh``).
+
+    A position p of a doc is removed iff some duplicated window
+    [s, s + dmax_s) with dmax_s ≥ dup_thresh covers it (s ≤ p <
+    s + dmax_s). Because windows are gated to full length
+    (dmax_s ≤ dlen - s), intervals never cross document boundaries,
+    so coverage over the doc-major position order is ONE
+    ``np.maximum.accumulate`` with no per-doc reset.
+
+    Pipeline shape: the doubling rounds of ``_dup_levels``, then one
+    tagged co-shuffle on doc bucket (doc_id % n_buckets) that merges
+    the per-position levels with the re-derived token table — docs
+    never straddle buckets, so the interval union, the kept-token
+    join and the per-doc fold are all partition-local.
+
+    Returns per-doc (doc_id, n_pos, n_removed, kept_fp): token count,
+    removed-token count, and the FNV-1a fingerprint of the kept
+    tokens space-joined in position order (0 when nothing is kept) —
+    integer outputs with exact SQL parity.
+    """
+    from .text import hash_token
+
+    levels = _dup_levels(docs_ds, max_prefix=max_prefix, n_buckets=n_buckets)
+    toks = _tokens_table(docs_ds)
+
+    def _tag_levels(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
         return pa.table(
             {
-                "doc_id": batch.column("doc_id"),
+                "bucket": pa.array(d % n_buckets, type=pa.int64()),
+                "doc_id": pa.array(d, type=pa.int64()),
+                "pos": batch.column("pos"),
                 "dmax": batch.column("dmax"),
-                "hit": pa.array(
-                    (dmax >= dup_thresh).astype(np.int64), type=pa.int64()
-                ),
+                "tok": pa.array([""] * len(d), type=pa.string()),
+                "tag": pa.array(np.zeros(len(d), dtype=np.int64), type=pa.int64()),
             }
         )
 
-    per_pos = ranks.map_batches(_per_pos, batch_format="pyarrow")
-    return per_pos.groupby("doc_id").aggregate(
-        Max("dmax", alias_name="max_dup"),
-        Sum("hit", alias_name="n_dup_thresh"),
-        Count(alias_name="n_pos"),
+    def _tag_toks(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                "bucket": pa.array(d % n_buckets, type=pa.int64()),
+                "doc_id": pa.array(d, type=pa.int64()),
+                "pos": batch.column("pos"),
+                "dmax": pa.array(np.zeros(len(d), dtype=np.int64), type=pa.int64()),
+                "tok": batch.column("tok"),
+                "tag": pa.array(np.ones(len(d), dtype=np.int64), type=pa.int64()),
+            }
+        )
+
+    tagged = levels.map_batches(_tag_levels, batch_format="pyarrow").union(
+        toks.map_batches(_tag_toks, batch_format="pyarrow")
     )
+
+    def _prune(group: pa.Table) -> pa.Table:
+        tag = group.column("tag").to_numpy(zero_copy_only=False)
+        d = group.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        p = group.column("pos").to_numpy(zero_copy_only=False).astype(np.int64)
+        lv, tk = tag == 0, tag == 1
+        ol = np.lexsort((p[lv], d[lv]))
+        ot = np.lexsort((p[tk], d[tk]))
+        dd, pp = d[lv][ol], p[lv][ol]
+        dmax = group.column("dmax").to_numpy(zero_copy_only=False)[lv][ol]
+        toks_arr = group.column("tok").to_pylist()
+        tok_sorted = [toks_arr[i] for i in np.flatnonzero(tk)[ot]]
+        n = len(dd)
+        if n == 0:
+            return pa.table(
+                {
+                    "doc_id": pa.array([], type=pa.int64()),
+                    "n_pos": pa.array([], type=pa.int64()),
+                    "n_removed": pa.array([], type=pa.int64()),
+                    "kept_fp": pa.array([], type=pa.int64()),
+                }
+            )
+        # global position index; full-window gating ⇒ reach never
+        # crosses a doc boundary ⇒ one accumulate, no per-doc reset
+        gpos = np.arange(n, dtype=np.int64)
+        gstart = gpos - pp
+        reach = np.where(dmax >= dup_thresh, gstart + pp + dmax, -1)
+        covered = np.maximum.accumulate(reach) > gpos
+        doc_break = np.empty(n, dtype=bool)
+        doc_break[0] = True
+        doc_break[1:] = dd[1:] != dd[:-1]
+        codes = np.cumsum(doc_break) - 1
+        n_docs = int(codes[-1]) + 1
+        n_pos = np.bincount(codes, minlength=n_docs)
+        n_removed = np.bincount(codes, weights=covered, minlength=n_docs).astype(
+            np.int64
+        )
+        doc_ids = dd[doc_break]
+        fps = np.empty(n_docs, dtype=np.int64)
+        starts = np.flatnonzero(doc_break)
+        ends = np.append(starts[1:], n)
+        for i, (s, e) in enumerate(zip(starts, ends)):
+            kept = [tok_sorted[j] for j in range(s, e) if not covered[j]]
+            fps[i] = (
+                np.uint64(hash_token(" ".join(kept))).astype(np.int64)
+                if kept
+                else 0
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(doc_ids, type=pa.int64()),
+                "n_pos": pa.array(n_pos.astype(np.int64), type=pa.int64()),
+                "n_removed": pa.array(n_removed, type=pa.int64()),
+                "kept_fp": pa.array(fps, type=pa.int64()),
+            }
+        )
+
+    return tagged.groupby("bucket").map_groups(_prune, batch_format="pyarrow")

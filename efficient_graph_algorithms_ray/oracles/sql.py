@@ -3964,12 +3964,13 @@ FROM r{step}"""
     return "".join(parts)
 
 
-def dup_window_profile_sql(max_prefix: int = 128, dup_thresh: int = 8) -> str:
-    """Replays functions/suffix.dup_window_profile: the same prefix-
-    doubling levels as suffix_array_sql, each level flagging rank
-    groups of size ≥ 2 (COUNT OVER PARTITION) gated to FULL windows
-    (dlen - pos >= level), the running max level carried through the
-    chain; per-doc integer aggregate at the end."""
+def _dup_levels_sql_parts(max_prefix: int = 128) -> tuple[list, str]:
+    """Shared CTE chain for the per-position duplicate-window levels
+    (functions/suffix._dup_levels): prefix-doubling DENSE_RANK rounds,
+    each level flagging rank groups of size ≥ 2 (COUNT OVER PARTITION)
+    gated to FULL windows (dlen - pos >= level), the running max level
+    carried through the chain. Returns (parts, final_cte_name) where
+    the final CTE has (doc_id, pos, dlen, r, dmax)."""
     parts = [
         r"""WITH tkl AS (
   SELECT doc_id, regexp_extract_all(text, '\S+') AS tk FROM documents
@@ -4005,6 +4006,13 @@ f{w} AS MATERIALIZED (
   FROM r{w})"""
         )
         step *= 2
+    return parts, f"f{step}"
+
+
+def dup_window_profile_sql(max_prefix: int = 128, dup_thresh: int = 8) -> str:
+    """Replays functions/suffix.dup_window_profile over the shared
+    duplicate-window level chain; per-doc integer aggregate."""
+    parts, last = _dup_levels_sql_parts(max_prefix)
     parts.append(
         f"""
 SELECT doc_id::BIGINT AS doc_id,
@@ -4012,7 +4020,46 @@ SELECT doc_id::BIGINT AS doc_id,
   CAST(SUM(CASE WHEN dmax >= {dup_thresh} THEN 1 ELSE 0 END) AS BIGINT)
     AS n_dup_thresh,
   COUNT(*)::BIGINT AS n_pos
-FROM f{step} GROUP BY doc_id"""
+FROM {last} GROUP BY doc_id"""
+    )
+    return "".join(parts)
+
+
+def exactsubstr_prune_sql(max_prefix: int = 128, dup_thresh: int = 8) -> str:
+    """Replays functions/suffix.exactsubstr_prune: interval-union
+    coverage of duplicated windows ≥ dup_thresh via a running window
+    MAX of (pos + dmax), then per-doc kept-token FNV-1a fingerprint
+    (0 when nothing is kept)."""
+    parts, last = _dup_levels_sql_parts(max_prefix)
+    fnv = (
+        "list_reduce("
+        "list_prepend(14695981039346656037::UBIGINT,"
+        " list_transform(string_split(s, ''), ch -> ascii(ch)::UBIGINT)),"
+        " (h, b) -> CAST((CAST(xor(h, b) AS HUGEINT) * 1099511628211)"
+        f" % {_U64} AS UBIGINT))"
+    )
+    parts.append(
+        f""",
+cov AS (
+  SELECT doc_id, pos,
+    COALESCE(MAX(CASE WHEN dmax >= {dup_thresh} THEN pos + dmax END)
+      OVER (PARTITION BY doc_id ORDER BY pos
+            ROWS UNBOUNDED PRECEDING), -1) > pos AS covered
+  FROM {last}),
+kept AS (
+  SELECT c.doc_id, c.pos, c.covered, t.tok
+  FROM cov c JOIN t2 t ON t.doc_id = c.doc_id AND t.pos = c.pos),
+agg AS (
+  SELECT doc_id,
+    COUNT(*) AS n_pos,
+    SUM(CASE WHEN covered THEN 1 ELSE 0 END) AS n_removed,
+    string_agg(CASE WHEN NOT covered THEN tok END, ' ' ORDER BY pos) AS s
+  FROM kept GROUP BY doc_id)
+SELECT doc_id::BIGINT AS doc_id, n_pos::BIGINT AS n_pos,
+  CAST(n_removed AS BIGINT) AS n_removed,
+  CASE WHEN n_pos = n_removed THEN 0::BIGINT
+       ELSE {u64_to_i64(fnv)} END AS kept_fp
+FROM agg"""
     )
     return "".join(parts)
 

@@ -239,6 +239,18 @@ def q_dup_window_profile(sf_dir: str):
     return dup_window_profile(_docs(sf_dir, ["doc_id", "text"]))
 
 
+def q_exactsubstr_prune(sf_dir: str):
+    """ExactSubstr span removal (Lee et al. 2022, pow2-resolution):
+    every token covered by a corpus-recurring full window of ≥ 8
+    tokens is removed; per-doc kept/removed accounting plus the exact
+    FNV-1a fingerprint of the kept text (functions/suffix.
+    exactsubstr_prune). Integer outputs → exact SQL parity. Returns
+    (doc_id, n_pos, n_removed, kept_fp)."""
+    from ..functions.suffix import exactsubstr_prune
+
+    return exactsubstr_prune(_docs(sf_dir, ["doc_id", "text"]))
+
+
 def q_bpe_merges(sf_dir: str):
     """BPE tokenizer training: the first 32 learned merges over the
     corpus word vocabulary (functions/bpe.py). Rows-only: each round's

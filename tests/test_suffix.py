@@ -144,3 +144,72 @@ def test_dup_window_shared_tail_not_inflated():
     # (end1 end2) and (end2 end3) in each of docs 1 and 2
     assert out.loc[1, "n_dup_thresh"] == 2
     assert out.loc[2, "n_dup_thresh"] == 2
+
+
+def test_exactsubstr_prune_planted_span():
+    from efficient_graph_algorithms_ray.functions.suffix import exactsubstr_prune
+    from efficient_graph_algorithms_ray.functions.text import hash_token
+    import numpy as np
+
+    span = " ".join(f"s{i}" for i in range(8))
+    docs = {
+        1: f"u1 u2 {span} u3",
+        2: f"v1 {span} v2 v3",
+        3: "w1 w2 w3 w4",
+    }
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(list(docs), type=pa.int64()),
+                "text": pa.array(list(docs.values()), type=pa.string()),
+            }
+        )
+    )
+    out = (
+        exactsubstr_prune(ds, dup_thresh=8)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # doc 1: positions 2..9 covered (the 8-token span), u1 u2 u3 kept
+    assert out.loc[1, "n_pos"] == 11 and out.loc[1, "n_removed"] == 8
+    assert out.loc[1, "kept_fp"] == np.uint64(
+        hash_token("u1 u2 u3")
+    ).astype(np.int64)
+    assert out.loc[2, "n_pos"] == 11 and out.loc[2, "n_removed"] == 8
+    assert out.loc[2, "kept_fp"] == np.uint64(
+        hash_token("v1 v2 v3")
+    ).astype(np.int64)
+    # doc 3 untouched
+    assert out.loc[3, "n_removed"] == 0
+    assert out.loc[3, "kept_fp"] == np.uint64(
+        hash_token("w1 w2 w3 w4")
+    ).astype(np.int64)
+
+
+def test_exactsubstr_prune_whole_doc_removed():
+    from efficient_graph_algorithms_ray.functions.suffix import exactsubstr_prune
+
+    txt = " ".join(f"t{i}" for i in range(16))
+    docs = {1: txt, 2: txt}
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(list(docs), type=pa.int64()),
+                "text": pa.array(list(docs.values()), type=pa.string()),
+            }
+        )
+    )
+    out = (
+        exactsubstr_prune(ds, dup_thresh=8)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # identical 16-token docs: the 16-window at pos 0 covers all, and
+    # trailing positions are covered by the pow2 windows that still
+    # fit (e.g. the 8-window at pos 8)
+    assert out.loc[1, "n_pos"] == 16
+    assert out.loc[1, "n_removed"] == 16
+    assert out.loc[1, "kept_fp"] == 0
+    assert out.loc[2, "n_removed"] == 16
