@@ -222,9 +222,102 @@ def _run_kernel() -> dict:
     }
 
 
+def _run_suffix() -> dict:
+    """Suffix-machinery scale probe: prefix-doubling duplicate-window
+    profile (functions/suffix.dup_window_profile — 7 doubling rounds,
+    each one distributed sort + bucketed co-shuffle) over a synthetic
+    corpus of GRAFT_SUFFIX_DOCS documents (default 500k ≈ 28M token
+    positions, ~100× the sf0.01 fixture). Deterministic splitmix64
+    generation with planted 16-token duplicate spans in 5% of docs;
+    corpus generation is one-time and cached, excluded from timing.
+    """
+    import logging
+    import time as _t
+
+    import numpy as np
+    import ray
+
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    n_docs = int(os.environ.get("GRAFT_SUFFIX_DOCS", "500000"))
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    import pyarrow as pa
+    import ray.data as rd
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.CRITICAL)
+
+    from efficient_graph_algorithms_ray.functions.suffix import dup_window_profile
+    from efficient_graph_algorithms_ray.sources.edges_synth import _splitmix64
+
+    ddir = f"/tmp/ega_suffix_docs_{n_docs}"
+    if not os.path.exists(os.path.join(ddir, "_done")):
+
+        def _gen(batch):
+            ids = batch["id"].to_numpy()
+            texts = []
+            for doc_id in ids:
+                s = _splitmix64(np.uint64(doc_id) + np.uint64(0x9E37))
+                ln = 24 + int(s % np.uint64(65))
+                ks = _splitmix64(
+                    s + np.arange(1, ln + 1, dtype=np.uint64)
+                ) % np.uint64(512)
+                toks = [f"w{int(k)}" for k in ks]
+                if doc_id % 20 == 7:  # plant a shared 16-token span
+                    span_seed = _splitmix64(
+                        np.uint64(doc_id % 97) + np.uint64(0xABCD)
+                    )
+                    sk = _splitmix64(
+                        span_seed + np.arange(1, 17, dtype=np.uint64)
+                    ) % np.uint64(512)
+                    toks[4:20] = [f"w{int(k)}" for k in sk]
+                texts.append(" ".join(toks))
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids.astype(np.int64), type=pa.int64()),
+                    "text": pa.array(texts, type=pa.string()),
+                }
+            )
+
+        rd.range(n_docs, override_num_blocks=64).map_batches(
+            _gen, batch_format="pyarrow"
+        ).write_parquet(ddir)
+        open(os.path.join(ddir, "_done"), "w").write("ok")
+
+    docs = rd.read_parquet(ddir, columns=["doc_id", "text"])
+    t0 = _t.perf_counter()
+    prof = dup_window_profile(docs, n_buckets=4 * num_cpus).materialize()
+    wall = _t.perf_counter() - t0
+    import ray.data.aggregate as agg
+
+    sums = prof.aggregate(
+        agg.Sum("n_pos", alias_name="n_pos"),
+        agg.Sum("n_dup_thresh", alias_name="n_dup"),
+    )
+    ray.shutdown()
+    n_pos = int(sums["n_pos"])
+    return {
+        "num_cpus": num_cpus,
+        "n_docs": n_docs,
+        "n_positions": n_pos,
+        "wall_sec": round(wall, 2),
+        "positions_per_sec": round(n_pos / wall, 1),
+        "dup_positions_ge8": int(sums["n_dup"]),
+    }
+
+
 def main() -> None:
     if "--kernel" in sys.argv:
         print(json.dumps(_run_kernel()))
+        return
+    if "--suffix" in sys.argv:
+        print(json.dumps(_run_suffix()))
         return
     if "--scaling" in sys.argv:
         lo, hi = 8, 32
