@@ -886,3 +886,58 @@ def posting_samples(docs_ds, k: int = 8) -> "rd.Dataset":
         .groupby("tok")
         .map_groups(_merge, batch_format="pandas")
     )
+
+
+def dup_span_census(docs_ds, *, w: int = 8, top: int = 64):
+    """Corpus-level duplicated-span census — the C4/boilerplate
+    detector: the ``top`` most frequent w-token windows across the
+    whole corpus, by occurrence count (FNV-1a fingerprint of the
+    space-joined window; ties broken by fingerprint).
+
+    Complements the per-doc duplicate statistics (dup_ngram_stats,
+    dup_window_profile): this is the GLOBAL census that names the
+    boilerplate itself. Scale shape: one map pass emits per-(doc,
+    window) partial counts (map-side combine via np.unique inside the
+    batch — a doc's windows never straddle batches, so per-doc counts
+    are exact pre-aggregates), one groupby(fp) merge, then a top-k
+    sort of the tiny aggregate. Returns (w_fp, n_occurrences, n_docs)
+    — all-integer, exact SQL parity.
+    """
+    import pyarrow as pa
+    from ray.data.aggregate import Count, Sum
+
+    from .text import _TOKEN_RE, hash_token
+
+    def _windows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        o_id, o_fp, o_n = [], [], []
+        for doc_id, text in zip(ids, texts):
+            toks = _TOKEN_RE.findall(text or "")
+            if len(toks) < w:
+                continue
+            fps = np.fromiter(
+                (
+                    hash_token(" ".join(toks[i : i + w]))
+                    for i in range(len(toks) - w + 1)
+                ),
+                dtype=np.uint64,
+            )
+            uniq, cnt = np.unique(fps, return_counts=True)
+            o_id.extend([doc_id] * len(uniq))
+            o_fp.extend(uniq.view(np.int64).tolist())
+            o_n.extend(cnt.tolist())
+        return pa.table(
+            {
+                "doc_id": pa.array(o_id, type=pa.int64()),
+                "w_fp": pa.array(o_fp, type=pa.int64()),
+                "n": pa.array(o_n, type=pa.int64()),
+            }
+        )
+
+    per_doc = docs_ds.map_batches(_windows, batch_format="pyarrow")
+    agg = per_doc.groupby("w_fp").aggregate(
+        Sum("n", alias_name="n_occurrences"),
+        Count(alias_name="n_docs"),
+    )
+    return agg.sort(["n_occurrences", "w_fp"], descending=[True, False]).limit(top)

@@ -5739,3 +5739,34 @@ x{i} AS MATERIALIZED (
         )
     parts.append(f"\nSELECT vid, ROUND(acc, 9) AS katz_r9 FROM x{k}")
     return "".join(parts)
+
+
+def dup_span_census_sql(w: int = 8, top: int = 64) -> str:
+    """Replays functions/terms.dup_span_census: FNV-1a fingerprints of
+    every w-token window, per-(doc, window) pre-counts, global merge,
+    top-k by (count DESC, signed fingerprint ASC)."""
+    fnv = (
+        "list_reduce("
+        "list_prepend(14695981039346656037::UBIGINT,"
+        " list_transform(string_split(s, ''), ch -> ascii(ch)::UBIGINT)),"
+        " (h, b) -> CAST((CAST(xor(h, b) AS HUGEINT) * 1099511628211)"
+        f" % {_U64} AS UBIGINT))"
+    )
+    return f"""WITH tkl AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS tk FROM documents
+),
+wins AS (
+  SELECT doc_id,
+         array_to_string(list_slice(tk, i, i + {w - 1}), ' ') AS s
+  FROM tkl, unnest(generate_series(1, len(tk) - {w - 1})) AS t(i)
+  WHERE len(tk) >= {w}
+),
+fp AS (SELECT doc_id, {u64_to_i64(fnv)} AS w_fp FROM wins),
+per_doc AS (
+  SELECT doc_id, w_fp, COUNT(*) AS n FROM fp GROUP BY doc_id, w_fp),
+agg AS (
+  SELECT w_fp, CAST(SUM(n) AS BIGINT) AS n_occurrences,
+         COUNT(*)::BIGINT AS n_docs
+  FROM per_doc GROUP BY w_fp)
+SELECT w_fp, n_occurrences, n_docs
+FROM agg ORDER BY n_occurrences DESC, w_fp LIMIT {top}"""

@@ -2033,3 +2033,13 @@ def q_contamination_13gram(sf_dir: str):
     functions/dedup.benchmark_contamination."""
     docs = _docs(sf_dir, ["doc_id", "text", "source"])
     return D.benchmark_contamination(docs, bench_source="src0", w=13)
+
+
+def q_dup_span_census(sf_dir: str):
+    """Corpus-level duplicated-span census: the 64 most frequent
+    8-token windows (FNV fingerprints) with occurrence and document
+    counts — the global boilerplate detector
+    (functions/terms.dup_span_census). Exact SQL parity."""
+    from ..functions.terms import dup_span_census
+
+    return dup_span_census(_docs(sf_dir, ["doc_id", "text"]), w=8, top=64)
