@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_window_profile": C.q_dup_window_profile,
         "exactsubstr_prune": C.q_exactsubstr_prune,
         "dup_span_census": C.q_dup_span_census,
+        "cross_dup_window_profile": C.q_cross_dup_window_profile,
         "neardup_threshold_sweep": C.q_neardup_threshold_sweep,
         "nation_volume_shipping": R.q_nation_volume_shipping,
         "profit_by_nation_year": R.q_profit_by_nation_year,
@@ -494,6 +495,7 @@ def oracle_sql() -> dict[str, str]:
         "dup_window_profile": S.dup_window_profile_sql(),
         "exactsubstr_prune": S.exactsubstr_prune_sql(),
         "dup_span_census": S.dup_span_census_sql(),
+        "cross_dup_window_profile": S.cross_dup_window_profile_sql(),
         "neardup_threshold_sweep": S.neardup_threshold_sweep_sql(),
         "nation_volume_shipping": S.nation_volume_shipping_sql(),
         "profit_by_nation_year": S.profit_by_nation_year_sql(),

@@ -47,45 +47,68 @@ import ray
 from .text import _TOKEN_RE
 
 
-def _tokens_table(docs_ds):
-    """documents → one row per token position: (doc_id, pos, tok)."""
+def _tokens_table(docs_ds, bench_source: str | None = None):
+    """documents → one row per token position: (doc_id, pos, tok,
+    dlen[, bench]). ``bench_source``: when set, emits a 0/1 ``bench``
+    column marking tokens of docs whose ``source`` equals it."""
 
     def _rows(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
         texts = batch.column("text").to_pylist()
+        srcs = (
+            batch.column("source").to_pylist()
+            if bench_source is not None
+            else [None] * len(ids)
+        )
         o_id: list[int] = []
         o_pos: list[int] = []
         o_tok: list[str] = []
         o_len: list[int] = []
-        for doc_id, text in zip(ids, texts):
+        o_b: list[int] = []
+        for doc_id, text, src in zip(ids, texts, srcs):
             toks = _TOKEN_RE.findall(text or "")
             o_id.extend([doc_id] * len(toks))
             o_pos.extend(range(len(toks)))
             o_tok.extend(toks)
             o_len.extend([len(toks)] * len(toks))
-        return pa.table(
-            {
-                "doc_id": pa.array(o_id, type=pa.int64()),
-                "pos": pa.array(o_pos, type=pa.int64()),
-                "tok": pa.array(o_tok, type=pa.string()),
-                "dlen": pa.array(o_len, type=pa.int64()),
-            }
-        )
+            if bench_source is not None:
+                o_b.extend([1 if src == bench_source else 0] * len(toks))
+        cols = {
+            "doc_id": pa.array(o_id, type=pa.int64()),
+            "pos": pa.array(o_pos, type=pa.int64()),
+            "tok": pa.array(o_tok, type=pa.string()),
+            "dlen": pa.array(o_len, type=pa.int64()),
+        }
+        if bench_source is not None:
+            cols["bench"] = pa.array(o_b, type=pa.int64())
+        return pa.table(cols)
 
     return docs_ds.map_batches(_rows, batch_format="pyarrow")
 
 
-def _dense_rank(ds, keys: list[str], extras: tuple[str, ...] = ()):
+def _dense_rank(
+    ds, keys: list[str], extras: tuple[str, ...] = (), flag: str | None = None
+):
     """Dense rank (1-based) over ``keys`` → ((doc_id, pos, r, dup,
-    *extras) Dataset, n_groups). Two-pass ordered scan: the sort key
-    is made UNIQUE by appending uid = doc_id·2²⁰ + pos (positions are
-    bounded by the per-doc token cap), so block order and boundary
-    group-merges are exact even when key ties straddle blocks.
+    *extras[, gflag]) Dataset, n_groups). Two-pass ordered scan: the
+    sort key is made UNIQUE by appending uid = doc_id·2²⁰ + pos
+    (positions are bounded by the per-doc token cap), so block order
+    and boundary group-merges are exact even when key ties straddle
+    blocks.
 
     ``dup`` (0/1 int64) marks rows whose rank group has ≥ 2 members —
     computed from in-block run lengths plus the two boundary-merge
     bits the driver already derives, so it costs no extra shuffle.
-    ``extras`` are int64 columns carried through unchanged."""
+    ``extras`` are int64 columns carried through unchanged.
+
+    ``flag``: name of a 0/1 int64 extras column; when set, the output
+    additionally carries ``gflag`` = OR of that column over the row's
+    FULL rank group. In-block segments use a bincount OR; groups that
+    straddle blocks get the neighboring segments' OR from the same
+    O(#blocks) driver merge that chains the rank bases: a forward and
+    a backward scan accumulate the prefix/suffix OR carried through
+    single-group blocks, giving each block an incoming OR for its
+    first and last group."""
 
     def _uid(batch: pa.Table) -> pa.Table:
         d = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
@@ -107,15 +130,21 @@ def _dense_rank(ds, keys: list[str], extras: tuple[str, ...] = ()):
         new[0] = True
         for c in arrs:
             new[1:] |= c[1:] != c[:-1]
-        payload = json.dumps(
-            {
-                "uid0": int(batch.column("uid")[0].as_py()),
-                "g": int(new.sum()),
-                "first": [c[0] for c in cols],
-                "last": [c[-1] for c in cols],
-            }
+        payload = {
+            "uid0": int(batch.column("uid")[0].as_py()),
+            "g": int(new.sum()),
+            "first": [c[0] for c in cols],
+            "last": [c[-1] for c in cols],
+        }
+        if flag is not None:
+            fl = batch.column(flag).to_numpy(zero_copy_only=False).astype(bool)
+            g_local = np.cumsum(new.astype(np.int64)) - 1
+            seg_or = np.bincount(g_local, weights=fl) > 0
+            payload["of"] = bool(seg_or[0])
+            payload["ol"] = bool(seg_or[-1])
+        return pa.table(
+            {"payload": pa.array([json.dumps(payload)], type=pa.string())}
         )
-        return pa.table({"payload": pa.array([payload], type=pa.string())})
 
     import json
 
@@ -138,11 +167,33 @@ def _dense_rank(ds, keys: list[str], extras: tuple[str, ...] = ()):
             1 if (prev_last is not None and blk["first"] == prev_last) else 0
         )
         prev_last = blk["last"]
-    base_by_uid0: dict[int, tuple[int, int, int]] = {}
+    n_blocks = len(blocks)
+    inc_first = [False] * n_blocks
+    inc_last = [False] * n_blocks
+    if flag is not None:
+        # forward scan: carry = OR of earlier blocks' segments of the
+        # group spanning the (i-1, i) boundary; it survives through
+        # single-group blocks that themselves continued
+        carry = False
+        for i, blk in enumerate(blocks):
+            cont = bool(adjs[i])
+            inc_first[i] = carry if cont else False
+            carry = bool(blk["ol"]) or (
+                carry if (blk["g"] == 1 and cont) else False
+            )
+        # backward scan: suffix OR into each block's last group
+        carry = False
+        for i in range(n_blocks - 1, -1, -1):
+            cont_next = bool(adjs[i + 1]) if i + 1 < n_blocks else False
+            inc_last[i] = carry if cont_next else False
+            carry = bool(blocks[i]["of"]) or (
+                carry if (blocks[i]["g"] == 1 and cont_next) else False
+            )
+    base_by_uid0: dict[int, tuple[int, int, int, bool, bool]] = {}
     R = 1
     for i, blk in enumerate(blocks):
         adj, nxt = adjs[i], adjs[i + 1] if i + 1 < len(blocks) else 0
-        base_by_uid0[blk["uid0"]] = (R - adj, adj, nxt)
+        base_by_uid0[blk["uid0"]] = (R - adj, adj, nxt, inc_first[i], inc_last[i])
         R = (R - adj) + blk["g"]
     n_groups = R - 1
     ref = ray.put(base_by_uid0)
@@ -157,9 +208,13 @@ def _dense_rank(ds, keys: list[str], extras: tuple[str, ...] = ()):
             }
             for e in extras:
                 cols_out[e] = pa.array([], type=pa.int64())
+            if flag is not None:
+                cols_out["gflag"] = pa.array([], type=pa.int64())
             return pa.table(cols_out)
         lookup = ray.get(ref)
-        base, prev_merge, next_merge = lookup[int(batch.column("uid")[0].as_py())]
+        base, prev_merge, next_merge, incf, incl = lookup[
+            int(batch.column("uid")[0].as_py())
+        ]
         cols = [batch.column(k).to_numpy(zero_copy_only=False) for k in keys]
         new = np.zeros(batch.num_rows, dtype=bool)
         for c in cols:
@@ -182,6 +237,14 @@ def _dense_rank(ds, keys: list[str], extras: tuple[str, ...] = ()):
         }
         for e in extras:
             cols_out[e] = batch.column(e)
+        if flag is not None:
+            fl = batch.column(flag).to_numpy(zero_copy_only=False).astype(bool)
+            gor = (np.bincount(g_local, weights=fl) > 0)[g_local]
+            if incf:
+                gor |= g_local == 0
+            if incl:
+                gor |= g_local == g_local[-1]
+            cols_out["gflag"] = pa.array(gor.astype(np.int64), type=pa.int64())
         return pa.table(cols_out)
 
     return (
@@ -498,3 +561,106 @@ def exactsubstr_prune(
         )
 
     return tagged.groupby("bucket").map_groups(_prune, batch_format="pyarrow")
+
+
+def cross_dup_window_profile(
+    docs_ds,
+    *,
+    bench_source: str = "src0",
+    max_prefix: int = 128,
+    dup_thresh: int = 8,
+    n_buckets: int = 64,
+):
+    """Suffix-based benchmark decontamination — the exact-substring
+    complement of the 13-gram membership check
+    (functions/dedup.benchmark_contamination): for every NON-benchmark
+    document, the largest power-of-two window (full length, gated
+    exactly as in dup_window_profile) that ALSO occurs verbatim in the
+    ``bench_source`` corpus, at any position.
+
+    Mechanics: the same prefix-doubling rounds over the UNION of
+    corpus and benchmark tokens; each round's dense rank additionally
+    exposes ``gflag`` = OR of the bench bit over the FULL rank group
+    (in-block bincount OR + the driver merge's forward/backward
+    boundary carries — still no extra shuffle). A corpus position
+    whose gated level-w group has gflag=1 shares its full w-token
+    window with a benchmark position (the sentinel forces equal
+    remaining < w to coincide, so a gated-in match is a real w-token
+    match on both sides).
+
+    Returns per NON-benchmark doc (doc_id, max_shared,
+    n_shared_thresh, n_pos). All-integer → exact SQL parity.
+    """
+    from ray.data.aggregate import Count, Max, Sum
+
+    ranks, n_groups = _dense_rank(
+        _tokens_table(docs_ds, bench_source=bench_source),
+        ["tok"],
+        extras=("dlen", "bench"),
+        flag="bench",
+    )
+
+    def _init(batch: pa.Table) -> pa.Table:
+        g = batch.column("gflag").to_numpy(zero_copy_only=False)
+        return batch.append_column("xmax", pa.array(g, type=pa.int64()))
+
+    ranks = ranks.map_batches(_init, batch_format="pyarrow")
+
+    def _fold(window: int, promote: bool):
+        def _f(batch: pa.Table) -> pa.Table:
+            g = batch.column("gflag").to_numpy(zero_copy_only=False)
+            xmax = batch.column("xmax").to_numpy(zero_copy_only=False)
+            pos = batch.column("pos").to_numpy(zero_copy_only=False)
+            dlen = batch.column("dlen").to_numpy(zero_copy_only=False)
+            remaining = dlen - pos
+            if promote:
+                r = np.minimum(remaining, max_prefix).astype(np.int64)
+                eff = (2 ** np.floor(np.log2(r))).astype(np.int64)
+            else:
+                eff = np.where(remaining >= window, window, 0)
+            out = np.maximum(xmax, g * eff)
+            return batch.drop_columns(["xmax"]).append_column(
+                "xmax", pa.array(out, type=pa.int64())
+            )
+
+        return _f
+
+    step = 1
+    while step < max_prefix:
+        pairs = _shift_pairs(
+            ranks.materialize(), step, n_buckets, extras=("xmax", "dlen", "bench")
+        )
+        ranks, ng = _dense_rank(
+            pairs, ["k1", "k2"], extras=("xmax", "dlen", "bench"), flag="bench"
+        )
+        ranks = ranks.map_batches(
+            _fold(step * 2, promote=ng == n_groups), batch_format="pyarrow"
+        )
+        if ng == n_groups:
+            break
+        n_groups = ng
+        step *= 2
+
+    def _per_pos(batch: pa.Table) -> pa.Table:
+        b = batch.column("bench").to_numpy(zero_copy_only=False)
+        keep = b == 0
+        xmax = batch.column("xmax").to_numpy(zero_copy_only=False)[keep]
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    batch.column("doc_id").to_numpy(zero_copy_only=False)[keep],
+                    type=pa.int64(),
+                ),
+                "xmax": pa.array(xmax, type=pa.int64()),
+                "hit": pa.array(
+                    (xmax >= dup_thresh).astype(np.int64), type=pa.int64()
+                ),
+            }
+        )
+
+    per_pos = ranks.map_batches(_per_pos, batch_format="pyarrow")
+    return per_pos.groupby("doc_id").aggregate(
+        Max("xmax", alias_name="max_shared"),
+        Sum("hit", alias_name="n_shared_thresh"),
+        Count(alias_name="n_pos"),
+    )

@@ -5770,3 +5770,60 @@ agg AS (
   FROM per_doc GROUP BY w_fp)
 SELECT w_fp, n_occurrences, n_docs
 FROM agg ORDER BY n_occurrences DESC, w_fp LIMIT {top}"""
+
+
+def cross_dup_window_profile_sql(
+    bench_source: str = "src0", max_prefix: int = 128, dup_thresh: int = 8
+) -> str:
+    """Replays functions/suffix.cross_dup_window_profile: the same
+    prefix-doubling chain over corpus+benchmark tokens, each level's
+    flag = MAX(bench) OVER (PARTITION BY rank) gated to full windows,
+    per-NON-benchmark-doc integer aggregate."""
+    parts = [
+        f"""WITH tkl AS (
+  SELECT doc_id, source, regexp_extract_all(text, '\\S+') AS tk FROM documents
+),
+toks AS (
+  SELECT doc_id, unnest(generate_series(0, len(tk) - 1)) AS pos,
+         tk, len(tk) AS dlen,
+         CASE WHEN source = '{bench_source}' THEN 1 ELSE 0 END AS bench
+  FROM tkl WHERE len(tk) > 0
+),
+t2 AS (SELECT doc_id, pos, tk[pos + 1] AS tok, dlen, bench FROM toks),
+r1 AS MATERIALIZED (
+  SELECT doc_id, pos, dlen, bench, DENSE_RANK() OVER (ORDER BY tok) AS r
+  FROM t2),
+f1 AS MATERIALIZED (
+  SELECT doc_id, pos, dlen, bench, r,
+         CASE WHEN MAX(bench) OVER (PARTITION BY r) = 1 THEN 1 ELSE 0 END
+           AS xmax
+  FROM r1)"""
+    ]
+    step = 1
+    while step < max_prefix:
+        prev, w = f"f{step}", step * 2
+        parts.append(
+            f""",
+r{w} AS MATERIALIZED (
+  SELECT a.doc_id, a.pos, a.dlen, a.bench,
+         DENSE_RANK() OVER (ORDER BY a.r, COALESCE(b.r, 0)) AS r, a.xmax
+  FROM {prev} a LEFT JOIN {prev} b
+    ON b.doc_id = a.doc_id AND b.pos = a.pos + {step}),
+f{w} AS MATERIALIZED (
+  SELECT doc_id, pos, dlen, bench, r,
+         GREATEST(xmax, CASE WHEN MAX(bench) OVER (PARTITION BY r) = 1
+                              AND dlen - pos >= {w}
+                             THEN {w} ELSE 0 END) AS xmax
+  FROM r{w})"""
+        )
+        step *= 2
+    parts.append(
+        f"""
+SELECT doc_id::BIGINT AS doc_id,
+  CAST(MAX(xmax) AS BIGINT) AS max_shared,
+  CAST(SUM(CASE WHEN xmax >= {dup_thresh} THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_shared_thresh,
+  COUNT(*)::BIGINT AS n_pos
+FROM f{step} WHERE bench = 0 GROUP BY doc_id"""
+    )
+    return "".join(parts)

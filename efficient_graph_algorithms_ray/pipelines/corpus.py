@@ -2043,3 +2043,16 @@ def q_dup_span_census(sf_dir: str):
     from ..functions.terms import dup_span_census
 
     return dup_span_census(_docs(sf_dir, ["doc_id", "text"]), w=8, top=64)
+
+
+def q_cross_dup_window_profile(sf_dir: str):
+    """Suffix-based benchmark decontamination: per NON-benchmark doc,
+    the longest power-of-two window shared verbatim with the 'src0'
+    benchmark corpus, plus how many positions start a shared window of
+    >= 8 tokens (functions/suffix.cross_dup_window_profile). Exact SQL
+    parity. Returns (doc_id, max_shared, n_shared_thresh, n_pos)."""
+    from ..functions.suffix import cross_dup_window_profile
+
+    return cross_dup_window_profile(
+        _docs(sf_dir, ["doc_id", "text", "source"]), bench_source="src0"
+    )

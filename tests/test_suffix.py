@@ -213,3 +213,59 @@ def test_exactsubstr_prune_whole_doc_removed():
     assert out.loc[1, "n_removed"] == 16
     assert out.loc[1, "kept_fp"] == 0
     assert out.loc[2, "n_removed"] == 16
+
+
+def _xprofile(rows, **kw):
+    from efficient_graph_algorithms_ray.functions.suffix import (
+        cross_dup_window_profile,
+    )
+
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], type=pa.int64()),
+                "text": pa.array([r[1] for r in rows], type=pa.string()),
+                "source": pa.array([r[2] for r in rows], type=pa.string()),
+            }
+        )
+    )
+    out = (
+        cross_dup_window_profile(ds, bench_source="bench", **kw)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    return out
+
+
+def test_cross_dup_window_bench_span():
+    span = " ".join(f"s{i}" for i in range(8))
+    rows = [
+        (1, f"q1 {span} q2", "bench"),  # the benchmark doc
+        (2, f"u1 u2 {span} u3", "web"),  # contaminated: shares the span
+        (3, "v1 v2 v3 v4 v5 v6 v7 v8 v9", "web"),  # clean
+        # shares a span with doc 2 but NOT with the benchmark — must
+        # not count (corpus-corpus duplication is dup_window_profile)
+        (4, "u1 u2 w1 w2 w3 w4", "web"),
+    ]
+    out = _xprofile(rows)
+    assert 1 not in out.index  # benchmark docs excluded from output
+    assert out.loc[2, "max_shared"] == 8
+    assert out.loc[2, "n_shared_thresh"] == 1
+    assert out.loc[3, "max_shared"] == 0
+    # (u1 u2) is corpus-corpus only → xmax counts nothing
+    assert out.loc[4, "max_shared"] == 0
+
+
+def test_cross_dup_window_full_containment_gated():
+    txt = " ".join(f"t{i}" for i in range(20))
+    rows = [
+        (1, txt, "bench"),
+        (2, txt, "web"),  # exact copy of a benchmark doc
+        (3, "z1 z2 z3", "web"),
+    ]
+    out = _xprofile(rows)
+    # full-window gate: pow2floor(20) = 16, not a truncated 128
+    assert out.loc[2, "max_shared"] == 16
+    assert out.loc[2, "n_shared_thresh"] == 13  # pos 0..12 (remaining >= 8)
+    assert out.loc[3, "max_shared"] == 0
