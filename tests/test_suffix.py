@@ -269,3 +269,21 @@ def test_cross_dup_window_full_containment_gated():
     assert out.loc[2, "max_shared"] == 16
     assert out.loc[2, "n_shared_thresh"] == 13  # pos 0..12 (remaining >= 8)
     assert out.loc[3, "max_shared"] == 0
+
+
+def test_cross_dup_flag_carries_across_many_blocks():
+    # one giant level-1 rank group ("x" everywhere) that straddles
+    # many sort blocks; exactly ONE bench doc contributes the flag —
+    # the driver's forward/backward OR carries must reach every block
+    rows = [(i, "x", "web") for i in range(64)]
+    rows.append((100, "x", "bench"))
+    out = _xprofile(rows, n_buckets=8)
+    assert len(out) == 64
+    # every web doc's single token is shared with the benchmark
+    assert (out["max_shared"] == 1).all()
+
+    # control: no bench member in the group → no flag anywhere
+    rows = [(i, "x", "web") for i in range(64)]
+    rows.append((100, "y", "bench"))
+    out = _xprofile(rows, n_buckets=8)
+    assert (out["max_shared"] == 0).all()
