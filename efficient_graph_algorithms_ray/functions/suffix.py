@@ -36,6 +36,19 @@ Scale plan, per round:
 
 All arithmetic is integer (ranks), so the DuckDB oracle (the same
 recurrence via DENSE_RANK + self-joins) hash-matches exactly.
+
+Named scale path (documented, not implemented): active-set discarding.
+Once a position's rank group is a singleton it can never split again,
+so with RANK-style numbering (rank = count of strictly-smaller
+positions + 1 — stable under refinement, unlike DENSE_RANK values)
+resolved rows can be frozen out of the per-round sort, which then
+shrinks geometrically (the 500k-doc probe resolves 97% of positions
+by the step-8 round — see BASELINE.md). The flag/dup outputs are
+rank-value-agnostic, so the profile oracles would be unchanged; the
+co-shuffle side additionally prunes fully-resolved documents (k2
+lookups are same-doc only). Left unimplemented here because the
+measured per-round cost is already the shuffle fabric's sort
+primitive and the engine's rounds are ⌈log₂ max_prefix⌉-bounded.
 """
 
 from __future__ import annotations
