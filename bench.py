@@ -91,6 +91,13 @@ def _run_bench() -> dict:
     ranks.count()
     queries["pagerank"] = time.perf_counter() - t0
     extra["pagerank_run_sec"] = round(t_run, 3)
+    # pool-submit/init split: a run where pagerank_run_sec far exceeds
+    # iterations × median superstep is a pool cold-start / checkpoint
+    # disk stall (BASELINE.md "bench-noise signature") — this records
+    # where it landed so the BENCH line is self-diagnosing
+    extra["pagerank_phase_secs"] = {
+        k: round(v, 3) for k, v in s.get("phase_secs", {}).items()
+    }
     step_secs = sorted(h["seconds"] for h in s["history"])
     median_step = step_secs[len(step_secs) // 2]
     extra["pagerank_iterations"] = s["iterations"]
