@@ -265,6 +265,11 @@ def _run_suffix() -> dict:
 
     ddir = f"/tmp/ega_suffix_docs_{n_docs}"
     if not os.path.exists(os.path.join(ddir, "_done")):
+        # an interrupted generation leaves partial parquet files that a
+        # rerun's write_parquet would merge with — clear first
+        import shutil
+
+        shutil.rmtree(ddir, ignore_errors=True)
 
         def _gen(batch):
             ids = batch["id"].to_numpy()

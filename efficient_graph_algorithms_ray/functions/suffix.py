@@ -379,49 +379,41 @@ def dup_window_profile(
     positions start a duplicated window ≥ dup_thresh, and its token
     count. All-integer → exact SQL parity.
     """
-    from ray.data.aggregate import Count, Max, Sum
-
-    ranks = _dup_levels(docs_ds, max_prefix=max_prefix, n_buckets=n_buckets)
-
-    def _per_pos(batch: pa.Table) -> pa.Table:
-        dmax = batch.column("dmax").to_numpy(zero_copy_only=False)
-        return pa.table(
-            {
-                "doc_id": batch.column("doc_id"),
-                "dmax": batch.column("dmax"),
-                "hit": pa.array(
-                    (dmax >= dup_thresh).astype(np.int64), type=pa.int64()
-                ),
-            }
-        )
-
-    per_pos = ranks.map_batches(_per_pos, batch_format="pyarrow")
-    return per_pos.groupby("doc_id").aggregate(
-        Max("dmax", alias_name="max_dup"),
-        Sum("hit", alias_name="n_dup_thresh"),
-        Count(alias_name="n_pos"),
+    levels = _dup_levels(docs_ds, max_prefix=max_prefix, n_buckets=n_buckets)
+    return _profile_aggregate(
+        levels, "dmax", dup_thresh, "max_dup", "n_dup_thresh"
     )
 
 
-def _dup_levels(docs_ds, *, max_prefix: int = 128, n_buckets: int = 64):
-    """Per-position duplicate-window levels: Dataset (doc_id, pos, r,
-    dup, dmax, dlen) where dmax is the largest power-of-two window
-    starting at pos that recurs in the corpus at FULL length (see
-    dup_window_profile for the gating argument)."""
-    ranks, n_groups = _dense_rank(
-        _tokens_table(docs_ds), ["tok"], extras=("dlen",)
-    )
+def _doubling_levels(
+    tokens_ds,
+    *,
+    max_prefix: int,
+    n_buckets: int,
+    src_col: str,
+    out_col: str,
+    carry: tuple[str, ...] = ("dlen",),
+    flag: str | None = None,
+):
+    """Shared prefix-doubling driver: runs the dense-rank rounds over
+    ``tokens_ds`` folding the FULL-WINDOW-gated max level of the
+    per-round 0/1 ``src_col`` ('dup' or 'gflag') into ``out_col``
+    (see dup_window_profile for the gating / promotion-on-freeze
+    argument). ``carry`` columns ride every co-shuffle; ``flag`` is
+    forwarded to ``_dense_rank`` (per-group OR → 'gflag')."""
+    ranks, n_groups = _dense_rank(tokens_ds, ["tok"], extras=carry, flag=flag)
 
-    def _init_dmax(batch: pa.Table) -> pa.Table:
-        dup = batch.column("dup").to_numpy(zero_copy_only=False)
-        return batch.append_column("dmax", pa.array(dup, type=pa.int64()))
+    def _init(batch: pa.Table) -> pa.Table:
+        v = batch.column(src_col).to_numpy(zero_copy_only=False)
+        return batch.append_column(out_col, pa.array(v, type=pa.int64()))
 
-    ranks = ranks.map_batches(_init_dmax, batch_format="pyarrow")
+    ranks = ranks.map_batches(_init, batch_format="pyarrow")
+    extras = (out_col,) + tuple(carry)
 
-    def _fold_dmax(window: int, promote: bool):
-        def _fold(batch: pa.Table) -> pa.Table:
-            dup = batch.column("dup").to_numpy(zero_copy_only=False)
-            dmax = batch.column("dmax").to_numpy(zero_copy_only=False)
+    def _fold(window: int, promote: bool):
+        def _f(batch: pa.Table) -> pa.Table:
+            v = batch.column(src_col).to_numpy(zero_copy_only=False)
+            acc = batch.column(out_col).to_numpy(zero_copy_only=False)
             pos = batch.column("pos").to_numpy(zero_copy_only=False)
             dlen = batch.column("dlen").to_numpy(zero_copy_only=False)
             remaining = dlen - pos  # ≥ 1 for every emitted position
@@ -432,27 +424,70 @@ def _dup_levels(docs_ds, *, max_prefix: int = 128, n_buckets: int = 64):
                 eff = (2 ** np.floor(np.log2(r))).astype(np.int64)
             else:
                 eff = np.where(remaining >= window, window, 0)
-            out = np.maximum(dmax, dup * eff)
-            return batch.drop_columns(["dmax"]).append_column(
-                "dmax", pa.array(out, type=pa.int64())
+            out = np.maximum(acc, v * eff)
+            return batch.drop_columns([out_col]).append_column(
+                out_col, pa.array(out, type=pa.int64())
             )
 
-        return _fold
+        return _f
 
     step = 1
     while step < max_prefix:
-        pairs = _shift_pairs(
-            ranks.materialize(), step, n_buckets, extras=("dmax", "dlen")
-        )
-        ranks, ng = _dense_rank(pairs, ["k1", "k2"], extras=("dmax", "dlen"))
+        pairs = _shift_pairs(ranks.materialize(), step, n_buckets, extras=extras)
+        ranks, ng = _dense_rank(pairs, ["k1", "k2"], extras=extras, flag=flag)
         ranks = ranks.map_batches(
-            _fold_dmax(step * 2, promote=ng == n_groups), batch_format="pyarrow"
+            _fold(step * 2, promote=ng == n_groups), batch_format="pyarrow"
         )
         if ng == n_groups:
             break
         n_groups = ng
         step *= 2
     return ranks
+
+
+def _profile_aggregate(
+    levels, val_col: str, thresh: int, max_name: str, n_name: str,
+    exclude_col: str | None = None,
+):
+    """Per-doc (doc_id, {max_name}, {n_name}, n_pos) fold of a
+    per-position level column; rows with ``exclude_col`` != 0 are
+    dropped first (e.g. benchmark docs)."""
+    from ray.data.aggregate import Count, Max, Sum
+
+    def _per_pos(batch: pa.Table) -> pa.Table:
+        v = batch.column(val_col).to_numpy(zero_copy_only=False)
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        if exclude_col is not None:
+            keep = batch.column(exclude_col).to_numpy(zero_copy_only=False) == 0
+            v, d = v[keep], d[keep]
+        return pa.table(
+            {
+                "doc_id": pa.array(d, type=pa.int64()),
+                val_col: pa.array(v, type=pa.int64()),
+                "hit": pa.array((v >= thresh).astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    per_pos = levels.map_batches(_per_pos, batch_format="pyarrow")
+    return per_pos.groupby("doc_id").aggregate(
+        Max(val_col, alias_name=max_name),
+        Sum("hit", alias_name=n_name),
+        Count(alias_name="n_pos"),
+    )
+
+
+def _dup_levels(docs_ds, *, max_prefix: int = 128, n_buckets: int = 64):
+    """Per-position duplicate-window levels: Dataset (doc_id, pos, r,
+    dup, dmax, dlen) where dmax is the largest power-of-two window
+    starting at pos that recurs in the corpus at FULL length (see
+    dup_window_profile for the gating argument)."""
+    return _doubling_levels(
+        _tokens_table(docs_ds),
+        max_prefix=max_prefix,
+        n_buckets=n_buckets,
+        src_col="dup",
+        out_col="dmax",
+    )
 
 
 def exactsubstr_prune(
@@ -526,8 +561,11 @@ def exactsubstr_prune(
         ot = np.lexsort((p[tk], d[tk]))
         dd, pp = d[lv][ol], p[lv][ol]
         dmax = group.column("dmax").to_numpy(zero_copy_only=False)[lv][ol]
-        toks_arr = group.column("tok").to_pylist()
-        tok_sorted = [toks_arr[i] for i in np.flatnonzero(tk)[ot]]
+        # only the token rows cross the Arrow→Python boundary (the
+        # level rows carry placeholder "" toks)
+        tok_sorted = (
+            group.column("tok").take(pa.array(np.flatnonzero(tk)[ot])).to_pylist()
+        )
         n = len(dd)
         if n == 0:
             return pa.table(
@@ -541,8 +579,7 @@ def exactsubstr_prune(
         # global position index; full-window gating ⇒ reach never
         # crosses a doc boundary ⇒ one accumulate, no per-doc reset
         gpos = np.arange(n, dtype=np.int64)
-        gstart = gpos - pp
-        reach = np.where(dmax >= dup_thresh, gstart + pp + dmax, -1)
+        reach = np.where(dmax >= dup_thresh, gpos + dmax, -1)
         covered = np.maximum.accumulate(reach) > gpos
         doc_break = np.empty(n, dtype=bool)
         doc_break[0] = True
@@ -604,76 +641,16 @@ def cross_dup_window_profile(
     Returns per NON-benchmark doc (doc_id, max_shared,
     n_shared_thresh, n_pos). All-integer → exact SQL parity.
     """
-    from ray.data.aggregate import Count, Max, Sum
-
-    ranks, n_groups = _dense_rank(
+    levels = _doubling_levels(
         _tokens_table(docs_ds, bench_source=bench_source),
-        ["tok"],
-        extras=("dlen", "bench"),
+        max_prefix=max_prefix,
+        n_buckets=n_buckets,
+        src_col="gflag",
+        out_col="xmax",
+        carry=("dlen", "bench"),
         flag="bench",
     )
-
-    def _init(batch: pa.Table) -> pa.Table:
-        g = batch.column("gflag").to_numpy(zero_copy_only=False)
-        return batch.append_column("xmax", pa.array(g, type=pa.int64()))
-
-    ranks = ranks.map_batches(_init, batch_format="pyarrow")
-
-    def _fold(window: int, promote: bool):
-        def _f(batch: pa.Table) -> pa.Table:
-            g = batch.column("gflag").to_numpy(zero_copy_only=False)
-            xmax = batch.column("xmax").to_numpy(zero_copy_only=False)
-            pos = batch.column("pos").to_numpy(zero_copy_only=False)
-            dlen = batch.column("dlen").to_numpy(zero_copy_only=False)
-            remaining = dlen - pos
-            if promote:
-                r = np.minimum(remaining, max_prefix).astype(np.int64)
-                eff = (2 ** np.floor(np.log2(r))).astype(np.int64)
-            else:
-                eff = np.where(remaining >= window, window, 0)
-            out = np.maximum(xmax, g * eff)
-            return batch.drop_columns(["xmax"]).append_column(
-                "xmax", pa.array(out, type=pa.int64())
-            )
-
-        return _f
-
-    step = 1
-    while step < max_prefix:
-        pairs = _shift_pairs(
-            ranks.materialize(), step, n_buckets, extras=("xmax", "dlen", "bench")
-        )
-        ranks, ng = _dense_rank(
-            pairs, ["k1", "k2"], extras=("xmax", "dlen", "bench"), flag="bench"
-        )
-        ranks = ranks.map_batches(
-            _fold(step * 2, promote=ng == n_groups), batch_format="pyarrow"
-        )
-        if ng == n_groups:
-            break
-        n_groups = ng
-        step *= 2
-
-    def _per_pos(batch: pa.Table) -> pa.Table:
-        b = batch.column("bench").to_numpy(zero_copy_only=False)
-        keep = b == 0
-        xmax = batch.column("xmax").to_numpy(zero_copy_only=False)[keep]
-        return pa.table(
-            {
-                "doc_id": pa.array(
-                    batch.column("doc_id").to_numpy(zero_copy_only=False)[keep],
-                    type=pa.int64(),
-                ),
-                "xmax": pa.array(xmax, type=pa.int64()),
-                "hit": pa.array(
-                    (xmax >= dup_thresh).astype(np.int64), type=pa.int64()
-                ),
-            }
-        )
-
-    per_pos = ranks.map_batches(_per_pos, batch_format="pyarrow")
-    return per_pos.groupby("doc_id").aggregate(
-        Max("xmax", alias_name="max_shared"),
-        Sum("hit", alias_name="n_shared_thresh"),
-        Count(alias_name="n_pos"),
+    return _profile_aggregate(
+        levels, "xmax", dup_thresh, "max_shared", "n_shared_thresh",
+        exclude_col="bench",
     )
