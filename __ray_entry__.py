@@ -51,6 +51,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf_knn": C.q_ann_ivf_knn,
         "ngram_jaccard_pairs": C.q_ngram_jaccard_pairs,
         # round-3 additions (SQL-oracled)
+        "effective_resistance_coocc": R.q_effective_resistance_coocc,
+        "clique_percolation_coocc": R.q_clique_percolation_coocc,
+        "ngram_novelty_docs": C.q_ngram_novelty_docs,
+        "label_centroid_drift": C.q_label_centroid_drift,
         "shipping_priority_topk": R.q_shipping_priority_topk,
         "local_supplier_volume": R.q_local_supplier_volume,
         "top_supplier": R.q_top_supplier,
@@ -539,6 +543,10 @@ def oracle_sql() -> dict[str, str]:
         "doclen_rank_in_lang": S.DOCLEN_RANK_IN_LANG,
         "triangles_incremental": S.TRIANGLES_INCREMENTAL,
         "hitting_time_coocc": S.hitting_time_coocc_sql(k=8),
+        "effective_resistance_coocc": S.effective_resistance_coocc_sql(k=12),
+        "clique_percolation_coocc": S.clique_percolation_coocc_sql(rounds=16),
+        "ngram_novelty_docs": S.ngram_novelty_sql(w=8),
+        "label_centroid_drift": S.label_centroid_drift_sql(d=64),
         "split_leakage": S.split_leakage_sql(threshold=0.5),
         "decayed_activity": S.DECAYED_ACTIVITY,
         "weekly_active_users": S.WEEKLY_ACTIVE_USERS,

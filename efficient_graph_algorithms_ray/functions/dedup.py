@@ -870,3 +870,90 @@ def benchmark_contamination(docs_ds, *, bench_source: str = "src0", w: int = 13)
         )
 
     return docs_ds.map_batches(_scan, batch_format="pyarrow")
+
+
+def ngram_novelty(docs_ds, *, w: int = 8, num_partitions: int = 32):
+    """Per-document n-gram NOVELTY — the memorization/duplication proxy
+    used to order training data (a doc whose windows all appeared in
+    earlier docs contributes nothing new): for every document, the
+    fraction of its DISTINCT w-token shingles whose global first
+    occurrence (min doc_id over the corpus) is this document.
+
+    Plan (same co-shuffle as ``contamination_counts``): both the
+    first-seen reduction and the per-doc membership ride ONE
+    hash-bucketed exchange of (shingle-hash, doc_id) rows — the group
+    task computes min-doc per hash locally and folds per-doc (total,
+    first-seen) partials before a combiner-backed ``groupby(doc_id)``.
+    Docs shorter than ``w`` tokens have no shingles and no output row
+    (the ``shingle_hashes`` convention). Returns
+    (doc_id, n_shingles, n_first_seen, novelty_r6)."""
+    from ray.data.aggregate import Sum
+
+    P = num_partitions
+
+    def _sh(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pandas().fillna("")
+        out_id: list[np.ndarray] = []
+        out_h: list[np.ndarray] = []
+        for i, t in zip(ids, texts):
+            hs = shingle_hashes(t, w=w)
+            if len(hs):
+                out_h.append(hs)
+                out_id.append(np.full(len(hs), i, dtype=np.int64))
+        h = np.concatenate(out_h) if out_h else np.empty(0, np.uint64)
+        d = np.concatenate(out_id) if out_id else np.empty(0, np.int64)
+        return pa.table(
+            {
+                "part": pa.array((h % np.uint64(P)).astype(np.int64)),
+                "h": pa.array(h, type=pa.uint64()),
+                "doc_id": pa.array(d, type=pa.int64()),
+            }
+        )
+
+    def _firsts(group: pa.Table) -> pa.Table:
+        from ..util import group_reduce
+
+        h = group.column("h").to_numpy(zero_copy_only=False).astype(np.uint64, copy=False)
+        d = group.column("doc_id").to_numpy(zero_copy_only=False)
+        hk, dmin = group_reduce(h, d, "min")
+        idx = np.searchsorted(hk, h)
+        is_first = d == dmin[idx]
+        docs, tot = np.unique(d, return_counts=True)
+        fk, fc = group_reduce(
+            d[is_first].astype(np.uint64), np.ones(int(is_first.sum()), dtype=np.int64), "sum"
+        )
+        first = np.zeros(len(docs), dtype=np.int64)
+        if len(fk):
+            first[np.searchsorted(docs, fk.astype(np.int64))] = fc
+        return pa.table(
+            {
+                "doc_id": pa.array(docs, type=pa.int64()),
+                "n": pa.array(tot.astype(np.int64)),
+                "f": pa.array(first),
+            }
+        )
+
+    agg = (
+        docs_ds.map_batches(_sh, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(_firsts, batch_format="pyarrow")
+        .groupby("doc_id")
+        .aggregate(Sum("n", alias_name="n_shingles"), Sum("f", alias_name="n_first_seen"))
+    )
+
+    def _ratio(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        n = b.column("n_shingles").to_numpy(zero_copy_only=False).astype(np.float64)
+        f = b.column("n_first_seen").to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table(
+            {
+                "doc_id": b.column("doc_id"),
+                "n_shingles": b.column("n_shingles"),
+                "n_first_seen": b.column("n_first_seen"),
+                "novelty_r6": pc.round(pa.array(f / n), ndigits=6),
+            }
+        )
+
+    return agg.map_batches(_ratio, batch_format="pyarrow")

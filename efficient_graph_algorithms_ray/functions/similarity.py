@@ -1155,3 +1155,75 @@ def knn_label_accuracy(embeddings_ds):
         .groupby("label")
         .aggregate(Sum("n", alias_name="n"), Sum("correct", alias_name="correct"))
     )
+
+
+def label_centroid_drift(emb_ds, *, d: int = 64, scale: float = 1048576.0):
+    """Per-label embedding-centroid drift — the distribution-shift /
+    cluster-coherence monitor a training pipeline runs per source or
+    label slice: cosine similarity between each label's centroid and
+    the global corpus centroid.
+
+    Coordinates are quantized floor(x·2²⁰) (the kmeans_quantized
+    convention: power-of-two scale → the multiply is exact, integer
+    sums are order-independent), so the distributed per-(label, dim)
+    sums are EXACT; only the final 64-term cosine is float, absorbed
+    by ROUND 6. One map pass with per-block (label, dim, partial-sum)
+    rows → a tiny (labels × dims) groupby — the driver sees only that
+    aggregate. Returns (label, n_vecs, cos_r6)."""
+    import pyarrow as pa
+    from ray.data.aggregate import Sum
+
+    def _partials(b: pa.Table) -> pa.Table:
+        from ..util import list_rows
+
+        lab = b.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        rows = list_rows(b, "embedding")
+        q = np.floor(np.asarray(rows, dtype=np.float64) * scale).astype(np.int64)
+        labs = np.unique(lab)
+        out_l, out_d, out_s = [], [], []
+        for L in labs:
+            m = lab == L
+            s = q[m].sum(axis=0)
+            out_l.append(np.full(d, L, dtype=np.int64))
+            out_d.append(np.arange(d, dtype=np.int64))
+            out_s.append(s)
+            # dim = -1 row carries the vector count
+            out_l.append(np.array([L], dtype=np.int64))
+            out_d.append(np.array([-1], dtype=np.int64))
+            out_s.append(np.array([int(m.sum())], dtype=np.int64))
+        return pa.table(
+            {
+                "label": pa.array(np.concatenate(out_l)),
+                "dim": pa.array(np.concatenate(out_d)),
+                "s": pa.array(np.concatenate(out_s)),
+            }
+        )
+
+    agg = (
+        emb_ds.map_batches(_partials, batch_format="pyarrow")
+        .groupby(["label", "dim"])
+        .aggregate(Sum("s", alias_name="s"))
+    )
+    tbl = agg.to_pandas()  # labels × (d+1) rows — tiny by construction
+    labs = np.sort(tbl["label"].unique())
+    sums = np.zeros((len(labs), d), dtype=np.int64)
+    cnts = np.zeros(len(labs), dtype=np.int64)
+    li = {int(L): i for i, L in enumerate(labs)}
+    for L, dim, s in zip(tbl["label"], tbl["dim"], tbl["s"]):
+        if dim < 0:
+            cnts[li[int(L)]] = s
+        else:
+            sums[li[int(L)], dim] = s
+    gc = sums.sum(axis=0).astype(np.float64) / float(cnts.sum())
+    cc = sums.astype(np.float64) / cnts[:, None].astype(np.float64)
+    dp = (cc * gc[None, :]).sum(axis=1)
+    na = (cc * cc).sum(axis=1)
+    nb = float((gc * gc).sum())
+    cos = dp / (np.sqrt(na) * np.sqrt(nb))
+    return pa.table(
+        {
+            "label": pa.array(labs.astype(np.int64)),
+            "n_vecs": pa.array(cnts.astype(np.int64)),
+            "cos_r6": pa.array(np.round(cos, 6), type=pa.float64()),
+        }
+    )

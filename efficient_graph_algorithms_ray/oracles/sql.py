@@ -5827,3 +5827,134 @@ SELECT doc_id::BIGINT AS doc_id,
 FROM f{step} WHERE bench = 0 GROUP BY doc_id"""
     )
     return "".join(parts)
+
+
+def effective_resistance_coocc_sql(k: int = 12, src: int = 2, ground: int = 1) -> str:
+    """Replays relational.q_effective_resistance_coocc: k unrolled
+    Jacobi sweeps of x ← (b + A·x)/d with x(ground) = 0 and b = e_src,
+    ROUND 9."""
+    parts = [
+        f"WITH {_COOCC_UND_MAT},",
+        "deg AS MATERIALIZED (SELECT u AS vid, CAST(count(*) AS DOUBLE) AS d FROM und GROUP BY u),",
+        "x0 AS (SELECT vid, 0.0 AS x FROM deg)",
+    ]
+    for i in range(1, k + 1):
+        p = f"x{i-1}"
+        parts.append(
+            f""",
+m{i} AS (
+  SELECT und.v AS vid, SUM({p}.x) AS s
+  FROM und JOIN {p} ON und.u = {p}.vid GROUP BY und.v
+),
+x{i} AS MATERIALIZED (
+  SELECT deg.vid,
+         CASE WHEN deg.vid = {ground} THEN 0.0
+              ELSE (CASE WHEN deg.vid = {src} THEN 1.0 ELSE 0.0 END
+                    + COALESCE(m{i}.s, 0)) / deg.d END AS x
+  FROM deg LEFT JOIN m{i} ON deg.vid = m{i}.vid
+)"""
+        )
+    parts.append(f"\nSELECT vid::BIGINT AS vid, ROUND(x, 9) AS pot_r9 FROM x{k}")
+    return "".join(parts)
+
+
+def clique_percolation_coocc_sql(rounds: int = 16) -> str:
+    """Replays relational.q_clique_percolation_coocc: vid-ordered
+    triangle enumeration (the same triangle SET the engine's
+    degree-ordered orientation emits), edge-graph pack u·2³² + v,
+    min-label propagation unrolled ``rounds`` times (extra rounds past
+    the engine's fixpoint are no-ops)."""
+    S = 1 << 32
+    body = []
+    for i in range(1, rounds + 1):
+        p = f"l{i-1}"
+        body.append(
+            f""",
+mn{i} AS (SELECT de.v AS vid, MIN(x.lab) AS m FROM de JOIN {p} x ON de.u = x.vid GROUP BY de.v),
+l{i} AS MATERIALIZED (
+  SELECT l.vid, LEAST(l.lab, COALESCE(m.m, l.lab)) AS lab
+  FROM {p} l LEFT JOIN mn{i} m ON l.vid = m.vid
+)"""
+        )
+    return f"""WITH pr AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+),
+tri AS MATERIALIZED (
+  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+  FROM pr e1 JOIN pr e2 ON e1.u = e2.u AND e1.v < e2.v
+  JOIN pr e3 ON e3.u = e1.v AND e3.v = e2.v
+),
+ed0 AS (
+  SELECT x * {S} + y AS a, x * {S} + z AS b FROM tri
+  UNION ALL SELECT x * {S} + y, y * {S} + z FROM tri
+  UNION ALL SELECT x * {S} + z, y * {S} + z FROM tri
+),
+de AS MATERIALIZED (SELECT a AS u, b AS v FROM ed0 UNION ALL SELECT b AS u, a AS v FROM ed0),
+verts AS (SELECT DISTINCT u AS vid FROM de),
+l0 AS MATERIALIZED (SELECT vid, vid AS lab FROM verts){"".join(body)}
+SELECT CAST(vid // {S} AS BIGINT) AS u, CAST(vid % {S} AS BIGINT) AS v,
+       CAST(lab AS BIGINT) AS community
+FROM l{rounds}"""
+
+
+def ngram_novelty_sql(w: int = 8) -> str:
+    """Replays functions/dedup.ngram_novelty: distinct w-token FNV
+    shingles per doc, first-seen = min doc_id per shingle, per-doc
+    novelty ratio (round_even — the ratio is an exact dyadic rational
+    whenever the shingle count is a power of two, so the tie rule
+    matters; the engine's pc.round is half-to-even)."""
+    terms = " || ' ' || ".join("tk[i]" if j == 0 else f"tk[i+{j}]" for j in range(w))
+    return f"""WITH toks AS (
+  SELECT doc_id, regexp_extract_all(text, '\\S+') AS tk FROM documents
+),
+shs AS (
+  SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - {w - 1}),
+         i -> {terms})) AS s
+  FROM toks
+),
+shrw AS MATERIALIZED (
+  SELECT DISTINCT doc_id, list_reduce(
+    list_prepend(14695981039346656037::UBIGINT,
+      list_transform(string_split(s, ''), ch -> ascii(ch)::UBIGINT)),
+    (h, b) -> CAST((CAST(xor(h, b) AS HUGEINT) * 1099511628211) % {_U64} AS UBIGINT)
+  ) AS sh
+  FROM shs
+),
+fs AS MATERIALIZED (SELECT sh, MIN(doc_id) AS fd FROM shrw GROUP BY sh)
+SELECT s.doc_id::BIGINT AS doc_id,
+  COUNT(*)::BIGINT AS n_shingles,
+  SUM(CASE WHEN f.fd = s.doc_id THEN 1 ELSE 0 END)::BIGINT AS n_first_seen,
+  round_even(SUM(CASE WHEN f.fd = s.doc_id THEN 1 ELSE 0 END)::DOUBLE
+             / COUNT(*)::DOUBLE, 6) AS novelty_r6
+FROM shrw s JOIN fs f USING (sh)
+GROUP BY s.doc_id"""
+
+
+def label_centroid_drift_sql(d: int = 64) -> str:
+    """Replays functions/similarity.label_centroid_drift: floor(x·2²⁰)
+    quantized per-(label, dim) integer sums (exact), centroid = s/n,
+    cosine of each label centroid vs the global centroid, ROUND 6
+    (the 64-term float dot is the only order-sensitive step)."""
+    return f"""WITH q AS MATERIALIZED (
+  SELECT vec_id, label,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(floor(x * 1048576.0) AS BIGINT)) AS qv
+  FROM embeddings
+),
+s AS MATERIALIZED (
+  SELECT label, t.j AS dim, SUM(qv[t.j]) AS s, COUNT(*) AS n
+  FROM q CROSS JOIN generate_series(1, {d}) t(j)
+  GROUP BY label, t.j
+),
+g AS (SELECT dim, SUM(s)::DOUBLE / SUM(n)::DOUBLE AS gc FROM s GROUP BY dim),
+c AS (SELECT label, dim, s::DOUBLE / n::DOUBLE AS cc, n FROM s),
+agg AS (
+  SELECT c.label, MAX(c.n) AS n,
+         SUM(c.cc * g.gc) AS dp, SUM(c.cc * c.cc) AS na, SUM(g.gc * g.gc) AS nb
+  FROM c JOIN g USING (dim) GROUP BY c.label
+)
+SELECT label::BIGINT AS label, n::BIGINT AS n_vecs,
+       ROUND(dp / (sqrt(na) * sqrt(nb)), 6) AS cos_r6
+FROM agg"""

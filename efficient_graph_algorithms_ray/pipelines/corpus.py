@@ -2056,3 +2056,22 @@ def q_cross_dup_window_profile(sf_dir: str):
     return cross_dup_window_profile(
         _docs(sf_dir, ["doc_id", "text", "source"]), bench_source="src0"
     )
+
+
+def q_ngram_novelty_docs(sf_dir: str):
+    """Per-doc 8-gram novelty: fraction of the doc's distinct 8-token
+    shingles first seen (min doc_id) in this doc — the training-order
+    memorization proxy. One hash-bucketed co-shuffle; see
+    functions/dedup.ngram_novelty."""
+    docs = _docs(sf_dir, ["doc_id", "text"])
+    return D.ngram_novelty(docs, w=8)
+
+
+def q_label_centroid_drift(sf_dir: str):
+    """Per-label embedding-centroid drift vs the global centroid
+    (quantized-exact distributed sums, final cosine ROUND 6). See
+    functions/similarity.label_centroid_drift."""
+    import ray.data as rd_
+
+    out = S.label_centroid_drift(_emb(sf_dir))
+    return rd_.from_arrow(out)

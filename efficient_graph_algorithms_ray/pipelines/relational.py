@@ -7797,3 +7797,107 @@ def q_katz_coocc(sf_dir: str, alpha: float = 0.005, k: int = 6):
         )
 
     return out.map_batches(_shape, batch_format="pyarrow")
+
+
+def q_effective_resistance_coocc(
+    sf_dir: str, k: int = 12, src: int = 2, ground: int = 1
+):
+    """Grounded-Laplacian potential solve over the part co-occurrence
+    graph — the electrical-network view of the diffusion kernels
+    (reference: the same L-solve the heat/DSD family approximates;
+    Doyle & Snell random-walk/electrical duality): inject unit current
+    at ``src``, ground ``ground``, and run k Jacobi sweeps of
+
+        x ← (b + A·x) / d   off the ground,   x(ground) = 0,
+
+    b = e_src. x(src) after convergence IS the effective resistance
+    R_eff(src, ground); truncation at fixed k keeps the run
+    SQL-replayable (same integrator-as-callback pattern as
+    q_hitting_time_coocc — ``normalize=False`` raw A·x gather plus a
+    custom apply_fn). ROUND 9 absorbs summation-order ulps.
+    Returns (vid, pot_r9) — the full potential landscape."""
+    from ..state.superstep import run_supersteps, state_vertex_dataset
+
+    g = _coocc_graph(sf_dir)
+    s_u64, g_u64 = np.uint64(src), np.uint64(ground)
+
+    def init_fn(csr):
+        return np.zeros(len(csr["vids"]), dtype=np.float64)
+
+    def apply_fn(acc, old, T, dm, csr):
+        deg = csr["deg"].astype(np.float64)
+        b = (csr["vids"] == s_u64).astype(np.float64)
+        x = np.divide(b + acc, deg, out=np.zeros_like(acc), where=deg > 0)
+        x[csr["vids"] == g_u64] = 0.0
+        return x
+
+    s = run_supersteps(
+        g,
+        _ckpt("effres"),
+        "sum",
+        init_fn,
+        tol=0.0,
+        max_iters=k,
+        normalize=False,
+        apply_fn=apply_fn,
+    )
+    out = state_vertex_dataset(g, s["final_iter_dir"], "x")
+
+    def _round(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vid": b.column("vid").cast(pa.int64()),
+                "pot_r9": pc.round(b.column("x"), ndigits=9),
+            }
+        )
+
+    return out.map_batches(_round, batch_format="pyarrow")
+
+
+def q_clique_percolation_coocc(sf_dir: str):
+    """k=3 clique-percolation communities (Palla et al. 2005) over the
+    part co-occurrence graph: two triangles are in one community iff
+    they are linked by a chain of edge-sharing triangles — equivalently
+    the communities are the connected components of the TRIANGLE
+    EDGE-GRAPH (vertices = graph edges that sit in ≥1 triangle, edges =
+    same-triangle co-membership). Plan: the triangle pipeline's
+    two-exchange enumeration (``triangle_triples`` — orientation
+    map-side, closure partition-local) → per-triangle derived edge-graph
+    rows (edge id = u·2³² + v, u < v — vids here are partkeys ≪ 2³¹ so
+    the pack is exact BIGINT) → the engine's own min-label CC supersteps
+    over the derived graph. Returns (u, v, community) per in-triangle
+    edge, community = min edge-id in the component."""
+    from .triangles import triangle_triples
+
+    g = _coocc_graph(sf_dir)
+    tri = triangle_triples(g)
+    S = np.uint64(1 << 32)
+
+    def _edge_graph(b: pa.Table) -> pa.Table:
+        x = b.column("x").to_numpy(zero_copy_only=False).astype(np.uint64, copy=False)
+        y = b.column("y").to_numpy(zero_copy_only=False).astype(np.uint64, copy=False)
+        z = b.column("z").to_numpy(zero_copy_only=False).astype(np.uint64, copy=False)
+        e1, e2, e3 = x * S + y, x * S + z, y * S + z
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate([e1, e1, e2]), type=pa.uint64()),
+                "dst": pa.array(np.concatenate([e2, e3, e3]), type=pa.uint64()),
+            }
+        )
+
+    edges = tri.map_batches(_edge_graph, batch_format="pyarrow")
+    g2 = build_graph(edges, EngineConfig(num_partitions=16), directed=False)
+    comp, _ = connected_components(g2, _ckpt("cperc"))
+
+    def _decode(b: pa.Table) -> pa.Table:
+        vid = b.column("vid").to_numpy(zero_copy_only=False).astype(np.uint64, copy=False)
+        lab = b.column("component").to_numpy(zero_copy_only=False).astype(np.uint64, copy=False)
+        return pa.table(
+            {
+                "u": pa.array((vid >> np.uint64(32)).astype(np.int64)),
+                "v": pa.array((vid & np.uint64(0xFFFFFFFF)).astype(np.int64)),
+                "community": pa.array(lab.astype(np.int64)),
+            }
+        )
+
+    return comp.map_batches(_decode, batch_format="pyarrow")

@@ -518,3 +518,78 @@ def triad_census(graph: ShardedGraph) -> pa.Table:
             ),
         }
     )
+
+
+def _closure_triples_group(P: int):
+    """Per-partition closure group that EMITS the closed triangles as
+    sorted (x < y < z) vid triples instead of folding them into counts
+    — the enumeration front-end for triangle-structure consumers
+    (k=3 clique percolation). Same co-shuffle contract as
+    ``_closure_group``; the triple table is Σ triangles rows total,
+    already partition-sharded by the wedge exchange."""
+
+    def _fn(group: pa.Table) -> pa.Table:
+        from ..util import list_rows
+
+        import pyarrow.compute as pc
+
+        is_oriented = pc.is_valid(group.column("indptr")).to_numpy(zero_copy_only=False)
+        empty = pa.table(
+            {
+                "x": pa.array([], type=pa.uint64()),
+                "y": pa.array([], type=pa.uint64()),
+                "z": pa.array([], type=pa.uint64()),
+            }
+        )
+        o_rows = np.flatnonzero(is_oriented)
+        w_rows = np.flatnonzero(~is_oriented)
+        if len(o_rows) == 0 or len(w_rows) == 0:
+            return empty
+        orow = group.slice(int(o_rows[0]), 1)
+        vids_o = list_rows(orow, "vids")[0]
+        indptr_o = list_rows(orow, "indptr")[0]
+        indices_o = list_rows(orow, "indices")[0]
+        pairs = np.sort(pair_struct(np.repeat(vids_o, np.diff(indptr_o)), indices_o))
+        wed = group.take(pa.array(w_rows))
+        a_row = wed.column("a").to_numpy(zero_copy_only=False).astype(np.uint64, copy=False)
+        u_row = wed.column("u").to_numpy(zero_copy_only=False).astype(np.uint64, copy=False)
+        bs_rows = list_rows(wed, "bs")
+        lens = np.fromiter((len(r) for r in bs_rows), dtype=np.int64, count=len(bs_rows))
+        a = np.repeat(a_row, lens)
+        u = np.repeat(u_row, lens)
+        b = (
+            np.concatenate(bs_rows).astype(np.uint64, copy=False)
+            if bs_rows
+            else np.empty(0, np.uint64)
+        )
+        hit = pairs_in_sorted(a, b, pairs)
+        if not hit.any():
+            return empty
+        tri = np.sort(np.stack([a[hit], b[hit], u[hit]]), axis=0)
+        return pa.table(
+            {
+                "x": pa.array(tri[0], type=pa.uint64()),
+                "y": pa.array(tri[1], type=pa.uint64()),
+                "z": pa.array(tri[2], type=pa.uint64()),
+            }
+        )
+
+    return _fn
+
+
+def triangle_triples(graph: ShardedGraph):
+    """Undirected ShardedGraph → Dataset (x, y, z) of its triangles,
+    each exactly once with x < y < z. Same two-exchange plan as
+    ``triangle_count`` (orientation map-side, closure partition-local);
+    only the group readout differs."""
+    assert not graph.directed, "triangle enumeration requires an undirected graph"
+    P = graph.num_partitions
+    parts_ds = rd.from_arrow(pa.table({"part": pa.array(graph.parts, type=pa.int64())}))
+
+    deg_refs = _degree_index(graph)
+    oriented_ds = parts_ds.map_batches(
+        _orient_local(graph, deg_refs), batch_format="pyarrow", batch_size=1
+    ).materialize()
+    wedges = oriented_ds.map_batches(_wedges_from_rows(P), batch_format="pyarrow", batch_size=1)
+    co = wedges.union(oriented_ds.map_batches(_pad_oriented, batch_format="pyarrow"))
+    return co.groupby("part").map_groups(_closure_triples_group(P), batch_format="pyarrow")
