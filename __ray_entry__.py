@@ -55,6 +55,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "clique_percolation_coocc": R.q_clique_percolation_coocc,
         "ngram_novelty_docs": C.q_ngram_novelty_docs,
         "label_centroid_drift": C.q_label_centroid_drift,
+        "onion_layers_coocc": R.q_onion_layers_coocc,
+        "ann_recall_at_k": C.q_ann_recall_at_k,
         "shipping_priority_topk": R.q_shipping_priority_topk,
         "local_supplier_volume": R.q_local_supplier_volume,
         "top_supplier": R.q_top_supplier,
@@ -547,6 +549,8 @@ def oracle_sql() -> dict[str, str]:
         "clique_percolation_coocc": S.clique_percolation_coocc_sql(rounds=16),
         "ngram_novelty_docs": S.ngram_novelty_sql(w=8),
         "label_centroid_drift": S.label_centroid_drift_sql(d=64),
+        "onion_layers_coocc": S.onion_layers_coocc_sql(rounds=16),
+        "ann_recall_at_k": S.ann_recall_at_k_sql(query_ids=(0, 7, 42), k=5, n_clusters=16, nprobe=2),
         "split_leakage": S.split_leakage_sql(threshold=0.5),
         "decayed_activity": S.DECAYED_ACTIVITY,
         "weekly_active_users": S.WEEKLY_ACTIVE_USERS,

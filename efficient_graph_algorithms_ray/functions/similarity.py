@@ -315,6 +315,7 @@ def knn_ivf(
     nprobe: int = 4,
     sample_n: int = 4096,
     seed: int = HASH_SEED,
+    centroids: np.ndarray | None = None,
 ):
     """IVF approximate cosine top-k: the scale path past brute force.
 
@@ -327,10 +328,15 @@ def knn_ivf(
     degrades to exactly ``knn_brute_force`` (the pytest oracle).
 
     Returns Dataset (query_id, vec_id, cosine), k rows per query.
+
+    ``centroids``: pass a pre-built (C, d) L2-normalized matrix (e.g.
+    ``anchor_centroids`` for a SQL-replayable codebook) to skip the
+    sampled k-means training.
     """
-    centroids = ivf_train_centroids(
-        embeddings_ds, n_clusters=n_clusters, sample_n=sample_n, seed=seed
-    )
+    if centroids is None:
+        centroids = ivf_train_centroids(
+            embeddings_ds, n_clusters=n_clusters, sample_n=sample_n, seed=seed
+        )
     n_clusters = len(centroids)
     nprobe = min(nprobe, n_clusters)
 
@@ -1225,5 +1231,46 @@ def label_centroid_drift(emb_ds, *, d: int = 64, scale: float = 1048576.0):
             "label": pa.array(labs.astype(np.int64)),
             "n_vecs": pa.array(cnts.astype(np.int64)),
             "cos_r6": pa.array(np.round(cos, 6), type=pa.float64()),
+        }
+    )
+
+
+def ann_recall_at_k(
+    embeddings_ds,
+    query_ids: list[int],
+    *,
+    k: int = 5,
+    n_clusters: int = 16,
+    nprobe: int = 2,
+    seed: int = HASH_SEED,
+):
+    """ANN quality EVAL — recall@k of the anchor-codebook IVF in its
+    genuinely approximate regime (nprobe ≪ C) against exact brute
+    force: the number every index deployment reports before trading
+    recall for speed. Anchors (not Lloyd centroids) keep the whole
+    approximate path SQL-replayable: assignment = argmax cosine vs the
+    splitmix-bottom-k anchor vectors, probe set = each query's top
+    ``nprobe`` anchors, candidates = vectors assigned to probed
+    anchors. Both sides are k rows per query; the driver only ever
+    sees the two Q·k top-k tables. Returns
+    (query_id, n_hits, recall_r6)."""
+    cent = anchor_centroids(embeddings_ds, n_clusters=n_clusters, seed=seed)
+    ivf = knn_ivf(
+        embeddings_ds, query_ids, k=k, n_clusters=len(cent), nprobe=nprobe,
+        seed=seed, centroids=cent,
+    ).to_pandas()
+    brute = knn_brute_force(embeddings_ds, query_ids, k=k).to_pandas()
+    rows_q, rows_h = [], []
+    for qid in sorted(query_ids):
+        iv = set(ivf.loc[ivf.query_id == qid, "vec_id"])
+        br = set(brute.loc[brute.query_id == qid, "vec_id"])
+        rows_q.append(qid)
+        rows_h.append(len(iv & br))
+    hits = np.array(rows_h, dtype=np.int64)
+    return pa.table(
+        {
+            "query_id": pa.array(np.array(rows_q, dtype=np.int64)),
+            "n_hits": pa.array(hits),
+            "recall_r6": pa.array(np.round(hits.astype(np.float64) / float(k), 6)),
         }
     )

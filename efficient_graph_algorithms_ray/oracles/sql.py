@@ -5958,3 +5958,116 @@ agg AS (
 SELECT label::BIGINT AS label, n::BIGINT AS n_vecs,
        ROUND(dp / (sqrt(na) * sqrt(nb)), 6) AS cos_r6
 FROM agg"""
+
+
+def onion_layers_coocc_sql(rounds: int = 16) -> str:
+    """Replays pipelines/densest.onion_layers over the co-occurrence
+    graph: per round, alive-subgraph degrees (isolated survivors count
+    0), k = running max of the surviving min degree, peel d ≤ k;
+    survivors after ``rounds`` → (−1, −1)."""
+    body = []
+    for i in range(1, rounds + 1):
+        p = i - 1
+        body.append(
+            f""",
+dg{i} AS (
+  SELECT und.u AS vid, COUNT(*) AS d
+  FROM und JOIN a{p} au ON und.u = au.vid JOIN a{p} av ON und.v = av.vid
+  GROUP BY und.u
+),
+dd{i} AS MATERIALIZED (
+  SELECT a.vid, COALESCE(d.d, 0) AS d FROM a{p} a LEFT JOIN dg{i} d USING (vid)
+),
+kc{i} AS MATERIALIZED (
+  SELECT GREATEST((SELECT k FROM kc{p}),
+                  COALESCE((SELECT MIN(d) FROM dd{i}), (SELECT k FROM kc{p}))) AS k
+),
+rem{i} AS (
+  SELECT vid, {i} AS layer, (SELECT k FROM kc{i}) AS k
+  FROM dd{i} WHERE d <= (SELECT k FROM kc{i})
+),
+a{i} AS MATERIALIZED (
+  SELECT vid FROM dd{i} WHERE d > (SELECT k FROM kc{i})
+)"""
+        )
+    unions = "\nUNION ALL ".join(
+        f"SELECT vid::BIGINT AS vid, layer::BIGINT AS layer, k::BIGINT AS k FROM rem{i}"
+        for i in range(1, rounds + 1)
+    )
+    return f"""WITH {_COOCC_UND_MAT},
+a0 AS MATERIALIZED (SELECT DISTINCT u AS vid FROM und),
+kc0 AS (SELECT 0 AS k){"".join(body)}
+{unions}
+UNION ALL SELECT vid::BIGINT, -1::BIGINT, -1::BIGINT FROM a{rounds}"""
+
+
+def ann_recall_at_k_sql(
+    query_ids=(0, 7, 42), k: int = 5, n_clusters: int = 16, nprobe: int = 2
+) -> str:
+    """Replays functions/similarity.ann_recall_at_k: anchor codebook
+    (splitmix bottom-k, hash-ordered), argmax-cosine assignment, top-
+    ``nprobe`` probed anchors per query, IVF top-k among candidates vs
+    exact brute top-k, per-query intersection count and recall@k."""
+    from ..config import HASH_SEED
+
+    mix = HASH_SEED * 0x9E3779B97F4A7C15 % (1 << 64)
+    frag, cte, _ = sm64_stages("rc0", "hx", "rc_h", ["vec_id"])
+    qlist = ", ".join(str(q) for q in query_ids)
+    return f"""WITH base AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e0 FROM embeddings
+),
+nrm AS MATERIALIZED (
+  SELECT vec_id, list_transform(e0, x -> x / sqrt(list_inner_product(e0, e0))) AS e
+  FROM base
+),
+rc0 AS (SELECT vec_id, xor(CAST(vec_id AS UBIGINT), {mix}::UBIGINT) AS hx FROM base){frag},
+anch AS MATERIALIZED (
+  SELECT n.vec_id, n.e, ROW_NUMBER() OVER (ORDER BY s.h) - 1 AS c
+  FROM {cte} s JOIN nrm n ON n.vec_id = s.vec_id
+  QUALIFY c < {n_clusters}
+),
+asg AS MATERIALIZED (
+  SELECT vec_id, c FROM (
+    SELECT n.vec_id, a.c,
+      ROW_NUMBER() OVER (PARTITION BY n.vec_id
+                         ORDER BY list_inner_product(n.e, a.e) DESC, a.c) AS rk
+    FROM nrm n CROSS JOIN anch a
+  ) WHERE rk = 1
+),
+qv AS MATERIALIZED (SELECT vec_id AS query_id, e FROM nrm WHERE vec_id IN ({qlist})),
+probe AS MATERIALIZED (
+  SELECT query_id, c FROM (
+    SELECT q.query_id, a.c,
+      ROW_NUMBER() OVER (PARTITION BY q.query_id
+                         ORDER BY list_inner_product(q.e, a.e) DESC, a.c) AS rk
+    FROM qv q CROSS JOIN anch a
+  ) WHERE rk <= {nprobe}
+),
+ivf AS MATERIALIZED (
+  SELECT query_id, vec_id FROM (
+    SELECT p.query_id, g.vec_id,
+      ROW_NUMBER() OVER (PARTITION BY p.query_id
+        ORDER BY list_inner_product(n.e, q.e) DESC, g.vec_id) AS rk
+    FROM probe p JOIN asg g ON g.c = p.c
+    JOIN nrm n ON n.vec_id = g.vec_id
+    JOIN qv q ON q.query_id = p.query_id
+    WHERE g.vec_id <> p.query_id
+  ) WHERE rk <= {k}
+),
+brute AS MATERIALIZED (
+  SELECT query_id, vec_id FROM (
+    SELECT q.query_id, n.vec_id,
+      ROW_NUMBER() OVER (PARTITION BY q.query_id
+        ORDER BY list_inner_product(n.e, q.e) DESC, n.vec_id) AS rk
+    FROM qv q JOIN nrm n ON n.vec_id <> q.query_id
+  ) WHERE rk <= {k}
+)
+SELECT q.query_id::BIGINT AS query_id,
+  COALESCE(h.n, 0)::BIGINT AS n_hits,
+  ROUND(COALESCE(h.n, 0)::DOUBLE / {k}.0, 6) AS recall_r6
+FROM (SELECT DISTINCT query_id FROM qv) q
+LEFT JOIN (
+  SELECT i.query_id, COUNT(*) AS n
+  FROM ivf i JOIN brute b ON b.query_id = i.query_id AND b.vec_id = i.vec_id
+  GROUP BY i.query_id
+) h ON h.query_id = q.query_id"""

@@ -2075,3 +2075,14 @@ def q_label_centroid_drift(sf_dir: str):
 
     out = S.label_centroid_drift(_emb(sf_dir))
     return rd_.from_arrow(out)
+
+
+def q_ann_recall_at_k(sf_dir: str):
+    """Recall@5 of anchor-codebook IVF at nprobe=2 vs exact brute-force
+    cosine top-5 for three probe queries — the ANN quality eval. See
+    functions/similarity.ann_recall_at_k."""
+    import ray.data as rd_
+
+    return rd_.from_arrow(
+        S.ann_recall_at_k(_emb(sf_dir), query_ids=[0, 7, 42], k=5, nprobe=2)
+    )

@@ -131,3 +131,97 @@ def densest_subgraph(graph: ShardedGraph, *, num: int = 5, den: int = 2):
         }
     )
     return table, best
+
+
+@ray.remote
+def _min_alive_degree(alive: np.ndarray, deg_s: np.ndarray) -> int:
+    """Per-partition min alive-subgraph degree (2^62 sentinel if the
+    partition has no alive vertex) — two ints cross to the driver."""
+    if not alive.any():
+        return 1 << 62
+    return int(deg_s[alive].min())
+
+
+@ray.remote(num_returns=2)
+def _onion_kill(alive: np.ndarray, deg_s: np.ndarray, vids: np.ndarray,
+                k: int, rnd: int):
+    """Peel every alive vertex with alive-degree ≤ k; returns the new
+    alive mask and this round's removed rows (vid, layer, k) as an
+    Arrow table THAT STAYS IN THE OBJECT STORE (the driver keeps only
+    the ref — removed rows never funnel through one process)."""
+    kill = alive & (deg_s <= k)
+    out = alive.copy()
+    out[kill] = False
+    tbl = pa.table(
+        {
+            "vid": pa.array(vids[kill].astype(np.int64), type=pa.int64()),
+            "layer": pa.array(np.full(int(kill.sum()), rnd, dtype=np.int64)),
+            "k": pa.array(np.full(int(kill.sum()), k, dtype=np.int64)),
+        }
+    )
+    return out, tbl
+
+
+@ray.remote
+def _alive_rows(alive: np.ndarray, vids: np.ndarray):
+    tbl = pa.table(
+        {
+            "vid": pa.array(vids[alive].astype(np.int64), type=pa.int64()),
+            "layer": pa.array(np.full(int(alive.sum()), -1, dtype=np.int64)),
+            "k": pa.array(np.full(int(alive.sum()), -1, dtype=np.int64)),
+        }
+    )
+    return tbl
+
+
+def onion_layers(graph: ShardedGraph, *, max_rounds: int = 16):
+    """Onion decomposition (Hébert-Dufresne, Grochow & Allard 2016),
+    TRUNCATED to ``max_rounds`` outer shells: round r peels every
+    vertex whose degree in the surviving subgraph is ≤ k, where k is
+    the running max of the surviving min-degree (so k equals each
+    vertex's CORENESS at removal — a free cross-check against the
+    h-index pipeline). Vertices still alive after ``max_rounds`` get
+    layer = k = −1 (the untruncated loop would need O(#shells) global
+    rounds; the outer profile is the useful part for periphery
+    analysis and keeps the unrolled SQL oracle bounded).
+
+    Same raw-task shape as ``densest_subgraph`` (each round's threshold
+    is a GLOBAL min over surviving degrees): alive bits live in the
+    object store, the driver sees two ints per partition per round, and
+    removed rows are per-partition Arrow refs assembled into a Dataset
+    without a driver funnel. Returns a Dataset (vid, layer, k)."""
+    import ray.data as rd
+
+    assert not graph.directed, "onion decomposition is for undirected graphs"
+    P = graph.num_partitions
+    alive_refs = {p: _init_alive.remote(graph.refs[p]) for p in graph.parts}
+    vids_refs = {p: _vids_of.remote(graph.refs[p]) for p in graph.parts}
+
+    out_refs = []
+    k = 0
+    for rnd in range(1, max_rounds + 1):
+        stats, degs = {}, {}
+        for p in graph.parts:
+            stats[p], degs[p] = _degree_pass.remote(
+                graph.refs[p], P, alive_refs, vids_refs
+            )
+        n_alive = sum(ray.get(stats[p])[0] for p in graph.parts)
+        if n_alive == 0:
+            break
+        kmin = min(
+            ray.get(
+                [_min_alive_degree.remote(alive_refs[p], degs[p]) for p in graph.parts]
+            )
+        )
+        k = max(k, int(kmin))
+        nxt = {}
+        for p in graph.parts:
+            nxt[p], rem = _onion_kill.remote(
+                alive_refs[p], degs[p], vids_refs[p], k, rnd
+            )
+            out_refs.append(rem)
+        alive_refs = nxt
+    out_refs.extend(
+        _alive_rows.remote(alive_refs[p], vids_refs[p]) for p in graph.parts
+    )
+    return rd.from_arrow_refs(out_refs)

@@ -7901,3 +7901,15 @@ def q_clique_percolation_coocc(sf_dir: str):
         )
 
     return comp.map_batches(_decode, batch_format="pyarrow")
+
+
+def q_onion_layers_coocc(sf_dir: str, rounds: int = 16):
+    """Truncated onion decomposition of the part co-occurrence graph
+    (outer ``rounds`` shells; survivors get layer = k = −1). The k at
+    removal equals the vertex's coreness — pytest cross-checks against
+    the h-index pipeline. See pipelines/densest.onion_layers for the
+    raw-task global-min-per-round plan. Returns (vid, layer, k)."""
+    from .densest import onion_layers
+
+    g = _coocc_graph(sf_dir)
+    return onion_layers(g, max_rounds=rounds)

@@ -109,3 +109,33 @@ def test_label_centroid_drift_self_consistency(ray_session):
     assert len(out) == 2
     assert out.cos_r6.iloc[0] == out.cos_r6.iloc[1]
     assert (out.n_vecs == 40).all()
+
+
+def test_onion_k_equals_coreness_at_removal(ray_session):
+    from efficient_graph_algorithms_ray.pipelines.relational import (
+        _coocc_graph,
+        q_onion_layers_coocc,
+    )
+    from efficient_graph_algorithms_ray.pipelines.kcore import coreness
+
+    onion = q_onion_layers_coocc(SF, rounds=200).to_pandas()  # run to exhaustion
+    assert (onion.layer != -1).all()
+    core, _ = coreness(_coocc_graph(SF), "/tmp/ega_test_onion_core", cap=256)
+    cd = core.to_pandas().set_index("vid")["coreness"]
+    od = onion.set_index("vid")["k"]
+    assert (od.sort_index().values == cd.sort_index().values).all()
+    # layers are contiguous from 1
+    ls = np.sort(onion.layer.unique())
+    assert ls[0] == 1 and (np.diff(ls) == 1).all()
+
+
+def test_ann_recall_bounds_and_exhaustive_probe(ray_session):
+    import ray.data as rd
+    from efficient_graph_algorithms_ray.functions.similarity import ann_recall_at_k
+
+    emb = rd.read_parquet(f"{SF}/embeddings.parquet")
+    out = ann_recall_at_k(emb, query_ids=[0, 7, 42], k=5, nprobe=2).to_pandas()
+    assert ((out.n_hits >= 0) & (out.n_hits <= 5)).all()
+    # probing every cluster degrades to exact brute force -> recall 1
+    full = ann_recall_at_k(emb, query_ids=[0, 7, 42], k=5, nprobe=16).to_pandas()
+    assert (full.n_hits == 5).all() and (full.recall_r6 == 1.0).all()
