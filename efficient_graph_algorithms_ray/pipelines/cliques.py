@@ -54,7 +54,7 @@ import ray
 import ray.data as rd
 
 from ..state.graph import ShardedGraph
-from ..util import group_reduce, list_array, list_rows, pair_struct, pairs_in_sorted
+from ..util import group_reduce, list_array, list_rows, pair_struct, pairs_in_sorted, parts_dataset
 from .triangles import (
     _degree_index,
     _orient_local,
@@ -261,7 +261,7 @@ def cliques4_count(graph: ShardedGraph):
     count of 4-cliques the vertex participates in, zeros included."""
     assert not graph.directed, "4-clique counting requires an undirected graph"
     P = graph.num_partitions
-    parts_ds = rd.from_arrow(pa.table({"part": pa.array(graph.parts, type=pa.int64())}))
+    parts_ds = parts_dataset(graph.parts)
 
     deg_refs = _degree_index(graph)
     oriented_ds = parts_ds.map_batches(

@@ -39,6 +39,7 @@ import numpy as np
 from ..config import HASH_SEED
 from ..state.graph import ShardedGraph
 from ..state.superstep import run_supersteps
+from ..util import parts_dataset
 
 SCALE = 1024  # fixed-point quanta per hop
 CAP = np.uint64(1 << 24)  # shift quantization cap (≫ any realistic shift)
@@ -150,5 +151,5 @@ def low_diameter_decomposition(
             }
         )
 
-    parts_ds = rd.from_arrow(pa.table({"part": pa.array(graph.parts, type=pa.int64())}))
+    parts_ds = parts_dataset(graph.parts)
     return parts_ds.map_batches(_emit, batch_format="pyarrow", batch_size=4), summary

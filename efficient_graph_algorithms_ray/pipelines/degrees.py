@@ -16,7 +16,7 @@ import ray.data as rd
 from ray.data.aggregate import Sum
 
 from ..state.graph import ShardedGraph
-from ..util import group_reduce
+from ..util import group_reduce, parts_dataset
 
 
 def degree_table(graph: ShardedGraph):
@@ -46,7 +46,7 @@ def degree_table(graph: ShardedGraph):
             }
         )
 
-    parts_ds = rd.from_arrow(pa.table({"part": pa.array(graph.parts, type=pa.int64())}))
+    parts_ds = parts_dataset(graph.parts)
     partials = parts_ds.map_batches(_emit, batch_format="pyarrow", batch_size=1)
     return partials.groupby("vid").aggregate(
         Sum("out_deg", alias_name="out_deg"), Sum("in_deg", alias_name="in_deg")
@@ -105,5 +105,5 @@ def avg_neighbor_degree(graph: ShardedGraph):
             )
         return pa.concat_tables(out)
 
-    parts_ds = rd.from_arrow(pa.table({"part": pa.array(graph.parts, type=pa.int64())}))
+    parts_ds = parts_dataset(graph.parts)
     return parts_ds.map_batches(_emit, batch_format="pyarrow", batch_size=1)

@@ -30,6 +30,7 @@ import numpy as np
 
 from ..state.graph import ShardedGraph
 from ..state.superstep import run_supersteps, state_vertex_dataset
+from ..util import parts_dataset
 
 
 def adjacency_matvec(graph: ShardedGraph, ckpt_dir: str, init_fn, k: int = 1):
@@ -72,7 +73,7 @@ def _parts_ds(graph: ShardedGraph):
     import pyarrow as pa
     import ray.data as rd
 
-    return rd.from_arrow(pa.table({"part": pa.array(graph.parts, type=pa.int64())}))
+    return parts_dataset(graph.parts)
 
 
 def _persist_fields(graph: ShardedGraph, out_dir: str, fn):

@@ -33,6 +33,7 @@ from ..config import UNLABELED
 from ..state.graph import ShardedGraph
 from ..state.superstep import run_supersteps
 from .decomposition import _id_bases
+from ..util import parts_dataset
 
 _LOW32 = np.uint64(0xFFFFFFFF)
 _INF = np.uint64(1 << 30)  # dist_q sentinel (keyhi) for unreached
@@ -130,7 +131,7 @@ def shortest_path_forest(
             }
         )
 
-    parts_ds = rd.from_arrow(pa.table({"part": pa.array(graph.parts, type=pa.int64())}))
+    parts_ds = parts_dataset(graph.parts)
     return parts_ds.map_batches(_emit, batch_format="pyarrow", batch_size=4), summary
 
 

@@ -37,6 +37,7 @@ from ..pipelines.degrees import degree_table
 from ..pipelines.graph_build import build_graph
 from ..pipelines.pagerank import pagerank
 from ..pipelines.triangles import triangle_count
+from ..util import parts_dataset
 
 SUPP_OFFSET = 10_000_000  # supplier vid = l_suppkey + SUPP_OFFSET
 ORDER_OFFSET = 100_000_000  # order vid = o_orderkey + ORDER_OFFSET
@@ -1132,7 +1133,7 @@ def q_sweepcut_coocc(sf_dir: str, T: int = 16):
             }
         )
 
-    parts_ds = rd.from_arrow(pa.table({"part": pa.array(g.parts, type=pa.int64())}))
+    parts_ds = parts_dataset(g.parts)
     top = (
         parts_ds.map_batches(_emit, batch_format="pyarrow", batch_size=4)
         .sort(["ratio_r9", "vid"], descending=[True, False])
@@ -1778,7 +1779,7 @@ def q_subtree_sizes_forest(sf_dir: str):
             }
         )
 
-    parts_ds = rd.from_arrow(pa.table({"part": pa.array(g_up.parts, type=pa.int64())}))
+    parts_ds = parts_dataset(g_up.parts)
     return parts_ds.map_batches(_emit, batch_format="pyarrow", batch_size=4)
 
 

@@ -38,6 +38,7 @@ from ..config import EngineConfig, UNLABELED
 from ..state.graph import ShardedGraph
 from ..state.superstep import run_supersteps
 from .decomposition import _id_bases
+from ..util import parts_dataset
 
 _LOW32 = np.uint64(0xFFFFFFFF)
 _INF_DEPTH = np.uint64(1 << 30)
@@ -149,7 +150,7 @@ def rooted_bfs(
             }
         )
 
-    parts_ds = rd.from_arrow(pa.table({"part": pa.array(graph.parts, type=pa.int64())}))
+    parts_ds = parts_dataset(graph.parts)
     return parts_ds.map_batches(_emit, batch_format="pyarrow", batch_size=4), summary
 
 
@@ -203,7 +204,7 @@ def min_neighbor_forest_edges(graph: ShardedGraph):
             }
         )
 
-    parts_ds = rd.from_arrow(pa.table({"part": pa.array(graph.parts, type=pa.int64())}))
+    parts_ds = parts_dataset(graph.parts)
     return parts_ds.map_batches(_emit, batch_format="pyarrow", batch_size=4)
 
 

@@ -37,6 +37,7 @@ from ..state.graph import ShardedGraph
 from .graph_build import build_graph
 from .mst import minimum_spanning_forest
 from .tree_dp import forest_graphs, integrate_tree_field_g, rooted_bfs
+from ..util import parts_dataset
 
 _SEED_STRIDE = 1000003  # distinct-seed spacing across ensemble members
 
@@ -104,9 +105,7 @@ def _orient_forest(tree_graph: ShardedGraph, ckpt_dir: str, cc_dir: str | None =
             }
         )
 
-    parts_ds = rd.from_arrow(
-        pa.table({"part": pa.array(tree_graph.parts, type=pa.int64())})
-    )
+    parts_ds = parts_dataset(tree_graph.parts)
     return parts_ds.map_batches(_emit, batch_format="pyarrow", batch_size=4)
 
 

@@ -28,7 +28,7 @@ import pyarrow as pa
 
 from ..sources.edges_synth import _splitmix64
 from ..state.graph import ShardedGraph
-from ..util import list_array, list_rows
+from ..util import list_array, list_rows, parts_dataset
 
 
 def walk_seeds(graph: ShardedGraph, walks_per_vertex: int = 1):
@@ -56,7 +56,7 @@ def walk_seeds(graph: ShardedGraph, walks_per_vertex: int = 1):
             }
         )
 
-    parts_ds = rd.from_arrow(pa.table({"part": pa.array(graph.parts, type=pa.int64())}))
+    parts_ds = parts_dataset(graph.parts)
     return parts_ds.map_batches(_emit, batch_format="pyarrow", batch_size=4)
 
 
@@ -328,7 +328,7 @@ def negative_sample_table(graph: ShardedGraph, m: int = 1024, seed: int = 13):
             }
         )
 
-    parts_ds = rd.from_arrow(pa.table({"part": pa.array(parts, type=pa.int64())}))
+    parts_ds = parts_dataset(parts)
     tot_tbl = pa.concat_tables(
         parts_ds.map_batches(_totals, batch_format="pyarrow").iter_batches(
             batch_size=None, batch_format="pyarrow"
@@ -407,6 +407,9 @@ def khop_neighbor_sample(graph: ShardedGraph, seed_vids, fanouts=(3, 2), seed: i
             }
         )
     )
+    # from_arrow yields ONE block = one task; spread the seed frontier
+    # so hop-1 expansion fans out (later hops inherit groupby blocks)
+    frontier = frontier.repartition(max(1, min(len(seeds), P)))
     out_parts = []
     for hop, fan in enumerate(fanouts, start=1):
 

@@ -28,6 +28,7 @@ import numpy as np
 
 from ..state.graph import ShardedGraph
 from ..state.superstep import run_supersteps, state_vertex_dataset
+from ..util import parts_dataset
 
 
 def vertex_lookup_init(vids: np.ndarray, vals: np.ndarray, default=0.0, width: int = 1):
@@ -321,5 +322,5 @@ def masked_neighbor_interpolate(
             }
         )
 
-    parts_ds = rd.from_arrow(pa.table({"part": pa.array(graph.parts, type=pa.int64())}))
+    parts_ds = parts_dataset(graph.parts)
     return parts_ds.map_batches(_ratio, batch_format="pyarrow", batch_size=4)

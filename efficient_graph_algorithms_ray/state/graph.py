@@ -27,6 +27,7 @@ import pyarrow.parquet as pq
 import ray
 
 from .csr import unpack_csr_row
+from ..util import parts_dataset
 
 
 @ray.remote
@@ -211,5 +212,5 @@ class ShardedGraph:
                 }
             )
 
-        parts_ds = rd.from_arrow(pa.table({"part": pa.array(self.parts, type=pa.int64())}))
+        parts_ds = parts_dataset(self.parts)
         return parts_ds.map_batches(_emit, batch_format="pyarrow", batch_size=1)

@@ -10,6 +10,23 @@ import numpy as np
 import pyarrow as pa
 
 
+def parts_dataset(parts) -> "object":
+    """Partition-id fan-out seed: one block PER partition row.
+
+    ``rd.from_arrow(pa.table({"part": ...}))`` packs every partition id
+    into a SINGLE block, and block = task in Ray Data — so a downstream
+    ``map_batches(batch_size=1)`` per-shard emitter runs sequentially in
+    one task (measured: 10.3 s vs 2.2 s end-to-end on the 2.4M-edge
+    triangle bench at 32 cpus). ``from_items`` with
+    ``override_num_blocks=len(parts)`` pins one row per block so the
+    per-shard work fans out to len(parts) parallel tasks.
+    """
+    import ray.data as rd
+
+    items = [{"part": int(p)} for p in parts]
+    return rd.from_items(items, override_num_blocks=max(1, len(items)))
+
+
 def list_rows(table: pa.Table, name: str) -> list[np.ndarray]:
     """Zero-copy-ish extraction of a list<T> column as one ndarray per row.
 
