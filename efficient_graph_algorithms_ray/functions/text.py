@@ -300,3 +300,48 @@ def hashed_classifier_batch(batch: pa.Table, *, seed: int = 0x5EED_FA57) -> pa.T
             "label": pa.array((num > 0).astype(np.int64), type=pa.int64()),
         }
     )
+
+
+# --- PII scrubbing -------------------------------------------------------
+# Patterns kept to the RE2 ∩ Python-re common dialect so the DuckDB
+# oracle replays them verbatim (oracles/sql.py PII_SCRUB).
+_PII_EMAIL_RE = re.compile(r"[a-z0-9]+@[a-z0-9]+\.[a-z]+")
+_PII_PHONE_RE = re.compile(r"\b555-[0-9]{4}\b")
+_PII_IPV4_RE = re.compile(r"\b10\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b")
+
+
+def pii_scrub_batch(batch: pa.Table) -> pa.Table:
+    """PII redaction, the standard pre-training scrub stage (the C4 /
+    CCNet / Dolma pipelines all carry one): count and replace email
+    addresses, phone numbers and private IPv4 addresses with typed
+    placeholder tokens. Reference analogue: none (the reference is a
+    graph library); this is part of the engine's LLM-data surface.
+
+    Per doc: (doc_id, n_emails, n_phones, n_ips, scrub_fp) where
+    scrub_fp is the char-level FNV-1a fingerprint (int64 reinterpret)
+    of the scrubbed text — the byte-exact evidence that both sides
+    redacted identically. Replacement order: emails, phones, IPs.
+    """
+    ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+    texts = batch.column("text").to_pandas().fillna("")
+    n_em = np.zeros(len(ids), dtype=np.int64)
+    n_ph = np.zeros(len(ids), dtype=np.int64)
+    n_ip = np.zeros(len(ids), dtype=np.int64)
+    fps = np.zeros(len(ids), dtype=np.uint64)
+    for i, t in enumerate(texts):
+        n_em[i] = len(_PII_EMAIL_RE.findall(t))
+        s = _PII_EMAIL_RE.sub("<EMAIL>", t)
+        n_ph[i] = len(_PII_PHONE_RE.findall(s))
+        s = _PII_PHONE_RE.sub("<PHONE>", s)
+        n_ip[i] = len(_PII_IPV4_RE.findall(s))
+        s = _PII_IPV4_RE.sub("<IP>", s)
+        fps[i] = np.uint64(hash_token(s))
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "n_emails": pa.array(n_em, type=pa.int64()),
+            "n_phones": pa.array(n_ph, type=pa.int64()),
+            "n_ips": pa.array(n_ip, type=pa.int64()),
+            "scrub_fp": pa.array(fps.view(np.int64), type=pa.int64()),
+        }
+    )

@@ -6071,3 +6071,50 @@ LEFT JOIN (
   FROM ivf i JOIN brute b ON b.query_id = i.query_id AND b.vec_id = i.vec_id
   GROUP BY i.query_id
 ) h ON h.query_id = q.query_id"""
+
+
+def pii_scrub_sql() -> str:
+    """Replays pipelines/corpus.q_pii_scrub: deterministic doc_id-keyed
+    PII augmentation, staged count+redact (emails, then phones on the
+    email-scrubbed text, then IPs), char-level FNV-1a fingerprint of
+    the final scrubbed string. Patterns are the RE2 ∩ Python-re common
+    dialect used by functions/text.pii_scrub_batch."""
+    em = "'[a-z0-9]+@[a-z0-9]+\\.[a-z]+'"
+    ph = "'\\b555-[0-9]{4}\\b'"
+    ip = "'\\b10\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b'"
+    fnv = (
+        "list_reduce("
+        "list_prepend(14695981039346656037::UBIGINT,"
+        " list_transform(string_split(s, ''), ch -> ascii(ch)::UBIGINT)),"
+        " (h, b) -> CAST((CAST(xor(h, b) AS HUGEINT) * 1099511628211)"
+        f" % {_U64} AS UBIGINT))"
+    )
+    return f"""WITH aug AS (
+  SELECT doc_id,
+    text || ' contact user' || doc_id::VARCHAR || '@example' || (doc_id % 7)::VARCHAR || '.org'
+      || CASE WHEN doc_id % 5 = 0
+              THEN ' or admin' || doc_id::VARCHAR || '@mail' || (doc_id % 11)::VARCHAR || '.net'
+              ELSE '' END
+      || CASE WHEN doc_id % 3 = 0
+              THEN ' call 555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+              ELSE '' END
+      || CASE WHEN doc_id % 4 = 0
+              THEN ' ip 10.' || (doc_id % 256)::VARCHAR || '.' || ((7 * doc_id) % 256)::VARCHAR
+                   || '.' || ((13 * doc_id) % 256)::VARCHAR
+              ELSE '' END AS t
+  FROM documents),
+st1 AS (
+  SELECT doc_id, len(regexp_extract_all(t, {em}))::BIGINT AS n_emails,
+         regexp_replace(t, {em}, '<EMAIL>', 'g') AS s1
+  FROM aug),
+st2 AS (
+  SELECT doc_id, n_emails, len(regexp_extract_all(s1, {ph}))::BIGINT AS n_phones,
+         regexp_replace(s1, {ph}, '<PHONE>', 'g') AS s2
+  FROM st1),
+st3 AS (
+  SELECT doc_id, n_emails, n_phones,
+         len(regexp_extract_all(s2, {ip}))::BIGINT AS n_ips,
+         regexp_replace(s2, {ip}, '<IP>', 'g') AS s
+  FROM st2)
+SELECT doc_id, n_emails, n_phones, n_ips, {u64_to_i64(fnv)} AS scrub_fp
+FROM st3"""

@@ -2086,3 +2086,40 @@ def q_ann_recall_at_k(sf_dir: str):
     return rd_.from_arrow(
         S.ann_recall_at_k(_emb(sf_dir), query_ids=[0, 7, 42], k=5, nprobe=2)
     )
+
+
+def q_pii_scrub(sf_dir: str):
+    """PII redaction census: the synthetic corpus carries no PII, so the
+    query first derives a deterministic PII-bearing variant of each doc
+    from its doc_id (always one email; a second email when doc_id%5==0;
+    a phone when doc_id%3==0; a private IPv4 when doc_id%4==0), then
+    runs functions/text.pii_scrub_batch over it. The SQL oracle replays
+    the identical derivation + staged regexp scrub, and the per-doc
+    char-level FNV fingerprint pins byte-exact redaction."""
+
+    def _aug(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        texts = batch.column("text").to_pandas().fillna("")
+        out = []
+        for d, t in zip(ids, texts):
+            d = int(d)
+            s = f"{t} contact user{d}@example{d % 7}.org"
+            if d % 5 == 0:
+                s += f" or admin{d}@mail{d % 11}.net"
+            if d % 3 == 0:
+                s += f" call 555-{d % 10000:04d}"
+            if d % 4 == 0:
+                s += f" ip 10.{d % 256}.{(7 * d) % 256}.{(13 * d) % 256}"
+            out.append(s)
+        return pa.table(
+            {
+                "doc_id": pa.array(ids, type=pa.int64()),
+                "text": pa.array(out, type=pa.string()),
+            }
+        )
+
+    return (
+        _docs(sf_dir, ["doc_id", "text"])
+        .map_batches(_aug, batch_format="pyarrow")
+        .map_batches(T.pii_scrub_batch, batch_format="pyarrow")
+    )

@@ -238,3 +238,26 @@ def test_repetition_batch_hand_check():
     assert out["top_bigram_frac"][1] == 1 / 2
     # empty doc: all zeros
     assert out["dup_token_frac"][2] == 0.0 and out["top_bigram_frac"][2] == 0.0
+
+
+def test_pii_scrub_hand_check():
+    from efficient_graph_algorithms_ray.functions.text import hash_token, pii_scrub_batch
+
+    texts = [
+        "mail me at bob123@site42.org or alice@mail.net thanks",
+        "call 555-0199 now or 555-12345 later from 10.0.3.200 or 11.0.0.1",
+        "nothing sensitive here",
+    ]
+    out = pii_scrub_batch(_docs(texts))
+    assert out.column("n_emails").to_pylist() == [2, 0, 0]
+    # 555-12345 fails the \b suffix boundary only if 5 digits break the
+    # match — \b555-[0-9]{4}\b rejects it (boundary sits inside digits)
+    assert out.column("n_phones").to_pylist() == [0, 1, 0]
+    # 11.0.0.1 is not in the private 10.x range
+    assert out.column("n_ips").to_pylist() == [0, 1, 0]
+    expected0 = "mail me at <EMAIL> or <EMAIL> thanks"
+    expected1 = "call <PHONE> now or 555-12345 later from <IP> or 11.0.0.1"
+    fps = out.column("scrub_fp").to_pylist()
+    assert fps[0] == np.uint64(hash_token(expected0)).astype(np.int64)
+    assert fps[1] == np.uint64(hash_token(expected1)).astype(np.int64)
+    assert fps[2] == np.uint64(hash_token(texts[2])).astype(np.int64)
