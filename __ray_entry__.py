@@ -47,6 +47,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # queries precede the rows-only tail; queries whose green rows
         # are NOT yet on a driver record come first.
         "pii_scrub": C.q_pii_scrub,
+        "rich_club_coocc": R.q_rich_club_coocc,
         "neardup_clusters": C.q_neardup_clusters,
         "ann_lsh_pairs": C.q_ann_lsh_pairs,
         "ann_ivf_knn": C.q_ann_ivf_knn,
@@ -599,6 +600,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": S.ngram_jaccard_pairs_sql(threshold=0.3),
         "neardup_clusters": S.neardup_clusters_sql(threshold=0.5),
         "pii_scrub": S.pii_scrub_sql(),
+        "rich_club_coocc": S.rich_club_sql(),
         "simhash_neardup_pairs": S.simhash_pairs_sql(max_hamming=12),
         "ann_lsh_pairs": S.ann_lsh_pairs_sql(threshold=0.25, n_bits=6),
         "sinkhorn_dist_coocc": S.sinkhorn_coocc_sql(blur_t=0.01, blur_steps=3, n_iters=4),

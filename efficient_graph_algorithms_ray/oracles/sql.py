@@ -6118,3 +6118,32 @@ st3 AS (
   FROM st2)
 SELECT doc_id, n_emails, n_phones, n_ips, {u64_to_i64(fnv)} AS scrub_fp
 FROM st3"""
+
+
+def rich_club_sql(ks=(64, 90, 105, 120, 150)) -> str:
+    """Replays relational.q_rich_club_coocc: degree of the distinct
+    a<b co-occurrence pair graph, then per-k counts of above-k vertices
+    and above-k/above-k edges, φ = 2e/(n(n−1)) rounded at 6."""
+    klist = ", ".join(str(int(k)) for k in sorted(ks))
+    return f"""WITH pr AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+und AS (SELECT u, v FROM pr UNION ALL SELECT v AS u, u AS v FROM pr),
+deg AS (SELECT u AS vid, COUNT(*)::BIGINT AS d FROM und GROUP BY u),
+ks AS (SELECT UNNEST([{klist}]) AS k)
+SELECT ks.k::BIGINT AS k,
+  (SELECT COUNT(*) FROM deg WHERE d > ks.k)::BIGINT AS n_k,
+  (SELECT COUNT(*) FROM pr
+     JOIN deg du ON du.vid = pr.u
+     JOIN deg dv ON dv.vid = pr.v
+   WHERE du.d > ks.k AND dv.d > ks.k)::BIGINT AS e_k,
+  CASE WHEN (SELECT COUNT(*) FROM deg WHERE d > ks.k) < 2 THEN 0.0
+       ELSE ROUND(2.0 * (SELECT COUNT(*) FROM pr
+                           JOIN deg du ON du.vid = pr.u
+                           JOIN deg dv ON dv.vid = pr.v
+                         WHERE du.d > ks.k AND dv.d > ks.k)
+                  / ((SELECT COUNT(*) FROM deg WHERE d > ks.k)
+                     * ((SELECT COUNT(*) FROM deg WHERE d > ks.k) - 1.0)), 6)
+  END AS phi_r6
+FROM ks"""

@@ -7914,3 +7914,73 @@ def q_onion_layers_coocc(sf_dir: str, rounds: int = 16):
 
     g = _coocc_graph(sf_dir)
     return onion_layers(g, max_rounds=rounds)
+
+
+def q_rich_club_coocc(sf_dir: str, ks=(64, 90, 105, 120, 150)):
+    """Rich-club coefficient φ(k) (Colizza et al., Nat. Phys. 2006) of
+    the co-occurrence graph: among the N_k vertices with degree > k,
+    φ(k) = 2·E_k / (N_k·(N_k−1)) where E_k counts edges with BOTH
+    endpoints above k. Scale shape: ONE map pass over CSR shards — each
+    shard already holds its vertices' adjacency and degrees; neighbor
+    degrees come from the broadcast per-partition degree index (16
+    B/vertex, the triangle-orientation pattern); u<v dedups the
+    symmetrized edge. The shuffle is a len(ks)-row groupby. Returns
+    (k, n_k, e_k, phi_r6) — SQL-oracled."""
+    import ray
+
+    from .triangles import _degree_index
+
+    g = _coocc_graph(sf_dir)
+    refs = g.refs
+    deg_refs = _degree_index(g)
+    P = g.num_partitions
+    ks_arr = np.asarray(sorted(ks), dtype=np.int64)
+
+    def _partials(batch: pa.Table) -> pa.Table:
+        k_out, n_out, e_out = [], [], []
+        for p in batch.column("part").to_numpy(zero_copy_only=False):
+            csr = ray.get(refs[int(p)])
+            vids, deg, v = csr["vids"], csr["deg"].astype(np.int64), csr["indices"]
+            u_row = np.repeat(np.arange(len(vids), dtype=np.int64), deg)
+            u, du = vids[u_row], deg[u_row]
+            dv = np.empty(len(v), dtype=np.int64)
+            vpart = (v % np.uint64(P)).astype(np.int64)
+            for q in np.unique(vpart):
+                sel = vpart == q
+                dq = ray.get(deg_refs[int(q)])
+                dv[sel] = dq["deg"][np.searchsorted(dq["vids"], v[sel])]
+            once = u < v  # symmetrized CSR holds each edge twice
+            for k in ks_arr:
+                k_out.append(int(k))
+                n_out.append(int((deg > k).sum()))
+                e_out.append(int((once & (du > k) & (dv > k)).sum()))
+        return pa.table(
+            {
+                "k": pa.array(k_out, type=pa.int64()),
+                "n": pa.array(n_out, type=pa.int64()),
+                "e": pa.array(e_out, type=pa.int64()),
+            }
+        )
+
+    agg = (
+        parts_dataset(g.parts)
+        .map_batches(_partials, batch_format="pyarrow", batch_size=1)
+        .groupby("k")
+        .aggregate(Sum("n", alias_name="n_k"), Sum("e", alias_name="e_k"))
+    )
+
+    def _phi(batch: pa.Table) -> pa.Table:
+        n = batch.column("n_k").to_numpy(zero_copy_only=False).astype(np.int64)
+        e = batch.column("e_k").to_numpy(zero_copy_only=False).astype(np.int64)
+        denom = np.maximum(n * (n - 1.0), 1.0)  # avoid 0/0 on the n<2 arm
+        phi = np.where(n < 2, 0.0, np.round(2.0 * e / denom, 6))
+        return pa.table(
+            {
+                "k": batch.column("k"),
+                "n_k": pa.array(n, type=pa.int64()),
+                "e_k": pa.array(e, type=pa.int64()),
+                "phi_r6": pa.array(phi, type=pa.float64()),
+            }
+        )
+
+    return agg.map_batches(_phi, batch_format="pyarrow")
