@@ -343,11 +343,18 @@ def main() -> None:
             "/tmp/ega_scale_graph_500000000/meta.json"
         ):
             os.environ["GRAFT_SCALE_EDGES"] = "500000000"
+        k_base = _run_at(2, ["--kernel"])  # 16x-span anchor (see BASELINE.md)
         k_lo = _run_at(lo, ["--kernel"])
         k_hi = _run_at(hi, ["--kernel"])
         eff_kernel = (
             k_hi["edges_per_sec_per_superstep"] / k_lo["edges_per_sec_per_superstep"]
         ) / (hi / lo)
+        eff_2_8 = (
+            k_lo["edges_per_sec_per_superstep"] / k_base["edges_per_sec_per_superstep"]
+        ) / (lo / 2)
+        eff_2_32 = (
+            k_hi["edges_per_sec_per_superstep"] / k_base["edges_per_sec_per_superstep"]
+        ) / (hi / 2)
         r_lo, r_hi = _run_at(lo), _run_at(hi)
         graph_keys = ["pages_build", "pagerank", "cc", "triangles"]
         t_lo = sum(r_lo["queries"][k] for k in graph_keys)
@@ -362,10 +369,18 @@ def main() -> None:
                     ),
                     "value": round(eff_kernel, 3),
                     "unit": "efficiency",
+                    "edges_per_sec_superstep_2": k_base["edges_per_sec_per_superstep"],
                     "edges_per_sec_superstep_8": k_lo["edges_per_sec_per_superstep"],
                     "edges_per_sec_superstep_32": k_hi["edges_per_sec_per_superstep"],
+                    "best_superstep_sec_2": k_base["best_superstep_sec"],
                     "best_superstep_sec_8": k_lo["best_superstep_sec"],
                     "best_superstep_sec_32": k_hi["best_superstep_sec"],
+                    # full ladder: 2→8 shows the engine scales wherever the
+                    # memory system has headroom; 2→32 is the 16x-span pair;
+                    # 8→32 on ONE box is bounded by shared DRAM (BASELINE.md
+                    # 2026-08-20 section has the mechanism + clean-VM numbers)
+                    "eff_2_8": round(eff_2_8, 3),
+                    "eff_2_32": round(eff_2_32, 3),
                     "suite_sec_8": round(t_lo, 3),
                     "suite_sec_32": round(t_hi, 3),
                     "suite_eff": round(eff_suite, 3),
