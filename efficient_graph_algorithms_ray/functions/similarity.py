@@ -342,8 +342,10 @@ def knn_ivf(
 
     q_ids, q_mat = _fetch_query_vectors(embeddings_ds, query_ids)
     q_mat = _normalize(q_mat)
-    # per-query probe set: top-nprobe centroids by cosine
-    probe = np.argsort(-(q_mat @ centroids.T), axis=1)[:, :nprobe]
+    # per-query probe set: top-nprobe centroids by cosine; stable sort
+    # so ties break toward the lower cluster index, mirroring the SQL
+    # oracle's ORDER BY (similarity DESC, cluster ASC) ROW_NUMBER.
+    probe = np.argsort(-(q_mat @ centroids.T), axis=1, kind="stable")[:, :nprobe]
     cluster_to_q: dict[int, np.ndarray] = {
         c: np.flatnonzero((probe == c).any(axis=1)) for c in range(n_clusters)
     }

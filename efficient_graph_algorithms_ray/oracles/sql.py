@@ -5854,7 +5854,7 @@ x{i} AS MATERIALIZED (
   FROM deg LEFT JOIN m{i} ON deg.vid = m{i}.vid
 )"""
         )
-    parts.append(f"\nSELECT vid::BIGINT AS vid, ROUND(x, 9) AS pot_r9 FROM x{k}")
+    parts.append(f"\nSELECT vid::BIGINT AS vid, round_even(x, 9) AS pot_r9 FROM x{k}")
     return "".join(parts)
 
 
@@ -5956,7 +5956,7 @@ agg AS (
   FROM c JOIN g USING (dim) GROUP BY c.label
 )
 SELECT label::BIGINT AS label, n::BIGINT AS n_vecs,
-       ROUND(dp / (sqrt(na) * sqrt(nb)), 6) AS cos_r6
+       round_even(dp / (sqrt(na) * sqrt(nb)), 6) AS cos_r6
 FROM agg"""
 
 
@@ -6091,7 +6091,7 @@ def pii_scrub_sql() -> str:
     )
     return f"""WITH aug AS (
   SELECT doc_id,
-    text || ' contact user' || doc_id::VARCHAR || '@example' || (doc_id % 7)::VARCHAR || '.org'
+    COALESCE(text, '') || ' contact user' || doc_id::VARCHAR || '@example' || (doc_id % 7)::VARCHAR || '.org'
       || CASE WHEN doc_id % 5 = 0
               THEN ' or admin' || doc_id::VARCHAR || '@mail' || (doc_id % 11)::VARCHAR || '.net'
               ELSE '' END
@@ -6139,7 +6139,7 @@ SELECT ks.k::BIGINT AS k,
      JOIN deg dv ON dv.vid = pr.v
    WHERE du.d > ks.k AND dv.d > ks.k)::BIGINT AS e_k,
   CASE WHEN (SELECT COUNT(*) FROM deg WHERE d > ks.k) < 2 THEN 0.0
-       ELSE ROUND(2.0 * (SELECT COUNT(*) FROM pr
+       ELSE round_even(2.0 * (SELECT COUNT(*) FROM pr
                            JOIN deg du ON du.vid = pr.u
                            JOIN deg dv ON dv.vid = pr.v
                          WHERE du.d > ks.k AND dv.d > ks.k)

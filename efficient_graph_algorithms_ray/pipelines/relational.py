@@ -7888,7 +7888,17 @@ def q_clique_percolation_coocc(sf_dir: str):
 
     edges = tri.map_batches(_edge_graph, batch_format="pyarrow")
     g2 = build_graph(edges, EngineConfig(num_partitions=16), directed=False)
-    comp, _ = connected_components(g2, _ckpt("cperc"))
+    comp, summary = connected_components(g2, _ckpt("cperc"))
+    # The SQL oracle unrolls min-label propagation a FIXED 16 rounds;
+    # the engine runs to fixpoint. Enforce (don't assume) the oracle's
+    # truncation bound so a deeper edge-graph fails loudly here rather
+    # than as a silent parity divergence.
+    if summary["iterations"] > 16:
+        raise RuntimeError(
+            f"clique_percolation edge-graph needed {summary['iterations']} "
+            "CC rounds > the oracle's 16 unrolled rounds; raise `rounds` in "
+            "oracles.sql.clique_percolation_coocc_sql to match"
+        )
 
     def _decode(b: pa.Table) -> pa.Table:
         vid = b.column("vid").to_numpy(zero_copy_only=False).astype(np.uint64, copy=False)

@@ -80,15 +80,21 @@ def _write_manifest(ckpt: str, k: int, obj: dict) -> None:
 
 def _pool_plan(num_parts: int) -> tuple[int, float]:
     """(W, num_cpus per worker). W = one worker per CPU (balanced
-    partition ownership), but each worker reserves (cpus-1)/cpus CPU so
-    the whole pool fits in cpus-1: Ray Data stages (e.g. a just-finished
-    parse pool) can hold a stray reservation for tens of seconds, and a
-    single pending worker blocks the pool's init barrier (measured: a
-    19 s stall for the 32nd actor on a 32-cpu grant). The ≤3% CPU
-    oversubscription is far cheaper than P%W ownership imbalance."""
+    partition ownership), but the pool reserves only cpus − max(1, cpus/8)
+    CPUs in total: Ray Data stages (e.g. a just-finished parse pool) can
+    hold stray reservations for tens of seconds after their dataset
+    completes, and a single pending worker blocks the pool's init
+    barrier (measured: a 19 s stall for the 32nd actor on a 32-cpu
+    grant with 1-CPU headroom, and a 12.7 s init in BENCH_r03 showing
+    one CPU of headroom is not enough). Reservations only gate
+    placement — the supersteps are BSP-synchronized, so up to cpus/8 of
+    nominal oversubscription costs nothing while no other pipeline is
+    executing, which is the case everywhere run_supersteps is called
+    (graph shards are materialized before the loop starts)."""
     cpus = int(ray.cluster_resources().get("CPU", 4))
     W = max(1, min(cpus, num_parts))
-    frac = max(0.5, (cpus - 1) / cpus) if cpus > 1 else 1.0
+    headroom = max(1, cpus // 8)
+    frac = max(0.5, (cpus - headroom) / cpus) if cpus > 1 else 1.0
     return W, frac
 
 
