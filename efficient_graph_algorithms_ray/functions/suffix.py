@@ -37,18 +37,31 @@ Scale plan, per round:
 All arithmetic is integer (ranks), so the DuckDB oracle (the same
 recurrence via DENSE_RANK + self-joins) hash-matches exactly.
 
-Named scale path (documented, not implemented): active-set discarding.
-Once a position's rank group is a singleton it can never split again,
-so with RANK-style numbering (rank = count of strictly-smaller
-positions + 1 — stable under refinement, unlike DENSE_RANK values)
-resolved rows can be frozen out of the per-round sort, which then
-shrinks geometrically (the 500k-doc probe resolves 97% of positions
-by the step-8 round — see BASELINE.md). The flag/dup outputs are
-rank-value-agnostic, so the profile oracles would be unchanged; the
-co-shuffle side additionally prunes fully-resolved documents (k2
-lookups are same-doc only). Left unimplemented here because the
-measured per-round cost is already the shuffle fabric's sort
-primitive and the engine's rounds are ⌈log₂ max_prefix⌉-bounded.
+Active-set discarding (implemented — the named scale path): once a
+position's rank group is a singleton it can never split again, so the
+doubling rounds run on RANK-style numbering (competition rank = count
+of strictly-smaller positions + 1), which unlike DENSE_RANK values is
+stable under refinement: a frozen singleton keeps its rank forever,
+because later splits of OTHER groups never change how many positions
+compare strictly below it, and a split of its own group is impossible.
+The refinement identity that makes the shrinking sort exact:
+
+    r_2s[p] = k1 + #{active q: k1_q = k1 ∧ k2_q < k2_p},  k1 = r_s[p]
+
+— every position counted by k1−1 is already strictly smaller at
+prefix s, and the only positions that can newly compare below p share
+p's group, all of whose members are still active (frozen ⇔ singleton).
+So the per-round sort touches ONLY unresolved positions and shrinks
+geometrically (the 500k-doc probe resolves 97% of positions by the
+step-8 round — see BASELINE.md). The doc-bucketed co-shuffle still
+carries frozen rows of docs with ≥ 1 active position (k2 = r[pos+s]
+may land on a frozen row; lookups are same-doc only) as rank-only
+"context" rows, and drops fully-resolved documents. The dup/flag
+outputs are group-membership facts, so the profile oracles are
+unchanged; ``suffix_array_docs`` converts the final competition ranks
+to the documented dense-rank form with one single-key dense-rank pass
+(both numberings encode the same suffix preorder, so the conversion
+is bit-identical to running DENSE_RANK throughout).
 """
 
 from __future__ import annotations
@@ -266,6 +279,312 @@ def _dense_rank(
     )
 
 
+def _comp_rank(
+    ds,
+    keys: list[str],
+    *,
+    seg_key: str | None = None,
+    extras: tuple[str, ...] = (),
+    flag: str | None = None,
+    num_blocks: int | None = None,
+):
+    """Competition rank over ``keys`` → ((doc_id, pos, r, dup,
+    *extras[, gflag]) Dataset, n_groups) — the active-set sibling of
+    ``_dense_rank``. r = (segment base) + (count of rows earlier in
+    the row's ``seg_key`` segment, excluding its own key group), where
+    the segment base is the row's ``seg_key`` VALUE (the previous
+    round's competition rank k1 — see the module docstring identity);
+    with ``seg_key=None`` the whole input is one segment with base 1,
+    i.e. r = 1 + global row index of the key group's first row.
+
+    Same two-pass ordered-scan shape as ``_dense_rank``: one
+    distributed sort by (keys, uid), O(#blocks) driver partials that
+    chain per-segment/per-group ROW counts (not group counts) across
+    block boundaries, and a map pass that applies the carried offsets.
+    ``dup``/``flag`` semantics are identical (group-membership facts
+    don't depend on the numbering)."""
+
+    def _uid(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        p = batch.column("pos").to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column("uid", pa.array(d * (1 << 20) + p, type=pa.int64()))
+
+    with_uid = ds.map_batches(_uid, batch_format="pyarrow")
+    if num_blocks is not None:
+        # Sort output block count tracks input block count, and the
+        # round loop unions sort outputs with shuffle outputs — without
+        # a bound the block count (hence per-round fixed task cost)
+        # compounds geometrically across rounds.
+        with_uid = with_uid.repartition(num_blocks)
+    sorted_ds = with_uid.sort(keys + ["uid"]).materialize()
+
+    def _partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"payload": pa.array([], type=pa.string())})
+        import json
+
+        cols = [batch.column(k).to_pylist() for k in keys]
+        arrs = [batch.column(k).to_numpy(zero_copy_only=False) for k in keys]
+        n = batch.num_rows
+        newg = np.zeros(n, dtype=bool)
+        newg[0] = True
+        for c in arrs:
+            newg[1:] |= c[1:] != c[:-1]
+        starts = np.flatnonzero(newg)
+        if seg_key is not None:
+            s = batch.column(seg_key).to_numpy(zero_copy_only=False)
+            newseg = np.zeros(n, dtype=bool)
+            newseg[0] = True
+            newseg[1:] = s[1:] != s[:-1]
+            seg_starts = np.flatnonzero(newseg)
+        else:
+            seg_starts = np.array([0])
+        payload = {
+            "uid0": int(batch.column("uid")[0].as_py()),
+            "n": int(n),
+            "g": int(len(starts)),
+            "first": [c[0] for c in cols],
+            "last": [c[-1] for c in cols],
+            "l_grp": int(n - starts[-1]),
+            "l_seg": int(n - seg_starts[-1]),
+        }
+        if flag is not None:
+            fl = batch.column(flag).to_numpy(zero_copy_only=False).astype(bool)
+            g_local = np.cumsum(newg.astype(np.int64)) - 1
+            seg_or = np.bincount(g_local, weights=fl) > 0
+            payload["of"] = bool(seg_or[0])
+            payload["ol"] = bool(seg_or[-1])
+        return pa.table(
+            {"payload": pa.array([json.dumps(payload)], type=pa.string())}
+        )
+
+    import json
+
+    blocks = []
+    for b in sorted_ds.map_batches(
+        _partial, batch_format="pyarrow", batch_size=None
+    ).iter_batches(batch_size=None, batch_format="pyarrow"):
+        blocks.extend(json.loads(s) for s in b.column("payload").to_pylist())
+
+    blocks.sort(key=lambda blk: (blk["first"], blk["uid0"]))
+    n_blocks = len(blocks)
+    adjs, seg_adjs = [], []
+    prev_last = None
+    for blk in blocks:
+        adjs.append(1 if (prev_last is not None and blk["first"] == prev_last) else 0)
+        seg_adjs.append(
+            1
+            if (
+                prev_last is not None
+                and (seg_key is None or blk["first"][0] == prev_last[0])
+            )
+            else 0
+        )
+        prev_last = blk["last"]
+    inc_first = [False] * n_blocks
+    inc_last = [False] * n_blocks
+    if flag is not None:
+        carry = False
+        for i, blk in enumerate(blocks):
+            cont = bool(adjs[i])
+            inc_first[i] = carry if cont else False
+            carry = bool(blk["ol"]) or (carry if (blk["g"] == 1 and cont) else False)
+        carry = False
+        for i in range(n_blocks - 1, -1, -1):
+            cont_next = bool(adjs[i + 1]) if i + 1 < n_blocks else False
+            inc_last[i] = carry if cont_next else False
+            carry = bool(blocks[i]["of"]) or (
+                carry if (blocks[i]["g"] == 1 and cont_next) else False
+            )
+    base_by_uid0: dict[int, tuple] = {}
+    seg_count = 0
+    grp_count = 0
+    n_groups = 0
+    for i, blk in enumerate(blocks):
+        inc_seg = seg_count if seg_adjs[i] else 0
+        inc_grp = grp_count if adjs[i] else 0
+        nxt = adjs[i + 1] if i + 1 < n_blocks else 0
+        base_by_uid0[blk["uid0"]] = (
+            inc_seg, inc_grp, adjs[i], nxt, inc_first[i], inc_last[i],
+        )
+        single_seg = seg_key is None or blk["first"][0] == blk["last"][0]
+        single_grp = blk["g"] == 1
+        seg_count = blk["l_seg"] + (inc_seg if single_seg else 0)
+        grp_count = blk["l_grp"] + (inc_grp if single_grp else 0)
+        n_groups += blk["g"] - adjs[i]
+    ref = ray.put(base_by_uid0)
+
+    def _apply(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            cols_out = {
+                "doc_id": pa.array([], type=pa.int64()),
+                "pos": pa.array([], type=pa.int64()),
+                "r": pa.array([], type=pa.int64()),
+                "dup": pa.array([], type=pa.int64()),
+            }
+            for e in extras:
+                cols_out[e] = pa.array([], type=pa.int64())
+            if flag is not None:
+                cols_out["gflag"] = pa.array([], type=pa.int64())
+            return pa.table(cols_out)
+        lookup = ray.get(ref)
+        inc_seg, inc_grp, prev_merge, next_merge, incf, incl = lookup[
+            int(batch.column("uid")[0].as_py())
+        ]
+        arrs = [batch.column(k).to_numpy(zero_copy_only=False) for k in keys]
+        n = batch.num_rows
+        newg = np.zeros(n, dtype=bool)
+        newg[0] = True
+        for c in arrs:
+            newg[1:] |= c[1:] != c[:-1]
+        idx = np.arange(n, dtype=np.int64)
+        grp_first = np.maximum.accumulate(np.where(newg, idx, -1))
+        if seg_key is not None:
+            s = batch.column(seg_key).to_numpy(zero_copy_only=False).astype(np.int64)
+            newseg = np.zeros(n, dtype=bool)
+            newseg[0] = True
+            newseg[1:] = s[1:] != s[:-1]
+            seg_first = np.maximum.accumulate(np.where(newseg, idx, -1))
+            seg_local = np.cumsum(newseg.astype(np.int64)) - 1
+            seg_base = s
+        else:
+            seg_first = np.zeros(n, dtype=np.int64)
+            seg_local = np.zeros(n, dtype=np.int64)
+            seg_base = np.ones(n, dtype=np.int64)
+        g_local = np.cumsum(newg.astype(np.int64)) - 1
+        c = grp_first - seg_first
+        c = c + np.where(seg_local == 0, inc_seg, 0) - np.where(g_local == 0, inc_grp, 0)
+        r = seg_base + c
+        run_len = np.bincount(g_local)[g_local]
+        dup = run_len >= 2
+        if prev_merge:
+            dup |= g_local == 0
+        if next_merge:
+            dup |= g_local == g_local[-1]
+        cols_out = {
+            "doc_id": batch.column("doc_id"),
+            "pos": batch.column("pos"),
+            "r": pa.array(r, type=pa.int64()),
+            "dup": pa.array(dup.astype(np.int64), type=pa.int64()),
+        }
+        for e in extras:
+            cols_out[e] = batch.column(e)
+        if flag is not None:
+            fl = batch.column(flag).to_numpy(zero_copy_only=False).astype(bool)
+            gor = (np.bincount(g_local, weights=fl) > 0)[g_local]
+            if incf:
+                gor |= g_local == 0
+            if incl:
+                gor |= g_local == g_local[-1]
+            cols_out["gflag"] = pa.array(gor.astype(np.int64), type=pa.int64())
+        return pa.table(cols_out)
+
+    return (
+        sorted_ds.map_batches(_apply, batch_format="pyarrow", batch_size=None),
+        n_groups,
+    )
+
+
+def _shift_pairs_ctx(
+    state_ds, step: int, n_buckets: int, extras: tuple[str, ...], max_look: int
+):
+    """Active-set shift co-shuffle. ``state_ds`` rows are (doc_id, pos,
+    r, act, *extras) covering EVERY position of every doc that had ≥ 1
+    active position last round (act=1 unresolved, act=0 frozen context;
+    context extras are zero placeholders). One bucketed co-shuffle on
+    doc_id emits, per bucket:
+
+    - kind=0 pair rows (doc_id, pos, k1=r, k2=r[pos+step] or 0,
+      *extras) for ACTIVE positions only — the input of the shrinking
+      sort;
+    - kind=1 context rows (k1=r, k2=0, extras zeroed) for frozen
+      positions of docs that STILL have an active position — next
+      round's lookup table. Docs with no active position left are
+      dropped here, which is where fully-resolved documents exit the
+      round loop (one round after they resolve).
+    """
+
+    def _bucket(batch: pa.Table) -> pa.Table:
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        return batch.append_column(
+            "bucket", pa.array(d % n_buckets, type=pa.int64())
+        )
+
+    def _pairs(group: pa.Table) -> pa.Table:
+        d = group.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        p = group.column("pos").to_numpy(zero_copy_only=False).astype(np.int64)
+        r = group.column("r").to_numpy(zero_copy_only=False).astype(np.int64)
+        act = group.column("act").to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.lexsort((p, d))
+        d, p, r, act = d[o], p[o], r[o], act[o]
+        n = len(d)
+        doc_break = np.empty(n, dtype=bool)
+        doc_break[0] = True
+        doc_break[1:] = d[1:] != d[:-1]
+        codes = np.cumsum(doc_break) - 1
+        doc_active = np.bincount(codes, weights=act) > 0
+        keep = doc_active[codes]
+        d, p, r, act = d[keep], p[keep], r[keep], act[keep]
+        kept_idx = o[keep]
+        n = len(d)
+        # k2 = r at (doc, pos+step), 0 when past the doc end. Positions
+        # are NOT dense per doc after context pruning (below), so the
+        # lookup is a searchsorted on the packed sorted (doc, pos) key —
+        # a genuinely absent key can only mean "past end": pruning keeps
+        # every future-reachable frozen row (see the induction below).
+        key = d * (1 << 20) + p
+        tgt_key = key + step
+        loc = np.searchsorted(key, tgt_key)
+        loc_c = np.minimum(loc, max(n - 1, 0))
+        hit = (loc < n) & (key[loc_c] == tgt_key) if n else np.zeros(0, dtype=bool)
+        k2 = np.where(hit, r[loc_c], 0) if n else np.empty(0, np.int64)
+        is_act = act == 1
+        # Context pruning: a frozen row only needs to ride forward if a
+        # FUTURE round can look it up, i.e. its index is p + step·2^j
+        # (j ≥ 1, same doc) for some CURRENTLY active p — future active
+        # sets only shrink, so this is a sound superset. This is what
+        # caps the co-shuffle at O(active · log max_prefix) instead of
+        # O(all positions of active docs) once the corpus resolves.
+        needed = is_act.copy()
+        if n:
+            look = 2 * step
+            src_keys = key[is_act]
+            # bound: no round ever looks up past max_look tokens ahead,
+            # and key+look must stay inside the doc's 2²⁰ uid range
+            while len(src_keys) and look <= max_look:
+                tk = src_keys + look
+                loc = np.minimum(np.searchsorted(key, tk), n - 1)
+                loc = loc[key[loc] == tk]
+                if len(loc) == 0:
+                    break
+                needed[loc] = True
+                look *= 2
+        is_ctx = needed & ~is_act
+        sel = np.flatnonzero(is_act | is_ctx)
+        d, p, r = d[sel], p[sel], r[sel]
+        k2 = k2[sel]
+        ia = is_act[sel]
+        kind = np.where(ia, 0, 1).astype(np.int64)
+        cols_out = {
+            "kind": pa.array(kind, type=pa.int64()),
+            "doc_id": pa.array(d, type=pa.int64()),
+            "pos": pa.array(p, type=pa.int64()),
+            "k1": pa.array(r, type=pa.int64()),
+            "k2": pa.array(np.where(ia, k2, 0), type=pa.int64()),
+        }
+        for e in extras:
+            v = group.column(e).to_numpy(zero_copy_only=False).astype(np.int64)
+            cols_out[e] = pa.array(np.where(ia, v[kept_idx][sel], 0), type=pa.int64())
+        return pa.table(cols_out)
+
+    return (
+        state_ds.map_batches(_bucket, batch_format="pyarrow")
+        .repartition(n_buckets)  # bound the groupby's block fan-in (see _comp_rank)
+        .groupby("bucket")
+        .map_groups(_pairs, batch_format="pyarrow")
+    )
+
+
 def _shift_pairs(ranks_ds, step: int, n_buckets: int, extras: tuple[str, ...] = ()):
     """(doc_id, pos, r) → (doc_id, pos, k1=r[pos], k2=r[pos+step] or 0)
     via a bucketed co-shuffle on doc_id — the shift lookup is dense
@@ -317,15 +636,18 @@ def suffix_array_docs(docs_ds, *, max_prefix: int = 128, n_buckets: int = 64):
     resolved to ``max_prefix`` tokens (full resolution for docs no
     longer than that; byte-identical suffixes share a rank).
     """
-    ranks, n_groups = _dense_rank(_tokens_table(docs_ds), ["tok"])
-    step = 1
-    while step < max_prefix:
-        pairs = _shift_pairs(ranks.materialize(), step, n_buckets)
-        ranks, ng = _dense_rank(pairs, ["k1", "k2"])
-        if ng == n_groups:
-            break  # refinement fixed point: all later rounds are identity
-        n_groups = ng
-        step *= 2
+    # Active-set doubling rounds (competition-rank numbering), then ONE
+    # single-key dense-rank pass to the documented dense form — both
+    # numberings encode the same suffix preorder, so this matches the
+    # fixed-round DENSE_RANK oracle bit-identically.
+    levels = _doubling_levels(
+        _tokens_table(docs_ds),
+        max_prefix=max_prefix,
+        n_buckets=n_buckets,
+        src_col="dup",
+        out_col="dmax",
+    ).materialize()  # pin the lazy union before the dense-rank sort
+    dense, _ = _dense_rank(levels, ["r"])
 
     def _shape(batch: pa.Table) -> pa.Table:
         return pa.table(
@@ -336,7 +658,7 @@ def suffix_array_docs(docs_ds, *, max_prefix: int = 128, n_buckets: int = 64):
             }
         )
 
-    return ranks.map_batches(_shape, batch_format="pyarrow")
+    return dense.map_batches(_shape, batch_format="pyarrow")
 
 
 def dup_window_profile(
@@ -395,20 +717,70 @@ def _doubling_levels(
     carry: tuple[str, ...] = ("dlen",),
     flag: str | None = None,
 ):
-    """Shared prefix-doubling driver: runs the dense-rank rounds over
+    """Shared prefix-doubling driver with ACTIVE-SET DISCARDING (the
+    module docstring's scale path): runs competition-rank rounds over
     ``tokens_ds`` folding the FULL-WINDOW-gated max level of the
     per-round 0/1 ``src_col`` ('dup' or 'gflag') into ``out_col``
     (see dup_window_profile for the gating / promotion-on-freeze
-    argument). ``carry`` columns ride every co-shuffle; ``flag`` is
-    forwarded to ``_dense_rank`` (per-group OR → 'gflag')."""
-    ranks, n_groups = _dense_rank(tokens_ds, ["tok"], extras=carry, flag=flag)
+    argument). Rows whose rank group is a singleton freeze out of the
+    per-round sort (their rank and all future flags are final); frozen
+    rows of docs with surviving active rows ride the doc-bucketed
+    co-shuffle as rank-only context (same-doc k2 lookups), and fully
+    resolved docs are dropped from the loop entirely. Output schema:
+    (doc_id, pos, r, dup, ``out_col``, *carry) for EVERY position,
+    where r is the final competition rank and dup/``out_col`` are
+    bit-identical to the non-discarding formulation (group membership
+    is numbering-agnostic; a frozen row's flags are frozen too).
+    ``carry`` columns ride every co-shuffle; ``flag`` is forwarded to
+    ``_comp_rank`` (per-group OR → 'gflag')."""
+    import pyarrow.compute as pc
+
+    extras = (out_col,) + tuple(carry)
+    out_cols = ["doc_id", "pos", "r", "dup", out_col, *carry]
+    state_cols = ["doc_id", "pos", "r", "act", *extras]
+
+    def _project(ds, want_dup: int | None, cols: list[str], act: int | None = None):
+        """Filter by dup == want_dup (None = keep all) and project/pad
+        to ``cols`` (+ an ``act`` constant column when requested)."""
+
+        def _f(b: pa.Table) -> pa.Table:
+            t = b.filter(pc.equal(b.column("dup"), want_dup)) if want_dup is not None else b
+            out = {}
+            for c in cols:
+                if c == "act":
+                    out[c] = pa.array(
+                        np.full(t.num_rows, act, dtype=np.int64), type=pa.int64()
+                    )
+                else:
+                    out[c] = t.column(c)
+            return pa.table(out)
+
+        return ds.map_batches(_f, batch_format="pyarrow")
+
+    def _ctx_state(shout_ds):
+        """kind=1 rows of a shift output → context state rows."""
+
+        def _f(b: pa.Table) -> pa.Table:
+            t = b.filter(pc.equal(b.column("kind"), 1))
+            out = {"doc_id": t.column("doc_id"), "pos": t.column("pos"),
+                   "r": t.column("k1"),
+                   "act": pa.array(np.zeros(t.num_rows, dtype=np.int64), type=pa.int64())}
+            for e in extras:
+                out[e] = t.column(e)
+            return pa.table(out)
+
+        return shout_ds.map_batches(_f, batch_format="pyarrow")
+
+    def _pairs_only(shout_ds):
+        def _f(b: pa.Table) -> pa.Table:
+            t = b.filter(pc.equal(b.column("kind"), 0))
+            return t.drop_columns(["kind"])
+
+        return shout_ds.map_batches(_f, batch_format="pyarrow")
 
     def _init(batch: pa.Table) -> pa.Table:
         v = batch.column(src_col).to_numpy(zero_copy_only=False)
         return batch.append_column(out_col, pa.array(v, type=pa.int64()))
-
-    ranks = ranks.map_batches(_init, batch_format="pyarrow")
-    extras = (out_col,) + tuple(carry)
 
     def _fold(window: int, promote: bool):
         def _f(batch: pa.Table) -> pa.Table:
@@ -418,7 +790,7 @@ def _doubling_levels(
             dlen = batch.column("dlen").to_numpy(zero_copy_only=False)
             remaining = dlen - pos  # ≥ 1 for every emitted position
             if promote:
-                # frozen partition: flag holds at every later level →
+                # stalled refinement: flag holds at every later level →
                 # largest power-of-two window this position can fill
                 r = np.minimum(remaining, max_prefix).astype(np.int64)
                 eff = (2 ** np.floor(np.log2(r))).astype(np.int64)
@@ -431,18 +803,66 @@ def _doubling_levels(
 
         return _f
 
+    ranks, ng = _comp_rank(tokens_ds, ["tok"], extras=carry, flag=flag)
+    ranks = ranks.map_batches(_init, batch_format="pyarrow").materialize()
+    n_total = ranks.count()
+    n_active = int(ranks.sum("dup") or 0)
+    # groups still refinable = total groups − frozen singletons
+    act_groups = ng - (n_total - n_active)
+    frozen = [_project(ranks, 0, out_cols)]
+    active_state = _project(ranks, 1, state_cols, act=1)
+    ctx_state = _project(ranks, 0, state_cols, act=0)
+    last_active = ranks
+
+    import os as _os
+    import time as _time
+
+    dbg = _os.environ.get("GRAFT_SUFFIX_DEBUG") == "1"
+
     step = 1
-    while step < max_prefix:
-        pairs = _shift_pairs(ranks.materialize(), step, n_buckets, extras=extras)
-        ranks, ng = _dense_rank(pairs, ["k1", "k2"], extras=extras, flag=flag)
-        ranks = ranks.map_batches(
-            _fold(step * 2, promote=ng == n_groups), batch_format="pyarrow"
+    while step < max_prefix and n_active > 0:
+        # block counts sized to the shrinking active set: ~64k rows per
+        # block, capped at n_buckets (the cluster-sized fan-out) — tiny
+        # late rounds shouldn't pay n_buckets× task-launch overhead
+        blk = max(1, min(n_buckets, n_active // 65536 + 1))
+        state = active_state.union(ctx_state)
+        _t0 = _time.perf_counter()
+        shout = _shift_pairs_ctx(
+            state, step, max(blk, 8), extras, max_prefix
+        ).materialize()
+        _t1 = _time.perf_counter()
+        ranks2, ng2 = _comp_rank(
+            _pairs_only(shout), ["k1", "k2"], seg_key="k1", extras=extras,
+            flag=flag, num_blocks=blk,
         )
-        if ng == n_groups:
+        _t2 = _time.perf_counter()
+        stalled = ng2 == act_groups  # zero splits ⇒ permanent duplicates
+        ranks2 = ranks2.map_batches(
+            _fold(step * 2, promote=stalled), batch_format="pyarrow"
+        ).materialize()
+        if dbg:
+            print(
+                f"[suffix] step={step} n_active={n_active} blk={blk} "
+                f"shift={_t1-_t0:.2f}s sort={_t2-_t1:.2f}s "
+                f"fold={_time.perf_counter()-_t2:.2f}s",
+                flush=True,
+            )
+        if stalled:
+            frozen.append(_project(ranks2, None, out_cols))
+            n_active = 0
             break
-        n_groups = ng
+        frozen.append(_project(ranks2, 0, out_cols))
+        rows_sorted = n_active
+        n_active = int(ranks2.sum("dup") or 0)
+        act_groups = ng2 - (rows_sorted - n_active)
+        active_state = _project(ranks2, 1, state_cols, act=1)
+        ctx_state = _ctx_state(shout).union(_project(ranks2, 0, state_cols, act=0))
+        last_active = ranks2
         step *= 2
-    return ranks
+
+    if n_active > 0:  # max_prefix reached with unresolved groups
+        frozen.append(_project(last_active, 1, out_cols))
+    return frozen[0].union(*frozen[1:]) if len(frozen) > 1 else frozen[0]
 
 
 def _profile_aggregate(
@@ -451,29 +871,52 @@ def _profile_aggregate(
 ):
     """Per-doc (doc_id, {max_name}, {n_name}, n_pos) fold of a
     per-position level column; rows with ``exclude_col`` != 0 are
-    dropped first (e.g. benchmark docs)."""
-    from ray.data.aggregate import Count, Max, Sum
+    dropped first (e.g. benchmark docs).
+
+    Shaped as ONE hash-bucketed co-shuffle (doc_id % 64) with a
+    vectorized per-bucket fold rather than ``groupby(doc_id)``: Ray
+    Data's sort-based aggregate pays per-block + per-group overhead
+    that measures ~11× slower at 2.8M rows / 50k groups, while 64
+    fat groups folded with bincount/maximum.at are one cheap pass."""
+    B = 64
 
     def _per_pos(batch: pa.Table) -> pa.Table:
-        v = batch.column(val_col).to_numpy(zero_copy_only=False)
-        d = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        v = batch.column(val_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        d = batch.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
         if exclude_col is not None:
             keep = batch.column(exclude_col).to_numpy(zero_copy_only=False) == 0
             v, d = v[keep], d[keep]
         return pa.table(
             {
+                "bucket": pa.array(d % B, type=pa.int64()),
                 "doc_id": pa.array(d, type=pa.int64()),
                 val_col: pa.array(v, type=pa.int64()),
                 "hit": pa.array((v >= thresh).astype(np.int64), type=pa.int64()),
             }
         )
 
-    per_pos = levels.map_batches(_per_pos, batch_format="pyarrow")
-    return per_pos.groupby("doc_id").aggregate(
-        Max(val_col, alias_name=max_name),
-        Sum("hit", alias_name=n_name),
-        Count(alias_name="n_pos"),
-    )
+    def _fold_doc(group: pa.Table) -> pa.Table:
+        d = group.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        v = group.column(val_col).to_numpy(zero_copy_only=False).astype(np.int64)
+        h = group.column("hit").to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, codes = np.unique(d, return_inverse=True)
+        mx = np.zeros(len(uniq), dtype=np.int64)
+        np.maximum.at(mx, codes, v)
+        sm = np.bincount(codes, weights=h, minlength=len(uniq)).astype(np.int64)
+        cnt = np.bincount(codes, minlength=len(uniq)).astype(np.int64)
+        return pa.table(
+            {
+                "doc_id": pa.array(uniq, type=pa.int64()),
+                max_name: pa.array(mx, type=pa.int64()),
+                n_name: pa.array(sm, type=pa.int64()),
+                "n_pos": pa.array(cnt, type=pa.int64()),
+            }
+        )
+
+    # pin before the groupby: a lazy union input is re-executed by the
+    # sort's sample + partition passes
+    per_pos = levels.map_batches(_per_pos, batch_format="pyarrow").materialize()
+    return per_pos.groupby("bucket").map_groups(_fold_doc, batch_format="pyarrow")
 
 
 def _dup_levels(docs_ds, *, max_prefix: int = 128, n_buckets: int = 64):
@@ -550,7 +993,7 @@ def exactsubstr_prune(
 
     tagged = levels.map_batches(_tag_levels, batch_format="pyarrow").union(
         toks.map_batches(_tag_toks, batch_format="pyarrow")
-    )
+    ).materialize()  # pin the lazy union before the bucket groupby
 
     def _prune(group: pa.Table) -> pa.Table:
         tag = group.column("tag").to_numpy(zero_copy_only=False)
