@@ -12,18 +12,28 @@ live on the WORD VOCABULARY, not the token stream:
 - one corpus pass reduces the stream to (word, count) — map-side
   per-batch ``Counter`` partials + one combiner-backed groupby; the
   10^12-token corpus becomes a ≤ |vocab| table, materialized once;
-- each merge round maps over the vocab table only: segment each word
-  under the current merge list (broadcast — it is ≤ k pairs), emit
-  per-block pre-aggregated pair counts, one bounded
-  ``groupby(left, right).sum``, and the driver takes the arg-max
-  (count DESC, then lexicographic pair — fully deterministic);
-- rounds are driver-side iteration over this tiny reduction, the same
-  fixed-point control flow as the engine's PageRank loop.
+- the vocab table is sharded ONCE across a stateful actor pool; each
+  actor holds its words' current symbol sequences, a pair → words
+  inverted index, and contributes its initial pair counts;
+- each merge round is INCREMENTAL: the driver arg-maxes its global
+  pair-count table (a lazy-deletion heap keyed (−count, left, right) —
+  count DESC then lexicographic pair, fully deterministic), broadcasts
+  the one chosen pair, and every actor re-contracts ONLY the words its
+  index says contain that pair, returning a sparse count delta. No
+  round rescans the vocabulary.
 
-The segmentation re-derives from scratch each round (O(k·|word|) per
-vocab row) — at k ≤ a few thousand merges this is far cheaper than
-the alternative (stateful pair-index maintenance) ever is in a
-distributed setting.
+Exactness of the incremental step: a word's stored symbols are the
+fixpoint of the greedy merge loop under the current ranked list, and
+the new pair has the worst rank — so re-deriving from raw characters
+under merges+[p] replays the identical contraction sequence to that
+same fixpoint before p can fire. Continuing the loop from the stored
+symbols with the extended rank map (which lets EARLIER merges fire
+again if p's contraction exposes them — the "abc" re-derivation case)
+is therefore bit-equal to a from-scratch rescan, and a word whose
+current segmentation lacks the adjacent pair is untouched. Driver
+state is the bounded pair-count table (≤ distinct adjacent symbol
+pairs of the word VOCABULARY — the same boundedness contract as the
+vocab itself, shrinking as merges proceed).
 
 Non-SQL-expressible (each round's segmentation depends on the
 previous round's arg-max), so the driver query is rows-only; the
@@ -92,61 +102,162 @@ def word_counts(docs_ds):
     )
 
 
+def _bpe_shard_cls():
+    """Late-bound actor class (keeps module import free of ray)."""
+    import ray
+
+    @ray.remote(num_cpus=1)
+    class _Shard:
+        """One vocabulary shard of the incremental BPE trainer: holds
+        its words' current symbol sequences, a pair → word inverted
+        index, and answers each round with a sparse pair-count delta
+        for the words that actually contained the merged pair."""
+
+        def __init__(self, block_refs):
+            import ray as _ray
+            from collections import defaultdict
+
+            words: list[str] = []
+            ns: list[int] = []
+            for t in _ray.get(list(block_refs)):
+                words.extend(t.column("word").to_pylist())
+                ns.extend(t.column("n").to_pylist())
+            self.ns = [int(n) for n in ns]
+            self.syms: list[list[str]] = [list(w) + [_EOW] for w in words]
+            self.rank: dict[tuple[str, str], int] = {}
+            self.index: dict[tuple[str, str], set[int]] = defaultdict(set)
+            self._counts: Counter = Counter()
+            for i, (s, n) in enumerate(zip(self.syms, self.ns)):
+                for p in zip(s, s[1:]):
+                    self._counts[p] += n
+                    self.index[p].add(i)
+
+        def init_counts(self) -> dict:
+            c, self._counts = self._counts, Counter()
+            return dict(c)
+
+        def _contract(self, syms: list[str]) -> list[str]:
+            # bpe_segment's loop continued from the stored fixpoint with
+            # the extended rank map (exactness: module docstring)
+            rank = self.rank
+            syms = list(syms)
+            while len(syms) > 1:
+                best_i, best_r = -1, len(rank)
+                for i in range(len(syms) - 1):
+                    r = rank.get((syms[i], syms[i + 1]))
+                    if r is not None and r < best_r:
+                        best_i, best_r = i, r
+                if best_i < 0:
+                    break
+                syms[best_i : best_i + 2] = [syms[best_i] + syms[best_i + 1]]
+            return syms
+
+        def apply_merge(self, left: str, right: str) -> dict:
+            p = (left, right)
+            self.rank[p] = len(self.rank)
+            delta: Counter = Counter()
+            for i in list(self.index.get(p, ())):
+                old = self.syms[i]
+                n = self.ns[i]
+                new = self._contract(old)
+                for q in zip(old, old[1:]):
+                    delta[q] -= n
+                for q in zip(new, new[1:]):
+                    delta[q] += n
+                old_pairs = set(zip(old, old[1:]))
+                new_pairs = set(zip(new, new[1:]))
+                for q in old_pairs - new_pairs:
+                    self.index[q].discard(i)
+                for q in new_pairs - old_pairs:
+                    self.index[q].add(i)
+                self.syms[i] = new
+            self.index.pop(p, None)
+            return {k: v for k, v in delta.items() if v}
+
+    return _Shard
+
+
+class _LazyBPEShard:
+    """Module-level handle resolving the ray actor class on first use."""
+
+    _cls = None
+
+    def remote(self, *args):
+        if _LazyBPEShard._cls is None:
+            _LazyBPEShard._cls = _bpe_shard_cls()
+        return _LazyBPEShard._cls.remote(*args)
+
+
+_BPEShard = _LazyBPEShard()
+
+
 def bpe_train_merges(docs_ds, *, n_merges: int = 32):
-    """Train ``n_merges`` BPE merges on the corpus.
+    """Train ``n_merges`` BPE merges on the corpus — incrementally.
+
+    One vocab pass builds sharded actor state + the global pair-count
+    table; every round touches only the words containing the chosen
+    pair (module docstring has the exactness argument).
 
     Returns a pyarrow Table (rank, left, right, count): merge #rank
     contracted symbol pair (left, right) which occurred ``count``
     weighted times at selection. Deterministic: ties break
     lexicographically on (left, right).
     """
+    import heapq
+
     import ray
-    from ray.data.aggregate import Sum
 
     vocab = word_counts(docs_ds)
+    block_refs = [
+        block_ref
+        for bundle in vocab.iter_internal_ref_bundles()
+        for block_ref, _md in bundle.blocks
+    ]
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    W = max(1, min(cpus, len(block_refs), 16))
+    actors = [_BPEShard.remote(block_refs[w::W]) for w in range(W)]
 
-    merges: list[tuple[str, str]] = []
     out_rank: list[int] = []
     out_l: list[str] = []
     out_r: list[str] = []
     out_c: list[int] = []
-    for rank in range(n_merges):
-        merges_ref = ray.put(list(merges))
+    try:
+        counts: Counter = Counter()
+        for d in ray.get([a.init_counts.remote() for a in actors]):
+            for k, v in d.items():
+                counts[k] += v
+        heap = [(-c, left, right) for (left, right), c in counts.items()]
+        heapq.heapify(heap)
 
-        def _pairs(batch: pa.Table, _ref=merges_ref) -> pa.Table:
-            ms = ray.get(_ref)
-            c: Counter = Counter()
-            words = batch.column("word").to_pylist()
-            ns = batch.column("n").to_pylist()
-            for w, n in zip(words, ns):
-                syms = bpe_segment(w, ms)
-                for a, b in zip(syms, syms[1:]):
-                    c[(a, b)] += n
-            ls, rs = zip(*c.keys()) if c else ((), ())
-            return pa.table(
-                {
-                    "left": pa.array(list(ls), type=pa.string()),
-                    "right": pa.array(list(rs), type=pa.string()),
-                    "c": pa.array(list(c.values()), type=pa.int64()),
-                }
-            )
-
-        counts = (
-            vocab.map_batches(_pairs, batch_format="pyarrow")
-            .groupby(["left", "right"])
-            .aggregate(Sum("c", alias_name="c"))
-            .sort(["c", "left", "right"], descending=[True, False, False])
-            .limit(1)
-            .take_all()
-        )
-        if not counts:
-            break
-        top = counts[0]
-        merges.append((top["left"], top["right"]))
-        out_rank.append(rank)
-        out_l.append(top["left"])
-        out_r.append(top["right"])
-        out_c.append(int(top["c"]))
+        for rank in range(n_merges):
+            # lazy-deletion pop: skip entries whose count went stale
+            while heap:
+                negc, left, right = heap[0]
+                if -negc > 0 and counts.get((left, right), 0) == -negc:
+                    break
+                heapq.heappop(heap)
+            if not heap:
+                break
+            negc, left, right = heapq.heappop(heap)
+            out_rank.append(rank)
+            out_l.append(left)
+            out_r.append(right)
+            out_c.append(-negc)
+            deltas = ray.get([a.apply_merge.remote(left, right) for a in actors])
+            touched: set[tuple[str, str]] = set()
+            for d in deltas:
+                for k, dv in d.items():
+                    counts[k] += dv
+                    touched.add(k)
+            for k in touched:
+                nc = counts[k]
+                if nc > 0:
+                    heapq.heappush(heap, (-nc, k[0], k[1]))
+                else:
+                    del counts[k]
+    finally:
+        for a in actors:
+            ray.kill(a)
 
     return pa.table(
         {

@@ -1120,36 +1120,73 @@ def knn_label_accuracy(embeddings_ds):
     respect labels?). Per label: row count and how many rows' nearest
     OTHER vector (cosine, min-vec_id tie-break) shares the label.
 
-    Distributed shape: the corpus matrix is broadcast ONCE via
-    ``ray.put`` (vec_id-sorted, L2-normalized — at 100 TB this is the
-    same query-side broadcast as brute-force kNN, with IVF as the
-    scale path); each batch does one (b, N) matmul, masks self, and
-    argmax picks the first (= smallest vec_id) maximum. Only
+    Distributed shape — blocked all-pairs, NO driver materialization:
+    the corpus is pinned as per-block (vids, labels, nmat) shards by
+    REMOTE tasks (the ShardedGraph.from_shard_dataset pattern,
+    state/graph.py:98 — bytes never cross the driver's NIC; the driver
+    holds only ObjectRefs). Each batch task streams over the shard
+    refs one at a time (zero-copy plasma get, released per iteration —
+    peak memory is one shard + one batch, never N×d), computing a
+    running exact 1-NN with the deterministic (max cosine, min vec_id)
+    tie-break: within a shard argmax-first-index over vec_id-sorted
+    rows, across shards an explicit (sim, vec_id) comparison. Each
+    pairwise dot is computed by the same (batch, shard) matmul
+    regardless of sharding, so winners are bit-stable. Only
     (label, n, correct) partials leave each block. Returns
     (label, n, correct)."""
     import ray
 
-    emb = embeddings_ds.to_pandas()
-    order = np.argsort(emb["vec_id"].to_numpy())
-    vids = emb["vec_id"].to_numpy(dtype=np.int64)[order]
-    labels = emb["label"].to_numpy(dtype=np.int64)[order]
-    nmat = _normalize(np.stack(emb["embedding"].to_numpy()[order]).astype(np.float64))
-    ref = ray.put((vids, labels, nmat))
+    @ray.remote
+    def _pin_shard(block):
+        ids, mat = _embedding_matrix(block)
+        lab = block.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
+        o = np.argsort(ids, kind="stable")
+        return (
+            ids[o].astype(np.int64),
+            lab[o],
+            _normalize(mat[o].astype(np.float64)),
+        )
+
+    shard_refs = []
+    for bundle in embeddings_ds.iter_internal_ref_bundles():
+        for block_ref, _md in bundle.blocks:
+            shard_refs.append(_pin_shard.remote(block_ref))
 
     def _partial(b: pa.Table) -> pa.Table:
-        v, lab, m = ray.get(ref)
-        bv = b.column("vec_id").to_numpy(zero_copy_only=False)
+        bv = b.column("vec_id").to_numpy(zero_copy_only=False).astype(np.int64)
         bl = b.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
-        bm = _normalize(np.stack(b.column("embedding").to_numpy(zero_copy_only=False)).astype(np.float64))
-        sims = bm @ m.T  # (batch, N)
-        self_pos = np.searchsorted(v, bv)
-        sims[np.arange(len(bv)), self_pos] = -np.inf
-        nb = np.argmax(sims, axis=1)  # first max = smallest vec_id
-        correct = (lab[nb] == bl).astype(np.int64)
+        bm = _normalize(
+            np.stack(b.column("embedding").to_numpy(zero_copy_only=False)).astype(
+                np.float64
+            )
+        )
+        nb_rows = len(bv)
+        best_sim = np.full(nb_rows, -np.inf)
+        best_vid = np.full(nb_rows, np.iinfo(np.int64).max, dtype=np.int64)
+        best_lab = np.zeros(nb_rows, dtype=np.int64)
+        for ref in shard_refs:
+            v, lab, m = ray.get(ref)
+            if len(v) == 0:
+                continue
+            sims = bm @ m.T  # (batch, shard)
+            pos = np.searchsorted(v, bv)
+            pos_c = np.minimum(pos, len(v) - 1)
+            has_self = (pos < len(v)) & (v[pos_c] == bv)
+            sims[np.flatnonzero(has_self), pos_c[has_self]] = -np.inf
+            j = np.argmax(sims, axis=1)  # first max = smallest vec_id in shard
+            s = sims[np.arange(nb_rows), j]
+            cv, cl = v[j], lab[j]
+            upd = np.isfinite(s) & (
+                (s > best_sim) | ((s == best_sim) & (cv < best_vid))
+            )
+            best_sim = np.where(upd, s, best_sim)
+            best_vid = np.where(upd, cv, best_vid)
+            best_lab = np.where(upd, cl, best_lab)
+        correct = (best_lab == bl).astype(np.int64)
         t = pa.table(
             {
                 "label": pa.array(bl, type=pa.int64()),
-                "n": pa.array(np.ones(len(bl), dtype=np.int64)),
+                "n": pa.array(np.ones(nb_rows, dtype=np.int64)),
                 "correct": pa.array(correct, type=pa.int64()),
             }
         )

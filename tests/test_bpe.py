@@ -101,3 +101,26 @@ def test_bpe_pack_sequences_matches_sequential_stream():
     # vocab ids are dense, 0 reserved for EOD
     assert min(vocab.values()) == 1
     assert max(vocab.values()) == len(vocab)
+
+
+def test_bpe_merges_256_match_sequential_replica():
+    """The incremental trainer's acceptance bar: a deep merge run
+    (256 rounds) over a larger zipfian corpus stays bit-identical to
+    the from-scratch sequential replica."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vocab = [
+        "".join(rng.choice(list("abcdefgh"), size=rng.integers(2, 9)))
+        for _ in range(400)
+    ]
+    docs = [
+        " ".join(vocab[int(k)] for k in rng.zipf(1.3, size=30) % len(vocab))
+        for _ in range(200)
+    ]
+    ds = rd.from_arrow(pa.table({"text": pa.array(docs, type=pa.string())}))
+    got = bpe_train_merges(ds, n_merges=256).to_pandas()
+    want = _sequential_bpe(docs, 256)
+    assert len(got) == len(want)
+    for row, (l, r, c) in zip(got.itertuples(index=False), want):
+        assert (row.left, row.right, row.count) == (l, r, c)
