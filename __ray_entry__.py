@@ -46,6 +46,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # file records the first ~50 entries). Policy: SQL-oracled
         # queries precede the rows-only tail; queries whose green rows
         # are NOT yet on a driver record come first.
+        # round-4 additions (SQL-oracled, never driver-recorded)
+        "cluster_slices_coocc": R.q_cluster_slices_coocc,
         "pii_scrub": C.q_pii_scrub,
         "rich_club_coocc": R.q_rich_club_coocc,
         "neardup_clusters": C.q_neardup_clusters,
@@ -303,7 +305,61 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
     # flagship synthetic-pages pipelines (non-SQL-expressible → rows-only)
     q.update(_pages_queries())
-    return q
+    # Rotation policy (round 4): the driver's CORRECTNESS window records
+    # roughly the FIRST 50 entries only. Queries with a driver-green row
+    # in rounds 1-3 (the set below, from CORRECTNESS_r01-r03.json) move
+    # BEHIND the never-recorded ones, and never-recorded SQL-oracled
+    # queries precede the rows-only tail, so rounds 4-5 windows put a
+    # driver-verified hash on the remaining ~141 entries.
+    oracled = _oracled_names()
+    front = {k: v for k, v in q.items() if k not in _RECORDED_R1_R3 and k in oracled}
+    front.update({k: v for k, v in q.items() if k not in _RECORDED_R1_R3 and k not in oracled})
+    front.update({k: v for k, v in q.items() if k in _RECORDED_R1_R3})
+    return front
+
+
+def _oracled_names() -> set[str]:
+    return set(oracle_sql())
+
+
+_RECORDED_R1_R3 = {
+    "anf_coocc", "ann_ivf_knn", "ann_lsh_pairs", "ann_recall_at_k",
+    "approx_distinct_users", "attack_curve_coocc", "avg_nbr_deg_coocc",
+    "avg_rank_small_parts", "barycenter_coocc", "bm25_topk",
+    "cc_by_degree_coocc", "cc_customer_orders", "ce_buckets_by_lang",
+    "clique_percolation_coocc", "cliques4_coocc", "clustering_coeff_coocc",
+    "contamination_13gram", "coreness_coocc", "cross_dup_window_profile",
+    "cross_source_neardups", "customers_without_orders", "degree_partsupp",
+    "discounted_revenue", "distance_buckets_partsupp", "doc_fingerprints",
+    "doc_len_stats_by_lang", "doc_stats", "doclen_percentiles",
+    "dsd_pairs_coocc", "dup_span_census", "dup_window_profile",
+    "effective_resistance_coocc", "embedding_norms",
+    "events_asof_last_order", "events_hourly", "events_prev_gap",
+    "events_sessions", "exact_dedup_docs", "exactsubstr_prune",
+    "flagship_pages_components", "flagship_pages_pagerank_top50",
+    "forecast_revenue", "gaussian_doclen", "gw_graph_distance",
+    "hashed_classifier", "heat_smooth_coocc", "image_features",
+    "important_parts", "interpolate_coocc", "katz_coocc",
+    "knn_label_accuracy", "knn_vec0", "label_centroid_drift",
+    "label_prop_coocc", "lang_distribution", "lang_js_divergence",
+    "langid", "ldd_coocc", "linestatus_priority", "local_supplier_volume",
+    "lowrank_diffusion_norms", "markov_prediction_accuracy",
+    "matvec_coocc", "min_cost_supplier", "minhash_neardup_pairs",
+    "mmr_vec0", "msf_coocc", "multi_ppr_coocc", "nation_volume_shipping",
+    "neardup_clusters", "neardup_threshold_sweep", "ngram_jaccard_pairs",
+    "ngram_novelty_docs", "onion_layers_coocc", "pagerank_partsupp_k4",
+    "parts_supplier_count", "pii_scrub", "posting_samples",
+    "ppr_parts_top20", "pricing_summary", "profit_by_nation_year",
+    "promo_part_suppliers", "promo_revenue", "quality_scores",
+    "quality_zscores", "revenue_gini", "rfm_segments", "rich_club_coocc",
+    "shipping_priority_topk", "simhash_neardup_pairs",
+    "sinkhorn_dist_coocc", "sole_late_supplier", "sssp_partsupp",
+    "subtree_sizes_forest", "subtree_sizes_msf", "suffix_array_docs",
+    "top3_orders_per_segment", "top_customers", "top_docs_by_length",
+    "top_pages_with_urls", "top_supplier", "tree_kernel_forest",
+    "triad_census_coocc", "triangles_coocc", "walk2_coocc",
+    "walk_corpus_coocc",
+}
 
 
 def _pages_queries() -> dict[str, Callable[[str], Any]]:
@@ -595,6 +651,7 @@ def oracle_sql() -> dict[str, str]:
         "token_shards": S.TOKEN_SHARDS,
         "coreness_coocc": S.coreness_coocc_sql(rounds=24),
         "ldd_coocc": S.ldd_coocc_sql(rounds=5),
+        "cluster_slices_coocc": S.cluster_slices_coocc_sql(rounds=5, beta=4.0, seed=42, unit=1),
         "walk_corpus_coocc": S.walk_corpus_coocc_sql(walk_len=8, seed=7),
         "minhash_neardup_pairs": S.minhash_pairs_sql(threshold=0.5),
         "ngram_jaccard_pairs": S.ngram_jaccard_pairs_sql(threshold=0.3),

@@ -1136,6 +1136,62 @@ SELECT CAST(k.vid AS BIGINT) AS vid,
 FROM k{rounds} k JOIN ids i ON k.vid = i.vid"""
 
 
+def cluster_slices_coocc_sql(
+    rounds: int = 5, beta: float = 4.0, seed: int = 42, P: int = 16, unit: int = 1
+) -> str:
+    """Replays pipelines/decomposition.cluster_distance_slices: the
+    ldd_coocc_sql random-shift chain, then per-cluster distance bands
+    hops = (keyhi − MIN(keyhi) over cluster) / SCALE, slice =
+    hops / unit (all BIGINT — bit-exact), aggregated to per-(cluster,
+    slice) vertex counts and degree sums."""
+    SCALE = 1024
+    CAP = 1 << 24
+    STEP = SCALE << 32
+    frag, last, _ = sm64_stages("vx", "x", "ldd", ["vid"])
+    body = []
+    for i in range(1, rounds + 1):
+        p = f"k{i-1}"
+        body.append(
+            f""",
+mn{i} AS (
+  SELECT und.v AS vid, MIN(k.enc + {STEP}) AS m
+  FROM und JOIN {p} k ON und.u = k.vid GROUP BY und.v
+),
+k{i} AS MATERIALIZED (
+  SELECT k.vid, LEAST(k.enc, COALESCE(m.m, k.enc)) AS enc
+  FROM {p} k LEFT JOIN mn{i} m ON k.vid = m.vid
+)"""
+        )
+    return f"""WITH {_COOCC_UND_MAT},
+verts AS (SELECT DISTINCT u AS vid FROM und),
+ids AS MATERIALIZED (SELECT vid, ROW_NUMBER() OVER (ORDER BY vid % {P}, vid) - 1 AS own_id FROM verts),
+vx AS (SELECT vid, xor(CAST(vid AS UBIGINT), {seed}::UBIGINT) AS x FROM verts){frag},
+shq AS (
+  SELECT vid,
+    LEAST(CAST(round_even((-ln(1.0 - (CAST(h >> 11 AS DOUBLE) / {float(1 << 53)!r})) / {beta!r})
+         * {SCALE}.0, 0) AS BIGINT), {CAP - 1}) AS q
+  FROM {last}
+),
+k0 AS MATERIALIZED (
+  SELECT s.vid, ({CAP} - s.q) * {1 << 32} + i.own_id AS enc
+  FROM shq s JOIN ids i ON s.vid = i.vid
+){"".join(body)},
+fin AS (
+  SELECT CAST(k.vid AS BIGINT) AS vid,
+         CAST(k.enc % {1 << 32} AS BIGINT) AS cluster,
+         CAST(k.enc // {1 << 32} AS BIGINT) AS keyhi
+  FROM k{rounds} k
+),
+base AS (SELECT cluster, MIN(keyhi) AS kmin FROM fin GROUP BY cluster),
+deg AS (SELECT u AS vid, COUNT(*)::BIGINT AS d FROM und GROUP BY u)
+SELECT f.cluster,
+  ((f.keyhi - b.kmin) // {SCALE}) // {int(unit)} AS slice,
+  COUNT(*)::BIGINT AS n_vertices,
+  SUM(d.d)::BIGINT AS deg_sum
+FROM fin f JOIN base b USING (cluster) JOIN deg d ON d.vid = f.vid
+GROUP BY 1, 2"""
+
+
 def _walk_chain(walk_len: int, seed: int) -> list[str]:
     """Shared CTE chain for the DeepWalk replays: uniform hops, final
     table ``w{walk_len-1}`` with columns (start, wid, cur, v1..v{L-1})."""

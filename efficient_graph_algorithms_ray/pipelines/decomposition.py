@@ -129,7 +129,7 @@ def low_diameter_decomposition(
 
     def _emit(batch: pa.Table) -> pa.Table:
         parts = batch.column("part").to_numpy(zero_copy_only=False)
-        vid_o, own_o, clu_o, key_o = [], [], [], []
+        vid_o, own_o, clu_o, key_o, deg_o = [], [], [], [], []
         for p in parts:
             csr = ray.get(refs[int(p)])
             enc = read_state_part(final_dir, int(p)).astype(np.uint64)
@@ -139,6 +139,7 @@ def low_diameter_decomposition(
             )
             clu_o.append((enc & _LOW32).astype(np.int64))
             key_o.append((enc >> np.uint64(32)).astype(np.int64))
+            deg_o.append(csr["deg"].astype(np.int64))
         own = np.concatenate(own_o)
         clu = np.concatenate(clu_o)
         return pa.table(
@@ -148,8 +149,88 @@ def low_diameter_decomposition(
                 "cluster": pa.array(clu, type=pa.int64()),
                 "keyhi": pa.array(np.concatenate(key_o), type=pa.int64()),
                 "is_center": pa.array(own == clu),
+                "deg": pa.array(np.concatenate(deg_o), type=pa.int64()),
             }
         )
 
     parts_ds = parts_dataset(graph.parts)
     return parts_ds.map_batches(_emit, batch_format="pyarrow", batch_size=4), summary
+
+
+def cluster_distance_slices(
+    graph: ShardedGraph,
+    ckpt_dir: str,
+    *,
+    beta: float = 0.5,
+    seed: int = HASH_SEED,
+    unit: int = 1,
+    max_iters: int = 300,
+):
+    """Distance-bucketed cluster aggregation — the non-planar core of
+    the reference separator stack's ``base_compute_clustering``
+    (/root/reference/src/ega/util/separator_utils.py:28-57: vertices of
+    a cluster are partitioned into ⌊distance/unit⌋ bands around the
+    cluster seed, and the integrator then works on per-band
+    aggregates). Here the clusters come from the engine's random-shift
+    low-diameter decomposition (the engine's documented replacement for
+    planar separators) whose encoded keys already carry hop counts:
+    keyhi(v) = CAP − shift_q(center) + hops·SCALE, so hops relative to
+    the cluster's minimum key are integer-exact with no extra BFS.
+
+    One extra shuffle total: the LDD assignment (vid, cluster, keyhi,
+    deg) is co-shuffled by cluster bucket (cluster % 64) and each
+    bucket folds its clusters' bands vectorized — per-band COUNT and
+    Σ degree (the field the reference integrates is per-vertex; degree
+    is the deterministic stand-in, and any (vid, field) column can
+    ride the same fold).
+
+    Returns Dataset (cluster, slice, n_vertices, deg_sum), all int64 —
+    exact SQL parity (oracles/sql.cluster_slices_coocc_sql).
+    """
+    import pyarrow as pa
+
+    assign, _ = low_diameter_decomposition(
+        graph, ckpt_dir, beta=beta, seed=seed, max_iters=max_iters
+    )
+    B = 64
+    u = int(unit)
+
+    def _tag(b: pa.Table) -> pa.Table:
+        clu = b.column("cluster").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bucket": pa.array(clu % B, type=pa.int64()),
+                "cluster": b.column("cluster"),
+                "keyhi": b.column("keyhi"),
+                "deg": b.column("deg"),
+            }
+        )
+
+    def _bands(g: pa.Table) -> pa.Table:
+        clu = g.column("cluster").to_numpy(zero_copy_only=False).astype(np.int64)
+        key = g.column("keyhi").to_numpy(zero_copy_only=False).astype(np.int64)
+        deg = g.column("deg").to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, codes = np.unique(clu, return_inverse=True)
+        k0 = np.full(len(uniq), np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(k0, codes, key)
+        hops = (key - k0[codes]) // SCALE
+        slc = hops // u
+        # fold per (cluster, slice): pack into one key, unique again
+        pack = codes.astype(np.int64) * (1 << 32) + slc
+        puniq, pcodes = np.unique(pack, return_inverse=True)
+        n = np.bincount(pcodes, minlength=len(puniq)).astype(np.int64)
+        ds = np.bincount(pcodes, weights=deg, minlength=len(puniq)).astype(np.int64)
+        return pa.table(
+            {
+                "cluster": pa.array(uniq[(puniq >> 32).astype(np.int64)], type=pa.int64()),
+                "slice": pa.array(puniq & 0xFFFFFFFF, type=pa.int64()),
+                "n_vertices": pa.array(n, type=pa.int64()),
+                "deg_sum": pa.array(ds, type=pa.int64()),
+            }
+        )
+
+    return (
+        assign.map_batches(_tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_bands, batch_format="pyarrow")
+    )

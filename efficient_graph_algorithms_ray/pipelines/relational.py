@@ -2143,6 +2143,20 @@ def q_ldd_coocc(sf_dir: str):
     return out.map_batches(_shape, batch_format="pyarrow")
 
 
+def q_cluster_slices_coocc(sf_dir: str):
+    """Distance-bucketed cluster aggregation over the part
+    co-occurrence graph (SURVEY §2.1 #10 — the reference separator
+    stack's ``base_compute_clustering``, separator_utils.py:28-57,
+    re-expressed on LDD clusters): per (cluster, hop-band) vertex
+    count and degree sum. All-integer → exact SQL parity."""
+    from .decomposition import cluster_distance_slices
+
+    g = _coocc_graph(sf_dir)
+    return cluster_distance_slices(
+        g, _ckpt("cslices"), beta=4.0, seed=42, unit=1
+    )
+
+
 def q_sinkhorn_coocc(sf_dir: str):
     """Entropic OT distances from the retailprice mass distribution to
     (0) itself and (1) the size-proportional distribution, over the part

@@ -495,9 +495,39 @@ def random_walk_corpus(
     walk_len: int = 8,
     walks_per_vertex: int = 1,
     seed: int = 7,
+    frontier_shuffle: bool | None = None,
 ):
-    """→ Dataset (walk_id, seq list<uint64>) of deterministic walks."""
+    """→ Dataset (walk_id, seq list<uint64>) of deterministic walks.
+
+    Two execution plans, bit-identical output (the next hop is a pure
+    function of (walk_id, step, seed, cur, CSR row) — tested in
+    tests/test_walk_corpus.py):
+
+    - default (``frontier_shuffle=False``): zero-shuffle — walks stay
+      in their block and each step's task ``ray.get``s whichever CSR
+      shards its walks' frontiers touch. Single-node this is the
+      optimum (every get is a zero-copy plasma read; measured: the
+      sf0.01 co-occurrence corpus, 8 steps, 16 cpus — 0.11 s).
+      Multi-node it degrades: walks mix across partitions within a
+      few steps, so each task pulls up to P remote shards per step —
+      per-step network cost O(min(P, walks/task) · shard_bytes)
+      instead of O(walk state).
+    - ``frontier_shuffle=True`` (or env GRAFT_WALK_SHUFFLE=1): each
+      step co-shuffles walks to their frontier vertex's partition
+      (bucket = cur % P) and each reduce group reads exactly ONE
+      shard. L steps = L shuffles of the walk STATE (~(L+3)·8 bytes a
+      walk) — the scale-safe plan when shards outweigh walk state,
+      i.e. on any real multi-node corpus. Measured single-node on the
+      same fixture: 0.70 s (per-step shuffle latency dominates at this
+      size), which is why the zero-shuffle plan stays the default in
+      local mode.
+    """
+    import os
+
     import ray
+
+    if frontier_shuffle is None:
+        frontier_shuffle = os.environ.get("GRAFT_WALK_SHUFFLE", "0") == "1"
 
     refs = graph.refs
     P = graph.num_partitions
@@ -542,9 +572,64 @@ def random_walk_corpus(
 
         return _fn
 
+    def _bucket(batch: pa.Table) -> pa.Table:
+        cur = batch.column("cur").to_numpy(zero_copy_only=False).astype(np.uint64)
+        return batch.append_column(
+            "bucket", pa.array((cur % np.uint64(P)).astype(np.int64), type=pa.int64())
+        )
+
+    def _advance(step: int):
+        """Frontier-owner reduce step: every row's cur is in THIS
+        bucket's partition — one shard read, fully vectorized, same
+        per-row arithmetic as ``_step``."""
+
+        def _fn(group: pa.Table) -> pa.Table:
+            p = int(group.column("bucket")[0].as_py())
+            wid = group.column("walk_id").to_numpy(zero_copy_only=False).astype(np.uint64)
+            cur = group.column("cur").to_numpy(zero_copy_only=False).astype(np.uint64)
+            done = group.column("done").to_numpy(zero_copy_only=False).copy()
+            seqs = list_rows(group, "seq")
+            nxt = cur.copy()
+            csr = ray.get(refs[p])
+            rows = np.flatnonzero(~done)
+            if len(rows):
+                pos = np.searchsorted(csr["vids"], cur[rows])
+                deg = csr["deg"][pos]
+                alive = deg > 0
+                r = _splitmix64(
+                    wid[rows] ^ _splitmix64(np.full(len(rows), step, dtype=np.uint64))
+                    ^ np.uint64(seed)
+                )
+                choice = np.zeros(len(rows), dtype=np.int64)
+                choice[alive] = (r[alive] % deg[alive].astype(np.uint64)).astype(np.int64)
+                starts = csr["indptr"][pos]
+                nxt[rows[alive]] = csr["indices"][starts[alive] + choice[alive]]
+                done[rows[~alive]] = True
+            new_seqs = [
+                s if done[i] else np.concatenate([s, [nxt[i]]])
+                for i, s in enumerate(seqs)
+            ]
+            return pa.table(
+                {
+                    "walk_id": pa.array(wid, type=pa.uint64()),
+                    "cur": pa.array(nxt, type=pa.uint64()),
+                    "seq": list_array(new_seqs, np.uint64, pa.uint64()),
+                    "done": pa.array(done),
+                }
+            )
+
+        return _fn
+
     ds = walk_seeds(graph, walks_per_vertex)
     for step in range(1, walk_len):
-        ds = ds.map_batches(_step(step), batch_format="pyarrow")
+        if frontier_shuffle:
+            ds = (
+                ds.map_batches(_bucket, batch_format="pyarrow")
+                .groupby("bucket")
+                .map_groups(_advance(step), batch_format="pyarrow")
+            )
+        else:
+            ds = ds.map_batches(_step(step), batch_format="pyarrow")
 
     def _final(batch: pa.Table) -> pa.Table:
         return pa.table(

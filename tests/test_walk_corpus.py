@@ -180,3 +180,27 @@ def test_node2vec_bias_changes_walks():
     a = _flat(node2vec_walk_corpus(g, walk_len=6, seed=7, w_back=1, w_common=1, w_far=1))
     b = _flat(node2vec_walk_corpus(g, walk_len=6, seed=7, w_back=16, w_common=1, w_far=1))
     assert a != b  # strong return bias must reroute at least one hop
+
+
+def test_frontier_shuffle_plan_bit_identical():
+    """The flag-gated co-shuffle plan (walks shuffled to their frontier
+    owner each step — the multi-node path) must emit exactly the same
+    walk set as the default zero-shuffle plan."""
+    from efficient_graph_algorithms_ray.pipelines.walk_corpus import (
+        random_walk_corpus,
+    )
+    from efficient_graph_algorithms_ray.util import list_rows
+
+    g, _, _ = _graph(n=50, p=0.12, seed=5, with_dangling=True)
+
+    def _flat(ds):
+        rows = []
+        for b in ds.iter_batches(batch_size=None, batch_format="pyarrow"):
+            wids = b.column("walk_id").to_pylist()
+            for w, s in zip(wids, list_rows(b, "seq")):
+                rows.append((int(w), tuple(int(x) for x in s)))
+        return sorted(rows)
+
+    a = _flat(random_walk_corpus(g, walk_len=7, seed=11, frontier_shuffle=False))
+    b = _flat(random_walk_corpus(g, walk_len=7, seed=11, frontier_shuffle=True))
+    assert a == b
