@@ -1136,6 +1136,38 @@ SELECT CAST(k.vid AS BIGINT) AS vid,
 FROM k{rounds} k JOIN ids i ON k.vid = i.vid"""
 
 
+def cluster_field_integrate_coocc_sql(
+    rounds: int = 5, beta: float = 4.0, seed: int = 42, P: int = 16, unit: int = 1
+) -> str:
+    """Replays pipelines/decomposition.cluster_sliced_integrate: the
+    cluster_slices chain (per-vertex hop band sv, per-(cluster, band)
+    degree sums F_s), then value(v) = Σ_s F_s / (1 + |sv − s|·unit),
+    round_even 6 (the banded kernel-field integration — engine sums the
+    few band terms per vertex; the float reassociation is absorbed by
+    the rounding, the band sums themselves are exact integers)."""
+    inner = cluster_slices_coocc_sql(rounds=rounds, beta=beta, seed=seed, P=P, unit=unit)
+    # reuse the chain up to `fin`/`base`/`deg`: drop the final SELECT,
+    # append two more CTEs (note the comma splice) + the new final SELECT
+    head, _sep, _tail = inner.rpartition("SELECT f.cluster,")
+    return f"""{head.rstrip()},
+bands AS (
+  SELECT f.cluster,
+    ((f.keyhi - b.kmin) // 1024) // {int(unit)} AS s,
+    SUM(d.d)::DOUBLE AS fsum
+  FROM fin f JOIN base b USING (cluster) JOIN deg d ON d.vid = f.vid
+  GROUP BY 1, 2
+),
+vslice AS (
+  SELECT f.vid, f.cluster,
+    ((f.keyhi - b.kmin) // 1024) // {int(unit)} AS sv
+  FROM fin f JOIN base b USING (cluster)
+)
+SELECT v.vid,
+  round_even(SUM(bd.fsum / (1.0 + abs(v.sv - bd.s) * {float(unit)!r})), 6) AS value_r6
+FROM vslice v JOIN bands bd ON bd.cluster = v.cluster
+GROUP BY v.vid"""
+
+
 def cluster_slices_coocc_sql(
     rounds: int = 5, beta: float = 4.0, seed: int = 42, P: int = 16, unit: int = 1
 ) -> str:

@@ -2157,6 +2157,20 @@ def q_cluster_slices_coocc(sf_dir: str):
     )
 
 
+def q_cluster_field_integrate_coocc(sf_dir: str):
+    """Banded kernel-field integration within LDD clusters (the
+    SeparationGFIntegrator core re-expressed on hop bands —
+    pipelines/decomposition.cluster_sliced_integrate): per vertex,
+    Σ over its cluster's bands of band-degree-sum / (1 + band
+    distance). Float output rounded half-even at 6 → SQL parity."""
+    from .decomposition import cluster_sliced_integrate
+
+    g = _coocc_graph(sf_dir)
+    return cluster_sliced_integrate(
+        g, _ckpt("cfint"), beta=4.0, seed=42, unit=1
+    )
+
+
 def q_sinkhorn_coocc(sf_dir: str):
     """Entropic OT distances from the retailprice mass distribution to
     (0) itself and (1) the size-proportional distribution, over the part
