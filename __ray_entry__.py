@@ -49,6 +49,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-4 additions (SQL-oracled, never driver-recorded)
         "cluster_slices_coocc": R.q_cluster_slices_coocc,
         "cluster_field_integrate_coocc": R.q_cluster_field_integrate_coocc,
+        "grid_conv_wass": C.q_grid_conv_wass,
         "pii_scrub": C.q_pii_scrub,
         "rich_club_coocc": R.q_rich_club_coocc,
         "neardup_clusters": C.q_neardup_clusters,
@@ -656,6 +657,7 @@ def oracle_sql() -> dict[str, str]:
         "cluster_field_integrate_coocc": S.cluster_field_integrate_coocc_sql(
             rounds=5, beta=4.0, seed=42, unit=1
         ),
+        "grid_conv_wass": S.grid_conv_wass_sql(),
         "walk_corpus_coocc": S.walk_corpus_coocc_sql(walk_len=8, seed=7),
         "minhash_neardup_pairs": S.minhash_pairs_sql(threshold=0.5),
         "ngram_jaccard_pairs": S.ngram_jaccard_pairs_sql(threshold=0.3),

@@ -6235,3 +6235,93 @@ SELECT ks.k::BIGINT AS k,
                      * ((SELECT COUNT(*) FROM deg WHERE d > ks.k) - 1.0)), 6)
   END AS phi_r6
 FROM ks"""
+
+
+def grid_conv_wass_sql(
+    h: int = 8, w: int = 8, reg: float = 0.05, n_iters: int = 4, eps: float = 1e-12
+) -> str:
+    """Replays pipelines/diffusion.grid_conv_wasserstein_barycenter:
+    embeddings reshaped to h×w grids, shift-normalized, then
+    ``n_iters`` unrolled Sinkhorn rounds with the separable Gaussian
+    kernel K[i,j] = exp(−((i−j)/(n−1))²/reg); the cross-image
+    geometric-mean reduce uses the engine's quantized-integer log sums
+    (floor(ln(ku + eps)·2³⁰) — order-independent), final barycenter
+    round_even 6."""
+    Q = float(1 << 30)
+    d = h * w
+    body = []
+    prev_u = "u0"
+    prev_bar = "bar0"
+    for it in range(1, n_iters + 1):
+        body.append(f""",
+t{it}a AS (  -- row blur of U: T[img,r,c] = sum_r' K1[r,r']*U[img,r',c]
+  SELECT u.img, k.i AS r, u.cell % {w} AS c, SUM(k.v * u.u) AS t
+  FROM {prev_u} u JOIN k1 k ON k.j = u.cell // {w}
+  GROUP BY 1, 2, 3
+),
+ku{it} AS MATERIALIZED (  -- col blur: KU[img,r,c] = sum_c' K2[c,c']*T[img,r,c']
+  SELECT t.img, t.r * {w} + k.i AS cell, SUM(k.v * t.t) AS ku
+  FROM t{it}a t JOIN k2 k ON k.j = t.c
+  GROUP BY 1, 2
+),
+v{it}a AS (
+  SELECT ku.img, ku.cell, b.bar / (ku.ku + {eps!r}) AS v
+  FROM ku{it} ku JOIN {prev_bar} b ON b.cell = ku.cell
+),
+t{it}b AS (
+  SELECT v.img, k.i AS r, v.cell % {w} AS c, SUM(k.v * v.v) AS t
+  FROM v{it}a v JOIN k1 k ON k.j = v.cell // {w}
+  GROUP BY 1, 2, 3
+),
+kv{it} AS (
+  SELECT t.img, t.r * {w} + k.i AS cell, SUM(k.v * t.t) AS kv
+  FROM t{it}b t JOIN k2 k ON k.j = t.c
+  GROUP BY 1, 2
+),
+u{it} AS MATERIALIZED (
+  SELECT p.img, p.cell, p.p / (kv.kv + {eps!r}) AS u
+  FROM p JOIN kv{it} kv ON kv.img = p.img AND kv.cell = p.cell
+),
+t{it}c AS (
+  SELECT u.img, k.i AS r, u.cell % {w} AS c, SUM(k.v * u.u) AS t
+  FROM u{it} u JOIN k1 k ON k.j = u.cell // {w}
+  GROUP BY 1, 2, 3
+),
+ku{it}n AS (
+  SELECT t.img, t.r * {w} + k.i AS cell, SUM(k.v * t.t) AS ku
+  FROM t{it}c t JOIN k2 k ON k.j = t.c
+  GROUP BY 1, 2
+),
+bar{it} AS MATERIALIZED (
+  SELECT cell,
+    exp(SUM(CAST(floor(ln(ku + {eps!r}) * {Q!r}) AS BIGINT))::DOUBLE
+        / ({Q!r} * (SELECT COUNT(DISTINCT img) FROM p))) AS bar
+  FROM ku{it}n GROUP BY cell
+)""")
+        prev_u = f"u{it}"
+        prev_bar = f"bar{it}"
+    return f"""WITH k1 AS MATERIALIZED (
+  SELECT a.i, b.j, exp(-pow((a.i - b.j) / {float(h - 1)!r}, 2) / {reg!r}) AS v
+  FROM generate_series(0, {h - 1}) a(i) CROSS JOIN generate_series(0, {h - 1}) b(j)
+),
+k2 AS MATERIALIZED (
+  SELECT a.i, b.j, exp(-pow((a.i - b.j) / {float(w - 1)!r}, 2) / {reg!r}) AS v
+  FROM generate_series(0, {w - 1}) a(i) CROSS JOIN generate_series(0, {w - 1}) b(j)
+),
+raw AS (
+  SELECT vec_id AS img, t.j - 1 AS cell, CAST(embedding[t.j] AS DOUBLE) AS x
+  FROM embeddings CROSS JOIN generate_series(1, {d}) t(j)
+),
+mn AS (SELECT img, MIN(x) AS m, COUNT(*) AS nc FROM raw GROUP BY img),
+shifted AS (
+  SELECT r.img, r.cell, r.x - mn.m + 0.1 AS a
+  FROM raw r JOIN mn ON mn.img = r.img
+),
+sm AS (SELECT img, SUM(a) AS s FROM shifted GROUP BY img),
+p AS MATERIALIZED (
+  SELECT sh.img, sh.cell, sh.a / sm.s AS p
+  FROM shifted sh JOIN sm ON sm.img = sh.img
+),
+u0 AS MATERIALIZED (SELECT img, cell, 1.0 AS u FROM p),
+bar0 AS (SELECT cell, 1.0 / {d} AS bar FROM (SELECT DISTINCT cell FROM p)){"".join(body)}
+SELECT cell::BIGINT AS cell, round_even(bar, 6) AS bary_r6 FROM bar{n_iters}"""

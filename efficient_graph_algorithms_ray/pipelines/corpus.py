@@ -2123,3 +2123,16 @@ def q_pii_scrub(sf_dir: str):
         .map_batches(_aug, batch_format="pyarrow")
         .map_batches(T.pii_scrub_batch, batch_format="pyarrow")
     )
+
+
+def q_grid_conv_wass(sf_dir: str):
+    """Grid convolutional-Wasserstein barycenter (SURVEY §2 #48 —
+    Solomon et al. 2015 separable-blur Sinkhorn) of the embedding rows
+    reshaped to 8×8 grid distributions
+    (pipelines/diffusion.grid_conv_wasserstein_barycenter). Returns
+    the 64-cell barycenter, round_even 6 → SQL parity."""
+    from .diffusion import grid_conv_wasserstein_barycenter
+
+    return grid_conv_wasserstein_barycenter(
+        _emb(sf_dir).select_columns(["vec_id", "embedding"])
+    )

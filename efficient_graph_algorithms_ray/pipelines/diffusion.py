@@ -537,3 +537,128 @@ def katz_centrality(
         tol=0.0, max_iters=k, normalize=False, apply_fn=apply_fn,
     )
     return state_vertex_dataset(graph, summary["final_iter_dir"], "value"), summary
+
+
+def grid_conv_wasserstein_barycenter(
+    emb_ds,
+    *,
+    h: int = 8,
+    w: int = 8,
+    reg: float = 0.05,
+    n_iters: int = 4,
+    eps: float = 1e-12,
+):
+    """Grid convolutional-Wasserstein barycenter (SURVEY §2 #48) —
+    Solomon et al. 2015 via the reference's Sinkhorn-with-separable-
+    Gaussian-blur formulation (/root/reference/src/ega/algorithms/
+    convolutional_wass.py:31-160: V = bar/KU; U = A/KV; bar =
+    exp(Σᵢ wᵢ·log KUᵢ) with K[i,j] = exp(−(tᵢ−tⱼ)²/reg) on
+    linspace(0,1)), over the distributions obtained by reshaping each
+    embedding row to an h×w grid and shift-normalizing it
+    (p = (x − min + 0.1)/Σ — SQL-replayable).
+
+    Distributed shape: each image's scaling vector U is a COLUMN of
+    the Dataset (one row per image; the blur is two small matmuls per
+    row, vectorized per batch); the only cross-image coupling is the
+    geometric-mean reduce for ``bar`` — h·w quantized-integer partial
+    sums per block, summed on the driver (order-independent by
+    integer quantization: sᵢ = floor(log(KUᵢ + eps)·2³⁰), the
+    kmeans_quantized convention — the run is bit-identical at any
+    parallelism). n_iters rounds = n_iters streaming passes; nothing
+    materializes beyond the (vec_id, p, u) table.
+
+    Returns a pyarrow Table (cell, bary_r6): the barycenter grid,
+    round_even 6 (oracles/sql.grid_conv_wass_sql replays it).
+    """
+    import pyarrow as pa
+    import ray
+
+    from ..util import list_array, list_rows
+
+    Q = float(1 << 30)
+    d = h * w
+    t = np.arange(h, dtype=np.float64) / (h - 1)
+    K1 = np.exp(-((t[:, None] - t[None, :]) ** 2) / reg)
+    t2 = np.arange(w, dtype=np.float64) / (w - 1)
+    K2 = np.exp(-((t2[:, None] - t2[None, :]) ** 2) / reg)
+    kref = ray.put((K1, K2))
+
+    def _blur(mats: np.ndarray) -> np.ndarray:
+        k1, k2 = ray.get(kref)
+        return np.einsum("ij,njl->nil", k1, mats) @ k2.T
+
+    def _prep(b: pa.Table) -> pa.Table:
+        mat = np.asarray(list_rows(b, "embedding"), dtype=np.float64)
+        a = mat - mat.min(axis=1, keepdims=True) + 0.1
+        p = a / a.sum(axis=1, keepdims=True)
+        u = np.ones_like(p)
+        return pa.table(
+            {
+                "vec_id": b.column("vec_id"),
+                "p": list_array(list(p), np.float64, pa.float64()),
+                "u": list_array(list(u), np.float64, pa.float64()),
+            }
+        )
+
+    def _count_and_logsum(b: pa.Table) -> pa.Table:
+        u = np.asarray(list_rows(b, "u"), dtype=np.float64).reshape(-1, h, w)
+        ku = _blur(u).reshape(-1, d)
+        s = np.floor(np.log(ku + eps) * Q).astype(np.int64).sum(axis=0)
+        return pa.table(
+            {
+                "cell": pa.array(np.arange(d, dtype=np.int64)),
+                "s": pa.array(s, type=pa.int64()),
+                "n": pa.array(
+                    np.full(d, len(u), dtype=np.int64), type=pa.int64()
+                ),
+            }
+        )
+
+    def _reduce_bar(ds):
+        S = np.zeros(d, dtype=np.int64)
+        n = 0
+        for tb in ds.map_batches(
+            _count_and_logsum, batch_format="pyarrow"
+        ).iter_batches(batch_size=None, batch_format="pyarrow"):
+            S += np.bincount(
+                tb.column("cell").to_numpy(zero_copy_only=False),
+                weights=tb.column("s").to_numpy(zero_copy_only=False),
+                minlength=d,
+            ).astype(np.int64)
+            n += int(tb.column("n")[0].as_py())
+        return S, n
+
+    def _step(bar: np.ndarray):
+        bref = ray.put(bar)
+
+        def _f(b: pa.Table) -> pa.Table:
+            br = ray.get(bref)
+            p = np.asarray(list_rows(b, "p"), dtype=np.float64)
+            u = np.asarray(list_rows(b, "u"), dtype=np.float64).reshape(-1, h, w)
+            ku = _blur(u).reshape(-1, d)
+            v = (br[None, :] / (ku + eps)).reshape(-1, h, w)
+            kv = _blur(v).reshape(-1, d)
+            u_new = p / (kv + eps)
+            return pa.table(
+                {
+                    "vec_id": b.column("vec_id"),
+                    "p": b.column("p"),
+                    "u": list_array(list(u_new), np.float64, pa.float64()),
+                }
+            )
+
+        return _f
+
+    ds = emb_ds.map_batches(_prep, batch_format="pyarrow").materialize()
+    bar = np.full(d, 1.0 / d)
+    for _ in range(n_iters):
+        ds = ds.map_batches(_step(bar), batch_format="pyarrow").materialize()
+        S, n = _reduce_bar(ds)
+        bar = np.exp(S.astype(np.float64) / (Q * n))
+
+    return pa.table(
+        {
+            "cell": pa.array(np.arange(d, dtype=np.int64)),
+            "bary_r6": pa.array(np.round(bar, 6), type=pa.float64()),
+        }
+    )

@@ -210,3 +210,30 @@ def test_sinkhorn_distance_matches_dense_and_orders_targets(tmp_path):
     # identical marginals cost (strictly) less than a distant target
     assert dist[0] < dist[1]
     assert len(hist) == iters and np.isfinite(dist).all()
+
+
+def test_grid_conv_wass_parallelism_invariant():
+    """The quantized-integer log-sum reduce makes the barycenter
+    bit-identical at any blocking."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from efficient_graph_algorithms_ray.pipelines.diffusion import (
+        grid_conv_wasserstein_barycenter,
+    )
+
+    rng = np.random.default_rng(3)
+    n, d = 60, 64
+    emb = rng.random((n, d))
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array([list(r) for r in emb], type=pa.list_(pa.float64())),
+        }
+    )
+    a = grid_conv_wasserstein_barycenter(rd.from_arrow(tbl).repartition(1))
+    b = grid_conv_wasserstein_barycenter(rd.from_arrow(tbl).repartition(7))
+    assert a.column("bary_r6").to_pylist() == b.column("bary_r6").to_pylist()
+    s = sum(a.column("bary_r6").to_pylist())
+    assert 0.9 < s < 1.1  # barycenter is (approximately) a distribution
