@@ -38,17 +38,27 @@ _FP_OFFSET = np.uint64(14695981039346656037)
 
 
 def doc_stats_batch(batch: pa.Table) -> pa.Table:
-    """(doc_id, n_chars_text, n_tokens, n_alpha) — SQL-reproducible counts."""
-    texts = batch.column("text").to_pandas()
-    n_chars = texts.str.len().fillna(0).astype(np.int64)
-    n_tokens = texts.str.count(_TOKEN_RE.pattern).fillna(0).astype(np.int64)
-    n_alpha = texts.str.count(_ALPHA_RE.pattern).fillna(0).astype(np.int64)
+    """(doc_id, n_chars_text, n_tokens, n_alpha) — SQL-reproducible counts.
+
+    Pure pyarrow/RE2 kernels (no pandas detour): `\\S+` / `[A-Za-z]`
+    match identically in RE2 and Python re (verified incl. non-ASCII),
+    and DuckDB's regexp functions ARE RE2 — so this is also the
+    oracle-aligned dialect. NULL text → 0 counts (fill_null), matching
+    the previous fillna semantics."""
+    import pyarrow.compute as pc
+
+    texts = batch.column("text")
+    z = pa.scalar(0, type=pa.int64())
+
+    def _cnt(pat):
+        return pc.fill_null(pc.cast(pc.count_substring_regex(texts, pat), pa.int64()), z)
+
     return pa.table(
         {
             "doc_id": batch.column("doc_id"),
-            "n_chars_text": pa.array(n_chars.to_numpy(), type=pa.int64()),
-            "n_tokens": pa.array(n_tokens.to_numpy(), type=pa.int64()),
-            "n_alpha": pa.array(n_alpha.to_numpy(), type=pa.int64()),
+            "n_chars_text": pc.fill_null(pc.cast(pc.utf8_length(texts), pa.int64()), z),
+            "n_tokens": _cnt(r"\S+"),
+            "n_alpha": _cnt("[A-Za-z]"),
         }
     )
 
