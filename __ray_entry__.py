@@ -314,14 +314,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # queries precede the rows-only tail, so rounds 4-5 windows put a
     # driver-verified hash on the remaining ~141 entries.
     oracled = _oracled_names()
-    front = {k: v for k, v in q.items() if k not in _RECORDED_R1_R3 and k in oracled}
-    front.update({k: v for k, v in q.items() if k not in _RECORDED_R1_R3 and k not in oracled})
-    front.update({k: v for k, v in q.items() if k in _RECORDED_R1_R3})
+    recorded = _recorded_names()
+    front = {k: v for k, v in q.items() if k not in recorded and k in oracled}
+    front.update({k: v for k, v in q.items() if k not in recorded and k not in oracled})
+    front.update({k: v for k, v in q.items() if k in recorded})
     return front
 
 
 def _oracled_names() -> set[str]:
     return set(oracle_sql())
+
+
+def _recorded_names() -> set[str]:
+    """Queries with a driver-green CORRECTNESS row in ANY earlier round —
+    read live from the repo's CORRECTNESS_r*.json files so each round's
+    window automatically fronts whatever is still unrecorded (the static
+    fallback set below covers runs outside the repo root)."""
+    import glob
+    import json
+    import os
+
+    rec = set(_RECORDED_R1_R3)
+    here = os.path.dirname(os.path.abspath(__file__))
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
+        try:
+            with open(path) as f:
+                rec |= set(json.load(f))
+        except Exception:
+            pass
+    return rec
 
 
 _RECORDED_R1_R3 = {
