@@ -210,15 +210,24 @@ def _run_kernel() -> dict:
     N = g.n_vertices
     best = float("inf")
     for _ in range(2):
-        s = run_supersteps(
-            g,
-            tempfile.mkdtemp(prefix="ega_scale_pr_", dir="/tmp"),
-            "sum",
-            lambda csr: np.full(len(csr["vids"]), 1.0 / N),
-            tol=1e-6,
-            max_iters=10,
-        )
-        best = min(best, min(h["seconds"] for h in s["history"]))
+        ckpt = tempfile.mkdtemp(prefix="ega_scale_pr_", dir="/tmp")
+        try:
+            s = run_supersteps(
+                g,
+                ckpt,
+                "sum",
+                lambda csr: np.full(len(csr["vids"]), 1.0 / N),
+                tol=1e-6,
+                max_iters=10,
+            )
+            best = min(best, min(h["seconds"] for h in s["history"]))
+        finally:
+            # per-superstep checkpoints of the 50M-vertex fixture are
+            # 2.3 GB per run — a leaked dir per invocation fills /tmp
+            # across a round's repeated ladder runs
+            import shutil
+
+            shutil.rmtree(ckpt, ignore_errors=True)
     ray.shutdown()
     return {
         "num_cpus": num_cpus,
