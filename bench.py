@@ -109,10 +109,15 @@ def _run_bench() -> dict:
 
     t0 = time.perf_counter()
     gu = build_graph(edges, cfg, directed=False)
+    t_build_u = time.perf_counter() - t0
     comp, cs = connected_components(gu, tempfile.mkdtemp(prefix="ega_bench_cc_", dir="/tmp"))
     comp.count()
     queries["cc"] = time.perf_counter() - t0
     extra["cc_rounds"] = cs["iterations"]
+    # self-diagnosing split: the cc leg includes the SECOND graph build
+    # (undirected orientation) — cc_run_sec is the propagation itself
+    extra["cc_build_undirected_sec"] = round(t_build_u, 3)
+    extra["cc_run_sec"] = round(queries["cc"] - t_build_u, 3)
 
     t0 = time.perf_counter()
     tri = triangle_count(gu)
@@ -402,7 +407,50 @@ def _run_memproof() -> dict:
     return result
 
 
+def _run_stats() -> None:
+    """Print Ray Data's operator-level ``ds.stats()`` for the flagship
+    build (read → parse pool → edge extraction) — the per-stage
+    wall/cpu/output-size report the engine's batch sizes and pool
+    bounds were tuned against (tuning notes: BASELINE.md)."""
+    import logging
+
+    import ray
+
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    n_pages = int(os.environ.get("GRAFT_PAGES", "200000"))
+    ray.init(
+        address="local", num_cpus=num_cpus, include_dashboard=False,
+        ignore_reinit_error=True, logging_level="ERROR",
+    )
+    import ray.data as rd
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.CRITICAL)
+
+    from efficient_graph_algorithms_ray.config import EngineConfig
+    from efficient_graph_algorithms_ray.pipelines.graph_build import edges_from_parsed
+    from efficient_graph_algorithms_ray.sources.pages import write_pages
+    from efficient_graph_algorithms_ray.stages.extract import parse_pages
+
+    cfg = EngineConfig(num_partitions=32)
+    pages_dir = write_pages(
+        f"/tmp/ega_bench_pages_{n_pages}", n_pages=n_pages, num_blocks=64
+    )
+    edges = edges_from_parsed(
+        parse_pages(
+            rd.read_parquet(pages_dir, columns=["url", "html"]),
+            batch_size=cfg.parse_batch_size,
+        )
+    ).materialize()
+    print(edges.stats())
+    ray.shutdown()
+
+
 def main() -> None:
+    if "--stats" in sys.argv:
+        _run_stats()
+        return
     if "--memproof" in sys.argv:
         print(json.dumps(_run_memproof()))
         return
