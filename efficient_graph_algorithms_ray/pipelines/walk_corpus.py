@@ -256,15 +256,31 @@ def weighted_walk_corpus(graph: ShardedGraph, walk_len: int = 6, seed: int = 7):
                 pos = np.searchsorted(csr["vids"], cur[rows])
                 deg = csr["deg"][pos]
                 starts = csr["indptr"][pos]
-                for j, i in enumerate(rows):
-                    d = int(deg[j])
-                    if d == 0:
-                        done[i] = True
-                        continue
-                    s0 = starts[j]
-                    cw = np.cumsum(w[s0 : s0 + d])
-                    r = int(r_all[i] % np.uint64(int(cw[-1])))
-                    nxt[i] = csr["indices"][s0 + int(np.searchsorted(cw, r, side="right"))]
+                alive = deg > 0
+                done[rows[~alive]] = True
+                rows_a = rows[alive]
+                if not len(rows_a):
+                    continue
+                # Vectorized threshold selection over CONCATENATED
+                # neighbor segments. Weights are integer multiplicities,
+                # so every float64 partial sum is exact and the global
+                # cumsum is bit-equal to the old per-row np.cumsum —
+                # choice j = #(cum ≤ r) within the row's segment becomes
+                # #(tot ≤ base + r) − off on the concatenated array.
+                lens = deg[alive].astype(np.int64)
+                off = np.concatenate(([0], np.cumsum(lens)[:-1]))
+                seg = np.repeat(np.arange(len(lens)), lens)
+                gidx = np.repeat(starts[alive], lens) + (
+                    np.arange(int(lens.sum()), dtype=np.int64) - off[seg]
+                )
+                tot = np.cumsum(w[gidx].astype(np.float64, copy=False))
+                base = np.where(off > 0, tot[np.maximum(off - 1, 0)], 0.0)
+                seg_sum = tot[off + lens - 1] - base  # exact (integer weights)
+                r = (
+                    r_all[rows_a] % seg_sum.astype(np.uint64)
+                ).astype(np.float64)
+                loc = np.searchsorted(tot, base + r, side="right")
+                nxt[rows_a] = csr["indices"][gidx[loc]]
             new_seqs = [
                 s if done[i] else np.concatenate([s, [nxt[i]]])
                 for i, s in enumerate(seqs)
@@ -422,23 +438,37 @@ def khop_neighbor_sample(graph: ShardedGraph, seed_vids, fanouts=(3, 2), seed: i
                 csr = ray.get(refs[int(p)])
                 rows = np.flatnonzero(parts == p)
                 pos = np.searchsorted(csr["vids"], v[rows])
-                for i, r in zip(pos, rows):
-                    nbrs = csr["indices"][csr["indptr"][i] : csr["indptr"][i + 1]]
-                    if len(nbrs) == 0:
-                        continue
-                    h = _splitmix64(
-                        root[r]
+                deg = (csr["indptr"][pos + 1] - csr["indptr"][pos]).astype(np.int64)
+                alive = deg > 0
+                if not alive.any():
+                    continue
+                rows_a, pos_a, lens = rows[alive], pos[alive], deg[alive]
+                # vectorized per-segment top-fan by (rank, neighbor id):
+                # one concatenated lexsort keyed (segment, h, nbr) — the
+                # within-segment order equals the old per-row
+                # np.lexsort((nbrs, h)), so the selected sets are identical
+                off = np.concatenate(([0], np.cumsum(lens)[:-1]))
+                L = int(lens.sum())
+                seg = np.repeat(np.arange(len(lens)), lens)
+                gidx = np.repeat(csr["indptr"][pos_a], lens) + (
+                    np.arange(L, dtype=np.int64) - off[seg]
+                )
+                nbrs_c = csr["indices"][gidx]
+                h_c = _splitmix64(
+                    np.repeat(root[rows_a], lens)
+                    ^ _splitmix64(
+                        np.repeat(v[rows_a], lens)
                         ^ _splitmix64(
-                            v[r]
-                            ^ _splitmix64(
-                                nbrs ^ np.uint64((seed + hop) & 0xFFFFFFFFFFFFFFFF)
-                            )
+                            nbrs_c ^ np.uint64((seed + hop) & 0xFFFFFFFFFFFFFFFF)
                         )
                     )
-                    sel = np.lexsort((nbrs, h))[:fan]
-                    o_root.append(np.full(len(sel), root[r], dtype=np.uint64))
-                    o_src.append(np.full(len(sel), v[r], dtype=np.uint64))
-                    o_dst.append(nbrs[sel])
+                )
+                order = np.lexsort((nbrs_c, h_c, seg))
+                within = np.arange(L, dtype=np.int64) - off[seg[order]]
+                keep = order[within < fan]
+                o_root.append(np.repeat(root[rows_a], np.minimum(lens, fan)))
+                o_src.append(np.repeat(v[rows_a], np.minimum(lens, fan)))
+                o_dst.append(nbrs_c[keep])
             root_a = np.concatenate(o_root) if o_root else np.empty(0, np.uint64)
             src_a = np.concatenate(o_src) if o_src else np.empty(0, np.uint64)
             dst_a = np.concatenate(o_dst) if o_dst else np.empty(0, np.uint64)
