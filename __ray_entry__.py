@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cluster_slices_coocc": R.q_cluster_slices_coocc,
         "cluster_field_integrate_coocc": R.q_cluster_field_integrate_coocc,
         "grid_conv_wass": C.q_grid_conv_wass,
+        "train_logreg": C.q_train_logreg,
         "pii_scrub": C.q_pii_scrub,
         "rich_club_coocc": R.q_rich_club_coocc,
         "neardup_clusters": C.q_neardup_clusters,
@@ -679,6 +680,7 @@ def oracle_sql() -> dict[str, str]:
             rounds=5, beta=4.0, seed=42, unit=1
         ),
         "grid_conv_wass": S.grid_conv_wass_sql(),
+        "train_logreg": S.train_logreg_sql(),
         "walk_corpus_coocc": S.walk_corpus_coocc_sql(walk_len=8, seed=7),
         "minhash_neardup_pairs": S.minhash_pairs_sql(threshold=0.5),
         "ngram_jaccard_pairs": S.ngram_jaccard_pairs_sql(threshold=0.3),

@@ -355,3 +355,108 @@ def pii_scrub_batch(batch: pa.Table) -> pa.Table:
             "scrub_fp": pa.array(fps.view(np.int64), type=pa.int64()),
         }
     )
+
+
+def train_hashed_logreg(
+    docs_ds,
+    *,
+    dim: int = 64,
+    iters: int = 4,
+    lr: float = 0.5,
+    seed: int = 0x5EED_FA57,
+    pos_lang: str = "en",
+):
+    """Distributed training of a hashed-feature logistic-regression
+    quality/language classifier — the TRAINING half of the
+    fastText-style filter (``hashed_classifier_batch`` is the
+    inference half): full-batch gradient descent over
+    bag-of-hashed-tokens features x_j = count(bucket j)/n_tokens,
+    bucket = splitmix64(fnv1a(tok) ⊕ seed) mod dim, label
+    y = [lang == pos_lang].
+
+    Distributed shape: ONE feature pass materializes the thin
+    (doc_id, y, x[dim]) table (text never touches the loop); each GD
+    round is a map_batches with the weight vector broadcast, emitting
+    per-block integer partial gradients — the driver reduces dim int64
+    cells per block and updates w. No shuffle anywhere.
+
+    Determinism/SQL parity (oracles/sql.train_logreg_sql): the three
+    float nonlinearities are pinned by integer quantization so BLAS
+    reassociation and libm ulp differences cannot drift across
+    systems — z_q = ⌊z·2²⁴⌋ (dot-product order), p_q = ⌊2²⁰·σ(z_q/2²⁴)⌋
+    (exp ulp), g_q = ⌊(p_q/2²⁰ − y)·x·2³⁰⌋ summed as int64 (order-free).
+
+    Returns a pyarrow Table (j, w_r6): the trained weights,
+    round_even 6.
+    """
+    import ray
+
+    from ..sources.edges_synth import _splitmix64
+    from ..util import list_array, list_rows
+
+    Q = float(1 << 30)
+    ZQ = float(1 << 24)
+    PQ = float(1 << 20)
+    sd = np.uint64(seed)
+
+    def _feat(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_pylist()
+        texts = batch.column("text").to_pylist()
+        langs = batch.column("lang").to_pylist()
+        out_id, out_y, out_x = [], [], []
+        for doc_id, text, lang in zip(ids, texts, langs):
+            toks = _TOKEN_RE.findall(text or "")
+            if not toks:
+                continue
+            hs = np.array([hash_token(t) for t in toks], dtype=np.uint64)
+            j = (_splitmix64(hs ^ sd) % np.uint64(dim)).astype(np.int64)
+            cnt = np.bincount(j, minlength=dim).astype(np.float64)
+            out_id.append(doc_id)
+            out_y.append(1 if lang == pos_lang else 0)
+            out_x.append(cnt / len(toks))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, type=pa.int64()),
+                "y": pa.array(out_y, type=pa.int64()),
+                "x": list_array(out_x, np.float64, pa.float64()),
+            }
+        )
+
+    feats = docs_ds.map_batches(_feat, batch_format="pyarrow").materialize()
+    n = feats.count()
+    w = np.zeros(dim, dtype=np.float64)
+    for _ in range(iters):
+        wref = ray.put(w)
+
+        def _grad(b: pa.Table, _w=wref) -> pa.Table:
+            ww = ray.get(_w)
+            X = np.asarray(list_rows(b, "x"), dtype=np.float64)
+            y = b.column("y").to_numpy(zero_copy_only=False).astype(np.float64)
+            zq = np.floor((X @ ww) * ZQ)
+            pq = np.floor(PQ / (1.0 + np.exp(-zq / ZQ)))
+            g = ((pq / PQ - y)[:, None] * X) * Q
+            gq = np.floor(g).astype(np.int64).sum(axis=0)
+            return pa.table(
+                {
+                    "j": pa.array(np.arange(dim, dtype=np.int64)),
+                    "g": pa.array(gq, type=pa.int64()),
+                }
+            )
+
+        G = np.zeros(dim, dtype=np.int64)
+        for tb in feats.map_batches(_grad, batch_format="pyarrow").iter_batches(
+            batch_size=None, batch_format="pyarrow"
+        ):
+            G += np.bincount(
+                tb.column("j").to_numpy(zero_copy_only=False),
+                weights=tb.column("g").to_numpy(zero_copy_only=False),
+                minlength=dim,
+            ).astype(np.int64)
+        w = w - lr * (G.astype(np.float64) / Q) / n
+
+    return pa.table(
+        {
+            "j": pa.array(np.arange(dim, dtype=np.int64)),
+            "w_r6": pa.array(np.round(w, 6), type=pa.float64()),
+        }
+    )

@@ -6325,3 +6325,77 @@ p AS MATERIALIZED (
 u0 AS MATERIALIZED (SELECT img, cell, 1.0 AS u FROM p),
 bar0 AS (SELECT cell, 1.0 / {d} AS bar FROM (SELECT DISTINCT cell FROM p)){"".join(body)}
 SELECT cell::BIGINT AS cell, round_even(bar, 6) AS bary_r6 FROM bar{n_iters}"""
+
+
+def train_logreg_sql(
+    dim: int = 64,
+    iters: int = 4,
+    lr: float = 0.5,
+    seed: int = 0x5EED_FA57,
+    pos_lang: str = "en",
+) -> str:
+    """Replays functions/text.train_hashed_logreg: hashed
+    bag-of-tokens features x_j = cnt_j/n_tokens (bucket =
+    splitmix64(fnv1a(tok) ⊕ seed) mod dim), y = [lang = pos_lang],
+    ``iters`` unrolled full-batch GD rounds with the engine's
+    three-level quantization: z_q = ⌊z·2²⁴⌋, p_q = ⌊2²⁰·σ(z_q/2²⁴)⌋,
+    per-(doc, j) gradient ⌊(p_q/2²⁰ − y)·x·2³⁰⌋ summed as BIGINT
+    (order-independent); w update in DOUBLE. Final weights
+    round_even 6."""
+    Q = float(1 << 30)
+    ZQ = float(1 << 24)
+    PQ = float(1 << 20)
+    fnv = (
+        "list_reduce("
+        "list_prepend(14695981039346656037::UBIGINT,"
+        " list_transform(string_split(t, ''), ch -> ascii(ch)::UBIGINT)),"
+        " (h, b) -> CAST((CAST(xor(h, b) AS HUGEINT) * 1099511628211)"
+        f" % {_U64} AS UBIGINT))"
+    )
+    frag, last, hcol = sm64_stages("ht", "h0", "lrg", ["doc_id"])
+    body = []
+    prev_w = "w0"
+    for it in range(1, iters + 1):
+        body.append(f""",
+z{it} AS (
+  SELECT f.doc_id, f.y, floor(SUM(f.x * w.w) * {ZQ!r}) AS zq
+  FROM feat f JOIN {prev_w} w ON w.j = f.j
+  GROUP BY f.doc_id, f.y
+),
+p{it} AS (
+  SELECT doc_id, y, floor({PQ!r} / (1.0 + exp(-(zq / {ZQ!r})))) AS pq FROM z{it}
+),
+g{it} AS (
+  SELECT f.j,
+    SUM(CAST(floor((p.pq / {PQ!r} - p.y) * f.x * {Q!r}) AS BIGINT)) AS g
+  FROM feat f JOIN p{it} p ON p.doc_id = f.doc_id
+  GROUP BY f.j
+),
+w{it} AS MATERIALIZED (
+  SELECT w.j,
+    w.w - {lr!r} * ((COALESCE(g.g, 0)::DOUBLE / {Q!r}) / (SELECT n FROM nd)) AS w
+  FROM {prev_w} w LEFT JOIN g{it} g ON g.j = w.j
+)"""
+        )
+        prev_w = f"w{it}"
+    return f"""WITH tk AS (
+  SELECT doc_id, lang, unnest(regexp_extract_all(text, '\\S+')) AS t FROM documents
+),
+ht AS MATERIALIZED (
+  SELECT doc_id, xor({fnv}, {seed}::UBIGINT) AS h0 FROM tk
+){frag},
+bk AS (SELECT doc_id, CAST({hcol} % {dim} AS BIGINT) AS j FROM {last}),
+ntok AS (SELECT doc_id, COUNT(*)::DOUBLE AS n_tokens FROM bk GROUP BY doc_id),
+ylab AS (
+  SELECT doc_id, MAX(CASE WHEN lang = '{pos_lang}' THEN 1 ELSE 0 END) AS y
+  FROM tk GROUP BY doc_id
+),
+cnt AS (SELECT doc_id, j, COUNT(*)::DOUBLE AS c FROM bk GROUP BY doc_id, j),
+feat AS MATERIALIZED (
+  SELECT c.doc_id, y.y, c.j, c.c / nt.n_tokens AS x
+  FROM cnt c JOIN ntok nt ON nt.doc_id = c.doc_id
+  JOIN ylab y ON y.doc_id = c.doc_id
+),
+nd AS (SELECT COUNT(DISTINCT doc_id) AS n FROM feat),
+w0 AS (SELECT t.j - 1 AS j, 0.0 AS w FROM generate_series(1, {dim}) t(j)){"".join(body)}
+SELECT j::BIGINT AS j, round_even(w, 6) AS w_r6 FROM w{iters}"""

@@ -2136,3 +2136,14 @@ def q_grid_conv_wass(sf_dir: str):
     return grid_conv_wasserstein_barycenter(
         _emb(sf_dir).select_columns(["vec_id", "embedding"])
     )
+
+
+def q_train_logreg(sf_dir: str):
+    """Distributed hashed-feature logistic-regression TRAINING
+    (functions/text.train_hashed_logreg — the training half of the
+    fastText-style quality/language filter): 4 full-batch GD rounds,
+    integer-quantized gradient reduce. Returns (j, w_r6) — SQL parity
+    via the fully unrolled replay."""
+    from ..functions.text import train_hashed_logreg
+
+    return train_hashed_logreg(_docs(sf_dir, ["doc_id", "text", "lang"]))

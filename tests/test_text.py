@@ -261,3 +261,43 @@ def test_pii_scrub_hand_check():
     assert fps[0] == np.uint64(hash_token(expected0)).astype(np.int64)
     assert fps[1] == np.uint64(hash_token(expected1)).astype(np.int64)
     assert fps[2] == np.uint64(hash_token(texts[2])).astype(np.int64)
+
+
+def test_train_hashed_logreg_learns_and_is_blocking_invariant():
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from efficient_graph_algorithms_ray.functions.text import (
+        hash_token,
+        train_hashed_logreg,
+    )
+    from efficient_graph_algorithms_ray.sources.edges_synth import _splitmix64
+
+    rng = np.random.default_rng(11)
+    docs, langs = [], []
+    for i in range(120):
+        en = i % 2 == 0
+        vocab = ["alpha", "beta", "gamma"] if en else ["delta", "epsi", "zeta"]
+        docs.append(" ".join(rng.choice(vocab, size=20)))
+        langs.append("en" if en else "de")
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(np.arange(120, dtype=np.int64)),
+            "text": pa.array(docs, type=pa.string()),
+            "lang": pa.array(langs, type=pa.string()),
+        }
+    )
+    w1 = train_hashed_logreg(rd.from_arrow(tbl).repartition(1), iters=6)
+    w2 = train_hashed_logreg(rd.from_arrow(tbl).repartition(9), iters=6)
+    assert w1.column("w_r6").to_pylist() == w2.column("w_r6").to_pylist()
+    # the en-marker buckets must be pushed positive, de-markers negative
+    w = np.array(w1.column("w_r6").to_pylist())
+    sd = np.uint64(0x5EED_FA57)
+
+    def bucket(tok):
+        return int(_splitmix64(np.uint64(hash_token(tok)) ^ sd) % np.uint64(64))
+
+    en_score = sum(w[bucket(t)] for t in ("alpha", "beta", "gamma"))
+    de_score = sum(w[bucket(t)] for t in ("delta", "epsi", "zeta"))
+    assert en_score > 0 > de_score
