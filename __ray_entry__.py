@@ -316,7 +316,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # driver-verified hash on the remaining ~141 entries.
     oracled = _oracled_names()
     recorded = _recorded_names()
-    front = {k: v for k, v in q.items() if k not in recorded and k in oracled}
+    red = _red_names() - recorded
+    front = {k: v for k, v in q.items() if k in red}
+    front.update({k: v for k, v in q.items() if k not in recorded and k in oracled})
     front.update({k: v for k, v in q.items() if k not in recorded and k not in oracled})
     front.update({k: v for k, v in q.items() if k in recorded})
     return front
@@ -326,24 +328,62 @@ def _oracled_names() -> set[str]:
     return set(oracle_sql())
 
 
-def _recorded_names() -> set[str]:
-    """Queries with a driver-green CORRECTNESS row in ANY earlier round —
-    read live from the repo's CORRECTNESS_r*.json files so each round's
-    window automatically fronts whatever is still unrecorded (the static
-    fallback set below covers runs outside the repo root)."""
+def _load_correctness_rows() -> dict[str, list[dict]]:
     import glob
     import json
     import os
 
-    rec = set(_RECORDED_R1_R3)
+    rows: dict[str, list[dict]] = {}
     here = os.path.dirname(os.path.abspath(__file__))
     for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
         try:
             with open(path) as f:
-                rec |= set(json.load(f))
+                for k, v in json.load(f).items():
+                    rows.setdefault(k, []).append(v)
         except Exception:
             pass
+    return rows
+
+
+def _row_green(v: dict) -> bool:
+    """A driver row counts as 'recorded' only if it passed: either a full
+    oracle match, or a rows-only record (err == 'no_oracle') that ran.
+    A row with any explicit False match flag (e.g. large_orders r4
+    hash_match=False) or a hard error is RED, not recorded."""
+    if not isinstance(v, dict):
+        return False
+    err = v.get("err")
+    if err == "no_oracle":
+        return v.get("spark_rows") is not None
+    if err:
+        return False
+    return all(
+        v.get(f) is not False for f in ("rows_match", "schema_match", "hash_match")
+    )
+
+
+def _recorded_names() -> set[str]:
+    """Queries with a driver-green CORRECTNESS row in ANY earlier round —
+    read live from the repo's CORRECTNESS_r*.json files so each round's
+    window automatically fronts whatever is still unrecorded (the static
+    fallback set below covers runs outside the repo root). A query whose
+    ONLY driver records are red (match-flag False or hard error) does not
+    count — it must re-enter the window until a green row exists."""
+    rec = set(_RECORDED_R1_R3)
+    for k, vs in _load_correctness_rows().items():
+        if any(_row_green(v) for v in vs):
+            rec.add(k)
     return rec
+
+
+def _red_names() -> set[str]:
+    """Queries with at least one red driver record — these jump to the
+    absolute FRONT of the window so the next round re-certifies them."""
+    red = set()
+    for k, vs in _load_correctness_rows().items():
+        if any(not _row_green(v) for v in vs):
+            red.add(k)
+    return red
 
 
 _RECORDED_R1_R3 = {

@@ -356,10 +356,15 @@ def _run_memproof() -> dict:
     single-socket memory system — the resource a real N→4N-node
     cluster multiplies with nodes — and not engine-owned overhead.
     """
-    import multiprocessing as mp
+    # fork context explicitly: `worker` is a closure, picklable only
+    # under fork; spawn/forkserver (or a library flipping the default)
+    # would crash the bench (ADVICE r4).
+    import multiprocessing as _mp
     import time as _t
 
     import numpy as np
+
+    mp = _mp.get_context("fork")
 
     E_P = 3_125_000
 
@@ -405,6 +410,188 @@ def _run_memproof() -> dict:
             "eff_2_32": round((rates[32] / (16 * rates[2])) ** 0.5, 3),
         }
     return result
+
+
+def _run_hashes() -> dict:
+    """Replicates the driver's correctness canonicalization locally so a
+    red CORRECTNESS row is diagnosable (VERDICT r4 task #2): for each
+    window query (default: the first 50 of ``queries()``, i.e. exactly
+    the driver's recording window) run the Ray pipeline AND the DuckDB
+    oracle at the driver's scale (sf0.01 by default), canonicalize both
+    (sorted column names, canonical dtypes, order-insensitive rows) and
+    emit two hashes per side:
+
+    - ``lenient``: values only, after coercing every integer-kind column
+      (including DuckDB HUGEINT/decimal) to int64 — what the in-repo
+      parity test effectively compares;
+    - ``strict``: the lenient hash PLUS the post-coercion Arrow dtype of
+      every column — dtype-sensitive, so an oracle emitting
+      decimal128(38,0) where the engine emits int64 mismatches here
+      even when all values agree (the `large_orders` r4 failure mode).
+
+    Prints a JSON manifest; commit it as HASHES_r{N}.json.
+
+    Env: GRAFT_HASH_SF_DIR (default /root/testdata/sf0.01),
+    GRAFT_HASH_WINDOW (default 50), GRAFT_HASH_QUERIES (comma list
+    overriding the window).
+    """
+    import hashlib
+    import logging
+
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __ray_entry__ as entrymod
+
+    sf_dir = os.environ.get("GRAFT_HASH_SF_DIR", "/root/testdata/sf0.01")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    ray.init(
+        address="local", num_cpus=num_cpus, include_dashboard=False,
+        ignore_reinit_error=True, logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    logging.getLogger("ray.data").setLevel(logging.CRITICAL)
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    if os.environ.get("GRAFT_HASH_QUERIES"):
+        names = [n for n in os.environ["GRAFT_HASH_QUERIES"].split(",") if n in qs]
+    else:
+        window = int(os.environ.get("GRAFT_HASH_WINDOW", "50"))
+        names = [n for n in list(qs)[:window] if n in oracles]
+
+    tables = (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split()
+
+    def _canon(df: pd.DataFrame):
+        df = df[sorted(df.columns)].copy()
+        dtypes = {}
+        for c in df.columns:
+            s = df[c]
+            if pd.api.types.is_bool_dtype(s):
+                df[c] = s.astype("int64")
+            elif pd.api.types.is_integer_dtype(s) or pd.api.types.is_unsigned_integer_dtype(s):
+                df[c] = s.astype("int64")
+            elif pd.api.types.is_float_dtype(s):
+                df[c] = s.astype("float64")
+            elif pd.api.types.is_object_dtype(s) and len(s) and isinstance(s.iloc[0], (int, np.integer)):
+                df[c] = s.astype("int64")
+            else:
+                df[c] = s.astype("string")
+            dtypes[c] = str(df[c].dtype)
+        df = df.sort_values(list(df.columns), kind="mergesort").reset_index(drop=True)
+        return df, dtypes
+
+    def _hashes(df: pd.DataFrame, raw_dtypes: dict) -> dict:
+        cdf, canon_dtypes = _canon(df)
+        h = hashlib.sha256()
+        for c in cdf.columns:
+            vals = cdf[c]
+            if str(vals.dtype) == "float64":
+                # driver-style canonical float text (repr round-trips)
+                h.update(("\x00".join(repr(float(v)) for v in vals) + "\x01" + c).encode())
+            else:
+                h.update(("\x00".join(str(v) for v in vals) + "\x01" + c).encode())
+        lenient = h.hexdigest()[:16]
+        hs = hashlib.sha256(
+            (lenient + "|" + "|".join(f"{c}:{raw_dtypes[c]}" for c in sorted(raw_dtypes))).encode()
+        )
+        return {
+            "rows": len(cdf),
+            "cols": list(cdf.columns),
+            "raw_dtypes": raw_dtypes,
+            "lenient": lenient,
+            "strict": hs.hexdigest()[:16],
+        }
+
+    def _to_pandas(res):
+        if isinstance(res, pd.DataFrame):
+            return res
+        if hasattr(res, "to_pandas"):
+            return res.to_pandas()
+        raise TypeError(type(res))
+
+    out: dict = {"sf_dir": sf_dir, "queries": {}}
+    n_mismatch = 0
+    for name in names:
+        rec: dict = {}
+        try:
+            rdf = _to_pandas(qs[name](sf_dir))
+            rec["ray"] = _hashes(rdf, {c: str(rdf[c].dtype) for c in rdf.columns})
+        except Exception as ex:  # noqa: BLE001
+            rec["ray"] = {"err": f"{type(ex).__name__}: {ex}"}
+        try:
+            con = duckdb.connect()
+            for t in tables:
+                con.sql(
+                    f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{sf_dir}/{t}.parquet')"
+                )
+            atbl = con.sql(oracles[name]).arrow()
+            odf = atbl.to_pandas()
+            rec["oracle"] = _hashes(
+                odf, {f.name: str(f.type) for f in atbl.schema}
+            )
+        except Exception as ex:  # noqa: BLE001
+            rec["oracle"] = {"err": f"{type(ex).__name__}: {ex}"}
+        ok_l = rec.get("ray", {}).get("lenient") == rec.get("oracle", {}).get("lenient")
+        # strict agreement additionally demands the engine/oracle RAW
+        # dtypes coincide per column after name-sort (schema-level parity)
+        ok_s = ok_l and (
+            rec.get("ray", {}).get("raw_dtypes", {}) != {}
+            and {
+                k: v for k, v in sorted(rec["ray"].get("raw_dtypes", {}).items())
+            }.keys()
+            == {
+                k: v for k, v in sorted(rec["oracle"].get("raw_dtypes", {}).items())
+            }.keys()
+            and all(
+                _dtype_canon(rec["ray"]["raw_dtypes"][c])
+                == _dtype_canon(rec["oracle"]["raw_dtypes"][c])
+                for c in rec["ray"]["raw_dtypes"]
+            )
+        )
+        rec["lenient_match"] = ok_l
+        rec["strict_match"] = ok_s
+        if not ok_s:
+            n_mismatch += 1
+        out["queries"][name] = rec
+        print(
+            f"# {name}: lenient={'OK' if ok_l else 'MISMATCH'} "
+            f"strict={'OK' if ok_s else 'MISMATCH'}",
+            file=sys.stderr,
+        )
+    out["n_queries"] = len(names)
+    out["n_strict_mismatch"] = n_mismatch
+    ray.shutdown()
+    return out
+
+
+def _dtype_canon(dt: str) -> str:
+    """Collapse raw dtype spellings to a comparison class: any integer
+    spelling (numpy int64, arrow int64, pandas Int64) is 'int'; any
+    float is 'float'; decimal/hugeint stays its own class on purpose —
+    an oracle emitting decimal128 where the engine emits int64 is
+    exactly the defect this mode exists to catch."""
+    d = dt.lower()
+    if "decimal" in d or "hugeint" in d:
+        return "decimal"
+    if "int" in d:
+        return "int"
+    if "float" in d or "double" in d:
+        return "float"
+    if "bool" in d:
+        return "int"
+    if "timestamp" in d or "date" in d:
+        return "timestamp"
+    return "str"
 
 
 def _run_stats() -> None:
@@ -453,6 +640,9 @@ def main() -> None:
         return
     if "--memproof" in sys.argv:
         print(json.dumps(_run_memproof()))
+        return
+    if "--hashes" in sys.argv:
+        print(json.dumps(_run_hashes()))
         return
     if "--kernel" in sys.argv:
         print(json.dumps(_run_kernel()))

@@ -3294,10 +3294,10 @@ def bowtie_coocc_sql(rounds: int = 8) -> str:
 fr AS (SELECT DISTINCT vid FROM f{rounds}),
 br AS (SELECT DISTINCT vid FROM b{rounds})
 SELECT CAST(v.vid AS BIGINT) AS vid,
-  CASE WHEN f.vid IS NOT NULL AND b.vid IS NOT NULL THEN 0
+  CAST(CASE WHEN f.vid IS NOT NULL AND b.vid IS NOT NULL THEN 0
        WHEN b.vid IS NOT NULL THEN 1
        WHEN f.vid IS NOT NULL THEN 2
-       ELSE 3 END AS cls
+       ELSE 3 END AS BIGINT) AS cls
 FROM verts v
 LEFT JOIN fr f ON f.vid = v.vid
 LEFT JOIN br b ON b.vid = v.vid"""
@@ -5267,7 +5267,7 @@ def large_orders_sql(min_qty: int = 250) -> str:
   FROM lineitem GROUP BY l_orderkey
   HAVING SUM(CAST(l_quantity AS BIGINT)) >= {int(min_qty)}
 )
-SELECT o.o_orderkey, o.o_custkey, big.qty_sum,
+SELECT o.o_orderkey, o.o_custkey, CAST(big.qty_sum AS BIGINT) AS qty_sum,
        CAST(FLOOR(o.o_totalprice * 100) AS BIGINT) AS total_cents
 FROM orders o JOIN big ON o.o_orderkey = big.l_orderkey"""
 
