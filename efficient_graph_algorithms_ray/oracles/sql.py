@@ -1141,10 +1141,11 @@ def cluster_field_integrate_coocc_sql(
 ) -> str:
     """Replays pipelines/decomposition.cluster_sliced_integrate: the
     cluster_slices chain (per-vertex hop band sv, per-(cluster, band)
-    degree sums F_s), then value(v) = Σ_s F_s / (1 + |sv − s|·unit),
-    round_even 6 (the banded kernel-field integration — engine sums the
-    few band terms per vertex; the float reassociation is absorbed by
-    the rounding, the band sums themselves are exact integers)."""
+    degree sums F_s), then value(v) = (Σ_s ⌊F_s·2^20 / (1 + |sv −
+    s|·unit)⌋) / 2^20, round_even 6. Each kernel term is floor-
+    quantized at 2^20 and summed as int64 on BOTH sides (the repo's
+    quantization convention), so the sum is associative and blocking-
+    independent — no reliance on rounding to absorb reassociation."""
     inner = cluster_slices_coocc_sql(rounds=rounds, beta=beta, seed=seed, P=P, unit=unit)
     # reuse the chain up to `fin`/`base`/`deg`: drop the final SELECT,
     # append two more CTEs (note the comma splice) + the new final SELECT
@@ -1163,7 +1164,7 @@ vslice AS (
   FROM fin f JOIN base b USING (cluster)
 )
 SELECT v.vid,
-  round_even(SUM(bd.fsum / (1.0 + abs(v.sv - bd.s) * {float(unit)!r})), 6) AS value_r6
+  round_even(SUM(CAST(FLOOR(bd.fsum * 1048576.0 / (1.0 + abs(v.sv - bd.s) * {float(unit)!r})) AS BIGINT))::DOUBLE / 1048576.0, 6) AS value_r6
 FROM vslice v JOIN bands bd ON bd.cluster = v.cluster
 GROUP BY v.vid"""
 
