@@ -49,6 +49,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-4 additions (SQL-oracled, never driver-recorded)
         "cluster_slices_coocc": R.q_cluster_slices_coocc,
         "cluster_field_integrate_coocc": R.q_cluster_field_integrate_coocc,
+        "cluster_cross_integrate_coocc": R.q_cluster_cross_integrate_coocc,
         "grid_conv_wass": C.q_grid_conv_wass,
         "train_logreg": C.q_train_logreg,
         "pii_scrub": C.q_pii_scrub,
@@ -717,6 +718,9 @@ def oracle_sql() -> dict[str, str]:
         "ldd_coocc": S.ldd_coocc_sql(rounds=5),
         "cluster_slices_coocc": S.cluster_slices_coocc_sql(rounds=5, beta=4.0, seed=42, unit=1),
         "cluster_field_integrate_coocc": S.cluster_field_integrate_coocc_sql(
+            rounds=5, beta=4.0, seed=42, unit=1
+        ),
+        "cluster_cross_integrate_coocc": S.cluster_cross_integrate_coocc_sql(
             rounds=5, beta=4.0, seed=42, unit=1
         ),
         "grid_conv_wass": S.grid_conv_wass_sql(),

@@ -1169,6 +1169,48 @@ FROM vslice v JOIN bands bd ON bd.cluster = v.cluster
 GROUP BY v.vid"""
 
 
+def cluster_cross_integrate_coocc_sql(
+    rounds: int = 5, beta: float = 4.0, seed: int = 42, P: int = 16, unit: int = 1
+) -> str:
+    """Replays pipelines/decomposition.cluster_cross_integrate: the
+    cluster_slices chain (per-vertex hop band sv, per-(cluster, band)
+    field sums F), clusters split into two sides by cluster-id parity,
+    geometric kernel f(d) = 2^-d with Hankel collapse
+    K_c = Σ_j F_{c,j} / 2^(j·u) (exact dyadic sums), then per vertex
+
+      value(v) = (Σ_{cr opposite} ⌊K_cr·2^20 / 2^((sv+shift(cl,cr))·u)⌋) / 2^20
+
+    with shift(cl,cr) = 1 + (3·cl + 5·cr) mod 4, round_even 6. The
+    per-pair floor-quantization + BIGINT sum matches the engine term
+    for term, so the many-cluster sum is order-independent."""
+    u = int(unit)
+    inner = cluster_slices_coocc_sql(rounds=rounds, beta=beta, seed=seed, P=P, unit=unit)
+    head, _sep, _tail = inner.rpartition("SELECT f.cluster,")
+    return f"""{head.rstrip()},
+bands AS (
+  SELECT f.cluster,
+    ((f.keyhi - b.kmin) // 1024) // {u} AS s,
+    SUM(d.d)::DOUBLE AS fsum
+  FROM fin f JOIN base b USING (cluster) JOIN deg d ON d.vid = f.vid
+  GROUP BY 1, 2
+),
+kc AS (
+  SELECT cluster, SUM(fsum / CAST(1 << (s * {u}) AS DOUBLE)) AS kval
+  FROM bands GROUP BY cluster
+),
+vslice AS (
+  SELECT f.vid, f.cluster,
+    ((f.keyhi - b.kmin) // 1024) // {u} AS sv
+  FROM fin f JOIN base b USING (cluster)
+)
+SELECT v.vid,
+  round_even(SUM(CAST(FLOOR(k.kval * 1048576.0 /
+      CAST(1 << ((v.sv + 1 + ((3 * v.cluster + 5 * k.cluster) % 4)) * {u}) AS DOUBLE))
+    AS BIGINT))::DOUBLE / 1048576.0, 6) AS value_r6
+FROM vslice v JOIN kc k ON (k.cluster % 2) <> (v.cluster % 2)
+GROUP BY v.vid"""
+
+
 def cluster_slices_coocc_sql(
     rounds: int = 5, beta: float = 4.0, seed: int = 42, P: int = 16, unit: int = 1
 ) -> str:

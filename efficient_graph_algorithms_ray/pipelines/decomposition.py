@@ -352,3 +352,172 @@ def cluster_sliced_integrate(
         .groupby("bucket")
         .map_groups(_integrate, batch_format="pyarrow")
     )
+
+
+def cluster_cross_integrate(
+    graph: ShardedGraph,
+    ckpt_dir: str,
+    *,
+    beta: float = 0.5,
+    seed: int = HASH_SEED,
+    unit: int = 1,
+    max_iters: int = 300,
+    fanout: int | None = None,
+):
+    """Cross-cluster Hankel kernel-field integration — the engine's
+    counterpart of the reference's A↔B cross-terms over a 2-cluster
+    split (/root/reference/src/ega/util/separator_utils.py:239-268
+    ``fast_multiply`` and :310-332 the cross-term double loop in
+    ``recursively_integrate_factorized_graph_field``).
+
+    LDD clusters are split into two sides by cluster-id parity (the
+    engine's documented stand-in for the planar separator's A/B split).
+    For a vertex v at hop band i of cluster cl, the contribution from
+    the OTHER side is
+
+        value(v) = Σ_{cr opposite} Σ_j 2^-((i + j + shift(cl,cr))·u) · F_{cr,j}
+
+    with F the per-(cluster, band) field sums (degree stand-in field,
+    as in ``cluster_sliced_integrate``), the reference's geometric /
+    Laplace kernel f(d) = 2^-d (its ``multiplicative_shift=True`` fast
+    path), and shift(cl,cr) = 1 + (3·cl + 5·cr) mod 4 the deterministic
+    stand-in for its separator ``_cl_relator`` distance matrix.
+
+    The Hankel fast-multiply: a geometric kernel factorizes the Hankel
+    matvec, so each opposite cluster collapses to ONE scalar
+    K_cr = Σ_j 2^-(j·u)·F_{cr,j} (O(bands) per cluster — the
+    reference's "first row dot, then multiplier powers" trick) and each
+    (cl, band i) cross value is Σ_cr K_cr·2^-((i+shift)·u) — O(L+R)
+    work per cluster pair instead of the O(L·R) dense Hankel product.
+
+    Exactness: every 2^-n·int product and the per-cluster K sums are
+    exact float64 dyadics (needs log2(max F) + max band·u ≤ 52 — holds
+    by the LDD radius bound); the MANY-cluster outer sum is the one
+    order-sensitive reduction, so per-pair terms are floor-quantized at
+    2^20 and summed as int64 (repo convention) → bit-exact vs the SQL
+    oracle (oracles/sql.cluster_cross_integrate_coocc_sql) at any
+    blocking. Overflow bound: log2(max K) + 20 ≤ 62.
+
+    Distributed shape: ONE co-shuffle for the band fold (same bucketed
+    route as ``cluster_distance_slices``); the per-(cluster, band)
+    table (≪ V rows, bounded by cluster-count × LDD radius) is
+    collected, the pair fold runs vectorized on it (#A × #B pairs —
+    the same pair-count contract the reference's own double loop
+    carries), and the tiny (cluster, band) → value map is broadcast
+    via ``ray.put`` and joined to vertices in one streaming
+    ``map_batches``. Vertices are dropped (not zeroed) when the
+    opposite side is empty, mirroring the oracle's inner join.
+
+    Returns Dataset (vid, value_r6).
+    """
+    import pyarrow as pa
+    import ray
+
+    assign, _ = low_diameter_decomposition(
+        graph, ckpt_dir, beta=beta, seed=seed, max_iters=max_iters
+    )
+    B = _slice_fanout(graph, fanout)
+    u = int(unit)
+
+    def _tag(b: pa.Table) -> pa.Table:
+        clu = b.column("cluster").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "bucket": pa.array(clu % B, type=pa.int64()),
+                "cluster": b.column("cluster"),
+                "keyhi": b.column("keyhi"),
+                "deg": b.column("deg"),
+            }
+        )
+
+    def _bands(g: pa.Table) -> pa.Table:
+        clu = g.column("cluster").to_numpy(zero_copy_only=False).astype(np.int64)
+        key = g.column("keyhi").to_numpy(zero_copy_only=False).astype(np.int64)
+        deg = g.column("deg").to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq, codes = np.unique(clu, return_inverse=True)
+        k0 = np.full(len(uniq), np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(k0, codes, key)
+        slc = ((key - k0[codes]) // SCALE) // u
+        pack = codes.astype(np.int64) * (1 << 32) + slc
+        puniq, pcodes = np.unique(pack, return_inverse=True)
+        ds_ = np.bincount(pcodes, weights=deg, minlength=len(puniq)).astype(np.int64)
+        ci = (puniq >> 32).astype(np.int64)
+        return pa.table(
+            {
+                "cluster": pa.array(uniq[ci], type=pa.int64()),
+                "slice": pa.array(puniq & 0xFFFFFFFF, type=pa.int64()),
+                "deg_sum": pa.array(ds_, type=pa.int64()),
+                "kmin": pa.array(k0[ci], type=pa.int64()),
+            }
+        )
+
+    folded = (
+        assign.map_batches(_tag, batch_format="pyarrow")
+        .groupby("bucket")
+        .map_groups(_bands, batch_format="pyarrow")
+        .to_pandas()  # ≤ #clusters × LDD-radius rows by construction
+    )
+    clu = folded["cluster"].to_numpy()
+    slc = folded["slice"].to_numpy()
+    f = folded["deg_sum"].to_numpy()
+    kmin_row = folded["kmin"].to_numpy()
+    uc, codes = np.unique(clu, return_inverse=True)
+    # per-cluster Hankel collapse: K_c = Σ_j 2^-(j·u) · F_{c,j} (exact)
+    K = np.zeros(len(uc), dtype=np.float64)
+    np.add.at(K, codes, f * np.exp2(-(slc * u).astype(np.float64)))
+    kmin_c = np.zeros(len(uc), dtype=np.int64)
+    kmin_c[codes] = kmin_row
+    parity = uc % 2
+
+    # pair fold per (cluster, band) row, vectorized over opposite clusters
+    qvals = np.zeros(len(folded), dtype=np.int64)
+    keep = np.zeros(len(folded), dtype=bool)
+    for p in (0, 1):
+        rows = np.nonzero(parity[codes] == p)[0]
+        other = np.nonzero(parity == 1 - p)[0]
+        if len(rows) == 0 or len(other) == 0:
+            continue
+        keep[rows] = True
+        co, ko = uc[other], K[other]
+        # chunk the (rows × other) term matrix to bound peak memory
+        step = max(1, 4_000_000 // max(1, len(other)))
+        for s0 in range(0, len(rows), step):
+            r = rows[s0 : s0 + step]
+            shift = 1 + (3 * clu[r][:, None] + 5 * co[None, :]) % 4
+            q = np.floor(
+                ko[None, :] * 1048576.0 / np.exp2(((slc[r][:, None] + shift) * u).astype(np.float64))
+            ).astype(np.int64)
+            qvals[r] = q.sum(axis=1, dtype=np.int64)
+    pack = clu * (1 << 20) + slc  # band < 2^20 by the LDD radius bound
+    order = np.argsort(pack[keep], kind="stable")
+    bc = ray.put(
+        (
+            pack[keep][order],
+            qvals[keep][order],
+            uc,
+            kmin_c,
+        )
+    )
+
+    def _final(batch: pa.Table) -> pa.Table:
+        pk, qv, uc_, km = ray.get(bc)
+        vid = batch.column("vid").to_numpy(zero_copy_only=False).astype(np.int64)
+        cl = batch.column("cluster").to_numpy(zero_copy_only=False).astype(np.int64)
+        ky = batch.column("keyhi").to_numpy(zero_copy_only=False).astype(np.int64)
+        ci = np.searchsorted(uc_, cl)
+        band = ((ky - km[ci]) // SCALE) // u
+        key = cl * (1 << 20) + band
+        pos = np.searchsorted(pk, key)
+        inb = pos < len(pk)
+        hit = np.zeros(len(key), dtype=bool)
+        hit[inb] = pk[pos[inb]] == key[inb]
+        return pa.table(
+            {
+                "vid": pa.array(vid[hit], type=pa.int64()),
+                "value_r6": pa.array(
+                    np.round(qv[pos[hit]] / 1048576.0, 6), type=pa.float64()
+                ),
+            }
+        )
+
+    return assign.map_batches(_final, batch_format="pyarrow")

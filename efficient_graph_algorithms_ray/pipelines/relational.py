@@ -2171,6 +2171,22 @@ def q_cluster_field_integrate_coocc(sf_dir: str):
     )
 
 
+def q_cluster_cross_integrate_coocc(sf_dir: str):
+    """Cross-cluster Hankel kernel-field integration over the part
+    co-occurrence graph (SURVEY §2 #12 remainder — the reference's A↔B
+    cross-terms with the geometric fast-multiply,
+    separator_utils.py:239-268,310-332, re-expressed on an LDD
+    parity split): per vertex, the floor-quantized geometric-kernel
+    contribution of every opposite-side cluster's band sums. SQL
+    parity via oracles/sql.cluster_cross_integrate_coocc_sql."""
+    from .decomposition import cluster_cross_integrate
+
+    g = _coocc_graph(sf_dir)
+    return cluster_cross_integrate(
+        g, _ckpt("ccross"), beta=4.0, seed=42, unit=1
+    )
+
+
 def q_sinkhorn_coocc(sf_dir: str):
     """Entropic OT distances from the retailprice mass distribution to
     (0) itself and (1) the size-proportional distribution, over the part

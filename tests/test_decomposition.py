@@ -142,3 +142,77 @@ def test_cluster_slice_fanout_invariance(tmp_path):
     # derived default: scales with shard count / graph size, floor 16
     assert _slice_fanout(g, None) == max(16, 4 * g.num_partitions, g.n_vertices // 100_000)
     assert _slice_fanout(g, 32) == 32
+
+
+def test_cluster_cross_integrate_matches_dense(tmp_path):
+    """cluster_cross_integrate vs a dense double-loop replica of the
+    reference cross-term semantics (separator_utils.py:310-332) with
+    the SAME per-pair floor-quantization — bit-exact, plus fan-out
+    invariance of the distributed route."""
+    from efficient_graph_algorithms_ray.pipelines.decomposition import (
+        SCALE,
+        cluster_cross_integrate,
+        low_diameter_decomposition,
+    )
+
+    g, _, _ = _random_graph(n=160, p=0.05, seed=3)
+    beta, seed, u = 0.4, 17, 1
+    out = (
+        cluster_cross_integrate(
+            g, str(tmp_path / "cx"), beta=beta, seed=seed, unit=u
+        )
+        .to_pandas()
+        .sort_values("vid")
+        .reset_index(drop=True)
+    )
+
+    # dense replica from the raw LDD assignment
+    assign, _ = low_diameter_decomposition(
+        g, str(tmp_path / "ldd"), beta=beta, seed=seed
+    )
+    df = assign.to_pandas()
+    clu = df["cluster"].to_numpy().astype(np.int64)
+    key = df["keyhi"].to_numpy().astype(np.int64)
+    deg = df["deg"].to_numpy().astype(np.int64)
+    vid = df["vid"].to_numpy().astype(np.int64)
+    kmin = {}
+    for c, k in zip(clu, key):
+        kmin[c] = min(kmin.get(c, k), k)
+    band = np.array([(k - kmin[c]) // SCALE // u for c, k in zip(clu, key)])
+    # per-(cluster, band) field sums → per-cluster Hankel scalar K
+    F: dict = {}
+    for c, b, d in zip(clu, band, deg):
+        F[(c, b)] = F.get((c, b), 0) + int(d)
+    K: dict = {}
+    for (c, b), s in F.items():
+        K[c] = K.get(c, 0.0) + s * 2.0 ** -(b * u)
+    vals, vids = [], []
+    for v, c, b in zip(vid, clu, band):
+        acc, seen = 0, False
+        for cr, kv in sorted(K.items()):
+            if (cr % 2) == (c % 2):
+                continue
+            seen = True
+            shift = 1 + (3 * c + 5 * cr) % 4
+            acc += int(np.floor(kv * 1048576.0 / 2.0 ** ((b + shift) * u)))
+        if seen:
+            vids.append(v)
+            vals.append(np.round(acc / 1048576.0, 6))
+    ref = (
+        __import__("pandas")
+        .DataFrame({"vid": vids, "value_r6": vals})
+        .sort_values("vid")
+        .reset_index(drop=True)
+    )
+    assert out.equals(ref)
+
+    # fan-out invariance for the cross route as well
+    out2 = (
+        cluster_cross_integrate(
+            g, str(tmp_path / "cx2"), beta=beta, seed=seed, unit=u, fanout=256
+        )
+        .to_pandas()
+        .sort_values("vid")
+        .reset_index(drop=True)
+    )
+    assert out2.equals(out)
