@@ -25,6 +25,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import polars as pl
 
 from ..config import HASH_SEED
@@ -134,7 +135,7 @@ def winnow_batch(batch: pa.Table, w: int = 3, window: int = 4) -> pa.Table:
     """(doc_id, fp int64) — one row per distinct winnowing fingerprint
     per document (int64-reinterpreted, the content_hash convention)."""
     ids = batch.column("doc_id").to_pylist()
-    texts = batch.column("text").to_pandas().fillna("")
+    texts = pc.fill_null(batch.column("text"), "").to_pylist()
     out_id: list[int] = []
     out_fp: list[np.ndarray] = []
     for doc_id, t in zip(ids, texts):
@@ -193,7 +194,7 @@ def dup_ngram_stats(docs_ds, *, w: int = 5, num_partitions: int = 32):
 
     def _sh(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
-        texts = batch.column("text").to_pandas().fillna("")
+        texts = pc.fill_null(batch.column("text"), "").to_pylist()
         out_id: list[np.ndarray] = []
         out_h: list[np.ndarray] = []
         out_c: list[np.ndarray] = []
@@ -281,7 +282,7 @@ def minhash_batch(batch: pa.Table) -> pa.Table:
     """(doc_id, sig: list<uint64>[128]) per document."""
     from ..util import list_array
 
-    texts = batch.column("text").to_pandas().fillna("")
+    texts = pc.fill_null(batch.column("text"), "").to_pylist()
     shingles = [shingle_hashes(t) for t in texts]
     keep = pa.array([len(s) > 0 for s in shingles])  # shingle-less docs drop out
     sigs = [minhash_signature(s) for s in shingles if len(s) > 0]
@@ -377,37 +378,48 @@ def pairs_from_band_rows(bands, threshold: float):
     aggregate to collapse cross-band duplicates."""
     from ray.data.aggregate import Min
 
-    def _bucket_verify(group: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
+    def _bucket_verify(group: pa.Table) -> pa.Table:
+        # pure pyarrow group fn (no pandas detour): dedupe-by-doc_id via
+        # stable argsort + first-of-run (duplicate rows carry identical
+        # sigs, so keep-first ≡ the old drop_duplicates), signatures as
+        # one offsets-based reshape of the fixed-width list column.
+        from ..util import flatten_list_column
+
+        empty = pa.table(
             {
-                "doc_a": pd.Series([], dtype=np.int64),
-                "doc_b": pd.Series([], dtype=np.int64),
-                "est_jaccard": pd.Series([], dtype=np.float64),
+                "doc_a": pa.array([], type=pa.int64()),
+                "doc_b": pa.array([], type=pa.int64()),
+                "est_jaccard": pa.array([], type=pa.float64()),
             }
         )
-        g = group.drop_duplicates("doc_id").sort_values("doc_id")
-        n = len(g)
+        did = group.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(did, kind="stable")
+        d_s = did[order]
+        firsts = np.ones(len(d_s), dtype=bool)
+        firsts[1:] = d_s[1:] != d_s[:-1]
+        rows = order[firsts]
+        n = len(rows)
         if n < 2 or n > MAX_BUCKET:
             return empty
-        ids = g["doc_id"].to_numpy()
-        sig_mat = np.vstack(g["sig"].to_numpy())
+        sig_mat = flatten_list_column(group, "sig").reshape(len(group), -1)[rows]
+        ids = did[rows]
         ia, ib = np.triu_indices(n, 1)
         est = (sig_mat[ia] == sig_mat[ib]).mean(axis=1)
         keep = est >= threshold
         # est = matches/128 is an exact binary fraction — emit it raw
         # (identical double in DuckDB; rounding a .5-boundary rational
         # would split on half-even vs half-away)
-        return pd.DataFrame(
+        return pa.table(
             {
-                "doc_a": ids[ia][keep],
-                "doc_b": ids[ib][keep],
-                "est_jaccard": est[keep],
+                "doc_a": pa.array(ids[ia][keep], type=pa.int64()),
+                "doc_b": pa.array(ids[ib][keep], type=pa.int64()),
+                "est_jaccard": pa.array(est[keep], type=pa.float64()),
             }
         )
 
     pairs = (
         bands.groupby(["band", "band_hash"])
-        .map_groups(_bucket_verify, batch_format="pandas")
+        .map_groups(_bucket_verify, batch_format="pyarrow")
     )
     out = pairs.groupby(["doc_a", "doc_b"]).aggregate(
         Min("est_jaccard", alias_name="est_jaccard")
@@ -446,7 +458,7 @@ def minhash_exact_jaccard_pairs(docs_ds, threshold: float = 0.3):
     from ..util import list_array, list_rows
 
     def _sig_shingles(batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pandas().fillna("")
+        texts = pc.fill_null(batch.column("text"), "").to_pylist()
         shingles = [shingle_hashes(t) for t in texts]
         keep = pa.array([len(s) > 0 for s in shingles])
         shingles = [s for s in shingles if len(s) > 0]
@@ -489,21 +501,29 @@ def minhash_exact_jaccard_pairs(docs_ds, threshold: float = 0.3):
             }
         )
 
-    def _bucket_exact(group: pd.DataFrame) -> pd.DataFrame:
-        empty = pd.DataFrame(
+    def _bucket_exact(group: pa.Table) -> pa.Table:
+        from ..util import flatten_list_column, list_rows
+
+        empty = pa.table(
             {
-                "doc_a": pd.Series([], dtype=np.int64),
-                "doc_b": pd.Series([], dtype=np.int64),
-                "jaccard": pd.Series([], dtype=np.float64),
+                "doc_a": pa.array([], type=pa.int64()),
+                "doc_b": pa.array([], type=pa.int64()),
+                "jaccard": pa.array([], type=pa.float64()),
             }
         )
-        g = group.drop_duplicates("doc_id").sort_values("doc_id")
-        n = len(g)
+        did = group.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(did, kind="stable")
+        d_s = did[order]
+        firsts = np.ones(len(d_s), dtype=bool)
+        firsts[1:] = d_s[1:] != d_s[:-1]
+        rows_i = order[firsts]
+        n = len(rows_i)
         if n < 2 or n > MAX_BUCKET:
             return empty
-        ids = g["doc_id"].to_numpy()
-        sig_mat = np.vstack(g["sig"].to_numpy())
-        sh = list(g["shingles"].to_numpy())
+        ids = did[rows_i]
+        sig_mat = flatten_list_column(group, "sig").reshape(len(group), -1)[rows_i]
+        sh_all = list_rows(group, "shingles")
+        sh = [sh_all[i] for i in rows_i]
         ia, ib = np.triu_indices(n, 1)
         est = (sig_mat[ia] == sig_mat[ib]).mean(axis=1)
         keep = np.flatnonzero(est >= threshold)
@@ -521,18 +541,18 @@ def minhash_exact_jaccard_pairs(docs_ds, threshold: float = 0.3):
             out_j.append(j)
         if not out_a:
             return empty
-        return pd.DataFrame(
+        return pa.table(
             {
-                "doc_a": np.array(out_a, dtype=np.int64),
-                "doc_b": np.array(out_b, dtype=np.int64),
-                "jaccard": np.array(out_j, dtype=np.float64),
+                "doc_a": pa.array(np.array(out_a, dtype=np.int64), type=pa.int64()),
+                "doc_b": pa.array(np.array(out_b, dtype=np.int64), type=pa.int64()),
+                "jaccard": pa.array(np.array(out_j, dtype=np.float64), type=pa.float64()),
             }
         )
 
     rows = docs_ds.map_batches(_sig_shingles, batch_format="pyarrow").map_batches(
         _bands, batch_format="pyarrow"
     )
-    pairs = rows.groupby(["band", "band_hash"]).map_groups(_bucket_exact, batch_format="pandas")
+    pairs = rows.groupby(["band", "band_hash"]).map_groups(_bucket_exact, batch_format="pyarrow")
     out = pairs.groupby(["doc_a", "doc_b"]).aggregate(Min("jaccard", alias_name="jaccard"))
     return out.select_columns(["doc_a", "doc_b", "jaccard"])
 
@@ -563,23 +583,39 @@ def simhash_candidate_pairs(docs_ds, max_hamming: int = 8):
             }
         )
 
-    def _pairs(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.drop_duplicates("doc_id").sort_values("doc_id")
-        ids = g["doc_id"].to_numpy()
-        sh = g["simhash"].to_numpy().astype(np.uint64)
+    def _pairs(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "doc_a": pa.array([], type=pa.int64()),
+                "doc_b": pa.array([], type=pa.int64()),
+                "hamming": pa.array([], type=pa.int64()),
+            }
+        )
+        did = group.column("doc_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        shc = group.column("simhash").to_numpy(zero_copy_only=False).astype(np.uint64)
+        order = np.argsort(did, kind="stable")
+        d_s = did[order]
+        firsts = np.ones(len(d_s), dtype=bool)
+        firsts[1:] = d_s[1:] != d_s[:-1]
+        rows_i = order[firsts]
+        ids, sh = did[rows_i], shc[rows_i]
         if len(ids) < 2 or len(ids) > MAX_BUCKET:  # degenerate-bucket skew guard
-            return pd.DataFrame({"doc_a": pd.Series([], dtype=np.int64), "doc_b": pd.Series([], dtype=np.int64), "hamming": pd.Series([], dtype=np.int64)})
+            return empty
         ia, ib = np.triu_indices(len(ids), 1)
         ham = popcount64(sh[ia] ^ sh[ib])
         keep = ham <= max_hamming
-        return pd.DataFrame(
-            {"doc_a": ids[ia][keep], "doc_b": ids[ib][keep], "hamming": ham[keep]}
+        return pa.table(
+            {
+                "doc_a": pa.array(ids[ia][keep], type=pa.int64()),
+                "doc_b": pa.array(ids[ib][keep], type=pa.int64()),
+                "hamming": pa.array(ham[keep].astype(np.int64), type=pa.int64()),
+            }
         )
 
     pairs = (
         sigs.map_batches(_bands, batch_format="pyarrow")
         .groupby(["band", "key"])
-        .map_groups(_pairs, batch_format="pandas")
+        .map_groups(_pairs, batch_format="pyarrow")
     )
     # hamming is a pure function of the pair — one hash aggregate
     # replaces the round-1 sort-shuffle + per-group pandas head(1)
@@ -751,7 +787,7 @@ def contamination_counts(
 
     def _sh(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
-        texts = batch.column("text").to_pandas().fillna("")
+        texts = pc.fill_null(batch.column("text"), "").to_pylist()
         out_id: list[np.ndarray] = []
         out_h: list[np.ndarray] = []
         for i, t in zip(ids, texts):
@@ -819,7 +855,7 @@ def benchmark_contamination(docs_ds, *, bench_source: str = "src0", w: int = 13)
 
     def _bench_block(b: pa.Table) -> pa.Table:
         src = b.column("source").to_numpy(zero_copy_only=False)
-        txts = b.column("text").to_pandas().fillna("")
+        txts = pc.fill_null(b.column("text"), "").to_pylist()
         hs = [
             shingle_hashes(t, w)
             for t, s in zip(txts, src)
@@ -845,7 +881,7 @@ def benchmark_contamination(docs_ds, *, bench_source: str = "src0", w: int = 13)
     def _scan(b: pa.Table) -> pa.Table:
         bh = ray.get(ref)
         src = b.column("source").to_numpy(zero_copy_only=False)
-        txts = b.column("text").to_pandas().fillna("")
+        txts = pc.fill_null(b.column("text"), "").to_pylist()
         ids = b.column("doc_id").to_numpy(zero_copy_only=False)
         out_id, out_n, out_hit = [], [], []
         for did, t, s in zip(ids, txts, src):
@@ -893,7 +929,7 @@ def ngram_novelty(docs_ds, *, w: int = 8, num_partitions: int = 32):
 
     def _sh(batch: pa.Table) -> pa.Table:
         ids = batch.column("doc_id").to_pylist()
-        texts = batch.column("text").to_pandas().fillna("")
+        texts = pc.fill_null(batch.column("text"), "").to_pylist()
         out_id: list[np.ndarray] = []
         out_h: list[np.ndarray] = []
         for i, t in zip(ids, texts):

@@ -19,6 +19,7 @@ import re
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 _TOKEN_RE = re.compile(r"\S+")
 _WORD_RE = re.compile(r"[A-Za-z0-9]+(?:'[A-Za-z]+)?|[^\w\s]", re.U)  # BPE-ish pre-tokenizer
@@ -75,28 +76,47 @@ class QualityScorer:
     def __init__(self) -> None:
         self.token_re = _TOKEN_RE
         self.stop = _STOPWORDS
-        # one vectorized regex counts stopword-tokens: a \S+ token equals
-        # a stopword iff the stopword occurs with no \S on either side
-        # (longest-first alternation; case-insensitive = w.lower() match)
-        alts = "|".join(sorted(self.stop, key=len, reverse=True))
-        self.stop_re = re.compile(r"(?<!\S)(?:" + alts + r")(?!\S)", re.I)
+        self._stop_arr = pa.array(sorted(self.stop), type=pa.string())
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pandas().fillna("")
-        n_chars = texts.str.len().astype(np.float64)
-        n_tokens = texts.str.count(self.token_re.pattern).astype(np.float64)
-        # Σ token lengths ≡ count of non-whitespace chars (tokens are \S+)
-        tok_chars = texts.str.count(r"\S").astype(np.float64)
-        mean_tok_len = np.where(n_tokens > 0, tok_chars, 0) / np.maximum(n_tokens, 1)
-        stop_ratio = texts.str.count(self.stop_re).to_numpy() / np.maximum(
-            n_tokens.to_numpy(), 1
+        import pyarrow.compute as pc
+
+        # pure pyarrow/RE2 kernels, no pandas detour (the doc_stats
+        # pattern; VERDICT r4 task #5). NULL text → "" via fill_null.
+        # Stopword-token counting is the ORACLE's own formulation —
+        # split to \S+ tokens, lower, IN stoplist — instead of the old
+        # Python lookaround regex (RE2 has no lookarounds); identical
+        # whole-token semantics. `[^\w\s]` is RE2/ASCII \w here exactly
+        # as in the DuckDB oracle (the documented ASCII-corpus contract).
+        texts = pc.fill_null(batch.column("text"), "")
+
+        def _cnt(pat: str) -> np.ndarray:
+            return (
+                pc.count_substring_regex(texts, pat)
+                .to_numpy(zero_copy_only=False)
+                .astype(np.float64)
+            )
+
+        n_chars = (
+            pc.utf8_length(texts).to_numpy(zero_copy_only=False).astype(np.float64)
         )
-        alpha_ratio = texts.str.count(r"[A-Za-z]").to_numpy() / np.maximum(n_chars.to_numpy(), 1)
-        digit_ratio = texts.str.count(r"[0-9]").to_numpy() / np.maximum(n_chars.to_numpy(), 1)
-        punct_ratio = texts.str.count(r"[^\w\s]").to_numpy() / np.maximum(n_chars.to_numpy(), 1)
-        upper_ratio = texts.str.count(r"[A-Z]").to_numpy() / np.maximum(n_chars.to_numpy(), 1)
+        n_tokens = _cnt(r"\S+")
+        # Σ token lengths ≡ count of non-whitespace chars (tokens are \S+)
+        tok_chars = _cnt(r"\S")
+        mean_tok_len = np.where(n_tokens > 0, tok_chars, 0) / np.maximum(n_tokens, 1)
+        toks = pc.split_pattern_regex(texts, r"\s+")
+        par = pc.list_parent_indices(toks).to_numpy(zero_copy_only=False)
+        hit = pc.is_in(
+            pc.utf8_lower(pc.list_flatten(toks)), value_set=self._stop_arr
+        ).to_numpy(zero_copy_only=False)
+        stop_cnt = np.bincount(par[hit], minlength=len(batch)).astype(np.float64)
+        stop_ratio = stop_cnt / np.maximum(n_tokens, 1)
+        alpha_ratio = _cnt(r"[A-Za-z]") / np.maximum(n_chars, 1)
+        digit_ratio = _cnt(r"[0-9]") / np.maximum(n_chars, 1)
+        punct_ratio = _cnt(r"[^\w\s]") / np.maximum(n_chars, 1)
+        upper_ratio = _cnt(r"[A-Z]") / np.maximum(n_chars, 1)
         # composite score in [0,1]: length sweet-spot × alpha × stopword presence
-        length_score = np.clip(n_chars.to_numpy() / 500.0, 0, 1)
+        length_score = np.clip(n_chars / 500.0, 0, 1)
         score = (
             0.35 * length_score
             + 0.25 * alpha_ratio
@@ -138,29 +158,39 @@ class LangId:
     _WORD_CLS = "a-zäöüßéèêàçûî"
 
     def __init__(self) -> None:
-        # marker-count per language as ONE vectorized regex each: a word
-        # (maximal [_WORD_CLS]+ run of the lowercased text) equals a
-        # marker iff the marker occurs with no word-char on either side
-        cls = self._WORD_CLS
-        self.lang_res = [
-            (
-                lang,
-                re.compile(
-                    f"(?<![{cls}])(?:"
-                    + "|".join(sorted(_LANG_MARKERS[lang], key=len, reverse=True))
-                    + f")(?![{cls}])"
-                ),
-            )
-            for lang in ("en", "de", "fr")
+        # the oracle's own formulation (oracles/sql.LANGID): words are
+        # maximal [_WORD_CLS]+ runs of the lowercased text, counted per
+        # language by set membership — pure pyarrow/RE2 (split on the
+        # complement class + vectorized is_in), no pandas detour and no
+        # lookaround regexes (RE2 has none).
+        self.langs = ("en", "de", "fr")
+        self._marker_arrs = [
+            pa.array(sorted(_LANG_MARKERS[lang]), type=pa.string())
+            for lang in self.langs
         ]
+        self._split_pat = f"[^{self._WORD_CLS}]+"
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch.column("text").to_pandas().fillna("").str.lower()
+        import pyarrow.compute as pc
+
+        texts = pc.utf8_lower(pc.fill_null(batch.column("text"), ""))
+        words = pc.split_pattern_regex(texts, self._split_pat)
+        flat = pc.list_flatten(words)
+        par = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
         counts = np.stack(
-            [texts.str.count(rx).to_numpy() for _, rx in self.lang_res], axis=1
+            [
+                np.bincount(
+                    par[
+                        pc.is_in(flat, value_set=arr).to_numpy(zero_copy_only=False)
+                    ],
+                    minlength=len(batch),
+                )
+                for arr in self._marker_arrs
+            ],
+            axis=1,
         )
         best = counts.argmax(axis=1)  # ties resolve in ('en','de','fr') order
-        langs = np.array([lang for lang, _ in self.lang_res])
+        langs = np.array(self.langs)
         preds = np.where(counts.max(axis=1) > 0, langs[best], "und")
         return pa.table(
             {
@@ -173,7 +203,7 @@ class LangId:
 def fingerprint_batch(batch: pa.Table) -> pa.Table:
     """64-bit rolling polynomial fingerprint of the token stream
     (whitespace-normalized content hash — order-sensitive)."""
-    texts = batch.column("text").to_pandas().fillna("")
+    texts = pc.fill_null(batch.column("text"), "").to_pylist()
     fps = np.empty(len(texts), dtype=np.uint64)
     with np.errstate(over="ignore"):
         for i, t in enumerate(texts):
@@ -202,7 +232,7 @@ def hash_token(tok: str) -> int:
 
 def simhash64_batch(batch: pa.Table) -> pa.Table:
     """64-bit SimHash over token FNV hashes (near-dup sketch)."""
-    texts = batch.column("text").to_pandas().fillna("")
+    texts = pc.fill_null(batch.column("text"), "").to_pylist()
     out = np.zeros(len(texts), dtype=np.uint64)
     bit_cols = (np.uint64(1) << np.arange(64, dtype=np.uint64))
     for i, t in enumerate(texts):
@@ -333,7 +363,7 @@ def pii_scrub_batch(batch: pa.Table) -> pa.Table:
     redacted identically. Replacement order: emails, phones, IPs.
     """
     ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-    texts = batch.column("text").to_pandas().fillna("")
+    texts = pc.fill_null(batch.column("text"), "").to_pylist()
     n_em = np.zeros(len(ids), dtype=np.int64)
     n_ph = np.zeros(len(ids), dtype=np.int64)
     n_ip = np.zeros(len(ids), dtype=np.int64)

@@ -64,6 +64,7 @@ def anchor_text_index(pages_ds, k: int = 3, batch_size: int = 256, concurrency=N
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,
+        max_restarts=0,  # see stages/extract.parse_pages (ray#53727)
     )
     totals = partials.groupby(["url", "term"]).aggregate(Sum("n", alias_name="n"))
 

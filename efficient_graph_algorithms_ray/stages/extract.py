@@ -162,8 +162,18 @@ def parse_pages(pages_ds, batch_size: int = 256, concurrency=None):
         # total-2 pays ~30 actor cold-starts before the first batch
         # (measured 27.8 s first run)
         concurrency = (max(2, total // 4), max(2, total - 2))
+    # max_restarts=0: Ray Data wraps the callable class with ctor args
+    # held in the object store, so a core-level actor restart after
+    # object loss would fail on a real cluster (ray#53727). Disabling
+    # core restarts makes actor death surface as a task error that the
+    # pool handles by replacing the actor — defined semantics multi-node
+    # and no unrestartable-actor warning in the bench tail.
     return pages_ds.map_batches(
-        HtmlParser, batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency
+        HtmlParser,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        max_restarts=0,
     )
 
 
