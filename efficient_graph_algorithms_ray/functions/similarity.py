@@ -1127,11 +1127,12 @@ def knn_label_accuracy(embeddings_ds):
     holds only ObjectRefs). Each batch task streams over the shard
     refs one at a time (zero-copy plasma get, released per iteration —
     peak memory is one shard + one batch, never N×d), computing a
-    running exact 1-NN with the deterministic (max cosine, min vec_id)
-    tie-break: within a shard argmax-first-index over vec_id-sorted
-    rows, across shards an explicit (sim, vec_id) comparison. Each
-    pairwise dot is computed by the same (batch, shard) matmul
-    regardless of sharding, so winners are bit-stable. Only
+    running exact 1-NN with the deterministic (max ⌊cos·2^24⌋, min
+    vec_id) tie-break: within a shard argmax-first-index over
+    vec_id-sorted rows, across shards an explicit (quantized sim,
+    vec_id) comparison — quantization makes cross-shard equality exact
+    even when separate GEMM shapes differ by an ulp, so winners are
+    bit-stable at any blocking. Only
     (label, n, correct) partials leave each block. Returns
     (label, n, correct)."""
     import ray
@@ -1161,22 +1162,28 @@ def knn_label_accuracy(embeddings_ds):
             )
         )
         nb_rows = len(bv)
-        best_sim = np.full(nb_rows, -np.inf)
+        # cross-shard comparisons run on FLOOR-quantized sims (the dot
+        # 2^24 convention): separate (batch, shard) GEMMs can differ by
+        # an ulp with matrix shape, so float equality in the tie-break
+        # would be blocking-dependent (ADVICE r4); quantized equality is
+        # exact, and the oracle orders by the same ⌊sim·2^24⌋.
+        SENT = np.iinfo(np.int64).min
+        best_sim = np.full(nb_rows, SENT, dtype=np.int64)
         best_vid = np.full(nb_rows, np.iinfo(np.int64).max, dtype=np.int64)
         best_lab = np.zeros(nb_rows, dtype=np.int64)
         for ref in shard_refs:
             v, lab, m = ray.get(ref)
             if len(v) == 0:
                 continue
-            sims = bm @ m.T  # (batch, shard)
+            sims = np.floor((bm @ m.T) * 16777216.0).astype(np.int64)
             pos = np.searchsorted(v, bv)
             pos_c = np.minimum(pos, len(v) - 1)
             has_self = (pos < len(v)) & (v[pos_c] == bv)
-            sims[np.flatnonzero(has_self), pos_c[has_self]] = -np.inf
+            sims[np.flatnonzero(has_self), pos_c[has_self]] = SENT
             j = np.argmax(sims, axis=1)  # first max = smallest vec_id in shard
             s = sims[np.arange(nb_rows), j]
             cv, cl = v[j], lab[j]
-            upd = np.isfinite(s) & (
+            upd = (s > SENT) & (
                 (s > best_sim) | ((s == best_sim) & (cv < best_vid))
             )
             best_sim = np.where(upd, s, best_sim)

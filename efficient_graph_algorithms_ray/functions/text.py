@@ -21,7 +21,11 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-_TOKEN_RE = re.compile(r"\S+")
+# re.ASCII pins \S to the RE2 dialect ([^ \t\n\r\f\v]) that every
+# DuckDB oracle of the token-stream family uses: Python's default
+# Unicode \s would treat U+00A0 etc. as whitespace where RE2 does not,
+# silently diverging tokenization on non-ASCII corpora (ADVICE r4).
+_TOKEN_RE = re.compile(r"\S+", re.ASCII)
 _WORD_RE = re.compile(r"[A-Za-z0-9]+(?:'[A-Za-z]+)?|[^\w\s]", re.U)  # BPE-ish pre-tokenizer
 _ALPHA_RE = re.compile(r"[A-Za-z]")
 

@@ -5648,7 +5648,8 @@ KNN_LABEL_ACCURACY = """WITH e AS (
   SELECT a.vec_id, a.label AS label, b.label AS nb_label,
          ROW_NUMBER() OVER (
            PARTITION BY a.vec_id
-           ORDER BY list_cosine_similarity(b.v, a.v) DESC, b.vec_id) AS rn
+           ORDER BY CAST(FLOOR(list_cosine_similarity(b.v, a.v) * 16777216.0)
+                    AS BIGINT) DESC, b.vec_id) AS rn
   FROM e a JOIN e b ON b.vec_id <> a.vec_id
 )
 SELECT label::BIGINT AS label, COUNT(*)::BIGINT AS n,

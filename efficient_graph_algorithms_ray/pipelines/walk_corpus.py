@@ -263,22 +263,22 @@ def weighted_walk_corpus(graph: ShardedGraph, walk_len: int = 6, seed: int = 7):
                     continue
                 # Vectorized threshold selection over CONCATENATED
                 # neighbor segments. Weights are integer multiplicities,
-                # so every float64 partial sum is exact and the global
-                # cumsum is bit-equal to the old per-row np.cumsum —
-                # choice j = #(cum ≤ r) within the row's segment becomes
-                # #(tot ≤ base + r) − off on the concatenated array.
+                # so the running total is an INT64 cumsum — exact up to
+                # 2^63 regardless of block size (a float64 cumsum would
+                # silently need the block-wide total < 2^53, a much
+                # tighter bound than the per-row formulation; ADVICE
+                # r4). Choice j = #(cum ≤ r) within the row's segment
+                # becomes #(tot ≤ base + r) − off on the concatenation.
                 lens = deg[alive].astype(np.int64)
                 off = np.concatenate(([0], np.cumsum(lens)[:-1]))
                 seg = np.repeat(np.arange(len(lens)), lens)
                 gidx = np.repeat(starts[alive], lens) + (
                     np.arange(int(lens.sum()), dtype=np.int64) - off[seg]
                 )
-                tot = np.cumsum(w[gidx].astype(np.float64, copy=False))
-                base = np.where(off > 0, tot[np.maximum(off - 1, 0)], 0.0)
-                seg_sum = tot[off + lens - 1] - base  # exact (integer weights)
-                r = (
-                    r_all[rows_a] % seg_sum.astype(np.uint64)
-                ).astype(np.float64)
+                tot = np.cumsum(w[gidx].astype(np.int64, copy=False))
+                base = np.where(off > 0, tot[np.maximum(off - 1, 0)], 0)
+                seg_sum = tot[off + lens - 1] - base  # exact int64
+                r = (r_all[rows_a] % seg_sum.astype(np.uint64)).astype(np.int64)
                 loc = np.searchsorted(tot, base + r, side="right")
                 nxt[rows_a] = csr["indices"][gidx[loc]]
             new_seqs = [
