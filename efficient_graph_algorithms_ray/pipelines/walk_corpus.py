@@ -520,6 +520,53 @@ def khop_neighbor_sample(graph: ShardedGraph, seed_vids, fanouts=(3, 2), seed: i
     return out
 
 
+def choose_walk_plan(
+    *,
+    n_walks: int,
+    walk_len: int,
+    graph_bytes: int,
+    num_partitions: int,
+    n_nodes: int,
+    n_walk_blocks: int | None = None,
+) -> bool:
+    """Plan selector for ``random_walk_corpus`` (True = frontier
+    shuffle), from the quantity each plan actually moves per step:
+
+    - zero-shuffle: every walk block's task fetches the CSR shards its
+      frontier touches. After a couple of steps frontiers mix across
+      all P partitions, so a block touches min(P, walks_in_block)
+      shards; the REMOTE fraction of those fetches ((n_nodes−1)/
+      n_nodes — plasma reads on the owning node are zero-copy) is the
+      traffic: B · min(P, ⌈W/B⌉) · (graph_bytes/P) · (n−1)/n.
+    - frontier shuffle: the walk STATE crosses the wire instead —
+      ~(walk_len+3)·8 bytes per walk per step, all-to-all.
+
+    Single-node every fetch is a zero-copy plasma read, so the
+    zero-shuffle plan is always chosen (measured 0.11 s vs 0.70 s on
+    the sf0.01 co-occurrence fixture — per-step shuffle latency
+    dominates when nothing crosses a NIC). Multi-node the shuffle wins
+    as soon as replicated shard fetches outweigh walk state — with the
+    default block count that is any graph larger than ~walk-state
+    size; the measured traffic crossover on the sf0.01 fixture is in
+    BASELINE.md (round 5).
+    """
+    if n_nodes <= 1:
+        return False
+    B = n_walk_blocks if n_walk_blocks else max(1, num_partitions)
+    per_block = max(1, -(-n_walks // B))
+    shard_bytes = graph_bytes / max(1, num_partitions)
+    remote_frac = (n_nodes - 1) / n_nodes
+    fetch_bytes = B * min(num_partitions, per_block) * shard_bytes * remote_frac
+    state_bytes = float(n_walks) * (walk_len + 3) * 8
+    return fetch_bytes > state_bytes
+
+
+def _graph_bytes_estimate(graph: ShardedGraph) -> int:
+    """CSR shard footprint: ~16 B/edge (indices + weights) + 24 B/vertex
+    (vids, indptr, deg)."""
+    return int(16 * graph.n_edges + 24 * graph.n_vertices)
+
+
 def random_walk_corpus(
     graph: ShardedGraph,
     walk_len: int = 8,
@@ -533,7 +580,12 @@ def random_walk_corpus(
     function of (walk_id, step, seed, cur, CSR row) — tested in
     tests/test_walk_corpus.py):
 
-    - default (``frontier_shuffle=False``): zero-shuffle — walks stay
+    ``frontier_shuffle=None`` auto-selects via ``choose_walk_plan``
+    (single-node → zero-shuffle; multi-node → shuffle once replicated
+    shard fetches outweigh walk state); GRAFT_WALK_SHUFFLE=0/1 still
+    overrides explicitly.
+
+    - zero-shuffle (``frontier_shuffle=False``): walks stay
       in their block and each step's task ``ray.get``s whichever CSR
       shards its walks' frontiers touch. Single-node this is the
       optimum (every get is a zero-copy plasma read; measured: the
@@ -557,7 +609,21 @@ def random_walk_corpus(
     import ray
 
     if frontier_shuffle is None:
-        frontier_shuffle = os.environ.get("GRAFT_WALK_SHUFFLE", "0") == "1"
+        env = os.environ.get("GRAFT_WALK_SHUFFLE")
+        if env is not None:  # explicit override keeps working
+            frontier_shuffle = env == "1"
+        else:
+            try:
+                n_nodes = sum(1 for n in ray.nodes() if n.get("Alive", False))
+            except Exception:  # not initialized yet → local semantics
+                n_nodes = 1
+            frontier_shuffle = choose_walk_plan(
+                n_walks=graph.n_vertices * walks_per_vertex,
+                walk_len=walk_len,
+                graph_bytes=_graph_bytes_estimate(graph),
+                num_partitions=graph.num_partitions,
+                n_nodes=n_nodes,
+            )
 
     refs = graph.refs
     P = graph.num_partitions

@@ -204,3 +204,38 @@ def test_frontier_shuffle_plan_bit_identical():
     a = _flat(random_walk_corpus(g, walk_len=7, seed=11, frontier_shuffle=False))
     b = _flat(random_walk_corpus(g, walk_len=7, seed=11, frontier_shuffle=True))
     assert a == b
+
+
+def test_choose_walk_plan_heuristic():
+    """Auto plan selection (VERDICT r4 task #6): single-node always
+    zero-shuffle; multi-node picks shuffle exactly when replicated
+    shard fetches outweigh walk-state traffic."""
+    from efficient_graph_algorithms_ray.pipelines.walk_corpus import choose_walk_plan
+
+    common = dict(n_walks=1_000_000, walk_len=8, num_partitions=64)
+    # single node: plasma reads are zero-copy — never shuffle
+    assert choose_walk_plan(**common, graph_bytes=10**12, n_nodes=1) is False
+    # 4 nodes, 1 TB graph vs ~88 MB walk state: shuffle wins
+    assert choose_walk_plan(**common, graph_bytes=10**12, n_nodes=4) is True
+    # 4 nodes, graph smaller than the walk state: fetches are cheaper
+    assert choose_walk_plan(**common, graph_bytes=10**6, n_nodes=4) is False
+    # crossover: B=P=64 blocks each fetch all 64 shards remote-frac 3/4
+    # → fetch = graph_bytes·64·(3/4); state = 1e6·11·8 = 88 MB
+    # → crossover at graph_bytes ≈ 1.833 MB
+    assert choose_walk_plan(**common, graph_bytes=1_800_000, n_nodes=4) is False
+    assert choose_walk_plan(**common, graph_bytes=1_900_000, n_nodes=4) is True
+
+
+def test_random_walk_corpus_auto_plan_single_node():
+    """End-to-end: frontier_shuffle=None on the (single-node) test
+    cluster resolves to the zero-shuffle plan and matches both explicit
+    plans bit-for-bit."""
+    g, _, _ = _graph(n=40, p=0.12, seed=9)
+    auto = random_walk_corpus(g, walk_len=5, seed=3).to_pandas()
+    explicit = random_walk_corpus(
+        g, walk_len=5, seed=3, frontier_shuffle=False
+    ).to_pandas()
+    ka = auto.sort_values("walk_id").reset_index(drop=True)
+    ke = explicit.sort_values("walk_id").reset_index(drop=True)
+    assert ka["walk_id"].tolist() == ke["walk_id"].tolist()
+    assert [list(x) for x in ka["seq"]] == [list(x) for x in ke["seq"]]
