@@ -502,6 +502,13 @@ def cluster_cross_integrate(
     def _final(batch: pa.Table) -> pa.Table:
         pk, qv, uc_, km = ray.get(bc)
         vid = batch.column("vid").to_numpy(zero_copy_only=False).astype(np.int64)
+        if len(pk) == 0:  # one side empty → inner-join semantics: no rows
+            return pa.table(
+                {
+                    "vid": pa.array([], type=pa.int64()),
+                    "value_r6": pa.array([], type=pa.float64()),
+                }
+            )
         cl = batch.column("cluster").to_numpy(zero_copy_only=False).astype(np.int64)
         ky = batch.column("keyhi").to_numpy(zero_copy_only=False).astype(np.int64)
         ci = np.searchsorted(uc_, cl)
