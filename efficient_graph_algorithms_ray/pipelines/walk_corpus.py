@@ -227,8 +227,9 @@ def weighted_walk_corpus(graph: ShardedGraph, walk_len: int = 6, seed: int = 7):
     t leaves v through edge e with probability w(e)/Σw — selected by
     the exact integer threshold r = splitmix64(walk_id ⊕ mix(t) ⊕
     seed) mod Σw against the cumulative weights in CSR (neighbor-id)
-    order. Weights are the integer co-occurrence multiplicities, so
-    the float64 cumsum is exact and the selection SQL-replayable.
+    order. Weights are the integer co-occurrence multiplicities and the
+    running total is an int64 cumsum — exact to 2^63 at any block size,
+    so the selection is SQL-replayable and blocking-independent.
 
     Same zero-shuffle L-step shape as ``random_walk_corpus``.
     Returns Dataset (walk_id, seq list<uint64>)."""

@@ -239,3 +239,79 @@ def test_random_walk_corpus_auto_plan_single_node():
     ke = explicit.sort_values("walk_id").reset_index(drop=True)
     assert ka["walk_id"].tolist() == ke["walk_id"].tolist()
     assert [list(x) for x in ka["seq"]] == [list(x) for x in ke["seq"]]
+
+
+def test_weighted_walk_matches_per_row_replica():
+    """The vectorized int64-cumsum threshold selection (concatenated
+    segments) must equal an explicit per-row cumsum replica — guards
+    the block-size-independence of the weighted step (ADVICE r4)."""
+    from efficient_graph_algorithms_ray.pipelines.walk_corpus import (
+        weighted_walk_corpus,
+    )
+    from efficient_graph_algorithms_ray.sources.edges_synth import _splitmix64
+    from efficient_graph_algorithms_ray.util import list_rows
+
+    rng = np.random.default_rng(23)
+    n = 60
+    vids = hash_to_vid([f"w{i}" for i in range(n)])
+    iu, ju = np.triu_indices(n, 1)
+    keep = rng.random(len(iu)) < 0.1
+    src = np.concatenate([vids[iu[keep]], vids[ju[keep]]])
+    dst = np.concatenate([vids[ju[keep]], vids[iu[keep]]])
+    w = np.concatenate([rng.integers(1, 9, keep.sum())] * 2).astype(np.float64)
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "src": pa.array(src, type=pa.uint64()),
+                "dst": pa.array(dst, type=pa.uint64()),
+                "w": pa.array(w, type=pa.float64()),
+            }
+        )
+    )
+    g = build_graph(ds, EngineConfig(num_partitions=4), directed=True)
+    L, seed = 6, 19
+    out = weighted_walk_corpus(g, walk_len=L, seed=seed)
+
+    # per-row replica over the packed CSR shards (same arithmetic,
+    # python-level cumsum per visited vertex)
+    import ray
+
+    csrs = {p: ray.get(r) for p, r in g.refs.items()}
+
+    def nbrs(v):
+        p = int(v % np.uint64(g.num_partitions))
+        c = csrs[p]
+        i = int(np.searchsorted(c["vids"], v))
+        s, d = int(c["indptr"][i]), int(c["deg"][i])
+        return c["indices"][s : s + d], c["weights"][s : s + d]
+
+    def mix(x):
+        return int(_splitmix64(np.array([x], dtype=np.uint64))[0])
+
+    want = {}
+    for v0 in [int(x) for x in np.concatenate([c["vids"] for c in csrs.values()])]:
+        # walk_id = splitmix64(vid ^ splitmix64(rep)), rep = 0
+        wid = _splitmix64(np.array([np.uint64(v0) ^ _splitmix64(np.zeros(1, dtype=np.uint64))[0]], dtype=np.uint64))[0]
+        wid0 = int(wid)
+        seq, cur = [v0], np.uint64(v0)
+        for step in range(1, L):
+            ns, ws = nbrs(cur)
+            if len(ns) == 0:
+                break
+            r = np.uint64(mix(int(wid ^ np.uint64(mix(step)) ^ np.uint64(seed))))
+            tot = int(np.sum(ws.astype(np.int64)))
+            thr = int(r % np.uint64(tot))
+            c, j = 0, 0
+            for j, wv in enumerate(ws.astype(np.int64)):
+                c += int(wv)
+                if thr < c:
+                    break
+            cur = np.uint64(ns[j])
+            seq.append(int(cur))
+        want[wid0] = seq
+
+    got = {}
+    for b in out.iter_batches(batch_size=None, batch_format="pyarrow"):
+        for widv, s in zip(b.column("walk_id").to_pylist(), list_rows(b, "seq")):
+            got[int(widv)] = [int(x) for x in s]
+    assert got == want
