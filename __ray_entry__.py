@@ -715,6 +715,7 @@ def oracle_sql() -> dict[str, str]:
         "corpus_splits": S.corpus_splits_sql(),
         "token_shards": S.TOKEN_SHARDS,
         "coreness_coocc": S.coreness_coocc_sql(rounds=24),
+        "densest_coocc": S.densest_coocc_sql(rounds=16, num=5, den=2),
         "ldd_coocc": S.ldd_coocc_sql(rounds=5),
         "cluster_slices_coocc": S.cluster_slices_coocc_sql(rounds=5, beta=4.0, seed=42, unit=1),
         "cluster_field_integrate_coocc": S.cluster_field_integrate_coocc_sql(

@@ -1068,6 +1068,44 @@ JOIN ids ON d.vid = ids.vid
 LEFT JOIN par ON d.vid = par.vid AND par.rn = 1"""
 
 
+def densest_coocc_sql(rounds: int = 16, num: int = 5, den: int = 2) -> str:
+    """Unrolled Bahmani 2(1+ε) densest-subgraph peeling (replays
+    pipelines/densest.densest_subgraph bit-for-bit): per round, the
+    alive-subgraph stats row (round, n_alive, edges2) is emitted while
+    n_alive > 0, then every vertex with 2·den·deg_S·n_alive ≤
+    num·Σdeg_S is peeled — all-BIGINT threshold, no float in control
+    flow. ``rounds`` only needs to exceed the engine's measured
+    exhaustion (3 at sf0.001, 5 at sf0.01; O(log_{1+ε} n) bound) —
+    extra rounds emit no rows (empty alive set)."""
+    body = []
+    for i in range(1, rounds + 1):
+        p = f"al{i-1}"
+        body.append(
+            f""",
+dg{i} AS (
+  SELECT a.vid, COALESCE(n.d, 0) AS d
+  FROM {p} a LEFT JOIN (
+    SELECT u.u AS vid, COUNT(*) AS d
+    FROM und u JOIN {p} x ON u.v = x.vid JOIN {p} y ON u.u = y.vid
+    GROUP BY u.u
+  ) n ON n.vid = a.vid
+),
+st{i} AS (SELECT COUNT(*)::BIGINT AS n_alive, COALESCE(SUM(d), 0)::BIGINT AS edges2 FROM dg{i}),
+al{i} AS MATERIALIZED (
+  SELECT d.vid FROM dg{i} d, st{i} s
+  WHERE NOT (2 * {int(den)} * d.d * s.n_alive <= {int(num)} * s.edges2)
+)"""
+        )
+    selects = "\nUNION ALL\n".join(
+        f"SELECT {i}::BIGINT AS round, n_alive, edges2 FROM st{i} WHERE n_alive > 0"
+        for i in range(1, rounds + 1)
+    )
+    return f"""WITH {_COOCC_UND_MAT},
+al0 AS MATERIALIZED (SELECT DISTINCT u AS vid FROM und){"".join(body)}
+{selects}
+ORDER BY round"""
+
+
 def coreness_coocc_sql(rounds: int = 24, cap: int = 256) -> str:
     """Unrolled distributed h-index iteration (Montresor et al.) over
     the part co-occurrence graph — extra rounds past the fixpoint are

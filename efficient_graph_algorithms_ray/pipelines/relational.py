@@ -5713,10 +5713,12 @@ def q_kll_quantiles(sf_dir: str):
 
 def q_densest_coocc(sf_dir: str):
     """Densest-subgraph peeling rounds on the co-occurrence graph
-    (Bahmani 2(1+eps)-approx; rows-only — the per-round global
-    threshold loop is not SQL-expressible; pytest pins the
-    approximation guarantee against exhaustive search and exact
-    integer round determinism). Returns (round, n_alive, edges2)."""
+    (Bahmani 2(1+eps)-approx). SQL-oracled since round 5: the
+    all-integer kill threshold (2·den·deg·n_alive ≤ num·Σdeg) unrolls
+    exactly in DuckDB (oracles/sql.densest_coocc_sql; extra rounds
+    past exhaustion emit no rows); pytest additionally pins the
+    approximation guarantee against exhaustive search.
+    Returns (round, n_alive, edges2)."""
     from .densest import densest_subgraph
 
     table, _ = densest_subgraph(_coocc_graph(sf_dir))
