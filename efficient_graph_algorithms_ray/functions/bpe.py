@@ -120,6 +120,11 @@ def _bpe_shard_cls():
             words: list[str] = []
             ns: list[int] = []
             for t in _ray.get(list(block_refs)):
+                # a groupby at high parallelism can emit zero-row blocks
+                # whose schema is EMPTY (no columns at all) — skip them,
+                # or .column('word') raises KeyError and kills the actor
+                if t.num_rows == 0 or "word" not in t.schema.names:
+                    continue
                 words.extend(t.column("word").to_pylist())
                 ns.extend(t.column("n").to_pylist())
             self.ns = [int(n) for n in ns]

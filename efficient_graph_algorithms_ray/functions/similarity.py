@@ -1139,6 +1139,12 @@ def knn_label_accuracy(embeddings_ds):
 
     @ray.remote
     def _pin_shard(block):
+        # zero-row blocks can carry an EMPTY schema (no columns) — treat
+        # as an empty shard instead of KeyError-ing the task (the same
+        # hazard fixed in bpe._Shard.__init__)
+        if block.num_rows == 0 or "vec_id" not in block.schema.names:
+            e = np.empty(0, dtype=np.int64)
+            return (e, e.copy(), np.empty((0, 0)))
         ids, mat = _embedding_matrix(block)
         lab = block.column("label").to_numpy(zero_copy_only=False).astype(np.int64)
         o = np.argsort(ids, kind="stable")
